@@ -1,13 +1,137 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.relational.Queries
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every entry in [[queries]] is one operator from the inventory; every
+  * SQL-expressible one has a matching DuckDB oracle in [[oracleSql]]
+  * with identical column names and exact-arithmetic semantics.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Queries.q1Agg _),
+    "q3_topk" -> (Queries.q3Topk _),
+    "q5_join" -> (Queries.q5Join _),
+    "q_window" -> (Queries.qWindow _),
+    "q_sessionize" -> (Queries.qSessionize _),
+    "q_tumbling" -> (Queries.qTumbling _),
+    "q_distinct" -> (Queries.qDistinct _),
+    "q_topk_orders" -> (Queries.qTopkOrders _),
+    "q_semijoin" -> (Queries.qSemijoin _),
+    "q_rollup" -> (Queries.qRollup _)
+  )
+
+  /** Exact integer cents expression, DuckDB dialect. */
+  private def C(x: String) = s"CAST(FLOOR(($x)*100) AS BIGINT)"
+  private def SUMC(x: String) = s"CAST(SUM(${C(x)}) AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${SUMC("l_quantity")} AS sum_qty_c,
+         |${SUMC("l_extendedprice")} AS sum_base_c,
+         |${SUMC("l_extendedprice*(1.0-l_discount)")} AS sum_disc_c,
+         |${SUMC("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge_c,
+         |COUNT(*) AS cnt
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us,
+         |${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_join" ->
+      s"""SELECT n_name, ${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-07-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window" ->
+      s"""SELECT event_id, user_id,
+         |CAST(row_number() OVER w AS BIGINT) AS rn,
+         |CAST(SUM(${C("value")}) OVER w AS BIGINT) AS run_value_c
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, rn""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+         |    ${C("value")} AS value_c
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+         |                   OR sec - lag(sec) OVER w > 1800
+         |            THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |t AS (
+         |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM s)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
+         |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+         |FROM t GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "q_tumbling" ->
+      s"""WITH e AS (
+         |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,
+         |    event_type, user_id, ${C("value")} AS value_c
+         |  FROM events)
+         |SELECT bucket_h, event_type, COUNT(*) AS cnt,
+         |  COUNT(DISTINCT user_id) AS users,
+         |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+         |FROM e GROUP BY bucket_h, event_type
+         |ORDER BY bucket_h, event_type""".stripMargin,
+    "q_distinct" ->
+      s"""SELECT event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users,
+         |CAST(MIN(${C("value")}) AS BIGINT) AS min_value_c,
+         |CAST(MAX(${C("value")}) AS BIGINT) AS max_value_c,
+         |CAST(SUM(${C("value")}) AS BIGINT) AS sum_value_c
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_topk_orders" ->
+      s"""SELECT o_orderkey, ${C("o_totalprice")} AS totalprice_c
+         |FROM orders ORDER BY totalprice_c DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_semijoin" ->
+      s"""WITH w AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_with_orders
+         |  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |  GROUP BY c_nationkey),
+         |a AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_customers,
+         |    ${SUMC("c_acctbal")} AS sum_acctbal_c
+         |  FROM customer GROUP BY c_nationkey)
+         |SELECT a.nationkey, a.n_customers,
+         |  CAST(COALESCE(w.n_with_orders, 0) AS BIGINT) AS n_with_orders,
+         |  CAST(a.n_customers - COALESCE(w.n_with_orders, 0) AS BIGINT) AS n_without_orders,
+         |  a.sum_acctbal_c
+         |FROM a LEFT JOIN w ON a.nationkey = w.nationkey
+         |ORDER BY a.nationkey""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT COALESCE(r_name, '(all)') AS region, COALESCE(n_name, '(all)') AS nation,
+         |CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS BIGINT) AS gid,
+         |COUNT(*) AS n_customers, ${SUMC("c_acctbal")} AS sum_acctbal_c
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY gid, region, nation""".stripMargin
+  )
 }

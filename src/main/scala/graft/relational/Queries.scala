@@ -1,0 +1,199 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational / analytic core: the engine basics (scan, filter, join,
+  * aggregate, window, top-k, rollup, semi/anti join) exercised as
+  * oracle-checked queries over the TPC-H-ish test tables.
+  *
+  * Determinism rules (shared with the DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]]):
+  *  - money/quantity aggregates run through exact integer cents
+  *    (`floor(x * 100)` as BIGINT) — never order-dependent double sums;
+  *  - timestamps are never emitted raw (Spark is micros, the source is
+  *    nanos): they are projected to `unix_micros` / floor-seconds;
+  *  - every top-k carries a unique tie-break key;
+  *  - output key columns are cast to BIGINT on both sides.
+  *
+  * Scale notes: all dimension sides of the star joins (region, nation,
+  * customer at these ratios, supplier, part) are broadcast — the only
+  * shuffle on the 100 TB path is the fact-table aggregation, which is
+  * partially aggregated map-side. Filters are plain column predicates so
+  * they reach the parquet scan as PushedFilters.
+  */
+object Queries {
+
+  /** Exact integer cents of a (possibly negative) double amount. */
+  def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  /** events.ts is nano-grain; it is read as a raw BIGINT of epoch nanos
+    * (see [[graft.Tables]]) because (a) Spark's TimestampType is micros
+    * and (b) nano epoch values exceed 2^53, so any double math on them
+    * would silently lose exactness. All derived time columns therefore
+    * use pure integer division (floor for positive epochs), matching
+    * `epoch_ns(ts) // k` in the DuckDB oracles.
+    */
+  def nsToSec(c: Column): Column = {
+    // SQL `div` (integral division) — Column./ would detour through
+    // doubles and corrupt epochs > 2^53.
+    expr(s"(${c.toString} div 1000000000L)").cast("long")
+  }
+
+  /** Epoch micros of a micro/milli-grain NTZ timestamp column (session
+    * is pinned UTC so NTZ→LTZ is the identity).
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** q1_agg — pricing-summary style grouped aggregation on lineitem. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_c"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q3_topk — segment filter + 3-way join + agg + top-10 revenue. */
+  def q3Topk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+      .select(col("l_orderkey"), epochUs(col("o_orderdate")).as("odate_us"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q5_join — star join across all six relational tables. */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q_window — per-user running row_number + exact running value sum. */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(
+        col("event_id"), col("user_id"),
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))).cast("long").as("rn"),
+        sum(cents(col("value"))).over(w).as("run_value_c"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** q_sessionize — 30-minute-gap sessionization via lag + running sum
+    * (pure window functions — the streaming-stateful twin is
+    * [[graft.streaming.EventStreams]]).
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), nsToSec(col("ts")).as("sec"), cents(col("value")).as("value_c"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+        sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q_tumbling — 1-hour tumbling-window aggregation over events
+    * (batch twin of the Structured Streaming version).
+    */
+  def qTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    // floor(x / 3600.0), never a double->long CAST: DuckDB CAST rounds
+    // where Spark truncates, so both sides must go through FLOOR.
+    e.select(floor(nsToSec(col("ts")) / lit(3600.0)).cast("long").as("bucket_h"),
+        col("event_type"), col("user_id"), cents(col("value")).as("value_c"))
+      .groupBy(col("bucket_h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("user_id")).as("users"),
+        sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("bucket_h"), col("event_type"))
+  }
+
+  /** q_distinct — multi-distinct aggregation by event type. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("user_id")).as("users"),
+        min(cents(col("value"))).as("min_value_c"),
+        max(cents(col("value"))).as("max_value_c"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_topk_orders — global top-20 orders by price, tie-broken on key. */
+  def qTopkOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("totalprice_c"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q_semijoin — customers with no orders (anti join), per nation. */
+  def qSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_with_orders"))
+    c.groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"), sum(cents(col("c_acctbal"))).as("sum_acctbal_c"))
+      .join(withOrders, Seq("nationkey"), "left")
+      .select(col("nationkey"), col("n_customers"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        (col("n_customers") - coalesce(col("n_with_orders"), lit(0L))).as("n_without_orders"),
+        col("sum_acctbal_c"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q_rollup — region → nation rollup of customer balances. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sum(cents(col("c_acctbal"))).as("sum_acctbal_c"),
+        (grouping(col("r_name")).cast("long") * 2 + grouping(col("n_name")).cast("long")).as("gid"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("gid"), col("n_customers"), col("sum_acctbal_c"))
+      .orderBy(col("gid"), col("region"), col("nation"))
+  }
+}
