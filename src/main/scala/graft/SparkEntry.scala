@@ -26,7 +26,7 @@ object SparkEntry {
     "q_topk_orders" -> (Queries.qTopkOrders _),
     "q_semijoin" -> (Queries.qSemijoin _),
     "q_rollup" -> (Queries.qRollup _)
-  )
+  ) ++ graft.octree.OctreeQueries.all
 
   /** Exact integer cents expression, DuckDB dialect. */
   private def C(x: String) = s"CAST(FLOOR(($x)*100) AS BIGINT)"
@@ -133,5 +133,5 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY gid, region, nation""".stripMargin
-  )
+  ) ++ graft.octree.OctreeOracles.all
 }

@@ -1,0 +1,223 @@
+package graft.octree
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.VoxelGrid
+
+/** Octree addressing: block partitioning and octant-path encoding.
+  *
+  * Re-expresses tiff2octree.py:263 `get_octree_relative_path` (octant
+  * digit = 1 + x_bit + 2*y_bit + 4*z_bit per level, most-significant
+  * first, root digit elided) and :220 `blockify` / :944
+  * `save_tiff_blocks` (leaf partitioning) as pure Column arithmetic —
+  * codegen'd, no UDFs, so Catalyst can push/prune around it.
+  */
+object Addressing {
+
+  /** Octant path string for 1-based block coords at `levels`.
+    * Digit i (for bit positions levels-2 .. 0) is
+    * `1 + bit(x) + 2*bit(y) + 4*bit(z)` — the reference skips the
+    * all-ones root digit, so a level-L block has L-1 digits.
+    */
+  def octPath(bz: Column, by: Column, bx: Column, levels: Int): Column = {
+    val digits = ((levels - 2) to 0 by -1).map { lv =>
+      val d = (bCol: Column) => shiftright(bCol - 1, lv).bitwiseAND(lit(1L))
+      (lit(1L) + d(bx) + d(by) * 2 + d(bz) * 4).cast("string")
+    }
+    if (digits.isEmpty) lit("") else concat(digits: _*)
+  }
+
+  /** Voxels → (block coords 1-based, leaf offsets). One narrow
+    * projection; downstream per-block work groups on (c,bz,by,bx) —
+    * at cluster scale the voxel store is written partitioned by this
+    * key so block ops are shuffle-free.
+    */
+  def blockify(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
+    require((leaf & (leaf - 1)) == 0, "leaf edge must be a power of two")
+    val sh = java.lang.Long.numberOfTrailingZeros(leaf.toLong).toInt
+    voxels.select(
+      col("c"), col("z"), col("y"), col("x"), col("v"),
+      (shiftright(col("z"), sh) + 1).as("bz"),
+      (shiftright(col("y"), sh) + 1).as("by"),
+      (shiftright(col("x"), sh) + 1).as("bx"),
+      (col("z") % leaf).as("lz"),
+      (col("y") % leaf).as("ly"),
+      (col("x") % leaf).as("lx"))
+  }
+
+  /** Occupied blocks at full resolution with their octant paths. */
+  def blockPaths(voxels: DataFrame, levels: Int = VoxelGrid.Levels,
+                 leaf: Int = VoxelGrid.Leaf): DataFrame =
+    blockify(voxels, leaf)
+      .groupBy("c", "bz", "by", "bx")
+      .agg(count(lit(1)).as("n_voxels"), max("v").as("max_v"))
+      .withColumn("path", octPath(col("bz"), col("by"), col("bx"), levels))
+      .select("c", "bz", "by", "bx", "path", "n_voxels", "max_v")
+      .orderBy("c", "bz", "by", "bx")
+
+  /** tiff2octree.py:611 `adjust_dimensions` — shrink each dim to a
+    * multiple of 2^levels: `d - d % 2^levels` (the reference's
+    * decrement loop, closed form).
+    */
+  def adjustDim(dCol: String, lvCol: String): Column =
+    expr(s"$dCol - $dCol % shiftleft(1L, CAST($lvCol AS INT))")
+
+  /** tiff2octree.py:618 `calc_optimal_nlevels`: smallest lv >= 1 with
+    * adjusted-leaf volume < 512³. Expressed per-row over a candidate
+    * `lv` explode + min-aggregation (the reference's while loop).
+    * Input df needs bigint dims dz,dy,dx and a bigint id column.
+    */
+  def optimalLevels(dims: DataFrame): DataFrame = {
+    val leaf = (d: String) =>
+      s"(($d - $d % shiftleft(1L, lv)) div shiftleft(1L, lv - 1))"
+    dims
+      .withColumn("lv", explode(sequence(lit(1), lit(20))))
+      .filter(expr(s"${leaf("dz")} * ${leaf("dy")} * ${leaf("dx")} < 134217728"))
+      .groupBy("id", "dz", "dy", "dx")
+      .agg(min(col("lv")).cast("long").as("nlevels"))
+      .select(col("id"), col("dz"), col("dy"), col("dx"), col("nlevels"),
+        adjustDim("dz", "nlevels").as("adj_dz"),
+        adjustDim("dy", "nlevels").as("adj_dy"),
+        adjustDim("dx", "nlevels").as("adj_dx"))
+      .orderBy("id")
+  }
+
+  /** ktx/util.py:34 `mipmap_dimension` + :223 `mipmap_shapes`: OpenGL
+    * mip chain `max(1, floor(d / 2^lvl))` down to (1,1,1).
+    */
+  def mipmapDims(dz: Long, dy: Long, dx: Long)(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val maxLvl = 63 - java.lang.Long.numberOfLeadingZeros(Seq(dz, dy, dx).max)
+    (0L to maxLvl).map { lvl =>
+      (lvl, math.max(1L, dz >> lvl), math.max(1L, dy >> lvl), math.max(1L, dx >> lvl))
+    }.toDF("lvl", "mz", "my", "mx")
+  }
+}
+
+/** The reference's four downsampling kernels over the sparse voxel
+  * model: a 2×2×2 (or 2×2 for xy-only) parent group collapses to one
+  * voxel via groupBy on halved coordinates — one shuffle whose key
+  * space shrinks 8× per level, with map-side partial aggregation.
+  *
+  * Implicit-zero semantics: absent voxels are zeros, so e.g.
+  * `second_max` of a group with a single present voxel is 0 (then
+  * pruned from the sparse output), and `area` divides by the full 8
+  * regardless of how many voxels are present — exactly the dense
+  * arrays of tiff2octree.py:237/:253 and ktx/util.py:131.
+  */
+object Downsample {
+  /** Kernel ids (reference anchors in scaladoc above):
+    *  - `second_max`: tiff2octree.py:237 `downsample_2ndmax`
+    *  - `area`:       tiff2octree.py:253 (mean incl. zeros, dtype-truncated)
+    *  - `mean_nz`:    ktx/util.py:154 'mean' (NaN-mean over non-zeros)
+    *  - `max`:        ktx/util.py:159 'max'
+    *  - `arthur`:     ktx/util.py:164 'arthur' (2nd-max, 0→max fallback)
+    */
+  val kernels = Seq("second_max", "area", "mean_nz", "max", "arthur")
+
+  def apply(voxels: DataFrame, kernel: String, xyOnly: Boolean = false): DataFrame = {
+    val z = if (xyOnly) col("z") else shiftright(col("z"), 1)
+    val grouped = voxels.groupBy(
+      col("c"), z.as("z"), shiftright(col("y"), 1).as("y"), shiftright(col("x"), 1).as("x"))
+    val full = if (xyOnly) 4 else 8 // dense subvoxel count incl. implicit zeros
+    val cnt = count(lit(1))
+    val secondOfPresent = element_at(sort_array(collect_list(col("v")), asc = false), 2)
+    val agged = kernel match {
+      case "area" =>
+        grouped.agg(expr(s"sum(v) div $full").as("v"))
+      case "mean_nz" =>
+        grouped.agg(expr("sum(v) div count(1)").as("v"))
+      case "max" =>
+        grouped.agg(max(col("v")).as("v"))
+      case "second_max" =>
+        grouped.agg(when(cnt >= 2, secondOfPresent).otherwise(lit(0L)).as("v"))
+      case "arthur" =>
+        grouped.agg(when(cnt >= 2, secondOfPresent).otherwise(max(col("v"))).as("v"))
+      case other => throw new IllegalArgumentException(s"unknown kernel $other")
+    }
+    agged.filter(col("v") > 0).select("c", "z", "y", "x", "v")
+  }
+}
+
+/** Level-pyramid construction and block-level maintenance ops. */
+object Pyramid {
+
+  /** tiff2octree.py:1062 `downsample_octree_blocks`: iterative
+    * level-(L-1)..1 build. Union of all levels, each produced by one
+    * shrinking-key shuffle — total shuffle volume is a geometric
+    * series ≤ 8/7 of the full-res scan.
+    */
+  def apply(voxels: DataFrame, levels: Int = VoxelGrid.Levels,
+            kernel: String = "arthur"): DataFrame = {
+    var cur = voxels
+    var out = voxels.select(lit(levels.toLong).as("level"),
+      col("c"), col("z"), col("y"), col("x"), col("v"))
+    for (lv <- (levels - 1) to 1 by -1) {
+      cur = Downsample(cur, kernel)
+      out = out.union(cur.select(lit(lv.toLong).as("level"),
+        col("c"), col("z"), col("y"), col("x"), col("v")))
+    }
+    out.orderBy("level", "c", "z", "y", "x")
+  }
+
+  /** tiff2octree.py:312 `img_data.max() > 0` empty-block pruning, made
+    * total: enumerate every block slot of the grid and flag the empty
+    * ones (the reference skips writing those files).
+    */
+  def emptyPrune(spark: SparkSession, voxels: DataFrame,
+                 levels: Int = VoxelGrid.Levels): DataFrame = {
+    val bnum = 1 << (levels - 1)
+    val slots = spark.range(2).select(col("id").as("c"))
+      .crossJoin(spark.range(1, bnum + 1).select(col("id").as("bz")))
+      .crossJoin(spark.range(1, bnum + 1).select(col("id").as("by")))
+      .crossJoin(spark.range(1, bnum + 1).select(col("id").as("bx")))
+    val occupied = Addressing.blockify(voxels)
+      .groupBy("c", "bz", "by", "bx")
+      .agg(count(lit(1)).as("n_voxels"), max("v").as("max_v"))
+    slots.join(occupied, Seq("c", "bz", "by", "bx"), "left")
+      .select(col("c"), col("bz"), col("by"), col("bx"),
+        coalesce(col("n_voxels"), lit(0L)).as("n_voxels"),
+        coalesce(col("max_v"), lit(0L)).as("max_v"),
+        when(col("max_v").isNull, lit(1L)).otherwise(lit(0L)).as("is_empty"))
+      .orderBy("c", "bz", "by", "bx")
+  }
+
+  /** `--resume` (tiff2octree.py:359 `check_block`): anti-join the
+    * occupied block list against an already-completed listing. The
+    * completed set here is a deterministic synthetic predicate; in
+    * production it is the sink's file/manifest listing (broadcast —
+    * it is only block keys, never voxels).
+    */
+  def resumeRemaining(voxels: DataFrame): DataFrame = {
+    val occupied = Addressing.blockify(voxels)
+      .groupBy("c", "bz", "by", "bx").agg(count(lit(1)).as("n_voxels"))
+    val completed = occupied.filter((col("bz") + col("by") + col("bx")) % 3 === 0)
+      .select("c", "bz", "by", "bx")
+    occupied.join(completed, Seq("c", "bz", "by", "bx"), "left_anti")
+      .orderBy("c", "bz", "by", "bx")
+  }
+
+  /** ktx/util.py:242 `interleave_channel_arrays`: collapse per-channel
+    * rows into one multi-channel voxel row (absent channel = 0).
+    */
+  def interleave(voxels: DataFrame): DataFrame =
+    voxels.groupBy("z", "y", "x")
+      .agg(
+        max(when(col("c") === 0, col("v")).otherwise(lit(0L))).as("v0"),
+        max(when(col("c") === 1, col("v")).otherwise(lit(0L))).as("v1"),
+        count(lit(1)).as("n_channels"))
+      .orderBy("z", "y", "x")
+
+  /** Per-block channel statistics (ktx_from_rendered_tiff.py:223):
+    * voxel count, zero fraction vs the dense leaf volume, min/max/sum.
+    */
+  def blockStats(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
+    val dense = leaf.toLong * leaf * leaf
+    Addressing.blockify(voxels, leaf)
+      .groupBy("c", "bz", "by", "bx")
+      .agg(count(lit(1)).as("n_voxels"), min("v").as("min_v"),
+        max("v").as("max_v"), sum("v").as("sum_v"))
+      .withColumn("zero_frac", (lit(dense) - col("n_voxels")) / lit(dense.toDouble))
+      .orderBy("c", "bz", "by", "bx")
+  }
+}

@@ -1,0 +1,222 @@
+package graft.octree
+
+/** DuckDB oracle SQL for the octree operators — each statement is the
+  * independent re-derivation of the operator's semantics over the same
+  * parquet tables, with column names/types matching the Spark side
+  * exactly (see Queries' determinism rules).
+  */
+object OctreeOracles {
+
+  /** The synthetic voxel volume — must match [[graft.VoxelGrid]]. */
+  val voxelCte: String =
+    """voxels AS (
+      |  SELECT CAST(l_linenumber % 2 AS BIGINT) AS c,
+      |         CAST(l_orderkey % 16 AS BIGINT) AS z,
+      |         CAST(l_partkey % 16 AS BIGINT) AS y,
+      |         CAST(l_suppkey % 16 AS BIGINT) AS x,
+      |         CAST(MAX((CAST(FLOOR(l_quantity) AS BIGINT)*1000
+      |                   + CAST(FLOOR(l_extendedprice) AS BIGINT)) % 65535 + 1) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val blocksCte: String =
+    """blocks AS (
+      |  SELECT c, z//4 + 1 AS bz, y//4 + 1 AS "by", x//4 + 1 AS bx,
+      |         COUNT(*) AS n_voxels, CAST(MAX(v) AS BIGINT) AS max_v
+      |  FROM voxels GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Octant digits for 1-based block coords at levels=3 (2 digits). */
+  private val pathExpr: String =
+    """CAST(1 + (((bx-1) >> 1) & 1) + 2*((("by"-1) >> 1) & 1) + 4*(((bz-1) >> 1) & 1) AS VARCHAR)
+      | || CAST(1 + ((bx-1) & 1) + 2*(("by"-1) & 1) + 4*((bz-1) & 1) AS VARCHAR)""".stripMargin.replace("\n", "")
+
+  private def downCte(kernelAgg: String, grouped: String = "z//2 AS z, y//2 AS y, x//2 AS x"): String =
+    s"""half AS (
+       |  SELECT c, $grouped, $kernelAgg AS v
+       |  FROM voxels GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val second = "(list_sort(list(v), 'DESC'))[2]"
+
+  private def downQuery(kernelAgg: String, grouped: String = "z//2 AS z, y//2 AS y, x//2 AS x"): String =
+    s"""WITH $voxelCte,
+       |${downCte(kernelAgg, grouped)}
+       |SELECT c, z, y, x, CAST(v AS BIGINT) AS v FROM half WHERE v > 0
+       |ORDER BY c, z, y, x""".stripMargin
+
+  /** Percentile-table CTEs (after `voxels`); exposes `pct(c, p, pv)`. */
+  private val pctCtes: String =
+    """hist AS (SELECT c, v, COUNT(*) AS cnt FROM voxels GROUP BY c, v),
+      |cum AS (
+      |  SELECT c, v, cnt,
+      |         CAST(SUM(cnt) OVER (PARTITION BY c ORDER BY v) AS BIGINT) AS acc,
+      |         CAST(SUM(cnt) OVER (PARTITION BY c) AS BIGINT) AS total
+      |  FROM hist),
+      |rng AS (
+      |  SELECT c, v, (100*(acc - cnt))//total + 1 AS lo, (100*acc)//total AS hi
+      |  FROM cum WHERE (100*acc)//total >= (100*(acc - cnt))//total + 1),
+      |slots AS (SELECT c, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS p, v AS pv FROM rng),
+      |slot0 AS (SELECT c, CAST(0 AS BIGINT) AS p, CAST(MIN(v) AS BIGINT) AS pv FROM voxels GROUP BY c),
+      |pct AS (SELECT * FROM slot0 UNION ALL SELECT * FROM slots)""".stripMargin
+
+  /** Black/white/gamma CTEs (after `pct`); exposes `par(c, black_level, white_level)`. */
+  private val paramCtes: String =
+    """pagg AS (
+      |  SELECT c,
+      |    CAST(SUM(CASE WHEN p BETWEEN 20 AND 95 THEN pv END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN p BETWEEN 20 AND 95 THEN pv*pv END) AS BIGINT) AS s2,
+      |    MAX(CASE WHEN p = 20 THEN pv END) AS p20,
+      |    MAX(CASE WHEN p = 95 THEN pv END) AS p95,
+      |    MAX(CASE WHEN p = 100 THEN pv END) AS p100
+      |  FROM pct GROUP BY c),
+      |pw AS (
+      |  SELECT *, FLOOR(p95 + 6.0 * sqrt((s2*76 - s1*s1) / (76.0*76.0))) AS w0
+      |  FROM pagg),
+      |pw1 AS (SELECT *, CAST(FLOOR(GREATEST(w0, 0.75 * p100)) AS BIGINT) AS w1 FROM pw),
+      |pw2 AS (SELECT *, GREATEST(LEAST(w1, p100), 254) AS white_level FROM pw1),
+      |par AS (
+      |  SELECT c, CAST(GREATEST(LEAST(p20, white_level - 253), 1) AS BIGINT) AS black_level,
+      |         CAST(white_level AS BIGINT) AS white_level
+      |  FROM pw2)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "oct_blockify" ->
+      s"""WITH $voxelCte
+         |SELECT c, z, y, x, v, z//4 + 1 AS bz, y//4 + 1 AS "by", x//4 + 1 AS bx,
+         |       z % 4 AS lz, y % 4 AS ly, x % 4 AS lx
+         |FROM voxels ORDER BY c, z, y, x""".stripMargin,
+    "oct_path" ->
+      s"""WITH $voxelCte,
+         |$blocksCte
+         |SELECT c, bz, "by", bx, $pathExpr AS path, n_voxels, max_v
+         |FROM blocks ORDER BY c, bz, "by", bx""".stripMargin,
+    "oct_levels" ->
+      s"""WITH dims AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS id,
+         |         CAST(o_orderkey % 4000 + 600 AS BIGINT) AS dz,
+         |         CAST(o_custkey % 3000 + 500 AS BIGINT) AS dy,
+         |         CAST(o_orderkey % 2500 + 400 AS BIGINT) AS dx
+         |  FROM orders WHERE o_orderkey % 97 = 0),
+         |cand AS (
+         |  SELECT id, dz, dy, dx, CAST(unnest(range(1, 21)) AS BIGINT) AS lv FROM dims),
+         |ok AS (
+         |  SELECT * FROM cand
+         |  WHERE ((dz - dz % (1 << lv)) // (1 << (lv - 1)))
+         |      * ((dy - dy % (1 << lv)) // (1 << (lv - 1)))
+         |      * ((dx - dx % (1 << lv)) // (1 << (lv - 1))) < 134217728),
+         |sel AS (SELECT id, dz, dy, dx, CAST(MIN(lv) AS BIGINT) AS nlevels FROM ok GROUP BY 1, 2, 3, 4)
+         |SELECT id, dz, dy, dx, nlevels,
+         |       CAST(dz - dz % (1 << nlevels) AS BIGINT) AS adj_dz,
+         |       CAST(dy - dy % (1 << nlevels) AS BIGINT) AS adj_dy,
+         |       CAST(dx - dx % (1 << nlevels) AS BIGINT) AS adj_dx
+         |FROM sel ORDER BY id""".stripMargin,
+    "oct_mipmap_dims" ->
+      """SELECT CAST(lvl AS BIGINT) AS lvl,
+        |       CAST(GREATEST(1, 16 >> lvl) AS BIGINT) AS mz,
+        |       CAST(GREATEST(1, 16 >> lvl) AS BIGINT) AS my,
+        |       CAST(GREATEST(1, 16 >> lvl) AS BIGINT) AS mx
+        |FROM range(0, 5) t(lvl) ORDER BY lvl""".stripMargin,
+    "oct_down_2ndmax" ->
+      downQuery(s"CASE WHEN COUNT(*) >= 2 THEN $second ELSE 0 END"),
+    "oct_down_area" ->
+      downQuery("CAST(SUM(v) AS BIGINT) // 8"),
+    "oct_down_mean_nz" ->
+      downQuery("CAST(SUM(v) AS BIGINT) // COUNT(*)"),
+    "oct_down_max" ->
+      downQuery("MAX(v)"),
+    "oct_down_arthur" ->
+      downQuery(s"CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END"),
+    "oct_downsample_xy" ->
+      downQuery(s"CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END",
+        grouped = "z AS z, y//2 AS y, x//2 AS x"),
+    "oct_pyramid" ->
+      s"""WITH $voxelCte,
+         |lv2 AS (
+         |  SELECT c, z//2 AS z, y//2 AS y, x//2 AS x,
+         |         CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END AS v
+         |  FROM voxels GROUP BY 1, 2, 3, 4),
+         |lv1 AS (
+         |  SELECT c, z//2 AS z, y//2 AS y, x//2 AS x,
+         |         CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END AS v
+         |  FROM lv2 GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(3 AS BIGINT) AS level, c, z, y, x, CAST(v AS BIGINT) AS v FROM voxels
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), c, z, y, x, CAST(v AS BIGINT) FROM lv2 WHERE v > 0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), c, z, y, x, CAST(v AS BIGINT) FROM lv1 WHERE v > 0
+         |ORDER BY level, c, z, y, x""".stripMargin,
+    "oct_empty_prune" ->
+      s"""WITH $voxelCte,
+         |$blocksCte,
+         |slots AS (
+         |  SELECT CAST(cc.c AS BIGINT) AS c, zz.bz, yy."by", xx.bx
+         |  FROM (VALUES (0), (1)) cc(c), range(1, 5) zz(bz), range(1, 5) yy("by"), range(1, 5) xx(bx))
+         |SELECT s.c, s.bz, s."by", s.bx,
+         |       CAST(COALESCE(b.n_voxels, 0) AS BIGINT) AS n_voxels,
+         |       CAST(COALESCE(b.max_v, 0) AS BIGINT) AS max_v,
+         |       CAST(CASE WHEN b.max_v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_empty
+         |FROM slots s LEFT JOIN blocks b
+         |  ON s.c = b.c AND s.bz = b.bz AND s."by" = b."by" AND s.bx = b.bx
+         |ORDER BY s.c, s.bz, s."by", s.bx""".stripMargin,
+    "oct_resume" ->
+      s"""WITH $voxelCte,
+         |$blocksCte
+         |SELECT c, bz, "by", bx, n_voxels FROM blocks
+         |WHERE (bz + "by" + bx) % 3 != 0
+         |ORDER BY c, bz, "by", bx""".stripMargin,
+    "oct_interleave" ->
+      s"""WITH $voxelCte
+         |SELECT z, y, x,
+         |       CAST(MAX(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS v0,
+         |       CAST(MAX(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS v1,
+         |       COUNT(*) AS n_channels
+         |FROM voxels GROUP BY z, y, x ORDER BY z, y, x""".stripMargin,
+    "oct_stats" ->
+      s"""WITH $voxelCte
+         |SELECT c, z//4 + 1 AS bz, y//4 + 1 AS "by", x//4 + 1 AS bx,
+         |       COUNT(*) AS n_voxels, CAST(MIN(v) AS BIGINT) AS min_v,
+         |       CAST(MAX(v) AS BIGINT) AS max_v, CAST(SUM(v) AS BIGINT) AS sum_v,
+         |       (64 - COUNT(*)) / 64.0 AS zero_frac
+         |FROM voxels GROUP BY 1, 2, 3, 4 ORDER BY c, bz, "by", bx""".stripMargin,
+    "oct_histogram" ->
+      s"""WITH $voxelCte
+         |SELECT c, v, COUNT(*) AS cnt FROM voxels GROUP BY c, v ORDER BY c, v""".stripMargin,
+    "oct_percentiles" ->
+      s"""WITH $voxelCte,
+         |$pctCtes
+         |SELECT c, p, pv FROM pct ORDER BY c, p""".stripMargin,
+    "oct_intensity_params" ->
+      s"""WITH $voxelCte,
+         |$pctCtes,
+         |$paramCtes
+         |SELECT c, black_level, white_level, 0.5 AS gamma FROM par ORDER BY c""".stripMargin,
+    "oct_rescale_u8" ->
+      s"""WITH $voxelCte,
+         |$pctCtes,
+         |$paramCtes,
+         |t AS (
+         |  SELECT v.c, v.z, v.y, v.x,
+         |         CASE WHEN CAST(v.v - p.black_level AS DOUBLE) <= 1.0 THEN 1.0
+         |              ELSE CAST(v.v - p.black_level AS DOUBLE) END
+         |         * (1.0 / GREATEST(1.0, CAST(p.white_level - p.black_level AS DOUBLE))) AS t2
+         |  FROM voxels v JOIN par p ON v.c = p.c)
+         |SELECT c, z, y, x,
+         |       CAST(CEIL(sqrt(CASE WHEN t2 >= 1.0 THEN 1.0 ELSE t2 END) * 254.0) AS BIGINT) AS v8
+         |FROM t ORDER BY c, z, y, x""".stripMargin,
+    "oct_transform" ->
+      """SELECT 0.0 AS ox, 0.0 AS oy, 0.0 AS oz,
+        |       4000.0 AS sx, 4000.0 AS sy, 4000.0 AS sz,
+        |       CAST(3 AS BIGINT) AS nl, 16.0 AS volume_um""".stripMargin,
+    "oct_block_geom" ->
+      s"""WITH $voxelCte,
+         |$blocksCte
+         |SELECT c, bz, "by", bx, $pathExpr AS path,
+         |       CAST(bx - 1 AS DOUBLE) * 4.0 AS ox,
+         |       CAST("by" - 1 AS DOUBLE) * 4.0 AS oy,
+         |       CAST(bz - 1 AS DOUBLE) * 4.0 AS oz,
+         |       4.0 AS sx, 4.0 AS sy, 4.0 AS sz,
+         |       CAST(bx - 1 AS DOUBLE) * 4.0 + 0.5 * 4.0 AS cx,
+         |       CAST("by" - 1 AS DOUBLE) * 4.0 + 0.5 * 4.0 AS cy,
+         |       CAST(bz - 1 AS DOUBLE) * 4.0 + 0.5 * 4.0 AS cz,
+         |       sqrt(4.0*4.0 + 4.0*4.0 + 4.0*4.0) / 16.0 AS radius
+         |FROM blocks ORDER BY c, bz, "by", bx""".stripMargin
+  )
+}

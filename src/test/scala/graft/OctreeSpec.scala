@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.octree._
+
+/** Hand-computed semantics checks for the octree kernels — the DuckDB
+  * oracle guards Spark-vs-DuckDB agreement; these specs guard
+  * agreement with the reference's numpy behavior on tiny volumes.
+  */
+class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import org.apache.spark.sql.functions._
+
+  private def vox(rows: (Long, Long, Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("c", "z", "y", "x", "v")
+  }
+
+  // One 2x2x2 parent group with 3 present voxels (5 implicit zeros):
+  // values 10, 40, 30 -> sorted desc [40,30,10,0,0,0,0,0]
+  private val group = vox((0, 0, 0, 0, 10), (0, 1, 1, 1, 40), (0, 0, 1, 0, 30))
+  // A lone voxel in the next parent group: second-max over the dense
+  // 8 is 0 (pruned); arthur falls back to the max.
+  private val lone = vox((0, 0, 0, 2, 7))
+
+  private def one(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("x", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("second_max takes the 2nd largest incl. implicit zeros; lone voxel prunes to empty") {
+    assert(one(Downsample(group.union(lone), "second_max")) === Seq((0L, 30L)))
+  }
+
+  test("arthur replaces a zero 2nd-max with the max (ktx/util.py:170)") {
+    assert(one(Downsample(group.union(lone), "arthur")) === Seq((0L, 30L), (1L, 7L)))
+  }
+
+  test("area divides by the dense 8 and truncates like astype") {
+    // (10+40+30)/8 = 10, lone 7/8 = 0 -> pruned
+    assert(one(Downsample(group.union(lone), "area")) === Seq((0L, 10L)))
+  }
+
+  test("mean_nz is the NaN-mean over present voxels, floor-truncated") {
+    // (10+40+30)/3 = 26, lone 7/1 = 7
+    assert(one(Downsample(group.union(lone), "mean_nz")) === Seq((0L, 26L), (1L, 7L)))
+  }
+
+  test("max kernel") {
+    assert(one(Downsample(group.union(lone), "max")) === Seq((0L, 40L), (1L, 7L)))
+  }
+
+  test("xy-only downsample keeps z resolution (ktx/util.py:183)") {
+    val d = Downsample(vox((0, 0, 0, 0, 5), (0, 1, 0, 1, 9)), "arthur", xyOnly = true)
+      .select("z", "y", "x", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(d === Seq((0L, 0L, 0L, 5L), (1L, 0L, 0L, 9L)))
+  }
+
+  test("octPath matches get_octree_relative_path digit order (tiff2octree.py:263)") {
+    // Block (z,y,x)=(1,1,1) 1-based at L=3 -> digits "11";
+    // (4,4,4) -> "88"; (1,2,3) -> x=3:bits 10, y=2:bits 01, z=1:bits 00
+    //   lv1: 1 + 1 + 2*0 + 4*0 = 2 ; lv0: 1 + 0 + 2*1 + 4*0 = 3 -> "23"
+    val df = vox((0, 0, 0, 0, 1)).select(
+      Addressing.octPath(lit(1L), lit(1L), lit(1L), 3).as("a"),
+      Addressing.octPath(lit(4L), lit(4L), lit(4L), 3).as("b"),
+      Addressing.octPath(lit(1L), lit(2L), lit(3L), 3).as("c"))
+    val r = df.collect()(0)
+    assert((r.getString(0), r.getString(1), r.getString(2)) === ("11", "88", "23"))
+  }
+
+  test("reference path parity on a brute-force sample") {
+    // Port of the reference loop, evaluated in Scala, vs the Column expr.
+    def refPath(zc: Int, yc: Int, xc: Int, level: Int): String = {
+      var (pz, py, px) = (zc - 1, yc - 1, xc - 1)
+      val sb = new StringBuilder
+      for (lv <- (level - 1) to 0 by -1) {
+        val d = 1 << lv
+        val digit = 1 + px / d + 2 * (py / d) + 4 * (pz / d)
+        if (lv < level - 1) sb.append(digit)
+        pz %= d; py %= d; px %= d
+      }
+      sb.toString
+    }
+    import spark.implicits._
+    val coords = for (z <- 1 to 4; y <- 1 to 4; x <- 1 to 4) yield (z.toLong, y.toLong, x.toLong)
+    val got = coords.toDF("bz", "by", "bx")
+      .select(col("bz"), col("by"), col("bx"), Addressing.octPath(col("bz"), col("by"), col("bx"), 3).as("p"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getString(3))).toMap
+    coords.foreach { case (z, y, x) =>
+      assert(got((z, y, x)) === refPath(z.toInt, y.toInt, x.toInt, 3), s"coord ($z,$y,$x)")
+    }
+  }
+
+  test("percentiles: single-value channel puts every slot at that value") {
+    val p = Intensity.percentiles(vox((0, 0, 0, 0, 42)))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(p === (0L to 100L).map(i => (i, 42L)))
+  }
+
+  test("rescale_u8 keeps outputs in [1, 255] and is monotone") {
+    val dense = (1L to 200L).map(i => (0L, i % 8, (i / 8) % 8, i % 16, i * 327 % 65535 + 1))
+    val out = Intensity.rescaleU8(vox(dense: _*)).select("v8").collect().map(_.getLong(0))
+    assert(out.forall(v => v >= 1 && v <= 255))
+  }
+
+  test("pyramid emits every level with shrinking coordinate bounds") {
+    val full = for (z <- 0L until 4L; y <- 0L until 4L; x <- 0L until 4L)
+      yield (0L, z, y, x, (z * 16 + y * 4 + x + 1))
+    val p = Pyramid(vox(full: _*), levels = 3, kernel = "max")
+    val byLevel = p.groupBy("level").agg(count(lit(1)).as("n"), max("z").as("mz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(byLevel === Seq((1L, 1L, 0L), (2L, 8L, 1L), (3L, 64L, 3L)))
+  }
+}

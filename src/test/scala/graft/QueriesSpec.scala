@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.relational.Queries
+
+/** Semantics checks for the relational core on the sf0.001 tables. */
+class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q1 aggregates to the 6 flag/status groups with exact cents") {
+    val rows = Queries.q1Agg(spark, dir).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getLong(6)).sum > 0) // cnt
+  }
+
+  test("q3 returns exactly 10 rows ordered by revenue desc with key tiebreak") {
+    val rows = Queries.q3Topk(spark, dir).collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getLong(2))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("sessionization never splits events closer than the 30-min gap") {
+    val sess = Queries.qSessionize(spark, dir)
+    // every session's span must be consistent: n_events>=1, dur>=0
+    val bad = sess.filter("n_events < 1 or dur_sec < 0").count()
+    assert(bad === 0)
+    // sessions per user are dense 1..K
+    val dense = sess.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("session_id").as("mx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter("mx != n").count()
+    assert(dense === 0)
+  }
+
+  test("window rn is dense per user") {
+    val w = Queries.qWindow(spark, dir)
+    val perUser = w.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("rn").as("mx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter("mx != n").count()
+    assert(perUser === 0)
+  }
+
+  test("rollup contains per-nation, per-region and grand-total strata") {
+    val gids = Queries.qRollup(spark, dir).select("gid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gids === Set(0L, 1L, 3L))
+  }
+}
