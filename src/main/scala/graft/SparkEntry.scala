@@ -26,7 +26,9 @@ object SparkEntry {
     "q_topk_orders" -> (Queries.qTopkOrders _),
     "q_semijoin" -> (Queries.qSemijoin _),
     "q_rollup" -> (Queries.qRollup _)
-  ) ++ graft.octree.OctreeQueries.all
+  ) ++ graft.octree.OctreeQueries.all ++
+    graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
+    graft.ops.Similarity.all ++ graft.ops.Multimodal.all
 
   /** Exact integer cents expression, DuckDB dialect. */
   private def C(x: String) = s"CAST(FLOOR(($x)*100) AS BIGINT)"
@@ -133,5 +135,5 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY gid, region, nation""".stripMargin
-  ) ++ graft.octree.OctreeOracles.all
+  ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all
 }

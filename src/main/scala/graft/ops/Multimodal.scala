@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads ride through the engine
+  * as opaque `BINARY` columns with typed metadata alongside — the
+  * pattern for image/audio/video at 100 TB (payload bytes never leave
+  * the executor; metadata is columnar and prunable).
+  *
+  * The payloads here are utf-8 text bytes (this container deliberately
+  * has no image/audio codecs); the decode stage is a clearly-marked
+  * deterministic STUB behind the same batch-processing seam a real
+  * decoder (pillow/ffmpeg via mapInPandas in PySpark, JNI here) would
+  * plug into.
+  */
+object Multimodal {
+
+  /** mm_pack — attach payload bytes + flat metadata. The oracle-facing
+    * projection identifies the payload by checksum + head bytes (raw
+    * binary columns don't round-trip the comparator); the binary
+    * column itself feeds [[decodeStub]].
+    */
+  def packed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("head_hex"),
+        col("source").as("kind"),
+        md5(col("text")).as("checksum"))
+      .orderBy("doc_id")
+
+  /** mm_meta_extract — header-style metadata from the payload without
+    * decoding it (magic bytes, length, checksum).
+    */
+  def metaExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        lower(hex(substring(col("text"), 1, 4).cast("binary"))).as("magic_hex"),
+        md5(col("text")).as("checksum"))
+      .orderBy("doc_id")
+
+  /** mm_frame_sample — deterministic strided sampling of fixed-size
+    * payload windows (the frame-extraction access pattern: k frames at
+    * stride positions, each a bounded slice — no full-payload decode).
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
+      .filter(col("n_bytes") >= col("frame_idx") * 32 + 16)
+      .select(col("doc_id"), col("frame_idx"),
+        lower(hex(expr("cast(substr(text, cast(frame_idx * 32 + 1 as int), 16) as binary)")))
+          .as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Decoded features produced by the (stubbed) media decoder. */
+  case class Decoded(doc_id: Long, width: Int, height: Int, mean_intensity: Double)
+
+  /** mm_decode_stub — the batch-decode seam: partitions stream through
+    * a typed `mapPartitions` (Arrow-batched `mapInPandas` in the
+    * Python binding) where a real codec would decode payload bytes.
+    * The stub derives deterministic fake dimensions/intensity from the
+    * bytes; the Spark-side plumbing (schema, batching, partition
+    * isolation) is the real thing. rows-only: not SQL-expressible by
+    * design (imperative per-batch decode).
+    */
+  def decodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packed(spark, dir).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB decoder: a real implementation calls the codec here.
+        val w = 8 + (if (bytes.nonEmpty) (bytes(0) & 0x3f) else 0)
+        val h = 8 + (if (bytes.length > 1) (bytes(1) & 0x3f) else 0)
+        val mean = if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        Decoded(id, w, h, mean)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pack" -> (pack _),
+    "mm_meta_extract" -> (metaExtract _),
+    "mm_frame_sample" -> (frameSample _),
+    "mm_decode_stub" -> (decodeStub _)
+  )
+}

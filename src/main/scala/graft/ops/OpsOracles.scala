@@ -1,0 +1,216 @@
+package graft.ops
+
+/** DuckDB oracle SQL for the text/dedup/similarity/multimodal
+  * operators. Shared numeric contracts with the Spark side:
+  * md5-prefix string hashing (re-derived here as a strpos polynomial —
+  * identical values to Spark's `conv(hex,16,10)`), double-cast
+  * element-wise dot products folded left from 0.0, and integer
+  * thresholds on floor(cos·10⁶).
+  */
+object OpsOracles {
+
+  private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** strpos-polynomial hex parse of md5(x)'s first 8 digits. */
+  private def md5Int(x: String): String =
+    (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** Word-3-gram shingles over a token-list column named `t`. */
+  private val shingles =
+    """CASE WHEN len(t) >= 3 THEN
+      |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])
+      |ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  /** Left-fold double dot product over 64-dim float lists. */
+  private def dotD(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  [CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) for i in range(1, 65)]),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private def cosU(a: String, b: String): String =
+    s"""CAST(FLOOR(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})) * 1000000.0) AS BIGINT)"""
+
+  /** Sign-LSH bucket over coordinate hyperplanes (17j+3)%64 + 1. */
+  private val bucketExpr: String =
+    (0 until 8).map { j =>
+      val pos = (17 * j + 3) % 64 + 1
+      s"CAST(embedding[$pos] > 0 AS BIGINT) * ${1L << j}"
+    }.mkString(" + ")
+
+  private val bucketedCte =
+    s"""b AS (SELECT vec_id, embedding, label, $bucketExpr AS bucket FROM embeddings)"""
+
+  private def pairsCte(minCosU: Long) =
+    s"""pairs AS (
+       |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
+       |         CAST(a.label AS BIGINT) AS label_a, CAST(a2.label AS BIGINT) AS label_b,
+       |         ${cosU("a.embedding", "a2.embedding")} AS cos_u, a.bucket
+       |  FROM b a JOIN b a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id)
+       |, hits AS (SELECT * FROM pairs WHERE cos_u >= $minCosU)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,
+         |CAST(length(text) AS BIGINT) AS len_chars,
+         |CAST((length(text) + 3) // 4 AS BIGINT) AS bpe_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+         |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper,
+         |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS spaces
+         |  FROM documents)
+         |SELECT doc_id, n, alpha, digit, punct, upper, spaces,
+         |  alpha / n AS alpha_ratio, punct / n AS punct_ratio, upper / n AS upper_ratio,
+         |  (alpha / n) * CAST(0.6 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - punct / n) * CAST(0.2 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - upper / n) * CAST(0.2 AS DOUBLE) AS score
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val scores = TextAnalysis.markers.map { case (l, pat) =>
+        s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS s_$l"
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT doc_id, $scores,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.cjkPat}')) AS BIGINT) AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+         |  CASE WHEN s_zh > 0 THEN 'zh'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents)
+         |SELECT doc_id, md5(array_to_string(t, ' ')) AS fp_md5,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        [${md5Int("s")} for s in t]),
+         |      (h, x) -> (h * 31 + x) % 2147483647) AS BIGINT) AS fp_roll,
+         |  CAST(len(t) AS BIGINT) AS n_tokens
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |g AS (SELECT unnest(CASE WHEN len(t) >= 3
+         |        THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+         |        ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM d)
+         |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
+         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS key, COUNT(*) AS n_docs,
+        |CAST(MIN(doc_id) AS BIGINT) AS canonical
+        |FROM documents GROUP BY md5(text) ORDER BY canonical""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, list_distinct($toks) AS t FROM documents),
+         |e AS (SELECT doc_id, lang, t, CAST(len(t) AS BIGINT) AS nt,
+         |      CAST(len(t) AS BIGINT) // 8 AS bucket FROM d),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, a2.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.t, a2.t)) AS BIGINT) AS inter,
+         |    a.nt AS nt_a, a2.nt AS nt_b
+         |  FROM e a JOIN e a2
+         |    ON a.lang = a2.lang AND a.bucket = a2.bucket AND a.doc_id < a2.doc_id)
+         |SELECT doc_a, doc_b, inter, nt_a, nt_b, nt_a + nt_b - inter AS uni,
+         |  inter / (nt_a + nt_b - inter) AS jaccard
+         |FROM p WHERE inter * 2 >= nt_a + nt_b - inter
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" -> {
+      val mhCols = (0 until Dedup.MinhashK).map { j =>
+        val (a, bb) = Dedup.perm(j)
+        s"CAST(list_min([($a * h + $bb) % ${Dedup.MinhashP} for h in hs]) AS BIGINT) AS mh$j"
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, $shingles AS s FROM d),
+         |hh AS (SELECT doc_id, [${md5Int("x")} for x in s] AS hs FROM sh WHERE len(s) > 0),
+         |m AS (SELECT doc_id, $mhCols FROM hh)
+         |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+         |  CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS band0,
+         |  CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS band1
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "dedup_simhash" -> {
+      val fp = (0 until 32).map { i =>
+        s"CAST(SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS BIGINT) * ${1L << i}"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${md5Int("tok")} AS h FROM d)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash, COUNT(*) AS n_tokens
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "dedup_embed" ->
+      s"""WITH $bucketedCte,
+         |${pairsCte(300000L)},
+         |u AS (
+         |  SELECT id_a AS doc, id_b AS partner FROM hits
+         |  UNION ALL SELECT id_b AS doc, id_a AS partner FROM hits)
+         |SELECT doc, LEAST(MIN(partner), doc) AS canonical, COUNT(*) AS n_partners
+         |FROM u GROUP BY doc ORDER BY doc""".stripMargin,
+    "sim_pairs_thresh" ->
+      s"""WITH $bucketedCte,
+         |${pairsCte(300000L)}
+         |SELECT id_a, id_b, label_a, label_b, cos_u, bucket FROM hits
+         |ORDER BY id_a, id_b""".stripMargin,
+    "sim_brute_topk" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id % 101 = 0),
+         |s AS (SELECT p.probe_id, e.vec_id, ${cosU("p.pvec", "e.embedding")} AS cos_u
+         |      FROM embeddings e, p WHERE e.vec_id != p.probe_id)
+         |SELECT probe_id, vec_id, cos_u,
+         |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH $bucketedCte,
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec, bucket
+         |      FROM b WHERE vec_id % 101 = 0),
+         |s AS (SELECT p.probe_id, e.vec_id, e.bucket, ${cosU("p.pvec", "e.embedding")} AS cos_u
+         |      FROM b e JOIN p ON e.bucket = p.bucket WHERE e.vec_id != p.probe_id)
+         |SELECT probe_id, vec_id, bucket, cos_u,
+         |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |           FROM embeddings WHERE vec_id % 499 = 0),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |         ${cosU("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e, c),
+         |cell AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM asg
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |      FROM embeddings WHERE vec_id % 101 = 0),
+         |pcell AS (
+         |  SELECT probe_id, pvec, cent_id AS cell FROM (
+         |    SELECT p.probe_id, p.pvec, c.cent_id, ${cosU("p.pvec", "c.cvec")} AS pcos FROM p, c)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY pcos DESC, cent_id) <= 2),
+         |s AS (
+         |  SELECT pc.probe_id, a.vec_id, a.cell, ${cosU("pc.pvec", "a.embedding")} AS cos_u
+         |  FROM cell a JOIN pcell pc ON a.cell = pc.cell WHERE a.vec_id != pc.probe_id)
+         |SELECT probe_id, vec_id, cell, cos_u,
+         |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "mm_pack" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+        |source AS kind, md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_meta_extract" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |lower(hex(encode(substr(text, 1, 4)))) AS magic_hex, md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |lower(hex(encode(substr(text, CAST(f.frame_idx * 32 + 1 AS INT), 16)))) AS frame_hex
+        |FROM documents, range(0, 4) f(frame_idx)
+        |WHERE CAST(octet_length(encode(text)) AS BIGINT) >= f.frame_idx * 32 + 16
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * Numeric contract shared with the oracle: every dot product casts
+  * elements to double *before* multiplying and folds left from 0.0
+  * (Spark `aggregate(zip_with(...))` ≡ DuckDB
+  * `list_reduce(list_prepend(0.0, [...]))`), so cosines are
+  * bit-identical and the exported score is the exact integer
+  * `floor(cos·10⁶)`.
+  *
+  * Scale design: brute force is the correctness baseline (broadcast
+  * probes × full scan, one pass, no shuffle beyond top-k); the scale
+  * path is sign-LSH bucketing / IVF cells so candidate generation is
+  * a bucket-key equi-join instead of a cross product.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exported exact-integer score. */
+  def cosU(a: Column, b: Column): Column = floor(cosine(a, b) * 1000000.0).cast("long")
+
+  /** Sign-LSH bucket: 8 coordinate hyperplanes at positions
+    * (17j+3) mod 64 (production would use a seeded random rotation —
+    * same plumbing, this keeps the oracle expressible).
+    */
+  val lshPositions: Seq[Int] = (0 until 8).map(j => (17 * j + 3) % 64 + 1)
+
+  def bucket(v: Column): Column =
+    lshPositions.zipWithIndex.map { case (pos, j) =>
+      (element_at(v, pos) > 0f).cast("long") * (1L << j)
+    }.reduce(_ + _)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  /** Probe set: vec_id ≡ 0 (mod 101) — broadcastable at any scale. */
+  private def probes(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+
+  /** sim_brute_topk — exact cosine top-5 per probe (excluding self),
+    * rank tie-broken by vec_id.
+    */
+  def bruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val scored = emb(spark, dir).crossJoin(broadcast(probes(spark, dir)))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosU(col("pvec"), col("embedding")).as("cos_u"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** sim_lsh_topk — candidates restricted to the probe's sign-LSH
+    * bucket, then exact re-rank. Same output shape as brute force;
+    * recall is governed by #hyperplanes (and #tables in production).
+    */
+  def lshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).withColumn("bucket", bucket(col("embedding")))
+    val p = base.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("bucket"))
+    val scored = base.join(broadcast(p), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("bucket"),
+        cosU(col("pvec"), col("embedding")).as("cos_u"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** All same-bucket pairs with floor(cos·10⁶) ≥ minCosU (id_a < id_b).
+    * Shared candidate stage for sim_pairs_thresh / dedup_embed.
+    */
+  def bucketedPairs(spark: SparkSession, dir: String, minCosU: Long): DataFrame = {
+    val base = emb(spark, dir).withColumn("bucket", bucket(col("embedding")))
+    val a = base.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("label").as("label_a"))
+    val b = base.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("label").as("label_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        cosU(col("va"), col("vb")).as("cos_u"), col("bucket"))
+      .filter(col("cos_u") >= minCosU)
+  }
+
+  /** sim_pairs_thresh — all-pairs cosine ≥ 0.3 via LSH blocking. */
+  def pairsThresh(spark: SparkSession, dir: String): DataFrame =
+    bucketedPairs(spark, dir, minCosU = 300000L).orderBy("id_a", "id_b")
+
+  /** sim_ivf_topk — IVF-style ANN: deterministic centroid subset
+    * (vec_id ≡ 0 mod 499), every vector assigned to its nearest
+    * centroid cell, probes scan only their nprobe=2 nearest cells,
+    * exact top-5 re-rank inside.
+    */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = emb(spark, dir).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosU(col("embedding"), col("cvec")).as("ccos"))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probeW = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
+    val probeCells = probes(spark, dir).crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pvec"), col("cent_id"),
+        cosU(col("pvec"), col("cvec")).as("pcos"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= 2)
+      .select(col("probe_id"), col("pvec"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        cosU(col("pvec"), col("embedding")).as("cos_u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_brute_topk" -> (bruteTopk _),
+    "sim_lsh_topk" -> (lshTopk _),
+    "sim_pairs_thresh" -> (pairsThresh _),
+    "sim_ivf_topk" -> (ivfTopk _)
+  )
+}

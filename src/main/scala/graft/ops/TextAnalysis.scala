@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table. Everything is `functions._` / SQL-expression
+  * arithmetic (whole-stage codegen, no UDFs), so at 100 TB the cost is
+  * one parquet scan + map-side projection per operator — no shuffle at
+  * all except the final presentation sort.
+  */
+object TextAnalysis {
+
+  /** Lower-cased alnum token array. */
+  val toksExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  /** text_tokens — whitespace/alnum token counts + a BPE-ish estimate
+    * (chars/4, the common heuristic for byte-pair encoders).
+    */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"),
+        expr(s"cast(size(array_distinct($toksExpr)) as bigint)").as("n_distinct"),
+        length(col("text")).cast("long").as("len_chars"),
+        expr("(length(text) + 3) div 4").cast("long").as("bpe_est"))
+      .orderBy("doc_id")
+
+  private def countMatches(pattern: String): org.apache.spark.sql.Column =
+    expr(s"cast(size(regexp_extract_all(text, '$pattern', 0)) as bigint)")
+
+  /** text_quality — length / punctuation / uppercase / whitespace
+    * ratios and a deterministic composite score.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n"),
+        countMatches("[A-Za-z]").as("alpha"),
+        countMatches("[0-9]").as("digit"),
+        countMatches("[.,;:!?]").as("punct"),
+        countMatches("[A-Z]").as("upper"),
+        countMatches(" ").as("spaces"))
+      .withColumn("alpha_ratio", col("alpha") / col("n"))
+      .withColumn("punct_ratio", col("punct") / col("n"))
+      .withColumn("upper_ratio", col("upper") / col("n"))
+      .withColumn("score",
+        col("alpha_ratio") * 0.6 + (lit(1.0) - col("punct_ratio")) * 0.2
+          + (lit(1.0) - col("upper_ratio")) * 0.2)
+      .select("doc_id", "n", "alpha", "digit", "punct", "upper", "spaces",
+        "alpha_ratio", "punct_ratio", "upper_ratio", "score")
+      .orderBy("doc_id")
+
+  /** Marker word regexes per language, in raw form (shared verbatim
+    * with the DuckDB oracle; Spark SQL literals need backslashes
+    * doubled — see [[sparkPat]]).
+    */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|los|las|y|es)\\b")
+
+  /** CJK block regex, raw form. */
+  val cjkPat = "[\\x{4e00}-\\x{9fff}]"
+
+  private def sparkPat(raw: String) = raw.replace("\\", "\\\\")
+
+  /** text_langid — stopword-marker vote + CJK detection, argmax with a
+    * fixed tie order. (A real pipeline would use fastText-style n-gram
+    * models; the Spark plumbing — pure scan-side scoring — is the
+    * same.)
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir, "documents")
+      .select(Seq(col("doc_id")) ++ markers.map { case (l, pat) =>
+        expr(s"cast(size(regexp_extract_all(lower(text), '${sparkPat(pat)}', 0)) as bigint)").as(s"s_$l")
+      } :+ expr(s"cast(size(regexp_extract_all(text, '${sparkPat(cjkPat)}', 0)) as bigint)").as("s_zh"): _*)
+    scored
+      .withColumn("guess",
+        when(col("s_zh") > 0, "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** text_fingerprint — (a) md5 of the normalized token stream and
+    * (b) a 31-ary rolling polynomial hash folded left over per-token
+    * md5-derived ints — exact integer math shared with the oracle.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"md5(array_join($toksExpr, ' '))").as("fp_md5"),
+        expr(s"""aggregate($toksExpr, cast(0 as bigint),
+                 (h, s) -> (h * 31 + cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)) % 2147483647)""")
+          .as("fp_roll"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** text_ngrams — corpus-wide top word-3-grams (explode + count +
+    * deterministic top-k). One shuffle on the shingle key with
+    * map-side combine; at scale the final top-k is a tiny second
+    * shuffle of per-partition winners.
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(expr(
+        s"""CASE WHEN size($toksExpr) >= 3 THEN
+              transform(sequence(1, size($toksExpr) - 2),
+                i -> concat_ws(' ', element_at($toksExpr, i),
+                               element_at($toksExpr, i + 1),
+                               element_at($toksExpr, i + 2)))
+            ELSE array() END""")).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(50)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (tokens _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_ngrams" -> (topNgrams _)
+  )
+}
