@@ -28,7 +28,8 @@ object SparkEntry {
     "q_rollup" -> (Queries.qRollup _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
-    graft.ops.Similarity.all ++ graft.ops.Multimodal.all
+    graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
+    graft.streaming.EventStreams.all
 
   /** Exact integer cents expression, DuckDB dialect. */
   private def C(x: String) = s"CAST(FLOOR(($x)*100) AS BIGINT)"
@@ -135,5 +136,6 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY gid, region, nation""".stripMargin
-  ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all
+  ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
+    graft.streaming.EventStreams.oracles
 }

@@ -17,13 +17,16 @@ import TextAnalysis.toksExpr
   */
 object Dedup {
 
-  /** Word-3-gram shingle array (empty when < 3 tokens). */
+  /** Word-3-gram shingle array over a materialized token column `t`
+    * (empty when < 3 tokens). Indexing a column, not the tokenizer
+    * expression, keeps the regex to one evaluation per document.
+    */
   val shinglesExpr: String =
-    s"""CASE WHEN size($toksExpr) >= 3 THEN
-          array_distinct(transform(sequence(1, size($toksExpr) - 2),
-            i -> concat_ws(' ', element_at($toksExpr, i),
-                           element_at($toksExpr, i + 1),
-                           element_at($toksExpr, i + 2))))
+    """CASE WHEN size(t) >= 3 THEN
+          array_distinct(transform(sequence(1, size(t) - 2),
+            i -> concat_ws(' ', element_at(t, i),
+                           element_at(t, i + 1),
+                           element_at(t, i + 2))))
         ELSE array_remove(array(''), '') END"""
 
   /** First-8-hex-digits of md5 as a bigint in [0, 2^32) — the shared
@@ -79,15 +82,22 @@ object Dedup {
     * the pair stage (see band columns b0/b1: 2-row bands).
     */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until MinhashK).map { j =>
+    // Explode shingles to rows and take the k permutation minima as
+    // grouped aggregations: the md5 hash is evaluated exactly once per
+    // shingle (an array-lambda formulation gets its alias inlined by
+    // CollapseProject and recomputes the hash array k times), the
+    // affine permutations are trivial per-row arithmetic, and the
+    // shuffle carries only partial minima (map-side combine).
+    val sigAggs = (0 until MinhashK).map { j =>
       val (aj, bj) = perm(j)
-      expr(s"array_min(transform(shingles, s -> ($aj * ${md5Int("s")} + $bj) % $MinhashP))")
-        .as(s"mh$j")
+      min(expr(s"($aj * h + $bj) % $MinhashP")).as(s"mh$j")
     }
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(Seq(col("doc_id")) ++ sigCols: _*)
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      .withColumn("h", expr(md5Int("s")))
+      .groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
       .withColumn("band0", concat_ws(":", col("mh0"), col("mh1")))
       .withColumn("band1", concat_ws(":", col("mh2"), col("mh3")))
       .orderBy("doc_id")

@@ -20,9 +20,10 @@ object TextAnalysis {
     */
   def tokens(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr))
       .select(col("doc_id"),
-        expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"),
-        expr(s"cast(size(array_distinct($toksExpr)) as bigint)").as("n_distinct"),
+        expr("cast(size(t) as bigint)").as("n_tokens"),
+        expr("cast(size(array_distinct(t)) as bigint)").as("n_distinct"),
         length(col("text")).cast("long").as("len_chars"),
         expr("(length(text) + 3) div 4").cast("long").as("bpe_est"))
       .orderBy("doc_id")
@@ -93,12 +94,13 @@ object TextAnalysis {
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr))
       .select(col("doc_id"),
-        expr(s"md5(array_join($toksExpr, ' '))").as("fp_md5"),
-        expr(s"""aggregate($toksExpr, cast(0 as bigint),
+        expr("md5(array_join(t, ' '))").as("fp_md5"),
+        expr("""aggregate(t, cast(0 as bigint),
                  (h, s) -> (h * 31 + cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)) % 2147483647)""")
           .as("fp_roll"),
-        expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"))
+        expr("cast(size(t) as bigint)").as("n_tokens"))
       .orderBy("doc_id")
 
   /** text_ngrams — corpus-wide top word-3-grams (explode + count +
@@ -108,12 +110,14 @@ object TextAnalysis {
     */
   def topNgrams(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr)) // tokenize ONCE; the lambda below
+      // must only index the materialized array, never re-run the regex
       .select(explode(expr(
-        s"""CASE WHEN size($toksExpr) >= 3 THEN
-              transform(sequence(1, size($toksExpr) - 2),
-                i -> concat_ws(' ', element_at($toksExpr, i),
-                               element_at($toksExpr, i + 1),
-                               element_at($toksExpr, i + 2)))
+        """CASE WHEN size(t) >= 3 THEN
+              transform(sequence(1, size(t) - 2),
+                i -> concat_ws(' ', element_at(t, i),
+                               element_at(t, i + 1),
+                               element_at(t, i + 2)))
             ELSE array() END""")).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
