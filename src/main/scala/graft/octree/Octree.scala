@@ -137,6 +137,38 @@ object Downsample {
     }
     agged.filter(col("v") > 0).select("c", "z", "y", "x", "v")
   }
+
+  /** Anti-aliased 2× downsample (tiff2octree.py:244 `downsample_aa` /
+    * :258 `downsample_spline3`, whose scipy kernels are interpolating
+    * low-pass filters): a separable 4-tap triangle filter with weights
+    * [1,3,3,1]/8 per axis, zero-padded at borders (zero = no-data).
+    * Expressed as a contribution-explode — each voxel scatters into
+    * its ≤8 destination cells with the product weight — followed by
+    * one halved-key groupBy-sum: identical shuffle shape to the box
+    * kernels, just 8× the map-side rows (still combined map-side).
+    */
+  def linear(voxels: DataFrame, grid: Int): DataFrame = {
+    val half = grid / 2
+    // per-axis destination/weight for choice k: k=0 → main cell w=3,
+    // k=1 → side cell w=1 (4-tap [1,3,3,1] split across two outputs)
+    def oExpr(a: String, k: String) =
+      s"CASE WHEN $k = 0 THEN $a div 2 WHEN $a % 2 = 0 THEN $a div 2 - 1 ELSE ($a + 1) div 2 END"
+    def wExpr(k: String) = s"CASE WHEN $k = 0 THEN 3L ELSE 1L END"
+    voxels
+      .withColumn("kz", explode(sequence(lit(0), lit(1))))
+      .withColumn("ky", explode(sequence(lit(0), lit(1))))
+      .withColumn("kx", explode(sequence(lit(0), lit(1))))
+      .select(col("c"),
+        expr(oExpr("z", "kz")).as("oz"), expr(oExpr("y", "ky")).as("oy"),
+        expr(oExpr("x", "kx")).as("ox"),
+        (expr(wExpr("kz")) * expr(wExpr("ky")) * expr(wExpr("kx")) * col("v")).as("wv"))
+      .filter(col("oz").between(0, half - 1) && col("oy").between(0, half - 1) &&
+        col("ox").between(0, half - 1))
+      .groupBy(col("c"), col("oz").as("z"), col("oy").as("y"), col("ox").as("x"))
+      .agg(expr("sum(wv) div 512").as("v"))
+      .filter(col("v") > 0)
+      .select("c", "z", "y", "x", "v")
+  }
 }
 
 /** Level-pyramid construction and block-level maintenance ops. */

@@ -124,6 +124,24 @@ object OctreeOracles {
       downQuery("MAX(v)"),
     "oct_down_arthur" ->
       downQuery(s"CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END"),
+    "oct_down_linear" ->
+      s"""WITH $voxelCte,
+         |contrib AS (
+         |  SELECT c,
+         |    CASE WHEN kz.k = 0 THEN z // 2 WHEN z % 2 = 0 THEN z // 2 - 1 ELSE (z + 1) // 2 END AS oz,
+         |    CASE WHEN ky.k = 0 THEN y // 2 WHEN y % 2 = 0 THEN y // 2 - 1 ELSE (y + 1) // 2 END AS oy,
+         |    CASE WHEN kx.k = 0 THEN x // 2 WHEN x % 2 = 0 THEN x // 2 - 1 ELSE (x + 1) // 2 END AS ox,
+         |    (CASE WHEN kz.k = 0 THEN 3 ELSE 1 END)
+         |      * (CASE WHEN ky.k = 0 THEN 3 ELSE 1 END)
+         |      * (CASE WHEN kx.k = 0 THEN 3 ELSE 1 END) * v AS wv
+         |  FROM voxels, range(0, 2) kz(k), range(0, 2) ky(k), range(0, 2) kx(k)),
+         |agg AS (
+         |  SELECT c, oz AS z, oy AS y, ox AS x, CAST(SUM(wv) AS BIGINT) // 512 AS v
+         |  FROM contrib
+         |  WHERE oz BETWEEN 0 AND 7 AND oy BETWEEN 0 AND 7 AND ox BETWEEN 0 AND 7
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT c, z, y, x, CAST(v AS BIGINT) AS v FROM agg WHERE v > 0
+         |ORDER BY c, z, y, x""".stripMargin,
     "oct_downsample_xy" ->
       downQuery(s"CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END",
         grouped = "z AS z, y//2 AS y, x//2 AS x"),

@@ -34,6 +34,9 @@ object OctreeQueries {
   def down(kernel: String)(spark: SparkSession, dir: String): DataFrame =
     Downsample(vox(spark, dir), kernel).orderBy("c", "z", "y", "x")
 
+  def downLinear(spark: SparkSession, dir: String): DataFrame =
+    Downsample.linear(vox(spark, dir), VoxelGrid.Grid).orderBy("c", "z", "y", "x")
+
   def downXY(spark: SparkSession, dir: String): DataFrame =
     Downsample(vox(spark, dir), "arthur", xyOnly = true).orderBy("c", "z", "y", "x")
 
@@ -80,6 +83,7 @@ object OctreeQueries {
     "oct_down_mean_nz" -> down("mean_nz") _,
     "oct_down_max" -> down("max") _,
     "oct_down_arthur" -> down("arthur") _,
+    "oct_down_linear" -> (downLinear _),
     "oct_downsample_xy" -> (downXY _),
     "oct_pyramid" -> (pyramid _),
     "oct_empty_prune" -> (emptyPrune _),

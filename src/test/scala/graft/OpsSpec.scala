@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Independent Scala re-derivations of the ops semantics, checked
+  * against the Spark implementations on sf0.001 — a third opinion next
+  * to the DuckDB oracle (guards against "both sides share the same
+  * mistake" in the SQL).
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: Map[Long, String] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+  }
+
+  private def tokens(text: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+
+  private def md5Int(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("minhash signatures match an independent Scala derivation") {
+    val got = Dedup.minhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> (0 until Dedup.MinhashK).map(j => r.getLong(1 + j))).toMap
+    val texts = docs
+    var checked = 0
+    for ((id, text) <- texts.toSeq.sortBy(_._1).take(25)) {
+      val t = tokens(text)
+      if (t.length >= 3) {
+        val shingles = t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        val hs = shingles.map(md5Int)
+        val expected = (0 until Dedup.MinhashK).map { j =>
+          val (a, b) = Dedup.perm(j)
+          hs.map(h => (a * h + b) % Dedup.MinhashP).min
+        }
+        assert(got(id) === expected, s"doc $id")
+        checked += 1
+      }
+    }
+    assert(checked > 10)
+  }
+
+  test("simhash matches an independent Scala derivation") {
+    val got = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, text) <- docs.toSeq.sortBy(_._1).take(25)) {
+      val hs = tokens(text).distinct.map(md5Int)
+      if (hs.nonEmpty) {
+        val expected = (0 until 32).map { i =>
+          val vote = hs.map(h => if (((h >> i) & 1) == 1) 1 else -1).sum
+          if (vote > 0) 1L << i else 0L
+        }.sum
+        assert(got(id) === expected, s"doc $id")
+      }
+    }
+  }
+
+  test("cosine cos_u matches an independent double fold") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val got = Similarity.bruteTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((p, v), cu) =>
+      assert(cu === cosU(vecs(p), vecs(v)), s"pair ($p,$v)")
+    }
+  }
+
+  test("rolling fingerprint matches an independent fold") {
+    val got = TextAnalysis.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((id, text) <- docs.toSeq.sortBy(_._1).take(25)) {
+      val expected = tokens(text).foldLeft(0L)((h, t) => (h * 31 + md5Int(t)) % 2147483647L)
+      assert(got(id) === expected, s"doc $id")
+    }
+  }
+
+  test("linear downsample conserves total weighted mass away from borders") {
+    // interior input voxel mass appears once per axis-pair: sum of the
+    // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
+    // contributions sum to (3+1)^3 = 64 of the 512 normalization.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val one = Seq((0L, 7L, 7L, 7L, 512L)).toDF("c", "z", "y", "x", "v")
+    val out = graft.octree.Downsample.linear(one, 16)
+      .agg(sum("v")).collect()(0).getLong(0)
+    // 512 * 64 / 512 = 64 total across the 8 destination cells
+    assert(out === 64L)
+  }
+}
