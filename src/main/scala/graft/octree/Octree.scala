@@ -116,12 +116,15 @@ object Downsample {
   val kernels = Seq("second_max", "area", "mean_nz", "max", "arthur")
 
   def apply(voxels: DataFrame, kernel: String, xyOnly: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(voxels.sparkSession)
     val z = if (xyOnly) col("z") else shiftright(col("z"), 1)
     val grouped = voxels.groupBy(
       col("c"), z.as("z"), shiftright(col("y"), 1).as("y"), shiftright(col("x"), 1).as("x"))
     val full = if (xyOnly) 4 else 8 // dense subvoxel count incl. implicit zeros
     val cnt = count(lit(1))
-    val secondOfPresent = element_at(sort_array(collect_list(col("v")), asc = false), 2)
+    // native two-slot DeclarativeAggregate (see graft.functions.SecondMax)
+    // — stays in whole-stage codegen, unlike collect_list + sort_array
+    val secondOfPresent = expr("graft_second_max(v)")
     val agged = kernel match {
       case "area" =>
         grouped.agg(expr(s"sum(v) div $full").as("v"))
