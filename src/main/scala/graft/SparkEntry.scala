@@ -29,7 +29,7 @@ object SparkEntry {
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
-    graft.streaming.EventStreams.all
+    graft.streaming.EventStreams.all ++ graft.sources.VolumeQueries.all
 
   /** Exact integer cents expression, DuckDB dialect. */
   private def C(x: String) = s"CAST(FLOOR(($x)*100) AS BIGINT)"
@@ -137,5 +137,5 @@ object SparkEntry {
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY gid, region, nation""".stripMargin
   ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
-    graft.streaming.EventStreams.oracles
+    graft.streaming.EventStreams.oracles ++ graft.sources.VolumeQueries.oracles
 }

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the custom volume source, plus the
+  * pyramid sink helpers.
+  */
+object VolumeQueries {
+
+  /** src_volume_scan — a z-slab aggregation over the DSV2 source: the
+    * c/z predicates push into the scan and prune whole block
+    * partitions (only the slab's blocks are planned), then one
+    * block-key aggregation. Oracle re-derives the hash fill in SQL.
+    */
+  def volumeScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.VolumeSource").load()
+      .filter(col("c") === 0 && col("z") >= 4 && col("z") < 12)
+      .groupBy(expr("z div 4").as("bz"))
+      .agg(count(lit(1)).as("n_voxels"), sum("v").as("sum_v"), max("v").as("max_v"))
+      .orderBy("bz")
+
+  /** Pyramid sink: the octree write path — parquet partitioned by
+    * (level, c) so per-level / per-channel readers (the viewer's
+    * resolution switching) are partition-pruned scans. The Spark-first
+    * answer to the reference's per-octant TIFF tree.
+    */
+  def writePyramid(pyramid: DataFrame, path: String): Unit =
+    pyramid.write.mode(SaveMode.Overwrite).partitionBy("level", "c").parquet(path)
+
+  def readLevel(spark: SparkSession, path: String, level: Int): DataFrame =
+    spark.read.parquet(path).filter(col("level") === level)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_volume_scan" -> (volumeScan _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_volume_scan" ->
+      """WITH g AS (
+        |  SELECT zz.z, yy.y, xx.x,
+        |    xor(xor(xor(zz.z * 73856093, yy.y * 19349663), xx.x * 83492791), 0 * 2654435761) AS h
+        |  FROM range(0, 16) zz(z), range(0, 16) yy(y), range(0, 16) xx(x)),
+        |v AS (
+        |  SELECT z, y, x, h % 65535 + 1 AS v FROM g
+        |  WHERE h % 10 < 7 AND z >= 4 AND z < 12)
+        |SELECT z // 4 AS bz, COUNT(*) AS n_voxels,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM v GROUP BY 1 ORDER BY bz""".stripMargin
+  )
+}
