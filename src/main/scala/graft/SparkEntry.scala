@@ -25,7 +25,8 @@ object SparkEntry {
     "q_distinct" -> (Queries.qDistinct _),
     "q_topk_orders" -> (Queries.qTopkOrders _),
     "q_semijoin" -> (Queries.qSemijoin _),
-    "q_rollup" -> (Queries.qRollup _)
+    "q_rollup" -> (Queries.qRollup _),
+    "q_asof" -> (Queries.qAsof _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -135,7 +136,30 @@ object SparkEntry {
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
-         |ORDER BY gid, region, nation""".stripMargin
+         |ORDER BY gid, region, nation""".stripMargin,
+    "q_asof" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+         |    788918400 + (event_id % 2400) * 86400 AS t,
+         |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+         |  FROM events),
+         |ord AS (
+         |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+         |    epoch_us(o_orderdate) // 1000000 AS t,
+         |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+         |  FROM orders),
+         |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+         |m AS (
+         |  SELECT *,
+         |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+         |    last_value(osec IGNORE NULLS) OVER w AS asof_osec
+         |  FROM u WINDOW w AS (PARTITION BY key
+         |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, key,
+         |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
+         |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
+         |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
   ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
     graft.streaming.EventStreams.oracles ++ graft.sources.VolumeQueries.oracles
 }

@@ -219,6 +219,14 @@ object OctreeOracles {
          |SELECT c, z, y, x,
          |       CAST(CEIL(sqrt(CASE WHEN t2 >= 1.0 THEN 1.0 ELSE t2 END) * 254.0) AS BIGINT) AS v8
          |FROM t ORDER BY c, z, y, x""".stripMargin,
+    "oct_ktx_name" ->
+      s"""WITH $voxelCte,
+         |$blocksCte,
+         |p AS (SELECT c, bz, "by", bx, $pathExpr AS path FROM blocks)
+         |SELECT c, bz, "by", bx,
+         |       substr(path, 1, 1) || '/' || substr(path, 2, 1) AS relpath,
+         |       'block_8_xy_' || path || '.ktx' AS ktx_name
+         |FROM p ORDER BY c, bz, "by", bx""".stripMargin,
     "oct_transform" ->
       """SELECT 0.0 AS ox, 0.0 AS oy, 0.0 AS oz,
         |       4000.0 AS sx, 4000.0 AS sy, 4000.0 AS sz,

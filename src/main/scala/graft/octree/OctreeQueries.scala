@@ -67,6 +67,17 @@ object OctreeQueries {
   def rescaleU8(spark: SparkSession, dir: String): DataFrame =
     Intensity.rescaleU8(vox(spark, dir))
 
+  /** KTX artifact naming of ktx_from_rendered_tiff / tiff2octree.py:477
+    * (`'block' + '_8' + '_xy' + '_' + path + '.ktx'`, octant dirs
+    * joined by '/'): the sink-layout op for the KTX export path.
+    */
+  def ktxName(spark: SparkSession, dir: String): DataFrame =
+    Addressing.blockPaths(vox(spark, dir))
+      .select(col("c"), col("bz"), col("by"), col("bx"),
+        concat(substring(col("path"), 1, 1), lit("/"), substring(col("path"), 2, 1)).as("relpath"),
+        concat(lit("block_8_xy_"), col("path"), lit(".ktx")).as("ktx_name"))
+      .orderBy("c", "bz", "by", "bx")
+
   def transform(spark: SparkSession, dir: String): DataFrame =
     Geometry.transform(spark)
 
@@ -95,6 +106,7 @@ object OctreeQueries {
     "oct_intensity_params" -> (intensityParams _),
     "oct_rescale_u8" -> (rescaleU8 _),
     "oct_transform" -> (transform _),
+    "oct_ktx_name" -> (ktxName _),
     "oct_block_geom" -> (blockGeom _)
   )
 }

@@ -103,6 +103,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup_minhash_pairs — LSH candidate pairs: documents colliding on
+    * either 2-row band, with the signature-agreement estimate of their
+    * Jaccard similarity. The join key is the band value — candidate
+    * generation is a hash equi-join, never a cross product.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhash(spark, dir)
+    val a = sigs.toDF(sigs.columns.map(_ + "_a"): _*)
+    val b = sigs.toDF(sigs.columns.map(_ + "_b"): _*)
+    def cand(band: String) =
+      a.join(b, col(s"${band}_a") === col(s"${band}_b") &&
+        col("doc_id_a") < col("doc_id_b"))
+    val matches = (0 until MinhashK)
+      .map(j => when(col(s"mh${j}_a") === col(s"mh${j}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand("band0").unionByName(cand("band1"))
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        matches.as("n_match"))
+      .distinct()
+      .withColumn("est_jaccard", col("n_match") / lit(8.0))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** dedup_simhash — 32-bit SimHash over the distinct token set:
     * per-bit majority vote of per-token md5-int hashes.
     */
@@ -138,6 +161,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
+    "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
     "dedup_embed" -> (embed _)
   )

@@ -39,6 +39,23 @@ object OpsOracles {
       s"CAST(embedding[$pos] > 0 AS BIGINT) * ${1L << j}"
     }.mkString(" + ")
 
+  /** CTE chain ending in `sig(doc_id, mh0..mh7, band0, band1)`. */
+  private val minhashSigCtes: String = {
+    val mhCols = (0 until Dedup.MinhashK).map { j =>
+      val (a, bb) = Dedup.perm(j)
+      s"CAST(list_min([($a * h + $bb) % ${Dedup.MinhashP} for h in hs]) AS BIGINT) AS mh$j"
+    }.mkString(",\n")
+    s"""d AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (SELECT doc_id, $shingles AS s FROM d),
+       |hh AS (SELECT doc_id, [${md5Int("x")} for x in s] AS hs FROM sh WHERE len(s) > 0),
+       |m AS (SELECT doc_id, $mhCols FROM hh),
+       |sig AS (
+       |  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+       |    CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS band0,
+       |    CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS band1
+       |  FROM m)""".stripMargin
+  }
+
   private val bucketedCte =
     s"""b AS (SELECT vec_id, embedding, label, $bucketExpr AS bucket FROM embeddings)"""
 
@@ -122,19 +139,24 @@ object OpsOracles {
          |  inter / (nt_a + nt_b - inter) AS jaccard
          |FROM p WHERE inter * 2 >= nt_a + nt_b - inter
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_minhash" -> {
-      val mhCols = (0 until Dedup.MinhashK).map { j =>
-        val (a, bb) = Dedup.perm(j)
-        s"CAST(list_min([($a * h + $bb) % ${Dedup.MinhashP} for h in hs]) AS BIGINT) AS mh$j"
-      }.mkString(",\n")
-      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
-         |sh AS (SELECT doc_id, $shingles AS s FROM d),
-         |hh AS (SELECT doc_id, [${md5Int("x")} for x in s] AS hs FROM sh WHERE len(s) > 0),
-         |m AS (SELECT doc_id, $mhCols FROM hh)
-         |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
-         |  CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS band0,
-         |  CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS band1
-         |FROM m ORDER BY doc_id""".stripMargin
+    "dedup_minhash" ->
+      s"""WITH $minhashSigCtes
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" -> {
+      val matches = (0 until Dedup.MinhashK)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $minhashSigCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST($matches AS BIGINT) AS n_match
+         |  FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id, CAST($matches AS BIGINT)
+         |  FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id),
+         |ded AS (SELECT DISTINCT doc_a, doc_b, n_match FROM cand)
+         |SELECT doc_a, doc_b, n_match, n_match / CAST(8.0 AS DOUBLE) AS est_jaccard
+         |FROM ded ORDER BY doc_a, doc_b""".stripMargin
     },
     "dedup_simhash" -> {
       val fp = (0 until 32).map { i =>

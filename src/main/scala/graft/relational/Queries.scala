@@ -180,6 +180,41 @@ object Queries {
       .orderBy(col("nationkey"))
   }
 
+  /** q_asof — as-of join: each event matched to the user's latest
+    * order at-or-before the event time. Expressed as the scalable
+    * union-and-window pattern (tag both streams, sort per key by
+    * (time, kind, id), carry the last non-null order forward) — one
+    * shuffle on the join key, no per-row range probe, no custom
+    * physical operator needed. Event times are mapped into the order
+    * era deterministically so matches actually vary.
+    */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 100 + 1).cast("long").as("key"),
+      // synthetic event date inside the 1995-2001 order era
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"),
+      lit(1L).as("kind"), lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("long").as("osec"))
+    val ord = Tables(spark, dir, "orders").select(
+      lit(null).cast("long").as("event_id"),
+      col("o_custkey").cast("long").as("key"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("t"),
+      lit(0L).as("kind"), col("o_orderkey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("kind"), coalesce(col("o_orderkey"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_osec", last(col("osec"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("key"),
+        coalesce(col("asof_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(col("asof_osec"), lit(-1L)).as("asof_osec"))
+      .orderBy("event_id")
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")
