@@ -71,6 +71,7 @@ object OpsOracles {
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
          |CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,
+         |CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_ws_tokens,
          |CAST(length(text) AS BIGINT) AS len_chars,
          |CAST((length(text) + 3) // 4 AS BIGINT) AS bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -81,14 +82,22 @@ object OpsOracles {
          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
          |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
          |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper,
-         |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS spaces
-         |  FROM documents)
-         |SELECT doc_id, n, alpha, digit, punct, upper, spaces,
-         |  alpha / n AS alpha_ratio, punct / n AS punct_ratio, upper / n AS upper_ratio,
-         |  (alpha / n) * CAST(0.6 AS DOUBLE)
-         |    + (CAST(1.0 AS DOUBLE) - punct / n) * CAST(0.2 AS DOUBLE)
-         |    + (CAST(1.0 AS DOUBLE) - upper / n) * CAST(0.2 AS DOUBLE) AS score
-         |FROM q ORDER BY doc_id""".stripMargin,
+         |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS spaces,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPat}')) AS BIGINT) AS stops,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, alpha / n AS alpha_ratio, punct / n AS punct_ratio,
+         |    upper / n AS upper_ratio,
+         |    CASE WHEN n_tokens > 0 THEN stops / n_tokens ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |  FROM q)
+         |SELECT doc_id, n, alpha, digit, punct, upper, spaces, stops, n_tokens,
+         |  alpha_ratio, punct_ratio, upper_ratio, stop_ratio,
+         |  alpha_ratio * CAST(0.5 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.2 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - upper_ratio) * CAST(0.2 AS DOUBLE)
+         |    + stop_ratio * CAST(0.1 AS DOUBLE) AS score
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val scores = TextAnalysis.markers.map { case (l, pat) =>
         s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS s_$l"

@@ -24,6 +24,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("cast(size(t) as bigint)").as("n_tokens"),
         expr("cast(size(array_distinct(t)) as bigint)").as("n_distinct"),
+        // whitespace tokenization (vs the alnum-run tokens of t)
+        expr("cast(size(regexp_extract_all(text, '[^\\\\s]+', 0)) as bigint)").as("n_ws_tokens"),
         length(col("text")).cast("long").as("len_chars"),
         expr("(length(text) + 3) div 4").cast("long").as("bpe_est"))
       .orderBy("doc_id")
@@ -42,15 +44,20 @@ object TextAnalysis {
         countMatches("[0-9]").as("digit"),
         countMatches("[.,;:!?]").as("punct"),
         countMatches("[A-Z]").as("upper"),
-        countMatches(" ").as("spaces"))
+        countMatches(" ").as("spaces"),
+        expr(s"cast(size(regexp_extract_all(lower(text), '${sparkPat(stopwordPat)}', 0)) as bigint)").as("stops"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"))
       .withColumn("alpha_ratio", col("alpha") / col("n"))
       .withColumn("punct_ratio", col("punct") / col("n"))
       .withColumn("upper_ratio", col("upper") / col("n"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("stops") / col("n_tokens")).otherwise(lit(0.0)))
       .withColumn("score",
-        col("alpha_ratio") * 0.6 + (lit(1.0) - col("punct_ratio")) * 0.2
-          + (lit(1.0) - col("upper_ratio")) * 0.2)
+        col("alpha_ratio") * 0.5 + (lit(1.0) - col("punct_ratio")) * 0.2
+          + (lit(1.0) - col("upper_ratio")) * 0.2 + col("stop_ratio") * 0.1)
       .select("doc_id", "n", "alpha", "digit", "punct", "upper", "spaces",
-        "alpha_ratio", "punct_ratio", "upper_ratio", "score")
+        "stops", "n_tokens", "alpha_ratio", "punct_ratio", "upper_ratio",
+        "stop_ratio", "score")
       .orderBy("doc_id")
 
   /** Marker word regexes per language, in raw form (shared verbatim
@@ -65,6 +72,9 @@ object TextAnalysis {
 
   /** CJK block regex, raw form. */
   val cjkPat = "[\\x{4e00}-\\x{9fff}]"
+
+  /** English stopword markers for the quality stop-ratio, raw form. */
+  val stopwordPat = "\\b(the|and|of|to|is|in|a|that|it|for)\\b"
 
   private def sparkPat(raw: String) = raw.replace("\\", "\\\\")
 

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property-style test: the native SecondMax aggregate agrees with the
+  * sort-based definition on seeded-random grouped long data (including
+  * duplicates and negatives), and is available through the
+  * SparkSessionExtensions injection.
+  */
+class SecondMaxSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("second max agrees with the sort-based definition on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val rows = (1 to (1 + rnd.nextInt(40))).map { _ =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(21).toLong - 10) // dups + negatives likely
+      }
+      val df = rows.toDF("k", "v")
+      df.createOrReplaceTempView("sm_input")
+      val got = spark.sql("SELECT k, graft_second_max(v) FROM sm_input GROUP BY k")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val expected = rows.groupBy(_._1).map { case (k, kvs) =>
+        val sorted = kvs.map(_._2).sorted(Ordering[Long].reverse)
+        k -> (if (sorted.size >= 2) Some(sorted(1)) else None)
+      }
+      assert(got === expected, s"trial $trial rows=$rows")
+    }
+  }
+
+  test("extensions injection exposes the function to spark.sql") {
+    assert(spark.sql("SELECT graft_second_max(x) FROM VALUES (1L),(5L),(3L) AS t(x)")
+      .collect()(0).getLong(0) === 3L)
+  }
+}
