@@ -16,7 +16,7 @@ object Bench {
     * blocking-join shapes, and the codegen'd text/multimodal scans.
     */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_topk", "q5_join", "q_window", "q_sessionize", "q_tumbling",
+    "q1_agg", "q3_topk", "q5_join", "q_window", "q_sessionize", "q_tumbling", "q_asof",
     "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "text_quality", "text_fingerprint", "text_ngrams",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.SecondMax
+import graft.functions.{Md5PrefixLong, SecondMax}
 
 /** Session-extensions injection point: makes the engine's native
   * functions available to plain `spark.sql` users cluster-wide via
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SecondMax].getCanonicalName, "graft_second_max"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SecondMax(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getCanonicalName, "graft_md5_prefix"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5PrefixLong(exprs.head)))
   }
 }

@@ -76,5 +76,9 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_second_max", exprs => SecondMax(exprs.head), "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_md5_prefix"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_md5_prefix", exprs => Md5PrefixLong(exprs.head), "built-in")
+    }
   }
 }

@@ -30,10 +30,13 @@ object Dedup {
         ELSE array_remove(array(''), '') END"""
 
   /** First-8-hex-digits of md5 as a bigint in [0, 2^32) — the shared
-    * string-to-int hash (the oracle re-derives it with a strpos
-    * polynomial; values are identical).
+    * string-to-int hash via the native thread-local-digest expression
+    * (see [[graft.functions.Md5PrefixLong]]; the stock
+    * md5+substr+conv chain hits the synchronized java.security
+    * provider lookup per row). The oracle re-derives it with a strpos
+    * polynomial; values are identical.
     */
-  def md5Int(x: String): String = s"cast(conv(substr(md5($x), 1, 8), 16, 10) as bigint)"
+  def md5Int(x: String): String = s"graft_md5_prefix($x)"
 
   /** MinHash permutation parameters: (a_j, b_j) affine maps mod p. */
   val MinhashK = 8
@@ -82,6 +85,7 @@ object Dedup {
     * the pair stage (see band columns b0/b1: 2-row bands).
     */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     // Explode shingles to rows and take the k permutation minima as
     // grouped aggregations: the md5 hash is evaluated exactly once per
     // shingle (an array-lambda formulation gets its alias inlined by
@@ -130,6 +134,7 @@ object Dedup {
     * per-bit majority vote of per-token md5-int hashes.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val fp = (0 until 32).map { i =>
       s"cast(sum(CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 as bigint) * ${1L << i}"
     }.mkString(" + ")

@@ -102,16 +102,18 @@ object TextAnalysis {
     * (b) a 31-ary rolling polynomial hash folded left over per-token
     * md5-derived ints — exact integer math shared with the oracle.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents")
       .withColumn("t", expr(toksExpr))
       .select(col("doc_id"),
         expr("md5(array_join(t, ' '))").as("fp_md5"),
         expr("""aggregate(t, cast(0 as bigint),
-                 (h, s) -> (h * 31 + cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)) % 2147483647)""")
+                 (h, s) -> (h * 31 + graft_md5_prefix(s)) % 2147483647)""")
           .as("fp_roll"),
         expr("cast(size(t) as bigint)").as("n_tokens"))
       .orderBy("doc_id")
+  }
 
   /** text_ngrams — corpus-wide top word-3-grams (explode + count +
     * deterministic top-k). One shuffle on the shingle key with

@@ -105,15 +105,39 @@ object EventStreams {
     spark.table(sink).orderBy("user_id", "session_id")
   }
 
+  /** stream_dedup — streaming exact deduplication: state-store-backed
+    * `dropDuplicates` on the content hash (the streaming face of
+    * dedup_exact; with an unbounded source you'd add a watermark to
+    * bound the state retention window). Output is the distinct key
+    * set — deterministic regardless of arrival order.
+    */
+  def dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = Tables(spark, dir, "documents")
+      .select(md5(col("text")).as("key")).as[String].collect().toSeq
+    val input = MemoryStream[String]
+    input.addData(keys)
+    val sink = sinkName("stream_dedup")
+    val q = input.toDS().toDF("key").dropDuplicates("key")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
-    "stream_session" -> (session _)
+    "stream_session" -> (session _),
+    "stream_dedup" -> (dedup _)
   )
 
   /** Oracles: same shapes as the batch twins (users column omitted
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS key FROM documents ORDER BY key",
     "stream_tumbling" ->
       """WITH e AS (
         |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,
