@@ -62,6 +62,22 @@ object Multimodal {
           .as("frame_hex"))
       .orderBy("doc_id", "frame_idx")
 
+  /** mm_resize — the resize/resample access pattern over an opaque
+    * payload: strided sampling down to a fixed-size representation
+    * (for real media this is the thumbnail/spectrogram pass; the
+    * Spark-side shape — per-row bounded recompute, no shuffle — is
+    * identical). Output carries the resampled payload's checksum.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .withColumn("stride", greatest(lit(1L), expr("n div 32")))
+      .withColumn("resized",
+        expr("array_join(transform(sequence(0L, 31L), i -> substr(text, cast(i * stride + 1 as int), 1)), '')"))
+      .select(col("doc_id"), col("n"), col("stride"),
+        col("resized"), md5(col("resized")).as("resized_md5"))
+      .orderBy("doc_id")
+
   /** Decoded features produced by the (stubbed) media decoder. */
   case class Decoded(doc_id: Long, width: Int, height: Int, mean_intensity: Double)
 
@@ -91,6 +107,7 @@ object Multimodal {
     "mm_pack" -> (pack _),
     "mm_meta_extract" -> (metaExtract _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_resize" -> (resize _),
     "mm_decode_stub" -> (decodeStub _)
   )
 }

@@ -237,6 +237,17 @@ object OpsOracles {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 4)))) AS magic_hex, md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    GREATEST(1, CAST(length(text) AS BIGINT) // 32) AS stride
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n, stride,
+        |    array_to_string([substr(text, CAST(i * stride + 1 AS INT), 1) for i in range(0, 32)], '') AS resized
+        |  FROM d)
+        |SELECT doc_id, n, stride, resized, md5(resized) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
         |lower(hex(encode(substr(text, CAST(f.frame_idx * 32 + 1 AS INT), 16)))) AS frame_hex
