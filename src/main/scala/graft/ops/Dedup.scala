@@ -58,7 +58,11 @@ object Dedup {
     * `2*|∩| >= |∪|` (pure integer compare, no float threshold).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Decouple parallelism from file layout: a single-file table scans
+    // as 1-2 partitions, and once AQE broadcasts the other side the
+    // whole O(pairs) intersect explosion would run in one task.
     val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         expr(s"array_distinct($toksExpr)").as("toks"),
         expr(s"cast(size(array_distinct($toksExpr)) as bigint)").as("nt"))
@@ -97,6 +101,7 @@ object Dedup {
       min(expr(s"($aj * h + $bj) % $MinhashP")).as(s"mh$j")
     }
     Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", expr(toksExpr))
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
       .withColumn("h", expr(md5Int("s")))
@@ -139,6 +144,7 @@ object Dedup {
       s"cast(sum(CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 as bigint) * ${1L << i}"
     }.mkString(" + ")
     Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
       .withColumn("h", expr(md5Int("tok")))
       .groupBy("doc_id")

@@ -34,6 +34,14 @@ object Similarity {
   /** Exported exact-integer score. */
   def cosU(a: Column, b: Column): Column = floor(cosine(a, b) * 1000000.0).cast("long")
 
+  /** Pair score from a per-row precomputed self-dot (`norm2`): the
+    * norms are computed once per vector before the join instead of
+    * once per candidate pair (3× less float work on the brute-force
+    * path; identical values — same sqrt of the same double).
+    */
+  def cosUPre(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    floor(dot(a, b) / (sqrt(n2a) * sqrt(n2b)) * 1000000.0).cast("long")
+
   /** Sign-LSH bucket: 8 coordinate hyperplanes at positions
     * (17j+3) mod 64 (production would use a seeded random rotation —
     * same plumbing, this keeps the oracle expressible).
@@ -48,19 +56,29 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
 
+  /** Scan repartitioned to the session's parallelism: single-file
+    * tables plan 1-2 scan partitions, which would serialize the
+    * O(candidates) scoring work that follows a broadcast join.
+    */
+  private def embPar(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+
   /** Probe set: vec_id ≡ 0 (mod 101) — broadcastable at any scale. */
   private def probes(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir).filter(col("vec_id") % 101 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        dot(col("embedding"), col("embedding")).as("pn2"))
 
   /** sim_brute_topk — exact cosine top-5 per probe (excluding self),
     * rank tie-broken by vec_id.
     */
   def bruteTopk(spark: SparkSession, dir: String): DataFrame = {
-    val scored = emb(spark, dir).crossJoin(broadcast(probes(spark, dir)))
+    val scored = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(probes(spark, dir)))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosU(col("pvec"), col("embedding")).as("cos_u"))
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -72,13 +90,15 @@ object Similarity {
     * recall is governed by #hyperplanes (and #tables in production).
     */
   def lshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val base = emb(spark, dir).withColumn("bucket", bucket(col("embedding")))
+    val base = embPar(spark, dir).withColumn("bucket", bucket(col("embedding")))
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
     val p = base.filter(col("vec_id") % 101 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("bucket"), col("vn2").as("pn2"))
     val scored = base.join(broadcast(p), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("bucket"),
-        cosU(col("pvec"), col("embedding")).as("cos_u"))
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -89,16 +109,17 @@ object Similarity {
     * Shared candidate stage for sim_pairs_thresh / dedup_embed.
     */
   def bucketedPairs(spark: SparkSession, dir: String, minCosU: Long): DataFrame = {
-    val base = emb(spark, dir).withColumn("bucket", bucket(col("embedding")))
+    val base = embPar(spark, dir).withColumn("bucket", bucket(col("embedding")))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
     val a = base.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("label").as("label_a"))
+      col("label").as("label_a"), col("n2").as("n2_a"))
     val b = base.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("label").as("label_b"))
+      col("label").as("label_b"), col("n2").as("n2_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("label_a").cast("long").as("label_a"),
         col("label_b").cast("long").as("label_b"),
-        cosU(col("va"), col("vb")).as("cos_u"), col("bucket"))
+        cosUPre(col("va"), col("vb"), col("n2_a"), col("n2_b")).as("cos_u"), col("bucket"))
       .filter(col("cos_u") >= minCosU)
   }
 
@@ -113,26 +134,29 @@ object Similarity {
     */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        dot(col("embedding"), col("embedding")).as("cn2"))
     val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = emb(spark, dir).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosU(col("embedding"), col("cvec")).as("ccos"))
+    val assigned = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("vn2"), col("cent_id"),
+        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos"))
       .withColumn("crank", row_number().over(assignW))
       .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("vn2"), col("cent_id").as("cell"))
     val probeW = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
     val probeCells = probes(spark, dir).crossJoin(broadcast(cents))
-      .select(col("probe_id"), col("pvec"), col("cent_id"),
-        cosU(col("pvec"), col("cvec")).as("pcos"))
+      .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
+        cosUPre(col("pvec"), col("cvec"), col("pn2"), col("cn2")).as("pcos"))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= 2)
-      .select(col("probe_id"), col("pvec"), col("cent_id").as("cell"))
+      .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id").as("cell"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("cell"),
-        cosU(col("pvec"), col("embedding")).as("cos_u"))
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .orderBy("probe_id", "rank")
