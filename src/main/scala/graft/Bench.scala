@@ -16,7 +16,8 @@ object Bench {
     * blocking-join shapes, and the codegen'd text/multimodal scans.
     */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_topk", "q5_join", "q_window", "q_sessionize", "q_tumbling", "q_asof",
+    "q1_agg", "q3_topk", "q5_join", "q7_nations", "q17_avg_qty",
+    "q_window", "q_sessionize", "q_tumbling", "q_asof",
     "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "text_quality", "text_fingerprint", "text_ngrams",
@@ -46,11 +47,12 @@ object Bench {
       dt
     }
 
-    // Best of three: the first run pays JIT/codegen; the extra runs
+    // Best of four: the first run pays JIT/codegen; the extra runs
     // shield the reported number from transient host stalls (observed
-    // multi-10s wandering pauses on otherwise sub-second queries).
+    // multi-second wandering pauses on otherwise sub-second queries,
+    // independent of which query is running).
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val runs = (1 to 3).map(_ => timeOnce(name))
+      val runs = (1 to 4).map(_ => timeOnce(name))
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -26,7 +26,9 @@ object SparkEntry {
     "q_topk_orders" -> (Queries.qTopkOrders _),
     "q_semijoin" -> (Queries.qSemijoin _),
     "q_rollup" -> (Queries.qRollup _),
-    "q_asof" -> (Queries.qAsof _)
+    "q_asof" -> (Queries.qAsof _),
+    "q7_nations" -> (Queries.q7Nations _),
+    "q17_avg_qty" -> (Queries.q17AvgQty _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -159,7 +161,31 @@ object SparkEntry {
          |SELECT event_id, key,
          |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
          |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
-         |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
+         |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q7_nations" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c,
+         |COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q17_avg_qty" ->
+      s"""WITH a AS (
+         |  SELECT l_partkey AS pk,
+         |    ${SUMC("l_quantity")} / (COUNT(*) * CAST(100.0 AS DOUBLE)) AS avg_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT CAST(COALESCE(SUM(${C("l_extendedprice")}), 0) AS BIGINT) AS sum_price_c,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |JOIN a ON l_partkey = a.pk
+         |WHERE p_brand = 'Brand#1'
+         |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin
   ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
     graft.streaming.EventStreams.oracles ++ graft.sources.VolumeQueries.oracles
 }

@@ -180,6 +180,49 @@ object Queries {
       .orderBy(col("nationkey"))
   }
 
+  /** q7_nations — two-nation trade flow: which (supplier-nation,
+    * customer-nation) pairs ship how much revenue per year. Both
+    * nation dimensions broadcast; one fact shuffle for the aggregate.
+    */
+  def q7Nations(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val wanted = Seq("NATION_1", "NATION_2")
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === wanted(0) && col("cust_nation") === wanted(1)) ||
+        (col("supp_nation") === wanted(1) && col("cust_nation") === wanted(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("timestamp")).cast("long").as("ship_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** q17_avg_qty — correlated-aggregate filter: revenue of line items
+    * whose quantity is below 20% of their part's average quantity.
+    * The per-part average is a (tiny) aggregate joined back broadcast
+    * — the decorrelated form of the classic correlated subquery.
+    */
+  def q17AvgQty(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    // exact per-part mean: integer centi-quantity sum / count, one double division
+    val avgQ = l.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(cents(col("l_quantity"))) / (count(lit(1)) * lit(100.0))).as("avg_qty"))
+    l.join(broadcast(Tables(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#1")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(avgQ), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(coalesce(sum(cents(col("l_extendedprice"))), lit(0L)).as("sum_price_c"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** q_asof — as-of join: each event matched to the user's latest
     * order at-or-before the event time. Expressed as the scalable
     * union-and-window pattern (tag both streams, sort per key by
