@@ -42,6 +42,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("stateful sessionizer accumulates across multiple triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.streaming.EventStreams.{Ev, SessionOut, sessionsOf}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, 9, 1000, 10, "view"), Ev(2, 9, 1500, 10, "view"),
+      Ev(3, 9, 5000, 10, "view"), Ev(4, 9, 5200, 10, "view"),
+      Ev(5, 9, 99999, 10, "view"))
+    val input = MemoryStream[Ev]
+    val sessions = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          val all = state.getOption.getOrElse(Nil) ++ it.toList
+          state.update(all)
+          sessionsOf(uid, all).iterator
+      }
+    val q = sessions.toDF().writeStream.format("memory").queryName("multi_batch_sess")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(evs.take(2)); q.processAllAvailable()
+    input.addData(evs.slice(2, 4)); q.processAllAvailable()
+    input.addData(evs.drop(4)); q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits per trigger; a session's final state is its
+    // max-n_events emission. That must equal the batch answer.
+    val finalSessions = spark.table("multi_batch_sess")
+      .groupBy("user_id", "session_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = sessionsOf(9, evs).map(s => (s.user_id, s.session_id, s.n_events)).toSet
+    assert(finalSessions === expected)
+    assert(expected === Set((9L, 1L, 2L), (9L, 2L, 2L), (9L, 3L, 1L)))
+  }
+
   test("sessionsOf splits on the strict 30-min gap boundary") {
     import EventStreams._
     val evs = Seq(
