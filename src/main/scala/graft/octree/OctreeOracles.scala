@@ -219,6 +219,14 @@ object OctreeOracles {
          |SELECT c, z, y, x,
          |       CAST(CEIL(sqrt(CASE WHEN t2 >= 1.0 THEN 1.0 ELSE t2 END) * 254.0) AS BIGINT) AS v8
          |FROM t ORDER BY c, z, y, x""".stripMargin,
+    "oct_retile" ->
+      s"""WITH $voxelCte
+         |SELECT c, z//8 + 1 AS bz, y//8 + 1 AS "by", x//8 + 1 AS bx,
+         |       COUNT(*) AS n_voxels, CAST(MAX(v) AS BIGINT) AS max_v,
+         |       CAST(MIN(z % 8) AS BIGINT) AS min_lz,
+         |       CAST(MAX(x % 8) AS BIGINT) AS max_lx
+         |FROM voxels GROUP BY 1, 2, 3, 4
+         |ORDER BY c, bz, "by", bx""".stripMargin,
     "oct_ktx_name" ->
       s"""WITH $voxelCte,
          |$blocksCte,

@@ -78,6 +78,22 @@ object OctreeQueries {
         concat(lit("block_8_xy_"), col("path"), lit(".ktx")).as("ktx_name"))
       .orderBy("c", "bz", "by", "bx")
 
+  /** Re-tiling (tiff2octree.py:516 `conv_tiled_tiff`, which rewrites
+    * strip TIFFs as 256² tiles so window reads stop scanning whole
+    * rows): the columnar analog re-blocks the voxel store under a
+    * coarser tile edge so window/block readers hit one tile instead
+    * of many — at scale this is a `repartitionByRange` + partitioned
+    * write; the operator computes the new assignment + per-tile stats.
+    */
+  def retile(spark: SparkSession, dir: String): DataFrame = {
+    val newLeaf = VoxelGrid.Leaf * 2 // 4 -> 8: 8x fewer, 8x larger tiles
+    Addressing.blockify(vox(spark, dir), newLeaf)
+      .groupBy("c", "bz", "by", "bx")
+      .agg(count(lit(1)).as("n_voxels"), max("v").as("max_v"),
+        min("lz").as("min_lz"), max("lx").as("max_lx"))
+      .orderBy("c", "bz", "by", "bx")
+  }
+
   def transform(spark: SparkSession, dir: String): DataFrame =
     Geometry.transform(spark)
 
@@ -107,6 +123,7 @@ object OctreeQueries {
     "oct_rescale_u8" -> (rescaleU8 _),
     "oct_transform" -> (transform _),
     "oct_ktx_name" -> (ktxName _),
+    "oct_retile" -> (retile _),
     "oct_block_geom" -> (blockGeom _)
   )
 }
