@@ -34,6 +34,9 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // shuffle/spill on tmpfs: the host's disk has multi-second stalls
+      // that block shuffle-file IO (observed 80s pauses at ~0% CPU)
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,7 +54,12 @@ object Bench {
     // shield the reported number from transient host stalls (observed
     // multi-second wandering pauses on otherwise sub-second queries,
     // independent of which query is running).
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,q5_join isolates queries for debugging
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+    val results = selected.map { name =>
       val runs = (1 to 4).map(_ => timeOnce(name))
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
