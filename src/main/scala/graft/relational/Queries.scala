@@ -18,11 +18,14 @@ import graft.Tables
   *  - every top-k carries a unique tie-break key;
   *  - output key columns are cast to BIGINT on both sides.
   *
-  * Scale notes: all dimension sides of the star joins (region, nation,
-  * customer at these ratios, supplier, part) are broadcast — the only
-  * shuffle on the 100 TB path is the fact-table aggregation, which is
-  * partially aggregated map-side. Filters are plain column predicates so
-  * they reach the parquet scan as PushedFilters.
+  * Scale notes: only the *bounded* dimension sides of the star joins
+  * (region, nation, the Brand-filtered part slice, filtered-part
+  * aggregates) carry explicit `broadcast()` hints. Customer and
+  * supplier scale linearly with the fact data, so they get NO hint —
+  * AQE broadcasts them while they fit under the threshold and falls
+  * back to a shuffle join at 100×, instead of an OOM'd forced
+  * broadcast. Filters are plain column predicates so they reach the
+  * parquet scan as PushedFilters.
   */
 object Queries {
 
@@ -84,9 +87,11 @@ object Queries {
     val o = Tables(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp"))
     val l = Tables(spark, dir, "lineitem")
+    // customer/supplier scale with the fact tables: no broadcast hint —
+    // let AQE pick broadcast vs shuffle from runtime sizes.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -182,7 +187,10 @@ object Queries {
 
   /** q7_nations — two-nation trade flow: which (supplier-nation,
     * customer-nation) pairs ship how much revenue per year. Both
-    * nation dimensions broadcast; one fact shuffle for the aggregate.
+    * nation dimensions broadcast (bounded at 25 rows); customer and
+    * supplier are joined WITHOUT hints so AQE picks broadcast vs
+    * shuffle from runtime sizes — they scale linearly with the fact
+    * data and a forced broadcast dies at 100×.
     */
   def q7Nations(spark: SparkSession, dir: String): DataFrame = {
     val n1 = Tables(spark, dir, "nation")
@@ -192,8 +200,8 @@ object Queries {
     val wanted = Seq("NATION_1", "NATION_2")
     Tables(spark, dir, "lineitem")
       .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === wanted(0) && col("cust_nation") === wanted(1)) ||
@@ -207,16 +215,25 @@ object Queries {
 
   /** q17_avg_qty — correlated-aggregate filter: revenue of line items
     * whose quantity is below 20% of their part's average quantity.
-    * The per-part average is a (tiny) aggregate joined back broadcast
-    * — the decorrelated form of the classic correlated subquery.
+    * The decorrelated per-part average is computed ONLY for the
+    * Brand#1 part keys (semi-join against the broadcast filtered part
+    * slice *before* aggregating), so the aggregate that is broadcast
+    * back scales with the brand selectivity (~1/#brands of parts),
+    * not with total partkey cardinality — broadcasting an all-parts
+    * aggregate would OOM the driver at 100 TB. The semi-join also
+    * shrinks the aggregation shuffle to the brand's line items.
     */
   def q17AvgQty(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
-    // exact per-part mean: integer centi-quantity sum / count, one double division
-    val avgQ = l.groupBy(col("l_partkey").as("pk"))
+    val brandParts = Tables(spark, dir, "part").filter(col("p_brand") === "Brand#1")
+    // exact per-part mean over ALL line items of the brand's parts:
+    // integer centi-quantity sum / count, one double division
+    val avgQ = l
+      .join(broadcast(brandParts.select(col("p_partkey").as("bk"))),
+        col("l_partkey") === col("bk"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"))
       .agg((sum(cents(col("l_quantity"))) / (count(lit(1)) * lit(100.0))).as("avg_qty"))
-    l.join(broadcast(Tables(spark, dir, "part")
-        .filter(col("p_brand") === "Brand#1")), col("l_partkey") === col("p_partkey"))
+    l.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(avgQ), col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(coalesce(sum(cents(col("l_extendedprice"))), lit(0L)).as("sum_price_c"),

@@ -24,8 +24,16 @@ object EventStreams {
   private def sinkName(prefix: String) = s"${prefix}_${runSeq.incrementAndGet()}"
 
   case class Ev(event_id: Long, user_id: Long, sec: Long, value_c: Long, event_type: String)
+  /** Ev plus the event-time column the watermark is defined on. */
+  case class EvT(event_id: Long, user_id: Long, sec: Long, value_c: Long,
+                 event_type: String, ets: java.sql.Timestamp)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         dur_sec: Long, sum_value_c: Long)
+  /** The ONLY per-user state the sessionizer keeps: the currently-open
+    * session (constant size — closed sessions are emitted, never
+    * retained). `sid` doubles as the per-user session counter.
+    */
+  case class OpenSess(sid: Long, start: Long, last: Long, n: Long, sum: Long)
 
   private def typedEvents(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
@@ -55,6 +63,34 @@ object EventStreams {
     out.toSeq
   }
 
+  /** Single-trigger state transition of the bounded-state sessionizer:
+    * merge this trigger's events (sorted by event time) into the open
+    * session, returning (sessions closed by a >gap jump, new open
+    * session). State is O(1) per user regardless of stream length.
+    * Assumes per-user event-time-ordered arrival across triggers up to
+    * the watermark delay (the standard Structured Streaming contract —
+    * an event older than the open session's start would need the
+    * closed session re-opened, which Update mode + sink dedupe would
+    * tolerate but the reference semantics never produce).
+    */
+  def advanceSession(uid: Long, open: Option[OpenSess], evs: Seq[Ev],
+                     gapSec: Long = 1800): (Seq[SessionOut], Option[OpenSess]) = {
+    var cur = open
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    for (e <- evs.sortBy(x => (x.sec, x.event_id))) {
+      cur = cur match {
+        case Some(s) if e.sec - s.last > gapSec =>
+          closed += SessionOut(uid, s.sid, s.n, s.last - s.start, s.sum)
+          Some(OpenSess(s.sid + 1, e.sec, e.sec, 1, e.value_c))
+        case Some(s) =>
+          Some(s.copy(last = math.max(s.last, e.sec), n = s.n + 1, sum = s.sum + e.value_c))
+        case None =>
+          Some(OpenSess(1, e.sec, e.sec, 1, e.value_c))
+      }
+    }
+    (closed.toSeq, cur)
+  }
+
   /** stream_tumbling — watermarked 1-hour tumbling windows over the
     * event stream (Complete mode into the bounded sink; with an
     * unbounded source the same plan runs Append once the watermark
@@ -79,31 +115,76 @@ object EventStreams {
     spark.table(sink).orderBy("bucket_h", "event_type")
   }
 
-  /** stream_session — stateful sessionization via
-    * flatMapGroupsWithState: per-user group state accumulates events;
-    * every trigger re-emits that user's closed+open sessions (Update
-    * mode). On a bounded drain this converges to the batch answer.
+  /** stream_session — stateful sessionization with BOUNDED state:
+    * per-user group state is only the open session ([[OpenSess]],
+    * 5 longs). Closed sessions are emitted the moment a >gap event
+    * arrives; the open session is re-emitted as an Update-mode
+    * snapshot each trigger (later triggers overwrite it — the sink
+    * read deduplicates by (user_id, session_id) keeping the
+    * max-n_events row, which is the final snapshot since sessions
+    * only grow). An event-time timeout (watermark + gap) emits the
+    * final session of an idle user and REMOVES the state row, so on
+    * an unbounded stream state is O(active users), not O(events).
     */
   def session(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
     input.addData(typedEvents(spark, dir).collect().toSeq)
-    val sessions = input.toDS()
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Ev], SessionOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
-          val all = state.getOption.getOrElse(Nil) ++ it.toList
-          state.update(all)
-          sessionsOf(uid, all).iterator
-      }
+    val sessions = sessionizeStream(input.toDS())
     val sink = sinkName("stream_session")
     val q = sessions.toDF().writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Update()).start()
     q.processAllAvailable(); q.stop()
-    spark.table(sink).orderBy("user_id", "session_id")
+    finalizeSessionSink(spark.table(sink))
   }
+
+  /** The streaming sessionization DAG: watermarked event time →
+    * groupByKey(user) → flatMapGroupsWithState with EventTimeTimeout.
+    * Factored out so specs can drive it trigger-by-trigger.
+    */
+  def sessionizeStream(ds: Dataset[Ev], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "30 minutes")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSess, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[OpenSess]) =>
+          if (state.hasTimedOut) {
+            // idle past watermark+gap: close the open session, drop state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.sid, s.n, s.last - s.start, s.sum))
+          } else {
+            val evs = it.map(e => Ev(e.event_id, e.user_id, e.sec, e.value_c, e.event_type)).toSeq
+            val (closed, openOpt) = advanceSession(uid, state.getOption, evs, gapSec)
+            openOpt match {
+              case Some(s) =>
+                state.update(s)
+                // fire once the watermark passes the session gap
+                // (never at-or-before the current watermark)
+                state.setTimeoutTimestamp(math.max(
+                  (s.last + gapSec) * 1000L + 1000L,
+                  state.getCurrentWatermarkMs() + 1000L))
+                (closed :+ SessionOut(uid, s.sid, s.n, s.last - s.start, s.sum)).iterator
+              case None => closed.iterator
+            }
+          }
+      }
+  }
+
+  /** Update-mode memory sink holds every snapshot of each session; the
+    * final state of a session is its max-n_events row (sessions only
+    * grow; ties carry identical payloads).
+    */
+  def finalizeSessionSink(sink: DataFrame): DataFrame =
+    sink.groupBy("user_id", "session_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("dur_sec"), col("n_events")).as("dur_sec"),
+        max_by(col("sum_value_c"), col("n_events")).as("sum_value_c"))
+      .orderBy("user_id", "session_id")
 
   /** stream_dedup — streaming exact deduplication: state-store-backed
     * `dropDuplicates` on the content hash (the streaming face of
