@@ -53,26 +53,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
       .orderBy("canonical")
 
-  /** dedup_ngram_jaccard — token-set Jaccard pairs within
-    * (lang, length-bucket) blocks; τ = 0.5 tested exactly as
-    * `2*|∩| >= |∪|` (pure integer compare, no float threshold).
+  /** dedup_ngram_jaccard — token-set Jaccard near-dup pairs, τ = 0.5
+    * tested exactly as `2*|∩| >= |∪|` (pure integer compare, no float
+    * threshold). Candidate generation routes through the MinHash LSH
+    * band join ([[bandCandidates]]): 4 bands × 2 rows over the k=8
+    * shingle signature, so candidates are a band-value equi-join —
+    * linear in corpus size for unrelated documents (disjoint shingle
+    * sets almost never collide on a band) — and NEVER an
+    * all-pairs-within-block product. The exact intersect/union runs
+    * only on candidates.
+    *
+    * Recall is the standard LSH S-curve 1-(1-Js²)⁴ over shingle
+    * similarity Js (deterministic here — fixed permutations): ≈99.6%
+    * at Js=0.75, ≈93% at Js=0.7, tapering through the τ boundary.
+    * Unlike the earlier equal-length-bucket blocking, recall does not
+    * collapse to zero for true pairs whose token counts straddle a
+    * bucket edge. Token-order-scrambled near-dups (token-similar but
+    * shingle-disjoint) are out of scope here — that's what
+    * [[simhash]] / [[embed]] cover.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cands = bandCandidates(signatures(spark, dir))
     // Decouple parallelism from file layout: a single-file table scans
-    // as 1-2 partitions, and once AQE broadcasts the other side the
-    // whole O(pairs) intersect explosion would run in one task.
+    // as 1-2 partitions, which would serialize the intersect work.
     val docs = Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         expr(s"array_distinct($toksExpr)").as("toks"),
         expr(s"cast(size(array_distinct($toksExpr)) as bigint)").as("nt"))
-      .withColumn("bucket", expr("nt div 8"))
-    val a = docs.select(col("lang"), col("bucket"), col("doc_id").as("doc_a"),
-      col("toks").as("toks_a"), col("nt").as("nt_a"))
-    val b = docs.select(col("lang"), col("bucket"), col("doc_id").as("doc_b"),
-      col("toks").as("toks_b"), col("nt").as("nt_b"))
-    a.join(b, Seq("lang", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("nt").as("nt_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("nt").as("nt_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("cast(size(array_intersect(toks_a, toks_b)) as bigint)").as("inter"),
         col("nt_a"), col("nt_b"))
@@ -83,19 +97,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** dedup_minhash — k=8 MinHash signature per document over word-3-gram
-    * shingles (affine permutations of the shared md5-int hash). The
-    * signature is the oracle-checked output; LSH banding over it feeds
-    * the pair stage (see band columns b0/b1: 2-row bands).
+  /** The k=8 shingle-MinHash signature frame (doc_id, mh0..mh7) —
+    * shared core of [[minhash]], [[minhashPairs]] and
+    * [[ngramJaccard]]'s candidate stage.
+    *
+    * Explode shingles to rows and take the k permutation minima as
+    * grouped aggregations: the md5 hash is evaluated exactly once per
+    * shingle (an array-lambda formulation gets its alias inlined by
+    * CollapseProject and recomputes the hash array k times), the
+    * affine permutations are trivial per-row arithmetic, and the
+    * shuffle carries only partial minima (map-side combine).
     */
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def signatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // Explode shingles to rows and take the k permutation minima as
-    // grouped aggregations: the md5 hash is evaluated exactly once per
-    // shingle (an array-lambda formulation gets its alias inlined by
-    // CollapseProject and recomputes the hash array k times), the
-    // affine permutations are trivial per-row arithmetic, and the
-    // shuffle carries only partial minima (map-side combine).
     val sigAggs = (0 until MinhashK).map { j =>
       val (aj, bj) = perm(j)
       min(expr(s"($aj * h + $bj) % $MinhashP")).as(s"mh$j")
@@ -107,30 +121,59 @@ object Dedup {
       .withColumn("h", expr(md5Int("s")))
       .groupBy("doc_id")
       .agg(sigAggs.head, sigAggs.tail: _*)
-      .withColumn("band0", concat_ws(":", col("mh0"), col("mh1")))
-      .withColumn("band1", concat_ws(":", col("mh2"), col("mh3")))
-      .orderBy("doc_id")
   }
 
+  /** LSH candidate pairs (doc_a < doc_b, distinct) from the k=8
+    * signature banded as 4 bands × 2 rows. One posexplode to
+    * (band_idx, band_value) rows, one self-equi-join on that key —
+    * bucket sizes track near-dup cluster sizes, not corpus size, so
+    * the join output is linear-ish in n at 100 TB (skewed bands are
+    * split by AQE skew-join handling).
+    */
+  private[ops] def bandCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until MinhashK / 2).map { j =>
+      concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_i") === col("b.band_i") &&
+        col("a.band_v") === col("b.band_v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** dedup_minhash — k=8 MinHash signature per document over word-3-gram
+    * shingles (affine permutations of the shared md5-int hash). The
+    * signature is the oracle-checked output; LSH banding over it feeds
+    * the pair stage (band0..band3: 2-row bands).
+    */
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+      .withColumn("band0", concat_ws(":", col("mh0"), col("mh1")))
+      .withColumn("band1", concat_ws(":", col("mh2"), col("mh3")))
+      .withColumn("band2", concat_ws(":", col("mh4"), col("mh5")))
+      .withColumn("band3", concat_ws(":", col("mh6"), col("mh7")))
+      .orderBy("doc_id")
+
   /** dedup_minhash_pairs — LSH candidate pairs: documents colliding on
-    * either 2-row band, with the signature-agreement estimate of their
-    * Jaccard similarity. The join key is the band value — candidate
-    * generation is a hash equi-join, never a cross product.
+    * any of the four 2-row bands, with the signature-agreement estimate
+    * of their Jaccard similarity. Candidates come from the shared
+    * [[bandCandidates]] equi-join; the signature columns are joined
+    * back per side (narrow: 8 longs per doc).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhash(spark, dir)
+    val sigs = signatures(spark, dir)
     val a = sigs.toDF(sigs.columns.map(_ + "_a"): _*)
     val b = sigs.toDF(sigs.columns.map(_ + "_b"): _*)
-    def cand(band: String) =
-      a.join(b, col(s"${band}_a") === col(s"${band}_b") &&
-        col("doc_id_a") < col("doc_id_b"))
     val matches = (0 until MinhashK)
       .map(j => when(col(s"mh${j}_a") === col(s"mh${j}_b"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand("band0").unionByName(cand("band1"))
-      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
-        matches.as("n_match"))
-      .distinct()
+    bandCandidates(sigs)
+      .join(a, col("doc_a") === col("doc_id_a"))
+      .join(b, col("doc_b") === col("doc_id_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("n_match"))
       .withColumn("est_jaccard", col("n_match") / lit(8.0))
       .orderBy("doc_a", "doc_b")
   }

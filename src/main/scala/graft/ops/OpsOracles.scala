@@ -52,12 +52,46 @@ object OpsOracles {
        |sig AS (
        |  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
        |    CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS band0,
-       |    CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS band1
+       |    CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS band1,
+       |    CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) AS band2,
+       |    CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) AS band3
        |  FROM m)""".stripMargin
   }
 
+  /** LSH band-join candidate pairs over `sig` (mirrors
+    * [[Dedup.bandCandidates]]): 4 bands × 2 rows, distinct
+    * doc_a < doc_b. Appended after [[minhashSigCtes]].
+    */
+  private val bandCandCtes: String =
+    """bands AS (
+      |  SELECT doc_id, 0 AS band_i, band0 AS band_v FROM sig
+      |  UNION ALL SELECT doc_id, 1, band1 FROM sig
+      |  UNION ALL SELECT doc_id, 2, band2 FROM sig
+      |  UNION ALL SELECT doc_id, 3, band3 FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)""".stripMargin
+
   private val bucketedCte =
     s"""b AS (SELECT vec_id, embedding, label, $bucketExpr AS bucket FROM embeddings)"""
+
+  /** Corpus-size-scaled bucket CTE for the pair-generation queries —
+    * mirrors [[Similarity.lshBits]] (smallest k in [8,24] with
+    * 2^k · 64 ≥ n, pure integer compare) and [[Similarity.bucketN]].
+    */
+  private val bucketedDynCte: String = {
+    val bits = (0 until 24).map { j =>
+      val pos = (17 * j + 3) % 64 + 1
+      s"CASE WHEN $j < nb.nbits THEN CAST(embedding[$pos] > 0 AS BIGINT) * ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""nb AS (
+       |  SELECT COALESCE(MIN(k), 24) AS nbits
+       |  FROM range(8, 25) r(k), (SELECT COUNT(*) AS n FROM embeddings) c
+       |  WHERE (CAST(1 AS BIGINT) << k) * 64 >= c.n),
+       |b AS (SELECT vec_id, embedding, label, $bits AS bucket
+       |      FROM embeddings, nb)""".stripMargin
+  }
 
   private def pairsCte(minCosU: Long) =
     s"""pairs AS (
@@ -134,16 +168,18 @@ object OpsOracles {
         |CAST(MIN(doc_id) AS BIGINT) AS canonical
         |FROM documents GROUP BY md5(text) ORDER BY canonical""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, lang, list_distinct($toks) AS t FROM documents),
-         |e AS (SELECT doc_id, lang, t, CAST(len(t) AS BIGINT) AS nt,
-         |      CAST(len(t) AS BIGINT) // 8 AS bucket FROM d),
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |tk AS (
+         |  SELECT doc_id, list_distinct($toks) AS t,
+         |    CAST(len(list_distinct($toks)) AS BIGINT) AS nt
+         |  FROM documents),
          |p AS (
-         |  SELECT a.doc_id AS doc_a, a2.doc_id AS doc_b,
-         |    CAST(len(list_intersect(a.t, a2.t)) AS BIGINT) AS inter,
-         |    a.nt AS nt_a, a2.nt AS nt_b
-         |  FROM e a JOIN e a2
-         |    ON a.lang = a2.lang AND a.bucket = a2.bucket AND a.doc_id < a2.doc_id)
+         |  SELECT cand.doc_a, cand.doc_b,
+         |    CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS inter,
+         |    ta.nt AS nt_a, tb.nt AS nt_b
+         |  FROM cand JOIN tk ta ON cand.doc_a = ta.doc_id
+         |            JOIN tk tb ON cand.doc_b = tb.doc_id)
          |SELECT doc_a, doc_b, inter, nt_a, nt_b, nt_a + nt_b - inter AS uni,
          |  inter / (nt_a + nt_b - inter) AS jaccard
          |FROM p WHERE inter * 2 >= nt_a + nt_b - inter
@@ -153,19 +189,15 @@ object OpsOracles {
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" -> {
       val matches = (0 until Dedup.MinhashK)
-        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
         .mkString("(", " + ", ")")
       s"""WITH $minhashSigCtes,
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST($matches AS BIGINT) AS n_match
-         |  FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-         |  UNION ALL
-         |  SELECT a.doc_id, b.doc_id, CAST($matches AS BIGINT)
-         |  FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id),
-         |ded AS (SELECT DISTINCT doc_a, doc_b, n_match FROM cand)
-         |SELECT doc_a, doc_b, n_match, n_match / CAST(8.0 AS DOUBLE) AS est_jaccard
-         |FROM ded ORDER BY doc_a, doc_b""".stripMargin
+         |$bandCandCtes
+         |SELECT cand.doc_a, cand.doc_b, CAST($matches AS BIGINT) AS n_match,
+         |  CAST($matches AS BIGINT) / CAST(8.0 AS DOUBLE) AS est_jaccard
+         |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+         |          JOIN sig sb ON cand.doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "dedup_simhash" -> {
       val fp = (0 until 32).map { i =>
@@ -177,7 +209,7 @@ object OpsOracles {
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "dedup_embed" ->
-      s"""WITH $bucketedCte,
+      s"""WITH $bucketedDynCte,
          |${pairsCte(300000L)},
          |u AS (
          |  SELECT id_a AS doc, id_b AS partner FROM hits
@@ -185,7 +217,7 @@ object OpsOracles {
          |SELECT doc, LEAST(MIN(partner), doc) AS canonical, COUNT(*) AS n_partners
          |FROM u GROUP BY doc ORDER BY doc""".stripMargin,
     "sim_pairs_thresh" ->
-      s"""WITH $bucketedCte,
+      s"""WITH $bucketedDynCte,
          |${pairsCte(300000L)}
          |SELECT id_a, id_b, label_a, label_b, cos_u, bucket FROM hits
          |ORDER BY id_a, id_b""".stripMargin,

@@ -42,16 +42,31 @@ object Similarity {
   def cosUPre(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     floor(dot(a, b) / (sqrt(n2a) * sqrt(n2b)) * 1000000.0).cast("long")
 
-  /** Sign-LSH bucket: 8 coordinate hyperplanes at positions
-    * (17j+3) mod 64 (production would use a seeded random rotation —
-    * same plumbing, this keeps the oracle expressible).
+  /** Sign-LSH bucket: `nbits` coordinate hyperplanes at positions
+    * (17j+3) mod 64 — all distinct for j < 64 since gcd(17,64)=1
+    * (production would use a seeded random rotation — same plumbing,
+    * this keeps the oracle expressible).
     */
   val lshPositions: Seq[Int] = (0 until 8).map(j => (17 * j + 3) % 64 + 1)
 
-  def bucket(v: Column): Column =
-    lshPositions.zipWithIndex.map { case (pos, j) =>
+  def bucketN(v: Column, nbits: Int): Column =
+    (0 until nbits).map { j =>
+      val pos = (17 * j + 3) % 64 + 1
       (element_at(v, pos) > 0f).cast("long") * (1L << j)
     }.reduce(_ + _)
+
+  /** Probe-side top-k keeps the recall-friendly fixed 8 bits. */
+  def bucket(v: Column): Column = bucketN(v, 8)
+
+  /** Hyperplane count for the pair-generation blocking, derived from
+    * corpus size: the smallest k in [8, 24] with 2^k buckets holding
+    * ≤ `targetPerBucket` vectors on average — so within-bucket pair
+    * work stays O(n · targetPerBucket) instead of O(n²/2^8) as the
+    * corpus grows. Pure integer arithmetic (no log2 floats) so the
+    * DuckDB oracle derives the identical value.
+    */
+  def lshBits(n: Long, targetPerBucket: Long = 64L): Int =
+    (8 to 24).find(k => (1L << k) * targetPerBucket >= n).getOrElse(24)
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -107,9 +122,13 @@ object Similarity {
 
   /** All same-bucket pairs with floor(cos·10⁶) ≥ minCosU (id_a < id_b).
     * Shared candidate stage for sim_pairs_thresh / dedup_embed.
+    * The bucket count scales with corpus size ([[lshBits]]: 2^k ≥
+    * n/64), so candidate generation stays near-linear at 100 TB; the
+    * count() is one metadata-cheap pre-pass (parquet row counts).
     */
   def bucketedPairs(spark: SparkSession, dir: String, minCosU: Long): DataFrame = {
-    val base = embPar(spark, dir).withColumn("bucket", bucket(col("embedding")))
+    val nbits = lshBits(emb(spark, dir).count())
+    val base = embPar(spark, dir).withColumn("bucket", bucketN(col("embedding"), nbits))
       .withColumn("n2", dot(col("embedding"), col("embedding")))
     val a = base.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"),
       col("label").as("label_a"), col("n2").as("n2_a"))
@@ -136,15 +155,21 @@ object Similarity {
     val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         dot(col("embedding"), col("embedding")).as("cn2"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    // Nearest-cell assignment as a max_by aggregation (tie-broken to
+    // the smallest cent_id via the negated id in the ordering struct):
+    // a partial-aggregating HashAggregate over the broadcast product —
+    // no per-vector Window sort, no shuffle of the scored product.
     val assigned = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("vn2"), col("cent_id"),
         cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos"))
-      .withColumn("crank", row_number().over(assignW))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("vn2"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
+        first(col("embedding")).as("embedding"),
+        first(col("vn2")).as("vn2"))
+      .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
     val probeW = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
     val probeCells = probes(spark, dir).crossJoin(broadcast(cents))
       .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),

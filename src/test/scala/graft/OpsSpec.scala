@@ -99,6 +99,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ngram_jaccard finds true pairs straddling a length-bucket edge") {
+    // Two near-dup docs with 15 vs 17 distinct tokens: the retired
+    // (lang, nt div 8) blocking put them in buckets 1 vs 2 and silently
+    // dropped the pair; the LSH band-candidate path must find it.
+    import spark.implicits._
+    val t15 = (1 to 15).map(i => f"w$i%02d")
+    val a = t15.mkString(" ")                      // 15 tokens
+    val b = (t15 ++ Seq("u16", "u17")).mkString(" ") // 17 tokens, J = 15/17
+    val c = (1 to 20).map(i => f"zz$i%02d").mkString(" ") // unrelated
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ngram_spec").toString
+    Seq((1L, "en", a, "synthetic"), (2L, "en", b, "synthetic"),
+        (3L, "en", c, "synthetic"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.Dedup.ngramJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(got.contains((1L, 2L)), "straddling near-dup pair must be found")
+    assert(got((1L, 2L)) === ((15L, 17L))) // inter=15, uni=17
+    assert(!got.keySet.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
+  test("LSH pair-blocking candidate count grows sub-quadratically") {
+    // lshBits scales bucket count with corpus size: 8× the vectors
+    // must NOT produce 64× the within-bucket candidate pairs.
+    import org.apache.spark.sql.functions._
+    assert(Similarity.lshBits(5000) === 8)     // sf-scale: unchanged
+    assert(Similarity.lshBits(16384) === 8)
+    assert(Similarity.lshBits(131072) === 11)
+    assert(Similarity.lshBits(Long.MaxValue) === 24)
+    // per-(id,dim) independent pseudo-random components — a smooth
+    // formula like sin(id*64+d) is rank-2 (all vectors on a circle),
+    // which caps the reachable bucket count at ~2·nbits
+    def synth(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), d -> cast(hash(id, d) as float))")
+        .as("embedding"))
+    def candidatePairs(n: Long): Long =
+      synth(n)
+        .select(Similarity.bucketN(col("embedding"), Similarity.lshBits(n)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .agg(sum(expr("cnt * (cnt - 1) div 2"))).collect()(0).getLong(0)
+    val small = candidatePairs(16384)   //  8 bits: 256 buckets
+    val big = candidatePairs(131072)    // 11 bits: 2048 buckets
+    assert(small > 0 && big > 0)
+    // quadratic growth at fixed buckets would be 64×; with scaled
+    // buckets the expectation is 8× — allow generous headroom
+    assert(big < 20 * small, s"candidates grew $small -> $big")
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
