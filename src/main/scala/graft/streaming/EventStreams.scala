@@ -27,13 +27,20 @@ object EventStreams {
   /** Ev plus the event-time column the watermark is defined on. */
   case class EvT(event_id: Long, user_id: Long, sec: Long, value_c: Long,
                  event_type: String, ets: java.sql.Timestamp)
-  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+  /** A session is identified by (user_id, session_start): the start
+    * second is collision-free across state evictions — a per-user
+    * counter would restart at 1 after an event-time timeout removes
+    * the state row, merging two distinct sessions in the sink — while
+    * a post-timeout event is always > watermark ≥ last+gap > start,
+    * so its new session necessarily gets a fresh start key.
+    */
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
                         dur_sec: Long, sum_value_c: Long)
   /** The ONLY per-user state the sessionizer keeps: the currently-open
     * session (constant size — closed sessions are emitted, never
-    * retained). `sid` doubles as the per-user session counter.
+    * retained).
     */
-  case class OpenSess(sid: Long, start: Long, last: Long, n: Long, sum: Long)
+  case class OpenSess(start: Long, last: Long, n: Long, sum: Long)
 
   private def typedEvents(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
@@ -51,15 +58,15 @@ object EventStreams {
     if (evs.isEmpty) return Nil
     val sorted = evs.sortBy(e => (e.sec, e.event_id))
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    var sid = 0L; var start = 0L; var last = 0L; var n = 0L; var sum = 0L
+    var start = 0L; var last = 0L; var n = 0L; var sum = 0L
     for (e <- sorted) {
       if (n == 0 || e.sec - last > gapSec) {
-        if (n > 0) out += SessionOut(uid, sid, n, last - start, sum)
-        sid += 1; start = e.sec; n = 0; sum = 0
+        if (n > 0) out += SessionOut(uid, start, n, last - start, sum)
+        start = e.sec; n = 0; sum = 0
       }
       n += 1; sum += e.value_c; last = e.sec
     }
-    out += SessionOut(uid, sid, n, last - start, sum)
+    out += SessionOut(uid, start, n, last - start, sum)
     out.toSeq
   }
 
@@ -67,11 +74,15 @@ object EventStreams {
     * merge this trigger's events (sorted by event time) into the open
     * session, returning (sessions closed by a >gap jump, new open
     * session). State is O(1) per user regardless of stream length.
-    * Assumes per-user event-time-ordered arrival across triggers up to
-    * the watermark delay (the standard Structured Streaming contract —
-    * an event older than the open session's start would need the
-    * closed session re-opened, which Update mode + sink dedupe would
-    * tolerate but the reference semantics never produce).
+    *
+    * Cross-trigger disorder (bounded by the watermark delay): an event
+    * more than gapSec OLDER than the open session's start belongs to
+    * an already-closed-and-emitted session and is dropped (re-opening
+    * it would corrupt the sink); an event within [start-gap, start) is
+    * merged but does not move the session-start key — n/sum count it,
+    * dur_sec stays measured from the key (documented divergence,
+    * unreachable under in-order arrival; the driver's bounded drain
+    * delivers everything in one sorted trigger).
     */
   def advanceSession(uid: Long, open: Option[OpenSess], evs: Seq[Ev],
                      gapSec: Long = 1800): (Seq[SessionOut], Option[OpenSess]) = {
@@ -80,12 +91,14 @@ object EventStreams {
     for (e <- evs.sortBy(x => (x.sec, x.event_id))) {
       cur = cur match {
         case Some(s) if e.sec - s.last > gapSec =>
-          closed += SessionOut(uid, s.sid, s.n, s.last - s.start, s.sum)
-          Some(OpenSess(s.sid + 1, e.sec, e.sec, 1, e.value_c))
+          closed += SessionOut(uid, s.start, s.n, s.last - s.start, s.sum)
+          Some(OpenSess(e.sec, e.sec, 1, e.value_c))
+        case Some(s) if e.sec < s.start - gapSec =>
+          Some(s) // late event of an already-emitted session: drop
         case Some(s) =>
           Some(s.copy(last = math.max(s.last, e.sec), n = s.n + 1, sum = s.sum + e.value_c))
         case None =>
-          Some(OpenSess(1, e.sec, e.sec, 1, e.value_c))
+          Some(OpenSess(e.sec, e.sec, 1, e.value_c))
       }
     }
     (closed.toSeq, cur)
@@ -117,14 +130,16 @@ object EventStreams {
 
   /** stream_session — stateful sessionization with BOUNDED state:
     * per-user group state is only the open session ([[OpenSess]],
-    * 5 longs). Closed sessions are emitted the moment a >gap event
+    * 4 longs). Closed sessions are emitted the moment a >gap event
     * arrives; the open session is re-emitted as an Update-mode
     * snapshot each trigger (later triggers overwrite it — the sink
-    * read deduplicates by (user_id, session_id) keeping the
+    * read deduplicates by (user_id, session_start) keeping the
     * max-n_events row, which is the final snapshot since sessions
-    * only grow). An event-time timeout (watermark + gap) emits the
-    * final session of an idle user and REMOVES the state row, so on
-    * an unbounded stream state is O(active users), not O(events).
+    * only grow and the start key never changes). An event-time
+    * timeout (watermark + gap) emits the final session of an idle
+    * user and REMOVES the state row, so on an unbounded stream state
+    * is O(active users), not O(events); the start-second session key
+    * keeps post-eviction sessions distinct (see [[SessionOut]]).
     */
   def session(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -156,7 +171,7 @@ object EventStreams {
             // idle past watermark+gap: close the open session, drop state
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(uid, s.sid, s.n, s.last - s.start, s.sum))
+            Iterator.single(SessionOut(uid, s.start, s.n, s.last - s.start, s.sum))
           } else {
             val evs = it.map(e => Ev(e.event_id, e.user_id, e.sec, e.value_c, e.event_type)).toSeq
             val (closed, openOpt) = advanceSession(uid, state.getOption, evs, gapSec)
@@ -168,7 +183,7 @@ object EventStreams {
                 state.setTimeoutTimestamp(math.max(
                   (s.last + gapSec) * 1000L + 1000L,
                   state.getCurrentWatermarkMs() + 1000L))
-                (closed :+ SessionOut(uid, s.sid, s.n, s.last - s.start, s.sum)).iterator
+                (closed :+ SessionOut(uid, s.start, s.n, s.last - s.start, s.sum)).iterator
               case None => closed.iterator
             }
           }
@@ -177,14 +192,15 @@ object EventStreams {
 
   /** Update-mode memory sink holds every snapshot of each session; the
     * final state of a session is its max-n_events row (sessions only
-    * grow; ties carry identical payloads).
+    * grow under their immutable (user_id, session_start) key; ties
+    * carry identical payloads).
     */
   def finalizeSessionSink(sink: DataFrame): DataFrame =
-    sink.groupBy("user_id", "session_id")
+    sink.groupBy("user_id", "session_start")
       .agg(max(col("n_events")).as("n_events"),
         max_by(col("dur_sec"), col("n_events")).as("dur_sec"),
         max_by(col("sum_value_c"), col("n_events")).as("sum_value_c"))
-      .orderBy("user_id", "session_id")
+      .orderBy("user_id", "session_start")
 
   /** stream_dedup — streaming exact deduplication: state-store-backed
     * `dropDuplicates` on the content hash (the streaming face of
@@ -241,12 +257,13 @@ object EventStreams {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
         |t AS (
         |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM s)
-        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(MIN(sec) AS BIGINT) AS session_start,
+        |  COUNT(*) AS n_events,
         |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
         |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
-        |FROM t GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |FROM t GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

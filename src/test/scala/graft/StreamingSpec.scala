@@ -7,7 +7,9 @@ import graft.streaming.EventStreams
 import graft.relational.Queries
 
 /** The streaming pipelines must converge to their batch twins on a
-  * bounded drain.
+  * bounded drain, and the bounded-state sessionizer must close and
+  * EVICT idle sessions via the event-time timeout when driven
+  * trigger-by-trigger with an advancing watermark.
   */
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -26,12 +28,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect().map(_.toSeq).toSet
 
-  test("stream_session equals batch sessionization") {
+  private def allEvents: Seq[EventStreams.Ev] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Queries.nsToSec(col("ts")).as("sec"),
+        Queries.cents(col("value")).as("value_c"), col("event_type"))
+      .as[EventStreams.Ev].collect().toSeq
+  }
+
+  test("stream_session equals per-user batch sessionization") {
     val streamed = rows(EventStreams.session(spark, dir),
-      "user_id", "session_id", "n_events", "dur_sec", "sum_value_c")
-    val batch = rows(Queries.qSessionize(spark, dir),
-      "user_id", "session_id", "n_events", "dur_sec", "sum_value_c")
-    assert(streamed === batch)
+      "user_id", "session_start", "n_events", "dur_sec", "sum_value_c")
+    val expected = allEvents.groupBy(_.user_id).flatMap { case (uid, evs) =>
+      EventStreams.sessionsOf(uid, evs)
+    }.map(s => Seq[Any](s.user_id, s.session_start, s.n_events, s.dur_sec, s.sum_value_c)).toSet
+    assert(streamed === expected)
+    // same session partitioning as the batch q_sessionize row
+    val batchCount = Queries.qSessionize(spark, dir).count()
+    assert(streamed.size.toLong === batchCount)
   }
 
   test("stream_tumbling equals batch tumbling (sans distinct users)") {
@@ -42,40 +58,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
-  test("stateful sessionizer accumulates across multiple triggers") {
+  test("sessionizeStream closes by gap, evicts by timeout, and restarts cleanly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import graft.streaming.EventStreams.{Ev, SessionOut, sessionsOf}
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams.{Ev, sessionizeStream, finalizeSessionSink}
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val evs = Seq(
-      Ev(1, 9, 1000, 10, "view"), Ev(2, 9, 1500, 10, "view"),
-      Ev(3, 9, 5000, 10, "view"), Ev(4, 9, 5200, 10, "view"),
-      Ev(5, 9, 99999, 10, "view"))
     val input = MemoryStream[Ev]
-    val sessions = input.toDS().groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Ev], SessionOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
-          val all = state.getOption.getOrElse(Nil) ++ it.toList
-          state.update(all)
-          sessionsOf(uid, all).iterator
-      }
-    val q = sessions.toDF().writeStream.format("memory").queryName("multi_batch_sess")
+    val q = sessionizeStream(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_multi_trigger")
       .outputMode(OutputMode.Update()).start()
-    input.addData(evs.take(2)); q.processAllAvailable()
-    input.addData(evs.slice(2, 4)); q.processAllAvailable()
-    input.addData(evs.drop(4)); q.processAllAvailable()
+    def sink = spark.table("sess_multi_trigger")
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+
+    // T1: user 9 opens a session; a >gap jump in the same trigger
+    // closes (start=1000, n=2) and opens (start=5000).
+    input.addData(Ev(1, 9, 1000, 10, "view"), Ev(2, 9, 1500, 10, "view"),
+      Ev(3, 9, 5000, 10, "view"))
+    q.processAllAvailable()
+    assert(rows(sink, "user_id", "session_start", "n_events")
+      .contains(Seq(9L, 1000L, 2L)), "closed-by-gap session emitted in trigger 1")
+
+    // T2: user 8 far in the future advances the watermark
+    // (max event time - 30 min) way past user 9's last+gap.
+    input.addData(Ev(10, 8, 1000000, 5, "view"))
+    q.processAllAvailable()
+    // T3: another trigger lets the timeout fire with the T2 watermark:
+    // user 9's open session (start=5000, n=1) must be emitted and its
+    // state row REMOVED — only user 8's open session remains.
+    input.addData(Ev(11, 8, 1000010, 5, "view"))
+    q.processAllAvailable()
+    assert(rows(sink, "user_id", "session_start", "n_events")
+      .contains(Seq(9L, 5000L, 1L)), "timeout must close the idle session")
+    assert(stateRows === 1L, "timed-out state row must be evicted")
+
+    // T4: user 9 returns after eviction — a FRESH session under a new
+    // start key (the retired per-user counter restarted at sid=1 here,
+    // colliding with the already-emitted first session).
+    input.addData(Ev(12, 9, 1000020, 7, "view"))
+    q.processAllAvailable()
     q.stop()
-    // Update mode re-emits per trigger; a session's final state is its
-    // max-n_events emission. That must equal the batch answer.
-    val finalSessions = spark.table("multi_batch_sess")
-      .groupBy("user_id", "session_id")
-      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val expected = sessionsOf(9, evs).map(s => (s.user_id, s.session_id, s.n_events)).toSet
-    assert(finalSessions === expected)
-    assert(expected === Set((9L, 1L, 2L), (9L, 2L, 2L), (9L, 3L, 1L)))
+    val finalSessions = rows(finalizeSessionSink(sink),
+      "user_id", "session_start", "n_events", "sum_value_c")
+    assert(finalSessions === Set(
+      Seq(9L, 1000L, 2L, 20L),
+      Seq(9L, 5000L, 1L, 10L),
+      Seq(9L, 1000020L, 1L, 7L),
+      Seq(8L, 1000000L, 2L, 10L)))
   }
 
   test("sessionsOf splits on the strict 30-min gap boundary") {
@@ -85,6 +114,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Ev(2, 7, 1000 + 1800, 5, "view"),  // exactly 30 min: same session
       Ev(3, 7, 1000 + 1800 + 1801, 5, "view")) // > 30 min: new session
     val s = sessionsOf(7, evs)
-    assert(s.map(x => (x.session_id, x.n_events)) === Seq((1L, 2L), (2L, 1L)))
+    assert(s.map(x => (x.session_start, x.n_events)) === Seq((1000L, 2L), (4601L, 1L)))
+  }
+
+  test("advanceSession drops late events of an already-closed session") {
+    import EventStreams._
+    val (closed1, open1) = advanceSession(7, None, Seq(Ev(1, 7, 10000, 5, "view")))
+    assert(closed1.isEmpty && open1 === Some(OpenSess(10000, 10000, 1, 5)))
+    // gap jump closes; then a straggler older than newStart-gap is dropped
+    val (closed2, open2) = advanceSession(7, open1,
+      Seq(Ev(2, 7, 20000, 5, "view")))
+    assert(closed2 === Seq(SessionOut(7, 10000, 1, 0, 5)))
+    val (closed3, open3) = advanceSession(7, open2,
+      Seq(Ev(3, 7, 10500, 9, "view")))
+    assert(closed3.isEmpty, "stale event must not re-close anything")
+    assert(open3 === Some(OpenSess(20000, 20000, 1, 5)), "stale event dropped")
   }
 }
