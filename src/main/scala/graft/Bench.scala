@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Benchmark main: runs the headline query set on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line per the driver
@@ -41,9 +42,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_STAGE_LOG=1: per-stage wall/task times on stderr,
+    // for root-causing drift in individual queries.
+    if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = ev.stageInfo
+          val wall = (for { s <- si.submissionTime; e <- si.completionTime } yield e - s)
+            .getOrElse(-1L)
+          val taskMs = si.taskMetrics.executorRunTime
+          System.err.println(
+            f"[stage] ${si.stageId}%4d wall=${wall}%6dms task=${taskMs}%7dms " +
+              f"tasks=${si.numTasks}%3d ${si.name.takeWhile(_ != '\n').take(90)}")
+        }
+      })
+    }
+
+    // Full evaluation of every output column: sum of a 64-bit hash over
+    // the whole row. Under a bare count(1) Catalyst prunes unused
+    // projections/windows, so map-only operators (text_quality,
+    // mm_meta_extract, q_window, ...) would degrade to parquet
+    // row-count scans and the bench would not measure their real work.
+    def force(df: DataFrame): Unit = {
+      val h = xxhash64(df.columns.map(col): _*)
+      // bit_xor: order-independent and cannot overflow under ANSI mode
+      df.select(h.as("h")).agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+      ()
+    }
+
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try force(SparkEntry.queries(name)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-20s $dt%8.2fs")
