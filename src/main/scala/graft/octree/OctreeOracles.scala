@@ -235,10 +235,53 @@ object OctreeOracles {
          |       substr(path, 1, 1) || '/' || substr(path, 2, 1) AS relpath,
          |       'block_8_xy_' || path || '.ktx' AS ktx_name
          |FROM p ORDER BY c, bz, "by", bx""".stripMargin,
+    "oct_adjust_dims" ->
+      """WITH dims AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |         CAST(o_orderkey % 4000 + 600 AS BIGINT) AS dz,
+        |         CAST(o_custkey % 3000 + 500 AS BIGINT) AS dy,
+        |         CAST(o_orderkey % 2500 + 400 AS BIGINT) AS dx
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |s AS (SELECT id, dz, dy, dx, CAST(unnest(range(1, 7)) AS BIGINT) AS lv FROM dims)
+        |SELECT id, lv, dz, dy, dx,
+        |       CAST(dz - dz % (1 << lv) AS BIGINT) AS adj_dz,
+        |       CAST(dy - dy % (1 << lv) AS BIGINT) AS adj_dy,
+        |       CAST(dx - dx % (1 << lv) AS BIGINT) AS adj_dx
+        |FROM s ORDER BY id, lv""".stripMargin,
+    "oct_ktx_header" ->
+      s"""WITH $voxelCte,
+         |$blocksCte,
+         |sb AS (SELECT bz, "by", bx, COUNT(*) AS n_channels_present
+         |       FROM blocks GROUP BY 1, 2, 3),
+         |p AS (SELECT bz, "by", bx, n_channels_present, $pathExpr AS path FROM sb),
+         |k AS (SELECT *, CAST(12 + 2 * length(path) AS BIGINT) AS psize FROM p),
+         |h AS (SELECT bz, "by", bx, n_channels_present, path,
+         |        CAST(124 AS BIGINT) + psize + (3 - (psize + 3) % 4) AS kv_bytes
+         |      FROM k),
+         |m(mip, mz, my, mx, mip_bytes, prior_bytes) AS (
+         |  VALUES (0, 4, 4, 4, 256, 0), (1, 2, 2, 2, 32, 260), (2, 1, 1, 1, 4, 296))
+         |SELECT h.bz, h."by", h.bx, h.path, h.n_channels_present,
+         |  CAST(5123 AS BIGINT) AS gl_type, CAST(2 AS BIGINT) AS gl_type_size,
+         |  CAST(33319 AS BIGINT) AS gl_format, CAST(33324 AS BIGINT) AS gl_internal_format,
+         |  CAST(33319 AS BIGINT) AS gl_base_internal_format,
+         |  CAST(4 AS BIGINT) AS pixel_width, CAST(4 AS BIGINT) AS pixel_height,
+         |  CAST(4 AS BIGINT) AS pixel_depth, CAST(3 AS BIGINT) AS n_mipmaps,
+         |  h.kv_bytes, CAST(64 + h.kv_bytes + 304 AS BIGINT) AS file_bytes,
+         |  CAST(m.mip AS BIGINT) AS mip, CAST(m.mz AS BIGINT) AS mz,
+         |  CAST(m.my AS BIGINT) AS my, CAST(m.mx AS BIGINT) AS mx,
+         |  CAST(m.mip_bytes AS BIGINT) AS mip_bytes,
+         |  CAST(64 + h.kv_bytes + m.prior_bytes AS BIGINT) AS mip_offset
+         |FROM h, m ORDER BY h.bz, h."by", h.bx, mip""".stripMargin,
     "oct_transform" ->
       """SELECT 0.0 AS ox, 0.0 AS oy, 0.0 AS oz,
         |       4000.0 AS sx, 4000.0 AS sy, 4000.0 AS sz,
-        |       CAST(3 AS BIGINT) AS nl, 16.0 AS volume_um""".stripMargin,
+        |       CAST(3 AS BIGINT) AS nl,
+        |       16.0 AS vx_um, 16.0 AS vy_um, 16.0 AS vz_um""".stripMargin,
+    "oct_transform_aniso" ->
+      """SELECT 100.5 AS ox, -20.25 AS oy, 7.75 AS oz,
+        |       1000.0 AS sx, 1500.0 AS sy, 6000.0 AS sz,
+        |       CAST(3 AS BIGINT) AS nl,
+        |       4.0 AS vx_um, 6.0 AS vy_um, 24.0 AS vz_um""".stripMargin,
     "oct_block_geom" ->
       s"""WITH $voxelCte,
          |$blocksCte
@@ -251,6 +294,19 @@ object OctreeOracles {
          |       CAST("by" - 1 AS DOUBLE) * 4.0 + 0.5 * 4.0 AS cy,
          |       CAST(bz - 1 AS DOUBLE) * 4.0 + 0.5 * 4.0 AS cz,
          |       sqrt(4.0*4.0 + 4.0*4.0 + 4.0*4.0) / 16.0 AS radius
+         |FROM blocks ORDER BY c, bz, "by", bx""".stripMargin,
+    "oct_block_geom_aniso" ->
+      s"""WITH $voxelCte,
+         |$blocksCte
+         |SELECT c, bz, "by", bx, $pathExpr AS path,
+         |       100.5 + CAST(bx - 1 AS DOUBLE) * 1.0 AS ox,
+         |       -20.25 + CAST("by" - 1 AS DOUBLE) * 1.5 AS oy,
+         |       7.75 + CAST(bz - 1 AS DOUBLE) * 6.0 AS oz,
+         |       1.0 AS sx, 1.5 AS sy, 6.0 AS sz,
+         |       100.5 + CAST(bx - 1 AS DOUBLE) * 1.0 + 0.5 * 1.0 AS cx,
+         |       -20.25 + CAST("by" - 1 AS DOUBLE) * 1.5 + 0.5 * 1.5 AS cy,
+         |       7.75 + CAST(bz - 1 AS DOUBLE) * 6.0 + 0.5 * 6.0 AS cz,
+         |       sqrt(1.0*1.0 + 1.5*1.5 + 6.0*6.0) / 16.0 AS radius
          |FROM blocks ORDER BY c, bz, "by", bx""".stripMargin
   )
 }

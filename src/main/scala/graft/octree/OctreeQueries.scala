@@ -31,6 +31,27 @@ object OctreeQueries {
   def mipmapDims(spark: SparkSession, dir: String): DataFrame =
     Addressing.mipmapDims(VoxelGrid.Grid, VoxelGrid.Grid, VoxelGrid.Grid)(spark)
 
+  /** oct_adjust_dims — tiff2octree.py:611 `adjust_dimensions` as its
+    * own oracle row: each candidate dim triple shrunk to a multiple of
+    * 2^lv across a sweep of level counts (the closed form of the
+    * reference's decrement loop).
+    */
+  def adjustDims(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").cast("long").as("id"),
+        (col("o_orderkey") % 4000 + 600).cast("long").as("dz"),
+        (col("o_custkey") % 3000 + 500).cast("long").as("dy"),
+        (col("o_orderkey") % 2500 + 400).cast("long").as("dx"))
+    dims.withColumn("lv", explode(sequence(lit(1), lit(6))))
+      .select(col("id"), col("lv").cast("long").as("lv"),
+        col("dz"), col("dy"), col("dx"),
+        Addressing.adjustDim("dz", "lv").as("adj_dz"),
+        Addressing.adjustDim("dy", "lv").as("adj_dy"),
+        Addressing.adjustDim("dx", "lv").as("adj_dx"))
+      .orderBy("id", "lv")
+  }
+
   def down(kernel: String)(spark: SparkSession, dir: String): DataFrame =
     Downsample(vox(spark, dir), kernel).orderBy("c", "z", "y", "x")
 
@@ -78,6 +99,74 @@ object OctreeQueries {
         concat(lit("block_8_xy_"), col("path"), lit(".ktx")).as("ktx_name"))
       .orderBy("c", "bz", "by", "bx")
 
+  /** oct_ktx_header — per-block KTX container metadata: the 13-field
+    * binary header of `KtxHeader.write_stream` (ktx/__init__.py:320;
+    * field population `populate_from_array_params` :160 — uint16
+    * 2-channel leaf blocks → GL_UNSIGNED_SHORT/GL_RG/GL_RG16), the
+    * deterministic key-value section byte count (`__setitem__` :151
+    * appends NUL, entries pad to 4; the date/program/stats keys are
+    * per-run strings and excluded), and one row per mip level with the
+    * OpenGL mip chain dims (ktx/util.py:34), imageSize bytes and the
+    * byte offset of each mip's length field (`KtxImageData
+    * .write_stream` :377: 4-byte size + data + pad-to-4) — everything
+    * a sink needs to lay out the exact .ktx byte stream, joinable to
+    * [[ktxName]] on (bz,by,bx).
+    */
+  def ktxHeader(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val leaf = VoxelGrid.Leaf
+    val (glType, glTypeSize, glFormat, glInternal) = (5123L, 2L, 33319L, 33324L) // GL_UNSIGNED_SHORT, GL_RG, GL_RG16
+    val channels = 2L
+    val nMips = 31 - Integer.numberOfLeadingZeros(leaf) + 1
+    // mip chain: per-axis max(1, leaf>>m); imageSize = voxels*ch*bytes;
+    // prior = bytes of all preceding (sizeField + data + pad) blocks
+    val mips = (0 until nMips).map { m =>
+      val d = math.max(1, leaf >> m).toLong
+      (m.toLong, d, d * d * d * channels * glTypeSize)
+    }
+    var acc = 0L // bytes of all (sizeField + data + pad) before this mip
+    val mipSeq = mips.map { case (m, d, bytes) =>
+      val row = (m, d, d, d, bytes, acc)
+      acc += 4 + bytes + (3 - ((bytes + 3) % 4))
+      row
+    }
+    val mipDf = mipSeq.toDF("mip", "mz", "my", "mx", "mip_bytes", "prior_bytes")
+    val dataBytes = acc // all mips incl. size fields and padding
+    // key-value entry: 4-byte size + key\0 + value\0, padded to 4
+    def kvEntry(keyLen: Long, valLen: Long): Long = {
+      val size = keyLen + 1 + valLen + 1
+      4 + size + (3 - ((size + 3) % 4))
+    }
+    val kvConst =
+      kvEntry(14, 11) + // distance_units = micrometers
+        kvEntry(19, (VoxelGrid.Levels - 1).toString.length.toLong) + // multiscale_level_id
+        kvEntry(22, VoxelGrid.Levels.toString.length.toLong) + // multiscale_total_levels
+        kvEntry(18, channels.toString.length.toLong) // number_of_channels
+    // octree_path entry depends on the block's path length (digits
+    // joined by '/': value length 2L-1, plus the appended NUL)
+    val pathSize = lit(11L + 1L) + length(col("path")).cast("long") * 2
+    val kvBytes = (lit(kvConst + 4L) + pathSize +
+      (lit(3L) - (pathSize + 3) % 4)).as("kv_bytes")
+    // one KTX file per spatial block: channels are interleaved into
+    // the same container (ktx/util.py:242), so the key drops c
+    val blocks = Addressing.blockPaths(vox(spark, dir))
+      .groupBy("bz", "by", "bx", "path")
+      .agg(count(lit(1)).as("n_channels_present"))
+    blocks
+      .withColumn("gl_type", lit(glType)).withColumn("gl_type_size", lit(glTypeSize))
+      .withColumn("gl_format", lit(glFormat)).withColumn("gl_internal_format", lit(glInternal))
+      .withColumn("gl_base_internal_format", lit(glFormat))
+      .withColumn("pixel_width", lit(leaf.toLong)).withColumn("pixel_height", lit(leaf.toLong))
+      .withColumn("pixel_depth", lit(leaf.toLong))
+      .withColumn("n_mipmaps", lit(nMips.toLong))
+      .withColumn("kv_bytes", kvBytes)
+      .withColumn("file_bytes", lit(64L) + col("kv_bytes") + lit(dataBytes))
+      .crossJoin(mipDf)
+      .withColumn("mip_offset", lit(64L) + col("kv_bytes") + col("prior_bytes"))
+      .drop("prior_bytes")
+      .orderBy("bz", "by", "bx", "mip")
+  }
+
   /** Re-tiling (tiff2octree.py:516 `conv_tiled_tiff`, which rewrites
     * strip TIFFs as 256² tiles so window reads stop scanning whole
     * rows): the columnar analog re-blocks the voxel store under a
@@ -99,6 +188,20 @@ object OctreeQueries {
 
   def blockGeom(spark: SparkSession, dir: String): DataFrame =
     Geometry.blockGeometry(vox(spark, dir))
+
+  /** Non-unit anisotropic parameterization (dyadic voxel sizes so the
+    * double arithmetic is exact on both engines) — exercises the
+    * origin/voxel-size plumbing of parse_voxel_size tiff2octree.py:825
+    * end-to-end.
+    */
+  val AnisoOrigin: (Double, Double, Double) = (100.5, -20.25, 7.75)
+  val AnisoVox: (Double, Double, Double) = (0.25, 0.375, 1.5)
+
+  def transformAniso(spark: SparkSession, dir: String): DataFrame =
+    Geometry.transform(spark, origin = AnisoOrigin, voxUm = AnisoVox)
+
+  def blockGeomAniso(spark: SparkSession, dir: String): DataFrame =
+    Geometry.blockGeometry(vox(spark, dir), origin = AnisoOrigin, voxUm = AnisoVox)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "oct_blockify" -> (blockify _),
@@ -122,8 +225,12 @@ object OctreeQueries {
     "oct_intensity_params" -> (intensityParams _),
     "oct_rescale_u8" -> (rescaleU8 _),
     "oct_transform" -> (transform _),
+    "oct_transform_aniso" -> (transformAniso _),
     "oct_ktx_name" -> (ktxName _),
+    "oct_ktx_header" -> (ktxHeader _),
+    "oct_adjust_dims" -> (adjustDims _),
     "oct_retile" -> (retile _),
-    "oct_block_geom" -> (blockGeom _)
+    "oct_block_geom" -> (blockGeom _),
+    "oct_block_geom_aniso" -> (blockGeomAniso _)
   )
 }
