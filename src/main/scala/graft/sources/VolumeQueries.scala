@@ -20,6 +20,24 @@ object VolumeQueries {
       .agg(count(lit(1)).as("n_voxels"), sum("v").as("sum_v"), max("v").as("max_v"))
       .orderBy("bz")
 
+  /** src_volume_scan_l1 — the same slab aggregation against pyramid
+    * level 1 (`.option("level", 1)`: grid 16 → 8, the reference's
+    * `check_n5_levels`/`s1` ingest path): the planner enumerates only
+    * the level's blocks and the c/z predicates still prune them.
+    */
+  def volumeScanL1(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.VolumeSource").option("level", 1).load()
+      .filter(col("c") === 1 && col("z") >= 2 && col("z") < 6)
+      .groupBy(expr("z div 4").as("bz"))
+      .agg(count(lit(1)).as("n_voxels"), sum("v").as("sum_v"), max("v").as("max_v"))
+      .orderBy("bz")
+
+  /** src_volume_levels — level/channel discovery (`check_n5_levels` /
+    * `check_n5_channels`): the catalog of ingestable surfaces.
+    */
+  def volumeLevels(spark: SparkSession, dir: String): DataFrame =
+    VolumeSource.discoverLevels(spark).orderBy("level", "c")
+
   /** Pyramid sink: the octree write path — parquet partitioned by
     * (level, c) so per-level / per-channel readers (the viewer's
     * resolution switching) are partition-pruned scans. The Spark-first
@@ -32,7 +50,9 @@ object VolumeQueries {
     spark.read.parquet(path).filter(col("level") === level)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src_volume_scan" -> (volumeScan _)
+    "src_volume_scan" -> (volumeScan _),
+    "src_volume_scan_l1" -> (volumeScanL1 _),
+    "src_volume_levels" -> (volumeLevels _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -46,6 +66,25 @@ object VolumeQueries {
         |  WHERE h % 10 < 7 AND z >= 4 AND z < 12)
         |SELECT z // 4 AS bz, COUNT(*) AS n_voxels,
         |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(MAX(v) AS BIGINT) AS max_v
-        |FROM v GROUP BY 1 ORDER BY bz""".stripMargin
+        |FROM v GROUP BY 1 ORDER BY bz""".stripMargin,
+    "src_volume_scan_l1" ->
+      """WITH g AS (
+        |  SELECT zz.z, yy.y, xx.x,
+        |    xor(xor(xor(xor(zz.z * 73856093, yy.y * 19349663), xx.x * 83492791),
+        |            1 * 2654435761), 1 * 1226984431) AS h
+        |  FROM range(0, 8) zz(z), range(0, 8) yy(y), range(0, 8) xx(x)),
+        |v AS (
+        |  SELECT z, y, x, h % 65535 + 1 AS v FROM g
+        |  WHERE h % 10 < 7 AND z >= 2 AND z < 6)
+        |SELECT z // 4 AS bz, COUNT(*) AS n_voxels,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM v GROUP BY 1 ORDER BY bz""".stripMargin,
+    "src_volume_levels" ->
+      """WITH s AS (
+        |  SELECT l.level, c.c, 16 >> l.level AS edge, (16 >> l.level) // 4 AS nb
+        |  FROM range(0, 3) l(level), range(0, 2) c(c))
+        |SELECT CAST(level AS BIGINT) AS level, CAST(c AS BIGINT) AS c,
+        |  CAST(edge AS BIGINT) AS edge, CAST(nb * nb * nb AS BIGINT) AS n_blocks
+        |FROM s ORDER BY level, c""".stripMargin
   )
 }

@@ -28,9 +28,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * sparsity follow the engine's volume model: `(c,z,y,x,v)`, v in
   * [1, 65535], ~70% fill, zero = no-data never materialized.
   *
+  * Multiscale input (tiff2octree.py:711 `check_n5_levels`, :728
+  * `check_n5_channels`, level pick in `n5_zarr_to_dask_array` :779):
+  * the store holds a pyramid s0..sL (level-l grid edge = grid >> l,
+  * each level an independently materialized array, like N5 `s1/`
+  * dirs) × per-channel dirs. `.option("level", l)` selects the scale
+  * to ingest — the planner then enumerates ONLY that level's blocks;
+  * [[VolumeSource.discoverLevels]] is the scandir analog that lists
+  * the available (level, channel) surfaces with their dims.
+  *
   * Usage:
   * `spark.read.format("graft.sources.VolumeSource")
-  *   .option("grid", 16).option("channels", 2).option("leaf", 4).load()`
+  *   .option("grid", 16).option("channels", 2).option("leaf", 4)
+  *   .option("level", 1).load()`
   */
 class VolumeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = VolumeSource.schema
@@ -39,7 +49,8 @@ class VolumeSource extends TableProvider {
     new VolumeTable(
       properties.getOrDefault("grid", "16").toInt,
       properties.getOrDefault("channels", "2").toInt,
-      properties.getOrDefault("leaf", "4").toInt)
+      properties.getOrDefault("leaf", "4").toInt,
+      properties.getOrDefault("level", "0").toInt)
 }
 
 object VolumeSource {
@@ -55,20 +66,48 @@ object VolumeSource {
     */
   def hash(c: Long, z: Long, y: Long, x: Long): Long =
     (z * 73856093L) ^ (y * 19349663L) ^ (x * 83492791L) ^ (c * 2654435761L)
+  /** Per-level fill: each pyramid level is its own stored array, so
+    * its payload differs (level 0 reduces to [[hash]] unchanged).
+    */
+  def hashL(level: Long, c: Long, z: Long, y: Long, x: Long): Long =
+    hash(c, z, y, x) ^ (level * 1226984431L)
   def present(h: Long): Boolean = h % 10 < 7
   def value(h: Long): Long = h % 65535 + 1
+
+  /** Level/channel discovery (`check_n5_levels`/`check_n5_channels`):
+    * every level whose grid still holds a whole leaf block, × every
+    * channel, with its grid edge and block count — the catalog a
+    * driver consults before planning an ingest.
+    */
+  def discoverLevels(spark: org.apache.spark.sql.SparkSession,
+                     grid: Int = 16, channels: Int = 2, leaf: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      l <- 0 to 30 if (grid >> l) >= leaf
+      c <- 0 until channels
+    } yield {
+      val edge = (grid >> l).toLong
+      val nb = edge / leaf
+      (l.toLong, c.toLong, edge, nb * nb * nb)
+    }
+    rows.toDF("level", "c", "edge", "n_blocks")
+  }
 }
 
-class VolumeTable(grid: Int, channels: Int, leaf: Int) extends Table with SupportsRead {
-  override def name(): String = s"graft_volume(grid=$grid,channels=$channels,leaf=$leaf)"
+class VolumeTable(grid: Int, channels: Int, leaf: Int, level: Int)
+  extends Table with SupportsRead {
+  require((grid >> level) >= leaf, s"level $level leaves no whole leaf block")
+  override def name(): String =
+    s"graft_volume(grid=$grid,channels=$channels,leaf=$leaf,level=$level)"
   override def schema(): StructType = VolumeSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VolumeScanBuilder(grid, channels, leaf)
+    new VolumeScanBuilder(grid >> level, channels, leaf, level)
 }
 
-class VolumeScanBuilder(grid: Int, channels: Int, leaf: Int)
+class VolumeScanBuilder(grid: Int, channels: Int, leaf: Int, level: Int)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = VolumeSource.schema
@@ -92,10 +131,10 @@ class VolumeScanBuilder(grid: Int, channels: Int, leaf: Int)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new VolumeScan(grid, channels, leaf, required, pushed)
+  override def build(): Scan = new VolumeScan(grid, channels, leaf, level, required, pushed)
 }
 
-class VolumeScan(grid: Int, channels: Int, leaf: Int,
+class VolumeScan(grid: Int, channels: Int, leaf: Int, level: Int,
                  required: StructType, pushed: Array[Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -125,7 +164,7 @@ class VolumeScan(grid: Int, channels: Int, leaf: Int,
     val parts = for {
       c <- cLo to math.min(cHi, channels - 1L)
       bz <- blockRange(zLo, zHi); by <- blockRange(yLo, yHi); bx <- blockRange(xLo, xHi)
-    } yield VolumeBlockPartition(c, bz, by, bx, leaf,
+    } yield VolumeBlockPartition(c, bz, by, bx, leaf, level,
       (zLo, zHi), (yLo, yHi), (xLo, xHi)): InputPartition
     parts.toArray
   }
@@ -135,6 +174,7 @@ class VolumeScan(grid: Int, channels: Int, leaf: Int,
 }
 
 case class VolumeBlockPartition(c: Long, bz: Int, by: Int, bx: Int, leaf: Int,
+                                level: Int,
                                 zB: (Long, Long), yB: (Long, Long), xB: (Long, Long))
   extends InputPartition
 
@@ -151,7 +191,7 @@ class VolumeReaderFactory(columns: Array[String]) extends PartitionReaderFactory
         if y >= p.yB._1 && y <= p.yB._2
         x <- (p.bx.toLong * p.leaf) until ((p.bx + 1L) * p.leaf)
         if x >= p.xB._1 && x <= p.xB._2
-        h = VolumeSource.hash(p.c, z, y, x)
+        h = VolumeSource.hashL(p.level, p.c, z, y, x)
         if VolumeSource.present(h)
       } yield (p.c, z, y, x, VolumeSource.value(h))).iterator
       private var cur: (Long, Long, Long, Long, Long) = _

@@ -47,6 +47,25 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.getLong(1) === expected.sum)
   }
 
+  test("level option selects the pyramid scale and still prunes blocks") {
+    val l1 = spark.read.format("graft.sources.VolumeSource").option("level", 1).load()
+    assert(l1.rdd.getNumPartitions === 2 * 2 * 2 * 2) // grid 8: 2 blocks/axis
+    val expected = (for {
+      z <- 2L until 6L; y <- 0L until 8L; x <- 0L until 8L
+      h = VolumeSource.hashL(1, 1, z, y, x) if VolumeSource.present(h)
+    } yield VolumeSource.value(h)).toSeq
+    val slab = l1.filter(col("c") === 1 && col("z") >= 2 && col("z") < 6)
+    assert(slab.rdd.getNumPartitions === 1 * 2 * 2 * 2) // c pruned, both z-blocks touched
+    val a = slab.agg(count(lit(1)), sum("v")).collect()(0)
+    assert(a.getLong(0) === expected.size)
+    assert(a.getLong(1) === expected.sum)
+    // discovery lists every (level, channel) surface down to one leaf
+    val disc = VolumeSource.discoverLevels(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(disc === Set((0L, 0L, 16L, 64L), (0L, 1L, 16L, 64L),
+      (1L, 0L, 8L, 8L), (1L, 1L, 8L, 8L), (2L, 0L, 4L, 1L), (2L, 1L, 4L, 1L)))
+  }
+
   test("pyramid sink round-trips partitioned by (level, c)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pyr").toString
     val pyr = graft.octree.Pyramid(VolumeGridFixture(spark))
