@@ -155,20 +155,24 @@ object Similarity {
     val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         dot(col("embedding"), col("embedding")).as("cn2"))
-    // Nearest-cell assignment as a max_by aggregation (tie-broken to
-    // the smallest cent_id via the negated id in the ordering struct):
-    // a partial-aggregating HashAggregate over the broadcast product —
-    // no per-vector Window sort, no shuffle of the scored product.
-    val assigned = embPar(spark, dir)
+    // Nearest-cell assignment as a max_by aggregation — a
+    // partial-aggregating HashAggregate over the broadcast product, no
+    // per-vector Window sort, no shuffle of the scored product. The
+    // ordering packs (ccos, smallest-cent_id tiebreak) into ONE long
+    // (ccos ≤ 10⁶ < 2^20, cent_id < 2^24): a struct ordering or an
+    // array-typed first() would demote the whole agg to SortAggregate
+    // (structs/arrays are not mutable hash-buffer types). The
+    // embedding/norm columns rejoin on vec_id afterwards — both sides
+    // hash-partitioned on vec_id already, so no extra exchange.
+    val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val cellOf = base
       .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("vn2"), col("cent_id"),
+      .select(col("vec_id"), col("cent_id"),
         cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos"))
       .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
-        first(col("embedding")).as("embedding"),
-        first(col("vn2")).as("vn2"))
+      .agg(max_by(col("cent_id"), col("ccos") * lit(1L << 24) - col("cent_id")).as("cell"))
+    val assigned = base.join(cellOf, "vec_id")
       .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
     val probeW = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
     val probeCells = probes(spark, dir).crossJoin(broadcast(cents))
