@@ -211,12 +211,60 @@ object Dedup {
       .orderBy("doc")
   }
 
+  /** dedup_cluster — duplicate-cluster canonicalization: connected
+    * components over the verified near-dup pair graph
+    * ([[ngramJaccard]] edges), labeling every document with the
+    * smallest doc_id in its component plus the component size — the
+    * "keep one representative per duplicate cluster" step a training
+    * pipeline runs after pair generation.
+    *
+    * Spark-first shape: iterative min-label propagation — per round
+    * one equi-join (edge → neighbor label) and one min-aggregation,
+    * `localCheckpoint` truncating the lineage, until a fixpoint
+    * (changed-label count = 0). Rounds ≤ component diameter; at
+    * 100 TB the same loop runs with reliable checkpointing (or the
+    * large-star/small-star contraction for very deep chains —
+    * near-dup components are shallow in practice). The DuckDB oracle
+    * re-derives the same fixpoint as a recursive transitive-closure
+    * CTE — two independent formulations of connectivity.
+    */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("doc_id"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("doc_id"), col("lbl").as("prev")), "doc_id")
+        .filter(col("lbl") =!= col("prev")).count()
+      converged = changed == 0
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(false)
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
-    "dedup_embed" -> (embed _)
+    "dedup_embed" -> (embed _),
+    "dedup_cluster" -> (cluster _)
   )
 }

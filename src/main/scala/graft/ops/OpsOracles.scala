@@ -101,6 +101,25 @@ object OpsOracles {
        |  FROM b a JOIN b a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id)
        |, hits AS (SELECT * FROM pairs WHERE cos_u >= $minCosU)""".stripMargin
 
+  /** Verified near-dup pair CTE chain (mirrors [[Dedup.ngramJaccard]]):
+    * band candidates → exact token-set intersect/union at τ=0.5.
+    * Exposes `jhits(doc_a, doc_b, inter, nt_a, nt_b)`. Appended after
+    * [[minhashSigCtes]] + [[bandCandCtes]].
+    */
+  private val ngramHitsCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, list_distinct($toks) AS t,
+       |    CAST(len(list_distinct($toks)) AS BIGINT) AS nt
+       |  FROM documents),
+       |np AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS inter,
+       |    ta.nt AS nt_a, tb.nt AS nt_b
+       |  FROM cand JOIN tk ta ON cand.doc_a = ta.doc_id
+       |            JOIN tk tb ON cand.doc_b = tb.doc_id),
+       |jhits AS (
+       |  SELECT * FROM np WHERE inter * 2 >= nt_a + nt_b - inter)""".stripMargin
+
   val all: Map[String, String] = Map(
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
@@ -170,20 +189,25 @@ object OpsOracles {
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashSigCtes,
          |$bandCandCtes,
-         |tk AS (
-         |  SELECT doc_id, list_distinct($toks) AS t,
-         |    CAST(len(list_distinct($toks)) AS BIGINT) AS nt
-         |  FROM documents),
-         |p AS (
-         |  SELECT cand.doc_a, cand.doc_b,
-         |    CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS inter,
-         |    ta.nt AS nt_a, tb.nt AS nt_b
-         |  FROM cand JOIN tk ta ON cand.doc_a = ta.doc_id
-         |            JOIN tk tb ON cand.doc_b = tb.doc_id)
+         |$ngramHitsCtes
          |SELECT doc_a, doc_b, inter, nt_a, nt_b, nt_a + nt_b - inter AS uni,
          |  inter / (nt_a + nt_b - inter) AS jaccard
-         |FROM p WHERE inter * 2 >= nt_a + nt_b - inter
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |FROM jhits ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |$bandCandCtes,
+         |$ngramHitsCtes,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jhits
+         |  UNION ALL SELECT doc_b, doc_a FROM jhits),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
+         |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc),
+         |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster)
+         |SELECT mm.doc AS doc_id, mm.cluster, cs.cluster_size
+         |FROM mm JOIN cs USING (cluster) ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $minhashSigCtes
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,

@@ -120,6 +120,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.keySet.exists { case (x, y) => x == 3L || y == 3L })
   }
 
+  test("dedup_cluster labels connected near-dup components with min id") {
+    import spark.implicits._
+    val t15 = (1 to 15).map(i => f"w$i%02d")
+    val a = t15.mkString(" ")
+    val b = (t15 ++ Seq("u16", "u17")).mkString(" ")
+    val c = (t15 ++ Seq("u16", "u17", "u18", "u19")).mkString(" ")
+    val d = (1 to 20).map(i => f"zz$i%02d").mkString(" ") // singleton
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cluster_spec").toString
+    Seq((10L, "en", a, "s"), (11L, "en", b, "s"), (12L, "en", c, "s"),
+        (13L, "en", d, "s"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.Dedup.cluster(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (13L, 13L, 1L)))
+  }
+
   test("LSH pair-blocking candidate count grows sub-quadratically") {
     // lshBits scales bucket count with corpus size: 8× the vectors
     // must NOT produce 64× the within-bucket candidate pairs.
