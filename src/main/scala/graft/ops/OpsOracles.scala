@@ -120,7 +120,117 @@ object OpsOracles {
        |jhits AS (
        |  SELECT * FROM np WHERE inter * 2 >= nt_a + nt_b - inter)""".stripMargin
 
+  /** Shared PII regexes / filter thresholds (see [[TextAnalysis]]). */
+  private val ePat = TextAnalysis.emailPat
+  private val iPat = TextAnalysis.ipPat
+  private val pPat = TextAnalysis.phonePat
+
   val all: Map[String, String] = Map(
+    "text_filter" ->
+      s"""WITH d AS (SELECT doc_id, text, $toks AS t FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
+         |    CAST(len(t) AS BIGINT) AS nt,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS nd,
+         |    CAST(len(list_filter(t, x -> length(x) > ${TextAnalysis.MaxTokenLen})) AS BIGINT) AS n_long
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(n < ${TextAnalysis.MinChars} AS BIGINT) AS f_short,
+         |    CAST(nt < ${TextAnalysis.MinTokens} AS BIGINT) AS f_few_tokens,
+         |    CAST(alpha * 2 < n AS BIGINT) AS f_low_alpha,
+         |    CAST(digit * 5 > n AS BIGINT) AS f_high_digit,
+         |    CAST(nd * 2 < nt AS BIGINT) AS f_repetitive,
+         |    CAST(n_long > 0 AS BIGINT) AS f_long_token
+         |  FROM m),
+         |g AS (
+         |  SELECT *, f_short + f_few_tokens + f_low_alpha + f_high_digit
+         |           + f_repetitive + f_long_token AS n_fail FROM f)
+         |SELECT doc_id, f_short, f_few_tokens, f_low_alpha, f_high_digit,
+         |  f_repetitive, f_long_token, n_fail,
+         |  CAST(n_fail = 0 AS BIGINT) AS keep,
+         |  COALESCE(array_to_string(list_filter([
+         |    CASE WHEN f_short = 1 THEN 'short' ELSE '' END,
+         |    CASE WHEN f_few_tokens = 1 THEN 'few_tokens' ELSE '' END,
+         |    CASE WHEN f_low_alpha = 1 THEN 'low_alpha' ELSE '' END,
+         |    CASE WHEN f_high_digit = 1 THEN 'high_digit' ELSE '' END,
+         |    CASE WHEN f_repetitive = 1 THEN 'repetitive' ELSE '' END,
+         |    CASE WHEN f_long_token = 1 THEN 'long_token' ELSE '' END], x -> x <> ''), ','), '') AS reasons
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_pii_mask" ->
+      s"""WITH s1 AS (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(text, '$ePat')) AS BIGINT) AS n_email,
+         |    regexp_replace(text, '$ePat', '<EMAIL>', 'g') AS m1
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, n_email, CAST(len(regexp_extract_all(m1, '$iPat')) AS BIGINT) AS n_ip,
+         |    regexp_replace(m1, '$iPat', '<IP>', 'g') AS m2
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(m2, '$pPat')) AS BIGINT) AS n_phone,
+         |    regexp_replace(m2, '$pPat', '<PHONE>', 'g') AS masked
+         |  FROM s2)
+         |SELECT doc_id, n_email, n_ip, n_phone,
+         |  CAST(length(masked) AS BIGINT) AS masked_len, md5(masked) AS masked_md5
+         |FROM s3 ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    CAST(${md5Int("source || ':' || CAST(doc_id AS VARCHAR)")} AS BIGINT) AS samp_hash
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, samp_hash,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY samp_hash, doc_id) AS BIGINT) AS rk
+         |  FROM h)
+         |SELECT doc_id, source, samp_hash, rk FROM r
+         |WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
+    "agg_kmv_distinct" ->
+      s"""WITH uh AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(${md5Int("CAST(user_id AS VARCHAR)")} AS BIGINT) AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM uh),
+         |k AS (
+         |  SELECT event_type, CAST(MAX(h) AS BIGINT) AS kth_hash,
+         |    CAST(COUNT(*) AS BIGINT) AS k_used
+         |  FROM r WHERE rk <= ${Sampling.KmvK} GROUP BY event_type),
+         |nh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hash_distinct
+         |       FROM uh GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         |       FROM events GROUP BY event_type)
+         |SELECT k.event_type, k.k_used, k.kth_hash, nh.n_hash_distinct, ex.exact_users,
+         |  CAST(CASE WHEN k.k_used < ${Sampling.KmvK} THEN nh.n_hash_distinct
+         |       ELSE (${Sampling.KmvK - 1} * 4294967296) // GREATEST(k.kth_hash, 1)
+         |       END AS BIGINT) AS est_distinct
+         |FROM k JOIN nh USING (event_type) JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+         |  FROM embeddings, range(1, 65) r(i)),
+         |a AS (SELECT vec_id, MAX(abs(xd)) AS amax FROM x GROUP BY vec_id),
+         |q AS (
+         |  SELECT x.vec_id, x.pos, x.xd, a.amax,
+         |    CASE WHEN a.amax = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(FLOOR(x.xd * CAST(127.0 AS DOUBLE) / a.amax
+         |                         + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS q
+         |  FROM x JOIN a ON x.vec_id = a.vec_id),
+         |e AS (
+         |  SELECT vec_id, pos, amax, q,
+         |    xd - (CAST(q AS DOUBLE) * amax) / CAST(127.0 AS DOUBLE) AS e
+         |  FROM q)
+         |SELECT vec_id,
+         |  CAST(MAX(CAST(FLOOR(amax * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS amax_u,
+         |  CAST(SUM(q) AS BIGINT) AS qsum,
+         |  CAST(SUM(q * q) AS BIGINT) AS qdot,
+         |  CAST(SUM((q + 127) * pos) AS BIGINT) AS qchk,
+         |  CAST(SUM(CAST(FLOOR(e * e * CAST(1e12 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS err_u
+         |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
          |CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,

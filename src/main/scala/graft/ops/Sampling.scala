@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling and sketch aggregates for training-data
+  * pipelines.
+  *
+  * Numeric contract with the oracle: the shared string→uint32 hash is
+  * the md5-prefix integer (`graft_md5_prefix` on the Spark side, the
+  * strpos polynomial in DuckDB), so sample membership and sketch
+  * contents are bit-identical across engines.
+  */
+object Sampling {
+
+  /** Per-stratum sample size for [[stratified]]. */
+  val StratumK = 10
+
+  /** KMV sketch size for [[kmvDistinct]]. */
+  val KmvK = 64
+
+  /** sample_stratified — deterministic fixed-size-per-stratum sample:
+    * within each `source` stratum keep the [[StratumK]] documents with
+    * the smallest content-independent hash of (source, doc_id).
+    * Hash-rank sampling is reproducible across runs/engines (no RNG
+    * state) and composable (a k'-subsample of a k-sample is the
+    * k'-sample). One shuffle on the stratum key; at 100 TB the
+    * rank-within-stratum is the standard top-k-per-key pattern and the
+    * hash threshold can be pre-estimated to pre-filter before the
+    * shuffle.
+    */
+  def stratified(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("source").orderBy(col("samp_hash"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("graft_md5_prefix(concat(source, ':', cast(doc_id as string)))").as("samp_hash"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= StratumK)
+      .orderBy("source", "rk")
+  }
+
+  /** agg_kmv_distinct — K-minimum-values distinct-count sketch of
+    * users per event_type: keep the [[KmvK]] smallest distinct hash
+    * values per group; if the group saturates the sketch, estimate
+    * distinct ≈ (K−1)·2³²∕h₍K₎, else the sketch is exact. The exact
+    * distinct count rides along for error inspection. The sketch is
+    * the mergeable-summary shape 100 TB needs — per-partition sketches
+    * union by keeping the K smallest of the merged set (here expressed
+    * as distinct + rank; a production variant is a bounded-heap
+    * DeclarativeAggregate with the same contents).
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Tables(spark, dir, "events")
+    val hashed = ev
+      .select(col("event_type"),
+        expr("graft_md5_prefix(cast(user_id as string))").as("h"))
+      .distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val sk = hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KmvK)
+      .groupBy("event_type")
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_used"))
+    val nh = hashed.groupBy("event_type").agg(count(lit(1)).as("n_hash_distinct"))
+    val ex = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact_users"))
+    sk.join(nh, "event_type").join(ex, "event_type")
+      .withColumn("est_distinct",
+        when(col("k_used") < KmvK, col("n_hash_distinct"))
+          .otherwise(expr(s"(${KmvK - 1} * 4294967296) div greatest(kth_hash, 1)")))
+      .select("event_type", "k_used", "kth_hash", "n_hash_distinct",
+        "exact_users", "est_distinct")
+      .orderBy("event_type")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (stratified _),
+    "agg_kmv_distinct" -> (kmvDistinct _)
+  )
+}

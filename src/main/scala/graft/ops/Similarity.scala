@@ -191,10 +191,45 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** embed_quantize — symmetric int8 quantization of each embedding
+    * (q = round(x·127/amax), amax = per-vector max |x|) with integer
+    * summaries: component sum, squared norm, a position-weighted
+    * checksum, and the ×10¹² reconstruction squared error. The vector
+    * is posexploded and every per-element contribution is projected to
+    * an exact integer BEFORE the group-by, so all aggregates are
+    * order-independent integer sums — safe under any partitioning (a
+    * double sum here would be non-associative and non-deterministic) —
+    * and the whole thing is two HashAggregates with map-side combine
+    * (amax, then the summaries), no window sort. The per-element q and
+    * error expressions share one float chain with the oracle:
+    * q = floor(x·127.0/amax + 0.5), e = x − (q·amax)/127.0.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val elems = embPar(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("x").cast("double").as("xd"))
+    val amax = elems.groupBy("vec_id").agg(max(abs(col("xd"))).as("amax"))
+    elems.join(amax, "vec_id")
+      .withColumn("q",
+        when(col("amax") === 0.0, 0L)
+          .otherwise(floor(col("xd") * lit(127.0) / col("amax") + lit(0.5)).cast("long")))
+      .withColumn("e", col("xd") - (col("q").cast("double") * col("amax")) / lit(127.0))
+      .groupBy("vec_id")
+      .agg(
+        max(floor(col("amax") * lit(1000000.0)).cast("long")).as("amax_u"),
+        sum(col("q")).as("qsum"),
+        sum(col("q") * col("q")).as("qdot"),
+        sum((col("q") + 127) * col("pos")).as("qchk"),
+        sum(floor(col("e") * col("e") * lit(1.0e12)).cast("long")).as("err_u"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_topk" -> (lshTopk _),
     "sim_pairs_thresh" -> (pairsThresh _),
-    "sim_ivf_topk" -> (ivfTopk _)
+    "sim_ivf_topk" -> (ivfTopk _),
+    "embed_quantize" -> (quantize _)
   )
 }

@@ -135,11 +135,96 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(50)
 
+  /** Filter-rule thresholds, shared verbatim with the oracle. All
+    * rules are pure integer comparisons (ratio `a/n < r` written as
+    * `a·k < n·m`), so there is no float boundary to drift on.
+    */
+  val MinChars = 100
+  val MinTokens = 20
+  val MaxTokenLen = 40
+
+  /** text_filter — quality-rule document filtering with per-rule
+    * fail flags, a composite keep bit, and a joined fail-reason
+    * string — the gate step of a training-data pipeline (drop short /
+    * non-text / repetitive / degenerate docs). Pure scan-side
+    * codegen'd arithmetic: at 100 TB this is one parquet pass, the
+    * keep bit is pushdown-friendly for everything downstream.
+    */
+  def filterDocs(spark: SparkSession, dir: String): DataFrame =
+    filterDocsDf(Tables(spark, dir, "documents"))
+
+  def filterDocsDf(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n"),
+        countMatches("[A-Za-z]").as("alpha"),
+        countMatches("[0-9]").as("digit"),
+        expr("cast(size(t) as bigint)").as("nt"),
+        expr("cast(size(array_distinct(t)) as bigint)").as("nd"),
+        expr(s"cast(size(filter(t, x -> length(x) > $MaxTokenLen)) as bigint)").as("n_long"))
+      .withColumn("f_short", (col("n") < MinChars).cast("long"))
+      .withColumn("f_few_tokens", (col("nt") < MinTokens).cast("long"))
+      .withColumn("f_low_alpha", (col("alpha") * 2 < col("n")).cast("long"))
+      .withColumn("f_high_digit", (col("digit") * 5 > col("n")).cast("long"))
+      .withColumn("f_repetitive", (col("nd") * 2 < col("nt")).cast("long"))
+      .withColumn("f_long_token", (col("n_long") > 0).cast("long"))
+      .withColumn("n_fail",
+        col("f_short") + col("f_few_tokens") + col("f_low_alpha")
+          + col("f_high_digit") + col("f_repetitive") + col("f_long_token"))
+      .withColumn("keep", (col("n_fail") === 0).cast("long"))
+      .withColumn("reasons", expr(
+        """concat_ws(',', filter(array(
+          |  CASE WHEN f_short = 1 THEN 'short' ELSE '' END,
+          |  CASE WHEN f_few_tokens = 1 THEN 'few_tokens' ELSE '' END,
+          |  CASE WHEN f_low_alpha = 1 THEN 'low_alpha' ELSE '' END,
+          |  CASE WHEN f_high_digit = 1 THEN 'high_digit' ELSE '' END,
+          |  CASE WHEN f_repetitive = 1 THEN 'repetitive' ELSE '' END,
+          |  CASE WHEN f_long_token = 1 THEN 'long_token' ELSE '' END), x -> x != ''))""".stripMargin))
+      .select("doc_id", "f_short", "f_few_tokens", "f_low_alpha",
+        "f_high_digit", "f_repetitive", "f_long_token", "n_fail", "keep", "reasons")
+      .orderBy("doc_id")
+
+  /** PII regexes, raw (RE2-compatible — no lookahead; shared verbatim
+    * with the oracle). Masking order is email → IPv4 → phone; counts
+    * are taken on each stage's input so they agree with what was
+    * actually replaced.
+    */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePat = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** text_pii_mask — regex PII redaction (emails, IPv4, US-style
+    * phone numbers) with per-kind replacement counts and a checksum
+    * of the masked text. Scan-side only; the real-pipeline shape
+    * (sequential regexp_replace chain, global) at any scale.
+    */
+  def piiMask(spark: SparkSession, dir: String): DataFrame =
+    piiMaskDf(Tables(spark, dir, "documents"))
+
+  def piiMaskDf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        expr(s"cast(size(regexp_extract_all(text, '${sparkPat(emailPat)}', 0)) as bigint)").as("n_email"),
+        expr(s"regexp_replace(text, '${sparkPat(emailPat)}', '<EMAIL>')").as("m1"))
+      .select(col("doc_id"), col("n_email"),
+        expr(s"cast(size(regexp_extract_all(m1, '${sparkPat(ipPat)}', 0)) as bigint)").as("n_ip"),
+        expr(s"regexp_replace(m1, '${sparkPat(ipPat)}', '<IP>')").as("m2"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"),
+        expr(s"cast(size(regexp_extract_all(m2, '${sparkPat(phonePat)}', 0)) as bigint)").as("n_phone"),
+        expr(s"regexp_replace(m2, '${sparkPat(phonePat)}', '<PHONE>')").as("masked"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        length(col("masked")).cast("long").as("masked_len"),
+        md5(col("masked")).as("masked_md5"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (tokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_fingerprint" -> (fingerprint _),
-    "text_ngrams" -> (topNgrams _)
+    "text_ngrams" -> (topNgrams _),
+    "text_filter" -> (filterDocs _),
+    "text_pii_mask" -> (piiMask _)
   )
 }

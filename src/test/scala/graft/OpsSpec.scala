@@ -164,6 +164,102 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big < 20 * small, s"candidates grew $small -> $big")
   }
 
+  test("text_filter flags synthetic degenerate docs for the right reasons") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "Short."),                                           // short + few_tokens
+      (2L, "the quick brown fox jumps over one lazy dog while seven bright " +
+        "students read many long books about science history art music"),      // clean
+      (3L, "12345 67890 " * 20),                                // high_digit + low_alpha
+      (4L, ("word " * 60).trim),                                // repetitive (1 distinct / 60)
+      (5L, "x".repeat(50) + " the quick brown fox jumps over one lazy dog while " +
+        "seven bright students read many long books about science today") // long_token
+    ).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.filterDocsDf(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reasons")).toMap
+    assert(got(1L) === "short,few_tokens")
+    assert(got(2L) === "")
+    assert(got(3L).contains("high_digit") && got(3L).contains("low_alpha"))
+    assert(got(4L) === "repetitive")
+    assert(got(5L) === "long_token")
+    val keep = ops.TextAnalysis.filterDocsDf(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    assert(keep === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("text_pii_mask redacts emails, IPs and phones with exact counts") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "Contact bob.smith+x@example.co.uk or alice@test.org today"),
+      (2L, "Server at 192.168.0.1 and 10.0.0.255, call 555-123-4567 or 555.987.6543"),
+      (3L, "No PII here at all")
+    ).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.piiMaskDf(synth).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"), r.getAs[Long]("n_phone")))).toMap
+    assert(got(1L) === ((2L, 0L, 0L)))
+    assert(got(2L) === ((0L, 2L, 2L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+    // masked text contains no residual match of any pattern
+    val masked = ops.TextAnalysis.piiMaskDf(synth)
+    assert(masked.filter(masked("masked_md5").isNull).count() === 0)
+  }
+
+  test("sample_stratified matches an independent hash-rank derivation") {
+    import spark.implicits._
+    val got = ops.Sampling.stratified(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    val bySource = Tables(spark, dir, "documents").select("doc_id", "source")
+      .as[(Long, String)].collect().groupBy(_._2)
+    val want = bySource.toSeq.flatMap { case (src, rows) =>
+      rows.toSeq.map { case (id, _) => (src, id, md5Int(s"$src:$id")) }
+        .sortBy(t => (t._3, t._2)).take(ops.Sampling.StratumK)
+        .map(t => (t._1, t._2))
+    }.toSet
+    assert(got === want)
+    // every stratum is capped at K
+    got.groupBy(_._1).foreach { case (_, s) =>
+      assert(s.size <= ops.Sampling.StratumK)
+    }
+  }
+
+  test("agg_kmv_distinct estimates within KMV error bounds and is exact under K") {
+    val rows = ops.Sampling.kmvDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kUsed, exact, est) = (r.getAs[Long]("k_used"),
+        r.getAs[Long]("exact_users"), r.getAs[Long]("est_distinct"))
+      if (kUsed < ops.Sampling.KmvK) assert(est === r.getAs[Long]("n_hash_distinct"))
+      else {
+        // KMV standard error ~ 1/sqrt(K-2): allow 4 sigma
+        val sigma = 4.0 / math.sqrt(ops.Sampling.KmvK - 2.0)
+        assert(math.abs(est - exact) <= sigma * exact + 2,
+          s"est $est vs exact $exact for ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("embed_quantize matches an independent Scala quantizer") {
+    import spark.implicits._
+    val got = ops.Similarity.quantize(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("qsum"), r.getAs[Long]("qdot"), r.getAs[Long]("err_u"))).toMap
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    var checked = 0
+    vecs.take(50).foreach { case (id, v) =>
+      val xd = v.map(_.toDouble)
+      val amax = xd.map(math.abs).max
+      val q = xd.map(x => if (amax == 0) 0L else math.floor(x * 127.0 / amax + 0.5).toLong)
+      assert(q.forall(qi => qi >= -127 && qi <= 127))
+      val err = (xd, q).zipped.map((x, qi) =>
+        math.floor({ val e = x - (qi * amax) / 127.0; e * e * 1.0e12 }).toLong).sum
+      assert(got(id) === ((q.sum, q.map(x => x * x).sum, err)), s"vec $id")
+      checked += 1
+    }
+    assert(checked === 50)
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
