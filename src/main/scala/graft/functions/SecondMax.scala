@@ -80,5 +80,16 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_md5_prefix", exprs => Md5PrefixLong(exprs.head), "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_kmv_kth"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_kmv_kth", exprs => {
+          val k = exprs(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_kmv_kth: K must be an INT literal, got $other")
+          }
+          KmvKthHash(exprs.head, k).toAggregateExpression()
+        }, "built-in")
+    }
   }
 }

@@ -58,14 +58,18 @@ object Sampling {
     val hashed = ev
       .select(col("event_type"),
         expr("graft_md5_prefix(cast(user_id as string))").as("h"))
-      .distinct()
-    val w = Window.partitionBy("event_type").orderBy("h")
+    // Native bounded sketch ([[graft.functions.KmvKthHash]]): each
+    // map-side partial carries ≤ K longs per group, so no distinct
+    // materialization and no per-group sort reach the shuffle.
     val sk = hashed
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KmvK)
       .groupBy("event_type")
-      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_used"))
-    val nh = hashed.groupBy("event_type").agg(count(lit(1)).as("n_hash_distinct"))
+      .agg(expr(s"graft_kmv_kth(h, $KmvK)").as("kmv"))
+      .select(col("event_type"),
+        col("kmv.k_used").as("k_used"), col("kmv.kth_hash").as("kth_hash"))
+    // Exact ride-along columns for error inspection (these DO pay the
+    // full distinct — a production pipeline drops them).
+    val nh = hashed.distinct().groupBy("event_type")
+      .agg(count(lit(1)).as("n_hash_distinct"))
     val ex = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact_users"))
     sk.join(nh, "event_type").join(ex, "event_type")
       .withColumn("est_distinct",

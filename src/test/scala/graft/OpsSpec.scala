@@ -239,6 +239,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native KMV sketch equals the K smallest distinct hashes") {
+    import spark.implicits._
+    val evs = Tables(spark, dir, "events").select("event_type", "user_id")
+      .as[(String, Long)].collect()
+    val want: Map[String, (Long, Long)] = evs.toSeq.groupBy(_._1).map { case (et, rows) =>
+      val kept = rows.map(r => md5Int(r._2.toString)).distinct.sorted
+        .take(ops.Sampling.KmvK)
+      et -> ((kept.size.toLong, kept.last))
+    }
+    val got = ops.Sampling.kmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("k_used"), r.getAs[Long]("kth_hash")))).toMap
+    assert(got === want)
+  }
+
   test("embed_quantize matches an independent Scala quantizer") {
     import spark.implicits._
     val got = ops.Similarity.quantize(spark, dir).collect()
