@@ -258,8 +258,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup_decontaminate — benchmark-overlap decontamination: flag
+    * training documents sharing ≥ 3 word-3-gram shingles with a
+    * held-out benchmark subset (doc_id ≡ 0 mod 97 — a stand-in for
+    * the eval-set table a real pipeline joins against). The pipeline
+    * step that keeps test data out of training corpora.
+    *
+    * Shape at 100 TB: one shingle explode (shared with the minhash
+    * chain), the benchmark shingle set reduced to DISTINCT values —
+    * small relative to the corpus, typically broadcastable; here left
+    * as an equi-join so AQE picks broadcast vs shuffle by size — then
+    * a per-doc count. No pair products anywhere.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+    val benchShingles = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val nShingles = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val nHit = train.join(benchShingles, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    nShingles.join(nHit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", (col("n_hit") >= 3).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_decontaminate" -> (decontaminate _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
     "dedup_minhash_pairs" -> (minhashPairs _),

@@ -292,6 +292,18 @@ object OpsOracles {
          |        ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM d)
          |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    "dedup_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingles) AS s FROM d),
+         |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+         |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id),
+         |nh AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |       FROM tr JOIN bs USING (s) GROUP BY tr.doc_id)
+         |SELECT ns.doc_id, ns.n_shingles,
+         |  CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(nh.n_hit, 0) >= 3 AS BIGINT) AS contaminated
+         |FROM ns LEFT JOIN nh ON ns.doc_id = nh.doc_id ORDER BY ns.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS key, COUNT(*) AS n_docs,
         |CAST(MIN(doc_id) AS BIGINT) AS canonical

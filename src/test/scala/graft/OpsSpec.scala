@@ -239,6 +239,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_decontaminate matches an independent shingle-overlap derivation") {
+    val texts = docs
+    def shingleSet(t: String): Set[String] = {
+      val tk = tokens(t)
+      if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String]
+    }
+    val bench = texts.filter(_._1 % 97 == 0).values.flatMap(shingleSet).toSet
+    val want = texts.toSeq.flatMap { case (id, t) =>
+      if (id % 97 == 0) None
+      else {
+        val sh = shingleSet(t)
+        if (sh.isEmpty) None
+        else Some(id -> ((sh.size.toLong, sh.count(bench.contains).toLong)))
+      }
+    }.toMap
+    val got = ops.Dedup.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit")))).toMap
+    assert(got === want)
+  }
+
   test("native KMV sketch equals the K smallest distinct hashes") {
     import spark.implicits._
     val evs = Tables(spark, dir, "events").select("event_type", "user_id")
