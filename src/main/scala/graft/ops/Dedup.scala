@@ -276,14 +276,16 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", expr(toksExpr))
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-    val benchShingles = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
-    val train = sh.filter(col("doc_id") % 97 =!= 0)
-    val nShingles = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val nHit = train.join(benchShingles, "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    nShingles.join(nHit, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    val benchShingles = sh.filter(col("doc_id") % 97 === 0)
+      .select("s").distinct().withColumn("hit", lit(1))
+    // One left join marks hits, one group-by counts both totals — the
+    // expensive shingle explode runs twice (train + bench side), not
+    // three times, and there is no post-aggregation rejoin. bench `s`
+    // is distinct, so the left join preserves train row counts.
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(benchShingles, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .withColumn("contaminated", (col("n_hit") >= 3).cast("long"))
       .orderBy("doc_id")
   }

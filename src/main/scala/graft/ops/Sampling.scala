@@ -54,29 +54,25 @@ object Sampling {
     */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val ev = Tables(spark, dir, "events")
-    val hashed = ev
+    // ONE scan: distinct (event_type, user_id) — needed anyway for the
+    // exact ride-along columns — then every aggregate reads that set.
+    // The sketch itself ([[graft.functions.KmvKthHash]], bounded
+    // TreeSet, ≤K longs per map-side partial) does not need the
+    // distinct: a production pipeline that drops the exact columns
+    // drops the distinct too and the sketch aggregates the raw stream.
+    val distinctUsers = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", expr("graft_md5_prefix(cast(user_id as string))"))
+    distinctUsers.groupBy("event_type")
+      .agg(expr(s"graft_kmv_kth(h, $KmvK)").as("kmv"),
+        countDistinct(col("h")).as("n_hash_distinct"),
+        count(lit(1)).as("exact_users"))
       .select(col("event_type"),
-        expr("graft_md5_prefix(cast(user_id as string))").as("h"))
-    // Native bounded sketch ([[graft.functions.KmvKthHash]]): each
-    // map-side partial carries ≤ K longs per group, so no distinct
-    // materialization and no per-group sort reach the shuffle.
-    val sk = hashed
-      .groupBy("event_type")
-      .agg(expr(s"graft_kmv_kth(h, $KmvK)").as("kmv"))
-      .select(col("event_type"),
-        col("kmv.k_used").as("k_used"), col("kmv.kth_hash").as("kth_hash"))
-    // Exact ride-along columns for error inspection (these DO pay the
-    // full distinct — a production pipeline drops them).
-    val nh = hashed.distinct().groupBy("event_type")
-      .agg(count(lit(1)).as("n_hash_distinct"))
-    val ex = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact_users"))
-    sk.join(nh, "event_type").join(ex, "event_type")
+        col("kmv.k_used").as("k_used"), col("kmv.kth_hash").as("kth_hash"),
+        col("n_hash_distinct"), col("exact_users"))
       .withColumn("est_distinct",
         when(col("k_used") < KmvK, col("n_hash_distinct"))
           .otherwise(expr(s"(${KmvK - 1} * 4294967296) div greatest(kth_hash, 1)")))
-      .select("event_type", "k_used", "kth_hash", "n_hash_distinct",
-        "exact_users", "est_distinct")
       .orderBy("event_type")
   }
 

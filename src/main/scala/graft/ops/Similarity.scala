@@ -205,12 +205,18 @@ object Similarity {
     * q = floor(x·127.0/amax + 0.5), e = x − (q·amax)/127.0.
     */
   def quantize(spark: SparkSession, dir: String): DataFrame = {
+    // amax as a scan-side array_max BEFORE the explode — evaluated once
+    // per vector and replicated by the generator, so the whole operator
+    // is ONE scan and ONE aggregation (the earlier explode→agg→join
+    // formulation rescanned the table to compute amax and rejoined it).
+    // Same float value: max over the identical set of doubles.
     val elems = embPar(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+      .select(col("vec_id"),
+        expr("array_max(transform(embedding, v -> abs(cast(v as double))))").as("amax"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("amax"), (col("pos0") + 1).cast("long").as("pos"),
         col("x").cast("double").as("xd"))
-    val amax = elems.groupBy("vec_id").agg(max(abs(col("xd"))).as("amax"))
-    elems.join(amax, "vec_id")
+    elems
       .withColumn("q",
         when(col("amax") === 0.0, 0L)
           .otherwise(floor(col("xd") * lit(127.0) / col("amax") + lit(0.5)).cast("long")))
