@@ -12,7 +12,7 @@ object OpsOracles {
   private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** strpos-polynomial hex parse of md5(x)'s first 8 digits. */
-  private def md5Int(x: String): String =
+  def md5Int(x: String): String =
     (1 to 8).map { i =>
       s"(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
     }.mkString("(", " + ", ")")

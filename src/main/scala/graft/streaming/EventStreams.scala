@@ -223,16 +223,55 @@ object EventStreams {
     spark.table(sink).orderBy("key")
   }
 
+  /** stream_kmv — the KMV distinct-user sketch as a streaming
+    * aggregation: [[graft.functions.KmvKthHash]] runs inside the
+    * streaming aggregation state store (its bounded TreeSet buffer
+    * serializes into the store between triggers and merges on the
+    * next), so an unbounded stream keeps O(groups·K) state — the
+    * streaming face of agg_kmv_distinct, same sketch contents.
+    */
+  def kmvStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    input.addData(evs)
+    val agg = input.toDS().toDF("event_type", "user_id")
+      .withColumn("h", expr("graft_md5_prefix(cast(user_id as string))"))
+      .groupBy("event_type")
+      .agg(expr(s"graft_kmv_kth(h, ${graft.ops.Sampling.KmvK})").as("kmv"))
+      .select(col("event_type"), col("kmv.k_used").as("k_used"),
+        col("kmv.kth_hash").as("kth_hash"))
+    val sink = sinkName("stream_kmv")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
-    "stream_dedup" -> (dedup _)
+    "stream_dedup" -> (dedup _),
+    "stream_kmv" -> (kmvStream _)
   )
 
   /** Oracles: same shapes as the batch twins (users column omitted
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    "stream_kmv" ->
+      s"""WITH uh AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(${graft.ops.OpsOracles.md5Int("CAST(user_id AS VARCHAR)")} AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM uh)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used, CAST(MAX(h) AS BIGINT) AS kth_hash
+         |FROM r WHERE rk <= ${graft.ops.Sampling.KmvK}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT md5(text) AS key FROM documents ORDER BY key",
     "stream_tumbling" ->

@@ -50,6 +50,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size.toLong === batchCount)
   }
 
+  test("stream_kmv sketch merges across triggers to the batch sketch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect().toSeq
+    // two batches → the sketch buffer round-trips the state store
+    // (serialize → store → deserialize → merge) between triggers
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val agg = input.toDS().toDF("event_type", "user_id")
+      .withColumn("h", expr("graft_md5_prefix(cast(user_id as string))"))
+      .groupBy("event_type")
+      .agg(expr(s"graft_kmv_kth(h, ${ops.Sampling.KmvK})").as("kmv"))
+      .select(col("event_type"), col("kmv.k_used").as("k_used"),
+        col("kmv.kth_hash").as("kth_hash"))
+    val q = agg.writeStream.format("memory").queryName("kmv_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = rows(spark.table("kmv_trigger_spec"), "event_type", "k_used", "kth_hash")
+    val batch = rows(ops.Sampling.kmvDistinct(spark, dir)
+      .select("event_type", "k_used", "kth_hash"), "event_type", "k_used", "kth_hash")
+    assert(streamed === batch)
+  }
+
   test("stream_tumbling equals batch tumbling (sans distinct users)") {
     val streamed = rows(EventStreams.tumbling(spark, dir),
       "bucket_h", "event_type", "cnt", "sum_value_c")
