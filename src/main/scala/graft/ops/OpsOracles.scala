@@ -186,6 +186,18 @@ object OpsOracles {
          |  FROM h)
          |SELECT doc_id, source, samp_hash, rk FROM r
          |WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
+    "stats_length_deciles" ->
+      s"""WITH d AS (SELECT source, doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
+         |r AS (SELECT source, doc_id, len,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS BIGINT) AS rn
+         |      FROM d),
+         |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+         |t AS (SELECT n.source, CAST(dd.d AS BIGINT) AS decile, n.n,
+         |        (CAST(dd.d AS BIGINT) * n.n + 9) // 10 AS target_rn
+         |      FROM n, range(1, 10) dd(d))
+         |SELECT t.source, t.decile, t.n, t.target_rn, r.len AS len_at
+         |FROM t JOIN r ON t.source = r.source AND t.target_rn = r.rn
+         |ORDER BY t.source, t.decile""".stripMargin,
     "agg_kmv_distinct" ->
       s"""WITH uh AS (
          |  SELECT DISTINCT event_type,
@@ -231,6 +243,28 @@ object OpsOracles {
          |  CAST(SUM((q + 127) * pos) AS BIGINT) AS qchk,
          |  CAST(SUM(CAST(FLOOR(e * e * CAST(1e12 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS err_u
          |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "text_rep_ngram" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 2
+         |      THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |      ELSE CAST([] AS VARCHAR[]) END AS g2,
+         |    CASE WHEN len(t) >= 3
+         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+         |      ELSE CAST([] AS VARCHAR[]) END AS g3
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(g2) AS BIGINT) AS n_2grams,
+         |    CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS dup_2grams,
+         |    CAST(len(g3) AS BIGINT) AS n_3grams,
+         |    CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup_3grams
+         |  FROM g)
+         |SELECT doc_id, n_2grams, dup_2grams, n_3grams, dup_3grams,
+         |  CAST(CASE WHEN n_2grams > 0 THEN dup_2grams * 1000 // n_2grams ELSE 0 END AS BIGINT) AS rep2_milli,
+         |  CAST(CASE WHEN n_3grams > 0 THEN dup_3grams * 1000 // n_3grams ELSE 0 END AS BIGINT) AS rep3_milli
+         |FROM m ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
          |CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,

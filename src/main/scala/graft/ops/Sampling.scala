@@ -76,8 +76,33 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** stats_length_deciles — exact per-source document-length deciles
+    * by the rank definition len@⌈d·n/10⌉ (pure integers — no
+    * interpolation semantics to disagree on across engines). One
+    * window shuffle on the stratum key; the (source, decile, target)
+    * frame is 9 rows per stratum, joined back by rank. At 100 TB
+    * exact per-group quantiles by global sort-rank is the honest
+    * formulation; the approximate path is a t-digest/KLL sketch with
+    * the same group-by shape as [[kmvDistinct]].
+    */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("len"))
+    val w = Window.partitionBy("source").orderBy(col("len"), col("doc_id"))
+    val ranked = docs.withColumn("rn", row_number().over(w).cast("long"))
+    val targets = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"), explode(expr("sequence(1L, 9L)")).as("decile"))
+      .withColumn("target_rn", expr("(decile * n + 9) div 10"))
+    ranked.join(targets, Seq("source"))
+      .filter(col("rn") === col("target_rn"))
+      .select(col("source"), col("decile"), col("n"), col("target_rn"),
+        col("len").as("len_at"))
+      .orderBy("source", "decile")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratified _),
-    "agg_kmv_distinct" -> (kmvDistinct _)
+    "agg_kmv_distinct" -> (kmvDistinct _),
+    "stats_length_deciles" -> (lengthDeciles _)
   )
 }

@@ -218,7 +218,37 @@ object TextAnalysis {
         md5(col("masked")).as("masked_md5"))
       .orderBy("doc_id")
 
+  /** Non-distinct word-n-gram array over token column `t`. */
+  private def grams(n: Int): String =
+    s"""CASE WHEN size(t) >= $n THEN
+          transform(sequence(1, size(t) - ${n - 1}),
+            i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")}))
+        ELSE array_remove(array(''), '') END"""
+
+  /** text_rep_ngram — within-document repetition: how much of the
+    * 2-gram / 3-gram stream is duplicate occurrences (the
+    * boilerplate / looping-generation signal quality pipelines gate
+    * on). dup_k = #grams − #distinct grams; repK_milli =
+    * ⌊1000·dup∕total⌋ — exact integer math, scan-side only.
+    */
+  def repNgram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr))
+      .withColumn("g2", expr(grams(2)))
+      .withColumn("g3", expr(grams(3)))
+      .select(col("doc_id"),
+        expr("cast(size(g2) as bigint)").as("n_2grams"),
+        expr("cast(size(g2) - size(array_distinct(g2)) as bigint)").as("dup_2grams"),
+        expr("cast(size(g3) as bigint)").as("n_3grams"),
+        expr("cast(size(g3) - size(array_distinct(g3)) as bigint)").as("dup_3grams"))
+      .withColumn("rep2_milli",
+        when(col("n_2grams") > 0, expr("dup_2grams * 1000 div n_2grams")).otherwise(0L))
+      .withColumn("rep3_milli",
+        when(col("n_3grams") > 0, expr("dup_3grams * 1000 div n_3grams")).otherwise(0L))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rep_ngram" -> (repNgram _),
     "text_tokens" -> (tokens _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),

@@ -259,6 +259,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("text_rep_ngram matches an independent sliding-window derivation") {
+    val texts = docs
+    val got = ops.TextAnalysis.repNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("dup_2grams"), r.getAs[Long]("dup_3grams"),
+        r.getAs[Long]("rep2_milli"), r.getAs[Long]("rep3_milli")))).toMap
+    texts.foreach { case (id, t) =>
+      val tk = tokens(t)
+      def dup(n: Int): (Long, Long) = {
+        val g = if (tk.size >= n) tk.sliding(n).map(_.mkString(" ")).toSeq else Nil
+        val d = (g.size - g.distinct.size).toLong
+        (d, if (g.nonEmpty) d * 1000 / g.size else 0L)
+      }
+      val ((d2, r2), (d3, r3)) = (dup(2), dup(3))
+      assert(got(id) === ((d2, d3, r2, r3)), s"doc $id")
+    }
+  }
+
+  test("stats_length_deciles matches an independent rank derivation") {
+    import spark.implicits._
+    val lens = Tables(spark, dir, "documents").select("source", "doc_id", "text")
+      .as[(String, Long, String)].collect()
+      .map { case (s, id, t) => (s, id, t.length.toLong) }
+    val want = lens.toSeq.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.size
+      (1 to 9).map(d => (src, d.toLong, sorted((d * n + 9) / 10 - 1)))
+    }.toSet
+    val got = ops.Sampling.lengthDeciles(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("decile"),
+        r.getAs[Long]("len_at"))).toSet
+    assert(got === want)
+  }
+
   test("native KMV sketch equals the K smallest distinct hashes") {
     import spark.implicits._
     val evs = Tables(spark, dir, "events").select("event_type", "user_id")
