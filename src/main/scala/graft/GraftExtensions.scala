@@ -2,26 +2,40 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{Md5PrefixLong, SecondMax}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{KmvKthHash, Md5PrefixLong, SecondMax}
 
-/** Session-extensions injection point: makes the engine's native
-  * functions available to plain `spark.sql` users cluster-wide via
-  * `--conf spark.sql.extensions=graft.GraftExtensions` (the same
-  * seam where a custom planner Rule / SparkStrategy would be
-  * injected if an operator ever outgrows expression form).
+/** Session-extensions injection of the engine's native functions —
+  * the cluster-wide deployment path: a user adds
+  * `spark.sql.extensions=graft.GraftExtensions` to spark-submit and
+  * every session (including plain `spark.sql`) sees
+  * `graft_second_max` / `graft_md5_prefix` / `graft_kmv_kth` without
+  * any driver-side registration call.
+  * ([[graft.functions.GraftFunctions.register]] remains as the
+  * idempotent per-session fallback used by the query library itself.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_second_max"),
-      new ExpressionInfo(classOf[SecondMax].getCanonicalName, "graft_second_max"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SecondMax(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_md5_prefix"),
-      new ExpressionInfo(classOf[Md5PrefixLong].getCanonicalName, "graft_md5_prefix"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5PrefixLong(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_second_max"),
+      info("graft_second_max", classOf[SecondMax]),
+      (exprs: Seq[Expression]) => SecondMax(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_md5_prefix"),
+      info("graft_md5_prefix", classOf[Md5PrefixLong]),
+      (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_kth"),
+      info("graft_kmv_kth", classOf[KmvKthHash]),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_kth: K must be an INT literal, got $other")
+        }
+        KmvKthHash(exprs.head, k).toAggregateExpression()
+      }))
   }
 }

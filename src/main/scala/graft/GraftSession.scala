@@ -13,6 +13,9 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // same injection a cluster user gets from
+      // --conf spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -327,6 +327,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked === 50)
   }
 
+  test("GraftExtensions injects native functions for plain spark.sql users") {
+    val active = SparkSession.getActiveSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // new session on the shared context, built the way a cluster user
+      // would get it from spark.sql.extensions=graft.GraftExtensions
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-ext-spec")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2.sql("SELECT graft_md5_prefix('abc') AS h").collect()(0).getLong(0) ===
+        md5Int("abc"))
+      assert(s2.sql(
+        "SELECT graft_second_max(x) FROM VALUES (5L), (9L), (7L) t(x)")
+        .collect()(0).getLong(0) === 7L)
+      val kmv = s2.sql(
+        "SELECT graft_kmv_kth(x, 2).k_used, graft_kmv_kth(x, 2).kth_hash " +
+          "FROM VALUES (30L), (10L), (20L), (10L) t(x)").collect()(0)
+      assert((kmv.getLong(0), kmv.getLong(1)) === ((2L, 20L)))
+    } finally {
+      active.foreach { a =>
+        SparkSession.setActiveSession(a); SparkSession.setDefaultSession(a)
+      }
+    }
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
