@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{KmvKthHash, Md5PrefixLong, SecondMax}
 
 /** Session-extensions injection of the engine's native functions —
@@ -29,13 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_kmv_kth"),
       info("graft_kmv_kth", classOf[KmvKthHash]),
-      (exprs: Seq[Expression]) => {
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_kmv_kth: K must be an INT literal, got $other")
-        }
-        KmvKthHash(exprs.head, k).toAggregateExpression()
-      }))
+      (exprs: Seq[Expression]) => graft.functions.GraftFunctions.kmvBuilder(exprs)))
   }
 }

@@ -25,7 +25,13 @@ object Verify {
     // Optional builder-side subset (comma-separated names); the driver
     // sets nothing and always dumps the full registry.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: unknown queries in " +
+          s"SPARK_GRAFT_VERIFY_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

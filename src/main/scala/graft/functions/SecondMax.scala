@@ -82,14 +82,22 @@ object GraftFunctions {
     }
     if (!registry.functionExists(FunctionIdentifier("graft_kmv_kth"))) {
       registry.createOrReplaceTempFunction(
-        "graft_kmv_kth", exprs => {
-          val k = exprs(1) match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"graft_kmv_kth: K must be an INT literal, got $other")
-          }
-          KmvKthHash(exprs.head, k).toAggregateExpression()
-        }, "built-in")
+        "graft_kmv_kth", kmvBuilder, "built-in")
     }
+  }
+
+  /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and
+    * [[graft.GraftExtensions]] injection resolve identically).
+    */
+  def kmvBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_kmv_kth requires exactly 2 arguments (hash, K), got ${exprs.length}")
+    val k = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_kmv_kth: K must be an INT literal, got $other")
+    }
+    KmvKthHash(exprs.head, k).toAggregateExpression()
   }
 }

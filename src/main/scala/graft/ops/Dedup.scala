@@ -18,16 +18,10 @@ import TextAnalysis.toksExpr
 object Dedup {
 
   /** Word-3-gram shingle array over a materialized token column `t`
-    * (empty when < 3 tokens). Indexing a column, not the tokenizer
-    * expression, keeps the regex to one evaluation per document.
+    * (empty when < 3 tokens) — the distinct view of the shared
+    * [[TextAnalysis.grams]] builder.
     */
-  val shinglesExpr: String =
-    """CASE WHEN size(t) >= 3 THEN
-          array_distinct(transform(sequence(1, size(t) - 2),
-            i -> concat_ws(' ', element_at(t, i),
-                           element_at(t, i + 1),
-                           element_at(t, i + 2))))
-        ELSE array_remove(array(''), '') END"""
+  val shinglesExpr: String = s"array_distinct(${TextAnalysis.grams(3)})"
 
   /** First-8-hex-digits of md5 as a bigint in [0, 2^32) — the shared
     * string-to-int hash via the native thread-local-digest expression

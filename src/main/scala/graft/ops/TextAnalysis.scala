@@ -122,15 +122,9 @@ object TextAnalysis {
     */
   def topNgrams(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .withColumn("t", expr(toksExpr)) // tokenize ONCE; the lambda below
-      // must only index the materialized array, never re-run the regex
-      .select(explode(expr(
-        """CASE WHEN size(t) >= 3 THEN
-              transform(sequence(1, size(t) - 2),
-                i -> concat_ws(' ', element_at(t, i),
-                               element_at(t, i + 1),
-                               element_at(t, i + 2)))
-            ELSE array() END""")).as("ngram"))
+      .withColumn("t", expr(toksExpr)) // tokenize ONCE; grams() only
+      // indexes the materialized array, never re-runs the regex
+      .select(explode(expr(grams(3))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(50)
@@ -218,8 +212,12 @@ object TextAnalysis {
         md5(col("masked")).as("masked_md5"))
       .orderBy("doc_id")
 
-  /** Non-distinct word-n-gram array over token column `t`. */
-  private def grams(n: Int): String =
+  /** Non-distinct word-n-gram array over token column `t` — the ONE
+    * n-gram builder shared by [[topNgrams]], [[repNgram]] and
+    * [[Dedup.shinglesExpr]] (three hand-maintained copies would
+    * silently desynchronize the tokenizer/empty-array conventions).
+    */
+  def grams(n: Int): String =
     s"""CASE WHEN size(t) >= $n THEN
           transform(sequence(1, size(t) - ${n - 1}),
             i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")}))

@@ -200,9 +200,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) === ((2L, 0L, 0L)))
     assert(got(2L) === ((0L, 2L, 2L)))
     assert(got(3L) === ((0L, 0L, 0L)))
-    // masked text contains no residual match of any pattern
-    val masked = ops.TextAnalysis.piiMaskDf(synth)
-    assert(masked.filter(masked("masked_md5").isNull).count() === 0)
+    // masked_md5 equals the md5 of an independently masked text — the
+    // same sequential global replace chain in plain Java regex — which
+    // also proves no residual PII survives the chain
+    def maskScala(t: String): String = t
+      .replaceAll(ops.TextAnalysis.emailPat, "<EMAIL>")
+      .replaceAll(ops.TextAnalysis.ipPat, "<IP>")
+      .replaceAll(ops.TextAnalysis.phonePat, "<PHONE>")
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val wantMd5 = Map(1L -> "Contact bob.smith+x@example.co.uk or alice@test.org today",
+      2L -> "Server at 192.168.0.1 and 10.0.0.255, call 555-123-4567 or 555.987.6543",
+      3L -> "No PII here at all").map { case (id, t) =>
+      val m = maskScala(t)
+      assert(!m.matches(s".*(${ops.TextAnalysis.emailPat}|${ops.TextAnalysis.ipPat}|${ops.TextAnalysis.phonePat}).*"))
+      id -> md5Hex(m)
+    }
+    val gotMd5 = ops.TextAnalysis.piiMaskDf(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("masked_md5")).toMap
+    assert(gotMd5 === wantMd5)
   }
 
   test("sample_stratified matches an independent hash-rank derivation") {
@@ -347,6 +364,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           "FROM VALUES (30L), (10L), (20L), (10L) t(x)").collect()(0)
       assert((kmv.getLong(0), kmv.getLong(1)) === ((2L, 20L)))
     } finally {
+      // always clear first so a missing prior session can't leave the
+      // local[2] spec session as the process-wide default
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       active.foreach { a =>
         SparkSession.setActiveSession(a); SparkSession.setDefaultSession(a)
       }
