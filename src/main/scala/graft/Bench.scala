@@ -17,7 +17,7 @@ object Bench {
     * blocking-join shapes, and the codegen'd text/multimodal scans.
     */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_topk", "q5_join", "q7_nations", "q17_avg_qty",
+    "q1_agg", "q3_topk", "q5_join", "q7_nations", "q17_avg_qty", "q10_returns",
     "q_window", "q_sessionize", "q_tumbling", "q_asof",
     "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "dedup_exact", "dedup_minhash", "dedup_simhash",

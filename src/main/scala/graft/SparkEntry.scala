@@ -28,7 +28,8 @@ object SparkEntry {
     "q_rollup" -> (Queries.qRollup _),
     "q_asof" -> (Queries.qAsof _),
     "q7_nations" -> (Queries.q7Nations _),
-    "q17_avg_qty" -> (Queries.q17AvgQty _)
+    "q17_avg_qty" -> (Queries.q17AvgQty _),
+    "q10_returns" -> (Queries.q10Returns _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -176,6 +177,19 @@ object SparkEntry {
          |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+         |CAST(MAX(${C("c_acctbal")}) AS BIGINT) AS acctbal_c,
+         |${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c,
+         |COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
     "q17_avg_qty" ->
       s"""WITH a AS (
          |  SELECT l_partkey AS pk,

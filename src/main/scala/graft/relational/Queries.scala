@@ -100,6 +100,32 @@ object Queries {
       .orderBy(col("n_name"))
   }
 
+  /** q10_returns — returned-item revenue per customer: fact-fact join
+    * (lineitem `R` rows × half-year orders window) decorated by
+    * customer and broadcast nation, grouped per customer, top-20 by
+    * revenue. Customer is unhinted — AQE broadcasts at small sf and
+    * shuffle-joins at scale; the date filter and returnflag filter
+    * both push to the parquet scans.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("n_name"))
+      .agg(max(cents(col("c_acctbal"))).as("acctbal_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** q_window — per-user running row_number + exact running value sum. */
   def qWindow(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
