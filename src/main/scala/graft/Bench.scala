@@ -23,7 +23,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "text_quality", "text_fingerprint", "text_ngrams",
     "text_filter", "text_pii_mask", "text_rep_ngram", "sample_stratified",
-    "agg_kmv_distinct", "embed_quantize", "dedup_decontaminate",
+    "agg_kmv_distinct", "embed_quantize", "dedup_decontaminate", "pipeline_clean",
     "sim_lsh_topk", "sim_ivf_topk", "mm_meta_extract")
 
   def main(args: Array[String]): Unit = {

@@ -33,7 +33,7 @@ object SparkEntry {
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
-    graft.ops.Sampling.all ++
+    graft.ops.Sampling.all ++ graft.ops.Pipeline.all ++
     graft.streaming.EventStreams.all ++ graft.sources.VolumeQueries.all
 
   /** Exact integer cents expression, DuckDB dialect. */

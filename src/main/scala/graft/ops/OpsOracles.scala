@@ -125,29 +125,53 @@ object OpsOracles {
   private val iPat = TextAnalysis.ipPat
   private val pPat = TextAnalysis.phonePat
 
+  /** Quality-rule CTE chain ending in `g(doc_id, f_*, n_fail)` —
+    * shared by text_filter and pipeline_clean.
+    */
+  private val filterCtes: String =
+    s"""fd AS (SELECT doc_id, text, $toks AS t FROM documents),
+       |fm AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS nd,
+       |    CAST(len(list_filter(t, x -> length(x) > ${TextAnalysis.MaxTokenLen})) AS BIGINT) AS n_long
+       |  FROM fd),
+       |ff AS (
+       |  SELECT doc_id,
+       |    CAST(n < ${TextAnalysis.MinChars} AS BIGINT) AS f_short,
+       |    CAST(nt < ${TextAnalysis.MinTokens} AS BIGINT) AS f_few_tokens,
+       |    CAST(alpha * 2 < n AS BIGINT) AS f_low_alpha,
+       |    CAST(digit * 5 > n AS BIGINT) AS f_high_digit,
+       |    CAST(nd * 2 < nt AS BIGINT) AS f_repetitive,
+       |    CAST(n_long > 0 AS BIGINT) AS f_long_token
+       |  FROM fm),
+       |g AS (
+       |  SELECT *, f_short + f_few_tokens + f_low_alpha + f_high_digit
+       |           + f_repetitive + f_long_token AS n_fail FROM ff)""".stripMargin
+
+  /** PII-mask CTE chain ending in
+    * `s3(doc_id, n_email, n_ip, n_phone, masked)` — shared by
+    * text_pii_mask and pipeline_clean.
+    */
+  private val maskCtes: String =
+    s"""s1 AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '$ePat')) AS BIGINT) AS n_email,
+       |    regexp_replace(text, '$ePat', '<EMAIL>', 'g') AS m1
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT doc_id, n_email, CAST(len(regexp_extract_all(m1, '$iPat')) AS BIGINT) AS n_ip,
+       |    regexp_replace(m1, '$iPat', '<IP>', 'g') AS m2
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(m2, '$pPat')) AS BIGINT) AS n_phone,
+       |    regexp_replace(m2, '$pPat', '<PHONE>', 'g') AS masked
+       |  FROM s2)""".stripMargin
+
   val all: Map[String, String] = Map(
     "text_filter" ->
-      s"""WITH d AS (SELECT doc_id, text, $toks AS t FROM documents),
-         |m AS (
-         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
-         |    CAST(len(t) AS BIGINT) AS nt,
-         |    CAST(len(list_distinct(t)) AS BIGINT) AS nd,
-         |    CAST(len(list_filter(t, x -> length(x) > ${TextAnalysis.MaxTokenLen})) AS BIGINT) AS n_long
-         |  FROM d),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(n < ${TextAnalysis.MinChars} AS BIGINT) AS f_short,
-         |    CAST(nt < ${TextAnalysis.MinTokens} AS BIGINT) AS f_few_tokens,
-         |    CAST(alpha * 2 < n AS BIGINT) AS f_low_alpha,
-         |    CAST(digit * 5 > n AS BIGINT) AS f_high_digit,
-         |    CAST(nd * 2 < nt AS BIGINT) AS f_repetitive,
-         |    CAST(n_long > 0 AS BIGINT) AS f_long_token
-         |  FROM m),
-         |g AS (
-         |  SELECT *, f_short + f_few_tokens + f_low_alpha + f_high_digit
-         |           + f_repetitive + f_long_token AS n_fail FROM f)
+      s"""WITH $filterCtes
          |SELECT doc_id, f_short, f_few_tokens, f_low_alpha, f_high_digit,
          |  f_repetitive, f_long_token, n_fail,
          |  CAST(n_fail = 0 AS BIGINT) AS keep,
@@ -160,21 +184,30 @@ object OpsOracles {
          |    CASE WHEN f_long_token = 1 THEN 'long_token' ELSE '' END], x -> x <> ''), ','), '') AS reasons
          |FROM g ORDER BY doc_id""".stripMargin,
     "text_pii_mask" ->
-      s"""WITH s1 AS (
-         |  SELECT doc_id, CAST(len(regexp_extract_all(text, '$ePat')) AS BIGINT) AS n_email,
-         |    regexp_replace(text, '$ePat', '<EMAIL>', 'g') AS m1
-         |  FROM documents),
-         |s2 AS (
-         |  SELECT doc_id, n_email, CAST(len(regexp_extract_all(m1, '$iPat')) AS BIGINT) AS n_ip,
-         |    regexp_replace(m1, '$iPat', '<IP>', 'g') AS m2
-         |  FROM s1),
-         |s3 AS (
-         |  SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(m2, '$pPat')) AS BIGINT) AS n_phone,
-         |    regexp_replace(m2, '$pPat', '<PHONE>', 'g') AS masked
-         |  FROM s2)
+      s"""WITH $maskCtes
          |SELECT doc_id, n_email, n_ip, n_phone,
          |  CAST(length(masked) AS BIGINT) AS masked_len, md5(masked) AS masked_md5
          |FROM s3 ORDER BY doc_id""".stripMargin,
+    "pipeline_clean" ->
+      s"""WITH $filterCtes,
+         |$maskCtes,
+         |kd AS (
+         |  SELECT s3.doc_id, md5(s3.masked) AS masked_md5
+         |  FROM s3 JOIN g ON s3.doc_id = g.doc_id WHERE g.n_fail = 0),
+         |canon AS (
+         |  SELECT masked_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_dups
+         |  FROM kd GROUP BY masked_md5),
+         |cs AS (
+         |  SELECT c.doc_id, d.source, c.masked_md5, c.n_dups,
+         |    CAST(${md5Int("d.source || ':' || CAST(c.doc_id AS VARCHAR)")} AS BIGINT) AS samp_hash
+         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+         |rk AS (
+         |  SELECT source, doc_id, masked_md5, n_dups, samp_hash,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY samp_hash, doc_id) AS BIGINT) AS rk
+         |  FROM cs)
+         |SELECT source, doc_id, masked_md5, n_dups, samp_hash, rk
+         |FROM rk WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
     "sample_stratified" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,

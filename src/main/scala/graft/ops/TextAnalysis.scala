@@ -147,16 +147,21 @@ object TextAnalysis {
   def filterDocs(spark: SparkSession, dir: String): DataFrame =
     filterDocsDf(Tables(spark, dir, "documents"))
 
-  def filterDocsDf(documents: DataFrame): DataFrame =
+  /** Appends the rule flag columns (`f_*`, `n_fail`, `keep`) to any
+    * docs-shaped frame — the reusable stage behind [[filterDocsDf]]
+    * and [[Pipeline.clean]] (which fuses it with masking into one
+    * scan).
+    */
+  def withRuleFlags(documents: DataFrame): DataFrame =
     documents
       .withColumn("t", expr(toksExpr))
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n"),
-        countMatches("[A-Za-z]").as("alpha"),
-        countMatches("[0-9]").as("digit"),
-        expr("cast(size(t) as bigint)").as("nt"),
-        expr("cast(size(array_distinct(t)) as bigint)").as("nd"),
-        expr(s"cast(size(filter(t, x -> length(x) > $MaxTokenLen)) as bigint)").as("n_long"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("alpha", countMatches("[A-Za-z]"))
+      .withColumn("digit", countMatches("[0-9]"))
+      .withColumn("nt", expr("cast(size(t) as bigint)"))
+      .withColumn("nd", expr("cast(size(array_distinct(t)) as bigint)"))
+      .withColumn("n_long",
+        expr(s"cast(size(filter(t, x -> length(x) > $MaxTokenLen)) as bigint)"))
       .withColumn("f_short", (col("n") < MinChars).cast("long"))
       .withColumn("f_few_tokens", (col("nt") < MinTokens).cast("long"))
       .withColumn("f_low_alpha", (col("alpha") * 2 < col("n")).cast("long"))
@@ -167,6 +172,9 @@ object TextAnalysis {
         col("f_short") + col("f_few_tokens") + col("f_low_alpha")
           + col("f_high_digit") + col("f_repetitive") + col("f_long_token"))
       .withColumn("keep", (col("n_fail") === 0).cast("long"))
+
+  def filterDocsDf(documents: DataFrame): DataFrame =
+    withRuleFlags(documents)
       .withColumn("reasons", expr(
         """concat_ws(',', filter(array(
           |  CASE WHEN f_short = 1 THEN 'short' ELSE '' END,
@@ -196,17 +204,26 @@ object TextAnalysis {
   def piiMask(spark: SparkSession, dir: String): DataFrame =
     piiMaskDf(Tables(spark, dir, "documents"))
 
-  def piiMaskDf(documents: DataFrame): DataFrame =
+  /** Appends the mask chain (`n_email`, `n_ip`, `n_phone`, `masked`)
+    * to any docs-shaped frame — reusable stage behind [[piiMaskDf]]
+    * and [[Pipeline.clean]]. (The intermediate m1/m2 columns are
+    * non-cheap expressions referenced twice, which CollapseProject
+    * deliberately does not inline — each replace runs once.)
+    */
+  def withMasked(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"),
-        expr(s"cast(size(regexp_extract_all(text, '${sparkPat(emailPat)}', 0)) as bigint)").as("n_email"),
-        expr(s"regexp_replace(text, '${sparkPat(emailPat)}', '<EMAIL>')").as("m1"))
-      .select(col("doc_id"), col("n_email"),
-        expr(s"cast(size(regexp_extract_all(m1, '${sparkPat(ipPat)}', 0)) as bigint)").as("n_ip"),
-        expr(s"regexp_replace(m1, '${sparkPat(ipPat)}', '<IP>')").as("m2"))
-      .select(col("doc_id"), col("n_email"), col("n_ip"),
-        expr(s"cast(size(regexp_extract_all(m2, '${sparkPat(phonePat)}', 0)) as bigint)").as("n_phone"),
-        expr(s"regexp_replace(m2, '${sparkPat(phonePat)}', '<PHONE>')").as("masked"))
+      .withColumn("n_email",
+        expr(s"cast(size(regexp_extract_all(text, '${sparkPat(emailPat)}', 0)) as bigint)"))
+      .withColumn("m1", expr(s"regexp_replace(text, '${sparkPat(emailPat)}', '<EMAIL>')"))
+      .withColumn("n_ip",
+        expr(s"cast(size(regexp_extract_all(m1, '${sparkPat(ipPat)}', 0)) as bigint)"))
+      .withColumn("m2", expr(s"regexp_replace(m1, '${sparkPat(ipPat)}', '<IP>')"))
+      .withColumn("n_phone",
+        expr(s"cast(size(regexp_extract_all(m2, '${sparkPat(phonePat)}', 0)) as bigint)"))
+      .withColumn("masked", expr(s"regexp_replace(m2, '${sparkPat(phonePat)}', '<PHONE>')"))
+
+  def piiMaskDf(documents: DataFrame): DataFrame =
+    withMasked(documents)
       .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
         length(col("masked")).cast("long").as("masked_len"),
         md5(col("masked")).as("masked_md5"))

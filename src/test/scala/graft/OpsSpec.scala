@@ -344,6 +344,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked === 50)
   }
 
+  test("pipeline_clean output is canonical, kept, and stratum-capped") {
+    val out = ops.Pipeline.clean(spark, dir).collect()
+    assert(out.nonEmpty)
+    val keep = ops.TextAnalysis.filterDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    val md5s = ops.TextAnalysis.piiMask(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("masked_md5")).toMap
+    val groups = md5s.toSeq.filter(kv => keep(kv._1) == 1L).groupBy(_._2)
+      .map { case (m, kvs) => m -> ((kvs.map(_._1).min, kvs.size.toLong)) }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(keep(id) === 1L, s"doc $id not kept by the filter")
+      assert(groups(r.getAs[String]("masked_md5")) ===
+        ((id, r.getAs[Long]("n_dups"))), s"doc $id not canonical")
+    }
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.length <= ops.Sampling.StratumK, s"stratum $src over cap")
+    }
+  }
+
   test("GraftExtensions injects native functions for plain spark.sql users") {
     val active = SparkSession.getActiveSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
