@@ -128,7 +128,7 @@ object OpsOracles {
   /** Quality-rule CTE chain ending in `g(doc_id, f_*, n_fail)` —
     * shared by text_filter and pipeline_clean.
     */
-  private val filterCtes: String =
+  private[graft] val filterCtes: String =
     s"""fd AS (SELECT doc_id, text, $toks AS t FROM documents),
        |fm AS (
        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
@@ -155,7 +155,7 @@ object OpsOracles {
     * `s3(doc_id, n_email, n_ip, n_phone, masked)` — shared by
     * text_pii_mask and pipeline_clean.
     */
-  private val maskCtes: String =
+  private[graft] val maskCtes: String =
     s"""s1 AS (
        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '$ePat')) AS BIGINT) AS n_email,
        |    regexp_replace(text, '$ePat', '<EMAIL>', 'g') AS m1

@@ -251,17 +251,52 @@ object EventStreams {
     spark.table(sink).orderBy("event_type")
   }
 
+  case class Doc(doc_id: Long, text: String, source: String)
+
+  /** stream_clean — the corpus-cleaning stages of
+    * [[graft.ops.Pipeline.clean]] running UNCHANGED on a document
+    * stream: the rule-flag and mask projections are stateless
+    * scan-side transforms (identical code path batch or stream), and
+    * the exact dedup is state-store `dropDuplicates` on the masked
+    * content hash. Emits the distinct cleaned-content key set.
+    */
+  def clean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).as[Doc].collect().toSeq
+    val input = MemoryStream[Doc]
+    input.addData(docs)
+    val cleaned = graft.ops.TextAnalysis.withMasked(
+      graft.ops.TextAnalysis.withRuleFlags(input.toDF())
+        .filter(col("keep") === 1))
+      .select(md5(col("masked")).as("masked_md5"))
+      .dropDuplicates("masked_md5")
+    val sink = sinkName("stream_clean")
+    val q = cleaned.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("masked_md5")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
-    "stream_kmv" -> (kmvStream _)
+    "stream_kmv" -> (kmvStream _),
+    "stream_clean" -> (clean _)
   )
 
   /** Oracles: same shapes as the batch twins (users column omitted
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    "stream_clean" ->
+      s"""WITH ${graft.ops.OpsOracles.filterCtes},
+         |${graft.ops.OpsOracles.maskCtes}
+         |SELECT DISTINCT md5(s3.masked) AS masked_md5
+         |FROM s3 JOIN g ON s3.doc_id = g.doc_id
+         |WHERE g.n_fail = 0 ORDER BY masked_md5""".stripMargin,
     "stream_kmv" ->
       s"""WITH uh AS (
          |  SELECT DISTINCT event_type,

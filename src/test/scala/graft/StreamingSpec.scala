@@ -78,6 +78,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("stream_clean equals the batch filter→mask→dedup key set") {
+    val streamed = rows(EventStreams.clean(spark, dir), "masked_md5")
+      .map(_.head.asInstanceOf[String])
+    val keep = ops.TextAnalysis.filterDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    val batch = ops.TextAnalysis.piiMask(spark, dir).collect()
+      .filter(r => keep(r.getLong(0)) == 1L)
+      .map(_.getAs[String]("masked_md5")).toSet
+    assert(streamed === batch)
+  }
+
   test("stream_tumbling equals batch tumbling (sans distinct users)") {
     val streamed = rows(EventStreams.tumbling(spark, dir),
       "bucket_h", "event_type", "cnt", "sum_value_c")
