@@ -32,6 +32,22 @@ object OpsOracles {
   private def cosU(a: String, b: String): String =
     s"""CAST(FLOOR(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})) * 1000000.0) AS BIGINT)"""
 
+  /** Float×micro-int-centroid dot (mirrors [[Similarity.dotQ]]). */
+  private def dotQD(a: String, q: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  [CAST(($a)[i] AS DOUBLE) * (CAST(($q)[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE)) for i in range(1, 65)]),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Micro-int centroid self-dot (mirrors [[Similarity.dotQQ]]). */
+  private def dotQQD(q: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  [(CAST(($q)[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE)) * (CAST(($q)[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE)) for i in range(1, 65)]),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** cos(float a, micro-int q)·10⁶ (mirrors [[Similarity.cosUQPre]]). */
+  private def cosUQ(a: String, q: String): String =
+    s"""CAST(FLOOR(${dotQD(a, q)} / (sqrt(${dotD(a, a)}) * sqrt(${dotQQD(q)})) * 1000000.0) AS BIGINT)"""
+
   /** Sign-LSH bucket over coordinate hyperplanes (17j+3)%64 + 1. */
   private val bucketExpr: String =
     (0 until 8).map { j =>
@@ -470,6 +486,42 @@ object OpsOracles {
          |s AS (
          |  SELECT pc.probe_id, a.vec_id, a.cell, ${cosU("pc.pvec", "a.embedding")} AS cos_u
          |  FROM cell a JOIN pcell pc ON a.cell = pc.cell WHERE a.vec_id != pc.probe_id)
+         |SELECT probe_id, vec_id, cell, cos_u,
+         |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_ivf_kmeans" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |           FROM embeddings WHERE vec_id % 499 = 0),
+         |asg AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosU("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e, c),
+         |cell0 AS (
+         |  SELECT vec_id, cent_id AS cell FROM asg
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+         |x AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(1e6 AS DOUBLE)) AS BIGINT) AS xq
+         |  FROM embeddings, range(1, 65) r(i)),
+         |dims AS (
+         |  SELECT cell0.cell, x.pos, CAST(SUM(x.xq) // COUNT(*) AS BIGINT) AS dimq
+         |  FROM x JOIN cell0 USING (vec_id) GROUP BY cell0.cell, x.pos),
+         |c2 AS (SELECT cell AS cent_id, list(dimq ORDER BY pos) AS cvecq FROM dims GROUP BY cell),
+         |asg2 AS (
+         |  SELECT e.vec_id, e.embedding, c2.cent_id, ${cosUQ("e.embedding", "c2.cvecq")} AS ccos
+         |  FROM embeddings e, c2),
+         |cell2 AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM asg2
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |      FROM embeddings WHERE vec_id % 101 = 0),
+         |pcell AS (
+         |  SELECT probe_id, pvec, cent_id AS cell FROM (
+         |    SELECT p.probe_id, p.pvec, c2.cent_id, ${cosUQ("p.pvec", "c2.cvecq")} AS pcos
+         |    FROM p, c2)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY pcos DESC, cent_id) <= 2),
+         |s AS (
+         |  SELECT pc.probe_id, a.vec_id, a.cell, ${cosU("pc.pvec", "a.embedding")} AS cos_u
+         |  FROM cell2 a JOIN pcell pc ON a.cell = pc.cell WHERE a.vec_id != pc.probe_id)
          |SELECT probe_id, vec_id, cell, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,

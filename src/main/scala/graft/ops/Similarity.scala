@@ -191,6 +191,85 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Dot product of a float vector with a micro-int (×10⁻⁶) centroid
+    * vector — the quantized-centroid float chain shared verbatim with
+    * the oracle: each element is `x · (q · 1e-6)`, folded left from
+    * 0.0.
+    */
+  def dotQ(a: Column, q: Column): Column =
+    aggregate(
+      zip_with(a, q, (x, v) => x.cast("double") * (v.cast("double") * lit(1.0e-6))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Self-dot of a micro-int centroid vector. */
+  def dotQQ(q: Column): Column =
+    aggregate(
+      transform(q, v => (v.cast("double") * lit(1.0e-6)) * (v.cast("double") * lit(1.0e-6))),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosUQPre(a: Column, q: Column, an2: Column, qn2: Column): Column =
+    floor(dotQ(a, q) / (sqrt(an2) * sqrt(qn2)) * 1000000.0).cast("long")
+
+  /** sim_ivf_kmeans — IVF with ONE genuine Lloyd refinement over the
+    * seed centroids: assign → per-cell per-dim mean → re-assign →
+    * probe nprobe=2 refined cells. The centroid update is exact
+    * integer arithmetic end-to-end — elements quantize to micro-ints
+    * (⌊x·10⁶⌋), per-dim means are integer `sum div count` (both
+    * engines truncate toward zero), and the refined centroid is the
+    * micro-int array itself — so the update is order-independent under
+    * any partitioning (a double mean would be non-associative) and the
+    * DuckDB oracle reproduces it bit-for-bit. Scale shape: the update
+    * is one explode + two HashAggregates with map-side combine;
+    * centroid sets stay broadcast-sized at any corpus size (k ≪ n);
+    * further Lloyd rounds repeat the same two aggregations.
+    */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        dot(col("embedding"), col("embedding")).as("cn2"))
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val cell0 = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), col("ccos") * lit(1L << 24) - col("cent_id")).as("cell"))
+    // Lloyd update: micro-int per-dim means, rebuilt into arrays
+    val elems = base
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
+    val cents2 = elems.join(cell0, "vec_id")
+      .groupBy("cell", "pos")
+      .agg(expr("sum(xq) div count(1)").as("dimq"))
+      .groupBy(col("cell").as("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, dimq))), s -> s.dimq)")
+        .as("cvecq"))
+      .withColumn("cn2", dotQQ(col("cvecq")))
+    val cell2 = base.crossJoin(broadcast(cents2))
+      .select(col("vec_id"), col("cent_id"),
+        cosUQPre(col("embedding"), col("cvecq"), col("vn2"), col("cn2")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), col("ccos") * lit(1L << 24) - col("cent_id")).as("cell"))
+    val assigned = base.join(cell2, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
+    val probeW = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
+    val probeCells = probes(spark, dir).crossJoin(broadcast(cents2))
+      .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
+        cosUQPre(col("pvec"), col("cvecq"), col("pn2"), col("cn2")).as("pcos"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= 2)
+      .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
   /** embed_quantize — symmetric int8 quantization of each embedding
     * (q = round(x·127/amax), amax = per-vector max |x|) with integer
     * summaries: component sum, squared norm, a position-weighted
@@ -236,6 +315,7 @@ object Similarity {
     "sim_lsh_topk" -> (lshTopk _),
     "sim_pairs_thresh" -> (pairsThresh _),
     "sim_ivf_topk" -> (ivfTopk _),
+    "sim_ivf_kmeans" -> (ivfKmeans _),
     "embed_quantize" -> (quantize _)
   )
 }

@@ -344,6 +344,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked === 50)
   }
 
+  test("sim_ivf_kmeans ranks are valid and scores agree with brute force") {
+    val brute = ops.Similarity.bruteTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("cos_u"))
+      .toMap
+    val km = ops.Similarity.ivfKmeans(spark, dir).collect()
+    assert(km.nonEmpty)
+    km.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to rows.length).toSeq, s"probe $p ranks not contiguous")
+      assert(rows.length <= 5)
+    }
+    // every scored pair carries the same exact cosine as brute force
+    // (the quantized centroids steer the search; they never change the
+    // reported scores)
+    km.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(b => assert(b === r.getAs[Long]("cos_u"), s"score drift at $key"))
+    }
+  }
+
   test("pipeline_clean output is canonical, kept, and stratum-capped") {
     val out = ops.Pipeline.clean(spark, dir).collect()
     assert(out.nonEmpty)
