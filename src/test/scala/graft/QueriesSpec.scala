@@ -19,6 +19,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("bucketed fact tables co-locate the join: no Exchange in the plan") {
+    import org.apache.spark.sql.functions.col
+    // the SURVEY §3 claim: bucketing both fact tables on the join key
+    // replaces the per-query shuffle with a one-time layout cost
+    val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS l_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("l_bkt")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bkt")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("l_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it computes the same thing as the plain shuffle join
+      val expected = l.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS l_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
   test("q1 aggregates to the 6 flag/status groups with exact cents") {
     val rows = Queries.q1Agg(spark, dir).collect()
     assert(rows.length === 6)
