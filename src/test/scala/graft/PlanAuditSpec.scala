@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan regression guards: the scale claims in SURVEY §2/§3
+  * (single-scan operators, map-side top-k pruning, blocking joins
+  * that never degenerate to cross products, pushdown + pruning) are
+  * asserted here so a refactor that silently re-introduces a rescan
+  * or a nested-loop join fails the suite, not just the next manual
+  * plan audit.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  // count detail headers only — FormattedMode prints each node in the
+  // tree AND again as a "(n) Scan parquet" detail section
+  private def scans(plan: String): Int =
+    """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+
+  test("single-scan operators stay single-scan") {
+    Seq("text_filter", "text_rep_ngram", "agg_kmv_distinct",
+      "embed_quantize", "pipeline_clean").foreach { n =>
+      assert(scans(formatted(n)) === 1, s"$n grew extra scans")
+    }
+  }
+
+  test("stratified sampling prunes top-k map-side via WindowGroupLimit") {
+    assert(formatted("sample_stratified").contains("WindowGroupLimit"))
+  }
+
+  test("blocking-join pair operators never plan a cross product") {
+    Seq("dedup_minhash_pairs", "dedup_ngram_jaccard", "sim_pairs_thresh",
+      "dedup_embed", "sim_lsh_topk", "dedup_decontaminate").foreach { n =>
+      val p = formatted(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+    }
+  }
+
+  test("fact scans push filters and prune columns") {
+    val p = formatted("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(!p.contains("l_partkey"), "unused column not pruned from ReadSchema")
+    val p10 = formatted("q10_returns")
+    assert(p10.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed")
+  }
+}
