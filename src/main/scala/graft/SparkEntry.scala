@@ -29,7 +29,8 @@ object SparkEntry {
     "q_asof" -> (Queries.qAsof _),
     "q7_nations" -> (Queries.q7Nations _),
     "q17_avg_qty" -> (Queries.q17AvgQty _),
-    "q10_returns" -> (Queries.q10Returns _)
+    "q10_returns" -> (Queries.q10Returns _),
+    "q_json_extract" -> (Queries.qJsonExtract _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -177,6 +178,16 @@ object SparkEntry {
          |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q10_returns" ->
       s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
          |CAST(MAX(${C("c_acctbal")}) AS BIGINT) AS acctbal_c,

@@ -126,6 +126,27 @@ object Queries {
       .limit(20)
   }
 
+  /** q_json_extract — semi-structured extraction: the events `props`
+    * column is a JSON string; parse it with an explicit schema
+    * (`from_json`, codegen'd Jackson path) and aggregate the typed
+    * field per event_type. The schema-on-read shape for a 100 TB
+    * payload column — the parse happens scan-side, only the extracted
+    * long reaches the shuffle.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT", java.util.Map.of[String, String])
+          .getField("k").as("k"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+  }
+
   /** q_window — per-user running row_number + exact running value sum. */
   def qWindow(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
