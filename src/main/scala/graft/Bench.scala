@@ -67,7 +67,7 @@ object Bench {
     // mm_meta_extract, q_window, ...) would degrade to parquet
     // row-count scans and the bench would not measure their real work.
     def force(df: DataFrame): Unit = {
-      val h = xxhash64(df.columns.map(col): _*)
+      val h = xxhash64(df.columns.toIndexedSeq.map(col): _*)
       // bit_xor: order-independent and cannot overflow under ANSI mode
       df.select(h.as("h")).agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
       ()

@@ -159,8 +159,8 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir)
-    val a = sigs.toDF(sigs.columns.map(_ + "_a"): _*)
-    val b = sigs.toDF(sigs.columns.map(_ + "_b"): _*)
+    val a = sigs.toDF(sigs.columns.toIndexedSeq.map(_ + "_a"): _*)
+    val b = sigs.toDF(sigs.columns.toIndexedSeq.map(_ + "_b"): _*)
     val matches = (0 until MinhashK)
       .map(j => when(col(s"mh${j}_a") === col(s"mh${j}_b"), 1L).otherwise(0L))
       .reduce(_ + _)

@@ -333,8 +333,10 @@ object OpsOracles {
          |    CAST(len($toks) AS BIGINT) AS n_tokens
          |  FROM documents),
          |r AS (
-         |  SELECT *, alpha / n AS alpha_ratio, punct / n AS punct_ratio,
-         |    upper / n AS upper_ratio,
+         |  SELECT *,
+         |    CASE WHEN n > 0 THEN alpha / n ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+         |    CASE WHEN n > 0 THEN punct / n ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         |    CASE WHEN n > 0 THEN upper / n ELSE CAST(0.0 AS DOUBLE) END AS upper_ratio,
          |    CASE WHEN n_tokens > 0 THEN stops / n_tokens ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
          |  FROM q)
          |SELECT doc_id, n, alpha, digit, punct, upper, spaces, stops, n_tokens,

@@ -47,9 +47,14 @@ object TextAnalysis {
         countMatches(" ").as("spaces"),
         expr(s"cast(size(regexp_extract_all(lower(text), '${sparkPat(stopwordPat)}', 0)) as bigint)").as("stops"),
         expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"))
-      .withColumn("alpha_ratio", col("alpha") / col("n"))
-      .withColumn("punct_ratio", col("punct") / col("n"))
-      .withColumn("upper_ratio", col("upper") / col("n"))
+      // n > 0 guards: empty documents are routine in scraped corpora
+      // and ANSI mode (Spark 4 default) turns x/0 into a runtime error
+      .withColumn("alpha_ratio",
+        when(col("n") > 0, col("alpha") / col("n")).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n") > 0, col("punct") / col("n")).otherwise(lit(0.0)))
+      .withColumn("upper_ratio",
+        when(col("n") > 0, col("upper") / col("n")).otherwise(lit(0.0)))
       .withColumn("stop_ratio",
         when(col("n_tokens") > 0, col("stops") / col("n_tokens")).otherwise(lit(0.0)))
       .withColumn("score",

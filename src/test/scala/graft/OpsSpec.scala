@@ -222,6 +222,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotMd5 === wantMd5)
   }
 
+  test("Df-based text ops survive empty and whitespace-only docs") {
+    import spark.implicits._
+    val synth = Seq((1L, ""), (2L, "   "), (3L, "ok then")).toDF("doc_id", "text")
+    assert(ops.TextAnalysis.filterDocsDf(synth).count() === 3)
+    assert(ops.TextAnalysis.piiMaskDf(synth).count() === 3)
+    val flags = ops.TextAnalysis.filterDocsDf(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    assert(flags(1L) === 0L) // empty doc is filtered, not crashed on
+  }
+
   test("sample_stratified matches an independent hash-rank derivation") {
     import spark.implicits._
     val got = ops.Sampling.stratified(spark, dir).collect()
