@@ -86,8 +86,11 @@ object Multimodal {
     * Python binding) where a real codec would decode payload bytes.
     * The stub derives deterministic fake dimensions/intensity from the
     * bytes; the Spark-side plumbing (schema, batching, partition
-    * isolation) is the real thing. rows-only: not SQL-expressible by
-    * design (imperative per-batch decode).
+    * isolation) is the real thing. The decode CALL is the stubbed
+    * seam; the fake's byte arithmetic is itself oracle-checked (a
+    * DuckDB hex-parse re-derivation hash-matches this output — see
+    * OpsOracles "mm_decode_stub"), so changing the fake (e.g. signed
+    * bytes, fold order) breaks the correctness gate by design.
     */
   def decodeStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -146,41 +146,40 @@ object Similarity {
   def pairsThresh(spark: SparkSession, dir: String): DataFrame =
     bucketedPairs(spark, dir, minCosU = 300000L).orderBy("id_a", "id_b")
 
-  /** sim_ivf_topk — IVF-style ANN: deterministic centroid subset
-    * (vec_id ≡ 0 mod 499), every vector assigned to its nearest
-    * centroid cell, probes scan only their nprobe=2 nearest cells,
-    * exact top-5 re-rank inside.
+  /** Packing factor for the nearest-cell `max_by` ordering:
+    * |ccos| ≤ 10⁶ < 2^20 and cent_id < 2^40 (≈10¹² — covers
+    * 100 TB-scale vec ids; max product 2^20·2^40 = 2^60 < 2^63, no
+    * ANSI overflow), so any cosine difference (≥1) outweighs any
+    * cent_id delta and the packed long orders exactly like
+    * `ORDER BY ccos DESC, cent_id ASC`.
     */
-  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
-        dot(col("embedding"), col("embedding")).as("cn2"))
-    // Nearest-cell assignment as a max_by aggregation — a
-    // partial-aggregating HashAggregate over the broadcast product, no
-    // per-vector Window sort, no shuffle of the scored product. The
-    // ordering packs (ccos, smallest-cent_id tiebreak) into ONE long
-    // (ccos ≤ 10⁶ < 2^20, cent_id < 2^24): a struct ordering or an
-    // array-typed first() would demote the whole agg to SortAggregate
-    // (structs/arrays are not mutable hash-buffer types). The
-    // embedding/norm columns rejoin on vec_id afterwards — both sides
-    // hash-partitioned on vec_id already, so no extra exchange.
-    val base = embPar(spark, dir)
-      .withColumn("vn2", dot(col("embedding"), col("embedding")))
-    val cellOf = base
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), col("ccos") * lit(1L << 24) - col("cent_id")).as("cell"))
-    val assigned = base.join(cellOf, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
-    val probeW = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
-    val probeCells = probes(spark, dir).crossJoin(broadcast(cents))
-      .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
-        cosUPre(col("pvec"), col("cvec"), col("pn2"), col("cn2")).as("pcos"))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= 2)
+  private val CellPack = 1L << 40
+
+  /** Nearest-cell assignment from a (vec_id, cent_id, ccos) frame as
+    * a max_by aggregation — a partial-aggregating HashAggregate over
+    * the broadcast product, no per-vector Window sort, no shuffle of
+    * the scored product. The ordering packs (ccos, smallest-cent_id
+    * tiebreak) into ONE long via [[CellPack]]: a struct ordering or
+    * an array-typed first() would demote the whole agg to
+    * SortAggregate (structs/arrays are not mutable hash-buffer types).
+    */
+  private def nearestCell(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"), col("ccos") * lit(CellPack) - col("cent_id")).as("cell"))
+
+  /** Top-`nprobe` cells per probe by pcos, cent_id tiebreak. */
+  private def probeTopCells(scored: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
+    scored.withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= nprobe)
       .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id").as("cell"))
+  }
+
+  /** Exact top-5 re-rank of assigned vectors within the probes' cells
+    * (scores are always real-vector cosines, whatever steered the
+    * cells).
+    */
+  private def rankWithinCells(assigned: DataFrame, probeCells: DataFrame): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
     assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -189,6 +188,30 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .orderBy("probe_id", "rank")
+  }
+
+  /** sim_ivf_topk — IVF-style ANN: deterministic centroid subset
+    * (vec_id ≡ 0 mod 499), every vector assigned to its nearest
+    * centroid cell ([[nearestCell]]; the embedding/norm columns
+    * rejoin on vec_id afterwards — both sides hash-partitioned on
+    * vec_id already, so no extra exchange), probes scan only their
+    * nprobe=2 nearest cells, exact top-5 re-rank inside.
+    */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        dot(col("embedding"), col("embedding")).as("cn2"))
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val cellOf = nearestCell(base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos")))
+    val assigned = base.join(cellOf, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
+    val probeCells = probeTopCells(probes(spark, dir).crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
+        cosUPre(col("pvec"), col("cvec"), col("pn2"), col("cn2")).as("pcos")), 2)
+    rankWithinCells(assigned, probeCells)
   }
 
   /** Dot product of a float vector with a micro-int (×10⁻⁶) centroid
@@ -229,11 +252,9 @@ object Similarity {
         dot(col("embedding"), col("embedding")).as("cn2"))
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
-    val cell0 = base.crossJoin(broadcast(cents))
+    val cell0 = nearestCell(base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
-        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), col("ccos") * lit(1L << 24) - col("cent_id")).as("cell"))
+        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos")))
     // Lloyd update: micro-int per-dim means, rebuilt into arrays
     val elems = base
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
@@ -246,28 +267,15 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, dimq))), s -> s.dimq)")
         .as("cvecq"))
       .withColumn("cn2", dotQQ(col("cvecq")))
-    val cell2 = base.crossJoin(broadcast(cents2))
+    val cell2 = nearestCell(base.crossJoin(broadcast(cents2))
       .select(col("vec_id"), col("cent_id"),
-        cosUQPre(col("embedding"), col("cvecq"), col("vn2"), col("cn2")).as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), col("ccos") * lit(1L << 24) - col("cent_id")).as("cell"))
+        cosUQPre(col("embedding"), col("cvecq"), col("vn2"), col("cn2")).as("ccos")))
     val assigned = base.join(cell2, "vec_id")
       .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
-    val probeW = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col("cent_id"))
-    val probeCells = probes(spark, dir).crossJoin(broadcast(cents2))
+    val probeCells = probeTopCells(probes(spark, dir).crossJoin(broadcast(cents2))
       .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
-        cosUQPre(col("pvec"), col("cvecq"), col("pn2"), col("cn2")).as("pcos"))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= 2)
-      .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id").as("cell"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
-    assigned.join(broadcast(probeCells), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("cell"),
-        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .orderBy("probe_id", "rank")
+        cosUQPre(col("pvec"), col("cvecq"), col("pn2"), col("cn2")).as("pcos")), 2)
+    rankWithinCells(assigned, probeCells)
   }
 
   /** embed_quantize — symmetric int8 quantization of each embedding
