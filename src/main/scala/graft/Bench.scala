@@ -24,7 +24,8 @@ object Bench {
     "text_quality", "text_fingerprint", "text_ngrams",
     "text_filter", "text_pii_mask", "text_rep_ngram", "sample_stratified",
     "agg_kmv_distinct", "embed_quantize", "dedup_decontaminate", "pipeline_clean",
-    "sim_lsh_topk", "sim_ivf_topk", "mm_meta_extract")
+    "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans", "q_json_extract",
+    "mm_meta_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

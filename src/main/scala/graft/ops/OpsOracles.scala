@@ -292,6 +292,34 @@ object OpsOracles {
          |  CAST(SUM((q + 127) * pos) AS BIGINT) AS qchk,
          |  CAST(SUM(CAST(FLOOR(e * e * CAST(1e12 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS err_u
          |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "text_vocab" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+         |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+         |rk AS (SELECT tok, cnt,
+         |         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS vocab_id
+         |       FROM vc)
+         |SELECT vocab_id, tok, cnt FROM rk
+         |WHERE vocab_id <= ${TextAnalysis.VocabN} ORDER BY vocab_id""".stripMargin,
+    "text_encode" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+         |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+         |rk AS (SELECT tok, cnt,
+         |         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS vocab_id
+         |       FROM vc),
+         |v AS (SELECT tok, vocab_id FROM rk WHERE vocab_id <= ${TextAnalysis.VocabN}),
+         |d AS (SELECT doc_id, $toks AS t FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    unnest([CAST(i AS BIGINT) for i in range(1, len(t) + 1)]) AS pos,
+         |    unnest(t) AS tok
+         |  FROM d),
+         |m AS (
+         |  SELECT e.doc_id, e.pos, COALESCE(v.vocab_id, 0) AS vid
+         |  FROM e LEFT JOIN v ON e.tok = v.tok)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(vid = 0 AS BIGINT)) AS BIGINT) AS n_oov,
+         |  CAST(SUM(pos * vid) AS BIGINT) AS enc_chk
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_rep_ngram" ->
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
          |g AS (

@@ -267,7 +267,58 @@ object TextAnalysis {
         when(col("n_3grams") > 0, expr("dup_3grams * 1000 div n_3grams")).otherwise(0L))
       .orderBy("doc_id")
 
+  /** Vocabulary size for [[vocab]] / [[encode]] — deliberately smaller
+    * than the corpus's distinct-token count so the OOV path is
+    * exercised by the oracle gate, not just by specs.
+    */
+  val VocabN = 20
+
+  /** text_vocab — corpus vocabulary: top-[[VocabN]] tokens by
+    * frequency, id = frequency rank (count desc, token tiebreak) — the
+    * deterministic vocab-build step before tokenize-to-ids. One
+    * explode + count shuffle with map-side combine; the global top-k
+    * is orderBy+limit (per-partition winners, tiny final merge), then
+    * ranks assigned on the bounded [[VocabN]]-row frame.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr))
+      .select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(VocabN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    counts.withColumn("vocab_id", row_number().over(w).cast("long"))
+      .select("vocab_id", "tok", "cnt")
+      .orderBy("vocab_id")
+  }
+
+  /** text_encode — tokenize-to-ids under the [[vocab]]: every token
+    * maps to its vocab id (0 = OOV), summarized per document as
+    * order-independent integer aggregates (token count, OOV count,
+    * Σ pos·id checksum). The vocab is broadcast (bounded by
+    * [[VocabN]]); the encode pass is one scan + one per-doc
+    * aggregation.
+    */
+  def encode(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir).select(col("tok"), col("vocab_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+      .join(broadcast(v), Seq("tok"), "left")
+      .withColumn("vid", coalesce(col("vocab_id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("vid") === 0L).cast("long")).as("n_oov"),
+        sum(col("pos") * col("vid")).as("enc_chk"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> (vocab _),
+    "text_encode" -> (encode _),
     "text_rep_ngram" -> (repNgram _),
     "text_tokens" -> (tokens _),
     "text_quality" -> (quality _),

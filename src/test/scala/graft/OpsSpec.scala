@@ -286,6 +286,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("text_vocab/text_encode match an independent rank-and-encode derivation") {
+    val texts = docs
+    val allToks = texts.values.toSeq.flatMap(tokens)
+    val wantVocab = allToks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (tok, cnt) => (-cnt, tok) }.take(ops.TextAnalysis.VocabN)
+      .zipWithIndex.map { case ((tok, cnt), i) => tok -> ((i + 1L, cnt)) }.toMap
+    val gotVocab = ops.TextAnalysis.vocab(spark, dir).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("vocab_id"), r.getAs[Long]("cnt")))).toMap
+    assert(gotVocab === wantVocab)
+    val gotEnc = ops.TextAnalysis.encode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("enc_chk")))).toMap
+    var oovSeen = false
+    texts.foreach { case (id, t) =>
+      val tk = tokens(t)
+      if (tk.nonEmpty) {
+        val ids = tk.map(tok => wantVocab.get(tok).map(_._1).getOrElse(0L))
+        val chk = ids.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+        val oov = ids.count(_ == 0L).toLong
+        if (oov > 0) oovSeen = true
+        assert(gotEnc(id) === ((tk.size.toLong, oov, chk)), s"doc $id")
+      }
+    }
+    assert(oovSeen, "corpus never exercised the OOV path — raise corpus or lower VocabN")
+  }
+
   test("text_rep_ngram matches an independent sliding-window derivation") {
     val texts = docs
     val got = ops.TextAnalysis.repNgram(spark, dir).collect()
