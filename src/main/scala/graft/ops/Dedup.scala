@@ -222,13 +222,22 @@ object Dedup {
     * re-derives the same fixpoint as a recursive transitive-closure
     * CTE — two independent formulations of connectivity.
     */
-  def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+  def cluster(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+      Tables(spark, dir, "documents").select(col("doc_id")))
+
+  /** Min-label-propagation connected components over an undirected
+    * pair graph — the shared core of [[cluster]] and
+    * [[embedCluster]]. `pairs` has columns (doc_a, doc_b); `vertices`
+    * a single `doc_id` column covering every node (isolated vertices
+    * become singleton clusters).
+    */
+  private[ops] def connectedComponents(pairs: DataFrame, vertices: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
-    var labels = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("lbl"))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("lbl"))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
@@ -250,6 +259,20 @@ object Dedup {
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  /** dedup_embed_cluster — the same canonicalization over the
+    * EMBEDDING near-dup graph ([[Similarity.bucketedPairs]] edges at
+    * cos ≥ 0.3): semantic duplicate clusters, labeled by smallest
+    * vec_id + component size. Same scale shape as [[cluster]].
+    */
+  def embedCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.bucketedPairs(spark, dir, minCosU = 300000L)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val verts = Tables(spark, dir, "embeddings").select(col("vec_id").as("doc_id"))
+    connectedComponents(pairs, verts)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("vec_id")
   }
 
   /** dedup_decontaminate — benchmark-overlap decontamination: flag
@@ -292,6 +315,7 @@ object Dedup {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
     "dedup_embed" -> (embed _),
-    "dedup_cluster" -> (cluster _)
+    "dedup_cluster" -> (cluster _),
+    "dedup_embed_cluster" -> (embedCluster _)
   )
 }

@@ -443,6 +443,20 @@ object OpsOracles {
          |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster)
          |SELECT mm.doc AS doc_id, mm.cluster, cs.cluster_size
          |FROM mm JOIN cs USING (cluster) ORDER BY doc_id""".stripMargin,
+    "dedup_embed_cluster" ->
+      s"""WITH RECURSIVE $bucketedDynCte,
+         |${pairsCte(300000L)},
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM hits
+         |  UNION ALL SELECT id_b, id_a FROM hits),
+         |reach(doc, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
+         |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc),
+         |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster)
+         |SELECT mm.doc AS vec_id, mm.cluster, cs.cluster_size
+         |FROM mm JOIN cs USING (cluster) ORDER BY vec_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $minhashSigCtes
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
