@@ -180,7 +180,10 @@ object SparkEntry {
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_json_extract" ->
       """WITH e AS (
-        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  SELECT event_type,
+        |    CASE WHEN json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |         ELSE NULL END AS k
         |  FROM events)
         |SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -231,16 +231,23 @@ object Dedup {
     * pair graph — the shared core of [[cluster]] and
     * [[embedCluster]]. `pairs` has columns (doc_a, doc_b); `vertices`
     * a single `doc_id` column covering every node (isolated vertices
-    * become singleton clusters).
+    * become singleton clusters). `maxRounds` bounds the propagation at
+    * the expected graph diameter + slack — min-label propagation needs
+    * ~diameter rounds, so denser graphs (the cos ≥ 0.3 semantic graph
+    * can chain gradually-drifting vectors) get a higher cap; a
+    * production deep-diameter deployment swaps in large-star/
+    * small-star contraction (O(log n) rounds) behind the same
+    * signature.
     */
-  private[ops] def connectedComponents(pairs: DataFrame, vertices: DataFrame): DataFrame = {
+  private[ops] def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("lbl"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    while (!converged && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("doc_id"), col("lbl"))
@@ -270,7 +277,7 @@ object Dedup {
     val pairs = Similarity.bucketedPairs(spark, dir, minCosU = 300000L)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val verts = Tables(spark, dir, "embeddings").select(col("vec_id").as("doc_id"))
-    connectedComponents(pairs, verts)
+    connectedComponents(pairs, verts, maxRounds = 60)
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy("vec_id")
   }

@@ -315,11 +315,18 @@ object OpsOracles {
          |  FROM d),
          |m AS (
          |  SELECT e.doc_id, e.pos, COALESCE(v.vocab_id, 0) AS vid
-         |  FROM e LEFT JOIN v ON e.tok = v.tok)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(CAST(vid = 0 AS BIGINT)) AS BIGINT) AS n_oov,
-         |  CAST(SUM(pos * vid) AS BIGINT) AS enc_chk
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  FROM e LEFT JOIN v ON e.tok = v.tok),
+         |s AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(vid = 0 AS BIGINT)) AS BIGINT) AS n_oov,
+         |    CAST(SUM(pos * vid) AS BIGINT) AS enc_chk
+         |  FROM m GROUP BY doc_id)
+         |SELECT documents.doc_id,
+         |  COALESCE(s.n_tokens, 0) AS n_tokens,
+         |  COALESCE(s.n_oov, 0) AS n_oov,
+         |  COALESCE(s.enc_chk, 0) AS enc_chk
+         |FROM documents LEFT JOIN s ON documents.doc_id = s.doc_id
+         |ORDER BY documents.doc_id""".stripMargin,
     "text_rep_ngram" ->
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
          |g AS (

@@ -281,7 +281,10 @@ object TextAnalysis {
     * ranks assigned on the bounded [[VocabN]]-row frame.
     */
   def vocab(spark: SparkSession, dir: String): DataFrame = {
+    // repartition: the single-file table scans as 1-2 partitions,
+    // which would serialize the tokenize/explode work
     val counts = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", expr(toksExpr))
       .select(explode(col("t")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -303,7 +306,9 @@ object TextAnalysis {
     */
   def encode(spark: SparkSession, dir: String): DataFrame = {
     val v = vocab(spark, dir).select(col("tok"), col("vocab_id"))
-    Tables(spark, dir, "documents")
+    val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val summarized = docs
       .withColumn("t", expr(toksExpr))
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
@@ -313,6 +318,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum((col("vid") === 0L).cast("long")).as("n_oov"),
         sum(col("pos") * col("vid")).as("enc_chk"))
+    // zero-token docs must still appear (n_tokens = 0), not silently
+    // vanish from the per-doc summary — explode drops them, the left
+    // join restores them
+    docs.select(col("doc_id"))
+      .join(summarized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("enc_chk"), lit(0L)).as("enc_chk"))
       .orderBy("doc_id")
   }
 

@@ -131,7 +131,9 @@ object Queries {
     * (`from_json`, codegen'd Jackson path) and aggregate the typed
     * field per event_type. The schema-on-read shape for a 100 TB
     * payload column — the parse happens scan-side, only the extracted
-    * long reaches the shuffle.
+    * long reaches the shuffle. Jackson's strict typing (quoted or
+    * fractional k → NULL, never coerced) is mirrored in the oracle by
+    * a json_type() guard.
     */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")

@@ -299,16 +299,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotEnc = ops.TextAnalysis.encode(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
         r.getAs[Long]("enc_chk")))).toMap
+    assert(gotEnc.size === texts.size, "every doc must appear, even zero-token ones")
     var oovSeen = false
     texts.foreach { case (id, t) =>
-      val tk = tokens(t)
-      if (tk.nonEmpty) {
-        val ids = tk.map(tok => wantVocab.get(tok).map(_._1).getOrElse(0L))
-        val chk = ids.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
-        val oov = ids.count(_ == 0L).toLong
-        if (oov > 0) oovSeen = true
-        assert(gotEnc(id) === ((tk.size.toLong, oov, chk)), s"doc $id")
-      }
+      val ids = tokens(t).map(tok => wantVocab.get(tok).map(_._1).getOrElse(0L))
+      val chk = ids.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+      val oov = ids.count(_ == 0L).toLong
+      if (oov > 0) oovSeen = true
+      assert(gotEnc(id) === ((ids.size.toLong, oov, chk)), s"doc $id")
     }
     assert(oovSeen, "corpus never exercised the OOV path — raise corpus or lower VocabN")
   }
