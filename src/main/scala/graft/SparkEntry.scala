@@ -30,7 +30,8 @@ object SparkEntry {
     "q7_nations" -> (Queries.q7Nations _),
     "q17_avg_qty" -> (Queries.q17AvgQty _),
     "q10_returns" -> (Queries.q10Returns _),
-    "q_json_extract" -> (Queries.qJsonExtract _)
+    "q_json_extract" -> (Queries.qJsonExtract _),
+    "q_pivot" -> (Queries.qPivot _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -178,6 +179,18 @@ object SparkEntry {
          |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_pivot" -> {
+      val cols = Queries.EventTypes.map { t =>
+        s"CAST(COALESCE(SUM(CASE WHEN event_type = '$t' THEN value_c END), 0) AS BIGINT) AS sum_${t}_c"
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,
+         |    event_type, ${C("value")} AS value_c
+         |  FROM events)
+         |SELECT bucket_h,
+         |$cols
+         |FROM e GROUP BY bucket_h ORDER BY bucket_h""".stripMargin
+    },
     "q_json_extract" ->
       """WITH e AS (
         |  SELECT event_type,

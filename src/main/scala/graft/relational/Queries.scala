@@ -149,6 +149,30 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Fixed pivot domain for [[qPivot]] — explicit values keep the
+    * output schema static (no extra distinct-values job) and the
+    * oracle expressible as conditional aggregation.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q_pivot — crosstab: hourly buckets × event-type columns with
+    * exact cents sums. `pivot` with an explicit value list compiles to
+    * a single HashAggregate of conditional aggregates — one shuffle on
+    * the row key, no per-value scans, schema known at plan time.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(floor(nsToSec(col("ts")) / lit(3600.0)).cast("long").as("bucket_h"),
+        col("event_type"), cents(col("value")).as("value_c"))
+    e.groupBy("bucket_h")
+      .pivot("event_type", EventTypes)
+      .agg(sum(col("value_c")))
+      .toDF("bucket_h" +: EventTypes.map(t => s"sum_${t}_c"): _*)
+      .select(col("bucket_h") +:
+        EventTypes.map(t => coalesce(col(s"sum_${t}_c"), lit(0L)).as(s"sum_${t}_c")): _*)
+      .orderBy("bucket_h")
+  }
+
   /** q_window — per-user running row_number + exact running value sum. */
   def qWindow(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
