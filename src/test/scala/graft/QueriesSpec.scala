@@ -48,6 +48,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_pivot cells reconcile with q_tumbling's long-format sums") {
+    import org.apache.spark.sql.functions.col
+    val long = Queries.qTumbling(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bucket_h"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("sum_value_c")).toMap
+    val wide = Queries.qPivot(spark, dir).collect()
+    assert(wide.nonEmpty)
+    wide.foreach { r =>
+      val h = r.getAs[Long]("bucket_h")
+      Queries.EventTypes.foreach { t =>
+        assert(r.getAs[Long](s"sum_${t}_c") === long.getOrElse((h, t), 0L),
+          s"bucket $h type $t")
+      }
+    }
+    // every long-format cell is represented in the wide format
+    assert(wide.map(_.getAs[Long]("bucket_h")).toSet === long.keySet.map(_._1))
+  }
+
   test("q1 aggregates to the 6 flag/status groups with exact cents") {
     val rows = Queries.q1Agg(spark, dir).collect()
     assert(rows.length === 6)
