@@ -330,7 +330,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Minimum kept-segment length for [[lineDedup]]. */
+  val MinSegChars = 20
+
+  /** text_line_dedup — CROSS-document segment repetition (the
+    * boilerplate/license-header signal; [[repNgram]] is the
+    * within-doc counterpart): split each doc into sentence-ish
+    * segments, count how many of a doc's distinct segments also
+    * appear in at least one other document, as exact integers. One
+    * explode + one count shuffle + one join back; the segment
+    * counts table is the reusable dedup index a pipeline would
+    * persist.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segsExpr =
+      s"filter(transform(split(text, '\\\\.'), x -> trim(x)), x -> length(x) >= $MinSegChars)"
+    val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val segs = docs
+      .select(col("doc_id"), explode(expr(s"array_distinct($segsExpr)")).as("seg"))
+    // distinct within doc, so count(*) per segment = #docs containing it
+    val counts = segs.groupBy("seg").agg(count(lit(1)).as("n_docs"))
+    val summarized = segs.join(counts, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum((col("n_docs") >= 2).cast("long")).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(summarized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_milli",
+        when(col("n_segs") > 0, expr("n_shared * 1000 div n_segs")).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup" -> (lineDedup _),
     "text_vocab" -> (vocab _),
     "text_encode" -> (encode _),
     "text_rep_ngram" -> (repNgram _),

@@ -168,5 +168,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Ev(3, 7, 10500, 9, "view")))
     assert(closed3.isEmpty, "stale event must not re-close anything")
     assert(open3 === Some(OpenSess(20000, 20000, 1, 5)), "stale event dropped")
+    // a late event within [start-gap, start) merges into the open
+    // session without moving the immutable start key
+    val (closed4, open4) = advanceSession(7, open3,
+      Seq(Ev(4, 7, 19000, 9, "view")))
+    assert(closed4.isEmpty)
+    assert(open4 === Some(OpenSess(20000, 20000, 2, 14)),
+      "in-allowance late event merges; start key unchanged")
   }
 }
