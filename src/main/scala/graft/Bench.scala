@@ -22,7 +22,8 @@ object Bench {
     "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "text_quality", "text_fingerprint", "text_ngrams",
-    "text_filter", "text_pii_mask", "text_rep_ngram", "sample_stratified",
+    "text_filter", "text_pii_mask", "text_rep_ngram", "text_line_dedup",
+    "sample_stratified",
     "agg_kmv_distinct", "embed_quantize", "dedup_decontaminate", "pipeline_clean",
     "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans", "q_json_extract",
     "mm_meta_extract")
