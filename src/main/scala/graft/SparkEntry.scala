@@ -31,7 +31,8 @@ object SparkEntry {
     "q17_avg_qty" -> (Queries.q17AvgQty _),
     "q10_returns" -> (Queries.q10Returns _),
     "q_json_extract" -> (Queries.qJsonExtract _),
-    "q_pivot" -> (Queries.qPivot _)
+    "q_pivot" -> (Queries.qPivot _),
+    "q_corr" -> (Queries.qCorr _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -191,6 +192,32 @@ object SparkEntry {
          |$cols
          |FROM e GROUP BY bucket_h ORDER BY bucket_h""".stripMargin
     },
+    "q_corr" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${C("value")} AS x,
+         |    CASE WHEN json_type(json_extract(props, '$$.k')) IN ('BIGINT', 'UBIGINT')
+         |         THEN CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |         ELSE NULL END AS y
+         |  FROM events),
+         |f AS (SELECT * FROM e WHERE y IS NOT NULL),
+         |m AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM f GROUP BY event_type),
+         |d AS (
+         |  SELECT event_type, n, sx, sy,
+         |    CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         |    CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+         |    CAST(n * syy - sy * sy AS BIGINT) AS dy
+         |  FROM m)
+         |SELECT event_type, n, sx, sy, num, dx, dy,
+         |  CAST(CASE WHEN dx > 0 AND dy > 0
+         |    THEN FLOOR(CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE))
+         |               / sqrt(CAST(dy AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+         |    ELSE 0 END AS BIGINT) AS corr_u
+         |FROM d ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -173,6 +173,39 @@ object Queries {
       .orderBy("bucket_h")
   }
 
+  /** q_corr — Pearson correlation of the event value (cents) against
+    * the JSON `k` field, per event_type, via EXACT integer moments:
+    * every Σx, Σy, Σx², Σy², Σxy is a bigint sum of integer
+    * projections (order-independent under any partitioning — a double
+    * `corr()` is not), and the only float ops are the final two sqrts
+    * and divisions from those exact integers, a closed chain written
+    * identically in the oracle. Zero-variance groups emit corr_u = 0
+    * (the guard also keeps ANSI mode from ∞-casting).
+    */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("x"),
+        from_json(col("props"), "k BIGINT", java.util.Map.of[String, String])
+          .getField("k").as("y"))
+      .filter(col("y").isNotNull)
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("corr_u",
+        when(col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double")
+            / sqrt(col("dx").cast("double"))
+            / sqrt(col("dy").cast("double")) * lit(1000000.0)).cast("long"))
+          .otherwise(0L))
+      .select("event_type", "n", "sx", "sy", "num", "dx", "dy", "corr_u")
+      .orderBy("event_type")
+  }
+
   /** q_window — per-user running row_number + exact running value sum. */
   def qWindow(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")

@@ -311,6 +311,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oovSeen, "corpus never exercised the OOV path — raise corpus or lower VocabN")
   }
 
+  test("text_line_dedup matches an independent segment-overlap derivation") {
+    val texts = docs
+    def segs(t: String): Set[String] =
+      t.split("\\.", -1).map(_.trim).filter(_.length >= ops.TextAnalysis.MinSegChars).toSet
+    val docCount = texts.values.toSeq.flatMap(t => segs(t).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = ops.TextAnalysis.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_shared")))).toMap
+    assert(got.size === texts.size)
+    texts.foreach { case (id, t) =>
+      val s = segs(t)
+      val shared = s.count(docCount(_) >= 2).toLong
+      assert(got(id) === ((s.size.toLong, shared)), s"doc $id")
+    }
+  }
+
+  test("q_corr matches an independent exact-moment derivation") {
+    import spark.implicits._
+    val rows = relational.Queries.qCorr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sx, sy, num, dx, dy) = (r.getAs[Long]("n"), r.getAs[Long]("sx"),
+        r.getAs[Long]("sy"), r.getAs[Long]("num"), r.getAs[Long]("dx"), r.getAs[Long]("dy"))
+      assert(dx >= 0 && dy >= 0, "variance terms must be non-negative")
+      if (dx > 0 && dy > 0) {
+        val corr = num.toDouble / math.sqrt(dx.toDouble) / math.sqrt(dy.toDouble)
+        assert(corr >= -1.0000001 && corr <= 1.0000001, s"corr $corr out of range")
+        assert(r.getAs[Long]("corr_u") === math.floor(corr * 1e6).toLong)
+      }
+      assert(n > 0 && (sx != 0 || sy != 0))
+    }
+  }
+
   test("text_rep_ngram matches an independent sliding-window derivation") {
     val texts = docs
     val got = ops.TextAnalysis.repNgram(spark, dir).collect()
