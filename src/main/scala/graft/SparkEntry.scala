@@ -208,11 +208,11 @@ object SparkEntry {
          |  FROM f GROUP BY event_type),
          |d AS (
          |  SELECT event_type, n, sx, sy,
-         |    CAST(n * sxy - sx * sy AS BIGINT) AS num,
-         |    CAST(n * sxx - sx * sx AS BIGINT) AS dx,
-         |    CAST(n * syy - sy * sy AS BIGINT) AS dy
+         |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+         |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
          |  FROM m)
-         |SELECT event_type, n, sx, sy, num, dx, dy,
+         |SELECT event_type, n, sx, sy,
          |  CAST(CASE WHEN dx > 0 AND dy > 0
          |    THEN FLOOR(CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE))
          |               / sqrt(CAST(dy AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))

@@ -292,25 +292,28 @@ object OpsOracles {
          |  CAST(SUM((q + 127) * pos) AS BIGINT) AS qchk,
          |  CAST(SUM(CAST(FLOOR(e * e * CAST(1e12 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS err_u
          |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "text_line_dedup" ->
-      s"""WITH d AS (
+    "text_line_dedup" -> {
+      val k = TextAnalysis.SegTokens
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |sg AS (
          |  SELECT doc_id, list_distinct(list_filter(
-         |    [trim(x) for x in string_split(text, '.')],
+         |    [array_to_string(t[(i*$k+1):(i*$k+$k)], ' ')
+         |     for i in range(0, CAST(len(t) // $k AS INT))],
          |    x -> length(x) >= ${TextAnalysis.MinSegChars})) AS segs
-         |  FROM documents),
-         |e AS (SELECT doc_id, unnest(segs) AS seg FROM d),
+         |  FROM d),
+         |e AS (SELECT doc_id, unnest(segs) AS seg FROM sg),
          |c AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_docs FROM e GROUP BY seg),
          |s AS (
-         |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  SELECT e.doc_id,
          |    CAST(SUM(CAST(c.n_docs >= 2 AS BIGINT)) AS BIGINT) AS n_shared
          |  FROM e JOIN c USING (seg) GROUP BY e.doc_id)
-         |SELECT documents.doc_id,
-         |  COALESCE(s.n_segs, 0) AS n_segs,
+         |SELECT sg.doc_id, CAST(len(sg.segs) AS BIGINT) AS n_segs,
          |  COALESCE(s.n_shared, 0) AS n_shared,
-         |  CAST(CASE WHEN COALESCE(s.n_segs, 0) > 0
-         |       THEN COALESCE(s.n_shared, 0) * 1000 // s.n_segs ELSE 0 END AS BIGINT) AS shared_milli
-         |FROM documents LEFT JOIN s ON documents.doc_id = s.doc_id
-         |ORDER BY documents.doc_id""".stripMargin,
+         |  CAST(CASE WHEN len(sg.segs) > 0
+         |       THEN COALESCE(s.n_shared, 0) * 1000 // len(sg.segs) ELSE 0 END AS BIGINT) AS shared_milli
+         |FROM sg LEFT JOIN s ON sg.doc_id = s.doc_id
+         |ORDER BY sg.doc_id""".stripMargin
+    },
     "text_vocab" ->
       s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
          |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),

@@ -333,33 +333,41 @@ object TextAnalysis {
   /** Minimum kept-segment length for [[lineDedup]]. */
   val MinSegChars = 20
 
+  /** Tokens per segment for [[lineDedup]]. */
+  val SegTokens = 8
+
   /** text_line_dedup — CROSS-document segment repetition (the
     * boilerplate/license-header signal; [[repNgram]] is the
-    * within-doc counterpart): split each doc into sentence-ish
-    * segments, count how many of a doc's distinct segments also
-    * appear in at least one other document, as exact integers. One
-    * explode + one count shuffle + one join back; the segment
-    * counts table is the reusable dedup index a pipeline would
-    * persist.
+    * within-doc counterpart): segment each doc into aligned
+    * [[SegTokens]]-token chunks (this corpus carries no sentence
+    * punctuation — chunking is the tokenizer-level segmentation; a
+    * newline-structured corpus would split on lines with the same
+    * plumbing) and count how many of a doc's distinct segments also
+    * appear in at least one other document, as exact integers.
+    * explode_outer keeps zero-segment docs in the per-doc summary;
+    * one count shuffle builds the global segment index — the
+    * reusable artifact a pipeline persists.
     */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
     val segsExpr =
-      s"filter(transform(split(text, '\\\\.'), x -> trim(x)), x -> length(x) >= $MinSegChars)"
-    val docs = Tables(spark, dir, "documents")
+      s"""CASE WHEN size(t) >= $SegTokens THEN
+            filter(transform(sequence(0, size(t) div $SegTokens - 1),
+              i -> concat_ws(' ', slice(t, i * $SegTokens + 1, $SegTokens))),
+              x -> length(x) >= $MinSegChars)
+          ELSE array_remove(array(''), '') END"""
+    val base = Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-    val segs = docs
-      .select(col("doc_id"), explode(expr(s"array_distinct($segsExpr)")).as("seg"))
+      .withColumn("t", expr(toksExpr))
+      .withColumn("segs", expr(s"array_distinct($segsExpr)"))
+      .select(col("doc_id"), expr("cast(size(segs) as bigint)").as("n_segs"),
+        explode_outer(col("segs")).as("seg"))
     // distinct within doc, so count(*) per segment = #docs containing it
-    val counts = segs.groupBy("seg").agg(count(lit(1)).as("n_docs"))
-    val summarized = segs.join(counts, "seg")
+    val counts = base.filter(col("seg").isNotNull)
+      .groupBy("seg").agg(count(lit(1)).as("n_docs"))
+    base.join(counts, Seq("seg"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_segs"),
-        sum((col("n_docs") >= 2).cast("long")).as("n_shared"))
-    docs.select(col("doc_id"))
-      .join(summarized, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .agg(max(col("n_segs")).as("n_segs"),
+        sum(coalesce((col("n_docs") >= 2).cast("long"), lit(0L))).as("n_shared"))
       .withColumn("shared_milli",
         when(col("n_segs") > 0, expr("n_shared * 1000 div n_segs")).otherwise(0L))
       .orderBy("doc_id")

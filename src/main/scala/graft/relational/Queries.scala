@@ -180,7 +180,12 @@ object Queries {
     * `corr()` is not), and the only float ops are the final two sqrts
     * and divisions from those exact integers, a closed chain written
     * identically in the oracle. Zero-variance groups emit corr_u = 0
-    * (the guard also keeps ANSI mode from ∞-casting).
+    * (the guard also keeps ANSI mode from ∞-casting). The n·Σ−Σ·Σ
+    * products are computed in DECIMAL(38,0) (HUGEINT in the oracle)
+    * because the textbook form overflows Int64 around 5·10⁵ rows per
+    * group; the bigint SUM inputs themselves are safe to ~10¹⁰
+    * rows/group (x² ≤ 10⁸). DECIMAL(38,0)→DOUBLE and HUGEINT→DOUBLE
+    * both produce the nearest double of the same exact integer.
     */
   def qCorr(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
@@ -188,21 +193,22 @@ object Queries {
         from_json(col("props"), "k BIGINT", java.util.Map.of[String, String])
           .getField("k").as("y"))
       .filter(col("y").isNotNull)
+    def wide(c: Column): Column = c.cast("decimal(38,0)")
     e.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("num", wide(col("n")) * wide(col("sxy")) - wide(col("sx")) * wide(col("sy")))
+      .withColumn("dx", wide(col("n")) * wide(col("sxx")) - wide(col("sx")) * wide(col("sx")))
+      .withColumn("dy", wide(col("n")) * wide(col("syy")) - wide(col("sy")) * wide(col("sy")))
       .withColumn("corr_u",
         when(col("dx") > 0 && col("dy") > 0,
           floor(col("num").cast("double")
             / sqrt(col("dx").cast("double"))
             / sqrt(col("dy").cast("double")) * lit(1000000.0)).cast("long"))
           .otherwise(0L))
-      .select("event_type", "n", "sx", "sy", "num", "dx", "dy", "corr_u")
+      .select("event_type", "n", "sx", "sy", "corr_u")
       .orderBy("event_type")
   }
 

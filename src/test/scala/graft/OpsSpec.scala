@@ -311,37 +311,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oovSeen, "corpus never exercised the OOV path — raise corpus or lower VocabN")
   }
 
-  test("text_line_dedup matches an independent segment-overlap derivation") {
+  test("text_line_dedup matches an independent chunk-overlap derivation") {
     val texts = docs
-    def segs(t: String): Set[String] =
-      t.split("\\.", -1).map(_.trim).filter(_.length >= ops.TextAnalysis.MinSegChars).toSet
+    def segs(t: String): Set[String] = {
+      val tk = tokens(t)
+      tk.take(tk.size / ops.TextAnalysis.SegTokens * ops.TextAnalysis.SegTokens)
+        .grouped(ops.TextAnalysis.SegTokens).map(_.mkString(" "))
+        .filter(_.length >= ops.TextAnalysis.MinSegChars).toSet
+    }
     val docCount = texts.values.toSeq.flatMap(t => segs(t).toSeq)
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val got = ops.TextAnalysis.lineDedup(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_shared")))).toMap
     assert(got.size === texts.size)
+    var sharedSeen = false
     texts.foreach { case (id, t) =>
       val s = segs(t)
       val shared = s.count(docCount(_) >= 2).toLong
+      if (shared > 0) sharedSeen = true
       assert(got(id) === ((s.size.toLong, shared)), s"doc $id")
     }
+    assert(sharedSeen,
+      "corpus never exercised the cross-doc sharing path — adjust segmentation")
   }
 
   test("q_corr matches an independent exact-moment derivation") {
     import spark.implicits._
-    val rows = relational.Queries.qCorr(spark, dir).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (n, sx, sy, num, dx, dy) = (r.getAs[Long]("n"), r.getAs[Long]("sx"),
-        r.getAs[Long]("sy"), r.getAs[Long]("num"), r.getAs[Long]("dx"), r.getAs[Long]("dy"))
-      assert(dx >= 0 && dy >= 0, "variance terms must be non-negative")
-      if (dx > 0 && dy > 0) {
-        val corr = num.toDouble / math.sqrt(dx.toDouble) / math.sqrt(dy.toDouble)
-        assert(corr >= -1.0000001 && corr <= 1.0000001, s"corr $corr out of range")
-        assert(r.getAs[Long]("corr_u") === math.floor(corr * 1e6).toLong)
+    // re-derive every moment from the RAW events rows — a third
+    // opinion, not a consistency check of the query's own output
+    val raw = Tables(spark, dir, "events")
+      .select("event_type", "value", "props").as[(String, Double, String)].collect()
+    val kPat = """"k"\s*:\s*(\d+)""".r
+    val want = raw.toSeq.flatMap { case (et, v, props) =>
+      kPat.findFirstMatchIn(props).map { m =>
+        (et, math.floor(v * 100).toLong, m.group(1).toLong)
       }
-      assert(n > 0 && (sx != 0 || sy != 0))
+    }.groupBy(_._1).map { case (et, rows) =>
+      val (n, sx, sy) = (rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum)
+      val (sxx, syy, sxy) = (rows.map(r => BigInt(r._2) * r._2).sum,
+        rows.map(r => BigInt(r._3) * r._3).sum, rows.map(r => BigInt(r._2) * r._3).sum)
+      val num = BigInt(n) * sxy - BigInt(sx) * sy
+      val dx = BigInt(n) * sxx - BigInt(sx) * sx
+      val dy = BigInt(n) * syy - BigInt(sy) * sy
+      val corrU = if (dx > 0 && dy > 0)
+        math.floor(num.toDouble / math.sqrt(dx.toDouble) / math.sqrt(dy.toDouble) * 1e6).toLong
+      else 0L
+      et -> ((n, sx, sy, corrU))
     }
+    val got = relational.Queries.qCorr(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Long]("sx"),
+        r.getAs[Long]("sy"), r.getAs[Long]("corr_u")))).toMap
+    assert(got === want)
   }
 
   test("text_rep_ngram matches an independent sliding-window derivation") {

@@ -62,7 +62,10 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"bucket $h type $t")
       }
     }
-    // every long-format cell is represented in the wide format
+    // every long-format cell is represented in the wide format: the
+    // fixed pivot domain must actually cover the data's domain
+    assert(long.keySet.map(_._2).subsetOf(Queries.EventTypes.toSet),
+      "events contain a type outside the fixed pivot domain")
     assert(wide.map(_.getAs[Long]("bucket_h")).toSet === long.keySet.map(_._1))
   }
 
