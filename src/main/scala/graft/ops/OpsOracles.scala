@@ -109,6 +109,24 @@ object OpsOracles {
        |      FROM embeddings, nb)""".stripMargin
   }
 
+  /** Corpus-size-derived IVF centroid/probe CTEs — mirror
+    * [[Similarity.ivfCentMod]] (smallest power of two m with m² ≥ n →
+    * k ≤ √n centroids) and [[Similarity.ivfProbeMod]] (smallest m with
+    * 64·m ≥ n → ≤64 probes). Pure integer arithmetic on the same
+    * count, so both engines select identical centroid/probe sets.
+    * Exposes `c(cent_id, cvec)` and `p(probe_id, pvec)`.
+    */
+  private val ivfModsCte: String =
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |cmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 32) r(g), nn
+       |         WHERE (CAST(1 AS BIGINT) << g) * (CAST(1 AS BIGINT) << g) >= nn.n),
+       |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+       |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+       |c AS (SELECT vec_id AS cent_id, embedding AS cvec
+       |      FROM embeddings, cmod WHERE vec_id % cmod.m = 0),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+       |      FROM embeddings, pmod WHERE vec_id % pmod.m = 0)""".stripMargin
+
   private def pairsCte(minCosU: Long) =
     s"""pairs AS (
        |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
@@ -541,8 +559,7 @@ object OpsOracles {
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_ivf_topk" ->
-      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cvec
-         |           FROM embeddings WHERE vec_id % 499 = 0),
+      s"""WITH $ivfModsCte,
          |asg AS (
          |  SELECT e.vec_id, e.embedding, c.cent_id,
          |         ${cosU("e.embedding", "c.cvec")} AS ccos
@@ -550,8 +567,6 @@ object OpsOracles {
          |cell AS (
          |  SELECT vec_id, embedding, cent_id AS cell FROM asg
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
-         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
-         |      FROM embeddings WHERE vec_id % 101 = 0),
          |pcell AS (
          |  SELECT probe_id, pvec, cent_id AS cell FROM (
          |    SELECT p.probe_id, p.pvec, c.cent_id, ${cosU("p.pvec", "c.cvec")} AS pcos FROM p, c)
@@ -563,8 +578,7 @@ object OpsOracles {
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_ivf_kmeans" ->
-      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cvec
-         |           FROM embeddings WHERE vec_id % 499 = 0),
+      s"""WITH $ivfModsCte,
          |asg AS (
          |  SELECT e.vec_id, c.cent_id, ${cosU("e.embedding", "c.cvec")} AS ccos
          |  FROM embeddings e, c),
@@ -585,8 +599,6 @@ object OpsOracles {
          |cell2 AS (
          |  SELECT vec_id, embedding, cent_id AS cell FROM asg2
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
-         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
-         |      FROM embeddings WHERE vec_id % 101 = 0),
          |pcell AS (
          |  SELECT probe_id, pvec, cent_id AS cell FROM (
          |    SELECT p.probe_id, p.pvec, c2.cent_id, ${cosUQ("p.pvec", "c2.cvecq")} AS pcos

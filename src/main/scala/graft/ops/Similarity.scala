@@ -68,6 +68,28 @@ object Similarity {
   def lshBits(n: Long, targetPerBucket: Long = 64L): Int =
     (8 to 24).find(k => (1L << k) * targetPerBucket >= n).getOrElse(24)
 
+  /** IVF centroid-selection modulus, derived from corpus size the same
+    * way [[lshBits]] derives bucket count: the smallest power of two
+    * `m` with m² ≥ n, so the centroid count k ≈ n/m ≤ √n grows
+    * SUB-LINEARLY with the corpus. Assignment work is then O(n·k) =
+    * O(n^1.5) — the classic IVF k≈√n sizing that balances cell count
+    * against cell size — and the broadcast centroid table is O(√n)
+    * rows at any scale (a fixed modulus made it O(n): the r3 scale
+    * bug). Pure integer arithmetic so the DuckDB oracle derives the
+    * identical value from the same count.
+    */
+  def ivfCentMod(n: Long): Long =
+    (0 to 31).map(1L << _).find(m => m * m >= n).getOrElse(1L << 31)
+
+  /** IVF probe-set modulus: the smallest power of two `m` with
+    * 64·m ≥ n — at most 64 probes at any corpus size, so the probe
+    * broadcast stays bounded (the %101 probe set used by the
+    * brute-force correctness baseline grows linearly; the IVF scale
+    * path must not).
+    */
+  def ivfProbeMod(n: Long): Long =
+    (0 to 56).map(1L << _).find(m => m * 64L >= n).getOrElse(1L << 56)
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
 
@@ -190,17 +212,34 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** sim_ivf_topk — IVF-style ANN: deterministic centroid subset
-    * (vec_id ≡ 0 mod 499), every vector assigned to its nearest
-    * centroid cell ([[nearestCell]]; the embedding/norm columns
-    * rejoin on vec_id afterwards — both sides hash-partitioned on
-    * vec_id already, so no extra exchange), probes scan only their
-    * nprobe=2 nearest cells, exact top-5 re-rank inside.
+  /** Corpus-size-derived centroid and probe frames for the IVF
+    * operators: centroids are vec_id ≡ 0 (mod [[ivfCentMod]](n)) —
+    * k ≤ √n of them — probes vec_id ≡ 0 (mod [[ivfProbeMod]](n)) —
+    * ≤ 64 of them. The count() is one metadata-cheap pre-pass
+    * (parquet row counts), same pattern as [[bucketedPairs]].
     */
-  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
+  private def ivfCentsProbes(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val n = emb(spark, dir).count()
+    val cents = emb(spark, dir).filter(col("vec_id") % ivfCentMod(n) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         dot(col("embedding"), col("embedding")).as("cn2"))
+    val p = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        dot(col("embedding"), col("embedding")).as("pn2"))
+    (cents, p)
+  }
+
+  /** sim_ivf_topk — IVF-style ANN: deterministic centroid subset of
+    * k ≤ √n vectors ([[ivfCentMod]] — sub-linear, so the centroid
+    * broadcast and the O(n·k) assignment survive 100×), every vector
+    * assigned to its nearest centroid cell ([[nearestCell]]; the
+    * embedding/norm columns rejoin on vec_id afterwards — both sides
+    * hash-partitioned on vec_id already, so no extra exchange), a
+    * bounded probe set ([[ivfProbeMod]], ≤64) scans only its nprobe=2
+    * nearest cells, exact top-5 re-rank inside.
+    */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, ivfP) = ivfCentsProbes(spark, dir)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
     val cellOf = nearestCell(base.crossJoin(broadcast(cents))
@@ -208,7 +247,7 @@ object Similarity {
         cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos")))
     val assigned = base.join(cellOf, "vec_id")
       .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
-    val probeCells = probeTopCells(probes(spark, dir).crossJoin(broadcast(cents))
+    val probeCells = probeTopCells(ivfP.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
         cosUPre(col("pvec"), col("cvec"), col("pn2"), col("cn2")).as("pcos")), 2)
     rankWithinCells(assigned, probeCells)
@@ -243,13 +282,12 @@ object Similarity {
     * any partitioning (a double mean would be non-associative) and the
     * DuckDB oracle reproduces it bit-for-bit. Scale shape: the update
     * is one explode + two HashAggregates with map-side combine;
-    * centroid sets stay broadcast-sized at any corpus size (k ≪ n);
-    * further Lloyd rounds repeat the same two aggregations.
+    * centroid sets are k ≤ √n ([[ivfCentMod]]) so the refined-centroid
+    * frame (k·64 rows) and its broadcast stay sub-linear at any corpus
+    * size; further Lloyd rounds repeat the same two aggregations.
     */
   def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val cents = emb(spark, dir).filter(col("vec_id") % 499 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
-        dot(col("embedding"), col("embedding")).as("cn2"))
+    val (cents, ivfP) = ivfCentsProbes(spark, dir)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
     val cell0 = nearestCell(base.crossJoin(broadcast(cents))
@@ -272,7 +310,7 @@ object Similarity {
         cosUQPre(col("embedding"), col("cvecq"), col("vn2"), col("cn2")).as("ccos")))
     val assigned = base.join(cell2, "vec_id")
       .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
-    val probeCells = probeTopCells(probes(spark, dir).crossJoin(broadcast(cents2))
+    val probeCells = probeTopCells(ivfP.crossJoin(broadcast(cents2))
       .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
         cosUQPre(col("pvec"), col("cvecq"), col("pn2"), col("cn2")).as("pcos")), 2)
     rankWithinCells(assigned, probeCells)

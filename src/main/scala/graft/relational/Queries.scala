@@ -64,13 +64,18 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** q3_topk — segment filter + 3-way join + agg + top-10 revenue. */
+  /** q3_topk — segment filter + 3-way join + agg + top-10 revenue.
+    * The BUILDING customer slice is ~1/5 of ALL customers — linear in
+    * scale factor — so it carries no broadcast hint (matching q5/q10):
+    * AQE broadcasts it at small sf and shuffle-joins at 100× where a
+    * forced broadcast would OOM the driver.
+    */
   def q3Topk(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
       .select(col("l_orderkey"), epochUs(col("o_orderdate")).as("odate_us"), col("revenue_c"))

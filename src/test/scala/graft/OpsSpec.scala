@@ -164,6 +164,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big < 20 * small, s"candidates grew $small -> $big")
   }
 
+  test("IVF centroid count grows sub-linearly; probe set stays bounded") {
+    import Similarity.{ivfCentMod, ivfProbeMod}
+    // exact cardinalities of {id : 0 ≤ id < n, id ≡ 0 (mod m)}
+    def kCent(n: Long): Long = (n - 1) / ivfCentMod(n) + 1
+    def kProbe(n: Long): Long = (n - 1) / ivfProbeMod(n) + 1
+    // k ≤ √n at every corpus size (the classic IVF sizing); a fixed
+    // modulus (r3's % 499) would give k = n/499 — linear
+    Seq(500L, 5000L, 500000L, 5000000L, 5000000000L).foreach { n =>
+      assert(kCent(n) * kCent(n) <= 4 * n, s"n=$n k=${kCent(n)} not ~sqrt")
+    }
+    // 100× the corpus → ~10× the centroids (√100); power-of-two modulus
+    // rounding adds ≤2.5×; linear growth would be 100×
+    assert(kCent(500000L) <= 25 * kCent(5000L),
+      s"centroids grew ${kCent(5000L)} -> ${kCent(500000L)}")
+    // the probe broadcast is bounded at any scale
+    Seq(500L, 5000L, 5000000L, 5000000000L).foreach { n =>
+      assert(kProbe(n) <= 64, s"probe set unbounded at n=$n: ${kProbe(n)}")
+    }
+  }
+
   test("text_filter flags synthetic degenerate docs for the right reasons") {
     import spark.implicits._
     val synth = Seq(

@@ -53,6 +53,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q3 carries no static broadcast hint on the linear-scaling customer side") {
+    // The BUILDING slice grows with scale factor; the join choice must
+    // be AQE's (runtime sizes), not a plan-time hint. The optimized
+    // logical plan would pin a ResolvedHint/broadcast through to the
+    // physical plan regardless of size — assert the hint is absent.
+    // (the optimizer folds ResolvedHint into the Join node's JoinHint,
+    // printed as `strategy=broadcast` — check both representations)
+    val df = SparkEntry.queries("q3_topk")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!analyzed.contains("ResolvedHint"), "q3 still carries a static join hint")
+    assert(!optimized.contains("strategy=broadcast"), "q3 Join still pinned to broadcast")
+  }
+
   test("fact scans push filters and prune columns") {
     val p = formatted("q1_agg")
     assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
