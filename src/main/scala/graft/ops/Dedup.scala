@@ -212,56 +212,84 @@ object Dedup {
     * "keep one representative per duplicate cluster" step a training
     * pipeline runs after pair generation.
     *
-    * Spark-first shape: iterative min-label propagation — per round
-    * one equi-join (edge → neighbor label) and one min-aggregation,
-    * `localCheckpoint` truncating the lineage, until a fixpoint
-    * (changed-label count = 0). Rounds ≤ component diameter; at
-    * 100 TB the same loop runs with reliable checkpointing (or the
-    * large-star/small-star contraction for very deep chains —
-    * near-dup components are shallow in practice). The DuckDB oracle
-    * re-derives the same fixpoint as a recursive transitive-closure
-    * CTE — two independent formulations of connectivity.
+    * Spark-first shape: alternating large-star/small-star contraction
+    * (see [[connectedComponents]]) — O(log² n) rounds independent of
+    * component diameter, so a deep chain in the pair graph converges
+    * as fast as a shallow clique; at 100 TB the same loop runs with
+    * reliable checkpointing. The DuckDB oracle re-derives the same
+    * fixpoint as a recursive transitive-closure CTE — two independent
+    * formulations of connectivity.
     */
   def cluster(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(
       ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
       Tables(spark, dir, "documents").select(col("doc_id")))
 
-  /** Min-label-propagation connected components over an undirected
-    * pair graph — the shared core of [[cluster]] and
-    * [[embedCluster]]. `pairs` has columns (doc_a, doc_b); `vertices`
-    * a single `doc_id` column covering every node (isolated vertices
-    * become singleton clusters). `maxRounds` bounds the propagation at
-    * the expected graph diameter + slack — min-label propagation needs
-    * ~diameter rounds, so denser graphs (the cos ≥ 0.3 semantic graph
-    * can chain gradually-drifting vectors) get a higher cap; a
-    * production deep-diameter deployment swaps in large-star/
-    * small-star contraction (O(log n) rounds) behind the same
-    * signature.
+  /** Connected components over an undirected pair graph via
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * shared core of [[cluster]] and [[embedCluster]]. `pairs` has
+    * columns (doc_a, doc_b); `vertices` a single `doc_id` column
+    * covering every node (isolated vertices become singleton
+    * clusters).
+    *
+    * Each round halves long paths: large-star points every
+    * above-minimum neighbor of u at m(u) = min(Γ(u) ∪ {u}); small-star
+    * then points u and its smaller neighbors at their minimum. Rounds
+    * to fixpoint are O(log² n) REGARDLESS of component diameter —
+    * unlike min-label propagation (diameter rounds), a 100 TB near-dup
+    * graph containing one long chain converges inside the same
+    * `maxRounds` as a shallow one. At fixpoint every component is a
+    * star centered on its minimum id. Per round: two grouped
+    * aggregations + two equi-joins, `localCheckpoint` truncating the
+    * lineage; convergence is an edge-set (count, order-independent
+    * hash-sum) fixpoint — one tiny driver fetch per round.
     */
-  private[ops] def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+  private[graft] def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       maxRounds: Int = 25): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("lbl"))
-    var converged = false
+    // canonical directed-down edge set: (u, v) with u > v
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // (count, xor-of-hashes): an order-independent, overflow-free
+    // edge-set fingerprint (edges are distinct, so xor can't cancel)
+    def sigOf(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = sigOf(edges)
+    var converged = sig._1 == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val viaNeighbor = edges
-        .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
-        .select(col("src").as("doc_id"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      val changed = next.join(labels.select(col("doc_id"), col("lbl").as("prev")), "doc_id")
-        .filter(col("lbl") =!= col("prev")).count()
-      converged = changed == 0
-      labels = next
+      // large-star: for every node u, each neighbor v > u links to m(u)
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = und.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: u and its (all smaller) neighbors link to min(N(u) ∪ {u})
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val withMin = ls.join(ssMin, "u")
+      val ss = withMin.select(col("v").as("x"), col("m"))
+        .union(withMin.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      val nextSig = sigOf(ss)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = ss
       rounds += 1
     }
-    edges.unpersist(false)
-    require(converged, s"label propagation did not converge in $rounds rounds")
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // fixpoint edges are stars: every non-root points at its component
+    // minimum; roots and isolated vertices label themselves
+    val roots = edges.groupBy("u").agg(min("v").as("lbl"))
+      .select(col("u").as("doc_id"), col("lbl"))
+    val labels = vertices.join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
@@ -277,7 +305,7 @@ object Dedup {
     val pairs = Similarity.bucketedPairs(spark, dir, minCosU = 300000L)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val verts = Tables(spark, dir, "embeddings").select(col("vec_id").as("doc_id"))
-    connectedComponents(pairs, verts, maxRounds = 60)
+    connectedComponents(pairs, verts)
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy("vec_id")
   }

@@ -137,6 +137,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (13L, 13L, 1L)))
   }
 
+  test("connected components converge on a deep chain within default rounds") {
+    // a 400-node path has diameter 399: min-label propagation would
+    // need ~399 rounds; star contraction must land the single
+    // component inside the default maxRounds=25 (O(log² n))
+    import org.apache.spark.sql.functions._
+    val n = 400L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    // shuffle ids through an affine bijection mod n so the chain is
+    // NOT min-sorted along its length (the easy case for contraction)
+    val scramble = (c: org.apache.spark.sql.Column) => (c * 173 + 41) % n
+    val pairs = chain.select(scramble(col("doc_a")).as("doc_a"),
+      scramble(col("doc_b")).as("doc_b"))
+    val verts = spark.range(n).select(col("id").as("doc_id"))
+    val got = graft.ops.Dedup.connectedComponents(pairs, verts).collect()
+    assert(got.length === n)
+    assert(got.forall(r => r.getLong(1) === 0L && r.getLong(2) === n),
+      "every vertex labeled with the component min 0 and size n")
+    // and isolated vertices stay singletons alongside a component
+    val verts2 = spark.range(n + 3).select(col("id").as("doc_id"))
+    val got2 = graft.ops.Dedup.connectedComponents(pairs, verts2)
+      .filter(col("doc_id") >= n).collect()
+    assert(got2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set((n, n, 1L), (n + 1, n + 1, 1L), (n + 2, n + 2, 1L)))
+  }
+
   test("LSH pair-blocking candidate count grows sub-quadratically") {
     // lshBits scales bucket count with corpus size: 8× the vectors
     // must NOT produce 64× the within-bucket candidate pairs.
