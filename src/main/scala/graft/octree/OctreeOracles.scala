@@ -272,6 +272,46 @@ object OctreeOracles {
          |  CAST(m.mip_bytes AS BIGINT) AS mip_bytes,
          |  CAST(64 + h.kv_bytes + m.prior_bytes AS BIGINT) AS mip_offset
          |FROM h, m ORDER BY h.bz, h."by", h.bx, mip""".stripMargin,
+    "oct_ktx_parse" ->
+      s"""WITH $voxelCte,
+         |$blocksCte,
+         |sb AS (SELECT bz, "by", bx FROM blocks GROUP BY 1, 2, 3),
+         |p AS (SELECT bz, "by", bx, $pathExpr AS path FROM sb),
+         |k AS (SELECT *, CAST(12 + 2 * length(path) AS BIGINT) AS psize FROM p),
+         |h AS (SELECT bz, "by", bx, path,
+         |        CAST(124 AS BIGINT) + psize + (3 - (psize + 3) % 4) AS kv_bytes
+         |      FROM k),
+         |m(mip, mz, my, mx, mip_bytes, prior_bytes) AS (
+         |  VALUES (0, 4, 4, 4, 256, 0), (1, 2, 2, 2, 32, 260), (2, 1, 1, 1, 4, 296)),
+         |pr AS (SELECT h.*, CAST(j.range AS BIGINT) AS probe,
+         |         64 + h.kv_bytes + (CAST(j.range AS BIGINT) * 304) // 23 AS pos
+         |       FROM h CROSS JOIN range(23) j),
+         |sel AS (SELECT pr.bz, pr."by", pr.bx, pr.path, pr.probe, pr.pos,
+         |          m.mip, m.mz, m.my, m.mx, m.mip_bytes,
+         |          64 + pr.kv_bytes + m.prior_bytes + 4 AS data_start
+         |        FROM pr JOIN m
+         |          ON pr.pos >= 64 + pr.kv_bytes + m.prior_bytes
+         |         AND pr.pos < 64 + pr.kv_bytes + m.prior_bytes + 4 + m.mip_bytes
+         |                      + (3 - (m.mip_bytes + 3) % 4)),
+         |d AS (SELECT *,
+         |        CASE WHEN pos < data_start THEN 'size'
+         |             WHEN pos < data_start + mip_bytes THEN 'data'
+         |             ELSE 'pad' END AS region,
+         |        pos - data_start AS b
+         |      FROM sel),
+         |e AS (SELECT *, b // 2 AS elem, (b // 2) // 2 AS sp FROM d)
+         |SELECT bz, "by", bx, path, probe, CAST(pos AS BIGINT) AS pos,
+         |  CAST(mip AS BIGINT) AS mip, region,
+         |  CAST(CASE WHEN region = 'data' THEN b ELSE -1 END AS BIGINT) AS byte_in_mip,
+         |  CAST(CASE WHEN region = 'data' THEN b % 2 ELSE -1 END AS BIGINT) AS byte_in_elem,
+         |  CAST(CASE WHEN region = 'data' THEN elem % 2 ELSE -1 END AS BIGINT) AS channel,
+         |  CAST(CASE WHEN region = 'data' THEN sp // (mx * my) ELSE -1 END AS BIGINT) AS lz,
+         |  CAST(CASE WHEN region = 'data' THEN (sp // mx) % my ELSE -1 END AS BIGINT) AS ly,
+         |  CAST(CASE WHEN region = 'data' THEN sp % mx ELSE -1 END AS BIGINT) AS lx,
+         |  CAST(CASE WHEN region = 'data' THEN (bz - 1) * mz + sp // (mx * my) ELSE -1 END AS BIGINT) AS az,
+         |  CAST(CASE WHEN region = 'data' THEN ("by" - 1) * my + (sp // mx) % my ELSE -1 END AS BIGINT) AS ay,
+         |  CAST(CASE WHEN region = 'data' THEN (bx - 1) * mx + sp % mx ELSE -1 END AS BIGINT) AS ax
+         |FROM e ORDER BY bz, "by", bx, probe""".stripMargin,
     "oct_transform" ->
       """SELECT 0.0 AS ox, 0.0 AS oy, 0.0 AS oz,
         |       4000.0 AS sx, 4000.0 AS sy, 4000.0 AS sz,

@@ -112,26 +112,34 @@ object OctreeQueries {
     * a sink needs to lay out the exact .ktx byte stream, joinable to
     * [[ktxName]] on (bz,by,bx).
     */
+  /** (mip, dim, imageSize-bytes, prior-bytes) rows of the KTX mip
+    * chain — per-axis max(1, leaf>>m), imageSize = voxels·ch·tsize,
+    * prior = bytes of all preceding (sizeField + data + pad) blocks —
+    * plus the total image-data byte count. Shared by the write-layout
+    * [[ktxHeader]] and its read-direction inverse [[ktxParse]].
+    */
+  private def mipChain(leaf: Int, channels: Long,
+      tsize: Long): (Seq[(Long, Long, Long, Long, Long, Long)], Long) = {
+    val nMips = 31 - Integer.numberOfLeadingZeros(leaf) + 1
+    var acc = 0L // bytes of all (sizeField + data + pad) before this mip
+    val rows = (0 until nMips).map { m =>
+      val d = math.max(1, leaf >> m).toLong
+      val bytes = d * d * d * channels * tsize
+      val row = (m.toLong, d, d, d, bytes, acc)
+      acc += 4 + bytes + (3 - ((bytes + 3) % 4))
+      row
+    }
+    (rows, acc)
+  }
+
   def ktxHeader(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val leaf = VoxelGrid.Leaf
     val (glType, glTypeSize, glFormat, glInternal) = (5123L, 2L, 33319L, 33324L) // GL_UNSIGNED_SHORT, GL_RG, GL_RG16
     val channels = 2L
-    val nMips = 31 - Integer.numberOfLeadingZeros(leaf) + 1
-    // mip chain: per-axis max(1, leaf>>m); imageSize = voxels*ch*bytes;
-    // prior = bytes of all preceding (sizeField + data + pad) blocks
-    val mips = (0 until nMips).map { m =>
-      val d = math.max(1, leaf >> m).toLong
-      (m.toLong, d, d * d * d * channels * glTypeSize)
-    }
-    var acc = 0L // bytes of all (sizeField + data + pad) before this mip
-    val mipSeq = mips.map { case (m, d, bytes) =>
-      val row = (m, d, d, d, bytes, acc)
-      acc += 4 + bytes + (3 - ((bytes + 3) % 4))
-      row
-    }
+    val (mipSeq, dataBytes) = mipChain(leaf, channels, glTypeSize)
+    val nMips = mipSeq.size
     val mipDf = mipSeq.toDF("mip", "mz", "my", "mx", "mip_bytes", "prior_bytes")
-    val dataBytes = acc // all mips incl. size fields and padding
     // key-value entry: 4-byte size + key\0 + value\0, padded to 4
     def kvEntry(keyLen: Long, valLen: Long): Long = {
       val size = keyLen + 1 + valLen + 1
@@ -165,6 +173,67 @@ object OctreeQueries {
       .withColumn("mip_offset", lit(64L) + col("kv_bytes") + col("prior_bytes"))
       .drop("prior_bytes")
       .orderBy("bz", "by", "bx", "mip")
+  }
+
+  /** oct_ktx_parse — the READ direction of the KTX container
+    * (`KtxHeader.read_stream` ktx/__init__.py:225 walks the
+    * key-value section by its byte count, `KtxImageData.read_stream`
+    * :377 walks per-mip 4-byte imageSize fields + data + pad-to-4,
+    * and `Ktx.asarray` :41 reshapes a mip buffer to (z, y, x,
+    * channel) uint16): deterministic probe byte offsets into each
+    * block's .ktx stream are inverted to what a reader finds there —
+    * the containing mip, whether the byte is part of the imageSize
+    * field / mip data / padding, and for data bytes the decoded
+    * channel-interleaved row-major voxel (lz, ly, lx), the byte's
+    * position inside its uint16 element, and the mip-space absolute
+    * voxel coordinates. The exact inverse of [[ktxHeader]]'s write
+    * layout, joinable back to it on (bz, by, bx, mip).
+    *
+    * Scale shape: the probe frame equi-joins the per-block mip rows
+    * on the block key with a bounded (≤ n_mips per key) containment
+    * filter — linear in block count, no range-join product.
+    */
+  def ktxParse(spark: SparkSession, dir: String): DataFrame = {
+    val (tsize, channels) = (2L, 2L)
+    val (_, dataBytes) = mipChain(VoxelGrid.Leaf, channels, tsize)
+    val nProbes = 23L // prime vs the 4-byte grain: hits size fields,
+    //  odd data offsets and second bytes of uint16 elements
+    val hdr = ktxHeader(spark, dir)
+    val mipRows = hdr.select(col("bz").as("pbz"), col("by").as("pby"),
+      col("bx").as("pbx"), col("mip"), col("mz"), col("my"), col("mx"),
+      col("mip_bytes"), col("mip_offset"))
+    val probes = hdr.select("bz", "by", "bx", "path", "kv_bytes").distinct()
+      .withColumn("probe", explode(sequence(lit(0L), lit(nProbes - 1))))
+      .withColumn("pos", lit(64L) + col("kv_bytes") +
+        expr(s"(probe * $dataBytes) div $nProbes"))
+    val pad = lit(3L) - (col("mip_bytes") + lit(3L)) % 4
+    val dataStart = col("mip_offset") + lit(4L)
+    val d = col("region") === "data"
+    probes.join(mipRows,
+        col("bz") === col("pbz") && col("by") === col("pby") &&
+          col("bx") === col("pbx") &&
+          col("pos") >= col("mip_offset") &&
+          col("pos") < col("mip_offset") + lit(4L) + col("mip_bytes") + pad)
+      .withColumn("region",
+        when(col("pos") < dataStart, lit("size"))
+          .when(col("pos") < dataStart + col("mip_bytes"), lit("data"))
+          .otherwise(lit("pad")))
+      .withColumn("byte_in_mip", when(d, col("pos") - dataStart).otherwise(lit(-1L)))
+      .withColumn("elem", expr(s"byte_in_mip div $tsize"))
+      .withColumn("sp", expr(s"elem div $channels"))
+      .withColumn("byte_in_elem", when(d, col("byte_in_mip") % tsize).otherwise(lit(-1L)))
+      .withColumn("channel", when(d, col("elem") % channels).otherwise(lit(-1L)))
+      .withColumn("lz", when(d, expr("sp div (mx * my)")).otherwise(lit(-1L)))
+      .withColumn("ly", when(d, expr("(sp div mx) % my")).otherwise(lit(-1L)))
+      .withColumn("lx", when(d, col("sp") % col("mx")).otherwise(lit(-1L)))
+      .withColumn("az", when(d, (col("bz") - 1) * col("mz") + col("lz")).otherwise(lit(-1L)))
+      .withColumn("ay", when(d, (col("by") - 1) * col("my") + col("ly")).otherwise(lit(-1L)))
+      .withColumn("ax", when(d, (col("bx") - 1) * col("mx") + col("lx")).otherwise(lit(-1L)))
+      .select(col("bz"), col("by"), col("bx"), col("path"), col("probe"),
+        col("pos"), col("mip"), col("region"), col("byte_in_mip"),
+        col("byte_in_elem"), col("channel"), col("lz"), col("ly"), col("lx"),
+        col("az"), col("ay"), col("ax"))
+      .orderBy("bz", "by", "bx", "probe")
   }
 
   /** Re-tiling (tiff2octree.py:516 `conv_tiled_tiff`, which rewrites
@@ -228,6 +297,7 @@ object OctreeQueries {
     "oct_transform_aniso" -> (transformAniso _),
     "oct_ktx_name" -> (ktxName _),
     "oct_ktx_header" -> (ktxHeader _),
+    "oct_ktx_parse" -> (ktxParse _),
     "oct_adjust_dims" -> (adjustDims _),
     "oct_retile" -> (retile _),
     "oct_block_geom" -> (blockGeom _),

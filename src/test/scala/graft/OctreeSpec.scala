@@ -120,4 +120,34 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(byLevel === Seq((1L, 1L, 0L), (2L, 8L, 1L), (3L, 64L, 3L)))
   }
+
+  test("ktx parse inverts the write layout byte-for-byte") {
+    // every probe appears exactly once per block (the mip regions
+    // tile the data span with no gap or overlap), and re-encoding a
+    // parsed data byte's (mip, lz, ly, lx, channel, byte_in_elem)
+    // through the WRITE layout lands on the probed position
+    val dir = "/root/testdata/sf0.001"
+    val hdr = OctreeQueries.ktxHeader(spark, dir)
+      .select(col("bz"), col("by"), col("bx"), col("mip"),
+        col("mip_offset"), col("mx"), col("my")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val parsed = OctreeQueries.ktxParse(spark, dir).collect()
+    val perBlock = parsed.groupBy(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perBlock.nonEmpty)
+    perBlock.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("probe")).sorted.toSeq === (0L until 23L))
+    }
+    val dataRows = parsed.filter(_.getAs[String]("region") == "data")
+    assert(dataRows.nonEmpty)
+    dataRows.foreach { r =>
+      val (off, mx, my) = hdr((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("mip")))
+      val sp = (r.getAs[Long]("lz") * my + r.getAs[Long]("ly")) * mx +
+        r.getAs[Long]("lx")
+      val rebuilt = off + 4 + (sp * 2 + r.getAs[Long]("channel")) * 2 +
+        r.getAs[Long]("byte_in_elem")
+      assert(rebuilt === r.getAs[Long]("pos"), s"round-trip failed: $r")
+    }
+  }
 }
