@@ -5,14 +5,17 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{KmvKthHash, Md5PrefixLong, SecondMax}
 
-/** Session-extensions injection of the engine's native functions —
-  * the cluster-wide deployment path: a user adds
+/** Session-extensions injection of the engine's native functions and
+  * planner rules — the cluster-wide deployment path: a user adds
   * `spark.sql.extensions=graft.GraftExtensions` to spark-submit and
   * every session (including plain `spark.sql`) sees
   * `graft_second_max` / `graft_md5_prefix` / `graft_kmv_kth` without
-  * any driver-side registration call.
-  * ([[graft.functions.GraftFunctions.register]] remains as the
-  * idempotent per-session fallback used by the query library itself.)
+  * any driver-side registration call, plus the
+  * [[graft.plans.SecondMaxRewrite]] optimizer rule that rewrites the
+  * naive collect_list+sort second-max idiom to the native bounded
+  * aggregate. ([[graft.functions.GraftFunctions.register]] remains as
+  * the idempotent per-session fallback used by the query library
+  * itself.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -29,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_kmv_kth"),
       info("graft_kmv_kth", classOf[KmvKthHash]),
       (exprs: Seq[Expression]) => graft.functions.GraftFunctions.kmvBuilder(exprs)))
+    // planner seam: rewrite the naive collect_list+sort second-max
+    // idiom to the native two-slot aggregate (see SecondMaxRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)
   }
 }

@@ -547,6 +547,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("injected optimizer rule rewrites naive second-max SQL to the native aggregate") {
+    val active = SparkSession.getActiveSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-rule-spec")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val df = s2.sql(
+        """SELECT g, try_element_at(sort_array(collect_list(x), false), 2) AS m2
+          |FROM VALUES (1, 5L), (1, 9L), (1, 9L), (2, 3L) t(g, x)
+          |GROUP BY g""".stripMargin)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_second_max"), s"rule did not fire:\n$opt")
+      assert(!opt.contains("collect_list"), s"naive aggregate survived:\n$opt")
+      // bounded two-long buffer keeps the agg in codegen'd HashAggregate
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("HashAggregate") && !phys.contains("ObjectHashAggregate"))
+      val got = df.collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got(1) === 9L, "duplicates count separately")
+      assert(got(2) === -1L, "1-element group is null (try_element_at semantics)")
+      // ANSI [1] indexing THROWS on short groups — must NOT be rewritten
+      // to the total (null-yielding) aggregate
+      val ansi = s2.sql(
+        """SELECT g, sort_array(collect_list(x), false)[1] AS m2
+          |FROM VALUES (1, 5L), (1, 9L) t(g, x) GROUP BY g""".stripMargin)
+      assert(ansi.queryExecution.optimizedPlan.toString.contains("collect_list"))
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      active.foreach { a =>
+        SparkSession.setActiveSession(a); SparkSession.setDefaultSession(a)
+      }
+    }
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
