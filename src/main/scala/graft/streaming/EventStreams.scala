@@ -223,6 +223,42 @@ object EventStreams {
     spark.table(sink).orderBy("key")
   }
 
+  /** The watermark-bounded dedup DAG: event-time watermark →
+    * `dropDuplicatesWithinWatermark` on (user_id, event_type) → key
+    * projection. Factored out so specs can drive it trigger-by-trigger
+    * (the key projection AFTER the dedup keeps the emitted set
+    * deterministic regardless of which duplicate arrived first).
+    */
+  def dedupWmStream(ds: Dataset[Ev]): DataFrame =
+    ds.withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** stream_dedup_wm — watermark-BOUNDED streaming deduplication:
+    * unlike [[dedup]] (state grows with every key ever seen —
+    * documented as unbounded), `dropDuplicatesWithinWatermark` drops
+    * a key's state row once the watermark passes its event time +
+    * delay, so an endless stream keeps O(keys within the watermark
+    * window) state. Duplicates inside the window are suppressed
+    * exactly; a key recurring after eviction is re-emitted — the
+    * documented contract, asserted trigger-by-trigger in the spec.
+    * On the driver's single-batch drain the watermark never advances
+    * mid-batch, so nothing evicts and the output is the exact
+    * distinct (user_id, event_type) set.
+    */
+  def dedupWm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val sink = sinkName("stream_dedup_wm")
+    val q = dedupWmStream(input.toDS()).writeStream.format("memory")
+      .queryName(sink).outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("user_id", "event_type")
+  }
+
   /** stream_kmv — the KMV distinct-user sketch as a streaming
     * aggregation: [[graft.functions.KmvKthHash]] runs inside the
     * streaming aggregation state store (its bounded TreeSet buffer
@@ -258,7 +294,9 @@ object EventStreams {
     * stream: the rule-flag and mask projections are stateless
     * scan-side transforms (identical code path batch or stream), and
     * the exact dedup is state-store `dropDuplicates` on the masked
-    * content hash. Emits the distinct cleaned-content key set.
+    * content hash (unbounded keys — an unbounded deployment swaps in
+    * the [[dedupWmStream]] watermark-bounded variant once documents
+    * carry an event time). Emits the distinct cleaned-content key set.
     */
   def clean(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -283,6 +321,7 @@ object EventStreams {
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
+    "stream_dedup_wm" -> (dedupWm _),
     "stream_kmv" -> (kmvStream _),
     "stream_clean" -> (clean _)
   )
@@ -309,6 +348,9 @@ object EventStreams {
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT md5(text) AS key FROM documents ORDER BY key",
+    "stream_dedup_wm" ->
+      """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin,
     "stream_tumbling" ->
       """WITH e AS (
         |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,

@@ -146,6 +146,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(8L, 1000000L, 2L, 10L)))
   }
 
+  test("stream_dedup_wm suppresses in-window dups, evicts state, re-admits after eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams.{Ev, dedupWmStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = dedupWmStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_wm_trigger_spec")
+      .outputMode(OutputMode.Append()).start()
+    def sink = spark.table("dedup_wm_trigger_spec")
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    def key9 = sink.filter("user_id = 9 AND event_type = 'view'").count()
+
+    // T1: three in-window occurrences of (9, view) → ONE emission
+    input.addData(Ev(1, 9, 1000, 10, "view"), Ev(2, 9, 1400, 10, "view"),
+      Ev(3, 9, 2000, 10, "view"))
+    q.processAllAvailable()
+    assert(key9 === 1L, "in-window duplicates must collapse to one row")
+    assert(stateRows === 1L)
+
+    // T2: far-future key advances the watermark past (9, view)'s
+    // expiration; T3 lets the eviction run with that watermark
+    input.addData(Ev(10, 8, 1000000, 5, "click"))
+    q.processAllAvailable()
+    input.addData(Ev(11, 8, 1000010, 5, "click"))
+    q.processAllAvailable()
+    assert(stateRows === 1L, "expired key must leave the state store")
+
+    // T4: (9, view) recurs after eviction → re-emitted (the documented
+    // within-watermark contract; state was dropped, so it's new again)
+    input.addData(Ev(12, 9, 1000020, 7, "view"))
+    q.processAllAvailable()
+    q.stop()
+    assert(key9 === 2L, "post-eviction recurrence must re-emit")
+  }
+
   test("sessionsOf splits on the strict 30-min gap boundary") {
     import EventStreams._
     val evs = Seq(
