@@ -35,14 +35,14 @@ object Addressing {
   def blockify(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
     require((leaf & (leaf - 1)) == 0, "leaf edge must be a power of two")
     val sh = java.lang.Long.numberOfTrailingZeros(leaf.toLong).toInt
-    voxels.select(
-      col("c"), col("z"), col("y"), col("x"), col("v"),
+    // pass extra columns (e.g. a pyramid `level`) through unchanged
+    voxels.select(voxels.columns.map(col).toIndexedSeq ++ Seq(
       (shiftright(col("z"), sh) + 1).as("bz"),
       (shiftright(col("y"), sh) + 1).as("by"),
       (shiftright(col("x"), sh) + 1).as("bx"),
       (col("z") % leaf).as("lz"),
       (col("y") % leaf).as("ly"),
-      (col("x") % leaf).as("lx"))
+      (col("x") % leaf).as("lx")): _*)
   }
 
   /** Occupied blocks at full resolution with their octant paths. */
@@ -246,13 +246,22 @@ object Pyramid {
   /** Per-block channel statistics (ktx_from_rendered_tiff.py:223):
     * voxel count, zero fraction vs the dense leaf volume, min/max/sum.
     */
-  def blockStats(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
+  def blockStats(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame =
+    statsOfBlocked(Addressing.blockify(voxels, leaf), leaf)
+      .orderBy("c", "bz", "by", "bx")
+
+  /** The aggregation stage of [[blockStats]] over an
+    * already-blockified frame: grouping on the STORED block key, so
+    * over a persisted bucketed-by-(bz,by,bx) layout it plans with no
+    * Exchange at all (VolumeSourceSpec asserts this) — the write-once
+    * bucketing shuffle amortized across every later block op.
+    */
+  def statsOfBlocked(blocked: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
     val dense = leaf.toLong * leaf * leaf
-    Addressing.blockify(voxels, leaf)
+    blocked
       .groupBy("c", "bz", "by", "bx")
       .agg(count(lit(1)).as("n_voxels"), min("v").as("min_v"),
         max("v").as("max_v"), sum("v").as("sum_v"))
       .withColumn("zero_frac", (lit(dense) - col("n_voxels")) / lit(dense.toDouble))
-      .orderBy("c", "bz", "by", "bx")
   }
 }

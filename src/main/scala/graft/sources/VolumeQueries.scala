@@ -49,6 +49,22 @@ object VolumeQueries {
   def readLevel(spark: SparkSession, path: String, level: Int): DataFrame =
     spark.read.parquet(path).filter(col("level") === level)
 
+  /** Bucketed pyramid sink — SURVEY §3's persist-and-prune layout in
+    * full: each level blockified so the block key is STORED, then
+    * written partitioned by (level, c) — level/channel readers are
+    * partition-pruned directory scans — AND bucketed+sorted on
+    * (bz, by, bx), so per-block aggregations over a read-back level
+    * ([[graft.octree.Pyramid.statsOfBlocked]]) reuse the bucket
+    * layout and plan with no Exchange. One shuffle at write time,
+    * zero on every later block op.
+    */
+  def writePyramidBucketed(pyramid: DataFrame, table: String,
+      leaf: Int = graft.VoxelGrid.Leaf, buckets: Int = 8): Unit =
+    graft.octree.Addressing.blockify(pyramid, leaf)
+      .write.partitionBy("level", "c")
+      .bucketBy(buckets, "bz", "by", "bx").sortBy("bz", "by", "bx")
+      .mode(SaveMode.Overwrite).saveAsTable(table)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),

@@ -77,6 +77,32 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lvl1.select("level").distinct().collect().map(_.get(0).toString).toSeq === Seq("1"))
   }
 
+  test("bucketed pyramid store: level read partition-pruned, block stats plan zero Exchange") {
+    val pyr = graft.octree.Pyramid(VolumeGridFixture(spark))
+    spark.sql("DROP TABLE IF EXISTS pyr_bkt_spec")
+    try {
+      VolumeQueries.writePyramidBucketed(pyr, "pyr_bkt_spec")
+      val lvl = spark.table("pyr_bkt_spec")
+        .filter(col("level") === 3 && col("c") === 0)
+      // the level/channel predicates prune partitions at the scan
+      val scanPlan = lvl.queryExecution.executedPlan.toString
+      assert(scanPlan.contains("PartitionFilters: ["), scanPlan)
+      assert(scanPlan.contains("(level"),
+        s"level predicate not a partition filter:\n$scanPlan")
+      // per-block aggregation over the stored, bucketed block key:
+      // the bucket layout satisfies the grouping distribution — no
+      // shuffle anywhere in the plan
+      val stats = graft.octree.Pyramid.statsOfBlocked(lvl)
+      val plan = stats.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed block stats still shuffles:\n$plan")
+      // and it computes exactly what the derive-and-shuffle path does
+      val expected = graft.octree.Pyramid.blockStats(VolumeGridFixture(spark))
+        .collect().map(_.toSeq).toSet
+      assert(stats.select("c", "bz", "by", "bx", "n_voxels", "min_v", "max_v",
+          "sum_v", "zero_frac").collect().map(_.toSeq).toSet === expected)
+    } finally spark.sql("DROP TABLE IF EXISTS pyr_bkt_spec")
+  }
+
   private object VolumeGridFixture {
     def apply(spark: SparkSession) = {
       import spark.implicits._
