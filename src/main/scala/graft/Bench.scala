@@ -19,13 +19,17 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_join", "q7_nations", "q17_avg_qty", "q10_returns",
     "q_window", "q_sessionize", "q_tumbling", "q_asof",
+    "q_pivot", "q_corr", "q_json_extract",
     "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
+    "oct_ktx_parse",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_cluster",
     "text_quality", "text_fingerprint", "text_ngrams",
     "text_filter", "text_pii_mask", "text_rep_ngram", "text_line_dedup",
-    "sample_stratified",
+    "text_vocab", "text_encode",
+    "sample_stratified", "stats_length_deciles",
     "agg_kmv_distinct", "embed_quantize", "dedup_decontaminate", "pipeline_clean",
-    "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans", "q_json_extract",
+    "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans", "sim_pairs_thresh",
     "mm_meta_extract")
 
   def main(args: Array[String]): Unit = {

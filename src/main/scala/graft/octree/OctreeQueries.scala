@@ -189,31 +189,26 @@ object OctreeQueries {
     * voxel coordinates. The exact inverse of [[ktxHeader]]'s write
     * layout, joinable back to it on (bz, by, bx, mip).
     *
-    * Scale shape: the probe frame equi-joins the per-block mip rows
-    * on the block key with a bounded (≤ n_mips per key) containment
-    * filter — linear in block count, no range-join product.
+    * Scale shape: ONE scan, zero joins — the mip regions tile each
+    * file's data span, so exploding the probe sequence on the
+    * per-(block, mip) header rows and keeping the (exactly one)
+    * containing region yields each probe once; everything after is
+    * scan-side integer arithmetic.
     */
   def ktxParse(spark: SparkSession, dir: String): DataFrame = {
     val (tsize, channels) = (2L, 2L)
     val (_, dataBytes) = mipChain(VoxelGrid.Leaf, channels, tsize)
     val nProbes = 23L // prime vs the 4-byte grain: hits size fields,
     //  odd data offsets and second bytes of uint16 elements
-    val hdr = ktxHeader(spark, dir)
-    val mipRows = hdr.select(col("bz").as("pbz"), col("by").as("pby"),
-      col("bx").as("pbx"), col("mip"), col("mz"), col("my"), col("mx"),
-      col("mip_bytes"), col("mip_offset"))
-    val probes = hdr.select("bz", "by", "bx", "path", "kv_bytes").distinct()
-      .withColumn("probe", explode(sequence(lit(0L), lit(nProbes - 1))))
-      .withColumn("pos", lit(64L) + col("kv_bytes") +
-        expr(s"(probe * $dataBytes) div $nProbes"))
     val pad = lit(3L) - (col("mip_bytes") + lit(3L)) % 4
     val dataStart = col("mip_offset") + lit(4L)
     val d = col("region") === "data"
-    probes.join(mipRows,
-        col("bz") === col("pbz") && col("by") === col("pby") &&
-          col("bx") === col("pbx") &&
-          col("pos") >= col("mip_offset") &&
-          col("pos") < col("mip_offset") + lit(4L) + col("mip_bytes") + pad)
+    ktxHeader(spark, dir)
+      .withColumn("probe", explode(sequence(lit(0L), lit(nProbes - 1))))
+      .withColumn("pos", lit(64L) + col("kv_bytes") +
+        expr(s"(probe * $dataBytes) div $nProbes"))
+      .filter(col("pos") >= col("mip_offset") &&
+        col("pos") < col("mip_offset") + lit(4L) + col("mip_bytes") + pad)
       .withColumn("region",
         when(col("pos") < dataStart, lit("size"))
           .when(col("pos") < dataStart + col("mip_bytes"), lit("data"))

@@ -35,7 +35,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("single-scan operators stay single-scan") {
     Seq("text_filter", "text_rep_ngram", "agg_kmv_distinct",
-      "embed_quantize", "pipeline_clean").foreach { n =>
+      "embed_quantize", "pipeline_clean", "oct_ktx_parse").foreach { n =>
       assert(scans(formatted(n)) === 1, s"$n grew extra scans")
     }
   }
