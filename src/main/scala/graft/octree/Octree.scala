@@ -34,6 +34,10 @@ object Addressing {
     */
   def blockify(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
     require((leaf & (leaf - 1)) == 0, "leaf edge must be a power of two")
+    val dup = voxels.columns.toSeq
+      .intersect(Seq("bz", "by", "bx", "lz", "ly", "lx"))
+    require(dup.isEmpty,
+      s"blockify input already carries block columns: ${dup.mkString(",")}")
     val sh = java.lang.Long.numberOfTrailingZeros(leaf.toLong).toInt
     // pass extra columns (e.g. a pyramid `level`) through unchanged
     voxels.select(voxels.columns.map(col).toIndexedSeq ++ Seq(
@@ -258,8 +262,12 @@ object Pyramid {
     */
   def statsOfBlocked(blocked: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
     val dense = leaf.toLong * leaf * leaf
+    // a multi-level frame (unfiltered read of a persisted pyramid)
+    // must not merge pyramid levels into one block
+    val keys = (if (blocked.columns.contains("level")) Seq("level") else Nil) ++
+      Seq("c", "bz", "by", "bx")
     blocked
-      .groupBy("c", "bz", "by", "bx")
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_voxels"), min("v").as("min_v"),
         max("v").as("max_v"), sum("v").as("sum_v"))
       .withColumn("zero_frac", (lit(dense) - col("n_voxels")) / lit(dense.toDouble))

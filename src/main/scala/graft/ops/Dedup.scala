@@ -242,8 +242,10 @@ object Dedup {
     * `maxRounds` as a shallow one. At fixpoint every component is a
     * star centered on its minimum id. Per round: two grouped
     * aggregations + two equi-joins, `localCheckpoint` truncating the
-    * lineage; convergence is an edge-set (count, order-independent
-    * hash-sum) fixpoint — one tiny driver fetch per round.
+    * lineage; convergence is an EXACT edge-set fixpoint (equal count
+    * + empty set difference — both on already-checkpointed frames, so
+    * each is one cheap action per round, same cost class as the old
+    * changed-label count).
     */
   private[graft] def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       maxRounds: Int = 25): DataFrame = {
@@ -252,15 +254,8 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    // (count, xor-of-hashes): an order-independent, overflow-free
-    // edge-set fingerprint (edges are distinct, so xor can't cancel)
-    def sigOf(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var sig = sigOf(edges)
-    var converged = sig._1 == 0L
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       // large-star: for every node u, each neighbor v > u links to m(u)
@@ -277,19 +272,24 @@ object Dedup {
         .filter(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
         .distinct().localCheckpoint()
-      val nextSig = sigOf(ss)
-      converged = nextSig == sig
-      sig = nextSig
+      // exact fixpoint: same cardinality and no edge in ss \ edges
+      // (both distinct sets, so that implies set equality)
+      val nNext = ss.count()
+      converged = nNext == nEdges && ss.except(edges).isEmpty
+      nEdges = nNext
       edges = ss
       rounds += 1
     }
     require(converged, s"star contraction did not converge in $rounds rounds")
     // fixpoint edges are stars: every non-root points at its component
-    // minimum; roots and isolated vertices label themselves
+    // minimum; roots and isolated vertices label themselves. The
+    // groupBy also collapses duplicate vertex ids (a duplicated input
+    // row must not inflate cluster sizes).
     val roots = edges.groupBy("u").agg(min("v").as("lbl"))
       .select(col("u").as("doc_id"), col("lbl"))
     val labels = vertices.join(roots, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("lbl"), col("doc_id"))).as("lbl"))
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))

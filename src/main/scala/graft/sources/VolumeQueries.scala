@@ -61,6 +61,12 @@ object VolumeQueries {
   def writePyramidBucketed(pyramid: DataFrame, table: String,
       leaf: Int = graft.VoxelGrid.Leaf, buckets: Int = 8): Unit =
     graft.octree.Addressing.blockify(pyramid, leaf)
+      // THE one write-time shuffle: repartition on the bucket hash
+      // (same Murmur3 family bucketBy files by), so each task holds
+      // exactly one bucket id and each (level, c) directory gets
+      // `buckets` files — without it every upstream task writes its
+      // own file per bucket per directory
+      .repartition(buckets, col("bz"), col("by"), col("bx"))
       .write.partitionBy("level", "c")
       .bucketBy(buckets, "bz", "by", "bx").sortBy("bz", "by", "bx")
       .mode(SaveMode.Overwrite).saveAsTable(table)
