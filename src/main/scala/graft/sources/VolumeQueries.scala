@@ -71,13 +71,34 @@ object VolumeQueries {
       .bucketBy(buckets, "bz", "by", "bx").sortBy("bz", "by", "bx")
       .mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** src_pyramid_sink — the pyramid sink as its own ORACLE row: build
+    * the pyramid, write it through the (level, c)-partitioned store,
+    * read every level back through the store reader and return the
+    * voxels. The DuckDB oracle recomputes the pyramid directly from
+    * the base tables, so any round-trip corruption — lost rows,
+    * partition-column type drift, level mixing — hash-mismatches.
+    */
+  def pyramidSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pyr_sink").toString
+    writePyramid(graft.octree.Pyramid(graft.VoxelGrid(spark, dir)), tmp)
+    spark.read.parquet(tmp)
+      .select(col("level").cast("long").as("level"),
+        col("c").cast("long").as("c"), col("z"), col("y"), col("x"), col("v"))
+      .orderBy("level", "c", "z", "y", "x")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),
-    "src_volume_levels" -> (volumeLevels _)
+    "src_volume_levels" -> (volumeLevels _),
+    "src_pyramid_sink" -> (pyramidSink _)
   )
 
   val oracles: Map[String, String] = Map(
+    // round-trip identity: the sink read-back must equal the pyramid
+    // recomputed from scratch — same independent derivation as the
+    // oct_pyramid row
+    "src_pyramid_sink" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     "src_volume_scan" ->
       """WITH g AS (
         |  SELECT zz.z, yy.y, xx.x,

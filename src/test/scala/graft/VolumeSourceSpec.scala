@@ -95,6 +95,17 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val stats = graft.octree.Pyramid.statsOfBlocked(lvl)
       val plan = stats.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed block stats still shuffles:\n$plan")
+      // the pre-write repartition aligns tasks to bucket ids: each
+      // (level, c) directory holds at most `buckets` data files
+      val warehouse = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val dirs = new java.io.File(warehouse, "pyr_bkt_spec").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      assert(dirs.nonEmpty)
+      dirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length <= 8, s"${d.getName}: ${files.length} bucket files")
+      }
       // and it computes exactly what the derive-and-shuffle path does
       val expected = graft.octree.Pyramid.blockStats(VolumeGridFixture(spark))
         .collect().map(_.toSeq).toSet
