@@ -12,25 +12,37 @@ import org.apache.spark.sql.functions.{col, xxhash64}
   */
 object Bench {
 
-  /** Representative, scale-safe subset: the heavy relational joins,
-    * the octree pyramid + intensity chain, dedup/similarity at their
-    * blocking-join shapes, and the codegen'd text/multimodal scans.
+  /** The full batch registry minus (a) constant-frame trivia whose
+    * outputs don't depend on table data (oct_levels, oct_adjust_dims,
+    * oct_mipmap_dims, oct_transform*, src_volume_levels — they
+    * measure only session overhead) and (b) the streaming entries
+    * (their collect+MemoryStream driver harness would measure the
+    * bounded-drain scaffolding, not the engine).
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_join", "q7_nations", "q17_avg_qty", "q10_returns",
     "q_window", "q_sessionize", "q_tumbling", "q_asof",
     "q_pivot", "q_corr", "q_json_extract",
+    "q_distinct", "q_semijoin", "q_rollup", "q_topk_orders",
     "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
-    "oct_ktx_parse",
-    "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_cluster",
-    "text_quality", "text_fingerprint", "text_ngrams",
-    "text_filter", "text_pii_mask", "text_rep_ngram", "text_line_dedup",
-    "text_vocab", "text_encode",
+    "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
+    "oct_down_linear", "oct_downsample_xy", "oct_percentiles",
+    "oct_intensity_params", "oct_blockify", "oct_path", "oct_empty_prune",
+    "oct_resume", "oct_interleave", "oct_retile", "oct_block_geom",
+    "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
+    "dedup_embed_cluster", "dedup_decontaminate",
+    "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
+    "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
+    "text_line_dedup", "text_vocab", "text_encode",
     "sample_stratified", "stats_length_deciles",
-    "agg_kmv_distinct", "embed_quantize", "dedup_decontaminate", "pipeline_clean",
-    "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans", "sim_pairs_thresh",
-    "mm_meta_extract")
+    "agg_kmv_distinct", "embed_quantize", "pipeline_clean",
+    "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
+    "sim_pairs_thresh",
+    "mm_pack", "mm_meta_extract", "mm_decode_stub", "mm_frame_sample",
+    "mm_resize",
+    "src_volume_scan", "src_pyramid_sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
