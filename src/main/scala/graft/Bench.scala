@@ -29,6 +29,7 @@ object Bench {
     "oct_down_linear", "oct_downsample_xy", "oct_percentiles",
     "oct_intensity_params", "oct_blockify", "oct_path", "oct_empty_prune",
     "oct_resume", "oct_interleave", "oct_retile", "oct_block_geom",
+    "oct_block_geom_aniso",
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
@@ -42,7 +43,7 @@ object Bench {
     "sim_pairs_thresh",
     "mm_pack", "mm_meta_extract", "mm_decode_stub", "mm_frame_sample",
     "mm_resize",
-    "src_volume_scan", "src_pyramid_sink")
+    "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -63,9 +63,9 @@ object VolumeQueries {
     graft.octree.Addressing.blockify(pyramid, leaf)
       // THE one write-time shuffle: repartition on the bucket hash
       // (same Murmur3 family bucketBy files by), so each task holds
-      // exactly one bucket id and each (level, c) directory gets
-      // `buckets` files — without it every upstream task writes its
-      // own file per bucket per directory
+      // exactly one bucket id and each (level, c) directory gets one
+      // file per occupied bucket (≤ buckets) — without it every
+      // upstream task writes its own file per bucket per directory
       .repartition(buckets, col("bz"), col("by"), col("bx"))
       .write.partitionBy("level", "c")
       .bucketBy(buckets, "bz", "by", "bx").sortBy("bz", "by", "bx")
@@ -79,7 +79,13 @@ object VolumeQueries {
     * partition-column type drift, level mixing — hash-mismatches.
     */
   def pyramidSink(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pyr_sink").toString
+    // fixed per-process path on tmpfs, Overwrite mode: repeated runs
+    // (best-of-4 bench, verify) reuse one directory instead of
+    // leaking a pyramid copy per call onto the stall-prone disk
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_pyr_sink_${ProcessHandle.current().pid()}"
     writePyramid(graft.octree.Pyramid(graft.VoxelGrid(spark, dir)), tmp)
     spark.read.parquet(tmp)
       .select(col("level").cast("long").as("level"),

@@ -78,7 +78,16 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bucketed pyramid store: level read partition-pruned, block stats plan zero Exchange") {
-    val pyr = graft.octree.Pyramid(VolumeGridFixture(spark))
+    // 8-cube, 2-channel fixture: full-res level spans 8 blocks, so
+    // rows hash to MULTIPLE bucket ids and the file-count assertion
+    // below actually exercises the pre-write repartition (a 1-block
+    // fixture passes trivially with or without it)
+    val wide = {
+      import spark.implicits._
+      (for (c <- 0L until 2L; z <- 0L until 8L; y <- 0L until 8L; x <- 0L until 8L)
+        yield (c, z, y, x, z * 64 + y * 8 + x + 1)).toDF("c", "z", "y", "x", "v")
+    }
+    val pyr = graft.octree.Pyramid(wide)
     spark.sql("DROP TABLE IF EXISTS pyr_bkt_spec")
     try {
       VolumeQueries.writePyramidBucketed(pyr, "pyr_bkt_spec")
@@ -96,18 +105,32 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val plan = stats.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed block stats still shuffles:\n$plan")
       // the pre-write repartition aligns tasks to bucket ids: each
-      // (level, c) directory holds at most `buckets` data files
+      // (level, c) directory holds EXACTLY one file per occupied
+      // bucket (SQL hash() is the same Murmur3 the bucket writer
+      // files by). Without the repartition, every upstream task
+      // holding rows of a bucket writes its own file, so this count
+      // inflates — the multi-block fixture makes that observable.
+      val occupied = spark.table("pyr_bkt_spec")
+        .groupBy("level", "c")
+        .agg(countDistinct(expr("pmod(hash(bz, by, bx), 8)")).as("nbkt"))
+        .collect()
+        .map(r => (r.get(0).toString, r.get(1).toString) -> r.getLong(2)).toMap
+      assert(occupied.values.max > 1, "fixture must span multiple buckets")
       val warehouse = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
       val dirs = new java.io.File(warehouse, "pyr_bkt_spec").listFiles()
         .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
       assert(dirs.nonEmpty)
       dirs.foreach { d =>
+        // d is warehouse/pyr_bkt_spec/level=L/c=C
+        val lv = d.getParentFile.getName.stripPrefix("level=")
+        val ch = d.getName.stripPrefix("c=")
         val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
-        assert(files.length <= 8, s"${d.getName}: ${files.length} bucket files")
+        assert(files.length === occupied((lv, ch)),
+          s"level=$lv/c=$ch: ${files.length} files vs ${occupied((lv, ch))} occupied buckets")
       }
       // and it computes exactly what the derive-and-shuffle path does
-      val expected = graft.octree.Pyramid.blockStats(VolumeGridFixture(spark))
+      val expected = graft.octree.Pyramid.blockStats(wide.filter(col("c") === 0))
         .collect().map(_.toSeq).toSet
       assert(stats.select("c", "bz", "by", "bx", "n_voxels", "min_v", "max_v",
           "sum_v", "zero_frac").collect().map(_.toSeq).toSet === expected)
