@@ -32,7 +32,16 @@ object SparkEntry {
     "q10_returns" -> (Queries.q10Returns _),
     "q_json_extract" -> (Queries.qJsonExtract _),
     "q_pivot" -> (Queries.qPivot _),
-    "q_corr" -> (Queries.qCorr _)
+    "q_corr" -> (Queries.qCorr _),
+    "q4_priority" -> (Queries.q4Priority _),
+    "q6_revenue" -> (Queries.q6Revenue _),
+    "q8_mktshare" -> (Queries.q8Mktshare _),
+    "q9_profit" -> (Queries.q9Profit _),
+    "q13_custdist" -> (Queries.q13Custdist _),
+    "q14_promo" -> (Queries.q14Promo _),
+    "q16_suppcnt" -> (Queries.q16Suppcnt _),
+    "q18_large" -> (Queries.q18Large _),
+    "q19_disjunct" -> (Queries.q19Disjunct _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -254,7 +263,113 @@ object SparkEntry {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |JOIN a ON l_partkey = a.pk
          |WHERE p_brand = 'Brand#1'
-         |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin
+         |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_revenue" ->
+      s"""SELECT CAST(COALESCE(SUM(${C("l_extendedprice*l_discount")}), 0) AS BIGINT) AS revenue_c,
+         |COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q8_mktshare" ->
+      s"""WITH y AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    CAST(SUM(CASE WHEN ns.n_name = 'NATION_1'
+         |      THEN ${C("l_extendedprice*(1.0-l_discount)")} ELSE 0 END) AS BIGINT) AS nation_rev_c,
+         |    ${SUMC("l_extendedprice*(1.0-l_discount)")} AS total_rev_c
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region ON nc.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1)
+         |SELECT o_year, nation_rev_c, total_rev_c,
+         |  CAST(CASE WHEN total_rev_c > 0
+         |    THEN FLOOR(1000000.0 * nation_rev_c / total_rev_c) ELSE 0 END AS BIGINT)
+         |    AS mkt_share_u
+         |FROM y ORDER BY o_year""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |CAST(SUM(CAST(FLOOR((l_extendedprice*(1.0-l_discount)
+        |  - p_retailprice*0.1*l_quantity)*1000) AS BIGINT)) AS BIGINT) AS profit_m,
+        |COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q13_custdist" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo" ->
+      s"""WITH m AS (
+         |  SELECT
+         |    CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN ${C("l_extendedprice*(1.0-l_discount)")} ELSE 0 END), 0) AS BIGINT)
+         |      AS promo_revenue_c,
+         |    CAST(COALESCE(SUM(${C("l_extendedprice*(1.0-l_discount)")}), 0) AS BIGINT)
+         |      AS total_revenue_c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01')
+         |SELECT promo_revenue_c, total_revenue_c,
+         |  CAST(CASE WHEN total_revenue_c > 0
+         |    THEN FLOOR(1000000.0 * promo_revenue_c / total_revenue_c) ELSE 0 END AS BIGINT)
+         |    AS promo_ratio_u
+         |FROM m""".stripMargin,
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${SUMC("l_quantity")} AS sum_qty_c
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING CAST(SUM(${C("l_quantity")}) AS BIGINT) > 21000)
+         |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, o_orderkey,
+         |  epoch_us(o_orderdate) AS odate_us,
+         |  ${C("o_totalprice")} AS totalprice_c, sum_qty_c
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunct" ->
+      s"""SELECT CAST(COALESCE(SUM(${C("l_extendedprice*(1.0-l_discount)")}), 0) AS BIGINT)
+         |  AS revenue_c, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |        AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |        AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
   ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
     graft.streaming.EventStreams.oracles ++ graft.sources.VolumeQueries.oracles
 }

@@ -392,6 +392,202 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q4_priority — order-priority checking: count orders in a quarter
+    * that had at least one line item shipped more than 90 days after
+    * the order date (EXISTS decorrelated to a left-semi join whose
+    * condition carries the non-equi `l_shipdate > o_orderdate + 90d`
+    * residual alongside the order-key equi predicate — one shuffle on
+    * the key, residual evaluated join-side, never a pair product).
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q6_revenue — forecasting-revenue-change: the pure scan query.
+    * Every predicate is a plain column comparison, so all four reach
+    * the parquet reader as PushedFilters and the aggregate sees only
+    * surviving rows — at 100 TB this is a row-group-pruned scan plus
+    * a two-long partial aggregate, zero shuffles of data rows.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(coalesce(sum(cents(col("l_extendedprice") * col("l_discount"))), lit(0L)).as("revenue_c"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q8_mktshare — national market share: NATION_1's share of AMERICA-
+    * region ECONOMY-part revenue per year. The share is emitted as
+    * exact integer numerator/denominator plus a derived micro-ratio:
+    * both engines compute `floor(1000000.0 * num / den)` from the same
+    * two bigints through the same IEEE ops, so the float never crosses
+    * an engine boundary unrounded. Nation/region broadcast (bounded);
+    * part/customer/supplier unhinted (linear in sf — AQE decides).
+    */
+  def q8Mktshare(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "AMERICA")
+    val nc = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val ns = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    Tables(spark, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_1", rev).otherwise(0L)).as("nation_rev_c"),
+        sum(rev).as("total_rev_c"))
+      .withColumn("mkt_share_u",
+        when(col("total_rev_c") > 0,
+          floor(lit(1000000.0) * col("nation_rev_c") / col("total_rev_c")).cast("long"))
+          .otherwise(0L))
+      .orderBy(col("o_year"))
+  }
+
+  /** q9_profit — product-type profit by supplier nation and year:
+    * profit = revenue − 10% of retail price × quantity, floored to
+    * exact integer milli-units per row BEFORE summing (the double
+    * expression is identical in both engines; the sum is then an
+    * order-independent bigint). Part filter is a substring match —
+    * pushed as a parquet StringContains filter.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").filter(col("p_name").contains("widget"))
+    val n = Tables(spark, dir, "nation")
+    val amountM = floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * lit(0.1) * col("l_quantity")) * 1000).cast("long")
+    Tables(spark, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amountM).as("profit_m"), count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q13_custdist — customer order-count distribution: left outer join
+    * (customers with zero qualifying orders count as c_count=0), one
+    * shuffle per aggregation level; the second groupBy's key domain is
+    * tiny (max orders per customer), so the distribution aggregate is
+    * a near-free second shuffle.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"))
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q14_promo — promotion-revenue share for one ship month: join to
+    * part (unhinted — part scales with sf), conditional aggregation,
+    * ratio emitted as exact numerator/denominator plus the derived
+    * micro-ratio (same IEEE chain both engines, see [[q8Mktshare]]).
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(coalesce(sum(when(col("p_type") === "PROMO", rev).otherwise(0L)), lit(0L))
+          .as("promo_revenue_c"),
+        coalesce(sum(rev), lit(0L)).as("total_revenue_c"))
+      .withColumn("promo_ratio_u",
+        when(col("total_revenue_c") > 0,
+          floor(lit(1000000.0) * col("promo_revenue_c") / col("total_revenue_c")).cast("long"))
+          .otherwise(0L))
+  }
+
+  /** q16_suppcnt — supplier-count per part attribute (partsupp-free
+    * adaptation: supplier relationships observed from lineitem).
+    * count_distinct(l_suppkey) per (brand, type, size) after excluding
+    * one brand and restricting sizes — the distinct aggregate expands
+    * to a two-phase (partial-distinct, merge) plan, no row explosion.
+    */
+  def q16Suppcnt(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29).map(lit(_))
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(sizes: _*))
+    Tables(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q18_large — large-volume orders: per-order quantity aggregate
+    * (map-side combined on the fact's natural key), threshold filter,
+    * then decorate with orders/customer. The aggregate-then-join order
+    * means only qualifying orders (a tiny fraction) reach the joins,
+    * and AQE sees their runtime size — at 100× the big-order slice is
+    * broadcast-able even though lineitem is not.
+    */
+  def q18Large(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > 21000)
+    big.join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("o_orderkey"), epochUs(col("o_orderdate")).as("odate_us"),
+        cents(col("o_totalprice")).as("totalprice_c"), col("sum_qty_c"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q19_disjunct — disjunctive-predicate join: three OR'd
+    * brand/size/quantity arms. Catalyst extracts the common
+    * `l_partkey = p_partkey` equi key, keeps the disjunction as a
+    * join residual, and pushes the arm-independent bounds
+    * (`p_size >= 1`, quantity envelope) to the scans — the pattern
+    * that turns a "can't-push OR" query into a pruned scan + single
+    * hash join. Part is unhinted (linear in sf).
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val l = Tables(spark, dir, "lineitem")
+    val arm1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity") >= 1 && col("l_quantity") <= 11
+    val arm2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+      col("l_quantity") >= 10 && col("l_quantity") <= 20
+    val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+      col("l_quantity") >= 20 && col("l_quantity") <= 30
+    l.join(p, col("l_partkey") === col("p_partkey") && (arm1 || arm2 || arm3))
+      .agg(coalesce(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), lit(0L))
+          .as("revenue_c"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")

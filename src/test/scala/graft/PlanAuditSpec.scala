@@ -74,4 +74,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p10 = formatted("q10_returns")
     assert(p10.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed")
   }
+
+  test("q6 pushes all four predicates to the lineitem scan") {
+    val p = formatted("q6_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(p.contains("LessThan(l_shipdate"), "shipdate upper bound not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), "discount bound not pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity bound not pushed")
+    // scan-and-aggregate only: no shuffle of data rows, just the
+    // two-long partial aggregate exchange
+    assert(scans(p) === 1)
+  }
+
+  test("q19's OR arms keep the equi hash join (no nested loop) and push the size envelope") {
+    val p = formatted("q19_disjunct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "disjunctive join degenerated to a pair product")
+    // the arm-independent bound p_size >= 1 is extractable from the
+    // disjunction and must reach the part scan
+    assert(p.contains("GreaterThanOrEqual(p_size,1)"), "common size bound not pushed")
+    // the whole brand/size disjunction is pushable leaf-wise and must
+    // reach the part scan as an Or(...) PushedFilter
+    assert(p.contains("EqualTo(p_brand,Brand#1)"), "brand/size Or-filter not pushed")
+    // and the quantity envelope must prune the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), "quantity envelope not pushed")
+  }
+
+  test("q18 aggregates lineitem before joining (only big orders reach the joins)") {
+    val p = formatted("q18_large")
+    // the per-order HashAggregate must sit BELOW the decorate joins.
+    // FormattedMode prints root-first, so a child aggregate appears
+    // AFTER the join that consumes it; the bad plan (join everything,
+    // aggregate at the top) would print the aggregate first.
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      "per-order aggregate is not below the decorate joins")
+  }
 }

@@ -104,6 +104,71 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perUser === 0)
   }
 
+  test("q13 distribution accounts for every customer exactly once") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val dist = Queries.q13Custdist(spark, dir)
+    val total = dist.agg(sum(col("custdist"))).collect()(0).getLong(0)
+    assert(total === Tables(spark, dir, "customer").count())
+    // the zero stratum must equal the anti-join count (customers with
+    // no non-urgent orders) — 0 rows at small sf is fine, a dropped
+    // left side is not
+    val o = Tables(spark, dir, "orders").filter("o_orderpriority <> '1-URGENT'")
+    val none = Tables(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    val zeroStratum = dist.filter("c_count = 0").collect()
+      .headOption.map(_.getAs[Long]("custdist")).getOrElse(0L)
+    assert(zeroStratum === none)
+  }
+
+  test("q14 ratio is the exact floor of the integer pair; arms within bounds") {
+    val r = Queries.q14Promo(spark, dir).collect()(0)
+    val promo = r.getAs[Long]("promo_revenue_c")
+    val total = r.getAs[Long]("total_revenue_c")
+    val ratio = r.getAs[Long]("promo_ratio_u")
+    assert(promo >= 0 && promo <= total)
+    assert(ratio === math.floor(1000000.0 * promo / total).toLong)
+  }
+
+  test("q18 rows really exceed the quantity threshold and order sanely") {
+    val rows = Queries.q18Large(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("sum_qty_c") > 21000))
+    val prices = rows.map(_.getAs[Long]("totalprice_c"))
+    assert(prices.sameElements(prices.sortBy(-(_: Long))))
+  }
+
+  test("q19 matches a direct filter-after-join re-derivation") {
+    import org.apache.spark.sql.functions.col
+    val got = Queries.q19Disjunct(spark, dir).collect()(0)
+    // third opinion: plain inner join then a WHERE over the joined frame
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val joined = l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30))
+    assert(got.getAs[Long]("n_items") === joined.count())
+  }
+
+  test("q4 semi-join counts each order once regardless of late-line multiplicity") {
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val n = Queries.q4Priority(spark, dir)
+      .agg(sum(col("n_orders"))).collect()(0).getLong(0)
+    // distinct qualifying orders, re-derived without the semi join
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < org.apache.spark.sql.functions.lit("1996-10-01").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+    val direct = o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(n === direct)
+  }
+
   test("rollup contains per-nation, per-region and grand-total strata") {
     val gids = Queries.qRollup(spark, dir).select("gid").distinct()
       .collect().map(_.getLong(0)).toSet
