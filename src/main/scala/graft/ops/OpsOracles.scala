@@ -389,6 +389,23 @@ object OpsOracles {
          |  CAST(CASE WHEN n_2grams > 0 THEN dup_2grams * 1000 // n_2grams ELSE 0 END AS BIGINT) AS rep2_milli,
          |  CAST(CASE WHEN n_3grams > 0 THEN dup_3grams * 1000 // n_3grams ELSE 0 END AS BIGINT) AS rep3_milli
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_pack" -> {
+      val w = TextAnalysis.WinTokens
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM d)
+         |SELECT doc_id, n_tokens, start_tok,
+         |  CAST(start_tok // $w AS BIGINT) AS first_win,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // $w
+         |       ELSE start_tok // $w END AS BIGINT) AS last_win,
+         |  CAST(CASE WHEN n_tokens > 0
+         |       THEN (start_tok + n_tokens - 1) // $w - start_tok // $w + 1
+         |       ELSE 0 END AS BIGINT) AS n_wins
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
          |CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,

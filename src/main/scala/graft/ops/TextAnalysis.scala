@@ -373,7 +373,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokens per packed training context window for [[pack]]. */
+  val WinTokens = 512
+
+  /** text_pack — sequence packing: documents are concatenated in
+    * doc_id order into an unbroken token stream and cut into
+    * fixed-[[WinTokens]] context windows (the concat-and-chunk step
+    * that turns a cleaned corpus into training sequences). Emits each
+    * document's absolute token offset and the window span it lands in.
+    *
+    * The global token offset is a prefix sum computed at scale with
+    * the classic two-level scan: bucket documents by `doc_id div edge`
+    * (edge ≈ √n so both levels stay ≈√n-sized), aggregate per-bucket
+    * token totals (tiny frame), turn those into bucket base offsets
+    * with a window over the ≈√n-row frame, then broadcast the offsets
+    * back and finish with a window PARTITIONED by bucket — no
+    * single-partition window ever sees the full corpus.
+    */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), expr("cast(size(t) as bigint)").as("n_tokens"))
+    // corpus size for the √n bucket edge (parquet-metadata-cheap count)
+    val n = docs.count()
+    val edge = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    packDf(docs, edge)
+  }
+
+  /** The packing core over a `(doc_id, n_tokens)` frame; `edge` is the
+    * bucket width of the two-level prefix sum — results are identical
+    * for any edge ≥ 1 (spec-asserted), only the level sizes change.
+    */
+  def packDf(docs: DataFrame, edge: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs.withColumn("bkt", expr(s"doc_id div $edge"))
+    val bucketTotals = b.groupBy("bkt").agg(sum(col("n_tokens")).as("bkt_tokens"))
+    // ≈√n rows: a one-partition window here is the tiny level, not the corpus
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("bkt_off", coalesce(sum(col("bkt_tokens")).over(wb), lit(0L)))
+      .select("bkt", "bkt_off")
+    val ww = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("start_tok", col("bkt_off") + coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
+      .withColumn("first_win", expr(s"start_tok div $WinTokens"))
+      // zero-token docs sit AT their offset but span no window
+      .withColumn("last_win",
+        when(col("n_tokens") > 0, expr(s"(start_tok + n_tokens - 1) div $WinTokens"))
+          .otherwise(col("first_win")))
+      .withColumn("n_wins",
+        when(col("n_tokens") > 0, col("last_win") - col("first_win") + 1).otherwise(0L))
+      .select("doc_id", "n_tokens", "start_tok", "first_win", "last_win", "n_wins")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack" -> (pack _),
     "text_line_dedup" -> (lineDedup _),
     "text_vocab" -> (vocab _),
     "text_encode" -> (encode _),

@@ -583,6 +583,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text_pack offsets are the exact serial cumsum; invariant under bucket edge") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.pack(spark, dir).collect()
+    assert(got.nonEmpty)
+    // serial re-derivation: concatenated stream offsets in doc_id order
+    val lens = docs.toSeq.sortBy(_._1).map { case (id, t) => id -> tokens(t).length.toLong }
+    var off = 0L
+    val expected = lens.map { case (id, n) => val s = off; off += n; (id, n, s) }
+    assert(got.length === expected.length)
+    got.sortBy(_.getAs[Long]("doc_id")).zip(expected).foreach {
+      case (row, (id, n, s)) =>
+        assert(row.getAs[Long]("doc_id") === id)
+        assert(row.getAs[Long]("n_tokens") === n, s"doc $id token count")
+        assert(row.getAs[Long]("start_tok") === s, s"doc $id offset")
+        if (n > 0) {
+          val fw = s / TextAnalysis.WinTokens
+          val lw = (s + n - 1) / TextAnalysis.WinTokens
+          assert(row.getAs[Long]("first_win") === fw)
+          assert(row.getAs[Long]("last_win") === lw)
+          assert(row.getAs[Long]("n_wins") === lw - fw + 1)
+        } else assert(row.getAs[Long]("n_wins") === 0L)
+    }
+    // the two-level scan must not depend on the bucket width
+    val base = Tables(spark, dir, "documents")
+      .withColumn("t", expr(TextAnalysis.toksExpr))
+      .select(col("doc_id"), expr("cast(size(t) as bigint)").as("n_tokens"))
+    val e1 = TextAnalysis.packDf(base, 1L).collect().map(_.toSeq)
+    val e7 = TextAnalysis.packDf(base, 7L).collect().map(_.toSeq)
+    assert(e1.toSeq === e7.toSeq, "packing changed with bucket edge")
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
