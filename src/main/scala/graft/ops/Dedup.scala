@@ -342,9 +342,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom filter geometry for [[bloomDecontaminate]]: m bits (power
+    * of two) and two Kirsch-Mitzenmacher positions b₀ = h₁ mod m,
+    * b₁ = (h₁+h₂) mod m from the two shared md5-prefix hashes. In
+    * production m is sized to the benchmark set (~10–15 bits per
+    * element); the point is that m is FIXED by the benchmark, not the
+    * corpus.
+    */
+  val BloomBits = 65536L
+
+  /** dedup_bloom — decontamination through a fixed-size Bloom filter:
+    * the benchmark shingle set is folded into an m-bit filter (≤ m/32
+    * `(word,bits)` rows via one bit_or aggregation; 32-bit words keep
+    * every shift < 63 — DuckDB range-checks `1::BIGINT << 63`), and the training
+    * stream is tested with two broadcast word lookups per shingle —
+    * O(m) memory regardless of benchmark size, no distinct-shingle
+    * shuffle on the test path.
+    *
+    * vs [[decontaminate]]: the exact join ships the benchmark shingle
+    * VALUES (growing with the benchmark); the filter ships m/32 words
+    * — at 100 TB against a large eval suite, the filter is the
+    * pipeline artifact you persist and reuse across corpus shards.
+    * Bloom semantics: no false negatives (every exact hit is a bloom
+    * hit — spec-asserted), deterministic false positives at the
+    * documented rate ((load)² for two probes), identical in both
+    * engines because the bit arithmetic is the same md5-prefix math.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      .withColumn("h1", expr(md5Int("s")))
+      .withColumn("h2", expr(md5Int("concat(s, '!')")))
+      .withColumn("b0", expr(s"h1 % $BloomBits"))
+      .withColumn("b1", expr(s"(h1 + h2) % $BloomBits"))
+    val words = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(array(col("b0"), col("b1"))).as("b"))
+      .select(expr("b div 32").as("w_idx"),
+        expr("shiftleft(1L, cast(b % 32 as int))").as("bit"))
+      .groupBy("w_idx").agg(expr("bit_or(bit)").as("w"))
+    val f0 = words.select(col("w_idx").as("w_idx0"), col("w").as("w0"))
+    val f1 = words.select(col("w_idx").as("w_idx1"), col("w").as("w1"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("w_idx0", expr("b0 div 32"))
+      .withColumn("w_idx1", expr("b1 div 32"))
+      .join(broadcast(f0), Seq("w_idx0"), "left")
+      .join(broadcast(f1), Seq("w_idx1"), "left")
+      .withColumn("hit",
+        (coalesce(expr("w0 & shiftleft(1L, cast(b0 % 32 as int))"), lit(0L)) =!= 0L &&
+          coalesce(expr("w1 & shiftleft(1L, cast(b1 % 32 as int))"), lit(0L)) =!= 0L)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_bloom_hit"))
+      .withColumn("contaminated", (col("n_bloom_hit") >= 3).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_decontaminate" -> (decontaminate _),
+    "dedup_bloom" -> (bloomDecontaminate _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
     "dedup_minhash_pairs" -> (minhashPairs _),

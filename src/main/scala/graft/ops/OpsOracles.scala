@@ -481,6 +481,30 @@ object OpsOracles {
          |  CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST(COALESCE(nh.n_hit, 0) >= 3 AS BIGINT) AS contaminated
          |FROM ns LEFT JOIN nh ON ns.doc_id = nh.doc_id ORDER BY ns.doc_id""".stripMargin,
+    "dedup_bloom" -> {
+      val m = Dedup.BloomBits
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingles) AS s FROM d),
+         |ps AS (SELECT doc_id,
+         |         ${md5Int("s")} % $m AS b0,
+         |         (${md5Int("s")} + ${md5Int("(s || '!')")}) % $m AS b1
+         |       FROM sh),
+         |bw AS (SELECT b // 32 AS w_idx,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) AS w
+         |       FROM (SELECT unnest([b0, b1]) AS b FROM ps WHERE doc_id % 97 = 0)
+         |       GROUP BY 1),
+         |t2 AS (SELECT doc_id,
+         |         CASE WHEN COALESCE(w0.w & (CAST(1 AS BIGINT) << CAST(b0 % 32 AS INT)), 0) <> 0
+         |               AND COALESCE(w1.w & (CAST(1 AS BIGINT) << CAST(b1 % 32 AS INT)), 0) <> 0
+         |         THEN 1 ELSE 0 END AS hit
+         |       FROM (SELECT * FROM ps WHERE doc_id % 97 <> 0) tr
+         |       LEFT JOIN bw w0 ON tr.b0 // 32 = w0.w_idx
+         |       LEFT JOIN bw w1 ON tr.b1 // 32 = w1.w_idx)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(hit) AS BIGINT) AS n_bloom_hit,
+         |  CAST(SUM(hit) >= 3 AS BIGINT) AS contaminated
+         |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS key, COUNT(*) AS n_docs,
         |CAST(MIN(doc_id) AS BIGINT) AS canonical

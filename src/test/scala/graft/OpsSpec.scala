@@ -614,6 +614,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.toSeq === e7.toSeq, "packing changed with bucket edge")
   }
 
+  test("bloom decontamination never misses an exact hit (no false negatives)") {
+    val exact = Dedup.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit"))).toMap
+    val bloom = Dedup.bloomDecontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_bloom_hit"))).toMap
+    assert(bloom.keySet === exact.keySet, "per-doc coverage differs")
+    var fp = 0L; var hits = 0L
+    exact.foreach { case (id, (nSh, nHit)) =>
+      val (bSh, bHit) = bloom(id)
+      assert(bSh === nSh, s"doc $id shingle count")
+      assert(bHit >= nHit, s"doc $id: bloom missed an exact hit")
+      fp += bHit - nHit; hits += nSh
+    }
+    // documented false-positive rate: ~ (load factor)² per probe pair —
+    // at this corpus the filter is lightly loaded; a catastrophic rate
+    // would mean the bit math diverged somewhere
+    assert(fp.toDouble / hits < 0.2, s"false-positive rate ${fp.toDouble / hits}")
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
