@@ -38,7 +38,7 @@ object Bench {
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
-    "text_line_dedup", "text_vocab", "text_encode", "text_pack",
+    "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "sample_stratified", "stats_length_deciles",
     "agg_kmv_distinct", "embed_quantize", "pipeline_clean",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",

@@ -389,6 +389,20 @@ object OpsOracles {
          |  CAST(CASE WHEN n_2grams > 0 THEN dup_2grams * 1000 // n_2grams ELSE 0 END AS BIGINT) AS rep2_milli,
          |  CAST(CASE WHEN n_3grams > 0 THEN dup_3grams * 1000 // n_3grams ELSE 0 END AS BIGINT) AS rep3_milli
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         |nt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, nt.n_tokens,
+         |    CAST(FLOOR(1000000.0 * tf.tf * nn.n / dfq.df / nt.n_tokens) AS BIGINT) AS score_u
+         |  FROM tf JOIN dfq USING (tok) JOIN nt USING (doc_id), nn),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score_u DESC, tok) AS BIGINT) AS rk FROM s)
+         |SELECT doc_id, rk, tok, tf, df, n_tokens, score_u
+         |FROM r WHERE rk <= ${TextAnalysis.TfidfK} ORDER BY doc_id, rk""".stripMargin,
     "text_pack" -> {
       val w = TextAnalysis.WinTokens
       s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),

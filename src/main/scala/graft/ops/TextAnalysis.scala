@@ -373,6 +373,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top terms kept per document by [[tfidf]]. */
+  val TfidfK = 5
+
+  /** text_tfidf — rarity-weighted top terms per document: tf·idf with
+    * the log-free rational surrogate score tf·N∕(df·len) in micro
+    * units (keeps the whole chain in one float expression written
+    * identically in both engines — `floor(1e6·tf·N/df/len)`; the
+    * inputs are exact bigints, determinism comes from the identical
+    * IEEE op order, the precedent of q8/q14). Exact tf/df/len/N ride
+    * along for downstream re-weighting.
+    *
+    * Shape at 100 TB: ONE tokenize+explode; tf = one (doc,tok)
+    * shuffle; doc length reuses the tf frame through a doc-keyed
+    * window (no rescan); df reuses it through a tok-keyed aggregate
+    * (tf rows are already distinct (doc,tok) — df is a count, not a
+    * count-distinct). The df join is unhinted: token cardinality
+    * scales with the corpus, AQE picks the join side. Top-k per doc
+    * is the WindowGroupLimit-pruned row_number pattern.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val n = docs.count() // parquet-metadata-cheap corpus size
+    val tf = docs
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy("doc_id")
+    val wr = Window.partitionBy("doc_id").orderBy(col("score_u").desc, col("tok"))
+    tf.join(dfTbl, Seq("tok"))
+      .withColumn("n_tokens", sum(col("tf")).over(wd))
+      .withColumn("score_u",
+        floor(lit(1000000.0) * col("tf") * lit(n) / col("df") / col("n_tokens"))
+          .cast("long"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= TfidfK)
+      .select("doc_id", "rk", "tok", "tf", "df", "n_tokens", "score_u")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Tokens per packed training context window for [[pack]]. */
   val WinTokens = 512
 
@@ -430,6 +472,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> (pack _),
+    "text_tfidf" -> (tfidf _),
     "text_line_dedup" -> (lineDedup _),
     "text_vocab" -> (vocab _),
     "text_encode" -> (encode _),

@@ -635,6 +635,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp.toDouble / hits < 0.2, s"false-positive rate ${fp.toDouble / hits}")
   }
 
+  test("tfidf top terms match an independent Scala derivation") {
+    val texts = docs
+    val n = texts.size.toLong
+    val perDoc = texts.map { case (id, t) => id -> tokens(t) }
+    val dfMap = perDoc.values.flatMap(_.distinct).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val expected = perDoc.collect { case (id, toks) if toks.nonEmpty =>
+      val len = toks.length.toLong
+      val scored = toks.groupBy(identity).map { case (tk, occ) =>
+        val tf = occ.size.toLong
+        (tk, tf, math.floor(1000000.0 * tf * n / dfMap(tk) / len).toLong)
+      }.toSeq.sortBy { case (tk, _, s) => (-s, tk) }.take(TextAnalysis.TfidfK)
+      id -> scored
+    }
+    val got = TextAnalysis.tfidf(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rk"))
+        .map(r => (r.getAs[String]("tok"), r.getAs[Long]("tf"),
+          r.getAs[Long]("score_u"))).toSeq).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, exp) =>
+      assert(got(id) === exp, s"doc $id")
+    }
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
