@@ -128,6 +128,61 @@ object EventStreams {
     spark.table(sink).orderBy("bucket_h", "event_type")
   }
 
+  /** stream_sliding — watermarked SLIDING 2-hour windows advancing by
+    * 1 hour: every event lands in exactly two overlapping windows
+    * (Spark expands the window() to the covering set scan-side; the
+    * state store then holds one row per open (window, type) — at any
+    * corpus rate the state is O(windows-in-watermark × types), not
+    * O(events)). Complete mode into the bounded sink; Append once the
+    * watermark passes each window on an unbounded source.
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val agg = input.toDS()
+      .withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value_c")).as("sum_value_c"))
+      .select(floor(unix_timestamp(col("window.start")) / lit(3600.0)).cast("long").as("win_start_h"),
+        col("event_type"), col("cnt"), col("sum_value_c"))
+    val sink = sinkName("stream_sliding")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("win_start_h", "event_type")
+  }
+
+  /** stream_join — stream-static enrichment: the event stream joined
+    * to the STATIC customer dimension (the standard reference-data
+    * decorate; the static side is re-planned per micro-batch, so a
+    * dimension refresh is picked up without restarting the query).
+    * The join itself is stateless — no state store rows at all; the
+    * downstream aggregate holds the only state (O(segments × types)).
+    * Events map to customers by the same deterministic key projection
+    * as the q_asof batch twin.
+    */
+  def joinStatic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_key"), col("c_mktsegment"))
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val agg = input.toDS()
+      .withColumn("c_key", col("user_id") % 100 + 1)
+      .join(cust, Seq("c_key"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value_c")).as("sum_value_c"))
+    val sink = sinkName("stream_join")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("c_mktsegment", "event_type")
+  }
+
   /** stream_session — stateful sessionization with BOUNDED state:
     * per-user group state is only the open session ([[OpenSess]],
     * 4 longs). Closed sessions are emitted the moment a >gap event
@@ -318,6 +373,8 @@ object EventStreams {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sliding" -> (sliding _),
+    "stream_join" -> (joinStatic _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -330,6 +387,25 @@ object EventStreams {
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    "stream_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST((epoch_ns(ts) // 1000000000) // 3600 AS BIGINT) AS h,
+        |    event_type, CAST(FLOOR((value)*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |w AS (
+        |  SELECT h AS win_start_h, event_type, value_c FROM e
+        |  UNION ALL
+        |  SELECT h - 1 AS win_start_h, event_type, value_c FROM e)
+        |SELECT win_start_h, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+        |FROM w GROUP BY win_start_h, event_type
+        |ORDER BY win_start_h, event_type""".stripMargin,
+    "stream_join" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(FLOOR((value)*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events JOIN customer ON c_custkey = user_id % 100 + 1
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "stream_clean" ->
       s"""WITH ${graft.ops.OpsOracles.filterCtes},
          |${graft.ops.OpsOracles.maskCtes}

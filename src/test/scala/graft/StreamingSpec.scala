@@ -1,4 +1,5 @@
 package graft
+// (sliding/join conservation specs at the bottom of this suite)
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
@@ -212,5 +213,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closed4.isEmpty)
     assert(open4 === Some(OpenSess(20000, 20000, 2, 14)),
       "in-allowance late event merges; start key unchanged")
+  }
+
+  test("sliding windows double-count exactly; stream-static join loses no events") {
+    import org.apache.spark.sql.functions._
+    val nEvents = Tables(spark, dir, "events").count()
+    // every event lands in exactly 2 of the 2h/1h sliding windows
+    val slid = graft.streaming.EventStreams.sliding(spark, dir)
+    assert(slid.agg(sum("cnt")).collect()(0).getLong(0) === 2 * nEvents)
+    // and each sliding window is the sum of its two tumbling halves
+    val tumb = graft.streaming.EventStreams.tumbling(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket_h") -> r.getAs[Long]("cnt"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    slid.collect().groupBy(_.getAs[Long]("win_start_h")).foreach { case (h, rows) =>
+      val winCnt = rows.map(_.getAs[Long]("cnt")).sum
+      assert(winCnt === tumb.getOrElse(h, 0L) + tumb.getOrElse(h + 1, 0L),
+        s"window $h is not its two tumbling halves")
+    }
+    // the customer key projection covers every user: inner join keeps all
+    val joined = graft.streaming.EventStreams.joinStatic(spark, dir)
+    assert(joined.agg(sum("cnt")).collect()(0).getLong(0) === nEvents)
   }
 }
