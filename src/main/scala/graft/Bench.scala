@@ -40,7 +40,7 @@ object Bench {
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "sample_stratified", "stats_length_deciles",
-    "agg_kmv_distinct", "embed_quantize", "pipeline_clean",
+    "agg_kmv_distinct", "agg_cms_topk", "embed_quantize", "pipeline_clean",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh",
     "mm_pack", "mm_meta_extract", "mm_decode_stub", "mm_frame_sample",

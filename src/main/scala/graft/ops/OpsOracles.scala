@@ -265,6 +265,27 @@ object OpsOracles {
          |SELECT t.source, t.decile, t.n, t.target_rn, r.len AS len_at
          |FROM t JOIN r ON t.source = r.source AND t.target_rn = r.rn
          |ORDER BY t.source, t.decile""".stripMargin,
+    "agg_cms_topk" -> {
+      val w = Sampling.CmsWidth
+      def h(j: Int) = s"${md5Int(s"(CAST(user_id AS VARCHAR) || '#' || '$j')")} % $w"
+      val unions = (0 until Sampling.CmsDepth)
+        .map(j => s"SELECT $j AS d, ${h(j)} AS idx FROM ev").mkString("\n  UNION ALL ")
+      val joins = (0 until Sampling.CmsDepth)
+        .map(j => s"JOIN cells c$j ON c$j.d = $j AND c$j.idx = ${h(j).replace("user_id", "ex.user_id")}")
+        .mkString("\n")
+      val leastOf = (0 until Sampling.CmsDepth).map(j => s"c$j.cnt").mkString("LEAST(", ", ", ")")
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |cells AS (
+         |  SELECT d, idx, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |  $unions) GROUP BY d, idx),
+         |ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY 1),
+         |j AS (
+         |  SELECT ex.user_id, ex.exact_cnt, $leastOf AS est_cnt
+         |  FROM ex
+         |$joins)
+         |SELECT user_id, exact_cnt, est_cnt FROM j
+         |ORDER BY est_cnt DESC, user_id LIMIT ${Sampling.CmsK}""".stripMargin
+    },
     "agg_kmv_distinct" ->
       s"""WITH uh AS (
          |  SELECT DISTINCT event_type,

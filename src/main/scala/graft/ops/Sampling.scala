@@ -100,9 +100,62 @@ object Sampling {
       .orderBy("source", "decile")
   }
 
+  /** Count-Min Sketch geometry for [[cmsTopk]]: depth (independent
+    * hash rows) × width (counters per row). The sketch is d·w longs
+    * regardless of stream length — like [[kmvDistinct]] for distincts,
+    * this is the fixed-size mergeable summary for FREQUENCIES.
+    */
+  val CmsDepth = 2
+  val CmsWidth = 256
+  /** Heavy hitters reported by [[cmsTopk]]. */
+  val CmsK = 20
+
+  /** agg_cms_topk — heavy hitters through a Count-Min sketch: event
+    * counts per user are folded into a d×w counter grid (ONE groupBy
+    * over (depth, idx) — d·w bounded rows out of any stream length),
+    * then each user's frequency is estimated as the min over depth
+    * rows of its counters, via d broadcast lookups of the tiny sketch.
+    * CMS guarantees est ≥ exact (hash collisions only ever inflate) —
+    * spec-asserted with the exact ride-along — and the sketch is
+    * mergeable across shards/triggers by plain addition.
+    *
+    * At 100 TB: the sketch build is a map-side-combined aggregation to
+    * d·w cells; per-key queries touch d cells. The exact count here
+    * rides along only to exhibit the error envelope (a production
+    * pipeline drops it and with it the per-user shuffle).
+    */
+  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"))
+    def h(j: Int, u: String) =
+      s"graft_md5_prefix(concat(cast($u as string), '#', '$j')) % $CmsWidth"
+    // sketch: one explode to (depth, idx) rows, one bounded groupBy
+    val cells = ev
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("d"), expr(h(j, "user_id")).as("idx"))): _*)).as("c"))
+      .select(col("c.d").as("d"), col("c.idx").as("idx"))
+      .groupBy("d", "idx").agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    // d broadcast lookups of the bounded sketch
+    val looked = (0 until CmsDepth).foldLeft(
+      exact.withColumn("u", col("user_id"))) { (df, j) =>
+      val cj = cells.filter(col("d") === j)
+        .select(col("idx").as(s"idx$j"), col("cnt").as(s"cm$j"))
+      df.withColumn(s"idx$j", expr(h(j, "u")))
+        .join(broadcast(cj), Seq(s"idx$j"))
+    }
+    looked
+      .withColumn("est_cnt", least((0 until CmsDepth).map(j => col(s"cm$j")): _*))
+      .select(col("user_id"), col("exact_cnt"), col("est_cnt"))
+      .orderBy(col("est_cnt").desc, col("user_id"))
+      .limit(CmsK)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratified _),
     "agg_kmv_distinct" -> (kmvDistinct _),
+    "agg_cms_topk" -> (cmsTopk _),
     "stats_length_deciles" -> (lengthDeciles _)
   )
 }

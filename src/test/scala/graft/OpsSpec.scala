@@ -659,6 +659,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("count-min sketch only ever overestimates; top-k matches a Scala re-derivation") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val users = Tables(spark, dir, "events").select("user_id").as[Long].collect()
+    def idx(j: Int, u: Long): Long = md5Int(s"$u#$j") % Sampling.CmsWidth
+    val cells = Array.fill(Sampling.CmsDepth, Sampling.CmsWidth)(0L)
+    users.foreach(u => (0 until Sampling.CmsDepth).foreach(j => cells(j)(idx(j, u).toInt) += 1))
+    val exact = users.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = exact.keys.toSeq.map { u =>
+      val est = (0 until Sampling.CmsDepth).map(j => cells(j)(idx(j, u).toInt)).min
+      (u, exact(u), est)
+    }.sortBy { case (u, _, e) => (-e, u) }.take(Sampling.CmsK)
+    val got = Sampling.cmsTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("exact_cnt"), r.getAs[Long]("est_cnt")))
+    assert(got.toSeq === expected)
+    got.foreach { case (u, ex, est) => assert(est >= ex, s"user $u underestimated") }
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
