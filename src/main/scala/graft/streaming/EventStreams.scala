@@ -183,6 +183,44 @@ object EventStreams {
     spark.table(sink).orderBy("c_mktsegment", "event_type")
   }
 
+  /** stream_sj — STREAM-STREAM event-time range join: clicks matched
+    * to same-user purchases landing within the following hour. Both
+    * sides carry a 30-minute watermark and the join condition bounds
+    * purchase time to [click, click+1h], so Spark derives a state
+    * eviction horizon for BOTH buffers — each side's state holds only
+    * rows younger than watermark + range, O(rate × window), never the
+    * stream history. Append mode: a pair is emitted exactly once,
+    * when both sides have arrived. The two streams here are two
+    * filters of one MemoryStream (a streaming self-join — same DAG as
+    * two independent sources).
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val ds = input.toDS().withColumn("ets", timestamp_seconds(col("sec")))
+    val clicks = ds.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ets").as("cts"), col("sec").as("csec"))
+      .withWatermark("cts", "30 minutes")
+    val purchases = ds.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        col("ets").as("pts"), col("sec").as("psec"))
+      .withWatermark("pts", "30 minutes")
+    val joined = clicks.join(purchases,
+        col("c_uid") === col("p_uid") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("interval 1 hour"))
+      .select(col("click_id"), col("purchase_id"),
+        col("c_uid").as("user_id"), (col("psec") - col("csec")).as("delay_sec"))
+    val sink = sinkName("stream_sj")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("click_id", "purchase_id")
+  }
+
   /** stream_session — stateful sessionization with BOUNDED state:
     * per-user group state is only the open session ([[OpenSess]],
     * 4 longs). Closed sessions are emitted the moment a >gap event
@@ -375,6 +413,7 @@ object EventStreams {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sliding" -> (sliding _),
     "stream_join" -> (joinStatic _),
+    "stream_sj" -> (streamStreamJoin _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -387,6 +426,17 @@ object EventStreams {
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    "stream_sj" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+        |  FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, CAST(p.sec - c.sec AS BIGINT) AS delay_sec
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.sec >= c.sec AND p.sec <= c.sec + 3600
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_sliding" ->
       """WITH e AS (
         |  SELECT CAST((epoch_ns(ts) // 1000000000) // 3600 AS BIGINT) AS h,

@@ -234,4 +234,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val joined = graft.streaming.EventStreams.joinStatic(spark, dir)
     assert(joined.agg(sum("cnt")).collect()(0).getLong(0) === nEvents)
   }
+
+  test("stream-stream range join emits exactly the batch join's pairs") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.EventStreams.streamStreamJoin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("delay_sec")))
+    // batch twin over the same projection
+    val e = Tables(spark, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), graft.relational.Queries.nsToSec(col("ts")).as("sec"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("sec").as("cs"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("sec").as("ps"))
+    val expected = c.join(p, col("cu") === col("pu") &&
+        col("ps") >= col("cs") && col("ps") <= col("cs") + 3600)
+      .select(col("click_id"), col("purchase_id"), (col("ps") - col("cs")).as("delay_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected.toSeq)
+    // every emitted pair appears exactly once (append mode, no dupes)
+    assert(got.distinct.length === got.length)
+  }
 }
