@@ -25,7 +25,7 @@ object Bench {
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q_window", "q_sessionize", "q_tumbling", "q_asof",
     "q_pivot", "q_corr", "q_json_extract",
-    "q_distinct", "q_semijoin", "q_rollup", "q_topk_orders",
+    "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_topk_orders",
     "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
     "oct_down_linear", "oct_downsample_xy", "oct_percentiles",
@@ -39,7 +39,7 @@ object Bench {
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
-    "sample_stratified", "stats_length_deciles",
+    "sample_stratified", "sample_priority", "stats_length_deciles",
     "agg_kmv_distinct", "agg_cms_topk", "embed_quantize", "pipeline_clean",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh",

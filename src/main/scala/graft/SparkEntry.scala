@@ -41,7 +41,8 @@ object SparkEntry {
     "q14_promo" -> (Queries.q14Promo _),
     "q16_suppcnt" -> (Queries.q16Suppcnt _),
     "q18_large" -> (Queries.q18Large _),
-    "q19_disjunct" -> (Queries.q19Disjunct _)
+    "q19_disjunct" -> (Queries.q19Disjunct _),
+    "q_cube" -> (Queries.qCube _)
   ) ++ graft.octree.OctreeQueries.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -369,7 +370,16 @@ object SparkEntry {
          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
          |        AND l_quantity >= 10 AND l_quantity <= 20)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-         |        AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+         |        AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "q_cube" ->
+      s"""SELECT COALESCE(r_name, '(all)') AS region,
+         |COALESCE(c_mktsegment, '(all)') AS segment,
+         |CAST(GROUPING(r_name)*2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+         |COUNT(*) AS n_customers, ${SUMC("c_acctbal")} AS sum_acctbal_c
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE(r_name, c_mktsegment)
+         |ORDER BY gid, region, segment""".stripMargin
   ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
     graft.streaming.EventStreams.oracles ++ graft.sources.VolumeQueries.oracles
 }

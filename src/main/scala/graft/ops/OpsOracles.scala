@@ -265,6 +265,13 @@ object OpsOracles {
          |SELECT t.source, t.decile, t.n, t.target_rn, r.len AS len_at
          |FROM t JOIN r ON t.source = r.source AND t.target_rn = r.rn
          |ORDER BY t.source, t.decile""".stripMargin,
+    "sample_priority" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |CAST(${md5Int("('p:' || CAST(doc_id AS VARCHAR))")} AS BIGINT) AS h,
+         |CAST(FLOOR(n_chars * 4294967296.0 /
+         |  (${md5Int("('p:' || CAST(doc_id AS VARCHAR))")} + 1)) AS BIGINT) AS prio_u
+         |FROM documents
+         |ORDER BY prio_u DESC, doc_id LIMIT ${Sampling.PriorityK}""".stripMargin,
     "agg_cms_topk" -> {
       val w = Sampling.CmsWidth
       def h(j: Int) = s"${md5Int(s"(CAST(user_id AS VARCHAR) || '#' || '$j')")} % $w"

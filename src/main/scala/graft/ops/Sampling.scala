@@ -100,6 +100,32 @@ object Sampling {
       .orderBy("source", "decile")
   }
 
+  /** Sample size for [[prioritySample]]. */
+  val PriorityK = 25
+
+  /** sample_priority — WEIGHTED sampling by priority (Duffield-Lund-
+    * Thorup): each document draws priority w∕u from its weight
+    * (length in chars) and the deterministic uniform u = (h+1)∕2³²
+    * of the shared md5-prefix hash; the k highest priorities form the
+    * sample. Weighted counterpart of [[stratified]]'s hash-rank
+    * sampling — heavy documents enter with probability ∝ weight, the
+    * estimator property the subset-sum literature gives priority
+    * samples. Priorities are emitted floored to integer units so the
+    * division (identical IEEE chain both engines) never crosses an
+    * engine boundary unrounded. Top-k with the unique doc_id
+    * tie-break; map-side prunable exactly like any top-k.
+    */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"),
+        expr("graft_md5_prefix(concat('p:', cast(doc_id as string)))").as("h"))
+      .withColumn("prio_u",
+        floor(col("w") * lit(4294967296.0) / (col("h") + 1)).cast("long"))
+      .orderBy(col("prio_u").desc, col("doc_id"))
+      .limit(PriorityK)
+  }
+
   /** Count-Min Sketch geometry for [[cmsTopk]]: depth (independent
     * hash rows) × width (counters per row). The sketch is d·w longs
     * regardless of stream length — like [[kmvDistinct]] for distincts,
@@ -154,6 +180,7 @@ object Sampling {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratified _),
+    "sample_priority" -> (prioritySample _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_cms_topk" -> (cmsTopk _),
     "stats_length_deciles" -> (lengthDeciles _)

@@ -588,6 +588,30 @@ object Queries {
         count(lit(1)).as("n_items"))
   }
 
+  /** q_cube — full CUBE over (region, market segment): all four
+    * grouping strata (detail, per-region, per-segment, grand total)
+    * from one aggregation pass — the grouping-sets engine surface
+    * beside [[qRollup]]'s hierarchy. Expands to 4× rows pre-shuffle
+    * but the key domain stays the bounded dimension product.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("sum_acctbal_c"),
+        (grouping(col("r_name")).cast("long") * 2 +
+          grouping(col("c_mktsegment")).cast("long")).as("gid"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        col("gid"), col("n_customers"), col("sum_acctbal_c"))
+      .orderBy(col("gid"), col("region"), col("segment"))
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")

@@ -677,6 +677,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (u, ex, est) => assert(est >= ex, s"user $u underestimated") }
   }
 
+  test("priority sample keeps exactly the k highest weighted priorities") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val weights = Tables(spark, dir, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val expected = weights.map { case (id, w) =>
+      val h = md5Int(s"p:$id")
+      (id, w, h, math.floor(w * 4294967296.0 / (h + 1)).toLong)
+    }.sortBy { case (id, _, _, p) => (-p, id) }.take(Sampling.PriorityK)
+    val got = Sampling.prioritySample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+        r.getAs[Long]("h"), r.getAs[Long]("prio_u")))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's

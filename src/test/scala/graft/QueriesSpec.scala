@@ -174,4 +174,16 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(gids === Set(0L, 1L, 3L))
   }
+
+  test("cube contains all four strata; every stratum re-totals the customers") {
+    import org.apache.spark.sql.functions.sum
+    val cube = Queries.qCube(spark, dir).collect()
+    assert(cube.map(_.getAs[Long]("gid")).toSet === Set(0L, 1L, 2L, 3L))
+    val total = Tables(spark, dir, "customer").count()
+    // each grouping stratum partitions the same row set
+    Seq(0L, 1L, 2L, 3L).foreach { g =>
+      assert(cube.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n_customers")).sum === total, s"stratum $g")
+    }
+  }
 }
