@@ -624,6 +624,75 @@ object OpsOracles {
          |${pairsCte(300000L)}
          |SELECT id_a, id_b, label_a, label_b, cos_u, bucket FROM hits
          |ORDER BY id_a, id_b""".stripMargin,
+    "sim_pq_topk" -> {
+      val d = Similarity.PqD
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  [(CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))
+           |   * (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) for i in range(1, ${d + 1})]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      def dotSubD(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  [CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) for i in range(1, ${d + 1})]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      def selfSubD(a: String) = dotSubD(a, a)
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |cbm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |        WHERE (CAST(1 AS BIGINT) << g) * 16 >= nn.n),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |seeds AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cb_idx
+         |  FROM embeddings, cbm WHERE vec_id % cbm.m = 0),
+         |cb AS (
+         |  SELECT CAST(mm.m AS BIGINT) AS m, s.cb_idx,
+         |    s.embedding[mm.m*$d+1 : mm.m*$d+$d] AS cvec
+         |  FROM seeds s, range(0, ${Similarity.PqM}) mm(m)),
+         |cbn AS (SELECT m, cb_idx, cvec, ${selfSubD("cvec")} AS cn2 FROM cb),
+         |subs AS (
+         |  SELECT vec_id, CAST(mm.m AS BIGINT) AS m,
+         |    embedding[mm.m*$d+1 : mm.m*$d+$d] AS svec
+         |  FROM embeddings, range(0, ${Similarity.PqM}) mm(m)),
+         |dists AS (
+         |  SELECT vec_id, s.m, cb_idx,
+         |    CAST(FLOOR(${l2("svec", "cvec")} * 1000000.0) AS BIGINT) AS du
+         |  FROM subs s JOIN cbn ON s.m = cbn.m),
+         |codes AS (
+         |  SELECT vec_id, m, CAST(MIN(du * 16 + cb_idx) % 16 AS BIGINT) AS cb_idx
+         |  FROM dists GROUP BY 1, 2),
+         |prn AS (
+         |  SELECT vec_id AS probe_id, embedding AS pvec,
+         |    ${dotD("embedding", "embedding")} AS pn2
+         |  FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
+         |lut AS (
+         |  SELECT probe_id, pn2, cbn.m, cbn.cb_idx,
+         |    CAST(FLOOR(${dotSubD(s"pvec[cbn.m*$d+1 : cbn.m*$d+$d]", "cvec")} * 1000000000.0) AS BIGINT) AS pdot_su,
+         |    CAST(FLOOR(cn2 * 1000000000.0) AS BIGINT) AS cn2_su
+         |  FROM prn, cbn),
+         |adc AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(SUM(pdot_su) AS BIGINT) AS adc_su,
+         |    CAST(SUM(cn2_su) AS BIGINT) AS vhat_su,
+         |    MAX(pn2) AS pn2
+         |  FROM codes JOIN lut USING (m, cb_idx) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(CASE WHEN vhat_su > 0 THEN
+         |      FLOOR(CAST(adc_su AS DOUBLE) / 1000000000.0
+         |        / (sqrt(pn2) * sqrt(CAST(vhat_su AS DOUBLE) / 1000000000.0))
+         |        * 1000000.0) ELSE 0 END AS BIGINT) AS adc_u
+         |  FROM adc WHERE vec_id <> probe_id),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY adc_u DESC, vec_id) AS BIGINT) AS rank FROM sc),
+         |top AS (SELECT * FROM rk WHERE rank <= 5)
+         |SELECT t.probe_id, t.rank, t.vec_id, t.adc_u,
+         |  ${cosU("prn.pvec", "e.embedding")} AS cos_u
+         |FROM top t JOIN embeddings e ON t.vec_id = e.vec_id
+         |JOIN prn ON t.probe_id = prn.probe_id
+         |ORDER BY t.probe_id, t.rank""".stripMargin
+    },
     "sim_brute_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id % 101 = 0),

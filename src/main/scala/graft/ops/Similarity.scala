@@ -356,7 +356,121 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization geometry for [[pqTopk]]: M subspaces of D
+    * dims (M·D = 64) with ≤16 codewords per subspace, so a code is
+    * M small ints — 8 bytes instead of 256 per vector. Codebook seed
+    * modulus mirrors [[ivfProbeMod]]'s shape: smallest power of two
+    * m with 16·m ≥ n → ≤16 seed vectors at any corpus size.
+    */
+  val PqM = 8
+  val PqD = 8
+  def pqCbMod(n: Long): Long =
+    (0 to 56).map(1L << _).find(m => m * 16L >= n).getOrElse(1L << 56)
+
+  /** Sub-vector (length [[PqD]]) starting at subspace `m` (0-based). */
+  private def sub(v: Column, m: Column): Column =
+    slice(v, (m * PqD + 1).cast("int"), lit(PqD))
+
+  /** Left-fold double dot of two [[PqD]]-dim slices. */
+  private def dotSub(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => x.cast("double") * c.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** sim_pq_topk — product-quantization ANN: each vector's 64 dims
+    * split into [[PqM]] subspaces, each encoded as the id of its
+    * nearest (L2) codeword from a ≤16-entry per-subspace codebook
+    * (deterministic seed vectors, [[pqCbMod]]); queries score by
+    * asymmetric distance computation — a probe precomputes its
+    * per-(subspace, codeword) partial dots (the LUT, ≤ probes·M·16
+    * rows, broadcast) and a vector's approximate cosine is the sum of
+    * M LUT lookups against its code, normalized by the RECONSTRUCTED
+    * norm Σ‖codeword‖². Top-5 per probe by the ADC score, with the
+    * exact cosine riding along to exhibit the approximation envelope.
+    *
+    * Determinism: encoding argmin packs (⌊L2²·10⁶⌋, codeword idx)
+    * into one long (same trick as [[CellPack]]); every ADC term is
+    * floored to nano units BEFORE the (probe, vec) aggregation so the
+    * sums are order-independent bigints (the [[quantize]] rule — a
+    * double sum over the M terms would be partition-order-dependent);
+    * the only float chain is the final normalize, written identically
+    * in the oracle.
+    *
+    * Scale shape: codes are 8 small ints per vector — the 32×
+    * compressed artifact a 100 TB ANN store persists; the scoring
+    * scan touches ONLY codes ⋈ broadcast LUT (map-side-combined sum,
+    * no raw vectors), and the exact re-rank join pulls embeddings for
+    * just the top-5·probes row set.
+    */
+  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    // ≤16 seeds; the global row_number window runs on that tiny frame
+    val wSeed = Window.orderBy("vec_id")
+    val seeds = emb(spark, dir).filter(col("vec_id") % pqCbMod(n) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cb_idx", (row_number().over(wSeed) - 1).cast("long"))
+    val cb = seeds
+      .select(col("cb_idx"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
+        col("embedding"))
+      .select(col("m").cast("long").as("m"), col("cb_idx"),
+        sub(col("embedding"), col("m")).as("cvec"))
+      .withColumn("cn2",
+        aggregate(transform(col("cvec"), c => c.cast("double") * c.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+    // encode: argmin_L2 codeword per (vector, subspace), packed tiebreak
+    val subs = embPar(spark, dir)
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        sub(col("embedding"), col("m")).as("svec"))
+    val du = floor(
+      aggregate(zip_with(col("svec"), col("cvec"),
+        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), (du * 16 + col("cb_idx")).as("packed"))
+      .groupBy("vec_id", "m")
+      .agg((min(col("packed")) % 16).as("cb_idx"))
+    // probe LUT: per-(subspace, codeword) partial dots, nano-floored
+    val p = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        dot(col("embedding"), col("embedding")).as("pn2"))
+    val lut = p
+      .select(col("probe_id"), col("pn2"), col("pvec"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
+      .select(col("probe_id"), col("pn2"), col("m").cast("long").as("m"),
+        sub(col("pvec"), col("m")).as("psub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("probe_id"), col("pn2"), col("m"), col("cb_idx"),
+        floor(dotSub(col("psub"), col("cvec")) * lit(1.0e9)).cast("long").as("pdot_su"),
+        floor(col("cn2") * lit(1.0e9)).cast("long").as("cn2_su"))
+    // ADC: M integer lookups summed per (probe, vector)
+    val scored = codes.join(broadcast(lut), Seq("m", "cb_idx"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pdot_su")).as("adc_su"), sum(col("cn2_su")).as("vhat_su"),
+        max(col("pn2")).as("pn2"))
+      .withColumn("adc_u",
+        when(col("vhat_su") > 0,
+          floor(col("adc_su").cast("double") / lit(1.0e9)
+            / (sqrt(col("pn2")) * sqrt(col("vhat_su").cast("double") / lit(1.0e9)))
+            * lit(1000000.0)).cast("long"))
+          .otherwise(0L))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_u").desc, col("vec_id"))
+    val top = scored.filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+    // exact cosine ride-along for just the top-5·probes rows
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("vn2"))
+    top.join(base, Seq("vec_id"))
+      .join(broadcast(p.select(col("probe_id"), col("pvec"), col("pn2").as("ppn2"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("adc_u"),
+        cosUPre(col("pvec"), col("embedding"), col("ppn2"), col("vn2")).as("cos_u"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk" -> (pqTopk _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_topk" -> (lshTopk _),
     "sim_pairs_thresh" -> (pairsThresh _),

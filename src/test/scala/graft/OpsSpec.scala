@@ -692,6 +692,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("product quantization matches a full independent Scala re-derivation") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = vecs.length.toLong
+    val cbMod = Similarity.pqCbMod(n)
+    val pMod = Similarity.ivfProbeMod(n)
+    def dotFold(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val seeds = vecs.filter(_._1 % cbMod == 0) // sorted by vec_id → cb_idx order
+    // codebook: (m, cb_idx) -> subvector and its self-dot
+    val cb = for (m <- 0 until Similarity.PqM; ((_, sv), ci) <- seeds.zipWithIndex)
+      yield (m, ci.toLong) -> sv.slice(m * 8, m * 8 + 8)
+    val cbMap = cb.toMap
+    def cn2(m: Int, ci: Long): Double = { val c = cbMap((m, ci)); dotFold(c, c) }
+    // encode every vector
+    def code(v: Array[Float], m: Int): Long =
+      seeds.indices.map { ci =>
+        val c = cbMap((m, ci.toLong))
+        val d2 = (0 until 8).foldLeft(0.0) { (acc, i) =>
+          val dx = v(m * 8 + i).toDouble - c(i).toDouble; acc + dx * dx
+        }
+        math.floor(d2 * 1000000.0).toLong * 16 + ci
+      }.min % 16
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until Similarity.PqM).map(m => code(v, m)).toArray
+    }.toMap
+    val probes = vecs.filter(_._1 % pMod == 0)
+    val expected = probes.flatMap { case (pid, pv) =>
+      val pn2 = dotFold(pv, pv)
+      val scored = vecs.filter(_._1 != pid).map { case (id, _) =>
+        val cs = codes(id)
+        val adcSu = (0 until Similarity.PqM).map { m =>
+          val c = cbMap((m, cs(m)))
+          val pd = (0 until 8).foldLeft(0.0)((acc, i) => acc + pv(m * 8 + i).toDouble * c(i).toDouble)
+          math.floor(pd * 1.0e9).toLong
+        }.sum
+        val vhatSu = (0 until Similarity.PqM)
+          .map(m => math.floor(cn2(m, cs(m)) * 1.0e9).toLong).sum
+        val adcU = if (vhatSu > 0)
+          math.floor(adcSu.toDouble / 1.0e9 / (math.sqrt(pn2) * math.sqrt(vhatSu.toDouble / 1.0e9)) * 1000000.0).toLong
+        else 0L
+        (id, adcU)
+      }.sortBy { case (id, a) => (-a, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, a), rk) => (pid, (rk + 1).toLong, id, a) }
+    }
+    val got = Similarity.pqTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("adc_u")))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
