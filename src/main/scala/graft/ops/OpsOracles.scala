@@ -701,15 +701,28 @@ object OpsOracles {
          |SELECT probe_id, vec_id, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-    "sim_lsh_topk" ->
-      s"""WITH $bucketedCte,
-         |p AS (SELECT vec_id AS probe_id, embedding AS pvec, bucket
-         |      FROM b WHERE vec_id % 101 = 0),
-         |s AS (SELECT p.probe_id, e.vec_id, e.bucket, ${cosU("p.pvec", "e.embedding")} AS cos_u
-         |      FROM b e JOIN p ON e.bucket = p.bucket WHERE e.vec_id != p.probe_id)
-         |SELECT probe_id, vec_id, bucket, cos_u,
+    "sim_lsh_topk" -> {
+      def bucketOf(t: Int): String =
+        (0 until Similarity.LshBitsPerTable).map { j =>
+          val pos = (17 * j + 3 + 5 * t) % 64 + 1
+          s"CAST(embedding[$pos] > 0 AS BIGINT) * ${1L << j}"
+        }.mkString(" + ")
+      val tables = (0 until Similarity.LshTables)
+        .map(t => s"SELECT vec_id, embedding, $t AS t, ${bucketOf(t)} AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL ")
+      s"""WITH bt AS (
+         |  $tables),
+         |p AS (SELECT t, bucket, vec_id AS probe_id, embedding AS pvec
+         |      FROM bt WHERE vec_id % 101 = 0),
+         |cand AS (
+         |  SELECT DISTINCT p.probe_id, p.pvec, e.vec_id, e.embedding
+         |  FROM bt e JOIN p ON e.t = p.t AND e.bucket = p.bucket
+         |  WHERE e.vec_id != p.probe_id),
+         |s AS (SELECT probe_id, vec_id, ${cosU("pvec", "embedding")} AS cos_u FROM cand)
+         |SELECT probe_id, vec_id, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
-         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "sim_ivf_topk" ->
       s"""WITH $ivfModsCte,
          |asg AS (

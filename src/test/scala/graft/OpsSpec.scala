@@ -745,6 +745,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("ANN recall@5 vs brute force stays above the documented floors") {
+    import graft.ops.Similarity
+    // measured at sf0.01: the sf0.001 corpus has only 50 vectors, so
+    // "top-5 neighbors" are near-random directions and every bucketed
+    // method's recall is a sparsity artifact, not a quality signal
+    val dir = "/root/testdata/sf0.01"
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteTopk(spark, dir))
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      // probes present in brute (PQ/IVF probe sets are subsets by construction)
+      val common = brute.keySet intersect m.keySet
+      assert(common.nonEmpty)
+      common.toSeq.map(p => (brute(p) intersect m(p)).size.toDouble / brute(p).size)
+        .sum / common.size
+    }
+    val rPq = recallOf(topSets(Similarity.pqTopk(spark, dir)))
+    val rIvf = recallOf(topSets(Similarity.ivfTopk(spark, dir)))
+    val rLsh = recallOf(topSets(Similarity.lshTopk(spark, dir)))
+    // floors sit below the measured values (IVF 1.0, PQ 0.4, LSH 0.32
+    // at sf0.01 — LSH capped by coordinate-plane correlation, see
+    // Similarity.LshBitsPerTable) — they exist to catch a recall
+    // COLLAPSE (broken encode/assignment/banding), not to pin quality
+    assert(rPq >= 0.3, s"PQ recall collapsed: $rPq (ivf=$rIvf lsh=$rLsh)")
+    assert(rIvf >= 0.5, s"IVF recall collapsed: $rIvf (pq=$rPq lsh=$rLsh)")
+    assert(rLsh >= 0.25, s"LSH recall collapsed: $rLsh (pq=$rPq ivf=$rIvf)")
+  }
+
   test("linear downsample conserves total weighted mass away from borders") {
     // interior input voxel mass appears once per axis-pair: sum of the
     // 8 contribution weights is 8^3/8 ... sanity: a centered voxel's
