@@ -199,7 +199,18 @@ object EventStreams {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
     input.addData(typedEvents(spark, dir).collect().toSeq)
-    val ds = input.toDS().withColumn("ets", timestamp_seconds(col("sec")))
+    val sink = sinkName("stream_sj")
+    val q = streamStreamJoinDag(input.toDS()).writeStream.format("memory")
+      .queryName(sink).outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("click_id", "purchase_id")
+  }
+
+  /** The stream-stream join DAG, factored so specs can drive it
+    * trigger-by-trigger and watch both buffers' state eviction.
+    */
+  def streamStreamJoinDag(evs: Dataset[Ev]): DataFrame = {
+    val ds = evs.withColumn("ets", timestamp_seconds(col("sec")))
     val clicks = ds.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
         col("ets").as("cts"), col("sec").as("csec"))
@@ -208,17 +219,12 @@ object EventStreams {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
         col("ets").as("pts"), col("sec").as("psec"))
       .withWatermark("pts", "30 minutes")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
         col("c_uid") === col("p_uid") &&
           col("pts") >= col("cts") &&
           col("pts") <= col("cts") + expr("interval 1 hour"))
       .select(col("click_id"), col("purchase_id"),
         col("c_uid").as("user_id"), (col("psec") - col("csec")).as("delay_sec"))
-    val sink = sinkName("stream_sj")
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).start()
-    q.processAllAvailable(); q.stop()
-    spark.table(sink).orderBy("click_id", "purchase_id")
   }
 
   /** stream_session — stateful sessionization with BOUNDED state:

@@ -235,6 +235,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.agg(sum("cnt")).collect()(0).getLong(0) === nEvents)
   }
 
+  test("stream-stream join matches in-window pairs across triggers and evicts state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams.{Ev, streamStreamJoinDag}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = streamStreamJoinDag(input.toDS()).writeStream.format("memory")
+      .queryName("sj_multi_trigger").outputMode(OutputMode.Append()).start()
+    def sink = spark.table("sj_multi_trigger")
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+
+    // T1: click at t=1000; purchase 10 min later joins; purchase 2 h
+    // later is OUTSIDE the 1 h range and must never pair
+    input.addData(Ev(1, 7, 1000, 5, "click"), Ev(2, 7, 1600, 9, "purchase"),
+      Ev(3, 7, 8200, 9, "purchase"))
+    q.processAllAvailable()
+    assert(rows(sink, "click_id", "purchase_id", "delay_sec") ===
+      Set(Seq(1L, 2L, 600L)), "only the in-window purchase pairs")
+    val stateAfterT1 = stateRows
+    assert(stateAfterT1 > 0, "both buffers hold in-horizon rows")
+
+    // T2: far-future events push the watermark past every T1 row's
+    // eviction horizon (click keeps rows until wm > cts + 1h + 30min)
+    input.addData(Ev(10, 8, 100000, 5, "click"), Ev(11, 8, 100300, 9, "purchase"))
+    q.processAllAvailable()
+    // one more empty-ish trigger lets the store purge lag settle
+    input.addData(Ev(12, 9, 200000, 5, "click"))
+    q.processAllAvailable()
+    assert(rows(sink, "click_id", "purchase_id", "delay_sec")
+      .contains(Seq(10L, 11L, 300L)), "cross-user second-trigger pair emitted")
+    assert(stateRows < stateAfterT1 + 3,
+      s"buffers grew without eviction: $stateAfterT1 -> $stateRows")
+    // a late purchase for the long-evicted T1 click must NOT pair
+    input.addData(Ev(4, 7, 1700, 9, "purchase"))
+    q.processAllAvailable()
+    assert(!rows(sink, "click_id", "purchase_id", "delay_sec")
+      .contains(Seq(1L, 4L, 700L)), "evicted click must not re-pair")
+    q.stop()
+  }
+
   test("stream-stream range join emits exactly the batch join's pairs") {
     import org.apache.spark.sql.functions._
     val got = graft.streaming.EventStreams.streamStreamJoin(spark, dir).collect()
