@@ -417,6 +417,16 @@ object OpsOracles {
          |  CAST(CASE WHEN n_2grams > 0 THEN dup_2grams * 1000 // n_2grams ELSE 0 END AS BIGINT) AS rep2_milli,
          |  CAST(CASE WHEN n_3grams > 0 THEN dup_3grams * 1000 // n_3grams ELSE 0 END AS BIGINT) AS rep3_milli
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_hash_embed" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |f AS (SELECT doc_id,
+         |        ${md5Int("tok")} % ${TextAnalysis.HashDims} AS dim,
+         |        CASE WHEN ${md5Int("('s:' || tok)")} % 2 = 0 THEN 1 ELSE -1 END AS sign
+         |      FROM tk)
+         |SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(sign) AS BIGINT) AS wt
+         |FROM f GROUP BY doc_id, dim
+         |HAVING SUM(sign) <> 0
+         |ORDER BY doc_id, dim""".stripMargin,
     "text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),

@@ -415,6 +415,36 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Dimensions of the [[hashEmbed]] feature space. */
+  val HashDims = 64
+
+  /** text_hash_embed — the feature-hashing trick: each document
+    * becomes a [[HashDims]]-dim hashed bag-of-words, token t
+    * contributing ±1 (sign from a second hash, the standard variance
+    * killer) to dimension md5(t) mod d. Emitted long-form
+    * (doc_id, dim, wt) with exact integer weights, zero-sum dims
+    * dropped on both sides — the deterministic featurizer a pipeline
+    * uses when a learned embedding is too expensive.
+    *
+    * At 100 TB: one tokenize+explode and ONE (doc, dim) groupBy with
+    * map-side combine (≤ d combined rows per doc); no vocabulary, no
+    * broadcast, no second pass — the whole point of hashing features.
+    */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .select(col("doc_id"),
+        expr(s"graft_md5_prefix(tok) % $HashDims").as("dim"),
+        expr("if(graft_md5_prefix(concat('s:', tok)) % 2 = 0, 1L, -1L)").as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sign")).as("wt"))
+      .filter(col("wt") =!= 0)
+      .orderBy("doc_id", "dim")
+  }
+
   /** Tokens per packed training context window for [[pack]]. */
   val WinTokens = 512
 
@@ -473,6 +503,7 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> (pack _),
     "text_tfidf" -> (tfidf _),
+    "text_hash_embed" -> (hashEmbed _),
     "text_line_dedup" -> (lineDedup _),
     "text_vocab" -> (vocab _),
     "text_encode" -> (encode _),

@@ -677,6 +677,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (u, ex, est) => assert(est >= ex, s"user $u underestimated") }
   }
 
+  test("feature hashing matches a Scala re-derivation") {
+    import graft.ops.TextAnalysis
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val acc = scala.collection.mutable.Map.empty[Long, Long]
+      tokens(text).foreach { t =>
+        val dim = md5Int(t) % TextAnalysis.HashDims
+        val sign = if (md5Int(s"s:$t") % 2 == 0) 1L else -1L
+        acc(dim) = acc.getOrElse(dim, 0L) + sign
+      }
+      acc.toSeq.filter(_._2 != 0).map { case (d, w) => (id, d, w) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.hashEmbed(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dim"), r.getAs[Long]("wt")))
+    assert(got.toSeq === expected)
+  }
+
   test("priority sample keeps exactly the k highest weighted priorities") {
     import spark.implicits._
     import graft.ops.Sampling

@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("blocking-join pair operators never plan a cross product") {
     Seq("dedup_minhash_pairs", "dedup_ngram_jaccard", "sim_pairs_thresh",
-      "dedup_embed", "sim_lsh_topk", "dedup_decontaminate").foreach { n =>
+      "dedup_embed", "sim_lsh_topk", "dedup_decontaminate",
+      "sim_pq_topk", "text_tfidf", "dedup_bloom", "agg_cms_topk").foreach { n =>
       val p = formatted(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
