@@ -35,7 +35,7 @@ object Bench {
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
-    "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
+    "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom", "graph_pagerank",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",

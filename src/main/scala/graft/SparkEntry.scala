@@ -43,7 +43,7 @@ object SparkEntry {
     "q18_large" -> (Queries.q18Large _),
     "q19_disjunct" -> (Queries.q19Disjunct _),
     "q_cube" -> (Queries.qCube _)
-  ) ++ graft.octree.OctreeQueries.all ++
+  ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
     graft.ops.Sampling.all ++ graft.ops.Pipeline.all ++

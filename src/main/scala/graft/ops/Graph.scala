@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over the document near-dup graph —
+  * PageRank beside [[Dedup.connectedComponents]]' labeling, showing
+  * the general bounded-round message-passing shape (per round: one
+  * edge join + one vertex aggregation, lineage truncated).
+  */
+object Graph {
+
+  /** Fixed PageRank rounds — bounded so the oracle can unroll the
+    * recurrence; convergence-to-fixpoint would swap the constant for
+    * the [[Dedup.connectedComponents]]-style changed-count loop.
+    */
+  val PrRounds = 3
+
+  /** Damping in percent and the per-vertex base in micro-units:
+    * r₀ = 10⁶; r_{t+1}(v) = 150000 + (85·Σ_{u→v} (r_t(u) div deg u))
+    * div 100 — every step is integer division, so ranks are exact,
+    * order-independent under any partitioning, and bit-identical in
+    * the unrolled DuckDB oracle (a float PageRank would accumulate
+    * partition-order-dependent rounding).
+    */
+  val PrDampPct = 85L
+  val PrBaseU = 150000L
+  val PrInitU = 1000000L
+
+  /** graph_pagerank — [[PrRounds]] rounds of integer PageRank over
+    * the UNDIRECTED near-dup candidate graph (the shared MinHash
+    * band-collision edges of [[Dedup.bandCandidates]]), ranking the
+    * most-connected duplicate hubs — the "which boilerplate family is
+    * biggest" signal a cleaning pipeline reports.
+    *
+    * Scale shape per round: one edge⋈rank equi-join and one dst-keyed
+    * sum (map-side combined) — the iterative-join pattern of
+    * [[Dedup.connectedComponents]], O(E) per round with
+    * `localCheckpoint` lineage truncation, never a driver collect.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.bandCandidates(Dedup.signatures(spark, dir))
+    // undirected: both directions carry contributions
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val verts = Tables(spark, dir, "documents").select(col("doc_id"))
+    var rank = verts.withColumn("r", lit(PrInitU))
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      rank = verts
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(PrBaseU) + expr(s"($PrDampPct * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_u"),
+        coalesce(col("deg"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerank _)
+  )
+}

@@ -533,6 +533,30 @@ object OpsOracles {
          |  CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST(COALESCE(nh.n_hit, 0) >= 3 AS BIGINT) AS contaminated
          |FROM ns LEFT JOIN nh ON ns.doc_id = nh.doc_id ORDER BY ns.doc_id""".stripMargin,
+    "graph_pagerank" -> {
+      val rounds = (1 to Graph.PrRounds).map { t =>
+        s"""r$t AS (
+           |  SELECT v.doc_id,
+           |    CAST(${Graph.PrBaseU} + (${Graph.PrDampPct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM documents v LEFT JOIN (
+           |    SELECT e.dst AS doc_id, CAST(SUM(p.r // dg.deg) AS BIGINT) AS s
+           |    FROM ed e JOIN r${t - 1} p ON e.src = p.doc_id
+           |    JOIN dg ON e.src = dg.doc_id
+           |    GROUP BY e.dst) s ON v.doc_id = s.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |dg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+         |r0 AS (SELECT doc_id, CAST(${Graph.PrInitU} AS BIGINT) AS r FROM documents),
+         |$rounds
+         |SELECT v.doc_id, rr.r AS rank_u,
+         |  CAST(COALESCE(dg.deg, 0) AS BIGINT) AS degree
+         |FROM documents v JOIN r${Graph.PrRounds} rr ON v.doc_id = rr.doc_id
+         |LEFT JOIN dg ON v.doc_id = dg.doc_id
+         |ORDER BY v.doc_id""".stripMargin
+    },
     "dedup_bloom" -> {
       val m = Dedup.BloomBits
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),

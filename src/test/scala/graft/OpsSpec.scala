@@ -677,6 +677,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (u, ex, est) => assert(est >= ex, s"user $u underestimated") }
   }
 
+  test("integer pagerank matches a Scala re-derivation over the band graph") {
+    import graft.ops.Graph
+    // re-derive the band-collision edges (the minhash spec's math)
+    val sigs = docs.toSeq.flatMap { case (id, text) =>
+      val t = tokens(text)
+      if (t.length < 3) None else {
+        val hs = t.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(md5Int)
+        Some(id -> (0 until Dedup.MinhashK).map { j =>
+          val (a, b) = Dedup.perm(j); hs.map(h => (a * h + b) % Dedup.MinhashP).min
+        })
+      }
+    }
+    val bands = sigs.flatMap { case (id, s) =>
+      (0 until 4).map(bi => (bi, s(2 * bi), s(2 * bi + 1)) -> id)
+    }
+    val edges = bands.groupBy(_._1).values.flatMap { grp =>
+      val ids = grp.map(_._2).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet.toSeq.flatMap { p: (Long, Long) => Seq(p, p.swap) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = docs.keys.map(_ -> Graph.PrInitU).toMap
+    for (_ <- 1 to Graph.PrRounds) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => rank(src) / deg(src) }.sum).toMap
+      rank = docs.keys.map(v =>
+        v -> (Graph.PrBaseU + Graph.PrDampPct * contrib.getOrElse(v, 0L) / 100)).toMap
+    }
+    val got = Graph.pagerank(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rank_u"), r.getAs[Long]("degree"))).toMap
+    assert(got.keySet === docs.keySet)
+    docs.keys.foreach { v =>
+      assert(got(v)._1 === rank(v), s"rank of doc $v")
+      assert(got(v)._2 === deg.getOrElse(v, 0L), s"degree of doc $v")
+    }
+  }
+
   test("feature hashing matches a Scala re-derivation") {
     import graft.ops.TextAnalysis
     val expected = docs.toSeq.flatMap { case (id, text) =>
