@@ -222,6 +222,47 @@ object OpsOracles {
          |SELECT doc_id, n_email, n_ip, n_phone,
          |  CAST(length(masked) AS BIGINT) AS masked_len, md5(masked) AS masked_md5
          |FROM s3 ORDER BY doc_id""".stripMargin,
+    "pipeline_train" -> {
+      val w = TextAnalysis.WinTokens
+      val mtoks = "regexp_extract_all(lower(masked), '[a-z0-9]+')"
+      s"""WITH $filterCtes,
+         |$maskCtes,
+         |kd AS (
+         |  SELECT s3.doc_id, s3.masked
+         |  FROM s3 JOIN g ON s3.doc_id = g.doc_id WHERE g.n_fail = 0),
+         |canon AS (
+         |  SELECT md5(masked) AS masked_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+         |    arg_min(masked, doc_id) AS masked, CAST(COUNT(*) AS BIGINT) AS n_dups
+         |  FROM kd GROUP BY md5(masked)),
+         |cs AS (
+         |  SELECT c.doc_id, d.source, c.n_dups, c.masked
+         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+         |  WHERE c.doc_id % 97 <> 0),
+         |bt AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 97 = 0),
+         |bs AS (SELECT DISTINCT unnest($shingles) AS s FROM bt),
+         |tt AS (SELECT doc_id, $mtoks AS t FROM cs),
+         |tsh AS (SELECT doc_id, unnest($shingles) AS s FROM tt),
+         |nh AS (SELECT tsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |       FROM tsh JOIN bs USING (s) GROUP BY 1),
+         |sv AS (
+         |  SELECT cs.doc_id, cs.source, cs.n_dups,
+         |    CAST(len($mtoks) AS BIGINT) AS n_tokens
+         |  FROM cs LEFT JOIN nh ON cs.doc_id = nh.doc_id
+         |  WHERE COALESCE(nh.n_hit, 0) < 3),
+         |pk AS (
+         |  SELECT doc_id, source, n_dups, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM sv)
+         |SELECT doc_id, source, n_dups, n_tokens, start_tok,
+         |  CAST(start_tok // $w AS BIGINT) AS first_win,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // $w
+         |       ELSE start_tok // $w END AS BIGINT) AS last_win,
+         |  CAST(CASE WHEN n_tokens > 0
+         |       THEN (start_tok + n_tokens - 1) // $w - start_tok // $w + 1
+         |       ELSE 0 END AS BIGINT) AS n_wins
+         |FROM pk ORDER BY doc_id""".stripMargin
+    },
     "pipeline_clean" ->
       s"""WITH $filterCtes,
          |$maskCtes,

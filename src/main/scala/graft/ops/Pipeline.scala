@@ -42,7 +42,67 @@ object Pipeline {
       .orderBy("source", "rk")
   }
 
+  /** pipeline_train — the COMPLETE training-data flow, one DAG:
+    *
+    *   quality filter → PII mask (fused, one scan) → exact dedup on
+    *   masked text (canonical per group) → benchmark decontamination
+    *   (raw held-out shingles vs the canonical masked text, ≥3 shared
+    *   → dropped) → sequence packing of the survivors into 512-token
+    *   windows in doc_id order.
+    *
+    * What lands in the sink is exactly what a trainer consumes: one
+    * row per surviving canonical document with its duplicate count
+    * and its absolute position/window span in the packed token
+    * stream. Shuffle ledger at 100 TB: scan (filter+mask fused) →
+    * content-key shuffle (dedup) → shingle-key shuffle
+    * (decontaminate) → the two-level prefix-sum windows of
+    * [[TextAnalysis.packDf]] (bucket edge from the metadata-cheap
+    * RAW count — an upper bound on survivors, which only pads the
+    * bucket frame, never changes offsets).
+    */
+  def train(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import TextAnalysis.toksExpr
+    val masked = TextAnalysis.withMasked(
+      TextAnalysis.withRuleFlags(Tables(spark, dir, "documents"))
+        .filter(col("keep") === 1))
+      .select(col("doc_id"), col("source"), col("masked"))
+    val canon = masked.groupBy(md5(col("masked")).as("masked_md5"))
+      .agg(min("doc_id").as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min_by(col("masked"), col("doc_id")).as("masked"),
+        count(lit(1)).as("n_dups"))
+      // the packer tokenizes the masked text below; rename once so the
+      // shared tokenizer expression (bound to `text`) applies
+      .withColumnRenamed("masked", "text")
+      .filter(col("doc_id") % 97 =!= 0) // held-out docs never train
+    val bench = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .withColumn("t", expr(toksExpr))
+      .select(explode(expr(Dedup.shinglesExpr)).as("s"))
+      .distinct().withColumn("hit", lit(1))
+    val hits = canon
+      .withColumn("t", expr(toksExpr))
+      // zero-shingle docs must SURVIVE decontamination, not vanish
+      .select(col("doc_id"), explode_outer(expr(Dedup.shinglesExpr)).as("s"))
+      .join(bench, Seq("s"), "left")
+      .groupBy("doc_id").agg(count(col("hit")).as("n_hit"))
+    val survivors = canon.join(hits, Seq("doc_id"))
+      .filter(col("n_hit") < 3)
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), col("source"), col("n_dups"),
+        expr("cast(size(t) as bigint)").as("n_tokens"))
+    val edge = math.max(1L,
+      math.ceil(math.sqrt(Tables(spark, dir, "documents").count().toDouble)).toLong)
+    TextAnalysis.packDf(survivors.select("doc_id", "n_tokens"), edge)
+      .join(survivors.select("doc_id", "source", "n_dups"), Seq("doc_id"))
+      .select("doc_id", "source", "n_dups", "n_tokens",
+        "start_tok", "first_win", "last_win", "n_wins")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_clean" -> (clean _)
+    "pipeline_clean" -> (clean _),
+    "pipeline_train" -> (train _)
   )
 }

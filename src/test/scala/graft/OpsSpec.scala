@@ -714,6 +714,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline_train invariants: filtered, canonical, decontaminated, contiguous") {
+    import graft.ops.{Pipeline, TextAnalysis}
+    val out = Pipeline.train(spark, dir).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out.nonEmpty)
+    // packing offsets are the exact serial cumsum of survivor tokens
+    var off = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("start_tok") === off, s"doc ${r.getAs[Long]("doc_id")} offset")
+      off += r.getAs[Long]("n_tokens")
+    }
+    // held-out docs never train; every survivor passed the gate
+    val keep = TextAnalysis.filterDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 97 != 0, s"benchmark doc $id leaked into training")
+      assert(keep(id) === 1L, s"filtered doc $id survived")
+      assert(r.getAs[Long]("n_dups") >= 1L)
+    }
+    // canonicality: survivors are distinct representatives (the dedup
+    // stage keyed groups by masked md5 — ids must be group minima)
+    val masked = TextAnalysis.piiMask(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("masked_md5")).toMap
+    val minOfGroup = masked.toSeq.filter(kv => keep(kv._1) == 1L)
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(minOfGroup(masked(id)) === id, s"doc $id is not its group's canonical")
+    }
+  }
+
   test("feature hashing matches a Scala re-derivation") {
     import graft.ops.TextAnalysis
     val expected = docs.toSeq.flatMap { case (id, text) =>
