@@ -458,6 +458,26 @@ object OpsOracles {
          |  CAST(CASE WHEN n_2grams > 0 THEN dup_2grams * 1000 // n_2grams ELSE 0 END AS BIGINT) AS rep2_milli,
          |  CAST(CASE WHEN n_3grams > 0 THEN dup_3grams * 1000 // n_3grams ELSE 0 END AS BIGINT) AS rep3_milli
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_pmi" -> {
+      val g2 = """CASE WHEN len(t) >= 2 THEN
+                 |  [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                 |ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |uni AS (SELECT unnest(t) AS tok FROM d),
+         |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+         |pg AS (SELECT unnest($g2) AS pair FROM d),
+         |pc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_xy FROM pg GROUP BY 1
+         |       HAVING COUNT(*) >= ${TextAnalysis.PmiMinCount}),
+         |tot AS (SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM uc) AS n1,
+         |               (SELECT CAST(SUM(c_xy) AS BIGINT) FROM pc) AS n2),
+         |s AS (
+         |  SELECT pair, c_xy, cx.c1 AS c_x, cy.c1 AS c_y,
+         |    CAST(FLOOR(1000000.0 * c_xy * n1 * n1 / n2 / cx.c1 / cy.c1) AS BIGINT) AS pmi_u
+         |  FROM pc JOIN uc cx ON split_part(pair, ' ', 1) = cx.tok
+         |          JOIN uc cy ON split_part(pair, ' ', 2) = cy.tok, tot)
+         |SELECT pair, c_xy, c_x, c_y, pmi_u FROM s
+         |ORDER BY pmi_u DESC, pair LIMIT ${TextAnalysis.PmiK}""".stripMargin
+    },
     "text_hash_embed" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
          |f AS (SELECT doc_id,

@@ -415,6 +415,47 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Collocations reported by [[pmi]] and its minimum pair count. */
+  val PmiK = 50
+  val PmiMinCount = 5
+
+  /** text_pmi — top collocations (adjacent token pairs) by the
+    * log-free PMI surrogate r = c_xy·N₁²∕(N₂·c_x·c_y) in micro units
+    * (the ratio inside the log — same ranking, exact bigint inputs,
+    * one identical IEEE chain both engines; the [[tfidf]] rule). Pairs
+    * below [[PmiMinCount]] are dropped — the classic guard against
+    * hapax pairs maximizing the ratio.
+    *
+    * Shape: ONE tokenize pass feeds both the unigram and the
+    * adjacent-pair (shared [[grams]]) counts; the pair→unigram
+    * decorate joins are unhinted (token cardinality scales — AQE);
+    * final top-k is orderBy+limit over the thresholded pair frame.
+    */
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(toksExpr))
+    val uni = base.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val pairs = base.select(explode(expr(grams(2))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= PmiMinCount)
+    val totals = uni.agg(sum(col("c1")).as("n1"))
+      .crossJoin(pairs.agg(sum(col("c_xy")).as("n2")))
+    pairs
+      .withColumn("x", expr("split(pair, ' ')[0]"))
+      .withColumn("y", expr("split(pair, ' ')[1]"))
+      .join(uni.select(col("tok").as("x"), col("c1").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c1").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_u",
+        floor(lit(1000000.0) * col("c_xy") * col("n1") * col("n1")
+          / col("n2") / col("c_x") / col("c_y")).cast("long"))
+      .select("pair", "c_xy", "c_x", "c_y", "pmi_u")
+      .orderBy(col("pmi_u").desc, col("pair"))
+      .limit(PmiK)
+  }
+
   /** Dimensions of the [[hashEmbed]] feature space. */
   val HashDims = 64
 
@@ -504,6 +545,7 @@ object TextAnalysis {
     "text_pack" -> (pack _),
     "text_tfidf" -> (tfidf _),
     "text_hash_embed" -> (hashEmbed _),
+    "text_pmi" -> (pmi _),
     "text_line_dedup" -> (lineDedup _),
     "text_vocab" -> (vocab _),
     "text_encode" -> (encode _),

@@ -227,6 +227,29 @@ object EventStreams {
         col("c_uid").as("user_id"), (col("psec") - col("csec")).as("delay_sec"))
   }
 
+  /** stream_topk — continuous leaderboard: top-10 users by total
+    * event value, re-ranked every trigger (Complete mode supports the
+    * post-aggregation sort+limit). State is the running per-user
+    * aggregate — O(users), the leaderboard itself costs a bounded
+    * top-k over it per trigger.
+    */
+  def topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val agg = input.toDS()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("sum_value_c").desc, col("user_id"))
+      .limit(10)
+    val sink = sinkName("stream_topk")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy(col("sum_value_c").desc, col("user_id"))
+  }
+
   /** stream_session — stateful sessionization with BOUNDED state:
     * per-user group state is only the open session ([[OpenSess]],
     * 4 longs). Closed sessions are emitted the moment a >gap event
@@ -420,6 +443,7 @@ object EventStreams {
     "stream_sliding" -> (sliding _),
     "stream_join" -> (joinStatic _),
     "stream_sj" -> (streamStreamJoin _),
+    "stream_topk" -> (topk _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -432,6 +456,11 @@ object EventStreams {
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    "stream_topk" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR((value)*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY user_id
+        |ORDER BY sum_value_c DESC, user_id LIMIT 10""".stripMargin,
     "stream_sj" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -745,6 +745,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pmi collocations match a Scala re-derivation") {
+    import graft.ops.TextAnalysis
+    val toksAll = docs.toSeq.map { case (_, t) => tokens(t) }
+    val uni = toksAll.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCnt = toksAll.flatMap(t => t.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= TextAnalysis.PmiMinCount)
+    val n1 = uni.values.sum
+    val n2 = pairCnt.values.sum
+    val expected = pairCnt.toSeq.map { case (p, cxy) =>
+      val Array(x, y) = p.split(' ')
+      (p, cxy, math.floor(1000000.0 * cxy * n1 * n1 / n2 / uni(x) / uni(y)).toLong)
+    }.sortBy { case (p, _, s) => (-s, p) }.take(TextAnalysis.PmiK)
+    val got = TextAnalysis.pmi(spark, dir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("c_xy"), r.getAs[Long]("pmi_u")))
+    assert(got.toSeq === expected)
+  }
+
   test("feature hashing matches a Scala re-derivation") {
     import graft.ops.TextAnalysis
     val expected = docs.toSeq.flatMap { case (id, text) =>
