@@ -719,6 +719,20 @@ object OpsOracles {
          |${pairsCte(300000L)}
          |SELECT id_a, id_b, label_a, label_b, cos_u, bucket FROM hits
          |ORDER BY id_a, id_b""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH $bucketedDynCte,
+         |${pairsCte(-1000000L)},
+         |e AS (
+         |  SELECT id_a AS vec_id, id_b AS nbr_id, cos_u FROM hits
+         |  UNION ALL
+         |  SELECT id_b AS vec_id, id_a AS nbr_id, cos_u FROM hits),
+         |r AS (
+         |  SELECT vec_id, nbr_id, cos_u,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_u DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM e)
+         |SELECT vec_id, rank, nbr_id, cos_u FROM r
+         |WHERE rank <= ${Similarity.KnnK} ORDER BY vec_id, rank""".stripMargin,
     "sim_pq_topk" -> {
       val d = Similarity.PqD
       def l2(a: String, b: String) =

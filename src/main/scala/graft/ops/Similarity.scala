@@ -209,6 +209,32 @@ object Similarity {
   def pairsThresh(spark: SparkSession, dir: String): DataFrame =
     bucketedPairs(spark, dir, minCosU = 300000L).orderBy("id_a", "id_b")
 
+  /** Neighbors per vector in [[knnGraph]]. */
+  val KnnK = 3
+
+  /** sim_knn_graph — k-NN graph construction over the WHOLE corpus
+    * (every vector, not a probe subset): the [[bucketedPairs]]
+    * corpus-scaled LSH blocking generates candidate pairs (≈64 per
+    * bucket at any n), both directions are unioned and each vector
+    * keeps its [[KnnK]] best by exact cosine — the neighborhood-graph
+    * artifact that clustering / semantic-dedup / diversity-sampling
+    * stages consume. Vectors isolated in their bucket have no edges
+    * under the blocking (production raises targetPerBucket or adds
+    * tables for guaranteed degree — same plumbing). One bucket-key
+    * equi-join + one WindowGroupLimit-pruned top-k shuffle.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    // keep every same-bucket pair: cos_u ≥ -10⁶ is a tautology
+    val pairs = bucketedPairs(spark, dir, minCosU = -1000000L)
+    val e = pairs.select(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_u"))
+      .union(pairs.select(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_u")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("nbr_id"))
+    e.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select("vec_id", "rank", "nbr_id", "cos_u")
+      .orderBy("vec_id", "rank")
+  }
+
   /** Packing factor for the nearest-cell `max_by` ordering:
     * |ccos| ≤ 10⁶ < 2^20 and cent_id < 2^40 (≈10¹² — covers
     * 100 TB-scale vec ids; max product 2^20·2^40 = 2^60 < 2^63, no
@@ -512,6 +538,7 @@ object Similarity {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk" -> (pqTopk _),
+    "sim_knn_graph" -> (knnGraph _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_topk" -> (lshTopk _),
     "sim_pairs_thresh" -> (pairsThresh _),

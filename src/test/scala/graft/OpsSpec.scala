@@ -745,6 +745,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("knn graph: dense ranks, ordered cosines, consistent with the pair operator") {
+    import graft.ops.Similarity
+    val rows = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Long]("cos_u")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (v, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"ranks of $v not dense")
+      assert(sorted.length <= Similarity.KnnK)
+      val cs = sorted.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"cosines of $v not ordered")
+    }
+    // every knn edge at or above the pair threshold appears in
+    // sim_pairs_thresh (same blocking, same exact scores)
+    val pairSet = Similarity.pairsThresh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    rows.filter(_._4 >= 300000L).foreach { case (v, _, n, _) =>
+      val key = (math.min(v, n), math.max(v, n))
+      assert(pairSet.contains(key), s"knn edge $key missing from pairsThresh")
+    }
+  }
+
   test("pmi collocations match a Scala re-derivation") {
     import graft.ops.TextAnalysis
     val toksAll = docs.toSeq.map { case (_, t) => tokens(t) }
