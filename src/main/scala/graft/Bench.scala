@@ -42,7 +42,7 @@ object Bench {
     "text_hash_embed", "text_pmi",
     "sample_stratified", "sample_priority", "stats_length_deciles",
     "agg_kmv_distinct", "agg_cms_topk", "embed_quantize", "pipeline_clean",
-    "pipeline_train",
+    "pipeline_train", "pipeline_shard", "stats_value_hist",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_knn_graph",
     "mm_pack", "mm_meta_extract", "mm_decode_stub", "mm_frame_sample",

@@ -203,6 +203,37 @@ object OpsOracles {
        |    regexp_replace(m2, '$pPat', '<PHONE>', 'g') AS masked
        |  FROM s2)""".stripMargin
 
+  /** CTE chain of the pipeline_train flow through `sv(doc_id, source,
+    * n_dups, n_tokens)` — the decontaminated canonical survivors —
+    * shared by the pipeline_train and pipeline_shard oracles.
+    */
+  private val mtoks = "regexp_extract_all(lower(masked), '[a-z0-9]+')"
+  private lazy val trainCtes: String =
+    s"""$filterCtes,
+       |$maskCtes,
+       |kd AS (
+       |  SELECT s3.doc_id, s3.masked
+       |  FROM s3 JOIN g ON s3.doc_id = g.doc_id WHERE g.n_fail = 0),
+       |canon AS (
+       |  SELECT md5(masked) AS masked_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       |    arg_min(masked, doc_id) AS masked, CAST(COUNT(*) AS BIGINT) AS n_dups
+       |  FROM kd GROUP BY md5(masked)),
+       |cs AS (
+       |  SELECT c.doc_id, d.source, c.n_dups, c.masked
+       |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+       |  WHERE c.doc_id % 97 <> 0),
+       |bt AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 97 = 0),
+       |bs AS (SELECT DISTINCT unnest($shingles) AS s FROM bt),
+       |tt AS (SELECT doc_id, $mtoks AS t FROM cs),
+       |tsh AS (SELECT doc_id, unnest($shingles) AS s FROM tt),
+       |nh AS (SELECT tsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |       FROM tsh JOIN bs USING (s) GROUP BY 1),
+       |sv AS (
+       |  SELECT cs.doc_id, cs.source, cs.n_dups,
+       |    CAST(len($mtoks) AS BIGINT) AS n_tokens
+       |  FROM cs LEFT JOIN nh ON cs.doc_id = nh.doc_id
+       |  WHERE COALESCE(nh.n_hit, 0) < 3)"""      .stripMargin
+
   val all: Map[String, String] = Map(
     "text_filter" ->
       s"""WITH $filterCtes
@@ -224,31 +255,7 @@ object OpsOracles {
          |FROM s3 ORDER BY doc_id""".stripMargin,
     "pipeline_train" -> {
       val w = TextAnalysis.WinTokens
-      val mtoks = "regexp_extract_all(lower(masked), '[a-z0-9]+')"
-      s"""WITH $filterCtes,
-         |$maskCtes,
-         |kd AS (
-         |  SELECT s3.doc_id, s3.masked
-         |  FROM s3 JOIN g ON s3.doc_id = g.doc_id WHERE g.n_fail = 0),
-         |canon AS (
-         |  SELECT md5(masked) AS masked_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
-         |    arg_min(masked, doc_id) AS masked, CAST(COUNT(*) AS BIGINT) AS n_dups
-         |  FROM kd GROUP BY md5(masked)),
-         |cs AS (
-         |  SELECT c.doc_id, d.source, c.n_dups, c.masked
-         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id
-         |  WHERE c.doc_id % 97 <> 0),
-         |bt AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 97 = 0),
-         |bs AS (SELECT DISTINCT unnest($shingles) AS s FROM bt),
-         |tt AS (SELECT doc_id, $mtoks AS t FROM cs),
-         |tsh AS (SELECT doc_id, unnest($shingles) AS s FROM tt),
-         |nh AS (SELECT tsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-         |       FROM tsh JOIN bs USING (s) GROUP BY 1),
-         |sv AS (
-         |  SELECT cs.doc_id, cs.source, cs.n_dups,
-         |    CAST(len($mtoks) AS BIGINT) AS n_tokens
-         |  FROM cs LEFT JOIN nh ON cs.doc_id = nh.doc_id
-         |  WHERE COALESCE(nh.n_hit, 0) < 3),
+      s"""WITH $trainCtes,
          |pk AS (
          |  SELECT doc_id, source, n_dups, n_tokens,
          |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -263,6 +270,17 @@ object OpsOracles {
          |       ELSE 0 END AS BIGINT) AS n_wins
          |FROM pk ORDER BY doc_id""".stripMargin
     },
+    "pipeline_shard" ->
+      s"""WITH $trainCtes,
+         |sh2 AS (SELECT doc_id, n_tokens,
+         |  ${md5Int("('shard:' || CAST(doc_id AS VARCHAR))")} % ${Pipeline.NShards} AS shard
+         |  FROM sv)
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+         |  CAST(SUM(doc_id * doc_id) AS BIGINT) AS doc_chk
+         |FROM sh2 GROUP BY shard ORDER BY shard""".stripMargin,
     "pipeline_clean" ->
       s"""WITH $filterCtes,
          |$maskCtes,
@@ -283,6 +301,17 @@ object OpsOracles {
          |  FROM cs)
          |SELECT source, doc_id, masked_md5, n_dups, samp_hash, rk
          |FROM rk WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
+    "stats_value_hist" -> {
+      val w = Sampling.HistWidthC
+      s"""WITH e AS (SELECT event_type,
+         |  CAST(FLOOR((value)*100) AS BIGINT) AS value_c FROM events)
+         |SELECT event_type, CAST(FLOOR(value_c / $w.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS cnt,
+         |  CAST(MIN(value_c) AS BIGINT) AS min_c,
+         |  CAST(MAX(value_c) AS BIGINT) AS max_c,
+         |  CAST(SUM(value_c) AS BIGINT) AS sum_c
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "sample_stratified" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,

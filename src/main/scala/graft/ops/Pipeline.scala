@@ -101,8 +101,36 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Output shards for [[shard]]. */
+  val NShards = 32
+
+  /** pipeline_shard — deterministic shard manifest for the packed
+    * training corpus: every [[train]] survivor is assigned to one of
+    * [[NShards]] output shards by the content-independent hash of its
+    * doc id (reproducible across runs/engines; rebalancing means
+    * changing ONE modulus), and the manifest rows a writer consumes —
+    * doc count, token total, min/max doc, a doc-id checksum — come
+    * from one map-side-combined aggregation. At 100 TB this is the
+    * webdataset-style shard listing; the write itself is
+    * `partitionBy(shard)` on the same key.
+    */
+  def shard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    train(spark, dir)
+      .withColumn("shard",
+        expr(s"graft_md5_prefix(concat('shard:', cast(doc_id as string))) % $NShards"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("doc_id") * col("doc_id")).as("doc_chk"))
+      .orderBy("shard")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean" -> (clean _),
-    "pipeline_train" -> (train _)
+    "pipeline_train" -> (train _),
+    "pipeline_shard" -> (shard _)
   )
 }

@@ -178,9 +178,33 @@ object Sampling {
       .limit(CmsK)
   }
 
+  /** Bucket width (cents) for [[valueHist]]. */
+  val HistWidthC = 2000L
+
+  /** stats_value_hist — equi-width profiling histogram of the event
+    * value per event_type (the numeric-column profile a pipeline
+    * report shows): bucket = value_c div width (floor toward -∞ via
+    * floor-division on possibly-negative cents — both engines
+    * truncate identically on the non-negative data and the oracle
+    * mirrors the expression), one map-side-combined groupBy on the
+    * bounded (type, bucket) key domain.
+    */
+  def valueHist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.relational.Queries.cents
+    Tables(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .withColumn("bucket", floor(col("value_c") / lit(HistWidthC.toDouble)).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value_c")).as("min_c"), max(col("value_c")).as("max_c"),
+        sum(col("value_c")).as("sum_c"))
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),
+    "stats_value_hist" -> (valueHist _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_cms_topk" -> (cmsTopk _),
     "stats_length_deciles" -> (lengthDeciles _)

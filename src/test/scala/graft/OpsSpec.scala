@@ -768,6 +768,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shard manifest conserves the training corpus exactly") {
+    import graft.ops.Pipeline
+    import org.apache.spark.sql.functions.sum
+    val trainRows = Pipeline.train(spark, dir).collect()
+    val manifest = Pipeline.shard(spark, dir).collect()
+    assert(manifest.map(_.getAs[Long]("shard")).distinct.length === manifest.length)
+    assert(manifest.forall(r => r.getAs[Long]("shard") >= 0 &&
+      r.getAs[Long]("shard") < Pipeline.NShards))
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === trainRows.length.toLong)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum ===
+      trainRows.map(_.getAs[Long]("n_tokens")).sum)
+    assert(manifest.map(_.getAs[Long]("doc_chk")).sum ===
+      trainRows.map(r => { val d = r.getAs[Long]("doc_id"); d * d }).sum)
+  }
+
   test("pmi collocations match a Scala re-derivation") {
     import graft.ops.TextAnalysis
     val toksAll = docs.toSeq.map { case (_, t) => tokens(t) }
