@@ -301,6 +301,20 @@ object OpsOracles {
          |  FROM cs)
          |SELECT source, doc_id, masked_md5, n_dups, samp_hash, rk
          |FROM rk WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
+    "sample_split" -> {
+      val h = md5Int("('split:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN $h % 100 < ${Sampling.SplitTrainPct} THEN 'train'
+         |         WHEN $h % 100 < ${Sampling.SplitValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT source, split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+         |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+         |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
     "stats_value_hist" -> {
       val w = Sampling.HistWidthC
       s"""WITH e AS (SELECT event_type,

@@ -178,6 +178,35 @@ object Sampling {
       .limit(CmsK)
   }
 
+  /** Percent buckets of [[split]]: [0,98) train, [98,99) val, rest test. */
+  val SplitTrainPct = 98L
+  val SplitValPct = 99L
+
+  /** sample_split — deterministic train/val/test split: every
+    * document lands in exactly one split by the content-independent
+    * hash of its id (98/1/1) — reproducible across runs, engines and
+    * reshuffles, and stable under corpus growth (a new doc never
+    * moves an old one). Emits the per-(source, split) accounting a
+    * dataset card reports. One map-side-combined aggregation.
+    */
+  def split(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("graft_md5_prefix(concat('split:', cast(doc_id as string))) % 100")
+          .as("pct"))
+      .withColumn("split",
+        when(col("pct") < SplitTrainPct, "train")
+          .when(col("pct") < SplitValPct, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"),
+        sum(col("doc_id")).as("doc_sum"))
+      .orderBy("source", "split")
+  }
+
   /** Bucket width (cents) for [[valueHist]]. */
   val HistWidthC = 2000L
 
@@ -204,6 +233,7 @@ object Sampling {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),
+    "sample_split" -> (split _),
     "stats_value_hist" -> (valueHist _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_cms_topk" -> (cmsTopk _),

@@ -227,6 +227,38 @@ object EventStreams {
         col("c_uid").as("user_id"), (col("psec") - col("csec")).as("delay_sec"))
   }
 
+  /** stream_cms — the Count-Min frequency sketch as a STREAMING
+    * aggregation: the d×w counter grid of
+    * [[graft.ops.Sampling.cmsTopk]] maintained across triggers by a
+    * plain (depth, idx) count — state is the fixed d·w cells at any
+    * stream length (the frequency twin of [[kmvStream]]'s O(groups·K)
+    * distinct sketch). Emits the grid; querying a key is d lookups.
+    */
+  def cmsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Sampling.{CmsDepth, CmsWidth}
+    val users = Tables(spark, dir, "events")
+      .select(col("user_id")).as[Long].collect().toSeq
+    val input = MemoryStream[Long]
+    input.addData(users)
+    val cellCols = (0 until CmsDepth).map { j =>
+      struct(lit(j).as("d"),
+        expr(s"graft_md5_prefix(concat(cast(value as string), '#', '$j')) % $CmsWidth")
+          .as("idx"))
+    }
+    val agg = input.toDS().toDF("value")
+      .select(explode(array(cellCols: _*)).as("c"))
+      .select(col("c.d").cast("long").as("d"), col("c.idx").as("idx"))
+      .groupBy("d", "idx").agg(count(lit(1)).as("cnt"))
+    val sink = sinkName("stream_cms")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("d", "idx")
+  }
+
   /** stream_topk — continuous leaderboard: top-10 users by total
     * event value, re-ranked every trigger (Complete mode supports the
     * post-aggregation sort+limit). State is the running per-user
@@ -444,6 +476,7 @@ object EventStreams {
     "stream_join" -> (joinStatic _),
     "stream_sj" -> (streamStreamJoin _),
     "stream_topk" -> (topk _),
+    "stream_cms" -> (cmsStream _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -456,6 +489,15 @@ object EventStreams {
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    "stream_cms" -> {
+      import graft.ops.{Sampling, OpsOracles}
+      val unions = (0 until Sampling.CmsDepth).map { j =>
+        s"SELECT $j AS d, ${OpsOracles.md5Int(s"(CAST(user_id AS VARCHAR) || '#' || '$j')")} % ${Sampling.CmsWidth} AS idx FROM events"
+      }.mkString("\n  UNION ALL ")
+      s"""SELECT CAST(d AS BIGINT) AS d, idx, COUNT(*) AS cnt FROM (
+         |  $unions)
+         |GROUP BY d, idx ORDER BY d, idx""".stripMargin
+    },
     "stream_topk" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(FLOOR((value)*100) AS BIGINT)) AS BIGINT) AS sum_value_c

@@ -235,6 +235,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.agg(sum("cnt")).collect()(0).getLong(0) === nEvents)
   }
 
+  test("streaming CMS grid merges across triggers to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Sampling.{CmsDepth, CmsWidth}
+    val users = Tables(spark, dir, "events").select("user_id").as[Long].collect().toSeq
+    val (b1, b2) = users.splitAt(users.size / 2)
+    val input = MemoryStream[Long]
+    val cellCols = (0 until CmsDepth).map { j =>
+      struct(lit(j).as("d"),
+        expr(s"graft_md5_prefix(concat(cast(value as string), '#', '$j')) % $CmsWidth").as("idx"))
+    }
+    val agg = input.toDS().toDF("value")
+      .select(explode(array(cellCols: _*)).as("c"))
+      .select(col("c.d").cast("long").as("d"), col("c.idx").as("idx"))
+      .groupBy("d", "idx").agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("cms_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = rows(spark.table("cms_trigger_spec"), "d", "idx", "cnt")
+    // batch re-derivation over the same users
+    val expected = users.flatMap { u =>
+      (0 until CmsDepth).map(j => (j.toLong, u))
+    }.groupBy { case (j, u) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u#$j".getBytes("UTF-8"))
+      (j, java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % CmsWidth)
+    }.map { case ((j, idx), v) => Seq[Any](j, idx, v.size.toLong) }.toSet
+    assert(streamed === expected)
+  }
+
   test("stream-stream join matches in-window pairs across triggers and evicts state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
