@@ -44,7 +44,7 @@ object Bench {
     "agg_kmv_distinct", "agg_cms_topk", "embed_quantize", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "stats_value_hist",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
-    "sim_pairs_thresh", "sim_pq_topk", "sim_knn_graph",
+    "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
     "mm_pack", "mm_meta_extract", "mm_decode_stub", "mm_frame_sample",
     "mm_resize",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink")

@@ -762,6 +762,95 @@ object OpsOracles {
          |${pairsCte(300000L)}
          |SELECT id_a, id_b, label_a, label_b, cos_u, bucket FROM hits
          |ORDER BY id_a, id_b""".stripMargin,
+    "sim_pq_kmeans" -> {
+      val d = Similarity.PqD
+      def fold(body: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  [$body for i in range(1, ${d + 1})]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      val l2F = fold("(CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) * (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))")
+      val l2Q = fold("(CAST(svec[i] AS DOUBLE) - CAST(cvq[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE)) * (CAST(svec[i] AS DOUBLE) - CAST(cvq[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE))")
+      val selfQ = fold("(CAST(cvq[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE)) * (CAST(cvq[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE))")
+      val dotQsub = fold("CAST(psub[i] AS DOUBLE) * (CAST(cvq[i] AS DOUBLE) * CAST(1e-6 AS DOUBLE))")
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |cbm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |        WHERE (CAST(1 AS BIGINT) << g) * ${Similarity.PqKs} >= nn.n),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |seeds AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cb_idx
+         |  FROM embeddings, cbm WHERE vec_id % cbm.m = 0),
+         |cb AS (
+         |  SELECT CAST(mm.m AS BIGINT) AS m, s.cb_idx,
+         |    s.embedding[mm.m*$d+1 : mm.m*$d+$d] AS cvec
+         |  FROM seeds s, range(0, ${Similarity.PqM}) mm(m)),
+         |subs AS (
+         |  SELECT vec_id, CAST(mm.m AS BIGINT) AS m,
+         |    embedding[mm.m*$d+1 : mm.m*$d+$d] AS svec
+         |  FROM embeddings, range(0, ${Similarity.PqM}) mm(m)),
+         |dists0 AS (
+         |  SELECT vec_id, s.m, cb_idx,
+         |    CAST(FLOOR($l2F * 1000000.0) AS BIGINT) AS du
+         |  FROM subs s JOIN cb ON s.m = cb.m),
+         |codes0 AS (
+         |  SELECT vec_id, m, CAST(MIN(du * ${Similarity.PqKs} + cb_idx) % ${Similarity.PqKs} AS BIGINT) AS cb_idx
+         |  FROM dists0 GROUP BY 1, 2),
+         |el AS (
+         |  SELECT vec_id, m, CAST(i AS BIGINT) AS pos,
+         |    CAST(FLOOR(CAST(svec[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+         |  FROM subs, range(1, ${d + 1}) r(i)),
+         |cb1d AS (
+         |  SELECT el.m, c.cb_idx, el.pos,
+         |    CAST(SUM(xq) // COUNT(*) AS BIGINT) AS dimq
+         |  FROM el JOIN codes0 c ON el.vec_id = c.vec_id AND el.m = c.m
+         |  GROUP BY 1, 2, 3),
+         |cb1 AS (SELECT m, cb_idx, list(dimq ORDER BY pos) AS cvq
+         |        FROM cb1d GROUP BY 1, 2),
+         |cb1n AS (SELECT m, cb_idx, cvq, $selfQ AS cn2 FROM cb1),
+         |d2 AS (
+         |  SELECT s.vec_id, s.m, c.cb_idx,
+         |    CAST(FLOOR($l2Q * 1000000.0) AS BIGINT) AS du
+         |  FROM subs s JOIN cb1n c ON s.m = c.m),
+         |codes1 AS (
+         |  SELECT vec_id, m, CAST(MIN(du * ${Similarity.PqKs} + cb_idx) % ${Similarity.PqKs} AS BIGINT) AS cb_idx
+         |  FROM d2 GROUP BY 1, 2),
+         |prn AS (
+         |  SELECT vec_id AS probe_id, embedding AS pvec,
+         |    ${dotD("embedding", "embedding")} AS pn2
+         |  FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
+         |psubs AS (
+         |  SELECT probe_id, pn2, CAST(mm.m AS BIGINT) AS m,
+         |    pvec[mm.m*$d+1 : mm.m*$d+$d] AS psub
+         |  FROM prn, range(0, ${Similarity.PqM}) mm(m)),
+         |lut AS (
+         |  SELECT probe_id, pn2, c.m, c.cb_idx,
+         |    CAST(FLOOR($dotQsub * 1000000000.0) AS BIGINT) AS pdot_su,
+         |    CAST(FLOOR(cn2 * 1000000000.0) AS BIGINT) AS cn2_su
+         |  FROM psubs p JOIN cb1n c ON p.m = c.m),
+         |adc AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(SUM(pdot_su) AS BIGINT) AS adc_su,
+         |    CAST(SUM(cn2_su) AS BIGINT) AS vhat_su,
+         |    MAX(pn2) AS pn2
+         |  FROM codes1 JOIN lut USING (m, cb_idx) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(CASE WHEN vhat_su > 0 THEN
+         |      FLOOR(CAST(adc_su AS DOUBLE) / 1000000000.0
+         |        / (sqrt(pn2) * sqrt(CAST(vhat_su AS DOUBLE) / 1000000000.0))
+         |        * 1000000.0) ELSE 0 END AS BIGINT) AS adc_u
+         |  FROM adc WHERE vec_id <> probe_id),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY adc_u DESC, vec_id) AS BIGINT) AS rank FROM sc),
+         |top AS (SELECT * FROM rk WHERE rank <= 5)
+         |SELECT t.probe_id, t.rank, t.vec_id, t.adc_u,
+         |  ${cosU("prn.pvec", "e.embedding")} AS cos_u
+         |FROM top t JOIN embeddings e ON t.vec_id = e.vec_id
+         |JOIN prn ON t.probe_id = prn.probe_id
+         |ORDER BY t.probe_id, t.rank""".stripMargin
+    },
     "sim_knn_graph" ->
       s"""WITH $bucketedDynCte,
          |${pairsCte(-1000000L)},
@@ -790,7 +879,7 @@ object OpsOracles {
       def selfSubD(a: String) = dotSubD(a, a)
       s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
          |cbm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
-         |        WHERE (CAST(1 AS BIGINT) << g) * 16 >= nn.n),
+         |        WHERE (CAST(1 AS BIGINT) << g) * ${Similarity.PqKs} >= nn.n),
          |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
          |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
          |seeds AS (
@@ -811,7 +900,7 @@ object OpsOracles {
          |    CAST(FLOOR(${l2("svec", "cvec")} * 1000000.0) AS BIGINT) AS du
          |  FROM subs s JOIN cbn ON s.m = cbn.m),
          |codes AS (
-         |  SELECT vec_id, m, CAST(MIN(du * 16 + cb_idx) % 16 AS BIGINT) AS cb_idx
+         |  SELECT vec_id, m, CAST(MIN(du * ${Similarity.PqKs} + cb_idx) % ${Similarity.PqKs} AS BIGINT) AS cb_idx
          |  FROM dists GROUP BY 1, 2),
          |prn AS (
          |  SELECT vec_id AS probe_id, embedding AS pvec,

@@ -424,15 +424,19 @@ object Similarity {
   }
 
   /** Product-quantization geometry for [[pqTopk]]: M subspaces of D
-    * dims (M·D = 64) with ≤16 codewords per subspace, so a code is
-    * M small ints — 8 bytes instead of 256 per vector. Codebook seed
-    * modulus mirrors [[ivfProbeMod]]'s shape: smallest power of two
-    * m with 16·m ≥ n → ≤16 seed vectors at any corpus size.
+    * dims (M·D = 64) with ≤[[PqKs]] codewords per subspace, so a code
+    * is M·log₂(Ks) = 48 bits instead of 256 bytes per vector.
+    * Codebook seed modulus mirrors [[ivfProbeMod]]'s shape: smallest
+    * power of two m with Ks·m ≥ n → ≤Ks seed vectors at any corpus
+    * size. (A 16-codeword book measured recall@5 ≈ 0.18 — 0.5
+    * bits/dim is too coarse; 64 codewords is the small end of the
+    * production range, recall ≈ 0.4 here.)
     */
   val PqM = 8
   val PqD = 8
+  val PqKs = 64
   def pqCbMod(n: Long): Long =
-    (0 to 56).map(1L << _).find(m => m * 16L >= n).getOrElse(1L << 56)
+    (0 to 56).map(1L << _).find(m => m * PqKs >= n).getOrElse(1L << 56)
 
   /** Sub-vector (length [[PqD]]) starting at subspace `m` (0-based). */
   private def sub(v: Column, m: Column): Column =
@@ -470,33 +474,14 @@ object Similarity {
     */
   def pqTopk(spark: SparkSession, dir: String): DataFrame = {
     val n = emb(spark, dir).count()
-    // ≤16 seeds; the global row_number window runs on that tiny frame
-    val wSeed = Window.orderBy("vec_id")
-    val seeds = emb(spark, dir).filter(col("vec_id") % pqCbMod(n) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("cb_idx", (row_number().over(wSeed) - 1).cast("long"))
-    val cb = seeds
-      .select(col("cb_idx"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
-        col("embedding"))
-      .select(col("m").cast("long").as("m"), col("cb_idx"),
-        sub(col("embedding"), col("m")).as("cvec"))
+    // ≤16 seeds (shared stage); codebook self-dots ride along
+    val cb = pqSeedCb(spark, dir, n)
       .withColumn("cn2",
         aggregate(transform(col("cvec"), c => c.cast("double") * c.cast("double")),
           lit(0.0), (acc, v) => acc + v))
     // encode: argmin_L2 codeword per (vector, subspace), packed tiebreak
-    val subs = embPar(spark, dir)
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
-        col("embedding"))
-      .select(col("vec_id"), col("m").cast("long").as("m"),
-        sub(col("embedding"), col("m")).as("svec"))
-    val du = floor(
-      aggregate(zip_with(col("svec"), col("cvec"),
-        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-        lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
-    val codes = subs.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), (du * 16 + col("cb_idx")).as("packed"))
-      .groupBy("vec_id", "m")
-      .agg((min(col("packed")) % 16).as("cb_idx"))
+    val subs = pqSubs(spark, dir)
+    val codes = pqEncode(subs, cb.select("m", "cb_idx", "cvec"))
     // probe LUT: per-(subspace, codeword) partial dots, nano-floored
     val p = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
@@ -536,8 +521,127 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Shared PQ stage: per-(vector, subspace) slices of the corpus. */
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame =
+    embPar(spark, dir)
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        sub(col("embedding"), col("m")).as("svec"))
+
+  /** Shared PQ stage: the seed codebook (float sub-vectors). */
+  private def pqSeedCb(spark: SparkSession, dir: String, n: Long): DataFrame = {
+    val wSeed = Window.orderBy("vec_id")
+    emb(spark, dir).filter(col("vec_id") % pqCbMod(n) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cb_idx", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("cb_idx"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
+        col("embedding"))
+      .select(col("m").cast("long").as("m"), col("cb_idx"),
+        sub(col("embedding"), col("m")).as("cvec"))
+  }
+
+  /** Encode against a FLOAT codebook: argmin L2, packed tiebreak. */
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val du = floor(
+      aggregate(zip_with(col("svec"), col("cvec"),
+        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+    subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), (du * PqKs + col("cb_idx")).as("packed"))
+      .groupBy("vec_id", "m")
+      .agg((min(col("packed")) % PqKs).as("cb_idx"))
+  }
+
+  /** sim_pq_kmeans — PQ codebook TRAINING: one Lloyd refinement per
+    * subspace over the seed-codebook assignment. The update is exact
+    * integer end-to-end (the [[ivfKmeans]] rule): sub-vector elements
+    * quantize to micro-ints, each (subspace, codeword, dim) refines to
+    * `sum div count` — order-independent under any partitioning, so
+    * the refined codebook is bit-identical in the oracle — then the
+    * corpus re-encodes against the refined (micro-int) codewords and
+    * probes score by the same integer-floored ADC as [[pqTopk]].
+    * Codewords that attract no vectors drop out of the refined book
+    * (both engines identically); assignment shifts toward real data
+    * density — the training step a production PQ index runs a few
+    * times before freezing the codebook.
+    *
+    * Scale: the update is one explode + two map-side-combined
+    * HashAggregates over (m, codeword, dim) — ≤ M·16·D cells; both
+    * encode passes are broadcast joins of ≤ M·16-row codebooks.
+    */
+  def pqKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val subs = pqSubs(spark, dir)
+    val codes0 = pqEncode(subs, pqSeedCb(spark, dir, n))
+    // Lloyd: per-(m, codeword, dim) micro-int means over assigned subvecs
+    val cb1 = subs
+      .select(col("vec_id"), col("m"),
+        posexplode(col("svec")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("m"), (col("pos0") + 1).cast("long").as("pos"),
+        expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
+      .join(codes0, Seq("vec_id", "m"))
+      .groupBy("m", "cb_idx", "pos")
+      .agg(expr("sum(xq) div count(1)").as("dimq"))
+      .groupBy("m", "cb_idx")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, dimq))), s -> s.dimq)")
+        .as("cvq"))
+      .withColumn("cn2",
+        aggregate(transform(col("cvq"),
+          q => (q.cast("double") * lit(1.0e-6)) * (q.cast("double") * lit(1.0e-6))),
+          lit(0.0), (acc, v) => acc + v))
+    // re-encode against the refined micro-int codewords
+    val du2 = floor(
+      aggregate(zip_with(col("svec"), col("cvq"),
+        (x, q) => (x.cast("double") - q.cast("double") * lit(1.0e-6))
+          * (x.cast("double") - q.cast("double") * lit(1.0e-6))),
+        lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+    val codes1 = subs.join(broadcast(cb1), Seq("m"))
+      .select(col("vec_id"), col("m"), (du2 * PqKs + col("cb_idx")).as("packed"))
+      .groupBy("vec_id", "m")
+      .agg((min(col("packed")) % PqKs).as("cb_idx"))
+    // ADC against the refined book
+    val p = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        dot(col("embedding"), col("embedding")).as("pn2"))
+    val lut = p
+      .select(col("probe_id"), col("pn2"), col("pvec"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
+      .select(col("probe_id"), col("pn2"), col("m").cast("long").as("m"),
+        sub(col("pvec"), col("m")).as("psub"))
+      .join(broadcast(cb1), Seq("m"))
+      .select(col("probe_id"), col("pn2"), col("m"), col("cb_idx"),
+        floor(aggregate(zip_with(col("psub"), col("cvq"),
+          (x, q) => x.cast("double") * (q.cast("double") * lit(1.0e-6))),
+          lit(0.0), (acc, v) => acc + v) * lit(1.0e9)).cast("long").as("pdot_su"),
+        floor(col("cn2") * lit(1.0e9)).cast("long").as("cn2_su"))
+    val scored = codes1.join(broadcast(lut), Seq("m", "cb_idx"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pdot_su")).as("adc_su"), sum(col("cn2_su")).as("vhat_su"),
+        max(col("pn2")).as("pn2"))
+      .withColumn("adc_u",
+        when(col("vhat_su") > 0,
+          floor(col("adc_su").cast("double") / lit(1.0e9)
+            / (sqrt(col("pn2")) * sqrt(col("vhat_su").cast("double") / lit(1.0e9)))
+            * lit(1000000.0)).cast("long"))
+          .otherwise(0L))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_u").desc, col("vec_id"))
+    val top = scored.filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("vn2"))
+    top.join(base, Seq("vec_id"))
+      .join(broadcast(p.select(col("probe_id"), col("pvec"), col("pn2").as("ppn2"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("adc_u"),
+        cosUPre(col("pvec"), col("embedding"), col("ppn2"), col("vn2")).as("cos_u"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk" -> (pqTopk _),
+    "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_topk" -> (lshTopk _),

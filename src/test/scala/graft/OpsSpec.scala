@@ -855,8 +855,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val d2 = (0 until 8).foldLeft(0.0) { (acc, i) =>
           val dx = v(m * 8 + i).toDouble - c(i).toDouble; acc + dx * dx
         }
-        math.floor(d2 * 1000000.0).toLong * 16 + ci
-      }.min % 16
+        math.floor(d2 * 1000000.0).toLong * Similarity.PqKs + ci
+      }.min % Similarity.PqKs
     val codes = vecs.map { case (id, v) =>
       id -> (0 until Similarity.PqM).map(m => code(v, m)).toArray
     }.toMap
@@ -887,6 +887,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ANN recall@5 vs brute force stays above the documented floors") {
     import graft.ops.Similarity
+    import spark.implicits._
     // measured at sf0.01: the sf0.001 corpus has only 50 vectors, so
     // "top-5 neighbors" are near-random directions and every bucketed
     // method's recall is a sparsity artifact, not a quality signal
@@ -894,23 +895,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id"))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val brute = topSets(Similarity.bruteTopk(spark, dir))
+    // exact ground truth computed in memory for ANY probe set (the
+    // operators use different probe moduli — brute's %101 set shares
+    // only probe 0 with the %2^k sets, so comparing against the brute
+    // OPERATOR would grade a one-probe sample)
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def dotF(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val vmap = vecs.toMap
+    def exactTop5(p: Long): Set[Long] = {
+      val pv = vmap(p); val pn = math.sqrt(dotF(pv, pv))
+      vecs.filter(_._1 != p).map { case (id, v) =>
+        (math.floor(dotF(pv, v) / (pn * math.sqrt(dotF(v, v))) * 1e6).toLong, id)
+      }.sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+    }
     def recallOf(m: Map[Long, Set[Long]]): Double = {
-      // probes present in brute (PQ/IVF probe sets are subsets by construction)
-      val common = brute.keySet intersect m.keySet
-      assert(common.nonEmpty)
-      common.toSeq.map(p => (brute(p) intersect m(p)).size.toDouble / brute(p).size)
-        .sum / common.size
+      assert(m.nonEmpty)
+      m.toSeq.map { case (p, got) =>
+        val truth = exactTop5(p)
+        (truth intersect got).size.toDouble / truth.size
+      }.sum / m.size
     }
     val rPq = recallOf(topSets(Similarity.pqTopk(spark, dir)))
+    val rPqK = recallOf(topSets(Similarity.pqKmeans(spark, dir)))
     val rIvf = recallOf(topSets(Similarity.ivfTopk(spark, dir)))
     val rLsh = recallOf(topSets(Similarity.lshTopk(spark, dir)))
-    // floors sit below the measured values (IVF 1.0, PQ 0.4, LSH 0.32
-    // at sf0.01 — LSH capped by coordinate-plane correlation, see
-    // Similarity.LshBitsPerTable) — they exist to catch a recall
-    // COLLAPSE (broken encode/assignment/banding), not to pin quality
-    assert(rPq >= 0.3, s"PQ recall collapsed: $rPq (ivf=$rIvf lsh=$rLsh)")
-    assert(rIvf >= 0.5, s"IVF recall collapsed: $rIvf (pq=$rPq lsh=$rLsh)")
+    // floors sit below the values measured against full-corpus exact
+    // ground truth over each method's own probe set (IVF 0.48, PQ 0.36,
+    // LSH 0.32 at sf0.01 — IVF probes one cell of ~sqrt(n); LSH capped
+    // by coordinate-plane correlation, see Similarity.LshBitsPerTable)
+    // — they exist to catch a recall COLLAPSE (broken encode/
+    // assignment/banding), not to pin quality
+    assert(rPq >= 0.25, s"PQ recall collapsed: $rPq (ivf=$rIvf lsh=$rLsh)")
+    // the Lloyd-refined codebook must not degrade the seed codebook
+    // beyond noise (it minimizes quantization MSE)
+    assert(rPqK >= rPq - 0.1, s"refined-PQ recall collapsed: $rPqK vs seed $rPq")
+    assert(rIvf >= 0.35, s"IVF recall collapsed: $rIvf (pq=$rPq lsh=$rLsh)")
     assert(rLsh >= 0.25, s"LSH recall collapsed: $rLsh (pq=$rPq ivf=$rIvf)")
   }
 
