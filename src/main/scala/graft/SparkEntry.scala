@@ -42,7 +42,9 @@ object SparkEntry {
     "q16_suppcnt" -> (Queries.q16Suppcnt _),
     "q18_large" -> (Queries.q18Large _),
     "q19_disjunct" -> (Queries.q19Disjunct _),
-    "q_cube" -> (Queries.qCube _)
+    "q_cube" -> (Queries.qCube _),
+    "q15_topsupp" -> (Queries.q15Topsupp _),
+    "q22_global" -> (Queries.q22Global _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -265,6 +267,32 @@ object SparkEntry {
          |JOIN a ON l_partkey = a.pk
          |WHERE p_brand = 'Brand#1'
          |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+    "q15_topsupp" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${SUMC("l_extendedprice*(1.0-l_discount)")} AS total_rev_c
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev_c
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q22_global" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+         |    ${C("c_acctbal")} AS bal_c
+         |  FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+         |stats AS (
+         |  SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c, COUNT(*) AS n_pos
+         |  FROM c WHERE bal_c > 0)
+         |SELECT cntrycode, COUNT(*) AS numcust,
+         |  CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+         |FROM c, stats
+         |WHERE bal_c * n_pos > sum_c
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderpriority = '1-URGENT')
+         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders

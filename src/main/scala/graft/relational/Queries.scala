@@ -612,6 +612,58 @@ object Queries {
       .orderBy(col("gid"), col("region"), col("segment"))
   }
 
+  /** q15_topsupp — top supplier(s): quarterly revenue per supplier,
+    * then the supplier(s) achieving the global maximum (TPC-H Q15's
+    * view + scalar-max shape). The per-supplier aggregate is one
+    * shuffle on l_suppkey over a pushed date-range scan; the maximum
+    * is a 1-row aggregate broadcast back as an equi-condition — never
+    * a global sort or a single-partition window. Supplier join is
+    * unhinted (linear in sf — AQE decides).
+    */
+  def q15Topsupp(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_rev_c"))
+    val mx = rev.agg(max(col("total_rev_c")).as("max_rev_c"))
+    rev.join(broadcast(mx), col("total_rev_c") === col("max_rev_c"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q22_global — global sales opportunity (TPC-H Q22 adapted to this
+    * schema: nation keys stand in for phone country codes, and the
+    * "hasn't ordered" test is "has no 1-URGENT order" since this
+    * dataset gives every customer at least one order): customers in
+    * seven "countries" with above-average positive balance and no
+    * urgent orders. The average is never materialized as a float —
+    * the predicate cross-multiplies exact integers
+    * (`bal_c · n > sum_c` ⟺ `bal_c > sum_c / n`), so engines can't
+    * diverge on a division ulp. Anti join on o_custkey (orders
+    * pre-filtered scan-side to the urgent slice) is the one data
+    * shuffle; the balance statistics are a 1-row broadcast.
+    */
+  def q22Global(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7, 9, 11, 13).map(_.toLong)
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_nationkey").isin(codes: _*))
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("cntrycode"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val stats = c.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_pos"))
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      .orderBy(col("cntrycode"))
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")

@@ -54,6 +54,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q15's scalar max joins as a 1-row broadcast, never a sort or single-partition window") {
+    val p = formatted("q15_topsupp")
+    assert(!p.contains("CartesianProduct"), "q15 plans a CartesianProduct")
+    assert(!p.contains("Window"), "q15 degenerated to a window over the supplier frame")
+    // the max-revenue condition must be a broadcast hash join (1-row build side)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "q15's scalar-max condition is not a broadcast join")
+  }
+
+  test("q22's urgent-order filter reaches the orders scan under the anti join") {
+    val p = formatted("q22_global")
+    assert(p.contains("LeftAnti"), "q22 lost its anti join")
+    assert(p.contains("1-URGENT"), "q22's priority filter vanished from the plan")
+    assert("""PushedFilters: \[[^\]]*o_orderpriority""".r.findFirstIn(p).isDefined,
+      "q22's priority filter is not pushed to the orders scan")
+  }
+
   test("q3 carries no static broadcast hint on the linear-scaling customer side") {
     // The BUILDING slice grows with scale factor; the join choice must
     // be AQE's (runtime sizes), not a plan-time hint. The optimized
