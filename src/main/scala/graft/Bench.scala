@@ -40,8 +40,8 @@ object Bench {
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
-    "text_hash_embed", "text_pmi",
-    "sample_stratified", "sample_priority", "sample_split", "stats_length_deciles",
+    "text_hash_embed", "text_pmi", "text_charlm",
+    "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "stats_length_deciles",
     "agg_kmv_distinct", "agg_cms_topk", "embed_quantize", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "stats_value_hist",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",

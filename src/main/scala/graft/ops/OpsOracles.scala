@@ -337,6 +337,26 @@ object OpsOracles {
          |  FROM h)
          |SELECT doc_id, source, samp_hash, rk FROM r
          |WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
+    "sample_mixture" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(${md5Int("source || ':' || CAST(doc_id AS VARCHAR)")} AS BIGINT) AS samp_hash
+         |  FROM documents),
+         |wts AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src,
+         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_u
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(w_u) AS BIGINT) AS w_tot FROM wts),
+         |q AS (SELECT source, n_src,
+         |        CAST((${Sampling.MixtureTarget} * w_u) // w_tot AS BIGINT) AS quota
+         |      FROM wts, t),
+         |r AS (SELECT source, doc_id,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY samp_hash, doc_id) AS BIGINT) AS rk
+         |      FROM d)
+         |SELECT r.source, r.doc_id, r.rk, q.n_src, q.quota
+         |FROM r JOIN q USING (source) WHERE rk <= quota
+         |ORDER BY source, rk""".stripMargin,
     "stats_length_deciles" ->
       s"""WITH d AS (SELECT source, doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
          |r AS (SELECT source, doc_id, len,
@@ -531,6 +551,23 @@ object OpsOracles {
          |FROM f GROUP BY doc_id, dim
          |HAVING SUM(sign) <> 0
          |ORDER BY doc_id, dim""".stripMargin,
+    "text_charlm" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text)-1)) AS i
+        |  FROM documents),
+        |bg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg FROM pos),
+        |c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT substr(bg, 1, 1) AS p, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |pr AS (SELECT bg, CAST((1000000 * c2) // c1 AS BIGINT) AS p_u
+        |       FROM c2 JOIN c1 ON substr(bg, 1, 1) = c1.p),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(p_u) // COUNT(*) AS BIGINT) AS lm_u
+        |       FROM bg JOIN pr USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sc.lm_u, 0) AS lm_u
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),

@@ -207,6 +207,44 @@ object Sampling {
       .orderBy("source", "split")
   }
 
+  /** Total sample size [[mixture]] distributes across sources. */
+  val MixtureTarget = 200L
+
+  /** sample_mixture — temperature-weighted dataset mixing (the
+    * multilingual/multi-source LM recipe): source s gets a quota
+    * ∝ n_s^α with α = ½, which upsamples rare sources relative to
+    * proportional sampling, then the quota is filled by the same
+    * deterministic hash-rank order as [[stratified]] (reproducible,
+    * composable). Weights go through `⌊10⁶·√n⌋` — sqrt is
+    * correctly-rounded IEEE in both engines so the floored micro-int
+    * crosses the boundary exactly — and quotas are the integer
+    * `(T·w) div Σw`.
+    *
+    * At 100 TB: the weight/quota frame is #sources rows (broadcast);
+    * ranking is one shuffle on source with the constant rank≤T
+    * pre-filter keeping WindowGroupLimit's map-side pruning (the
+    * per-source quota filter then tightens it broadcast-side).
+    */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("graft_md5_prefix(concat(source, ':', cast(doc_id as string)))").as("samp_hash"))
+    val wts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("w_u", floor(sqrt(col("n_src").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = wts.agg(sum(col("w_u")).as("w_tot"))
+    val quotas = wts.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($MixtureTarget * w_u) div w_tot"))
+      .select("source", "n_src", "quota")
+    val w = Window.partitionBy("source").orderBy(col("samp_hash"), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= MixtureTarget)
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"), col("n_src"), col("quota"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Bucket width (cents) for [[valueHist]]. */
   val HistWidthC = 2000L
 
@@ -233,6 +271,7 @@ object Sampling {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),
+    "sample_mixture" -> (mixture _),
     "sample_split" -> (split _),
     "stats_value_hist" -> (valueHist _),
     "agg_kmv_distinct" -> (kmvDistinct _),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -541,7 +542,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-bigram array of the raw text (guarded: <2 chars → []). */
+  val charBigramsExpr: String =
+    """CASE WHEN length(text) >= 2 THEN
+         transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
+       ELSE array_remove(array(''), '') END"""
+
+  /** text_charlm — character-bigram language-model scoring, the
+    * KenLM-style perplexity gate of quality pipelines re-expressed
+    * without logs so it stays exact-integer end-to-end: train
+    * P(c₂|c₁) = count(c₁c₂)/count(c₁·) over the whole corpus (the
+    * conditional as a micro-prob, `(10⁶·c₂) div c₁` — integer
+    * division, no float crosses the engine boundary), then score each
+    * document by the mean micro-prob of its bigram stream. Documents
+    * full of corpus-typical character transitions score high;
+    * boilerplate/garbage with rare transitions scores low — rank
+    * order matches mean log-prob whenever the per-doc bigram
+    * distributions are comparable, and the gate thresholds on rank.
+    *
+    * At 100 TB: the model is bounded by the charset² domain (two
+    * map-side-combined HashAggregates into a tiny frame), scoring is
+    * the same explode joined to the broadcast model + one doc_id
+    * shuffle — the model never grows with the corpus, only the scan
+    * does.
+    */
+  def charLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(charBigramsExpr)).as("bg"))
+    val c2 = docs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val model = c2
+      .withColumn("p", substring(col("bg"), 1, 1))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy("p")))
+      .withColumn("p_u", expr("(1000000 * c2) div c1"))
+      .select("bg", "p_u")
+    val scored = docs.join(broadcast(model), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), expr("sum(p_u) div count(1)").as("lm_u"))
+    Tables(spark, dir, "documents").select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_u"), lit(0L)).as("lm_u"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_charlm" -> (charLm _),
     "text_pack" -> (pack _),
     "text_tfidf" -> (tfidf _),
     "text_hash_embed" -> (hashEmbed _),

@@ -38,6 +38,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
   }
 
+  test("charlm scores match an independent Scala bigram model") {
+    val all = docs
+    val bigrams: Map[Long, Seq[String]] =
+      all.view.mapValues(t => t.sliding(2).filter(_.length == 2).toSeq).toMap
+    val c2 = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1.take(1)).view.mapValues(_.values.sum).toMap
+    val pU = c2.map { case (bg, c) => bg -> (1000000L * c) / c1(bg.take(1)) }
+    val expected = all.keys.map { id =>
+      val bs = bigrams(id)
+      if (bs.isEmpty) (id, 0L, 0L)
+      else (id, bs.size.toLong, bs.map(pU).sum / bs.size)
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.TextAnalysis.charLm(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("lm_u"))).toSeq
+    assert(got === expected)
+    // micro-probs live in [0, 1e6]; every doc scores within the scale
+    assert(got.forall { case (_, _, u) => u >= 0L && u <= 1000000L })
+  }
+
+  test("mixture sampling matches an independent Scala derivation and upsamples rare sources") {
+    import spark.implicits._
+    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+      .as[(Long, String)].collect()
+    val bySrc = src.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val wU = bySrc.view.mapValues(ids => math.floor(math.sqrt(ids.size.toDouble) * 1e6).toLong).toMap
+    val wTot = wU.values.sum
+    val quota = wU.view.mapValues(w => graft.ops.Sampling.MixtureTarget * w / wTot).toMap
+    val expected = bySrc.flatMap { case (s, ids) =>
+      ids.map(id => (s, id, md5Int(s"$s:$id")))
+        .sortBy { case (_, id, h) => (h, id) }
+        .take(quota(s).toInt)
+        .zipWithIndex.map { case ((_, id, _), i) =>
+          (s, id, (i + 1).toLong, ids.size.toLong, quota(s)) }
+    }.toSeq.sortBy(r => (r._1, r._3))
+    val got = graft.ops.Sampling.mixture(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rk"), r.getAs[Long]("n_src"), r.getAs[Long]("quota"))).toSeq
+    assert(got === expected)
+    // temperature α=½ must give every rare source at least the
+    // proportional sampling rate of the most common one
+    val n = src.length.toLong
+    val (rare, common) = (bySrc.minBy(_._2.size), bySrc.maxBy(_._2.size))
+    if (rare._2.size < common._2.size) {
+      val rateRare = quota(rare._1).toDouble / rare._2.size
+      val rateCommon = quota(common._1).toDouble / common._2.size
+      assert(rateRare >= rateCommon,
+        s"temperature failed to upsample the rare source: $rateRare < $rateCommon (n=$n)")
+    }
+  }
+
   test("minhash signatures match an independent Scala derivation") {
     val got = Dedup.minhash(spark, dir).collect()
       .map(r => r.getLong(0) -> (0 until Dedup.MinhashK).map(j => r.getLong(1 + j))).toMap
