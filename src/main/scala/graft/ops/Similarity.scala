@@ -639,7 +639,69 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Power-iteration rounds for [[pcaPower]]. */
+  val PcaRounds = 3
+
+  /** embed_pca_power — top principal component of the embedding
+    * corpus by [[PcaRounds]] rounds of power iteration, the
+    * dimensionality-reduction / whitening front-end of an ANN or
+    * clustering pipeline. Exact-integer end-to-end: elements quantize
+    * to micro-ints, per-dim means are `sum div n`, and each round is
+    * v ← Xᶜᵀ(Xᶜ v) computed as two integer aggregations — per-vector
+    * scores s = Σ cq·v (rescaled `div 10⁶` so the next product stays
+    * in long range) and per-dim sums of `(cq·s) div 2²⁰` (the
+    * pre-sum rescale bounds the running total at ANY corpus size:
+    * |term| ≤ 2⁻²⁰·(1.1·10⁶)·(7·10⁷) ≈ 7·10⁷, so even 10⁹ rows stay
+    * under 2⁶³). Normalization is the one float step — an
+    * order-FIXED fold over the 64 dims (array_sort before aggregate;
+    * the oracle's list(… ORDER BY dim) is the same chain) — and
+    * re-floors to a micro-int unit vector, so every cross-engine
+    * value is an integer. Rayleigh-quotient growth across rounds is
+    * spec-asserted.
+    *
+    * Scale: rounds compose lazily — no driver round-trip; each round
+    * is two map-side-combined HashAggregates against the broadcast
+    * 64-row v frame. At 100 TB you'd persist the centered long-form
+    * once ([[https://spark.apache.org/docs/latest/rdd-programming-guide.html#rdd-persistence]])
+    * instead of re-scanning per round; the math is unchanged.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val xl = embPar(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("dim"),
+        expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
+    val means = xl.groupBy("dim").agg(expr(s"sum(xq) div ${n}L").as("mean_q"))
+    val cent = xl.join(broadcast(means), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("xq") - col("mean_q")).as("cq"))
+    val v0 = means.select(col("dim"),
+      when(col("dim") === 1, 1000000L).otherwise(0L).cast("long").as("v_u"))
+    def round(v: DataFrame): (DataFrame, DataFrame) = {
+      val s = cent.join(broadcast(v), Seq("dim"))
+        .groupBy("vec_id").agg(sum(col("cq") * col("v_u")).as("sraw"))
+        .select(col("vec_id"), expr("sraw div 1000000").as("sp"))
+      val vr = cent.join(s, Seq("vec_id"))
+        .groupBy("dim").agg(sum(expr("(cq * sp) div 1048576")).as("vr"))
+      val n2 = vr.agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(dim, vr))),
+          |  s -> cast(s.vr as double) * cast(s.vr as double)),
+          |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin).as("n2"))
+      val vNext = vr.crossJoin(broadcast(n2))
+        .select(col("dim"),
+          floor(lit(1000000.0) * col("vr") / sqrt(col("n2"))).cast("long").as("v_u"))
+      (vr, vNext)
+    }
+    val (vrFinal, vFinal) = (1 to PcaRounds).foldLeft((v0, v0)) {
+      case ((_, v), _) => round(v)
+    }
+    means.join(vrFinal, Seq("dim"))
+      .join(vFinal.select(col("dim"), col("v_u").as("pc1_u")), Seq("dim"))
+      .select(col("dim"), col("mean_q"), col("vr"), col("pc1_u"))
+      .orderBy("dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca_power" -> (pcaPower _),
     "sim_pq_topk" -> (pqTopk _),
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),

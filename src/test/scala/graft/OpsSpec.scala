@@ -58,6 +58,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall { case (_, _, u) => u >= 0L && u <= 1000000L })
   }
 
+  test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = vecs.length.toLong
+    val d = 64
+    val xq = vecs.map { case (_, v) => v.map(x => math.floor(x.toDouble * 1e6).toLong) }
+    val meanQ = (0 until d).map(j => xq.map(_(j)).sum / n).toArray
+    val cq = xq.map(row => (0 until d).map(j => row(j) - meanQ(j)).toArray)
+    def roundOf(v: Array[Long]): (Array[Long], Array[Long]) = {
+      val sp = cq.map(row => (0 until d).map(j => row(j) * v(j)).sum / 1000000L)
+      val vr = (0 until d).map(j =>
+        cq.indices.map(i => (cq(i)(j) * sp(i)) / 1048576L).sum).toArray
+      val n2 = vr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      val vN = vr.map(x => math.floor(1000000.0 * x / math.sqrt(n2)).toLong)
+      (vr, vN)
+    }
+    val v0 = (0 until d).map(j => if (j == 0) 1000000L else 0L).toArray
+    val (_, v1) = roundOf(v0)
+    val (vr3, v3) = {
+      val (_, v2) = roundOf(v1)
+      roundOf(v2)
+    }
+    val expected = (0 until d).map(j => (j + 1L, meanQ(j), vr3(j), v3(j)))
+    val got = Similarity.pcaPower(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("mean_q"),
+        r.getAs[Long]("vr"), r.getAs[Long]("pc1_u"))).toSeq
+    assert(got === expected)
+    // pc1 is a unit vector in micro units
+    val norm2 = v3.map(x => x / 1e6).map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"pc1 not unit: $norm2")
+    // power iteration must not shrink the Rayleigh quotient
+    // (quantization allows ~1e-6 relative noise)
+    def rayleigh(v: Array[Long]): Double = {
+      val s = cq.map(row => (0 until d).map(j => row(j).toDouble * v(j)).sum)
+      val num = s.map(x => x * x).sum
+      val den = (0 until d).map(j => v(j).toDouble * v(j)).sum
+      num / den
+    }
+    assert(rayleigh(v3) >= rayleigh(v1) * 0.999,
+      s"Rayleigh fell: ${rayleigh(v1)} -> ${rayleigh(v3)}")
+  }
+
   test("mixture sampling matches an independent Scala derivation and upsamples rare sources") {
     import spark.implicits._
     val src = Tables(spark, dir, "documents").select("doc_id", "source")
