@@ -34,7 +34,7 @@ object Bench {
     "oct_resume", "oct_interleave", "oct_retile", "oct_block_geom",
     "oct_block_geom_aniso",
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
+    "dedup_exact", "dedup_substring", "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom", "graph_pagerank",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",

@@ -400,7 +400,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Window length (chars) for [[substring]]'s duplicated-span scan. */
+  val SubstrL = 30
+
+  /** dedup_substring — exact duplicated-SUBSTRING detection, the
+    * suffix-array dedup of Lee et al. ("Deduplicating Training Data
+    * Makes Language Models Better") re-expressed for a shuffle
+    * engine: every length-[[SubstrL]] character window that occurs
+    * more than once in the corpus marks its positions, and per
+    * document the marked positions merge into maximal duplicated
+    * spans (gaps-and-islands: a running max of span ends splits
+    * islands exactly like interval merging). Emits the per-document
+    * accounting a dedup pass acts on: span count, duplicated chars,
+    * and the ⌊1000·dup∕len⌋ fraction a gate thresholds.
+    *
+    * At 100 TB: one explode (positions) + ONE groupBy on the window
+    * text (the suffix-array analog — group keys replace sorted
+    * suffixes; a production run groups on the 64-bit window hash
+    * first and verifies only colliding groups, same plan shape) +
+    * one per-doc window for the merge. No pairwise comparisons
+    * anywhere — cost is linear in corpus length at any scale.
+    */
+  def substring(spark: SparkSession, dir: String): DataFrame = {
+    val L = SubstrL
+    val docs = Tables(spark, dir, "documents")
+    val sh = docs
+      .filter(length(col("text")) >= L) // shorter docs re-enter via the left join
+      .select(col("doc_id"), expr(
+        s"explode(transform(sequence(1, length(text) - ${L - 1}), " +
+          s"i -> struct(i, substring(text, i, $L) AS sh)))").as("e"))
+      .select(col("doc_id"), col("e.i").cast("long").as("pos"), col("e.sh").as("sh"))
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val marked = sh.join(dup, Seq("sh")).select(col("doc_id"), col("pos"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = marked
+      .withColumn("prev_end", max(col("pos") + (L - 1)).over(wPrev))
+      .withColumn("new_island",
+        (col("prev_end").isNull || col("pos") > col("prev_end") + 1).cast("long"))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), max(col("pos") + (L - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_milli", expr("(1000 * dup_chars) div len"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (substring _),
     "dedup_exact" -> (exact _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_bloom" -> (bloomDecontaminate _),

@@ -133,6 +133,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("duplicated-substring spans match an independent Scala interval merge") {
+    import graft.ops.Dedup
+    val L = Dedup.SubstrL
+    val all = docs
+    val windows = all.toSeq.flatMap { case (id, t) =>
+      (1 to t.length - L + 1).map(i => (id, i.toLong, t.substring(i - 1, i - 1 + L)))
+    }
+    val dup = windows.groupBy(_._3).filter(_._2.size > 1).keySet
+    val expected = all.keys.map { id =>
+      val pos = windows.filter(w => w._1 == id && dup(w._3)).map(_._2).sorted
+      // merge [p, p+L-1] intervals (adjacent or overlapping join up)
+      val spans = pos.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, p) if p <= e + 1 => (s, math.max(e, p + L - 1)) :: rest
+        case (acc, p) => (p, p + L - 1) :: acc
+      }
+      val dupChars = spans.map { case (s, e) => e - s + 1 }.sum
+      val len = all(id).length.toLong
+      (id, len, spans.size.toLong, dupChars, 1000L * dupChars / len)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.substring(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"),
+        r.getAs[Long]("dup_milli"))).toSeq
+    assert(got === expected)
+    // sanity: spans never cover more than the document
+    assert(got.forall { case (_, len, _, dc, _) => dc <= len })
+  }
+
   test("minhash signatures match an independent Scala derivation") {
     val got = Dedup.minhash(spark, dir).collect()
       .map(r => r.getLong(0) -> (0 until Dedup.MinhashK).map(j => r.getLong(1 + j))).toMap
