@@ -659,11 +659,15 @@ object Similarity {
     * value is an integer. Rayleigh-quotient growth across rounds is
     * spec-asserted.
     *
-    * Scale: rounds compose lazily — no driver round-trip; each round
-    * is two map-side-combined HashAggregates against the broadcast
-    * 64-row v frame. At 100 TB you'd persist the centered long-form
-    * once ([[https://spark.apache.org/docs/latest/rdd-programming-guide.html#rdd-persistence]])
-    * instead of re-scanning per round; the math is unchanged.
+    * Scale: each round is two map-side-combined HashAggregates
+    * against the broadcast 64-row v frame, and each round's 64-row
+    * result is `localCheckpoint`ed (the [[Dedup.connectedComponents]]
+    * lineage-truncation pattern) — WITHOUT it the round chain's plan
+    * references the corpus-sized centered frame combinatorially (a
+    * naive lazy composition measured 97 parquet scans for 3 rounds —
+    * caught by PlanAuditSpec); with it, 2 corpus traversals per
+    * round, exactly. At 100 TB you'd additionally persist the
+    * centered long-form once; the math is unchanged.
     */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
     val n = emb(spark, dir).count()
@@ -672,6 +676,7 @@ object Similarity {
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("dim"),
         expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
     val means = xl.groupBy("dim").agg(expr(s"sum(xq) div ${n}L").as("mean_q"))
+      .localCheckpoint()
     val cent = xl.join(broadcast(means), Seq("dim"))
       .select(col("vec_id"), col("dim"), (col("xq") - col("mean_q")).as("cq"))
     val v0 = means.select(col("dim"),
@@ -682,6 +687,7 @@ object Similarity {
         .select(col("vec_id"), expr("sraw div 1000000").as("sp"))
       val vr = cent.join(s, Seq("vec_id"))
         .groupBy("dim").agg(sum(expr("(cq * sp) div 1048576")).as("vr"))
+        .localCheckpoint() // 64 rows; truncates the per-round lineage
       val n2 = vr.agg(expr(
         """aggregate(transform(array_sort(collect_list(struct(dim, vr))),
           |  s -> cast(s.vr as double) * cast(s.vr as double)),

@@ -47,11 +47,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("blocking-join pair operators never plan a cross product") {
     Seq("dedup_minhash_pairs", "dedup_ngram_jaccard", "sim_pairs_thresh",
       "dedup_embed", "sim_lsh_topk", "dedup_decontaminate",
-      "sim_pq_topk", "text_tfidf", "dedup_bloom", "agg_cms_topk").foreach { n =>
+      "sim_pq_topk", "text_tfidf", "dedup_bloom", "agg_cms_topk",
+      "dedup_substring", "text_charlm", "sim_pq_kmeans").foreach { n =>
       val p = formatted(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
     }
+  }
+
+  test("mixture sampling keeps the map-side WindowGroupLimit prune") {
+    assert(formatted("sample_mixture").contains("WindowGroupLimit"))
+  }
+
+  test("pca rounds compose without cartesian products or extra corpus scans") {
+    val p = formatted("embed_pca_power")
+    assert(!p.contains("CartesianProduct"), "pca plans a CartesianProduct")
+    // each round localCheckpoints its 64-row result, so the RETURNED
+    // plan reads checkpointed frames, not the corpus — without the
+    // truncation the lazily-composed round chain re-referenced the
+    // centered long-form combinatorially (97 parquet scans measured)
+    assert(scans(p) <= 2, s"pca final plan rescans the corpus: ${scans(p)}")
   }
 
   test("q15's scalar max joins as a 1-row broadcast, never a sort or single-partition window") {
