@@ -44,7 +44,8 @@ object SparkEntry {
     "q19_disjunct" -> (Queries.q19Disjunct _),
     "q_cube" -> (Queries.qCube _),
     "q15_topsupp" -> (Queries.q15Topsupp _),
-    "q22_global" -> (Queries.q22Global _)
+    "q22_global" -> (Queries.q22Global _),
+    "q12_shipmode" -> (Queries.q12Shipmode _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -267,6 +268,17 @@ object SparkEntry {
          |JOIN a ON l_partkey = a.pk
          |WHERE p_brand = 'Brand#1'
          |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q15_topsupp" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey, ${SUMC("l_extendedprice*(1.0-l_discount)")} AS total_rev_c

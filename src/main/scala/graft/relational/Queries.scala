@@ -664,6 +664,32 @@ object Queries {
       .orderBy(col("cntrycode"))
   }
 
+  /** q12_shipmode — shipping-mode priority check (TPC-H Q12 adapted:
+    * this schema has no ship mode or receipt/commit dates, so
+    * l_linestatus stands in for the mode and "late" means shipped
+    * more than 60 days after ordering). Per status: how many late
+    * lines belonged to critical-priority orders vs not — the
+    * join + dual conditional count shape. The date lag is a join
+    * residual on the order-key equi join (one shuffle, no pair
+    * product); both counts come from one aggregation pass.
+    */
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .withColumn("critical",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("critical")).as("high_line_count"),
+        sum(lit(1L) - col("critical")).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")
