@@ -828,6 +828,28 @@ object OpsOracles {
          |${pairsCte(300000L)}
          |SELECT id_a, id_b, label_a, label_b, cos_u, bucket FROM hits
          |ORDER BY id_a, id_b""".stripMargin,
+    "stats_cov_matrix" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |xl AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+         |       FROM embeddings, range(1, 65) r(i)),
+         |m AS (SELECT dim, CAST(SUM(xq) // nn.n AS BIGINT) AS mean_q
+         |      FROM xl, nn GROUP BY dim, nn.n),
+         |c AS (SELECT vec_id, xl.dim, xq - mean_q AS cq FROM xl JOIN m USING (dim)),
+         |cov AS (
+         |  SELECT a.dim AS i, b.dim AS j,
+         |    CAST(SUM((a.cq * b.cq) // 1048576) // ANY_VALUE(nn.n) AS BIGINT) AS cov_u,
+         |    COUNT(*) AS n_used
+         |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.dim >= a.dim, nn
+         |  GROUP BY 1, 2),
+         |v AS (SELECT i AS d, cov_u AS var_u FROM cov WHERE i = j)
+         |SELECT cov.i, cov.j, cov.n_used, cov.cov_u,
+         |  CAST(CASE WHEN vi.var_u > 0 AND vj.var_u > 0 THEN
+         |    FLOOR(1000000.0 * cov.cov_u
+         |      / sqrt(CAST(vi.var_u AS DOUBLE) * CAST(vj.var_u AS DOUBLE)))
+         |  ELSE 0 END AS BIGINT) AS corr_u
+         |FROM cov JOIN v vi ON cov.i = vi.d JOIN v vj ON cov.j = vj.d
+         |ORDER BY cov.i, cov.j""".stripMargin,
     "embed_pca_power" -> {
       val rounds = (1 to Similarity.PcaRounds).map { r =>
         val vPrev = if (r == 1) "v0" else s"v${r - 1}"

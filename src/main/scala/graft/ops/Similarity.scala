@@ -669,14 +669,23 @@ object Similarity {
     * round, exactly. At 100 TB you'd additionally persist the
     * centered long-form once; the math is unchanged.
     */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val n = emb(spark, dir).count()
-    val xl = embPar(spark, dir)
+  /** Long-form micro-int matrix of the corpus: (vec_id, dim 1-based, xq). */
+  private def embXq(spark: SparkSession, dir: String): DataFrame =
+    embPar(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("dim"),
         expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
-    val means = xl.groupBy("dim").agg(expr(s"sum(xq) div ${n}L").as("mean_q"))
+
+  /** Per-dim integer micro means (`sum div n`), lineage-truncated. */
+  private def embMeans(spark: SparkSession, dir: String, n: Long): DataFrame =
+    embXq(spark, dir).groupBy("dim")
+      .agg(expr(s"sum(xq) div ${n}L").as("mean_q"))
       .localCheckpoint()
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val xl = embXq(spark, dir)
+    val means = embMeans(spark, dir, n)
     val cent = xl.join(broadcast(means), Seq("dim"))
       .select(col("vec_id"), col("dim"), (col("xq") - col("mean_q")).as("cq"))
     val v0 = means.select(col("dim"),
@@ -706,7 +715,57 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** stats_cov_matrix — exact covariance + correlation matrix of the
+    * embedding dimensions (upper triangle, long form) — the profiling
+    * artifact behind whitening/PCA decisions and feature audits.
+    * Within each VECTOR the dim pairs (i ≤ j) come from a second
+    * posexplode over `slice(embedding, i, 64-i+1)` — a within-row
+    * cross product, never a join — then centered micro-int products
+    * pre-scale `div 2²⁰` before the (i,j)-keyed sum (the
+    * [[pcaPower]] overflow rule: |term| ≤ 1.2·10⁶ keeps 10⁹-row
+    * corpora under 2⁶³), and cov = `sum div n` stays integer.
+    * Correlation is the one float: `⌊10⁶·cov∕√(varᵢ·varⱼ)⌋` from
+    * three integers through the identical IEEE chain both engines.
+    *
+    * At 100 TB: ONE corpus traversal (64·65∕2 = 2080 pair rows per
+    * vector) into ONE map-side-combined HashAggregate onto the
+    * bounded 2080-cell key domain; the corr decorate joins run on
+    * that tiny frame.
+    */
+  def covMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val means = embMeans(spark, dir, n)
+    val pairs = embPar(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("embedding")).as(Seq("i0", "xi")))
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"),
+        expr("cast(floor(cast(xi as double) * 1e6) as bigint)").as("xqi"),
+        posexplode(expr("slice(embedding, i0 + 1, 64 - i0)")).as(Seq("j0", "xj")))
+      .select(col("vec_id"), col("i"), (col("i") + col("j0")).cast("long").as("j"),
+        col("xqi"),
+        expr("cast(floor(cast(xj as double) * 1e6) as bigint)").as("xqj"))
+    val cov = pairs
+      .join(broadcast(means.select(col("dim").as("i"), col("mean_q").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("dim").as("j"), col("mean_q").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        expr("((xqi - mi) * (xqj - mj)) div 1048576").as("t"))
+      .groupBy("i", "j")
+      .agg(expr(s"sum(t) div ${n}L").as("cov_u"), count(lit(1)).as("n_used"))
+    val vars = cov.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov_u").as("var_u"))
+    cov
+      .join(broadcast(vars.select(col("d").as("i"), col("var_u").as("var_i"))), Seq("i"))
+      .join(broadcast(vars.select(col("d").as("j"), col("var_u").as("var_j"))), Seq("j"))
+      .select(col("i"), col("j"), col("n_used"), col("cov_u"),
+        when(col("var_i") > 0 && col("var_j") > 0,
+          floor(lit(1000000.0) * col("cov_u") /
+            sqrt(col("var_i").cast("double") * col("var_j").cast("double"))).cast("long"))
+          .otherwise(0L).as("corr_u"))
+      .orderBy("i", "j")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cov_matrix" -> (covMatrix _),
     "embed_pca_power" -> (pcaPower _),
     "sim_pq_topk" -> (pqTopk _),
     "sim_pq_kmeans" -> (pqKmeans _),

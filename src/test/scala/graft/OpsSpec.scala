@@ -102,6 +102,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"Rayleigh fell: ${rayleigh(v1)} -> ${rayleigh(v3)}")
   }
 
+  test("covariance matrix matches an independent Scala derivation; corr bounded") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = vecs.length.toLong
+    val d = 64
+    val xq = vecs.map(_._2.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val meanQ = (0 until d).map(j => xq.map(_(j)).sum / n)
+    val covU = Array.tabulate(d, d) { (i, j) =>
+      xq.map(row => ((row(i) - meanQ(i)) * (row(j) - meanQ(j))) / 1048576L).sum / n
+    }
+    val expected = (for (i <- 0 until d; j <- i until d) yield {
+      val (vi, vj) = (covU(i)(i), covU(j)(j))
+      val corr = if (vi > 0 && vj > 0)
+        math.floor(1000000.0 * covU(i)(j) / math.sqrt(vi.toDouble * vj.toDouble)).toLong
+      else 0L
+      (i + 1L, j + 1L, n, covU(i)(j), corr)
+    }).sortBy(r => (r._1, r._2))
+    val got = Similarity.covMatrix(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"), r.getAs[Long]("n_used"),
+        r.getAs[Long]("cov_u"), r.getAs[Long]("corr_u"))).toSeq
+    assert(got === expected)
+    // self-correlation is exactly 1 (in micro units) wherever var > 0,
+    // and |corr| never exceeds 1 (floor can leave -1e6 - 1 at worst
+    // only via rounding UP of the magnitude, which floor can't do)
+    assert(got.filter(r => r._1 == r._2 && r._4 > 0).forall(_._5 === 1000000L))
+    assert(got.forall(r => r._5 >= -1000000L && r._5 <= 1000000L))
+  }
+
   test("mixture sampling matches an independent Scala derivation and upsamples rare sources") {
     import spark.implicits._
     val src = Tables(spark, dir, "documents").select("doc_id", "source")
