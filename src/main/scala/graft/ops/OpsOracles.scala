@@ -315,6 +315,25 @@ object OpsOracles {
          |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
          |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin
     },
+    "pipeline_card" -> {
+      val h = md5Int("('split:' || CAST(d.doc_id AS VARCHAR))")
+      s"""WITH $filterCtes,
+         |cd AS (
+         |  SELECT d.doc_id, d.source, fm.n,
+         |    CAST(g.n_fail = 0 AS BIGINT) AS keep,
+         |    CASE WHEN $h % 100 < ${Sampling.SplitTrainPct} THEN 'train'
+         |         WHEN $h % 100 < ${Sampling.SplitValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents d
+         |  JOIN fm ON d.doc_id = fm.doc_id
+         |  JOIN g ON d.doc_id = g.doc_id)
+         |SELECT source, split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n // 4) AS BIGINT) AS est_tokens,
+         |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n * keep) AS BIGINT) AS kept_chars
+         |FROM cd GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
     "stats_value_hist" -> {
       val w = Sampling.HistWidthC
       s"""WITH e AS (SELECT event_type,

@@ -128,9 +128,37 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** pipeline_card — the dataset-card accounting a published corpus
+    * ships: per (source, train/val/test split) — document and char
+    * counts, the chars∕4 BPE token estimate, and how many docs (and
+    * chars) survive the quality gate. Composes [[Sampling.split]]'s
+    * deterministic id-hash split with [[TextAnalysis.withRuleFlags]]
+    * in ONE scan-side projection feeding one map-side-combined
+    * aggregation onto the bounded (source, split) domain — at 100 TB
+    * the whole card is a single corpus traversal.
+    */
+  def card(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    TextAnalysis.withRuleFlags(Tables(spark, dir, "documents"))
+      .withColumn("pct",
+        expr("graft_md5_prefix(concat('split:', cast(doc_id as string))) % 100"))
+      .withColumn("split",
+        when(col("pct") < Sampling.SplitTrainPct, "train")
+          .when(col("pct") < Sampling.SplitValPct, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_chars"),
+        sum(expr("n div 4")).as("est_tokens"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("n") * col("keep")).as("kept_chars"))
+      .orderBy("source", "split")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean" -> (clean _),
     "pipeline_train" -> (train _),
-    "pipeline_shard" -> (shard _)
+    "pipeline_shard" -> (shard _),
+    "pipeline_card" -> (card _)
   )
 }

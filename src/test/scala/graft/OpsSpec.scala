@@ -132,6 +132,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(r => r._5 >= -1000000L && r._5 <= 1000000L))
   }
 
+  test("pipeline_card agrees with sample_split and text_filter accounting") {
+    import graft.ops.{Pipeline, Sampling, TextAnalysis}
+    val card = Pipeline.card(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_kept"))).toMap
+    // same (source, split) doc counts as the split operator
+    val split = Sampling.split(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(card.keySet === split.keySet)
+    split.foreach { case (k, n) => assert(card(k)._1 === n, s"doc count drift at $k") }
+    // total kept == the filter operator's keep count
+    val kept = TextAnalysis.filterDocs(spark, dir).collect()
+      .map(_.getAs[Long]("keep")).sum
+    assert(card.values.map(_._3).sum === kept)
+    // n_chars uses length(text), the filter's n — not the n_chars column
+    assert(card.values.forall { case (nd, nc, _) => nc > 0 && nd > 0 })
+  }
+
   test("mixture sampling matches an independent Scala derivation and upsamples rare sources") {
     import spark.implicits._
     val src = Tables(spark, dir, "documents").select("doc_id", "source")
