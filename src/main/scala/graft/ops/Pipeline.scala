@@ -139,7 +139,17 @@ object Pipeline {
     */
   def card(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    TextAnalysis.withRuleFlags(Tables(spark, dir, "documents"))
+    cardDf(Tables(spark, dir, "documents")).orderBy("source", "split")
+  }
+
+  /** The card stages on any docs-shaped frame — shared verbatim by
+    * the batch [[card]] and the streaming twin
+    * ([[graft.streaming.EventStreams]] `stream_card`): all stateless
+    * scan-side projections into one aggregation, so the same code
+    * runs under a batch plan or an incremental streaming plan.
+    */
+  def cardDf(documents: DataFrame): DataFrame =
+    TextAnalysis.withRuleFlags(documents)
       .withColumn("pct",
         expr("graft_md5_prefix(concat('split:', cast(doc_id as string))) % 100"))
       .withColumn("split",
@@ -152,8 +162,6 @@ object Pipeline {
         sum(expr("n div 4")).as("est_tokens"),
         sum(col("keep")).as("n_kept"),
         sum(col("n") * col("keep")).as("kept_chars"))
-      .orderBy("source", "split")
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean" -> (clean _),

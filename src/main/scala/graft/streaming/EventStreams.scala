@@ -471,7 +471,31 @@ object EventStreams {
     spark.table(sink).orderBy("masked_md5")
   }
 
+  /** stream_card — [[graft.ops.Pipeline.cardDf]] running UNCHANGED on
+    * a document stream in Complete mode: the rule-flag/split stages
+    * are stateless scan-side projections, the (source, split)
+    * aggregation holds bounded state (the dimension domain), and
+    * every trigger emits the refreshed dataset card — the live
+    * corpus-accounting dashboard of an ingestion pipeline.
+    */
+  def cardStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).as[Doc].collect().toSeq
+    val input = MemoryStream[Doc]
+    input.addData(docs)
+    val card = graft.ops.Pipeline.cardDf(input.toDF())
+    val sink = sinkName("stream_card")
+    val q = card.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("source", "split")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_card" -> (cardStream _),
     "stream_sliding" -> (sliding _),
     "stream_join" -> (joinStatic _),
     "stream_sj" -> (streamStreamJoin _),
@@ -489,6 +513,8 @@ object EventStreams {
     * from tumbling — exact distinct counts aren't a streaming agg).
     */
   val oracles: Map[String, String] = Map(
+    // identical semantics to the batch card on the bounded drain
+    "stream_card" -> graft.ops.OpsOracles.all("pipeline_card"),
     "stream_cms" -> {
       import graft.ops.{Sampling, OpsOracles}
       val unions = (0 until Sampling.CmsDepth).map { j =>

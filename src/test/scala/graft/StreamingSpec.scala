@@ -51,6 +51,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size.toLong === batchCount)
   }
 
+  test("stream_card refreshes across triggers and converges to the batch card") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[EventStreams.Doc].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Doc]
+    val q = ops.Pipeline.cardDf(input.toDF())
+      .writeStream.format("memory").queryName("card_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    input.addData(b1); q.processAllAvailable()
+    val mid = spark.table("card_trigger_spec")
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(mid === b1.size.toLong, "first trigger's card must account batch 1 exactly")
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = rows(spark.table("card_trigger_spec"),
+      "source", "split", "n_docs", "n_chars", "est_tokens", "n_kept", "kept_chars")
+    val batch = rows(ops.Pipeline.card(spark, dir),
+      "source", "split", "n_docs", "n_chars", "est_tokens", "n_kept", "kept_chars")
+    assert(streamed === batch)
+  }
+
   test("stream_kmv sketch merges across triggers to the batch sketch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
