@@ -45,7 +45,8 @@ object SparkEntry {
     "q_cube" -> (Queries.qCube _),
     "q15_topsupp" -> (Queries.q15Topsupp _),
     "q22_global" -> (Queries.q22Global _),
-    "q12_shipmode" -> (Queries.q12Shipmode _)
+    "q12_shipmode" -> (Queries.q12Shipmode _),
+    "q2_mincost" -> (Queries.q2Mincost _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -268,6 +269,24 @@ object SparkEntry {
          |JOIN a ON l_partkey = a.pk
          |WHERE p_brand = 'Brand#1'
          |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+    "q2_mincost" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT)) AS BIGINT) AS offer_c
+        |  FROM lineitem WHERE l_quantity > 0
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT l_partkey,
+        |    CAST(MIN(offer_c * 1000000 + l_suppkey) // 1000000 AS BIGINT) AS offer_c,
+        |    CAST(MIN(offer_c * 1000000 + l_suppkey) % 1000000 AS BIGINT) AS best_suppkey
+        |  FROM offers GROUP BY 1)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name AS supp_nation, offer_c
+        |FROM best
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON best_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |ORDER BY p_partkey""".stripMargin,
     "q12_shipmode" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

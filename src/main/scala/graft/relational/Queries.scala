@@ -690,6 +690,40 @@ object Queries {
       .orderBy(col("l_linestatus"))
   }
 
+  /** q2_mincost — minimum-cost supplier per part (TPC-H Q2 adapted:
+    * no partsupp table, so the part-supplier offer is derived from
+    * lineitem history — a supplier's offer on a part is its minimum
+    * exact-integer unit price `cents(extendedprice) div quantity`).
+    * The per-part argmin uses the packed-bigint min
+    * (`offer·10⁶ + suppkey` — the [[graft.ops.Similarity.pqTopk]]
+    * tiebreak pattern) so one HashAggregate yields both the winning
+    * offer and its supplier deterministically — no window, no
+    * self-join. Decorates: supplier ⋈ nation (nation broadcast,
+    * bounded; supplier unhinted — linear in sf).
+    */
+  def q2Mincost(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), col("p_name"))
+    val offers = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr("cast(floor(l_extendedprice * 100) as bigint) div cast(l_quantity as bigint)"))
+        .as("offer_c"))
+    val best = offers
+      .groupBy(col("l_partkey"))
+      .agg(min(col("offer_c") * 1000000L + col("l_suppkey")).as("packed"))
+      .select(col("l_partkey"),
+        expr("packed div 1000000").as("offer_c"),
+        expr("packed % 1000000").as("best_suppkey"))
+    best.join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "supplier"), col("best_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name").as("supp_nation"), col("offer_c"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")
