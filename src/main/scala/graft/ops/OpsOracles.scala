@@ -334,6 +334,17 @@ object OpsOracles {
          |  CAST(SUM(n * keep) AS BIGINT) AS kept_chars
          |FROM cd GROUP BY source, split ORDER BY source, split""".stripMargin
     },
+    "stats_token_hist" -> {
+      val w = Sampling.TokHistWidth
+      s"""WITH d AS (SELECT source,
+         |  CAST(len($toks) AS BIGINT) AS nt FROM documents)
+         |SELECT source, CAST(nt // $w AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(MIN(nt) AS BIGINT) AS min_toks,
+         |  CAST(MAX(nt) AS BIGINT) AS max_toks,
+         |  CAST(SUM(nt) AS BIGINT) AS sum_toks
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "stats_value_hist" -> {
       val w = Sampling.HistWidthC
       s"""WITH e AS (SELECT event_type,

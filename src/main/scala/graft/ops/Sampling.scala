@@ -268,7 +268,32 @@ object Sampling {
       .orderBy("event_type", "bucket")
   }
 
+  /** Bucket width (tokens) for [[tokenHist]]. */
+  val TokHistWidth = 50L
+
+  /** stats_token_hist — per-source histogram of document TOKEN counts
+    * (bucket = `nt div 50`) with per-bucket min/max/sum — the
+    * length-distribution profile behind sequence-packing and window
+    * sizing decisions ([[TextAnalysis.pack]] consumes exactly these
+    * token counts). Complements [[lengthDeciles]]: that one is exact
+    * rank statistics over CHARS (one window shuffle), this is a
+    * bucketed density over TOKENS via ONE map-side-combined groupBy
+    * on the bounded (source, bucket) domain — the cheap shape to run
+    * on every ingest batch.
+    */
+  def tokenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        expr(s"cast(size(${TextAnalysis.toksExpr}) as bigint)").as("nt"))
+      .withColumn("bucket", expr(s"nt div $TokHistWidth"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nt")).as("min_toks"), max(col("nt")).as("max_toks"),
+        sum(col("nt")).as("sum_toks"))
+      .orderBy("source", "bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_token_hist" -> (tokenHist _),
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),
     "sample_mixture" -> (mixture _),

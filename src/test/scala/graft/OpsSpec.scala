@@ -132,6 +132,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(r => r._5 >= -1000000L && r._5 <= 1000000L))
   }
 
+  test("token histogram totals agree with per-doc token counts") {
+    import graft.ops.{Sampling, TextAnalysis}
+    val hist = Sampling.tokenHist(spark, dir).collect()
+    val total = hist.map(_.getAs[Long]("sum_toks")).sum
+    val nDocs = hist.map(_.getAs[Long]("n_docs")).sum
+    val perDoc = TextAnalysis.tokens(spark, dir).collect()
+      .map(_.getAs[Long]("n_tokens"))
+    assert(total === perDoc.sum, "token mass drifted from text_tokens")
+    assert(nDocs === perDoc.length.toLong)
+    // bucket bounds hold: min/max inside [bucket·w, (bucket+1)·w)
+    val w = Sampling.TokHistWidth
+    assert(hist.forall { r =>
+      val (b, mn, mx) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_toks"),
+        r.getAs[Long]("max_toks"))
+      mn >= b * w && mx < (b + 1) * w && mn <= mx
+    })
+  }
+
   test("pipeline_card agrees with sample_split and text_filter accounting") {
     import graft.ops.{Pipeline, Sampling, TextAnalysis}
     val card = Pipeline.card(spark, dir).collect()
