@@ -272,7 +272,7 @@ object SparkEntry {
     "q2_mincost" ->
       """WITH offers AS (
         |  SELECT l_partkey, l_suppkey,
-        |    CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT)) AS BIGINT) AS offer_c
+        |    CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) // CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS offer_c
         |  FROM lineitem WHERE l_quantity > 0
         |  GROUP BY 1, 2),
         |best AS (

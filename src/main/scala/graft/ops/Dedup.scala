@@ -456,7 +456,10 @@ object Dedup {
       .select(col("doc_id"), col("len"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
-      .withColumn("dup_milli", expr("(1000 * dup_chars) div len"))
+      // empty docs: 0/0 must be 0 in BOTH engines (Spark div returns
+      // NULL, DuckDB // raises — either way the guard keeps them equal)
+      .withColumn("dup_milli",
+        expr("case when len > 0 then (1000 * dup_chars) div len else 0 end"))
       .orderBy("doc_id")
   }
 

@@ -393,7 +393,9 @@ object OpsOracles {
          |        FROM seg GROUP BY 1)
          |SELECT d.doc_id, CAST(length(text) AS BIGINT) AS len,
          |  COALESCE(n_spans, 0) AS n_spans, COALESCE(dup_chars, 0) AS dup_chars,
-         |  CAST((1000 * COALESCE(dup_chars, 0)) // length(text) AS BIGINT) AS dup_milli
+         |  CAST(CASE WHEN length(text) > 0
+         |    THEN (1000 * COALESCE(dup_chars, 0)) // length(text)
+         |    ELSE 0 END AS BIGINT) AS dup_milli
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "sample_mixture" ->
@@ -1089,18 +1091,36 @@ object OpsOracles {
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_lsh_topk" -> {
-      def bucketOf(t: Int): String =
-        (0 until Similarity.LshBitsPerTable).map { j =>
-          val pos = (17 * j + 3 + 5 * t) % 64 + 1
-          s"CAST(embedding[$pos] > 0 AS BIGINT) * ${1L << j}"
+      // The ±1 sparse-plane coefficients are the SAME plan-time
+      // constants Similarity.bucketT uses (Similarity.lshPlane);
+      // each plane's term order is the fixed left fold, so the double
+      // chain is bit-identical in both engines. The oracle computes
+      // the full LshMaxBits-bit bucket and masks it with the bit
+      // count it derives itself from COUNT(*) (bit j depends only on
+      // (t, j), so masking == building nbits planes).
+      def planeOf(t: Int, j: Int): String =
+        Similarity.lshPlane(t, j).map { case (d, s) =>
+          s"CAST($s.0 AS DOUBLE) * CAST(embedding[$d] AS DOUBLE)"
         }.mkString(" + ")
+      def bucketOf(t: Int): String =
+        (0 until Similarity.LshMaxBits).map { j =>
+          s"CAST((${planeOf(t, j)}) > 0.0 AS BIGINT) * ${1L << j}"
+        }.mkString("\n     + ")
       val tables = (0 until Similarity.LshTables)
-        .map(t => s"SELECT vec_id, embedding, $t AS t, ${bucketOf(t)} AS bucket FROM embeddings")
+        .map(t => s"SELECT vec_id, embedding, $t AS t,\n       ${bucketOf(t)} AS fullb FROM embeddings")
         .mkString("\n  UNION ALL ")
-      s"""WITH bt AS (
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |bmod AS (SELECT COALESCE(MIN(CAST(1 AS BIGINT) << g),
+         |                CAST(1 AS BIGINT) << ${Similarity.LshMaxBits}) AS m
+         |         FROM range(${Similarity.LshMinBits}, ${Similarity.LshMaxBits + 1}) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * ${Similarity.LshPerBucket} >= nn.n),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |btf AS (
          |  $tables),
+         |bt AS (SELECT vec_id, embedding, t, fullb % bmod.m AS bucket FROM btf, bmod),
          |p AS (SELECT t, bucket, vec_id AS probe_id, embedding AS pvec
-         |      FROM bt WHERE vec_id % 101 = 0),
+         |      FROM bt, pmod WHERE vec_id % pmod.m = 0),
          |cand AS (
          |  SELECT DISTINCT p.probe_id, p.pvec, e.vec_id, e.embedding
          |  FROM bt e JOIN p ON e.t = p.t AND e.bucket = p.bucket

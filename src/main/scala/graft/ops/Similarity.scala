@@ -43,12 +43,11 @@ object Similarity {
     floor(dot(a, b) / (sqrt(n2a) * sqrt(n2b)) * 1000000.0).cast("long")
 
   /** Sign-LSH bucket: `nbits` coordinate hyperplanes at positions
-    * (17j+3) mod 64 — all distinct for j < 64 since gcd(17,64)=1
-    * (production would use a seeded random rotation — same plumbing,
-    * this keeps the oracle expressible).
+    * (17j+3) mod 64 — all distinct for j < 64 since gcd(17,64)=1.
+    * Used by the single-table PAIR blocking ([[bucketedPairs]]),
+    * where one table needs no cross-table decorrelation; the
+    * multi-table ANN uses [[lshPlane]] projections instead.
     */
-  val lshPositions: Seq[Int] = (0 until 8).map(j => (17 * j + 3) % 64 + 1)
-
   def bucketN(v: Column, nbits: Int): Column =
     (0 until nbits).map { j =>
       val pos = (17 * j + 3) % 64 + 1
@@ -58,31 +57,90 @@ object Similarity {
   /** Probe-side top-k keeps the recall-friendly fixed 8 bits. */
   def bucket(v: Column): Column = bucketN(v, 8)
 
-  /** Number of LSH tables for [[lshTopk]] — recall of a SINGLE 8-bit
-    * sign table is the product of 8 per-plane agreement odds (≈4% for
-    * these embeddings' neighbor cosines); T independent tables lift
-    * it to 1−(1−p)^T. Each table offsets the hyperplane positions
-    * ((17j+3+5t) mod 64 — distinct within a table since gcd(17,64)=1).
+  /** Number of LSH tables for [[lshTopk]] — recall of a single table
+    * is the product of per-plane agreement odds p^bits; T independent
+    * tables lift it to 1−(1−p^bits)^T. With [[lshPlane]] projections
+    * the tables really are independent (the r4 coordinate-plane
+    * tables drew from 64 shared axes and capped measured recall at
+    * 32%; the decorrelated rework measures ≈60% at the same T×bits,
+    * matching the independent-table theory p≈0.62, 0.62⁶≈0.057,
+    * 1−(1−0.057)¹⁶≈0.61).
     */
   val LshTables = 16
 
-  /** Bits per LSH table: 6 (64 buckets) — with these embeddings'
-    * neighbor cosines (~0.37 mean at top-5) the per-plane agreement
-    * is ~0.63, so a 6-bit table collides true neighbors with p≈6%;
-    * 16 INDEPENDENT tables would reach ≈60% recall, and the measured
-    * 32% (at ~n/4 candidates per probe) reflects that 16 tables × 6
-    * bits draw from only 64 coordinate axes — the tables share planes
-    * and are correlated. The production fix is a seeded random
-    * rotation per table (decorrelated, same plumbing); coordinate
-    * planes are kept here because they stay oracle-expressible. An
-    * 8-bit/4-table setting measured 8%, matching the same theory.
+  /** Per-table bucket-bit range for [[lshAnnBits]]. MaxBits caps the
+    * oracle's precomputed plane set: the geometry saturates at
+    * n = [[LshPerBucket]]·2^16 ≈ 10⁶ vectors — production raises it
+    * (more planes, same derivation) for larger corpora.
     */
-  val LshBitsPerTable = 6
+  val LshMinBits = 6
+  val LshMaxBits = 16
 
-  def bucketT(v: Column, t: Int, nbits: Int = LshBitsPerTable): Column =
+  /** Target mean bucket occupancy for the multi-table ANN. */
+  val LshPerBucket = 16L
+
+  /** Per-table bits for [[lshTopk]], derived from corpus size — the
+    * smallest k in [[[LshMinBits]], [[LshMaxBits]]] with
+    * 2^k · [[LshPerBucket]] ≥ n, so mean bucket occupancy stays ≤
+    * [[LshPerBucket]] and the candidate union per probe is
+    * ≈ [[LshTables]]·[[LshPerBucket]] rows at ANY corpus size. (The
+    * r4 geometry fixed 64 buckets per table forever: candidates/probe
+    * ≈ n/4 — O(n²) total scoring, the r2 fixed-bucket disease.) Pure
+    * integer arithmetic so the DuckDB oracle derives the identical k
+    * from the same COUNT. Recall per table decays as p^bits — the
+    * standard LSH trade: holding candidate volume near-constant costs
+    * recall as n grows; production tunes (tables, perBucket) jointly.
+    */
+  def lshAnnBits(n: Long): Int =
+    (LshMinBits to LshMaxBits).find(k => (1L << k) * LshPerBucket >= n)
+      .getOrElse(LshMaxBits)
+
+  /** Terms per sparse hyperplane in [[lshPlane]]. */
+  val LshPlaneDims = 8
+
+  /** Deterministic sparse ±1 hyperplane for (table t, bit j):
+    * [[LshPlaneDims]] distinct dims with ±1 signs drawn from md5 of
+    * the literal "lshp:t:j:draw" (sparse database-friendly random
+    * projections, Achlioptas '01 — by CLT over 8 of 64 dims the
+    * projection behaves like a Gaussian one, per-plane agreement
+    * ≈ 1−θ/π). Independent across (t, j) — the whole point vs the r4
+    * shared coordinate axes. Evaluated once at PLAN time; both
+    * engines receive the identical literal (dim, sign) coefficients
+    * (the same way the oracle receives interpolated modulus/position
+    * constants elsewhere), so the hash stays oracle-expressible.
+    */
+  def lshPlane(t: Int, j: Int): Seq[(Int, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Int = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+    }
+    val picked = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    var draw = 0
+    while (picked.size < LshPlaneDims) {
+      val hv = h(s"lshp:$t:$j:$draw")
+      val dim = math.floorMod(hv, 64) + 1
+      if (!picked.contains(dim))
+        picked(dim) = if (((hv >>> 8) & 1) == 0) 1 else -1
+      draw += 1
+    }
+    picked.toSeq
+  }
+
+  /** Table-t bucket over the first `nbits` [[lshPlane]] projections.
+    * Bit j is sign(Σ c·v[dim]) with the FIXED left-fold term order
+    * shared with the oracle (identical IEEE chain), so bucket ids are
+    * bit-identical in both engines. Masking note: bit j depends only
+    * on (t, j), so an m-bit bucket is the 2^m-modulus of the
+    * [[LshMaxBits]]-bit bucket — the oracle computes the full bucket
+    * and masks with its SQL-derived bit count.
+    */
+  def bucketT(v: Column, t: Int, nbits: Int): Column =
     (0 until nbits).map { j =>
-      val pos = (17 * j + 3 + 5 * t) % 64 + 1
-      (element_at(v, pos) > 0f).cast("long") * (1L << j)
+      val proj = lshPlane(t, j).map { case (d, s) =>
+        lit(s.toDouble) * element_at(v, d).cast("double")
+      }.reduce(_ + _)
+      (proj > 0.0).cast("long") * (1L << j)
     }.reduce(_ + _)
 
   /** Hyperplane count for the pair-generation blocking, derived from
@@ -150,24 +208,34 @@ object Similarity {
   }
 
   /** sim_lsh_topk — MULTI-TABLE sign-LSH ANN: candidates are the
-    * union over [[LshTables]] independent 8-bit hash tables of the
-    * probe's bucket mates (posexplode to (table, bucket) rows, one
-    * equi-join on that key — the minhash-band plumbing), deduplicated
-    * per (probe, vector), then exact cosine re-rank. Recall lifts
-    * from single-table ≈2% to 32% measured
-    * ([[LshTables]]×[[LshBitsPerTable]], correlated coordinate
-    * planes — see [[LshBitsPerTable]]); the join stays a bucket-key
-    * equi-join (never a cross product) touching ≈ T·n∕2^bits ≈ n∕4
-    * candidates per probe — a 4× saving over brute force that grows
-    * with corpus size as bits are raised with log₂(n).
+    * union over [[LshTables]] independent hash tables of the probe's
+    * bucket mates (posexplode to (table, bucket) rows, one equi-join
+    * on that key — the minhash-band plumbing), deduplicated per
+    * (probe, vector), then exact cosine re-rank. Tables are genuinely
+    * independent ±1 sparse projections ([[lshPlane]]) — measured
+    * recall@5 ≈ 0.6 at sf0.01, the independent-table theory value
+    * (the r4 coordinate planes capped at 32%).
+    *
+    * Scale shape (the [[ivfCentMod]]/[[ivfProbeMod]] rules applied to
+    * LSH): per-table bits derive from corpus size ([[lshAnnBits]] —
+    * mean bucket occupancy ≤ [[LshPerBucket]], so the candidate union
+    * stays ≈ T·[[LshPerBucket]] per probe at ANY n instead of the r4
+    * fixed-geometry n/4), and the probe set is bounded
+    * ([[ivfProbeMod]], ≤64 probes — the broadcast probe frame is
+    * ≤ 64·T posexploded rows, O(1) in corpus size, where the r4 %101
+    * set grew O(n) → driver OOM at 100×). The count() is one
+    * metadata-cheap pre-pass (parquet row counts), same pattern as
+    * [[bucketedPairs]].
     */
   def lshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val nbits = lshAnnBits(n)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
     val buckets = base.select(col("vec_id"), col("embedding"), col("vn2"),
-      posexplode(array((0 until LshTables).map(t => bucketT(col("embedding"), t)): _*))
+      posexplode(array((0 until LshTables).map(t => bucketT(col("embedding"), t, nbits)): _*))
         .as(Seq("t", "bucket")))
-    val p = buckets.filter(col("vec_id") % 101 === 0)
+    val p = buckets.filter(col("vec_id") % ivfProbeMod(n) === 0)
       .select(col("t"), col("bucket"), col("vec_id").as("probe_id"),
         col("embedding").as("pvec"), col("vn2").as("pn2"))
     val scored = buckets.join(broadcast(p), Seq("t", "bucket"))
@@ -449,10 +517,10 @@ object Similarity {
 
   /** sim_pq_topk — product-quantization ANN: each vector's 64 dims
     * split into [[PqM]] subspaces, each encoded as the id of its
-    * nearest (L2) codeword from a ≤16-entry per-subspace codebook
-    * (deterministic seed vectors, [[pqCbMod]]); queries score by
-    * asymmetric distance computation — a probe precomputes its
-    * per-(subspace, codeword) partial dots (the LUT, ≤ probes·M·16
+    * nearest (L2) codeword from a ≤[[PqKs]]-entry per-subspace
+    * codebook (deterministic seed vectors, [[pqCbMod]]); queries score
+    * by asymmetric distance computation — a probe precomputes its
+    * per-(subspace, codeword) partial dots (the LUT, ≤ probes·M·[[PqKs]]
     * rows, broadcast) and a vector's approximate cosine is the sum of
     * M LUT lookups against its code, normalized by the RECONSTRUCTED
     * norm Σ‖codeword‖². Top-5 per probe by the ADC score, with the
@@ -474,7 +542,7 @@ object Similarity {
     */
   def pqTopk(spark: SparkSession, dir: String): DataFrame = {
     val n = emb(spark, dir).count()
-    // ≤16 seeds (shared stage); codebook self-dots ride along
+    // ≤PqKs seeds (shared stage); codebook self-dots ride along
     val cb = pqSeedCb(spark, dir, n)
       .withColumn("cn2",
         aggregate(transform(col("cvec"), c => c.cast("double") * c.cast("double")),
@@ -567,8 +635,9 @@ object Similarity {
     * times before freezing the codebook.
     *
     * Scale: the update is one explode + two map-side-combined
-    * HashAggregates over (m, codeword, dim) — ≤ M·16·D cells; both
-    * encode passes are broadcast joins of ≤ M·16-row codebooks.
+    * HashAggregates over (m, codeword, dim) — ≤ M·[[PqKs]]·D cells;
+    * both encode passes are broadcast joins of ≤ M·[[PqKs]]-row
+    * codebooks.
     */
   def pqKmeans(spark: SparkSession, dir: String): DataFrame = {
     val n = emb(spark, dir).count()

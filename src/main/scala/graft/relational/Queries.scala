@@ -700,6 +700,13 @@ object Queries {
     * offer and its supplier deterministically — no window, no
     * self-join. Decorates: supplier ⋈ nation (nation broadcast,
     * bounded; supplier unhinted — linear in sf).
+    *
+    * Pack bound (the [[graft.ops.Similarity]] CellPack rule): the
+    * suppkey field requires s_suppkey < 10⁶ (TPC-H supplier count is
+    * sf·10⁴, so this holds through sf 100); offer_c · 10⁶ stays well
+    * under 2⁶³ for any realistic unit price. Deploying past sf 100
+    * means widening the pack factor — the runtime guard below turns a
+    * violation into an error instead of a silently corrupted argmin.
     */
   def q2Mincost(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "part").filter(col("p_type") === "ECONOMY")
@@ -707,8 +714,15 @@ object Queries {
     val offers = Tables(spark, dir, "lineitem")
       .filter(col("l_quantity") > 0)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(expr("cast(floor(l_extendedprice * 100) as bigint) div cast(l_quantity as bigint)"))
+      // floor BEFORE the bigint cast: Spark's double→bigint cast
+      // truncates while DuckDB's rounds — floor makes both exact on
+      // any non-integral quantity (the established cents() pattern)
+      .agg(min(expr("cast(floor(l_extendedprice * 100) as bigint) div cast(floor(l_quantity) as bigint)"))
         .as("offer_c"))
+      // pack precondition: suppkey must fit its 10⁶ field (see scaladoc)
+      .withColumn("l_suppkey",
+        when(col("l_suppkey") < 1000000L, col("l_suppkey"))
+          .otherwise(raise_error(lit("q2_mincost: s_suppkey >= 10^6 overflows the argmin pack"))))
     val best = offers
       .groupBy(col("l_partkey"))
       .agg(min(col("offer_c") * 1000000L + col("l_suppkey")).as("packed"))
