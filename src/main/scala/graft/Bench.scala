@@ -34,7 +34,8 @@ object Bench {
     "oct_resume", "oct_interleave", "oct_retile", "oct_block_geom",
     "oct_block_geom_aniso",
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
-    "dedup_exact", "dedup_substring", "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
+    "dedup_exact", "dedup_substring", "dedup_substring_hashed",
+    "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom", "graph_pagerank",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
@@ -121,7 +122,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to disk: the driver's stdout capture has truncated
+    // the leading total + ~half the per-query numbers before (r4) —
+    // the on-disk copy is the complete, committable artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
   }
 }

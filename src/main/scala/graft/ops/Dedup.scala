@@ -242,10 +242,14 @@ object Dedup {
     * `maxRounds` as a shallow one. At fixpoint every component is a
     * star centered on its minimum id. Per round: two grouped
     * aggregations + two equi-joins, `localCheckpoint` truncating the
-    * lineage; convergence is an EXACT edge-set fixpoint (equal count
-    * + empty set difference — both on already-checkpointed frames, so
-    * each is one cheap action per round, same cost class as the old
-    * changed-label count).
+    * lineage; convergence is an EXACT edge-set fixpoint detected by
+    * ONE action per round — a left join of the new edge set against
+    * the previous one aggregated to (count, matched-count) in the
+    * same job. Both frames are distinct sets, so equal cardinality +
+    * every new edge matched ⟺ set equality. (An earlier variant ran
+    * `count` and `except().isEmpty` as two actions: cheap at test
+    * scale, but at 100 TB a second full-edge-frame action per round
+    * doubles round latency.)
     */
   private[graft] def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       maxRounds: Int = 25): DataFrame = {
@@ -272,10 +276,13 @@ object Dedup {
         .filter(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
         .distinct().localCheckpoint()
-      // exact fixpoint: same cardinality and no edge in ss \ edges
-      // (both distinct sets, so that implies set equality)
-      val nNext = ss.count()
-      converged = nNext == nEdges && ss.except(edges).isEmpty
+      // exact fixpoint in ONE action: |ss| and |ss ∩ edges| from the
+      // same left-join aggregation (both distinct sets, so
+      // |ss| = |edges| ∧ every ss edge matched ⟺ set equality)
+      val conv = ss.join(edges.withColumn("old", lit(1)), Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("old")).as("n_old")).head()
+      val nNext = conv.getLong(0)
+      converged = nNext == nEdges && conv.getLong(1) == nNext
       nEdges = nNext
       edges = ss
       rounds += 1
@@ -422,21 +429,28 @@ object Dedup {
     * verify only colliding groups" variant 10-20% SLOWER here (the
     * second explode pass costs more than the ~2× shuffle-byte saving
     * on local/tmpfs shuffle); on a network-shuffle cluster where
-    * bytes dominate, that variant — identical final semantics, equal
-    * strings always hash equal — is the drop-in swap.
+    * bytes dominate it is the drop-in swap — shipped as
+    * [[substringHashed]] (r5), output spec-asserted identical.
     */
-  def substring(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared stage: one row per length-[[SubstrL]] window of each
+    * document ≥ [[SubstrL]] chars (shorter docs re-enter via the
+    * final left join).
+    */
+  private def substringWindows(docs: DataFrame): DataFrame = {
     val L = SubstrL
-    val docs = Tables(spark, dir, "documents")
-    val sh = docs
-      .filter(length(col("text")) >= L) // shorter docs re-enter via the left join
+    docs
+      .filter(length(col("text")) >= L)
       .select(col("doc_id"), expr(
         s"explode(transform(sequence(1, length(text) - ${L - 1}), " +
           s"i -> struct(i, substring(text, i, $L) AS sh)))").as("e"))
       .select(col("doc_id"), col("e.i").cast("long").as("pos"), col("e.sh").as("sh"))
-    val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("sh")
-    val marked = sh.join(dup, Seq("sh")).select(col("doc_id"), col("pos"))
+  }
+
+  /** Shared stage: interval-merge the marked positions into maximal
+    * spans and emit the per-document accounting.
+    */
+  private def substringSpans(docs: DataFrame, marked: DataFrame): DataFrame = {
+    val L = SubstrL
     val wPrev = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -463,8 +477,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  def substring(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val sh = substringWindows(docs)
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val marked = sh.join(dup, Seq("sh")).select(col("doc_id"), col("pos"))
+    substringSpans(docs, marked)
+  }
+
+  /** dedup_substring_hashed — the hash-first variant of [[substring]]
+    * (identical output, spec-asserted): the corpus-wide duplicate
+    * count groups on the 64-bit xxhash of each window instead of its
+    * 30-char text, so the big shuffle ships 8-byte keys (~2× fewer
+    * shuffle bytes than the window text); only the hash-COLLIDING
+    * windows are then re-grouped on their actual text, so a 64-bit
+    * collision can never mark a unique window as duplicated (equal
+    * strings always hash equal → no false negatives either). This is
+    * the drop-in swap for network-shuffle clusters where bytes
+    * dominate; on local/tmpfs shuffle the extra explode pass makes it
+    * 10-20% slower (A/B-measured r4 — see [[substring]]'s scaladoc),
+    * which is why both paths ship.
+    */
+  def substringHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val sh = substringWindows(docs)
+    // 8-byte-key corpus pass: hashes occurring more than once
+    val dupH = sh.groupBy(xxhash64(col("sh")).as("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    // text verify touches ONLY the colliding subset
+    val colliding = sh.withColumn("h", xxhash64(col("sh"))).join(dupH, Seq("h"))
+    val dupText = colliding.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val marked = colliding.join(dupText, Seq("sh")).select(col("doc_id"), col("pos"))
+    substringSpans(docs, marked)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> (substring _),
+    "dedup_substring_hashed" -> (substringHashed _),
     "dedup_exact" -> (exact _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_bloom" -> (bloomDecontaminate _),

@@ -234,6 +234,43 @@ object OpsOracles {
        |  FROM cs LEFT JOIN nh ON cs.doc_id = nh.doc_id
        |  WHERE COALESCE(nh.n_hit, 0) < 3)"""      .stripMargin
 
+  /** Shared by dedup_substring and dedup_substring_hashed: the two
+    * engine paths differ only in HOW duplicate windows are found
+    * (text groupBy vs hash-first + text verify), never in which
+    * windows are duplicates.
+    */
+  private val substrOracle: String = {
+    val L = Dedup.SubstrL
+    s"""WITH posn AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${L - 1})) AS i
+       |  FROM documents),
+       |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         substr(text, CAST(i AS INT), $L) AS sh FROM posn),
+       |dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 1),
+       |mk AS (SELECT doc_id, pos FROM sh JOIN dup USING (sh)),
+       |sp AS (SELECT doc_id, pos,
+       |         MAX(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |       FROM mk),
+       |isl AS (SELECT doc_id, pos,
+       |         CAST(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |           THEN 1 ELSE 0 END AS BIGINT) AS new_island FROM sp),
+       |isl2 AS (SELECT doc_id, pos,
+       |          SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM isl),
+       |seg AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos + ${L - 1}) AS e
+       |        FROM isl2 GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |          CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+       |        FROM seg GROUP BY 1)
+       |SELECT d.doc_id, CAST(length(text) AS BIGINT) AS len,
+       |  COALESCE(n_spans, 0) AS n_spans, COALESCE(dup_chars, 0) AS dup_chars,
+       |  CAST(CASE WHEN length(text) > 0
+       |    THEN (1000 * COALESCE(dup_chars, 0)) // length(text)
+       |    ELSE 0 END AS BIGINT) AS dup_milli
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_filter" ->
       s"""WITH $filterCtes
@@ -367,37 +404,12 @@ object OpsOracles {
          |  FROM h)
          |SELECT doc_id, source, samp_hash, rk FROM r
          |WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
-    "dedup_substring" -> {
-      val L = Dedup.SubstrL
-      s"""WITH posn AS (
-         |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${L - 1})) AS i
-         |  FROM documents),
-         |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |         substr(text, CAST(i AS INT), $L) AS sh FROM posn),
-         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 1),
-         |mk AS (SELECT doc_id, pos FROM sh JOIN dup USING (sh)),
-         |sp AS (SELECT doc_id, pos,
-         |         MAX(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |       FROM mk),
-         |isl AS (SELECT doc_id, pos,
-         |         CAST(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
-         |           THEN 1 ELSE 0 END AS BIGINT) AS new_island FROM sp),
-         |isl2 AS (SELECT doc_id, pos,
-         |          SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |        FROM isl),
-         |seg AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos + ${L - 1}) AS e
-         |        FROM isl2 GROUP BY 1, 2),
-         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-         |          CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
-         |        FROM seg GROUP BY 1)
-         |SELECT d.doc_id, CAST(length(text) AS BIGINT) AS len,
-         |  COALESCE(n_spans, 0) AS n_spans, COALESCE(dup_chars, 0) AS dup_chars,
-         |  CAST(CASE WHEN length(text) > 0
-         |    THEN (1000 * COALESCE(dup_chars, 0)) // length(text)
-         |    ELSE 0 END AS BIGINT) AS dup_milli
-         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
+    "dedup_substring" -> substrOracle,
+    // the hash-first variant is semantics-identical by construction
+    // (equal strings hash equal; collisions are text-verified), so it
+    // shares the ONE oracle — the equality is additionally
+    // spec-asserted engine-side
+    "dedup_substring_hashed" -> substrOracle,
     "sample_mixture" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

@@ -226,6 +226,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
     // sanity: spans never cover more than the document
     assert(got.forall { case (_, len, _, dc, _) => dc <= len })
+    // the hash-first variant (8-byte shuffle keys + text verify on
+    // colliding groups only — the network-cluster swap) must be
+    // row-for-row identical: equal strings always hash equal, and a
+    // 64-bit collision is text-verified away
+    val gotHashed = Dedup.substringHashed(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"),
+        r.getAs[Long]("dup_milli"))).toSeq
+    assert(gotHashed === expected, "substringHashed diverged from substring")
   }
 
   test("minhash signatures match an independent Scala derivation") {

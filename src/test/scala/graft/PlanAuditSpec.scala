@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("dedup_minhash_pairs", "dedup_ngram_jaccard", "sim_pairs_thresh",
       "dedup_embed", "sim_lsh_topk", "dedup_decontaminate",
       "sim_pq_topk", "text_tfidf", "dedup_bloom", "agg_cms_topk",
-      "dedup_substring", "text_charlm", "sim_pq_kmeans").foreach { n =>
+      "dedup_substring", "dedup_substring_hashed", "text_charlm",
+      "sim_pq_kmeans").foreach { n =>
       val p = formatted(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
