@@ -960,21 +960,25 @@ object OpsOracles {
          |  SELECT vec_id, m, CAST(i AS BIGINT) AS pos,
          |    CAST(FLOOR(CAST(svec[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
          |  FROM subs, range(1, ${d + 1}) r(i)),
-         |cb1d AS (
-         |  SELECT el.m, c.cb_idx, el.pos,
-         |    CAST(SUM(xq) // COUNT(*) AS BIGINT) AS dimq
-         |  FROM el JOIN codes0 c ON el.vec_id = c.vec_id AND el.m = c.m
-         |  GROUP BY 1, 2, 3),
-         |cb1 AS (SELECT m, cb_idx, list(dimq ORDER BY pos) AS cvq
-         |        FROM cb1d GROUP BY 1, 2),
-         |cb1n AS (SELECT m, cb_idx, cvq, $selfQ AS cn2 FROM cb1),
-         |d2 AS (
-         |  SELECT s.vec_id, s.m, c.cb_idx,
-         |    CAST(FLOOR($l2Q * 1000000.0) AS BIGINT) AS du
-         |  FROM subs s JOIN cb1n c ON s.m = c.m),
-         |codes1 AS (
-         |  SELECT vec_id, m, CAST(MIN(du * ${Similarity.PqKs} + cb_idx) % ${Similarity.PqKs} AS BIGINT) AS cb_idx
-         |  FROM d2 GROUP BY 1, 2),
+         |${(1 to Similarity.LloydRounds).map { r =>
+             // per-round Lloyd unroll: integer means -> micro-int
+             // codebook -> re-encode (reads codes{r-1})
+             s"""cb${r}d AS (
+                |  SELECT el.m, c.cb_idx, el.pos,
+                |    CAST(SUM(xq) // COUNT(*) AS BIGINT) AS dimq
+                |  FROM el JOIN codes${r - 1} c ON el.vec_id = c.vec_id AND el.m = c.m
+                |  GROUP BY 1, 2, 3),
+                |cb$r AS (SELECT m, cb_idx, list(dimq ORDER BY pos) AS cvq
+                |        FROM cb${r}d GROUP BY 1, 2),
+                |cb${r}n AS (SELECT m, cb_idx, cvq, $selfQ AS cn2 FROM cb$r),
+                |dq$r AS (
+                |  SELECT s.vec_id, s.m, c.cb_idx,
+                |    CAST(FLOOR($l2Q * 1000000.0) AS BIGINT) AS du
+                |  FROM subs s JOIN cb${r}n c ON s.m = c.m),
+                |codes$r AS (
+                |  SELECT vec_id, m, CAST(MIN(du * ${Similarity.PqKs} + cb_idx) % ${Similarity.PqKs} AS BIGINT) AS cb_idx
+                |  FROM dq$r GROUP BY 1, 2)""".stripMargin
+           }.mkString(",\n")},
          |prn AS (
          |  SELECT vec_id AS probe_id, embedding AS pvec,
          |    ${dotD("embedding", "embedding")} AS pn2
@@ -987,13 +991,13 @@ object OpsOracles {
          |  SELECT probe_id, pn2, c.m, c.cb_idx,
          |    CAST(FLOOR($dotQsub * 1000000000.0) AS BIGINT) AS pdot_su,
          |    CAST(FLOOR(cn2 * 1000000000.0) AS BIGINT) AS cn2_su
-         |  FROM psubs p JOIN cb1n c ON p.m = c.m),
+         |  FROM psubs p JOIN cb${Similarity.LloydRounds}n c ON p.m = c.m),
          |adc AS (
          |  SELECT probe_id, vec_id,
          |    CAST(SUM(pdot_su) AS BIGINT) AS adc_su,
          |    CAST(SUM(cn2_su) AS BIGINT) AS vhat_su,
          |    MAX(pn2) AS pn2
-         |  FROM codes1 JOIN lut USING (m, cb_idx) GROUP BY 1, 2),
+         |  FROM codes${Similarity.LloydRounds} JOIN lut USING (m, cb_idx) GROUP BY 1, 2),
          |sc AS (
          |  SELECT probe_id, vec_id,
          |    CAST(CASE WHEN vhat_su > 0 THEN
@@ -1161,7 +1165,26 @@ object OpsOracles {
          |SELECT probe_id, vec_id, cell, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-    "sim_ivf_kmeans" ->
+    "sim_ivf_kmeans" -> {
+      // One CTE triple per Lloyd round (the graph_pagerank unroll
+      // pattern): integer per-cell means -> micro-int centroids ->
+      // re-assignment. Round r reads cell{r-1}; probes score against
+      // the FINAL round's centroids.
+      val R = Similarity.LloydRounds
+      val roundCtes = (1 to R).map { r =>
+        val prev = s"cell${r - 1}"
+        s"""dims$r AS (
+           |  SELECT $prev.cell, x.pos, CAST(SUM(x.xq) // COUNT(*) AS BIGINT) AS dimq
+           |  FROM x JOIN $prev USING (vec_id) GROUP BY $prev.cell, x.pos),
+           |cq$r AS (SELECT cell AS cent_id, list(dimq ORDER BY pos) AS cvecq FROM dims$r GROUP BY cell),
+           |asgq$r AS (
+           |  SELECT e.vec_id, e.embedding, cq$r.cent_id, ${cosUQ("e.embedding", s"cq$r.cvecq")} AS ccos
+           |  FROM embeddings e, cq$r),
+           |cell$r AS (
+           |  SELECT vec_id, embedding, cent_id AS cell FROM asgq$r
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1)"""
+          .stripMargin
+      }.mkString(",\n")
       s"""WITH $ivfModsCte,
          |asg AS (
          |  SELECT e.vec_id, c.cent_id, ${cosU("e.embedding", "c.cvec")} AS ccos
@@ -1173,27 +1196,19 @@ object OpsOracles {
          |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(1e6 AS DOUBLE)) AS BIGINT) AS xq
          |  FROM embeddings, range(1, 65) r(i)),
-         |dims AS (
-         |  SELECT cell0.cell, x.pos, CAST(SUM(x.xq) // COUNT(*) AS BIGINT) AS dimq
-         |  FROM x JOIN cell0 USING (vec_id) GROUP BY cell0.cell, x.pos),
-         |c2 AS (SELECT cell AS cent_id, list(dimq ORDER BY pos) AS cvecq FROM dims GROUP BY cell),
-         |asg2 AS (
-         |  SELECT e.vec_id, e.embedding, c2.cent_id, ${cosUQ("e.embedding", "c2.cvecq")} AS ccos
-         |  FROM embeddings e, c2),
-         |cell2 AS (
-         |  SELECT vec_id, embedding, cent_id AS cell FROM asg2
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+         |$roundCtes,
          |pcell AS (
          |  SELECT probe_id, pvec, cent_id AS cell FROM (
-         |    SELECT p.probe_id, p.pvec, c2.cent_id, ${cosUQ("p.pvec", "c2.cvecq")} AS pcos
-         |    FROM p, c2)
+         |    SELECT p.probe_id, p.pvec, cq$R.cent_id, ${cosUQ("p.pvec", s"cq$R.cvecq")} AS pcos
+         |    FROM p, cq$R)
          |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY pcos DESC, cent_id) <= 2),
          |s AS (
          |  SELECT pc.probe_id, a.vec_id, a.cell, ${cosU("pc.pvec", "a.embedding")} AS cos_u
-         |  FROM cell2 a JOIN pcell pc ON a.cell = pc.cell WHERE a.vec_id != pc.probe_id)
+         |  FROM cell$R a JOIN pcell pc ON a.cell = pc.cell WHERE a.vec_id != pc.probe_id)
          |SELECT probe_id, vec_id, cell, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
-         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     // The mapPartitions STUB decoder stays imperative (the real-codec
     // seam); its deterministic fake is nonetheless byte-arithmetic, so
     // the oracle re-derives it from hex(payload) and the row upgrades

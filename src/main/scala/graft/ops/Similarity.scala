@@ -407,45 +407,116 @@ object Similarity {
   def cosUQPre(a: Column, q: Column, an2: Column, qn2: Column): Column =
     floor(dotQ(a, q) / (sqrt(an2) * sqrt(qn2)) * 1000000.0).cast("long")
 
-  /** sim_ivf_kmeans — IVF with ONE genuine Lloyd refinement over the
-    * seed centroids: assign → per-cell per-dim mean → re-assign →
-    * probe nprobe=2 refined cells. The centroid update is exact
-    * integer arithmetic end-to-end — elements quantize to micro-ints
-    * (⌊x·10⁶⌋), per-dim means are integer `sum div count` (both
-    * engines truncate toward zero), and the refined centroid is the
-    * micro-int array itself — so the update is order-independent under
-    * any partitioning (a double mean would be non-associative) and the
-    * DuckDB oracle reproduces it bit-for-bit. Scale shape: the update
-    * is one explode + two HashAggregates with map-side combine;
-    * centroid sets are k ≤ √n ([[ivfCentMod]]) so the refined-centroid
-    * frame (k·64 rows) and its broadcast stay sub-linear at any corpus
-    * size; further Lloyd rounds repeat the same two aggregations.
+  /** Lloyd refinement rounds for [[ivfKmeans]] / [[pqKmeans]] — the
+    * production shape: a short fixed refinement budget before freezing
+    * the index (one round was the r4 demonstration; the loop is the
+    * real trainer). Each round re-runs the same two map-side-combined
+    * aggregations, so cost is R bounded corpus passes; the refined
+    * centroid/codebook frame is localCheckpoint'd per round (≤ k·64
+    * longs) so the final plan size is R-independent and the tiny frame
+    * is never recomputed from the corpus where it is referenced twice
+    * (assignment + probe scoring) — the [[pcaPower]] lesson.
     */
-  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val (cents, ivfP) = ivfCentsProbes(spark, dir)
-    val base = embPar(spark, dir)
-      .withColumn("vn2", dot(col("embedding"), col("embedding")))
-    val cell0 = nearestCell(base.crossJoin(broadcast(cents))
+  val LloydRounds = 2
+
+  /** Scored (vec_id, cent_id, ccos) frame vs the FLOAT seed centroids. */
+  private def scoredSeed(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
-        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos")))
-    // Lloyd update: micro-int per-dim means, rebuilt into arrays
-    val elems = base
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        cosUPre(col("embedding"), col("cvec"), col("vn2"), col("cn2")).as("ccos"))
+
+  /** Scored frame vs micro-int refined centroids (cvecq, cn2). */
+  private def scoredQ(base: DataFrame, centsQ: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centsQ))
+      .select(col("vec_id"), col("cent_id"),
+        cosUQPre(col("embedding"), col("cvecq"), col("vn2"), col("cn2")).as("ccos"))
+
+  /** Micro-int corpus elements (vec_id, pos, xq) — the Lloyd-update
+    * input: one posexplode of the embedding scan, ⌊x·10⁶⌋ per element.
+    */
+  private def microElems(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
         expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
-    val cents2 = elems.join(cell0, "vec_id")
+
+  /** One Lloyd update: per-(cell, dim) integer means (`sum div count`
+    * — both engines truncate toward zero) rebuilt into micro-int
+    * centroid arrays (cent_id, cvecq, cn2). Two HashAggregates with
+    * map-side combine; output ≤ k rows.
+    */
+  private def lloydUpdate(elems: DataFrame, cell: DataFrame): DataFrame =
+    elems.join(cell, "vec_id")
       .groupBy("cell", "pos")
       .agg(expr("sum(xq) div count(1)").as("dimq"))
       .groupBy(col("cell").as("cent_id"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, dimq))), s -> s.dimq)")
         .as("cvecq"))
       .withColumn("cn2", dotQQ(col("cvecq")))
-    val cell2 = nearestCell(base.crossJoin(broadcast(cents2))
-      .select(col("vec_id"), col("cent_id"),
-        cosUQPre(col("embedding"), col("cvecq"), col("vn2"), col("cn2")).as("ccos")))
-    val assigned = base.join(cell2, "vec_id")
+
+  /** The spherical-kmeans objective Σ_v max_c ⌊cos·10⁶⌋ of a scored
+    * frame — what the assignment step maximizes given centroids and
+    * the mean update improves given assignment (cosine to the cell
+    * mean ≡ cosine to the normalized mean by scale invariance). The
+    * monotonicity spec pins it per round with a slack of a few
+    * micro-units per vector (floor + micro-int centroid quantization
+    * each perturb a term by < 1·10⁻⁶).
+    */
+  private[graft] def cellObjective(scored: DataFrame): Long =
+    scored.groupBy("vec_id").agg(max(col("ccos")).as("b"))
+      .agg(sum(col("b"))).head().getLong(0)
+
+  /** Per-round scored frames of the [[ivfKmeans]] Lloyd loop (index 0
+    * = seed assignment, index r = after refinement r) — the
+    * convergence spec derives objectives from these.
+    */
+  private[graft] def ivfLloydScored(spark: SparkSession, dir: String,
+      rounds: Int): Seq[DataFrame] = {
+    val (cents, _) = ivfCentsProbes(spark, dir)
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val elems = microElems(base)
+    var scored = scoredSeed(base, cents)
+    val out = scala.collection.mutable.ArrayBuffer(scored)
+    for (_ <- 1 to rounds) {
+      val centsQ = lloydUpdate(elems, nearestCell(scored)).localCheckpoint()
+      scored = scoredQ(base, centsQ)
+      out += scored
+    }
+    out.toSeq
+  }
+
+  /** sim_ivf_kmeans — IVF with [[LloydRounds]] genuine Lloyd
+    * refinements over the seed centroids: assign → per-cell per-dim
+    * mean → re-assign, iterated, then probe nprobe=2 refined cells.
+    * The centroid update is exact integer arithmetic end-to-end —
+    * elements quantize to micro-ints (⌊x·10⁶⌋), per-dim means are
+    * integer `sum div count` (both engines truncate toward zero), and
+    * the refined centroid is the micro-int array itself — so the
+    * update is order-independent under any partitioning (a double
+    * mean would be non-associative) and the DuckDB oracle (unrolled
+    * round CTEs, the graph_pagerank pattern) reproduces it
+    * bit-for-bit. Scale shape: each round is one explode + two
+    * HashAggregates with map-side combine; centroid sets are k ≤ √n
+    * ([[ivfCentMod]]) so the refined-centroid frame (k·64 longs) and
+    * its broadcast stay sub-linear at any corpus size, and the
+    * per-round localCheckpoint keeps the final plan R-independent.
+    * Convergence is spec-pinned: the [[cellObjective]] is monotone
+    * non-decreasing across rounds.
+    */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, ivfP) = ivfCentsProbes(spark, dir)
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val elems = microElems(base)
+    var cell = nearestCell(scoredSeed(base, cents))
+    var centsQ: DataFrame = null
+    for (_ <- 1 to LloydRounds) {
+      centsQ = lloydUpdate(elems, cell).localCheckpoint()
+      cell = nearestCell(scoredQ(base, centsQ))
+    }
+    val assigned = base.join(cell, "vec_id")
       .select(col("vec_id"), col("embedding"), col("vn2"), col("cell"))
-    val probeCells = probeTopCells(ivfP.crossJoin(broadcast(cents2))
+    val probeCells = probeTopCells(ivfP.crossJoin(broadcast(centsQ))
       .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
         cosUQPre(col("pvec"), col("cvecq"), col("pn2"), col("cn2")).as("pcos")), 2)
     rankWithinCells(assigned, probeCells)
@@ -609,47 +680,47 @@ object Similarity {
         sub(col("embedding"), col("m")).as("cvec"))
   }
 
-  /** Encode against a FLOAT codebook: argmin L2, packed tiebreak. */
-  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
-    val du = floor(
-      aggregate(zip_with(col("svec"), col("cvec"),
-        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-        lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+  /** ⌊L2²·10⁶⌋ of svec vs a FLOAT codeword (cvec). */
+  private def duFloat: Column = floor(
+    aggregate(zip_with(col("svec"), col("cvec"),
+      (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+
+  /** ⌊L2²·10⁶⌋ of svec vs a micro-int codeword (cvq). */
+  private def duQuant: Column = floor(
+    aggregate(zip_with(col("svec"), col("cvq"),
+      (x, q) => (x.cast("double") - q.cast("double") * lit(1.0e-6))
+        * (x.cast("double") - q.cast("double") * lit(1.0e-6))),
+      lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+
+  /** Argmin-L2 encode, keeping the packed (du, cb_idx) long: `% PqKs`
+    * recovers the code, `div PqKs` the quantization error — the latter
+    * is what the Lloyd convergence spec sums.
+    */
+  private def pqEncodePacked(subs: DataFrame, cb: DataFrame, du: Column): DataFrame =
     subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), (du * PqKs + col("cb_idx")).as("packed"))
       .groupBy("vec_id", "m")
-      .agg((min(col("packed")) % PqKs).as("cb_idx"))
-  }
+      .agg(min(col("packed")).as("packed"))
 
-  /** sim_pq_kmeans — PQ codebook TRAINING: one Lloyd refinement per
-    * subspace over the seed-codebook assignment. The update is exact
-    * integer end-to-end (the [[ivfKmeans]] rule): sub-vector elements
-    * quantize to micro-ints, each (subspace, codeword, dim) refines to
-    * `sum div count` — order-independent under any partitioning, so
-    * the refined codebook is bit-identical in the oracle — then the
-    * corpus re-encodes against the refined (micro-int) codewords and
-    * probes score by the same integer-floored ADC as [[pqTopk]].
-    * Codewords that attract no vectors drop out of the refined book
-    * (both engines identically); assignment shifts toward real data
-    * density — the training step a production PQ index runs a few
-    * times before freezing the codebook.
-    *
-    * Scale: the update is one explode + two map-side-combined
-    * HashAggregates over (m, codeword, dim) — ≤ M·[[PqKs]]·D cells;
-    * both encode passes are broadcast joins of ≤ M·[[PqKs]]-row
-    * codebooks.
-    */
-  def pqKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val n = emb(spark, dir).count()
-    val subs = pqSubs(spark, dir)
-    val codes0 = pqEncode(subs, pqSeedCb(spark, dir, n))
-    // Lloyd: per-(m, codeword, dim) micro-int means over assigned subvecs
-    val cb1 = subs
-      .select(col("vec_id"), col("m"),
-        posexplode(col("svec")).as(Seq("pos0", "x")))
+  /** Encode against a FLOAT codebook: argmin L2, packed tiebreak. */
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    pqEncodePacked(subs, cb, duFloat)
+      .select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
+
+  /** Micro-int sub-vector elements (vec_id, m, pos, xq). */
+  private def pqMicroElems(subs: DataFrame): DataFrame =
+    subs.select(col("vec_id"), col("m"), posexplode(col("svec")).as(Seq("pos0", "x")))
       .select(col("vec_id"), col("m"), (col("pos0") + 1).cast("long").as("pos"),
         expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
-      .join(codes0, Seq("vec_id", "m"))
+
+  /** One per-subspace Lloyd update: per-(m, codeword, dim) integer
+    * means rebuilt into micro-int codewords (m, cb_idx, cvq, cn2).
+    * Codewords that attract no vectors drop out (both engines
+    * identically). ≤ M·[[PqKs]] output rows.
+    */
+  private def pqLloydCb(subElems: DataFrame, codes: DataFrame): DataFrame =
+    subElems.join(codes, Seq("vec_id", "m"))
       .groupBy("m", "cb_idx", "pos")
       .agg(expr("sum(xq) div count(1)").as("dimq"))
       .groupBy("m", "cb_idx")
@@ -659,16 +730,66 @@ object Similarity {
         aggregate(transform(col("cvq"),
           q => (q.cast("double") * lit(1.0e-6)) * (q.cast("double") * lit(1.0e-6))),
           lit(0.0), (acc, v) => acc + v))
-    // re-encode against the refined micro-int codewords
-    val du2 = floor(
-      aggregate(zip_with(col("svec"), col("cvq"),
-        (x, q) => (x.cast("double") - q.cast("double") * lit(1.0e-6))
-          * (x.cast("double") - q.cast("double") * lit(1.0e-6))),
-        lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
-    val codes1 = subs.join(broadcast(cb1), Seq("m"))
-      .select(col("vec_id"), col("m"), (du2 * PqKs + col("cb_idx")).as("packed"))
-      .groupBy("vec_id", "m")
-      .agg((min(col("packed")) % PqKs).as("cb_idx"))
+
+  /** Total quantization error Σ_(v,m) ⌊L2²·10⁶⌋ of a packed-encode
+    * frame — the objective Lloyd minimizes; the convergence spec pins
+    * it monotone non-increasing across rounds (slack: floor +
+    * micro-int codeword quantization each perturb a term by ≤ a few
+    * units).
+    */
+  private[graft] def pqObjective(packedCodes: DataFrame): Long =
+    packedCodes.agg(sum(expr(s"packed div $PqKs"))).head().getLong(0)
+
+  /** Per-round packed-encode frames of the [[pqKmeans]] Lloyd loop
+    * (index 0 = seed-codebook encode).
+    */
+  private[graft] def pqLloydPacked(spark: SparkSession, dir: String,
+      rounds: Int): Seq[DataFrame] = {
+    val n = emb(spark, dir).count()
+    val subs = pqSubs(spark, dir)
+    val subElems = pqMicroElems(subs)
+    var packed = pqEncodePacked(subs, pqSeedCb(spark, dir, n), duFloat)
+    val out = scala.collection.mutable.ArrayBuffer(packed)
+    for (_ <- 1 to rounds) {
+      val codes = packed.select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
+      val cb = pqLloydCb(subElems, codes).localCheckpoint()
+      packed = pqEncodePacked(subs, cb, duQuant)
+      out += packed
+    }
+    out.toSeq
+  }
+
+  /** sim_pq_kmeans — PQ codebook TRAINING: [[LloydRounds]] Lloyd
+    * refinements per subspace over the seed-codebook assignment. Each
+    * update is exact integer end-to-end (the [[ivfKmeans]] rule):
+    * sub-vector elements quantize to micro-ints, each (subspace,
+    * codeword, dim) refines to `sum div count` — order-independent
+    * under any partitioning, so the refined codebook is bit-identical
+    * in the oracle (unrolled round CTEs) — then the corpus re-encodes
+    * against the refined (micro-int) codewords, the loop repeats, and
+    * probes score by the same integer-floored ADC as [[pqTopk]].
+    * Codewords that attract no vectors drop out of the refined book
+    * (both engines identically); assignment shifts toward real data
+    * density — the training loop a production PQ index runs a few
+    * times before freezing the codebook. Convergence is spec-pinned:
+    * [[pqObjective]] is monotone non-increasing across rounds.
+    *
+    * Scale: each round is one explode + two map-side-combined
+    * HashAggregates over (m, codeword, dim) — ≤ M·[[PqKs]]·D cells —
+    * plus a broadcast re-encode of the ≤ M·[[PqKs]]-row codebook,
+    * localCheckpoint'd per round so the final plan is R-independent.
+    */
+  def pqKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val subs = pqSubs(spark, dir)
+    val subElems = pqMicroElems(subs)
+    var codes1 = pqEncode(subs, pqSeedCb(spark, dir, n))
+    var cb1: DataFrame = null
+    for (_ <- 1 to LloydRounds) {
+      cb1 = pqLloydCb(subElems, codes1).localCheckpoint()
+      codes1 = pqEncodePacked(subs, cb1, duQuant)
+        .select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
+    }
     // ADC against the refined book
     val p = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),

@@ -237,6 +237,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotHashed === expected, "substringHashed diverged from substring")
   }
 
+  test("ivf Lloyd objective is monotone non-decreasing across rounds") {
+    // Spherical k-means: assignment maximizes Σ max-cos given
+    // centroids; the mean update improves it given assignment (cos to
+    // the cell mean ≡ cos to the normalized mean). Exact monotonicity
+    // holds for the true objective; the measured integer one can slip
+    // by < 1 micro-unit per vector from the ⌊cos·10⁶⌋ floor plus the
+    // micro-int centroid quantization — hence the 2n slack.
+    val scoreds = Similarity.ivfLloydScored(spark, dir, 3)
+    val objs = scoreds.map(Similarity.cellObjective)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 2 * n, s"ivf objective regressed beyond slack: ${objs.mkString(" -> ")}")
+    }
+    // the first refinement must genuinely move the needle, not no-op
+    assert(objs(1) > objs(0), s"first Lloyd round did not improve: ${objs.mkString(" -> ")}")
+    info(s"ivf objectives (sum max cos_u): ${objs.mkString(" -> ")}")
+  }
+
+  test("pq Lloyd quantization error is monotone non-increasing across rounds") {
+    // Classic Lloyd on L2: assignment minimizes per-item error given
+    // the codebook; the per-(m, codeword, dim) mean minimizes summed
+    // squared error given assignment. Slack: the ⌊L2²·10⁶⌋ floor
+    // (< 1/term) plus micro-int codeword quantization (≤ D·10⁻⁶ per
+    // term ⇒ ≤ a few units of 10⁻⁶) — 2 units per (vec, m) term.
+    val packs = Similarity.pqLloydPacked(spark, dir, 3)
+    val errs = packs.map(Similarity.pqObjective)
+    val nTerms = spark.read.parquet(s"$dir/embeddings.parquet").count() * Similarity.PqM
+    errs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 2 * nTerms, s"pq error grew beyond slack: ${errs.mkString(" -> ")}")
+    }
+    assert(errs(1) < errs(0), s"first Lloyd round did not reduce error: ${errs.mkString(" -> ")}")
+    info(s"pq quantization errors: ${errs.mkString(" -> ")}")
+  }
+
   test("minhash signatures match an independent Scala derivation") {
     val got = Dedup.minhash(spark, dir).collect()
       .map(r => r.getLong(0) -> (0 until Dedup.MinhashK).map(j => r.getLong(1 + j))).toMap
