@@ -1015,20 +1015,40 @@ object OpsOracles {
          |JOIN prn ON t.probe_id = prn.probe_id
          |ORDER BY t.probe_id, t.rank""".stripMargin
     },
-    "sim_knn_graph" ->
+    "sim_knn_graph" -> {
+      // Second bucketing: the same plan-time lshPlane ±1 coefficients
+      // Similarity.bucketT(KnnTable2, ·) uses, masked to the bit
+      // count nb derives from COUNT(*) (bit j depends only on j).
+      val planeBucket = (0 until 24).map { j =>
+        val proj = Similarity.lshPlane(Similarity.KnnTable2, j).map { case (dd, s) =>
+          s"CAST($s.0 AS DOUBLE) * CAST(embedding[$dd] AS DOUBLE)"
+        }.mkString(" + ")
+        s"CASE WHEN $j < nb.nbits THEN CAST(($proj) > 0.0 AS BIGINT) * ${1L << j} ELSE 0 END"
+      }.mkString("\n     + ")
+      // UNION (not ALL) dedups cross-table pairs: identical payloads
       s"""WITH $bucketedDynCte,
-         |${pairsCte(-1000000L)},
+         |b2 AS (SELECT vec_id, embedding, $planeBucket AS bucket
+         |       FROM embeddings, nb),
+         |pr AS (
+         |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
+         |         ${cosU("a.embedding", "a2.embedding")} AS cos_u
+         |  FROM b a JOIN b a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
+         |         ${cosU("a.embedding", "a2.embedding")} AS cos_u
+         |  FROM b2 a JOIN b2 a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id),
          |e AS (
-         |  SELECT id_a AS vec_id, id_b AS nbr_id, cos_u FROM hits
+         |  SELECT id_a AS vec_id, id_b AS nbr_id, cos_u FROM pr
          |  UNION ALL
-         |  SELECT id_b AS vec_id, id_a AS nbr_id, cos_u FROM hits),
+         |  SELECT id_b AS vec_id, id_a AS nbr_id, cos_u FROM pr),
          |r AS (
          |  SELECT vec_id, nbr_id, cos_u,
          |    CAST(row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cos_u DESC, nbr_id) AS BIGINT) AS rank
          |  FROM e)
          |SELECT vec_id, rank, nbr_id, cos_u FROM r
-         |WHERE rank <= ${Similarity.KnnK} ORDER BY vec_id, rank""".stripMargin,
+         |WHERE rank <= ${Similarity.KnnK} ORDER BY vec_id, rank""".stripMargin
+    },
     "sim_pq_topk" -> {
       val d = Similarity.PqD
       def l2(a: String, b: String) =

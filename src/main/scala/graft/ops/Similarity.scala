@@ -280,20 +280,46 @@ object Similarity {
   /** Neighbors per vector in [[knnGraph]]. */
   val KnnK = 3
 
+  /** Plane-table index of [[knnGraph]]'s SECOND bucketing — beyond
+    * [[lshTopk]]'s tables 0..[[LshTables]]-1, so its [[lshPlane]]
+    * projections are independent of both the ANN tables and
+    * [[bucketN]]'s coordinate planes.
+    */
+  val KnnTable2 = 16
+
   /** sim_knn_graph — k-NN graph construction over the WHOLE corpus
-    * (every vector, not a probe subset): the [[bucketedPairs]]
-    * corpus-scaled LSH blocking generates candidate pairs (≈64 per
-    * bucket at any n), both directions are unioned and each vector
-    * keeps its [[KnnK]] best by exact cosine — the neighborhood-graph
-    * artifact that clustering / semantic-dedup / diversity-sampling
-    * stages consume. Vectors isolated in their bucket have no edges
-    * under the blocking (production raises targetPerBucket or adds
-    * tables for guaranteed degree — same plumbing). One bucket-key
-    * equi-join + one WindowGroupLimit-pruned top-k shuffle.
+    * (every vector, not a probe subset): corpus-scaled LSH blocking
+    * ([[lshBits]] — ≈64 per bucket at any n) generates candidate
+    * pairs under TWO independent bucketings — [[bucketN]]'s
+    * coordinate planes and the [[lshPlane]] sparse ±1 projections at
+    * table [[KnnTable2]] — so a vector isolated in one table still
+    * meets neighbors through the other (the guaranteed-degree union:
+    * only a vector alone in BOTH tables stays edge-free, spec-pinned).
+    * Both directions are unioned and each vector keeps its [[KnnK]]
+    * best by exact cosine — the neighborhood-graph artifact that
+    * clustering / semantic-dedup / diversity-sampling stages consume.
+    * Two bucket-key equi-joins + one WindowGroupLimit-pruned top-k
+    * shuffle; a cross-table duplicate pair carries identical payloads,
+    * so the pre-union dedup is exact.
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    // keep every same-bucket pair: cos_u ≥ -10⁶ is a tautology
-    val pairs = bucketedPairs(spark, dir, minCosU = -1000000L)
+    val n = emb(spark, dir).count()
+    val nbits = lshBits(n)
+    val base = embPar(spark, dir)
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+    def pairsUnder(bucket: Column): DataFrame = {
+      val bb = base.withColumn("bucket", bucket)
+      val a = bb.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("n2").as("n2_a"))
+      val b = bb.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("n2").as("n2_b"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosUPre(col("va"), col("vb"), col("n2_a"), col("n2_b")).as("cos_u"))
+    }
+    val pairs = pairsUnder(bucketN(col("embedding"), nbits))
+      .union(pairsUnder(bucketT(col("embedding"), KnnTable2, nbits)))
+      .dropDuplicates("id_a", "id_b")
     val e = pairs.select(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_u"))
       .union(pairs.select(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_u")))
     val w = Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("nbr_id"))

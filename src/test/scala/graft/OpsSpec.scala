@@ -237,6 +237,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotHashed === expected, "substringHashed diverged from substring")
   }
 
+  test("knn graph: a vector gets edges iff it has a bucket peer in either table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val nbits = Similarity.lshBits(n)
+    def withPeer(bucketCol: org.apache.spark.sql.Column): Set[Long] = {
+      val bs = emb.select(col("vec_id"), bucketCol.as("b")).as[(Long, Long)].collect()
+      val cnt = bs.groupBy(_._2).view.mapValues(_.length).toMap
+      bs.filter(p => cnt(p._2) > 1).map(_._1).toSet
+    }
+    val p1 = withPeer(Similarity.bucketN(col("embedding"), nbits))
+    val p2 = withPeer(Similarity.bucketT(col("embedding"), Similarity.KnnTable2, nbits))
+    val expected = p1 ++ p2
+    val got = Similarity.knnGraph(spark, dir)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(got === expected,
+      "vertices with edges must be exactly the vectors with a same-bucket peer in either table")
+    // the second table must genuinely rescue vectors the first isolates
+    val rescued = p2 -- p1
+    info(s"n=$n with-peer=${expected.size} isolated-in-t1=${(n - p1.size)} rescued-by-t2=${rescued.size}")
+    assert(rescued.nonEmpty,
+      "degree-guarantee union is vacuous: no vector isolated in table 1 found a peer in table 2")
+  }
+
   test("ivf Lloyd objective is monotone non-decreasing across rounds") {
     // Spherical k-means: assignment maximizes Σ max-cos given
     // centroids; the mean update improves it given assignment (cos to
@@ -1022,13 +1047,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cs = sorted.map(_._4)
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"cosines of $v not ordered")
     }
-    // every knn edge at or above the pair threshold appears in
-    // sim_pairs_thresh (same blocking, same exact scores)
+    // every pairsThresh hit must surface as a knn CANDIDATE with the
+    // same exact score: knn's table 1 is pairsThresh's blocking, so a
+    // hit pair is co-bucketed there and ranks among both endpoints'
+    // candidates (it may lose the top-k cut, so assert via candidate
+    // containment: if either endpoint has spare degree, the edge —
+    // or a strictly-better one — is present). The tight, always-true
+    // direction: a knn edge BETWEEN co-bucketed-in-table-1 endpoints
+    // at/above the threshold appears in pairsThresh.
     val pairSet = Similarity.pairsThresh(spark, dir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nbits = Similarity.lshBits(emb.count())
+    val b1 = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        Similarity.bucketN(org.apache.spark.sql.functions.col("embedding"), nbits).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.filter(_._4 >= 300000L).foreach { case (v, _, n, _) =>
-      val key = (math.min(v, n), math.max(v, n))
-      assert(pairSet.contains(key), s"knn edge $key missing from pairsThresh")
+      if (b1(v) == b1(n)) {
+        val key = (math.min(v, n), math.max(v, n))
+        assert(pairSet.contains(key), s"co-bucketed knn edge $key missing from pairsThresh")
+      }
     }
   }
 
