@@ -173,6 +173,103 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(8L, 1000000L, 2L, 10L)))
   }
 
+  test("sessionize output survives a checkpointed stop/restart mid-stream") {
+    // The operational 100 TB claim behind every stateful operator:
+    // state-store RECOVERY. Drive the sessionizer with a
+    // checkpointLocation, stop it mid-corpus, restart a fresh query
+    // over the same checkpoint + source, drain the rest — the
+    // combined output must equal the uninterrupted run. The memory
+    // sink refuses checkpoint recovery, so both runs use foreachBatch
+    // (the production recovery-capable sink shape). The cut lands
+    // INSIDE an open session, so without restored state its second
+    // half would re-open under a new start key and the finalized set
+    // would differ.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams.{Ev, SessionOut, sessionizeStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt_").toString
+    val evs = allEvents.sortBy(e => (e.sec, e.event_id))
+    // cut at the first event past 1/3 of the stream that CONTINUES its
+    // user's open session (within the 30-min gap): that session is
+    // guaranteed open across the restart
+    val lastSec = scala.collection.mutable.Map.empty[Long, Long]
+    var cut = -1
+    for ((e, i) <- evs.zipWithIndex) {
+      if (cut < 0 && i >= evs.size / 3 &&
+          lastSec.get(e.user_id).exists(l => e.sec - l <= 1800)) cut = i
+      lastSec(e.user_id) = e.sec
+    }
+    assert(cut > 0, "corpus has no session spanning a 1/3+ cut")
+    val (b1, b2) = evs.splitAt(cut)
+
+    val got = new scala.collection.mutable.ArrayBuffer[SessionOut]()
+    // ONE source instance across both runs: the checkpoint's offset
+    // log is per-source, so the restarted query resumes from run 1's
+    // committed offset and reads only the blocks added since
+    val input = MemoryStream[Ev]
+    def drainRun(batch: Seq[Ev]): Unit = {
+      input.addData(batch)
+      val q = sessionizeStream(input.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+          val snap = df.collect()
+          got.synchronized { got ++= snap }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    drainRun(b1) // run 1: state checkpointed, query stopped
+    drainRun(b2) // run 2: fresh query, SAME checkpoint — state restored
+
+    // finalize Update-mode snapshots: a session's final row is its
+    // max-n_events snapshot (same rule as finalizeSessionSink)
+    val finalized = got.groupBy(s => (s.user_id, s.session_start))
+      .values.map(_.maxBy(_.n_events)).toSet
+    val expected = allEvents.groupBy(_.user_id).flatMap { case (uid, es) =>
+      EventStreams.sessionsOf(uid, es)
+    }.toSet
+    assert(finalized === expected,
+      "restarted run diverged from the uninterrupted sessionization")
+  }
+
+  test("dedup_wm state survives a checkpointed restart (exactly-once across runs)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams.{Ev, dedupWmStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dwm_ckpt_").toString
+    def drainRun(input: MemoryStream[Ev]): Seq[(Long, String)] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val q = dedupWmStream(input.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val snap = df.collect().map(r => (r.getLong(0), r.getString(1)))
+          buf.synchronized { buf ++= snap }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      buf.toSeq
+    }
+    val input = MemoryStream[Ev]
+    input.addData(Ev(1, 1, 1000, 10, "view"), Ev(2, 2, 1000, 10, "view"))
+    val a = drainRun(input)
+    // duplicate of (1, view) inside the watermark window + one new key:
+    // only the RESTORED state store can suppress the duplicate
+    input.addData(Ev(3, 1, 1100, 10, "view"), Ev(4, 3, 1200, 10, "view"))
+    val b = drainRun(input)
+    assert(a.toSet === Set((1L, "view"), (2L, "view")))
+    assert(b.toSet === Set((3L, "view")),
+      s"run 2 must emit ONLY the new key (lost state would re-emit (1,view)); got ${b.toSet}")
+    assert(a.length + b.length === 3, "exactly-once across the restart")
+  }
+
   test("stream_dedup_wm suppresses in-window dups, evicts state, re-admits after eviction") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
