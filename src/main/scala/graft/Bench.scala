@@ -24,6 +24,7 @@ object Bench {
     "q4_priority", "q6_revenue", "q8_mktshare", "q9_profit", "q13_custdist",
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
+    "q11_impstock", "q20_excess", "q21_waiting",
     "q_window", "q_sessionize", "q_tumbling", "q_asof",
     "q_pivot", "q_corr", "q_json_extract",
     "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_topk_orders",

@@ -46,7 +46,10 @@ object SparkEntry {
     "q15_topsupp" -> (Queries.q15Topsupp _),
     "q22_global" -> (Queries.q22Global _),
     "q12_shipmode" -> (Queries.q12Shipmode _),
-    "q2_mincost" -> (Queries.q2Mincost _)
+    "q2_mincost" -> (Queries.q2Mincost _),
+    "q11_impstock" -> (Queries.q11Impstock _),
+    "q20_excess" -> (Queries.q20Excess _),
+    "q21_waiting" -> (Queries.q21Waiting _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -287,6 +290,51 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_type = 'ECONOMY'
         |ORDER BY p_partkey""".stripMargin,
+    "q11_impstock" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey, ${SUMC("l_extendedprice")} AS value_c
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE s_nationkey IN (3, 8, 13, 18)
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c, COUNT(*) AS n_parts FROM v)
+         |SELECT l_partkey, value_c FROM v, t
+         |WHERE value_c * n_parts * 2 > total_c * 3
+         |ORDER BY value_c DESC, l_partkey""".stripMargin,
+    "q20_excess" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey, ${SUMC("l_quantity")} AS qty_c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE 'blue%'
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT *, CAST(SUM(qty_c) OVER w AS BIGINT) AS part_qty_c,
+         |    CAST(COUNT(*) OVER w AS BIGINT) AS n_supps
+         |  FROM ps WINDOW w AS (PARTITION BY l_partkey))
+         |SELECT s_suppkey, s_name, n_name AS supp_nation
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (SELECT l_suppkey FROM st
+         |                    WHERE qty_c * n_supps > part_qty_c * 2)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting" ->
+      """WITH pair AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT *, CAST(COUNT(*) OVER w AS BIGINT) AS n_supps,
+        |    CAST(SUM(late) OVER w AS BIGINT) AS n_late
+        |  FROM pair WINDOW w AS (PARTITION BY l_orderkey)),
+        |nw AS (
+        |  SELECT l_suppkey, COUNT(*) AS numwait FROM st
+        |  WHERE late = 1 AND n_supps > 1 AND n_late = 1 GROUP BY 1)
+        |SELECT s_suppkey, s_name, numwait
+        |FROM nw JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q12_shipmode" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -738,6 +738,102 @@ object Queries {
       .orderBy(col("p_partkey"))
   }
 
+  /** q11_impstock — important stock (TPC-H Q11 adapted: no partsupp
+    * table, so a part's "stock value" held by the chosen nations'
+    * suppliers is its lineitem revenue through those suppliers):
+    * parts whose value exceeds 1.5× the MEAN part value. Unlike
+    * TPC-H's sf-dependent fixed fraction, the mean-relative threshold
+    * is scale-free (non-empty at any corpus size); it is never a
+    * float — the having predicate cross-multiplies exact integers
+    * (`value·n·2 > 3·total`, the [[q22Global]] rule) with both global
+    * scalars from ONE 1-row broadcast. The supplier slice is linear
+    * in sf (4 of the nations) — unhinted, AQE decides.
+    */
+  def q11Impstock(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "supplier")
+      .filter(col("s_nationkey").isin(3, 8, 13, 18))
+      .select(col("s_suppkey"))
+    val v = Tables(spark, dir, "lineitem")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+    val t = v.agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(t))
+      .filter(col("value_c") * col("n_parts") * 2 > col("total_c") * 3)
+      .select(col("l_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("l_partkey"))
+  }
+
+  /** q20_excess — potential part promotion (TPC-H Q20 adapted: no
+    * partsupp availqty, so "excess stock" is a supplier carrying MORE
+    * than 2× its mean share of a part's 1996 shipments): suppliers
+    * with at least one blue part (`p_name LIKE 'blue%'` — StartsWith,
+    * pushed) where `qty_ps · n_supps > 2 · part_qty`. The per-part
+    * totals come from a WINDOW over the (part, supplier) aggregate —
+    * one re-exchange of the small aggregated frame, never a second
+    * lineitem scan or a self-join — and the qualifying supplier set
+    * semi-joins supplier (Q20's nested-EXISTS chain collapsed into
+    * agg → window → semi join). Integer quantities throughout.
+    */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").startsWith("blue"))
+      .select(col("p_partkey"))
+    val ps = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+    val w = Window.partitionBy("l_partkey")
+    val excess = ps
+      .withColumn("part_qty_c", sum(col("qty_c")).over(w))
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .filter(col("qty_c") * col("n_supps") > col("part_qty_c") * 2)
+      .select(col("l_suppkey")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("supp_nation"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q21_waiting — suppliers who kept orders waiting (TPC-H Q21
+    * adapted: no receipt/commit dates, so "late" is the [[q12Shipmode]]
+    * rule — shipped more than 60 days after ordering): for completed
+    * ('F') multi-supplier orders where EXACTLY ONE supplier shipped
+    * late, count such orders per offending supplier, top 20. Q21's
+    * correlated EXISTS / NOT EXISTS self-join pair is collapsed into
+    * one (order, supplier) aggregation + one order-partitioned window
+    * (n_supps, n_late) — lineitem is scanned ONCE and never joined to
+    * itself (spec-guarded), the classic decorrelation that keeps the
+    * query a linear pipeline at 100 TB.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pair = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .cast("long")).as("late"))
+    val w = Window.partitionBy("l_orderkey")
+    val numwait = pair
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("n_supps") > 1 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+    numwait
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")

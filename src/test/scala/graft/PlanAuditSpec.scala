@@ -87,6 +87,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q22's priority filter is not pushed to the orders scan")
   }
 
+  test("q21's EXISTS/NOT-EXISTS decorrelation scans lineitem once, no self-join") {
+    val p = formatted("q21_waiting")
+    assert(!p.contains("CartesianProduct"), "q21 plans a CartesianProduct")
+    // TPC-H Q21's correlated EXISTS pair would self-join lineitem
+    // twice; the agg+window rewrite must keep exactly one lineitem
+    // scan (orders + supplier are the other two)
+    assert(scans(p) === 3, s"q21 expected 3 scans (lineitem+orders+supplier): ${scans(p)}")
+    assert("""Scan parquet[\s\S]*lineitem""".r.findFirstIn(p).isDefined)
+  }
+
   test("q3 carries no static broadcast hint on the linear-scaling customer side") {
     // The BUILDING slice grows with scale factor; the join choice must
     // be AQE's (runtime sizes), not a plan-time hint. The optimized
