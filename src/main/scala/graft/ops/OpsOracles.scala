@@ -537,6 +537,37 @@ object OpsOracles {
          |FROM sg LEFT JOIN s ON sg.doc_id = s.doc_id
          |ORDER BY sg.doc_id""".stripMargin
     },
+    "text_bpe" -> {
+      // One CTE triple per merge round (the Lloyd-unroll pattern):
+      // weighted adjacent-pair counts -> best pair (count desc, pair
+      // asc) -> left-to-right non-overlapping replace. replace() has
+      // identical scan-resume semantics in both engines.
+      val roundCtes = (1 to TextAnalysis.BpeRounds).map { r =>
+        s"""s$r AS (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM w${r - 1}),
+           |p$r AS (
+           |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+           |  FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM s$r)
+           |  GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, a || b AS merged, pair_cnt FROM p$r
+           |        ORDER BY pair_cnt DESC, a, b LIMIT 1),
+           |w$r AS (SELECT word, cnt,
+           |          replace(seq, ' ' || b$r.a || ' ' || b$r.b || ' ',
+           |                  ' ' || b$r.merged || ' ') AS seq
+           |        FROM w${r - 1}, b$r)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to TextAnalysis.BpeRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, a, b, merged, pair_cnt FROM b$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH tk AS (SELECT unnest($toks) AS word FROM documents),
+         |tw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+         |       GROUP BY 1 ORDER BY cnt DESC, word LIMIT ${TextAnalysis.BpeWords}),
+         |w0 AS (SELECT word, cnt,
+         |  ' ' || array_to_string([word[i] for i in range(1, len(word) + 1)], ' ') || ' ' AS seq
+         |  FROM tw),
+         |$roundCtes
+         |$unionAll
+         |ORDER BY merge_rank""".stripMargin
+    },
     "text_vocab" ->
       s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
          |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),

@@ -591,7 +591,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Word-histogram size for [[bpe]] — the bounded training domain. */
+  val BpeWords = 64
+
+  /** Merge rounds for [[bpe]] — the ordered merge list IS the trained
+    * artifact (a BPE tokenizer's merges.txt).
+    */
+  val BpeRounds = 8
+
+  /** text_bpe — BPE tokenizer training (Sennrich et al. 2016, the
+    * word-histogram formulation production trainers use): ONE corpus
+    * scan builds the top-[[BpeWords]] word histogram (count desc, word
+    * tiebreak — the [[vocab]] rule), then [[BpeRounds]] merge rounds
+    * run entirely on that bounded frame: each round counts adjacent
+    * symbol pairs weighted by word frequency, picks the best pair
+    * (count desc, pair asc) and merges its occurrences. Output is the
+    * ordered merge table.
+    *
+    * Merge semantics: a round applies `replace(seq, ' a b ', ' ab ')`
+    * on the space-delimited symbol string — the left-to-right
+    * non-overlapping replace BOTH engines define identically. For
+    * self-pairs (a = b) over odd-length runs this differs from
+    * canonical greedy BPE only in WHICH occurrences merge
+    * (' a a a a a ' merges (1,2)(4,5), greedy merges (1,2)(3,4)); the
+    * deviation is deterministic, and unreachable for the a ≠ b merges
+    * real corpora overwhelmingly produce.
+    *
+    * Scale shape: the corpus contributes one tokenize + count shuffle
+    * (map-side combined) + a top-k; every merge round is two bounded
+    * aggregations over ≤ [[BpeWords]] rows with a 1-row broadcast
+    * best, localCheckpoint'd per round so the final plan is
+    * R-independent — the corpus-pass-then-bounded-train shape of
+    * [[graft.ops.Similarity.ivfKmeans]]. A 100 TB corpus changes only
+    * the histogram pass.
+    */
+  def bpe(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(toksExpr))
+      .select(explode(col("t")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(BpeWords)
+    var vocab = words
+      .withColumn("seq", concat(lit(" "), concat_ws(" ",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")), lit(" ")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val pairs = vocab
+        .withColumn("syms", split(trim(col("seq")), " "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+      // bounded frame (≤ Σ word lengths distinct pairs): global
+      // sort+limit is the deterministic cross-engine argmax
+      val best = pairs.orderBy(col("pair_cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(r.toLong).as("merge_rank"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("pair_cnt"))
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("seq",
+          expr("replace(seq, ' ' || ma || ' ' || mb || ' ', ' ' || ma || mb || ' ')"))
+        .select("word", "cnt", "seq")
+        .localCheckpoint()
+    }
+    merges.reduce(_ union _).orderBy("merge_rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe" -> (bpe _),
     "text_charlm" -> (charLm _),
     "text_pack" -> (pack _),
     "text_tfidf" -> (tfidf _),

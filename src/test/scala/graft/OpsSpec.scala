@@ -237,6 +237,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotHashed === expected, "substringHashed diverged from substring")
   }
 
+  test("bpe merge table matches a Scala re-derivation") {
+    // Third opinion vs the DuckDB oracle: rebuild the word histogram
+    // and run the merge rounds with java.lang.String.replace — the
+    // same left-to-right non-overlapping semantics both engines'
+    // replace() defines.
+    val wordCnt = docs.values.flatMap(tokens)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = wordCnt.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextAnalysis.BpeWords)
+    var seqs = top.map { case (w, c) => (" " + w.map(_.toString).mkString(" ") + " ", c) }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to TextAnalysis.BpeRounds) {
+      val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- seqs) {
+        val syms = s.trim.split(" ")
+        for (i <- 0 until syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCnt(k) = pairCnt.getOrElse(k, 0L) + c
+        }
+      }
+      val ((a, b), pc) = pairCnt.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+      expected += ((r.toLong, a, b, a + b, pc))
+      seqs = seqs.map { case (s, c) => (s.replace(s" $a $b ", s" $a$b "), c) }
+    }
+    val got = TextAnalysis.bpe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected.toSeq)
+  }
+
   test("knn graph: a vector gets edges iff it has a bucket peer in either table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
