@@ -42,7 +42,7 @@ object Bench {
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
-    "text_hash_embed", "text_pmi", "text_charlm", "text_bpe",
+    "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "stats_length_deciles",
     "agg_kmv_distinct", "agg_cms_topk", "embed_quantize", "embed_pca_power", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "stats_value_hist", "stats_token_hist", "stats_cov_matrix",

@@ -271,6 +271,36 @@ object OpsOracles {
        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared BPE training chain (text_bpe + text_bpe_encode): top-word
+    * histogram -> char sequences -> one CTE triple per merge round
+    * (the Lloyd-unroll pattern): weighted adjacent-pair counts ->
+    * best pair (count desc, pair asc) -> left-to-right non-overlapping
+    * replace (identical scan-resume semantics in both engines).
+    * Exposes w0..wR and b1..bR.
+    */
+  private val bpeTrainCtes: String = {
+    val roundCtes = (1 to TextAnalysis.BpeRounds).map { r =>
+      s"""s$r AS (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM w${r - 1}),
+         |p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM s$r)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, a || b AS merged, pair_cnt FROM p$r
+         |        ORDER BY pair_cnt DESC, a, b LIMIT 1),
+         |w$r AS (SELECT word, cnt,
+         |          replace(seq, ' ' || b$r.a || ' ' || b$r.b || ' ',
+         |                  ' ' || b$r.merged || ' ') AS seq
+         |        FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""tk AS (SELECT unnest($toks) AS word FROM documents),
+       |tw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+       |       GROUP BY 1 ORDER BY cnt DESC, word LIMIT ${TextAnalysis.BpeWords}),
+       |w0 AS (SELECT word, cnt,
+       |  ' ' || array_to_string([word[i] for i in range(1, len(word) + 1)], ' ') || ' ' AS seq
+       |  FROM tw),
+       |$roundCtes""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_filter" ->
       s"""WITH $filterCtes
@@ -537,36 +567,44 @@ object OpsOracles {
          |FROM sg LEFT JOIN s ON sg.doc_id = s.doc_id
          |ORDER BY sg.doc_id""".stripMargin
     },
-    "text_bpe" -> {
-      // One CTE triple per merge round (the Lloyd-unroll pattern):
-      // weighted adjacent-pair counts -> best pair (count desc, pair
-      // asc) -> left-to-right non-overlapping replace. replace() has
-      // identical scan-resume semantics in both engines.
-      val roundCtes = (1 to TextAnalysis.BpeRounds).map { r =>
-        s"""s$r AS (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM w${r - 1}),
-           |p$r AS (
-           |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
-           |  FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM s$r)
-           |  GROUP BY 1, 2),
-           |b$r AS (SELECT a, b, a || b AS merged, pair_cnt FROM p$r
-           |        ORDER BY pair_cnt DESC, a, b LIMIT 1),
-           |w$r AS (SELECT word, cnt,
+    "text_bpe" ->
+      s"""WITH $bpeTrainCtes
+         |${(1 to TextAnalysis.BpeRounds).map { r =>
+             s"SELECT CAST($r AS BIGINT) AS merge_rank, a, b, merged, pair_cnt FROM b$r"
+           }.mkString("\nUNION ALL ")}
+         |ORDER BY merge_rank""".stripMargin,
+    "text_bpe_encode" -> {
+      // dictionary encode: distinct corpus words through the learned
+      // merges in rank order (1-row CTE per merge), then per-doc
+      // integer stats via the word rejoin
+      val encCtes = (1 to TextAnalysis.BpeRounds).map { r =>
+        s"""e$r AS (SELECT word,
            |          replace(seq, ' ' || b$r.a || ' ' || b$r.b || ' ',
            |                  ' ' || b$r.merged || ' ') AS seq
-           |        FROM w${r - 1}, b$r)""".stripMargin
+           |        FROM e${r - 1}, b$r)""".stripMargin
       }.mkString(",\n")
-      val unionAll = (1 to TextAnalysis.BpeRounds).map { r =>
-        s"SELECT CAST($r AS BIGINT) AS merge_rank, a, b, merged, pair_cnt FROM b$r"
-      }.mkString("\nUNION ALL ")
-      s"""WITH tk AS (SELECT unnest($toks) AS word FROM documents),
-         |tw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
-         |       GROUP BY 1 ORDER BY cnt DESC, word LIMIT ${TextAnalysis.BpeWords}),
-         |w0 AS (SELECT word, cnt,
+      val R = TextAnalysis.BpeRounds
+      s"""WITH $bpeTrainCtes,
+         |d AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+         |dw AS (SELECT DISTINCT word FROM d),
+         |e0 AS (SELECT word,
          |  ' ' || array_to_string([word[i] for i in range(1, len(word) + 1)], ' ') || ' ' AS seq
-         |  FROM tw),
-         |$roundCtes
-         |$unionAll
-         |ORDER BY merge_rank""".stripMargin
+         |  FROM dw),
+         |$encCtes,
+         |st AS (SELECT word, string_split(trim(seq), ' ') AS subs FROM e$R),
+         |ws AS (SELECT word, CAST(len(subs) AS BIGINT) AS n_subs,
+         |         CAST(list_reduce(list_prepend(0, [len(s) * len(s) for s in subs]),
+         |           (acc, x) -> acc + x) AS BIGINT) AS sublen2
+         |       FROM st),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(n_subs) AS BIGINT) AS n_subwords,
+         |    CAST(SUM(sublen2) AS BIGINT) AS sum_sublen2
+         |  FROM d JOIN ws USING (word) GROUP BY 1)
+         |SELECT doc_id, COALESCE(n_words, 0) AS n_words,
+         |  COALESCE(n_subwords, 0) AS n_subwords,
+         |  COALESCE(sum_sublen2, 0) AS sum_sublen2
+         |FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "text_vocab" ->
       s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),

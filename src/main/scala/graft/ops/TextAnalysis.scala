@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -625,7 +625,16 @@ object TextAnalysis {
     * [[graft.ops.Similarity.ivfKmeans]]. A 100 TB corpus changes only
     * the histogram pass.
     */
-  def bpe(spark: SparkSession, dir: String): DataFrame = {
+  /** ' a b c ' space-delimited character sequence of a word column. */
+  private def charSeq(word: String): Column =
+    concat(lit(" "), concat_ws(" ",
+      expr(s"transform(sequence(1, length($word)), i -> substring($word, i, 1))")), lit(" "))
+
+  /** The [[bpe]] training loop: per-round 1-row best frames
+    * (merge_rank, a, b, merged, pair_cnt), each localCheckpoint'd —
+    * shared by the merge-table output and [[bpeEncode]].
+    */
+  private def bpeMerges(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val words = Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", expr(toksExpr))
@@ -633,10 +642,7 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(BpeWords)
-    var vocab = words
-      .withColumn("seq", concat(lit(" "), concat_ws(" ",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")), lit(" ")))
-      .localCheckpoint()
+    var vocab = words.withColumn("seq", charSeq("word")).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to BpeRounds) {
       val pairs = vocab
@@ -650,9 +656,10 @@ object TextAnalysis {
       // bounded frame (≤ Σ word lengths distinct pairs): global
       // sort+limit is the deterministic cross-engine argmax
       val best = pairs.orderBy(col("pair_cnt").desc, col("a"), col("b")).limit(1)
+        .select(lit(r.toLong).as("merge_rank"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("pair_cnt"))
         .localCheckpoint()
-      merges += best.select(lit(r.toLong).as("merge_rank"), col("a"), col("b"),
-        concat(col("a"), col("b")).as("merged"), col("pair_cnt"))
+      merges += best
       vocab = vocab
         .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
         .withColumn("seq",
@@ -660,11 +667,61 @@ object TextAnalysis {
         .select("word", "cnt", "seq")
         .localCheckpoint()
     }
-    merges.reduce(_ union _).orderBy("merge_rank")
+    merges.toSeq
+  }
+
+  def bpe(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(spark, dir).reduce(_ union _).orderBy("merge_rank")
+
+  /** text_bpe_encode — the ENCODE face of [[bpe]]: apply the learned
+    * merge list (rank order) to every document and summarize the
+    * subword tokenization as order-independent integers (word count,
+    * subword count, Σ len(subword)² checksum — finer splits score
+    * lower, so the checksum pins the exact segmentation, not just the
+    * counts).
+    *
+    * Scale shape: the merges apply to the DISTINCT-WORD dictionary
+    * (each of the 8 rounds is a 1-row broadcast + replace over the
+    * dictionary — never the corpus), and the encoded words rejoin the
+    * corpus explode by word; per-doc stats are one map-side-combined
+    * aggregation. A 100 TB corpus re-encodes its dictionary, not its
+    * tokens.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val bests = bpeMerges(spark, dir)
+    val d = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), explode(col("t")).as("word"))
+    var enc = d.select("word").distinct().withColumn("seq", charSeq("word"))
+    for (b <- bests) {
+      enc = enc
+        .crossJoin(broadcast(b.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("seq",
+          expr("replace(seq, ' ' || ma || ' ' || mb || ' ', ' ' || ma || mb || ' ')"))
+        .select("word", "seq")
+    }
+    val stats = enc
+      .withColumn("subs", split(trim(col("seq")), " "))
+      .select(col("word"), size(col("subs")).cast("long").as("n_subs"),
+        expr("aggregate(subs, 0L, (acc, s) -> acc + cast(length(s) * length(s) as bigint))")
+          .as("sublen2"))
+    val perDoc = d.join(stats, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_subs")).as("n_subwords"),
+        sum(col("sublen2")).as("sum_sublen2"))
+    Tables(spark, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("sum_sublen2"), lit(0L)).as("sum_sublen2"))
+      .orderBy("doc_id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe" -> (bpe _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_charlm" -> (charLm _),
     "text_pack" -> (pack _),
     "text_tfidf" -> (tfidf _),

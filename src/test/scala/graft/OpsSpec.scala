@@ -265,6 +265,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
     assert(got === expected.toSeq)
+
+    // ENCODE face: apply the same merges to every distinct corpus word
+    // (java String.replace — the engines' replace semantics) and
+    // re-derive all three per-doc stats exactly
+    val mergeList = expected.map { case (_, a, b, _, _) => (a, b) }
+    val encCache = scala.collection.mutable.Map.empty[String, Array[String]]
+    def encodeWord(w: String): Array[String] = encCache.getOrElseUpdate(w, {
+      var s = " " + w.map(_.toString).mkString(" ") + " "
+      for ((a, b) <- mergeList) s = s.replace(s" $a $b ", s" $a$b ")
+      s.trim.split(" ")
+    })
+    val expEnc = docs.map { case (id, text) =>
+      val ws = tokens(text)
+      val subs = ws.map(encodeWord)
+      (id, ws.size.toLong, subs.map(_.length.toLong).sum,
+        subs.flatMap(_.map(s => s.length.toLong * s.length)).sum)
+    }.toSet
+    val gotEnc = TextAnalysis.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotEnc === expEnc, "bpeEncode diverged from the Scala re-derivation")
   }
 
   test("knn graph: a vector gets edges iff it has a bucket peer in either table") {
