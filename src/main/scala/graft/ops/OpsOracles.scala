@@ -301,6 +301,35 @@ object OpsOracles {
        |$roundCtes""".stripMargin
   }
 
+  /** Shared PCA power-iteration chain (embed_pca_power +
+    * embed_project) — mirrors [[Similarity.pcaFit]]. Exposes `m`
+    * (means), `c` (centered long form), and per-round w$r / v$r.
+    */
+  private val pcaTrainCtes: String = {
+    val rounds = (1 to Similarity.PcaRounds).map { r =>
+      val vPrev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""s$r AS (SELECT vec_id, CAST(SUM(cq * v_u) AS BIGINT) // 1000000 AS sp
+         |       FROM c JOIN $vPrev USING (dim) GROUP BY vec_id),
+         |w$r AS (SELECT dim, CAST(SUM((cq * sp) // 1048576) AS BIGINT) AS vr
+         |       FROM c JOIN s$r USING (vec_id) GROUP BY dim),
+         |n$r AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list(CAST(vr AS DOUBLE) * CAST(vr AS DOUBLE) ORDER BY dim)),
+         |         (a, b) -> a + b) AS n2 FROM w$r),
+         |v$r AS (SELECT dim, CAST(FLOOR(1000000.0 * vr / sqrt(n2)) AS BIGINT) AS v_u
+         |       FROM w$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |xl AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+       |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+       |       FROM embeddings, range(1, 65) r(i)),
+       |m AS (SELECT dim, CAST(SUM(xq) // nn.n AS BIGINT) AS mean_q
+       |      FROM xl, nn GROUP BY dim, nn.n),
+       |c AS (SELECT vec_id, xl.dim, xq - mean_q AS cq FROM xl JOIN m USING (dim)),
+       |v0 AS (SELECT dim, CAST(CASE WHEN dim = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS v_u
+       |       FROM m),
+       |$rounds""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_filter" ->
       s"""WITH $filterCtes
@@ -963,34 +992,20 @@ object OpsOracles {
          |  ELSE 0 END AS BIGINT) AS corr_u
          |FROM cov JOIN v vi ON cov.i = vi.d JOIN v vj ON cov.j = vj.d
          |ORDER BY cov.i, cov.j""".stripMargin,
-    "embed_pca_power" -> {
-      val rounds = (1 to Similarity.PcaRounds).map { r =>
-        val vPrev = if (r == 1) "v0" else s"v${r - 1}"
-        s"""s$r AS (SELECT vec_id, CAST(SUM(cq * v_u) AS BIGINT) // 1000000 AS sp
-           |       FROM c JOIN $vPrev USING (dim) GROUP BY vec_id),
-           |w$r AS (SELECT dim, CAST(SUM((cq * sp) // 1048576) AS BIGINT) AS vr
-           |       FROM c JOIN s$r USING (vec_id) GROUP BY dim),
-           |n$r AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |         list(CAST(vr AS DOUBLE) * CAST(vr AS DOUBLE) ORDER BY dim)),
-           |         (a, b) -> a + b) AS n2 FROM w$r),
-           |v$r AS (SELECT dim, CAST(FLOOR(1000000.0 * vr / sqrt(n2)) AS BIGINT) AS v_u
-           |       FROM w$r, n$r)""".stripMargin
-      }.mkString(",\n")
-      val last = Similarity.PcaRounds
-      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-         |xl AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
-         |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-         |       FROM embeddings, range(1, 65) r(i)),
-         |m AS (SELECT dim, CAST(SUM(xq) // nn.n AS BIGINT) AS mean_q
-         |      FROM xl, nn GROUP BY dim, nn.n),
-         |c AS (SELECT vec_id, xl.dim, xq - mean_q AS cq FROM xl JOIN m USING (dim)),
-         |v0 AS (SELECT dim, CAST(CASE WHEN dim = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS v_u
-         |       FROM m),
-         |$rounds
-         |SELECT m.dim, m.mean_q, w$last.vr, v$last.v_u AS pc1_u
-         |FROM m JOIN w$last USING (dim) JOIN v$last USING (dim)
-         |ORDER BY dim""".stripMargin
-    },
+    "embed_pca_power" ->
+      s"""WITH $pcaTrainCtes
+         |SELECT m.dim, m.mean_q, w${Similarity.PcaRounds}.vr,
+         |  v${Similarity.PcaRounds}.v_u AS pc1_u
+         |FROM m JOIN w${Similarity.PcaRounds} USING (dim)
+         |JOIN v${Similarity.PcaRounds} USING (dim)
+         |ORDER BY dim""".stripMargin,
+    "embed_project" ->
+      s"""WITH $pcaTrainCtes
+         |SELECT vec_id,
+         |  CAST(SUM(cq * v_u) AS BIGINT) // 1000000 AS proj_u,
+         |  CAST(SUM((cq * cq) // 1048576) AS BIGINT) AS cn2_u
+         |FROM c JOIN v${Similarity.PcaRounds} USING (dim)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sim_pq_kmeans" -> {
       val d = Similarity.PqD
       def fold(body: String) =

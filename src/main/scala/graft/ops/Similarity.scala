@@ -898,7 +898,11 @@ object Similarity {
       .agg(expr(s"sum(xq) div ${n}L").as("mean_q"))
       .localCheckpoint()
 
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+  /** The [[pcaPower]] fit: (means, centered long-form, final raw vr,
+    * final unit component) — shared with [[pcaProject]].
+    */
+  private def pcaFit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val n = emb(spark, dir).count()
     val xl = embXq(spark, dir)
     val means = embMeans(spark, dir, n)
@@ -925,10 +929,36 @@ object Similarity {
     val (vrFinal, vFinal) = (1 to PcaRounds).foldLeft((v0, v0)) {
       case ((_, v), _) => round(v)
     }
+    (means, cent, vrFinal, vFinal)
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val (means, _, vrFinal, vFinal) = pcaFit(spark, dir)
     means.join(vrFinal, Seq("dim"))
       .join(vFinal.select(col("dim"), col("v_u").as("pc1_u")), Seq("dim"))
       .select(col("dim"), col("mean_q"), col("vr"), col("pc1_u"))
       .orderBy("dim")
+  }
+
+  /** embed_project — the APPLY face of [[pcaPower]] (the train→apply
+    * rule [[graft.ops.TextAnalysis.bpeEncode]] follows): every vector
+    * projects onto the trained top component. Per vector: `proj_u` =
+    * Σ cq·pc1 div 10⁶ — the micro-unit signed 1-D reduced
+    * representation — and `cn2_u` = Σ cq² div 2²⁰ — the centered
+    * energy, whose gap to proj²∕2²⁰ is the whitening residual. Both
+    * exact integers via the [[pcaPower]] overflow rules (per-element
+    * pre-scale before the sum), so the row is bit-identical in the
+    * oracle. ONE corpus traversal against the broadcast 64-row
+    * component; spec pins Cauchy–Schwarz (proj² ≤ ‖c‖²) and the
+    * near-zero projection mean of a centered corpus.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cent, _, vFinal) = pcaFit(spark, dir)
+    cent.join(broadcast(vFinal), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(expr("sum(cq * v_u) div 1000000").as("proj_u"),
+        sum(expr("(cq * cq) div 1048576")).as("cn2_u"))
+      .orderBy("vec_id")
   }
 
   /** stats_cov_matrix — exact covariance + correlation matrix of the
@@ -983,6 +1013,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_cov_matrix" -> (covMatrix _),
     "embed_pca_power" -> (pcaPower _),
+    "embed_project" -> (pcaProject _),
     "sim_pq_topk" -> (pqTopk _),
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),

@@ -312,6 +312,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "degree-guarantee union is vacuous: no vector isolated in table 1 found a peer in table 2")
   }
 
+  test("pca projection obeys Cauchy-Schwarz and centers near zero") {
+    val rows = Similarity.pcaProject(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, proj, cn2) =>
+      // proj² (micro²) ≤ ‖c‖² = cn2·2²⁰ (+2% integer-floor slack)
+      assert(proj.toDouble * proj <= 1.02 * cn2.toDouble * 1048576 + 1048576,
+        s"vector $id: projection exceeds its centered norm")
+    }
+    // the corpus is centered, so projections must sum to ~0
+    // (each integer mean/floor step contributes < 1 micro-unit/vector)
+    val n = rows.length.toLong
+    val total = rows.map(_._2).sum
+    assert(math.abs(total) <= 70 * n, s"projection sum $total not near zero for n=$n")
+    // and the component must actually separate vectors
+    assert(rows.map(_._2).distinct.length > n / 10, "projections are degenerate")
+  }
+
   test("ivf Lloyd objective is monotone non-decreasing across rounds") {
     // Spherical k-means: assignment maximizes Σ max-cos given
     // centroids; the mean update improves it given assignment (cos to
