@@ -43,14 +43,16 @@ object Bench {
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
-    "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "stats_length_deciles",
-    "agg_kmv_distinct", "agg_cms_topk", "embed_quantize", "embed_pca_power",
+    "sample_stratified", "sample_priority", "sample_mixture", "sample_split",
+    "sample_diverse", "stats_length_deciles",
+    "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct",
+    "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "stats_value_hist", "stats_token_hist", "stats_cov_matrix",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
     "mm_pack", "mm_meta_extract", "mm_decode_stub", "mm_frame_sample",
-    "mm_resize",
+    "mm_resize", "mm_patchify",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink")
 
   def main(args: Array[String]): Unit = {

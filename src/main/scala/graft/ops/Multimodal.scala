@@ -106,7 +106,38 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** mm_patchify — ViT-style patch extraction over an opaque payload
+    * viewed as a character grid: the first 8 rows of width 16 split
+    * into a 4×2 grid of 4×4 patches (px ∈ 0..3, py ∈ 0..1); each
+    * patch concatenates its 4 row-slices and carries the exact
+    * integer code-point sum (the pixel-intensity stand-in — ascii()
+    * of each cell, identical in both engines). Only fully-covered
+    * patches emit (payload must reach the patch's last row). The
+    * Spark shape is the real one for image patching at 100 TB: a
+    * per-row bounded generator (explode of a static 8-cell grid),
+    * zero shuffles, all scan-side codegen.
+    */
+  def patchify(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(expr(
+          "transform(sequence(0L, 7L), g -> struct(g % 4 AS px, g div 4 AS py))")).as("g"))
+      .select(col("doc_id"), col("g.px").as("px"), col("g.py").as("py"),
+        col("text"), col("n"))
+      // last needed char: row (py*4+3), cols (px*4+1 .. px*4+4)
+      .filter(col("n") >= (col("py") * 4 + 3) * 16 + col("px") * 4 + 4)
+      .withColumn("patch", expr(
+        "array_join(transform(sequence(0L, 3L), " +
+          "r -> substr(text, cast((py * 4 + r) * 16 + px * 4 + 1 as int), 4)), '')"))
+      .select(col("doc_id"), col("px"), col("py"), col("patch"),
+        expr("aggregate(transform(sequence(1, length(patch)), " +
+          "i -> cast(ascii(substr(patch, i, 1)) as bigint)), 0L, (a, x) -> a + x)")
+          .as("cp_sum"))
+      .orderBy("doc_id", "py", "px")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_patchify" -> (patchify _),
     "mm_pack" -> (pack _),
     "mm_meta_extract" -> (metaExtract _),
     "mm_frame_sample" -> (frameSample _),

@@ -463,6 +463,48 @@ object OpsOracles {
          |  FROM h)
          |SELECT doc_id, source, samp_hash, rk FROM r
          |WHERE rk <= ${Sampling.StratumK} ORDER BY source, rk""".stripMargin,
+    "sample_diverse" ->
+      s"""WITH $bucketedDynCte,
+         |h AS (SELECT vec_id, CAST(label AS BIGINT) AS label, bucket,
+         |        ${md5Int("('dv:' || CAST(vec_id AS VARCHAR))")} AS samp_hash
+         |      FROM b),
+         |r AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_members,
+         |        row_number() OVER (PARTITION BY bucket ORDER BY samp_hash, vec_id) AS rk
+         |      FROM h)
+         |SELECT bucket, vec_id AS rep_id, label, n_members
+         |FROM r WHERE rk = 1 ORDER BY bucket""".stripMargin,
+    "agg_hll_distinct" ->
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |hh AS (SELECT event_type, user_id,
+         |         ${md5Int("CAST(user_id AS VARCHAR)")} AS h FROM du),
+         |vv AS (SELECT event_type, user_id, h % ${Sampling.HllM} AS bucket,
+         |         h // ${Sampling.HllM} AS v FROM hh),
+         |rr AS (SELECT event_type, user_id, bucket,
+         |         CASE WHEN v = 0 THEN CAST(27 AS BIGINT)
+         |              ELSE CAST(log2(v & (-v)) AS BIGINT) + 1 END AS rho
+         |       FROM vv),
+         |regs AS (SELECT event_type, bucket, MAX(rho) AS m_rho
+         |         FROM rr GROUP BY 1, 2),
+         |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |       FROM du GROUP BY 1),
+         |agg AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_used,
+         |    CAST(SUM((bucket + 1) * m_rho) AS BIGINT) AS rho_chk,
+         |    SUM(power(2.0, -CAST(m_rho AS DOUBLE))) AS sum_inv
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, m_used, rho_chk,
+         |    ${0.709 * Sampling.HllM * Sampling.HllM} /
+         |      (sum_inv + (${Sampling.HllM} - m_used)) AS raw
+         |  FROM agg)
+         |SELECT est.event_type, m_used, rho_chk,
+         |  CAST(FLOOR(1000.0 * CASE
+         |    WHEN raw <= ${2.5 * Sampling.HllM} AND m_used < ${Sampling.HllM}
+         |    THEN ${Sampling.HllM}.0 * ln(${Sampling.HllM}.0 / CAST(${Sampling.HllM} - m_used AS DOUBLE))
+         |    ELSE raw END) AS BIGINT) AS est_u,
+         |  exact_distinct
+         |FROM est JOIN ex ON est.event_type = ex.event_type
+         |ORDER BY est.event_type""".stripMargin,
     "dedup_substring" -> substrOracle,
     // the hash-first variant is semantics-identical by construction
     // (equal strings hash equal; collisions are text-verified), so it
@@ -1357,6 +1399,20 @@ object OpsOracles {
         |  FROM d)
         |SELECT doc_id, n, stride, resized, md5(resized) AS resized_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+    "mm_patchify" ->
+      """WITH g AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |            gg % 4 AS px, gg // 4 AS py
+        |          FROM documents, range(0, 8) r(gg)),
+        |f AS (SELECT doc_id, px, py, text FROM g
+        |      WHERE n >= (py * 4 + 3) * 16 + px * 4 + 4),
+        |p AS (SELECT doc_id, px, py,
+        |        array_to_string([substr(text, CAST((py * 4 + r) * 16 + px * 4 + 1 AS INT), 4)
+        |                         for r in range(0, 4)], '') AS patch
+        |      FROM f)
+        |SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py, patch,
+        |  CAST(list_reduce(list_prepend(0, [ascii(substr(patch, i, 1))
+        |    for i in range(1, len(patch) + 1)]), (a, x) -> a + x) AS BIGINT) AS cp_sum
+        |FROM p ORDER BY doc_id, py, px""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
         |lower(hex(encode(substr(text, CAST(f.frame_idx * 32 + 1 AS INT), 16)))) AS frame_hex

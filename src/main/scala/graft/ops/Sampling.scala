@@ -292,7 +292,88 @@ object Sampling {
         sum(col("nt")).as("sum_toks"))
       .orderBy("source", "bucket")
 
+  /** sample_diverse — coverage/diversity sampling: ONE representative
+    * vector per corpus-scaled LSH bucket ([[Similarity.lshBits]] —
+    * 2^k ≥ n/64 buckets, so the sample tracks corpus REGIONS, not
+    * rows, and dense regions stop dominating the training mix):
+    * within each sign-LSH bucket keep the member with the smallest
+    * content-independent md5-prefix hash (the [[stratified]]
+    * hash-rank rule — reproducible across engines and composable),
+    * with the bucket population riding along as the density weight.
+    * One bucket-keyed shuffle; the per-bucket top-1 is the
+    * WindowGroupLimit map-side-pruned top-k pattern.
+    */
+  def diverse(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val nbits = Similarity.lshBits(emb.count())
+    val w = Window.partitionBy("bucket").orderBy(col("samp_hash"), col("vec_id"))
+    emb.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.bucketN(col("embedding"), nbits).as("bucket"),
+        expr("graft_md5_prefix(concat('dv:', cast(vec_id as string)))").as("samp_hash"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("bucket")).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("bucket"), col("vec_id").as("rep_id"), col("label"), col("n_members"))
+      .orderBy("bucket")
+  }
+
+  /** HLL register count (2^p, p = 6) for [[hllDistinct]]. */
+  val HllM = 64
+
+  /** agg_hll_distinct — HyperLogLog distinct-user sketch per
+    * event_type, completing the mergeable-sketch family (KMV
+    * cardinality, CMS frequency, Bloom membership, HLL cardinality at
+    * O(m) memory): each distinct user hashes to one of [[HllM]]
+    * registers, which keep the max of ρ = trailing-zero-count + 1 of
+    * the remaining hash bits — `max` per register is the mergeable
+    * operation, so partition sketches union for free (map-side
+    * combine IS the merge). Exact-integer determinism: ρ isolates the
+    * lowest set bit with `v & -v` and takes log2 of an EXACT power of
+    * two (integral in IEEE — both engines agree bit-for-bit); the
+    * estimate's Σ2^−ρ is a sum of ≤ [[HllM]] exact dyadic rationals
+    * spanning < 53 bits, so it is order-independent and exact, and
+    * the final float chain is written identically in the oracle.
+    * Small cardinalities take the standard linear-counting branch
+    * (raw ≤ 2.5·m with empty registers → m·ln(m∕empty) — Flajolet et
+    * al.'s correction; the raw estimator overshoots ~3× there).
+    * Output per event_type: registers used, a register checksum, and
+    * the milli-floored estimate beside the exact count.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", expr("graft_md5_prefix(cast(user_id as string))"))
+      .select(col("event_type"), col("user_id"),
+        (col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("v"))
+      .withColumn("rho",
+        expr("case when v = 0 then 27L else cast(log2(v & -v) as bigint) + 1L end"))
+    val regs = pairs.groupBy("event_type", "bucket").agg(max(col("rho")).as("m_rho"))
+    val exact = pairs.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    val raw = lit(0.709 * HllM * HllM) /
+      (col("sum_inv") + (lit(HllM) - col("m_used")))
+    val linCount = lit(HllM.toDouble) *
+      log(lit(HllM.toDouble) / (lit(HllM) - col("m_used")).cast("double"))
+    regs.groupBy("event_type")
+      .agg(count(lit(1)).as("m_used"),
+        sum((col("bucket") + 1) * col("m_rho")).as("rho_chk"),
+        sum(expr("power(2.0, -cast(m_rho as double))")).as("sum_inv"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("m_used"), col("rho_chk"),
+        floor(lit(1000.0) *
+          when(raw <= 2.5 * HllM && col("m_used") < HllM, linCount).otherwise(raw))
+          .cast("long").as("est_u"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_diverse" -> (diverse _),
+    "agg_hll_distinct" -> (hllDistinct _),
     "stats_token_hist" -> (tokenHist _),
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),

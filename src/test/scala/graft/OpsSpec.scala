@@ -312,6 +312,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "degree-guarantee union is vacuous: no vector isolated in table 1 found a peer in table 2")
   }
 
+  test("diverse sample covers every occupied bucket exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val nbits = graft.ops.Similarity.lshBits(n)
+    val buckets = emb.select(col("vec_id"),
+        graft.ops.Similarity.bucketN(col("embedding"), nbits).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val rows = graft.ops.Sampling.diverse(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate bucket rows")
+    assert(rows.map(_._1).toSet === buckets.values.toSet, "must cover every occupied bucket")
+    rows.foreach { case (b, rep, _) =>
+      assert(buckets(rep) === b, s"representative $rep not in bucket $b") }
+    assert(rows.map(_._3).sum === n, "bucket populations must partition the corpus")
+  }
+
+  test("hll estimate lands within the m=64 error envelope") {
+    val rows = graft.ops.Sampling.hllDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_u").toDouble / 1000.0
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(r.getAs[Long]("m_used") <= graft.ops.Sampling.HllM)
+      // σ ≈ 1.04/√64 = 13%; allow 3σ for the tiny test cardinalities
+      assert(math.abs(est - exact) <= 0.4 * exact + 3,
+        s"${r.getString(0)}: est $est vs exact $exact outside the envelope")
+    }
+  }
+
+  test("patchify emits exactly the fitting 4x4 patches with exact code-point sums") {
+    val rows = graft.ops.Multimodal.patchify(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), (r.getString(3), r.getLong(4))))
+      .toMap
+    val expected = docs.flatMap { case (id, text) =>
+      for {
+        py <- 0L to 1L; px <- 0L to 3L
+        if text.length >= (py * 4 + 3) * 16 + px * 4 + 4
+      } yield {
+        val patch = (0 until 4).map { r =>
+          text.substring(((py * 4 + r) * 16 + px * 4).toInt, ((py * 4 + r) * 16 + px * 4 + 4).toInt)
+        }.mkString
+        ((id, px, py), (patch, patch.map(_.toLong).sum))
+      }
+    }
+    assert(rows === expected)
+  }
+
   test("pca projection obeys Cauchy-Schwarz and centers near zero") {
     val rows = Similarity.pcaProject(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
