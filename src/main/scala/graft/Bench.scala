@@ -38,7 +38,8 @@ object Bench {
     "dedup_exact", "dedup_substring", "dedup_substring_hashed",
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
-    "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom", "graph_pagerank",
+    "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
+    "graph_pagerank", "graph_bfs",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",

@@ -66,7 +66,49 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** BFS rounds — hop distances beyond this report as unreached. */
+  val BfsRounds = 4
+
+  /** graph_bfs — bounded multi-source BFS over the same undirected
+    * near-dup candidate graph: hop distance from the benchmark seed
+    * set (doc_id ≡ 0 mod 97, the decontamination sentinel ids) for
+    * every document within [[BfsRounds]] hops, −1 beyond — the
+    * "contamination blast radius" signal: how close each training doc
+    * sits to a held-out benchmark doc through near-dup chains (exact
+    * decontamination removes hop-1; the radius ranks what hop-2+
+    * would remove under a stricter policy).
+    *
+    * Per round: one edge⋈frontier equi-join + one min aggregation
+    * (map-side combined) with `localCheckpoint` truncation — the
+    * [[pagerank]] message-passing shape with min instead of sum, and
+    * the bounded-round cousin of [[Dedup.connectedComponents]]'
+    * fixpoint loop.
+    */
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.bandCandidates(Dedup.signatures(spark, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var dist = Tables(spark, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 97 === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val nxt = edges
+        .join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(nxt)
+        .groupBy("doc_id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(dist, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerank _)
+    "graph_pagerank" -> (pagerank _),
+    "graph_bfs" -> (bfs _)
   )
 }

@@ -911,6 +911,27 @@ object OpsOracles {
          |LEFT JOIN dg ON v.doc_id = dg.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    "graph_bfs" -> {
+      val rounds = (1 to Graph.BfsRounds).map { t =>
+        s"""d$t AS (
+           |  SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT doc_id, dist FROM d${t - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS doc_id, p.dist + 1 AS dist
+           |    FROM ed e JOIN d${t - 1} p ON e.src = p.doc_id)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |d0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS dist FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |$rounds
+         |SELECT v.doc_id, COALESCE(dd.dist, -1) AS dist
+         |FROM documents v LEFT JOIN d${Graph.BfsRounds} dd ON v.doc_id = dd.doc_id
+         |ORDER BY v.doc_id""".stripMargin
+    },
     "dedup_bloom" -> {
       val m = Dedup.BloomBits
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),

@@ -259,6 +259,39 @@ object EventStreams {
     spark.table(sink).orderBy("d", "idx")
   }
 
+  /** stream_hll — the HyperLogLog register grid as a STREAMING
+    * aggregation: per-(event_type, bucket) max-ρ maintained across
+    * triggers. `max` IS the sketch merge, so each state-store cell is
+    * the merged register and state is the fixed type × [[
+    * graft.ops.Sampling.HllM]] grid at any stream length — the
+    * cardinality twin of [[cmsStream]]'s frequency grid (HLL is
+    * insert-only commutative, so hashing every event equals hashing
+    * distinct users). Emits the registers; the estimate is
+    * [[graft.ops.Sampling.hllDistinct]]'s bounded fold over them.
+    */
+  def hllStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Sampling.HllM
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    input.addData(evs)
+    val agg = input.toDS().toDF("event_type", "user_id")
+      .withColumn("h", expr("graft_md5_prefix(cast(user_id as string))"))
+      .select(col("event_type"), (col("h") % HllM).as("bucket"),
+        expr(s"h div $HllM").as("v"))
+      .withColumn("rho",
+        expr("case when v = 0 then 27L else cast(log2(v & -v) as bigint) + 1L end"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("m_rho"))
+    val sink = sinkName("stream_hll")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("event_type", "bucket")
+  }
+
   /** stream_topk — continuous leaderboard: top-10 users by total
     * event value, re-ranked every trigger (Complete mode supports the
     * post-aggregation sort+limit). State is the running per-user
@@ -501,6 +534,7 @@ object EventStreams {
     "stream_sj" -> (streamStreamJoin _),
     "stream_topk" -> (topk _),
     "stream_cms" -> (cmsStream _),
+    "stream_hll" -> (hllStream _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -523,6 +557,19 @@ object EventStreams {
       s"""SELECT CAST(d AS BIGINT) AS d, idx, COUNT(*) AS cnt FROM (
          |  $unions)
          |GROUP BY d, idx ORDER BY d, idx""".stripMargin
+    },
+    "stream_hll" -> {
+      import graft.ops.{OpsOracles, Sampling}
+      s"""WITH hh AS (SELECT event_type,
+         |        ${OpsOracles.md5Int("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |vv AS (SELECT event_type, h % ${Sampling.HllM} AS bucket,
+         |         h // ${Sampling.HllM} AS v FROM hh),
+         |rr AS (SELECT event_type, bucket,
+         |         CASE WHEN v = 0 THEN CAST(27 AS BIGINT)
+         |              ELSE CAST(log2(v & (-v)) AS BIGINT) + 1 END AS rho
+         |       FROM vv)
+         |SELECT event_type, bucket, MAX(rho) AS m_rho
+         |FROM rr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "stream_topk" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -1083,9 +1083,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (u, ex, est) => assert(est >= ex, s"user $u underestimated") }
   }
 
-  test("integer pagerank matches a Scala re-derivation over the band graph") {
-    import graft.ops.Graph
-    // re-derive the band-collision edges (the minhash spec's math)
+  /** Band-collision edges re-derived independently (the minhash
+    * spec's math), both directions — shared by the pagerank and bfs
+    * re-derivations.
+    */
+  private def bandEdges: Seq[(Long, Long)] = {
     val sigs = docs.toSeq.flatMap { case (id, text) =>
       val t = tokens(text)
       if (t.length < 3) None else {
@@ -1098,10 +1100,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bands = sigs.flatMap { case (id, s) =>
       (0 until 4).map(bi => (bi, s(2 * bi), s(2 * bi + 1)) -> id)
     }
-    val edges = bands.groupBy(_._1).values.flatMap { grp =>
+    bands.groupBy(_._1).values.flatMap { grp =>
       val ids = grp.map(_._2).sorted
       for (a <- ids; b <- ids if a < b) yield (a, b)
     }.toSet.toSeq.flatMap { p: (Long, Long) => Seq(p, p.swap) }
+  }
+
+  test("bounded bfs distances match a Scala re-derivation over the band graph") {
+    import graft.ops.Graph
+    val adj = bandEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = docs.keys.filter(_ % 97 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to Graph.BfsRounds) {
+      val relaxed = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Nil).map(_ -> (d + 1))
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val expected = docs.keys.map(v => v -> dist.getOrElse(v, -1L)).toMap
+    val got = Graph.bfs(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    assert(got === expected)
+    // the seed set itself must sit at distance 0 and something must be reached
+    assert(got.filter(_._1 % 97 == 0).values.forall(_ === 0L))
+    assert(got.values.count(_ > 0) > 0, "no vertex reached beyond the seeds")
+  }
+
+  test("integer pagerank matches a Scala re-derivation over the band graph") {
+    import graft.ops.Graph
+    val edges = bandEdges
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     var rank = docs.keys.map(_ -> Graph.PrInitU).toMap
     for (_ <- 1 to Graph.PrRounds) {
