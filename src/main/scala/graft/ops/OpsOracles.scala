@@ -1162,6 +1162,41 @@ object OpsOracles {
          |JOIN prn ON t.probe_id = prn.probe_id
          |ORDER BY t.probe_id, t.rank""".stripMargin
     },
+    "sim_hybrid_rrf" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |tl AS (SELECT doc_id, $toks AS t FROM documents),
+         |d AS (SELECT DISTINCT doc_id, unnest(
+         |        CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |        ELSE CAST([] AS VARCHAR[]) END) AS tok
+         |      FROM tl),
+         |rare AS (SELECT tok, CAST(FLOOR(1000000.0 * nn.n / COUNT(*)) AS BIGINT) AS idf_u
+         |         FROM d, nn GROUP BY tok, nn.n HAVING COUNT(*) * 4 <= nn.n),
+         |pt AS (SELECT doc_id AS probe_id, tok FROM d, pmod WHERE doc_id % pmod.m = 0),
+         |lex AS (SELECT pt.probe_id, d.doc_id, CAST(SUM(idf_u) AS BIGINT) AS lex_u
+         |        FROM d JOIN rare USING (tok) JOIN pt USING (tok)
+         |        WHERE d.doc_id != pt.probe_id GROUP BY 1, 2),
+         |pe AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |       FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
+         |sc AS (SELECT l.probe_id, l.doc_id, l.lex_u,
+         |         ${cosU("pe.pvec", "e.embedding")} AS cos_u
+         |       FROM lex l JOIN embeddings e ON l.doc_id = e.vec_id
+         |       JOIN pe ON l.probe_id = pe.probe_id),
+         |rk AS (SELECT *,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY lex_u DESC, doc_id) AS BIGINT) AS lex_rank,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos_u DESC, doc_id) AS BIGINT) AS cos_rank
+         |       FROM sc),
+         |f AS (SELECT *, CAST(1000000 // (${Similarity.RrfK} + lex_rank)
+         |        + 1000000 // (${Similarity.RrfK} + cos_rank) AS BIGINT) AS rrf_u
+         |      FROM rk)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rrf_u, lex_u, cos_u, lex_rank, cos_rank
+         |FROM f QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_knn_graph" -> {
       // Second bucketing: the same plan-time lshPlane ±1 coefficients
       // Similarity.bucketT(KnnTable2, ·) uses, masked to the bit

@@ -329,6 +329,79 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** RRF rank-smoothing constant (the standard k=60 of Cormack et
+    * al.'s reciprocal rank fusion).
+    */
+  val RrfK = 60L
+
+  /** sim_hybrid_rrf — HYBRID retrieval: the lexical-recall →
+    * dense-rerank → reciprocal-rank-fusion pipeline every
+    * retrieval-augmented stack runs. ≤64 probe documents
+    * ([[ivfProbeMod]] over the corpus size) pull candidates through
+    * the inverted PHRASE index — corpus docs sharing ≥1 rare token
+    * BIGRAM (df·4 ≤ n; bigrams because this corpus has ~31 distinct
+    * unigrams — phrase terms are what discriminate; the df prune is
+    * the stopphrase guard that bounds the index fan-out) — scored
+    * lexically by Σ idf over shared distinct bigrams (the log-free
+    * integer idf of [[graft.ops.TextAnalysis.tfidf]]: ⌊10⁶·n∕df⌋)
+    * and densely by exact embedding cosine. The two per-probe
+    * rankings fuse by RRF:
+    * `10⁶ div (60+rank)` summed — pure integer division, so the
+    * fusion is bit-exact in both engines, no floats anywhere past the
+    * cosine. Top-5 fused per probe, with both source ranks and scores
+    * riding along.
+    *
+    * Scale shape: the inverted-index join is token-keyed (the
+    * text_tfidf shuffle) with the probe side broadcast (≤64 probes ×
+    * their rare tokens); the dense rerank touches ONLY the lexical
+    * candidates (never an all-pairs product — the classic
+    * recall-then-rerank cost structure); the three rankings are
+    * per-probe windows over candidate sets bounded by Σ df(rare
+    * probe tokens).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val pmod = ivfProbeMod(nDocs)
+    val dt = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
+      .select(col("doc_id"), explode(expr(graft.ops.TextAnalysis.grams(2))).as("tok"))
+      .distinct()
+    val rare = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 4 <= nDocs)
+      .select(col("tok"),
+        floor(lit(1000000.0) * lit(nDocs) / col("df")).cast("long").as("idf_u"))
+    val pt = dt.filter(col("doc_id") % pmod === 0)
+      .select(col("doc_id").as("probe_id"), col("tok"))
+    val lex = dt.join(rare, Seq("tok"))
+      .join(broadcast(pt), Seq("tok"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id").agg(sum(col("idf_u")).as("lex_u"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("vn2"))
+    val pe = e.filter(col("vec_id") % pmod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("vn2").as("pn2"))
+    val scored = lex.join(e, col("doc_id") === col("vec_id"))
+      .join(broadcast(pe), Seq("probe_id"))
+      .select(col("probe_id"), col("doc_id"), col("lex_u"),
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
+    val wl = Window.partitionBy("probe_id").orderBy(col("lex_u").desc, col("doc_id"))
+    val wc = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("doc_id"))
+    val fused = scored
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .withColumn("cos_rank", row_number().over(wc).cast("long"))
+      .withColumn("rrf_u",
+        expr(s"1000000L div ($RrfK + lex_rank) + 1000000L div ($RrfK + cos_rank)"))
+    val wf = Window.partitionBy("probe_id").orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "rank", "doc_id", "rrf_u", "lex_u", "cos_u",
+        "lex_rank", "cos_rank")
+      .orderBy("probe_id", "rank")
+  }
+
   /** Packing factor for the nearest-cell `max_by` ordering:
     * |ccos| ≤ 10⁶ < 2^20 and cent_id < 2^40 (≈10¹² — covers
     * 100 TB-scale vec ids; max product 2^20·2^40 = 2^60 < 2^63, no
@@ -1014,6 +1087,7 @@ object Similarity {
     "stats_cov_matrix" -> (covMatrix _),
     "embed_pca_power" -> (pcaPower _),
     "embed_project" -> (pcaProject _),
+    "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_pq_topk" -> (pqTopk _),
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),

@@ -465,6 +465,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hybrid rrf fusion matches a Scala re-derivation") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val n = docs.size.toLong
+    val pmod = Similarity.ivfProbeMod(n)
+    // inverted bigram index with the stopphrase prune
+    val docBigrams = docs.map { case (id, text) =>
+      id -> tokens(text).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val df = docBigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val idf = df.collect { case (g, d) if d * 4 <= n =>
+      g -> math.floor(1000000.0 * n / d).toLong }.toMap
+    val probes = docs.keys.filter(_ % pmod == 0).toSeq.sorted
+    val expected = probes.flatMap { p =>
+      val pg = docBigrams(p).filter(idf.contains)
+      val cands = docBigrams.collect {
+        case (d, gs) if d != p && gs.exists(pg.contains) =>
+          (d, pg.intersect(gs).toSeq.map(idf).sum, cosU(vecs(p), vecs(d)))
+      }.toSeq
+      if (cands.isEmpty) Nil else {
+        val lexRank = cands.sortBy { case (d, l, _) => (-l, d) }
+          .zipWithIndex.map { case ((d, _, _), i) => d -> (i + 1L) }.toMap
+        val cosRank = cands.sortBy { case (d, _, c) => (-c, d) }
+          .zipWithIndex.map { case ((d, _, _), i) => d -> (i + 1L) }.toMap
+        cands.map { case (d, l, c) =>
+          val rrf = 1000000L / (Similarity.RrfK + lexRank(d)) +
+            1000000L / (Similarity.RrfK + cosRank(d))
+          (d, rrf, l, c, lexRank(d), cosRank(d))
+        }.sortBy { case (d, rrf, _, _, _, _) => (-rrf, d) }.take(5)
+          .zipWithIndex.map { case ((d, rrf, l, c, lr, cr), i) =>
+            (p, i + 1L, d, rrf, l, c, lr, cr) }
+      }
+    }.toSet
+    val got = Similarity.hybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got === expected)
+  }
+
   test("rolling fingerprint matches an independent fold") {
     val got = TextAnalysis.fingerprint(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
