@@ -68,6 +68,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // wide fused projections (16-table LSH plane hashing) exceed the
+      // 64KB default and fell back to INTERPRETED eval (33s of task
+      // time on a 2000-row stage); the generated code is
+      // method-split, so letting it through keeps codegen
+      .config("spark.sql.codegen.hugeMethodLimit", (1 << 23).toString)
       // shuffle/spill on tmpfs: the host's disk has multi-second stalls
       // that block shuffle-file IO (observed 80s pauses at ~0% CPU)
       .config("spark.local.dir", "/dev/shm/graft-spark")

@@ -1310,19 +1310,20 @@ object OpsOracles {
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_lsh_topk" -> {
       // The ±1 sparse-plane coefficients are the SAME plan-time
-      // constants Similarity.bucketT uses (Similarity.lshPlane);
-      // each plane's term order is the fixed left fold, so the double
-      // chain is bit-identical in both engines. The oracle computes
-      // the full LshMaxBits-bit bucket and masks it with the bit
-      // count it derives itself from COUNT(*) (bit j depends only on
-      // (t, j), so masking == building nbits planes).
+      // constants Similarity.lshBuckets broadcasts (Similarity
+      // .lshPlane); each bit is an exact-INTEGER sign test
+      // Σ sign·⌊x·10⁶⌋ > 0, so the engines agree bit-for-bit with no
+      // fold-order contract. The oracle computes the full
+      // LshMaxBits-bit bucket and masks it with the bit count it
+      // derives itself from COUNT(*) (bit j depends only on (t, j),
+      // so masking == building nbits planes).
       def planeOf(t: Int, j: Int): String =
         Similarity.lshPlane(t, j).map { case (d, s) =>
-          s"CAST($s.0 AS DOUBLE) * CAST(embedding[$d] AS DOUBLE)"
+          s"($s * CAST(FLOOR(CAST(embedding[$d] AS DOUBLE) * 1000000.0) AS BIGINT))"
         }.mkString(" + ")
       def bucketOf(t: Int): String =
         (0 until Similarity.LshMaxBits).map { j =>
-          s"CAST((${planeOf(t, j)}) > 0.0 AS BIGINT) * ${1L << j}"
+          s"CAST((${planeOf(t, j)}) > 0 AS BIGINT) * ${1L << j}"
         }.mkString("\n     + ")
       val tables = (0 until Similarity.LshTables)
         .map(t => s"SELECT vec_id, embedding, $t AS t,\n       ${bucketOf(t)} AS fullb FROM embeddings")

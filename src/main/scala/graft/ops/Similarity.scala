@@ -209,12 +209,13 @@ object Similarity {
 
   /** sim_lsh_topk — MULTI-TABLE sign-LSH ANN: candidates are the
     * union over [[LshTables]] independent hash tables of the probe's
-    * bucket mates (posexplode to (table, bucket) rows, one equi-join
-    * on that key — the minhash-band plumbing), deduplicated per
-    * (probe, vector), then exact cosine re-rank. Tables are genuinely
-    * independent ±1 sparse projections ([[lshPlane]]) — measured
-    * recall@5 ≈ 0.6 at sf0.01, the independent-table theory value
-    * (the r4 coordinate planes capped at 32%).
+    * bucket mates ([[lshBuckets]] data-driven hashing to (table,
+    * bucket) rows, one equi-join on that key — the minhash-band
+    * plumbing), deduplicated per (probe, vector), then exact cosine
+    * re-rank. Tables are genuinely independent ±1 sparse projections
+    * ([[lshPlane]]) — measured recall@5 ≈ 0.6 at sf0.01, the
+    * independent-table theory value (the r4 coordinate planes capped
+    * at 32%).
     *
     * Scale shape (the [[ivfCentMod]]/[[ivfProbeMod]] rules applied to
     * LSH): per-table bits derive from corpus size ([[lshAnnBits]] —
@@ -227,14 +228,48 @@ object Similarity {
     * metadata-cheap pre-pass (parquet row counts), same pattern as
     * [[bucketedPairs]].
     */
+  /** Plane-coefficient frame for the DATA-DRIVEN bucketing: one row
+    * per (t, j, dim, sign) — plan-time constants, broadcast. The
+    * fused-expression formulation (16 tables × bits × 8 dims inside
+    * one Project) generated a single method past Janino's hard 64 KB
+    * cap: whole-stage codegen fell back to interpreted eval and the
+    * bucketing stage ran ~30× slower (33 s of task time on a
+    * 2000-row corpus). Hashing as data — explode ⋈ broadcast planes →
+    * two map-side-combined integer aggregations — keeps every stage
+    * inside codegen at ANY table/bit count.
+    */
+  private def lshPlanesDf(spark: SparkSession, nbits: Int): DataFrame = {
+    import spark.implicits._
+    (for {
+      t <- 0 until LshTables; j <- 0 until nbits
+      (d, s) <- lshPlane(t, j)
+    } yield (t, j.toLong, d.toLong, s.toLong)).toDF("t", "j", "dim", "sign")
+  }
+
+  /** (vec_id, t, bucket) under the integer sign-hash: bit j of table
+    * t is `Σ_plane sign·⌊x_d·10⁶⌋ > 0` — exact integers, so the sums
+    * are order-independent under any partitioning (the float fold
+    * only worked expression-side; a float SUM here would be
+    * partition-order-dependent). A sign flips vs the float projection
+    * only within 8·10⁻⁶ of the hyperplane — measurably irrelevant to
+    * recall, and the oracle derives the identical integer chain.
+    */
+  private def lshBuckets(spark: SparkSession, base: DataFrame, nbits: Int): DataFrame =
+    microElems(base)
+      .join(broadcast(lshPlanesDf(spark, nbits)), col("pos") === col("dim"))
+      .groupBy("vec_id", "t", "j")
+      .agg(sum(col("sign") * col("xq")).as("s"))
+      .groupBy("vec_id", "t")
+      .agg(sum((col("s") > 0).cast("long") *
+        expr("shiftleft(cast(1 as bigint), cast(j as int))")).as("bucket"))
+
   def lshTopk(spark: SparkSession, dir: String): DataFrame = {
     val n = emb(spark, dir).count()
     val nbits = lshAnnBits(n)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
-    val buckets = base.select(col("vec_id"), col("embedding"), col("vn2"),
-      posexplode(array((0 until LshTables).map(t => bucketT(col("embedding"), t, nbits)): _*))
-        .as(Seq("t", "bucket")))
+    val buckets = base.join(lshBuckets(spark, base, nbits), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("vn2"), col("t"), col("bucket"))
     val p = buckets.filter(col("vec_id") % ivfProbeMod(n) === 0)
       .select(col("t"), col("bucket"), col("vec_id").as("probe_id"),
         col("embedding").as("pvec"), col("vn2").as("pn2"))
