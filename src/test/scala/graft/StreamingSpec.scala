@@ -270,6 +270,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.length + b.length === 3, "exactly-once across the restart")
   }
 
+  test("kmv sketch state survives a checkpointed restart (custom agg buffer recovery)") {
+    // The KmvKthHash TypedImperativeAggregate serializes its bounded
+    // TreeSet buffer into the state store; a restarted query must
+    // RESTORE those buffers and keep merging. Batch 1's offsets are
+    // committed, so run 2 only reads batch 2 — if the restored state
+    // were lost, the Complete-mode aggregate would cover batch 2
+    // alone and diverge from the full-corpus batch sketch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect().toSeq
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ckpt_").toString
+    val input = MemoryStream[(String, Long)]
+    val last = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    def drain(): Unit = {
+      val agg = input.toDS().toDF("event_type", "user_id")
+        .withColumn("h", expr("graft_md5_prefix(cast(user_id as string))"))
+        .groupBy("event_type")
+        .agg(expr(s"graft_kmv_kth(h, ${ops.Sampling.KmvK})").as("kmv"))
+        .select(col("event_type"), col("kmv.k_used").as("k_used"),
+          col("kmv.kth_hash").as("kth_hash"))
+      val q = agg.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val snap = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          last.synchronized { last.clear(); last ++= snap }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    input.addData(b1); drain()
+    input.addData(b2); drain()
+    val batch = rows(ops.Sampling.kmvDistinct(spark, dir)
+      .select("event_type", "k_used", "kth_hash"), "event_type", "k_used", "kth_hash")
+    assert(last.map(t => Seq[Any](t._1, t._2, t._3)).toSet === batch,
+      "restored sketch buffers diverged from the full-corpus batch sketch")
+  }
+
   test("stream_dedup_wm suppresses in-window dups, evicts state, re-admits after eviction") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
