@@ -1368,6 +1368,30 @@ object OpsOracles {
          |SELECT probe_id, vec_id, cell, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_filtered_topk" ->
+      s"""WITH $ivfModsCte,
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, CAST(e.label AS BIGINT) AS label, c.cent_id,
+         |         ${cosU("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e, c),
+         |cell AS (
+         |  SELECT vec_id, embedding, label, cent_id AS cell FROM asg
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+         |pl AS (SELECT vec_id AS probe_id, CAST(label AS BIGINT) AS plabel
+         |       FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
+         |pcell AS (
+         |  SELECT probe_id, pvec, cent_id AS cell FROM (
+         |    SELECT p.probe_id, p.pvec, c.cent_id, ${cosU("p.pvec", "c.cvec")} AS pcos FROM p, c)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY pcos DESC, cent_id) <= 2),
+         |s AS (
+         |  SELECT pc.probe_id, a.vec_id, a.cell, a.label,
+         |         ${cosU("pc.pvec", "a.embedding")} AS cos_u
+         |  FROM cell a JOIN pcell pc ON a.cell = pc.cell
+         |  JOIN pl ON pc.probe_id = pl.probe_id
+         |  WHERE a.vec_id != pc.probe_id AND a.label = pl.plabel)
+         |SELECT probe_id, vec_id, cell, label, cos_u,
+         |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_ivf_kmeans" -> {
       // One CTE triple per Lloyd round (the graph_pagerank unroll
       // pattern): integer per-cell means -> micro-int centroids ->

@@ -522,6 +522,45 @@ object Similarity {
     rankWithinCells(assigned, probeCells)
   }
 
+  /** sim_filtered_topk — METADATA-FILTERED ANN (the vector-database
+    * "search within a tenant/language/label" query): the [[ivfTopk]]
+    * IVF path with a label equality predicate — each probe retrieves
+    * top-5 among vectors sharing its label only. The filter applies
+    * to the ASSIGNED frame before ranking (predicate-then-rank, so
+    * filtered-out vectors never enter the window sort and the filter
+    * can push toward the scan), not after (post-filtering a top-k
+    * under-fills results — the classic filtered-ANN mistake). Same
+    * sub-linear geometry as ivfTopk: k ≤ √n centroids, ≤64 probes,
+    * nprobe=2 cells.
+    */
+  def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = ivfCentsProbes(spark, dir)
+    val n = emb(spark, dir).count()
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val cellOf = nearestCell(scoredSeed(base, cents))
+    val assigned = base.join(cellOf, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("vn2"),
+        col("label").cast("long").as("label"), col("cell"))
+    val probes = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        dot(col("embedding"), col("embedding")).as("pn2"),
+        col("label").cast("long").as("plabel"))
+    val probeCells = probeTopCells(
+      probes.crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("pvec"), col("pn2"), col("cent_id"),
+          cosUPre(col("pvec"), col("cvec"), col("pn2"), col("cn2")).as("pcos")), 2)
+      .join(broadcast(probes.select(col("probe_id"), col("plabel"))), Seq("probe_id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id") && col("label") === col("plabel"))
+      .select(col("probe_id"), col("vec_id"), col("cell"), col("label"),
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Dot product of a float vector with a micro-int (×10⁻⁶) centroid
     * vector — the quantized-centroid float chain shared verbatim with
     * the oracle: each element is `x · (q · 1e-6)`, folded left from
@@ -1123,6 +1162,7 @@ object Similarity {
     "embed_pca_power" -> (pcaPower _),
     "embed_project" -> (pcaProject _),
     "sim_hybrid_rrf" -> (hybridRrf _),
+    "sim_filtered_topk" -> (filteredTopk _),
     "sim_pq_topk" -> (pqTopk _),
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),

@@ -465,6 +465,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("filtered ANN returns only the probe's label with dense ranks") {
+    import spark.implicits._
+    val labels = Tables(spark, dir, "embeddings").select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap.view.mapValues(_.toLong).toMap
+    val rows = Similarity.filteredTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("label")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, _, v, l) =>
+      assert(l === labels(p), s"probe $p got a foreign-label result")
+      assert(l === labels(v), s"result $v mislabeled")
+    }
+    rows.groupBy(_._1).foreach { case (p, es) =>
+      assert(es.map(_._2).sorted.toSeq === (1L to es.length).toSeq, s"ranks of $p not dense")
+      assert(es.length <= 5)
+    }
+  }
+
   test("hybrid rrf fusion matches a Scala re-derivation") {
     import spark.implicits._
     val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
