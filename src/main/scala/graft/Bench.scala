@@ -28,7 +28,7 @@ object Bench {
     "q_window", "q_sessionize", "q_tumbling", "q_asof",
     "q_pivot", "q_corr", "q_json_extract",
     "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_topk_orders",
-    "oct_pyramid", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
+    "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
     "oct_down_linear", "oct_downsample_xy", "oct_percentiles",
     "oct_intensity_params", "oct_blockify", "oct_path", "oct_empty_prune",

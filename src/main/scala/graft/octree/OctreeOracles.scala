@@ -77,6 +77,23 @@ object OctreeOracles {
       |         CAST(white_level AS BIGINT) AS white_level
       |  FROM pw2)""".stripMargin
 
+  private lazy val pyramidOracle: String =
+    s"""WITH $voxelCte,
+       |lv2 AS (
+       |  SELECT c, z//2 AS z, y//2 AS y, x//2 AS x,
+       |         CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END AS v
+       |  FROM voxels GROUP BY 1, 2, 3, 4),
+       |lv1 AS (
+       |  SELECT c, z//2 AS z, y//2 AS y, x//2 AS x,
+       |         CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END AS v
+       |  FROM lv2 GROUP BY 1, 2, 3, 4)
+       |SELECT CAST(3 AS BIGINT) AS level, c, z, y, x, CAST(v AS BIGINT) AS v FROM voxels
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), c, z, y, x, CAST(v AS BIGINT) FROM lv2 WHERE v > 0
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), c, z, y, x, CAST(v AS BIGINT) FROM lv1 WHERE v > 0
+       |ORDER BY level, c, z, y, x""".stripMargin
+
   val all: Map[String, String] = Map(
     "oct_blockify" ->
       s"""WITH $voxelCte
@@ -145,22 +162,10 @@ object OctreeOracles {
     "oct_downsample_xy" ->
       downQuery(s"CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END",
         grouped = "z AS z, y//2 AS y, x//2 AS x"),
-    "oct_pyramid" ->
-      s"""WITH $voxelCte,
-         |lv2 AS (
-         |  SELECT c, z//2 AS z, y//2 AS y, x//2 AS x,
-         |         CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END AS v
-         |  FROM voxels GROUP BY 1, 2, 3, 4),
-         |lv1 AS (
-         |  SELECT c, z//2 AS z, y//2 AS y, x//2 AS x,
-         |         CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END AS v
-         |  FROM lv2 GROUP BY 1, 2, 3, 4)
-         |SELECT CAST(3 AS BIGINT) AS level, c, z, y, x, CAST(v AS BIGINT) AS v FROM voxels
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), c, z, y, x, CAST(v AS BIGINT) FROM lv2 WHERE v > 0
-         |UNION ALL
-         |SELECT CAST(1 AS BIGINT), c, z, y, x, CAST(v AS BIGINT) FROM lv1 WHERE v > 0
-         |ORDER BY level, c, z, y, x""".stripMargin,
+    "oct_pyramid" -> pyramidOracle,
+    // the INCREMENTAL maintenance path must reproduce the full
+    // rebuild bit-for-bit — sharing the oracle IS the claim
+    "oct_pyramid_delta" -> pyramidOracle,
     "oct_empty_prune" ->
       s"""WITH $voxelCte,
          |$blocksCte,

@@ -64,6 +64,18 @@ object OctreeQueries {
   def pyramid(spark: SparkSession, dir: String): DataFrame =
     Pyramid(vox(spark, dir))
 
+  /** Deterministic late-arriving slice for [[pyramidDelta]] (~9% of
+    * voxels): the incremental path must reconstruct the full pyramid
+    * around it.
+    */
+  private def deltaPred =
+    (col("z") * 3 + col("y") * 5 + col("x") * 7 + col("c")) % 11 === 0
+
+  def pyramidDelta(spark: SparkSession, dir: String): DataFrame = {
+    val v = vox(spark, dir)
+    Pyramid.incremental(v.filter(!deltaPred), v.filter(deltaPred))
+  }
+
   def emptyPrune(spark: SparkSession, dir: String): DataFrame =
     Pyramid.emptyPrune(spark, vox(spark, dir))
 
@@ -280,6 +292,7 @@ object OctreeQueries {
     "oct_down_linear" -> (downLinear _),
     "oct_downsample_xy" -> (downXY _),
     "oct_pyramid" -> (pyramid _),
+    "oct_pyramid_delta" -> (pyramidDelta _),
     "oct_empty_prune" -> (emptyPrune _),
     "oct_resume" -> (resume _),
     "oct_interleave" -> (interleave _),

@@ -37,6 +37,30 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def one(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
     df.select("x", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
 
+  test("incremental pyramid equals the full rebuild from a pruned recompute") {
+    import graft.octree.Pyramid
+    // synthetic 8³ volume, levels=3: deterministic sparse fill
+    val all = vox((for {
+      z <- 0L until 8; y <- 0L until 8; x <- 0L until 8
+      if (z * 7 + y * 5 + x * 3) % 4 == 0
+    } yield (0L, z, y, x, 1L + (z * 64 + y * 8 + x) % 97)): _*)
+    val isDelta = (col("z") * 3 + col("y") * 5 + col("x") * 7) % 11 === 0
+    val base = all.filter(!isDelta)
+    val delta = all.filter(isDelta)
+    val nDelta = delta.count(); val nAll = all.count()
+    assert(nDelta > 0 && nDelta < nAll / 3, "delta must be a strict minority")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("level", "c", "z", "y", "x", "v").collect().map(_.toSeq).toSet
+    val full = rows(Pyramid(all, levels = 3))
+    val inc = rows(Pyramid.incremental(base, delta, levels = 3))
+    assert(inc === full, "incremental splice diverged from the full rebuild")
+    // the pruned recompute must touch fewer full-res voxels than the
+    // volume (the whole point): affected coarsest cubes only
+    val affCubes = delta.select((col("z") / 4).cast("long"), (col("y") / 4).cast("long"),
+      (col("x") / 4).cast("long")).distinct().count()
+    assert(affCubes < 8, s"delta touches all $affCubes coarsest cubes — prune is vacuous")
+  }
+
   test("second_max takes the 2nd largest incl. implicit zeros; lone voxel prunes to empty") {
     assert(one(Downsample(group.union(lone), "second_max")) === Seq((0L, 30L)))
   }
