@@ -292,6 +292,39 @@ object EventStreams {
     spark.table(sink).orderBy("event_type", "bucket")
   }
 
+  /** stream_volume_stats — LIVE per-leaf-block statistics during
+    * volume ingest: the streaming twin of oct_stats, maintained
+    * across voxel-batch triggers by a plain blocked groupBy — every
+    * aggregate (count, min, max, sum) merges associatively, so the
+    * state store holds one bounded row per occupied block at any
+    * ingest length and each trigger's partial batch merges for free.
+    * The ingest-monitoring face of the octree pipeline: empty-block
+    * pruning, intensity windowing, and resume decisions read exactly
+    * these stats while the volume is still arriving.
+    */
+  def volumeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val voxels = graft.VoxelGrid(spark, dir)
+      .select(col("c"), col("z"), col("y"), col("x"), col("v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Long, Long, Long)]
+    input.addData(voxels)
+    val leaf = graft.VoxelGrid.Leaf
+    val dense = leaf.toLong * leaf * leaf
+    val agg = graft.octree.Addressing.blockify(
+        input.toDS().toDF("c", "z", "y", "x", "v"))
+      .groupBy("c", "bz", "by", "bx")
+      .agg(count(lit(1)).as("n_voxels"), min("v").as("min_v"),
+        max("v").as("max_v"), sum("v").as("sum_v"))
+      .withColumn("zero_frac", (lit(dense) - col("n_voxels")) / lit(dense.toDouble))
+    val sink = sinkName("stream_volume_stats")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("c", "bz", "by", "bx")
+  }
+
   /** stream_topk — continuous leaderboard: top-10 users by total
     * event value, re-ranked every trigger (Complete mode supports the
     * post-aggregation sort+limit). State is the running per-user
@@ -535,6 +568,7 @@ object EventStreams {
     "stream_topk" -> (topk _),
     "stream_cms" -> (cmsStream _),
     "stream_hll" -> (hllStream _),
+    "stream_volume_stats" -> (volumeStats _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -549,6 +583,8 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     // identical semantics to the batch card on the bounded drain
     "stream_card" -> graft.ops.OpsOracles.all("pipeline_card"),
+    // identical semantics to the batch block stats on the bounded drain
+    "stream_volume_stats" -> graft.octree.OctreeOracles.all("oct_stats"),
     "stream_cms" -> {
       import graft.ops.{Sampling, OpsOracles}
       val unions = (0 until Sampling.CmsDepth).map { j =>

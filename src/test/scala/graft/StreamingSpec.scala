@@ -105,6 +105,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("stream_volume_stats merges voxel batches to the batch block stats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val voxels = graft.VoxelGrid(spark, dir)
+      .select(col("c"), col("z"), col("y"), col("x"), col("v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // two triggers: partial block aggregates must MERGE in the state
+    // store (count/min/max/sum are associative)
+    val (b1, b2) = voxels.splitAt(voxels.size / 2)
+    val leaf = graft.VoxelGrid.Leaf
+    val dense = leaf.toLong * leaf * leaf
+    val input = MemoryStream[(Long, Long, Long, Long, Long)]
+    val agg = graft.octree.Addressing.blockify(
+        input.toDS().toDF("c", "z", "y", "x", "v"))
+      .groupBy("c", "bz", "by", "bx")
+      .agg(count(lit(1)).as("n_voxels"), min("v").as("min_v"),
+        max("v").as("max_v"), sum("v").as("sum_v"))
+      .withColumn("zero_frac", (lit(dense) - col("n_voxels")) / lit(dense.toDouble))
+    val q = agg.writeStream.format("memory").queryName("volstats_trigger_spec")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val cols = Seq("c", "bz", "by", "bx", "n_voxels", "min_v", "max_v", "sum_v", "zero_frac")
+    val streamed = rows(spark.table("volstats_trigger_spec"), cols: _*)
+    val batch = rows(graft.octree.Pyramid.blockStats(graft.VoxelGrid(spark, dir)), cols: _*)
+    assert(streamed === batch)
+  }
+
   test("stream_clean equals the batch filter→mask→dedup key set") {
     val streamed = rows(EventStreams.clean(spark, dir), "masked_md5")
       .map(_.head.asInstanceOf[String])
