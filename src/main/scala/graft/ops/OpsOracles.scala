@@ -441,6 +441,26 @@ object OpsOracles {
          |  CAST(SUM(nt) AS BIGINT) AS sum_toks
          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "stats_approx_quantile" -> {
+      val w = Sampling.HistWidthC
+      s"""WITH e AS (SELECT event_type,
+         |  CAST(FLOOR((value)*100) AS BIGINT) AS value_c FROM events),
+         |h AS (SELECT event_type, CAST(FLOOR(value_c / $w.0) AS BIGINT) AS bucket,
+         |        CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MAX(value_c) AS BIGINT) AS max_c
+         |      FROM e GROUP BY 1, 2),
+         |c AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+         |        CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |      FROM h),
+         |t AS (SELECT event_type, bucket, max_c, cum_cnt, n,
+         |        CAST(pp.p AS BIGINT) AS p,
+         |        CAST((pp.p * n + 99) // 100 AS BIGINT) AS r
+         |      FROM c, (VALUES ${Sampling.QuantPs.map(p => s"($p)").mkString(", ")}) pp(p)
+         |      WHERE cum_cnt >= (pp.p * n + 99) // 100)
+         |SELECT event_type, p, n, bucket, max_c AS est_c FROM t
+         |QUALIFY row_number() OVER (PARTITION BY event_type, p ORDER BY bucket) = 1
+         |ORDER BY event_type, p""".stripMargin
+    },
     "stats_value_hist" -> {
       val w = Sampling.HistWidthC
       s"""WITH e AS (SELECT event_type,

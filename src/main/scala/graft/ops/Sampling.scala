@@ -268,6 +268,47 @@ object Sampling {
       .orderBy("event_type", "bucket")
   }
 
+  /** Quantile targets (percent) for [[approxQuantile]]. */
+  val QuantPs = Seq(50L, 90L, 99L)
+
+  /** stats_approx_quantile — MERGEABLE approximate quantiles
+    * (p50/p90/p99 of value cents per event_type) from the
+    * [[valueHist]] equi-width histogram: the 100 TB quantile path —
+    * the histogram is one map-side-combined groupBy onto a bounded
+    * key domain and merges across shards/batches by addition, where
+    * exact rank statistics ([[lengthDeciles]]) need a per-group sort.
+    * The estimate for rank r = ⌈p·n∕100⌉ is the max value inside the
+    * first bucket whose cumulative count reaches r, so the error is
+    * one-sided and bounded by construction: 0 ≤ est − exact <
+    * [[HistWidthC]] (the exact rank-r value lies in that bucket) —
+    * spec-asserted against exact Scala percentiles. All-integer
+    * derivation (ceil via `(p·n + 99) div 100`), bit-identical in the
+    * oracle.
+    */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.relational.Queries.cents
+    val hist = Tables(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .withColumn("bucket", floor(col("value_c") / lit(HistWidthC.toDouble)).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"), max(col("value_c")).as("max_c"))
+    val wCum = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_cnt", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    val targets = cum
+      .select(col("event_type"), col("bucket"), col("max_c"), col("cum_cnt"), col("n"),
+        explode(expr(s"array(${QuantPs.map(_ + "L").mkString(", ")})")).as("p"))
+      .withColumn("r", expr("(p * n + 99) div 100"))
+      .filter(col("cum_cnt") >= col("r"))
+    val wPick = Window.partitionBy("event_type", "p").orderBy("bucket")
+    targets.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("p"), col("n"), col("bucket"),
+        col("max_c").as("est_c"))
+      .orderBy("event_type", "p")
+  }
+
   /** Bucket width (tokens) for [[tokenHist]]. */
   val TokHistWidth = 50L
 
@@ -373,6 +414,7 @@ object Sampling {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_diverse" -> (diverse _),
+    "stats_approx_quantile" -> (approxQuantile _),
     "agg_hll_distinct" -> (hllDistinct _),
     "stats_token_hist" -> (tokenHist _),
     "sample_stratified" -> (stratified _),

@@ -330,6 +330,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._3).sum === n, "bucket populations must partition the corpus")
   }
 
+  test("approx quantiles sit one-sided within a bucket width of exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.relational.Queries.cents
+    val vals = Tables(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .as[(String, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val rows = graft.ops.Sampling.approxQuantile(spark, dir).collect()
+    assert(rows.length === vals.size * graft.ops.Sampling.QuantPs.size)
+    rows.foreach { r =>
+      val (t, p, n, est) = (r.getString(0), r.getAs[Long]("p"),
+        r.getAs[Long]("n"), r.getAs[Long]("est_c"))
+      val sorted = vals(t)
+      assert(n === sorted.length.toLong)
+      val exact = sorted(((p * n + 99) / 100 - 1).toInt)
+      assert(est >= exact && est - exact < graft.ops.Sampling.HistWidthC,
+        s"$t p$p: est $est vs exact $exact breaks the one-sided bucket bound")
+    }
+  }
+
   test("hll estimate lands within the m=64 error envelope") {
     val rows = graft.ops.Sampling.hllDistinct(spark, dir).collect()
     assert(rows.nonEmpty)
