@@ -285,13 +285,25 @@ object Sampling {
     * derivation (ceil via `(p·n + 99) div 100`), bit-identical in the
     * oracle.
     */
-  def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
+  /** The value-cents histogram feeding [[approxQuantile]] — ONE
+    * map-side-combined groupBy onto the bounded (type, bucket)
+    * domain; counts and maxes merge by addition/max, so partition or
+    * trigger partials union for free (the streaming twin maintains
+    * exactly this frame in its state store).
+    */
+  def quantHist(events: DataFrame): DataFrame = {
     import graft.relational.Queries.cents
-    val hist = Tables(spark, dir, "events")
+    events
       .select(col("event_type"), cents(col("value")).as("value_c"))
       .withColumn("bucket", floor(col("value_c") / lit(HistWidthC.toDouble)).cast("long"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("cnt"), max(col("value_c")).as("max_c"))
+  }
+
+  /** The bounded quantile read over a histogram frame (shared by the
+    * batch operator and the streaming twin's sink post-pass).
+    */
+  def quantPick(hist: DataFrame): DataFrame = {
     val wCum = Window.partitionBy("event_type").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum_cnt", sum(col("cnt")).over(wCum))
@@ -308,6 +320,9 @@ object Sampling {
         col("max_c").as("est_c"))
       .orderBy("event_type", "p")
   }
+
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame =
+    quantPick(quantHist(Tables(spark, dir, "events")))
 
   /** Bucket width (tokens) for [[tokenHist]]. */
   val TokHistWidth = 50L

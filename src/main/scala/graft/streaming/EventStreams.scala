@@ -325,6 +325,30 @@ object EventStreams {
     spark.table(sink).orderBy("c", "bz", "by", "bx")
   }
 
+  /** stream_quantile — approximate p50/p90/p99 over a LIVE stream:
+    * the state is [[graft.ops.Sampling.quantHist]]'s mergeable
+    * equi-width histogram (bounded (type, bucket) rows; counts/maxes
+    * merge per trigger), and the quantile READ is the same bounded
+    * [[graft.ops.Sampling.quantPick]] post-pass the batch operator
+    * runs — the live-percentile-dashboard shape: heavy corpus → tiny
+    * always-current sketch → cheap read. Identical one-sided
+    * bucket-width error bound, identical oracle.
+    */
+  def quantileStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)]
+    input.addData(evs)
+    val agg = graft.ops.Sampling.quantHist(input.toDS().toDF("event_type", "value"))
+    val sink = sinkName("stream_quantile")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.ops.Sampling.quantPick(spark.table(sink))
+  }
+
   /** stream_topk — continuous leaderboard: top-10 users by total
     * event value, re-ranked every trigger (Complete mode supports the
     * post-aggregation sort+limit). State is the running per-user
@@ -569,6 +593,7 @@ object EventStreams {
     "stream_cms" -> (cmsStream _),
     "stream_hll" -> (hllStream _),
     "stream_volume_stats" -> (volumeStats _),
+    "stream_quantile" -> (quantileStream _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -585,6 +610,8 @@ object EventStreams {
     "stream_card" -> graft.ops.OpsOracles.all("pipeline_card"),
     // identical semantics to the batch block stats on the bounded drain
     "stream_volume_stats" -> graft.octree.OctreeOracles.all("oct_stats"),
+    // the histogram state drains to the same read as the batch operator
+    "stream_quantile" -> graft.ops.OpsOracles.all("stats_approx_quantile"),
     "stream_cms" -> {
       import graft.ops.{Sampling, OpsOracles}
       val unions = (0 until Sampling.CmsDepth).map { j =>

@@ -49,7 +49,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_embed", "sim_lsh_topk", "dedup_decontaminate",
       "sim_pq_topk", "text_tfidf", "dedup_bloom", "agg_cms_topk",
       "dedup_substring", "dedup_substring_hashed", "text_charlm",
-      "sim_pq_kmeans", "sim_knn_graph").foreach { n =>
+      "sim_pq_kmeans", "sim_knn_graph", "sim_hybrid_rrf").foreach { n =>
       val p = formatted(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
