@@ -1182,6 +1182,32 @@ object OpsOracles {
          |JOIN prn ON t.probe_id = prn.probe_id
          |ORDER BY t.probe_id, t.rank""".stripMargin
     },
+    "sim_hamming_topk" -> {
+      val pack = (0 until 64).map { d =>
+        s"CAST(embedding[${d + 1}] > 0 AS BIGINT) * ${1L << d}"
+      }.mkString("\n     + ")
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |pk AS (SELECT vec_id, embedding, $pack AS sig FROM embeddings),
+         |pr AS (SELECT vec_id AS probe_id, embedding AS pvec, sig AS psig
+         |       FROM pk, pmod WHERE vec_id % pmod.m = 0),
+         |h AS (SELECT pr.probe_id, pk.vec_id,
+         |        CAST(bit_count(xor(pk.sig, pr.psig)) AS BIGINT) AS ham
+         |      FROM pk, pr WHERE pk.vec_id != pr.probe_id),
+         |sl AS (SELECT * FROM h
+         |       QUALIFY row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY ham ASC, vec_id) <= ${Similarity.HamShortlist}),
+         |sc AS (SELECT s.probe_id, s.vec_id, s.ham,
+         |         ${cosU("pr.pvec", "e.embedding")} AS cos_u
+         |       FROM sl s JOIN embeddings e ON s.vec_id = e.vec_id
+         |       JOIN pr ON s.probe_id = pr.probe_id)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, ham, cos_u
+         |FROM sc QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "sim_hybrid_rrf" ->
       s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
          |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn

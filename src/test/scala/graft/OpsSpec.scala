@@ -486,6 +486,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hamming ANN distances are exact and recall stays above the floor") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def sig(v: Array[Float]): Long =
+      (0 until 64).map(d => if (v(d) > 0f) 1L << d else 0L).sum
+    val rows = Similarity.hammingTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("ham")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, v, h) =>
+      assert(h === java.lang.Long.bitCount(sig(vecs(p)) ^ sig(vecs(v))).toLong,
+        s"hamming of ($p,$v)")
+    }
+    // recall@5 vs exact cosine over the SAME probe set (Scala brute):
+    // the shortlist-then-rerank pipeline must beat the raw signature
+    // ranking (measured ≈0.22) by a wide margin
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val mine = rows.map(t => (t._1, t._2)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recall = mine.keys.toSeq.map { p =>
+      val exact = vecs.keys.filter(_ != p).toSeq
+        .sortBy(v => (-cos(vecs(p), vecs(v)), v)).take(5).toSet
+      exact.intersect(mine(p)).size.toDouble / 5
+    }.sum / mine.size
+    info(f"hamming shortlist-rerank recall@5 (${mine.size} probes): $recall%.3f")
+    assert(recall >= 0.45, f"hamming rerank recall collapsed: $recall%.3f")
+  }
+
   test("filtered ANN returns only the probe's label with dense ranks") {
     import spark.implicits._
     val labels = Tables(spark, dir, "embeddings").select("vec_id", "label")
