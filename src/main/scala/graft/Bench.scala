@@ -25,7 +25,7 @@ object Bench {
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
-    "q_window", "q_sessionize", "q_tumbling", "q_asof",
+    "q_window", "q_sessionize", "q_tumbling", "q_asof", "q_funnel", "q_retention",
     "q_pivot", "q_corr", "q_json_extract",
     "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",

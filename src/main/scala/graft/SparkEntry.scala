@@ -49,7 +49,9 @@ object SparkEntry {
     "q2_mincost" -> (Queries.q2Mincost _),
     "q11_impstock" -> (Queries.q11Impstock _),
     "q20_excess" -> (Queries.q20Excess _),
-    "q21_waiting" -> (Queries.q21Waiting _)
+    "q21_waiting" -> (Queries.q21Waiting _),
+    "q_funnel" -> (Queries.qFunnel _),
+    "q_retention" -> (Queries.qRetention _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -335,6 +337,39 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, numwait
         |FROM nw JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+        |  FROM events),
+        |t1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.sec) AS t2, MIN(t1.t1) AS t1
+        |       FROM e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click'
+        |         AND e.sec >= t1.t1 AND e.sec <= t1.t1 + 604800
+        |       GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.sec) AS t3, MIN(t2.t2) AS t2b
+        |       FROM e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.sec >= t2.t2 AND e.sec <= t2.t2 + 604800
+        |       GROUP BY 1)
+        |SELECT
+        |  (SELECT COUNT(*) FROM t1) AS n_viewers,
+        |  (SELECT COUNT(*) FROM t2) AS n_clickers,
+        |  (SELECT CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM t2) AS sum_click_delay_s,
+        |  (SELECT COUNT(*) FROM t3) AS n_purchasers,
+        |  (SELECT CAST(COALESCE(SUM(t3 - t2b), 0) AS BIGINT) FROM t3) AS sum_purchase_delay_s""".stripMargin,
+    "q_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS offset_d,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q12_shipmode" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

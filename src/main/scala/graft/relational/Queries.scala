@@ -834,6 +834,57 @@ object Queries {
       .limit(20)
   }
 
+  /** q_funnel — conversion-funnel analysis (view → click → purchase,
+    * each step within 7 days of the previous): the product-analytics
+    * staple. Per user: t1 = first view, t2 = first click in
+    * [t1, t1+7d], t3 = first purchase in [t2, t2+7d] — each stage is
+    * ONE conditional min-aggregation over the events scan joined to
+    * the (small, per-user) previous-stage frame, so the whole funnel
+    * is three map-side-combined aggregations + two user-keyed joins,
+    * never a window over raw events. Output: one exact-integer row of
+    * stage populations and summed step delays.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), nsToSec(col("ts")).as("sec"))
+    val week = 7L * 86400L
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("sec")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("sec") >= col("t1") && col("sec") <= col("t1") + week)
+      .groupBy("user_id").agg(min(col("sec")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("sec") >= col("t2") && col("sec") <= col("t2") + week)
+      .groupBy("user_id").agg(min(col("sec")).as("t3"), min(col("t2")).as("t2b"))
+    t1.agg(count(lit(1)).as("n_viewers")).crossJoin(
+        t2.agg(count(lit(1)).as("n_clickers"),
+          coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_click_delay_s")))
+      .crossJoin(
+        t3.agg(count(lit(1)).as("n_purchasers"),
+          coalesce(sum(col("t3") - col("t2b")), lit(0L)).as("sum_purchase_delay_s")))
+  }
+
+  /** q_retention — daily cohort retention: users bucketed by their
+    * first-activity day; for each (cohort day, day offset) count the
+    * distinct users active that day — the triangle matrix every
+    * growth dashboard draws. One distinct-activity aggregation + one
+    * broadcast-able per-user cohort frame + one bounded
+    * (cohort, offset) aggregation; the key domain is days², not
+    * users.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val acts = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000000000L) div 86400").as("day"))
+      .distinct()
+    val cohort = acts.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    acts.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_d"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_d")
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")

@@ -19,6 +19,44 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("funnel and retention match Scala re-derivations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.relational.Queries
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), Queries.nsToSec(col("ts")).as("sec"))
+      .as[(Long, String, Long)].collect()
+    val wk = 7L * 86400L
+    val byUser = evs.groupBy(_._1)
+    val t1 = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "view").map(_._3).minOption.map(u -> _) }
+    val t2 = t1.flatMap { case (u, v) =>
+      byUser(u).filter(e => e._2 == "click" && e._3 >= v && e._3 <= v + wk)
+        .map(_._3).minOption.map(c => u -> (v, c)) }
+    val t3 = t2.flatMap { case (u, (_, c)) =>
+      byUser(u).filter(e => e._2 == "purchase" && e._3 >= c && e._3 <= c + wk)
+        .map(_._3).minOption.map(p => u -> (c, p)) }
+    val r = Queries.qFunnel(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_viewers") === t1.size.toLong)
+    assert(r.getAs[Long]("n_clickers") === t2.size.toLong)
+    assert(r.getAs[Long]("n_purchasers") === t3.size.toLong)
+    assert(r.getAs[Long]("sum_click_delay_s") === t2.values.map(p => p._2 - p._1).sum)
+    assert(r.getAs[Long]("sum_purchase_delay_s") === t3.values.map(p => p._2 - p._1).sum)
+    // funnel must be monotone by construction
+    assert(t1.size >= t2.size && t2.size >= t3.size)
+
+    val acts = evs.map(e => (e._1, e._3 / 86400)).distinct
+    val cohort = acts.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expRet = acts.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+      .view.mapValues(_.size.toLong).toMap
+    val gotRet = Queries.qRetention(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(gotRet === expRet)
+    // offset 0 of each cohort contains the cohort itself
+    expRet.keys.filter(_._2 == 0L).foreach { k =>
+      assert(gotRet(k) === cohort.count(_._2 == k._1).toLong) }
+  }
+
   test("bucketed fact tables co-locate the join: no Exchange in the plan") {
     import org.apache.spark.sql.functions.col
     // the SURVEY §3 claim: bucketing both fact tables on the join key
