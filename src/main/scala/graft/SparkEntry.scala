@@ -337,29 +337,7 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, numwait
         |FROM nw JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
-    "q_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type,
-        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
-        |  FROM events),
-        |t1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
-        |       WHERE event_type = 'view' GROUP BY 1),
-        |t2 AS (SELECT e.user_id, MIN(e.sec) AS t2, MIN(t1.t1) AS t1
-        |       FROM e JOIN t1 ON e.user_id = t1.user_id
-        |       WHERE e.event_type = 'click'
-        |         AND e.sec >= t1.t1 AND e.sec <= t1.t1 + 604800
-        |       GROUP BY 1),
-        |t3 AS (SELECT e.user_id, MIN(e.sec) AS t3, MIN(t2.t2) AS t2b
-        |       FROM e JOIN t2 ON e.user_id = t2.user_id
-        |       WHERE e.event_type = 'purchase'
-        |         AND e.sec >= t2.t2 AND e.sec <= t2.t2 + 604800
-        |       GROUP BY 1)
-        |SELECT
-        |  (SELECT COUNT(*) FROM t1) AS n_viewers,
-        |  (SELECT COUNT(*) FROM t2) AS n_clickers,
-        |  (SELECT CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM t2) AS sum_click_delay_s,
-        |  (SELECT COUNT(*) FROM t3) AS n_purchasers,
-        |  (SELECT CAST(COALESCE(SUM(t3 - t2b), 0) AS BIGINT) FROM t3) AS sum_purchase_delay_s""".stripMargin,
+    "q_funnel" -> Queries.funnelOracleSql,
     "q_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

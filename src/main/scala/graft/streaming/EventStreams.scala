@@ -325,6 +325,81 @@ object EventStreams {
     spark.table(sink).orderBy("c", "bz", "by", "bx")
   }
 
+  /** Per-user funnel state for [[funnelStream]]: first view, first
+    * qualifying click, first qualifying purchase (−1 = not reached).
+    * Constant size — the whole point vs buffering event history.
+    */
+  case class FunnelSt(t1: Long, t2: Long, t3: Long)
+
+  /** The live funnel state machine: fold this trigger's events
+    * (time-sorted) into the stage timestamps. Stages only ever SET
+    * once (first qualifying event) under in-order arrival; an
+    * out-of-order EARLIER view after a click was admitted could in
+    * batch semantics shift the click window — like
+    * [[advanceSession]]'s documented in-window divergence, exact
+    * repair would need event history; the bounded drain delivers
+    * time-sorted triggers, where the fold is exact.
+    */
+  def advanceFunnel(st: FunnelSt, evs: Seq[Ev], windowSec: Long = 7L * 86400L): FunnelSt = {
+    var s = st
+    for (e <- evs.sortBy(x => (x.sec, x.event_id))) {
+      e.event_type match {
+        case "view" if s.t1 < 0 => s = s.copy(t1 = e.sec)
+        case "click" if s.t2 < 0 && s.t1 >= 0 &&
+          e.sec >= s.t1 && e.sec <= s.t1 + windowSec => s = s.copy(t2 = e.sec)
+        case "purchase" if s.t3 < 0 && s.t2 >= 0 &&
+          e.sec >= s.t2 && e.sec <= s.t2 + windowSec => s = s.copy(t3 = e.sec)
+        case _ =>
+      }
+    }
+    s
+  }
+
+  /** stream_funnel — the LIVE conversion funnel: per-user stage
+    * timestamps held in constant-size group state
+    * (`flatMapGroupsWithState`, the [[sessionizeStream]] machinery
+    * with a [[FunnelSt]] state machine instead of a session), each
+    * trigger emitting the user's current stage snapshot; the sink
+    * read re-aggregates snapshots into the same one-row funnel
+    * summary as the batch q_funnel — and shares its oracle verbatim.
+    * Snapshots only advance (stages set once under in-order
+    * arrival), so the per-user finalize is a plain max.
+    */
+  def funnelStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val snapshots = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[FunnelSt]) =>
+          val st = advanceFunnel(
+            state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L)), it.toSeq)
+          state.update(st)
+          Iterator.single((uid, st.t1, st.t2, st.t3))
+      }
+      .toDF("user_id", "t1", "t2", "t3")
+    val sink = sinkName("stream_funnel")
+    val q = snapshots.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    // finalize: latest snapshot per user (stages only advance), then
+    // the batch-identical funnel summary
+    val fin = spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    fin.agg(sum((col("t1") >= 0).cast("long")).as("n_viewers")).crossJoin(
+        fin.filter(col("t2") >= 0)
+          .agg(count(lit(1)).as("n_clickers"),
+            coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_click_delay_s")))
+      .crossJoin(
+        fin.filter(col("t3") >= 0)
+          .agg(count(lit(1)).as("n_purchasers"),
+            coalesce(sum(col("t3") - col("t2")), lit(0L)).as("sum_purchase_delay_s")))
+  }
+
   /** stream_quantile — approximate p50/p90/p99 over a LIVE stream:
     * the state is [[graft.ops.Sampling.quantHist]]'s mergeable
     * equi-width histogram (bounded (type, bucket) rows; counts/maxes
@@ -594,6 +669,7 @@ object EventStreams {
     "stream_hll" -> (hllStream _),
     "stream_volume_stats" -> (volumeStats _),
     "stream_quantile" -> (quantileStream _),
+    "stream_funnel" -> (funnelStream _),
     "stream_tumbling" -> (tumbling _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
@@ -612,6 +688,8 @@ object EventStreams {
     "stream_volume_stats" -> graft.octree.OctreeOracles.all("oct_stats"),
     // the histogram state drains to the same read as the batch operator
     "stream_quantile" -> graft.ops.OpsOracles.all("stats_approx_quantile"),
+    // the per-user state machine drains to the batch funnel summary
+    "stream_funnel" -> Queries.funnelOracleSql,
     "stream_cms" -> {
       import graft.ops.{Sampling, OpsOracles}
       val unions = (0 until Sampling.CmsDepth).map { j =>

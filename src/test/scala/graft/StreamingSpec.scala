@@ -302,6 +302,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.length + b.length === 3, "exactly-once across the restart")
   }
 
+  test("stream_funnel stages set once, respect windows, and advance across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import graft.streaming.EventStreams.{Ev, FunnelSt, advanceFunnel}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val snaps = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[FunnelSt]) =>
+          val st = advanceFunnel(
+            state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L)), it.toSeq)
+          state.update(st)
+          Iterator.single((uid, st.t1, st.t2, st.t3))
+      }.toDF("user_id", "t1", "t2", "t3")
+    val q = snaps.writeStream.format("memory").queryName("funnel_trigger_spec")
+      .outputMode(OutputMode.Update()).start()
+    def latest(u: Long): (Long, Long, Long) = {
+      val r = spark.table("funnel_trigger_spec").filter(s"user_id = $u")
+        .orderBy(org.apache.spark.sql.functions.col("t1").desc,
+          org.apache.spark.sql.functions.col("t2").desc,
+          org.apache.spark.sql.functions.col("t3").desc).collect()(0)
+      (r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // T1: view opens the funnel; a click BEFORE the view must not count
+    input.addData(Ev(1, 7, 50, 0, "click"), Ev(2, 7, 100, 0, "view"))
+    q.processAllAvailable()
+    assert(latest(7) === ((100L, -1L, -1L)), "pre-view click admitted")
+    // T2: in-window click advances; purchase before click ignored
+    input.addData(Ev(3, 7, 150, 0, "purchase"), Ev(4, 7, 200, 0, "click"))
+    q.processAllAvailable()
+    assert(latest(7) === ((100L, 200L, -1L)), "stage-2 transition wrong")
+    // T3: purchase after the click completes; a LATER view can't move t1
+    input.addData(Ev(5, 7, 300, 0, "purchase"), Ev(6, 7, 400, 0, "view"))
+    q.processAllAvailable()
+    assert(latest(7) === ((100L, 200L, 300L)), "stage-3 transition wrong")
+    // out-of-window: user 8 clicks 8 days after the view — rejected
+    input.addData(Ev(7, 8, 1000, 0, "view"), Ev(8, 8, 1000 + 8L * 86400, 0, "click"))
+    q.processAllAvailable()
+    q.stop()
+    assert(latest(8) === ((1000L, -1L, -1L)), "out-of-window click admitted")
+  }
+
   test("kmv sketch state survives a checkpointed restart (custom agg buffer recovery)") {
     // The KmvKthHash TypedImperativeAggregate serializes its bounded
     // TreeSet buffer into the state store; a restarted query must
