@@ -479,7 +479,10 @@ object Dedup {
 
   def substring(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val sh = substringWindows(docs)
+    // the window frame feeds BOTH the duplicate count and the mark
+    // join: checkpoint it so the explode (the expensive stage) runs
+    // once, not once per consumer (at cluster scale: persist to disk)
+    val sh = substringWindows(docs).localCheckpoint()
     val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
     val marked = sh.join(dup, Seq("sh")).select(col("doc_id"), col("pos"))
@@ -501,12 +504,16 @@ object Dedup {
     */
   def substringHashed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val sh = substringWindows(docs)
+    // consumed by the hash count AND the colliding re-derivation —
+    // checkpoint so the explode runs once (cluster scale: persist)
+    val sh = substringWindows(docs).localCheckpoint()
     // 8-byte-key corpus pass: hashes occurring more than once
     val dupH = sh.groupBy(xxhash64(col("sh")).as("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
-    // text verify touches ONLY the colliding subset
+    // text verify touches ONLY the colliding subset (itself consumed
+    // twice: the text count and the mark join)
     val colliding = sh.withColumn("h", xxhash64(col("sh"))).join(dupH, Seq("h"))
+      .localCheckpoint()
     val dupText = colliding.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
     val marked = colliding.join(dupText, Seq("sh")).select(col("doc_id"), col("pos"))
