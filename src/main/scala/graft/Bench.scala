@@ -26,6 +26,7 @@ object Bench {
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
     "q_window", "q_sessionize", "q_tumbling", "q_asof", "q_funnel", "q_retention",
+    "q_scd2",
     "q_pivot", "q_corr", "q_json_extract",
     "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
@@ -39,7 +40,7 @@ object Bench {
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
-    "graph_pagerank", "graph_bfs",
+    "graph_pagerank", "graph_bfs", "graph_triangles",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",

@@ -51,7 +51,8 @@ object SparkEntry {
     "q20_excess" -> (Queries.q20Excess _),
     "q21_waiting" -> (Queries.q21Waiting _),
     "q_funnel" -> (Queries.qFunnel _),
-    "q_retention" -> (Queries.qRetention _)
+    "q_retention" -> (Queries.qRetention _),
+    "q_scd2" -> (Queries.qScd2 _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
@@ -338,6 +339,25 @@ object SparkEntry {
         |FROM nw JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q_funnel" -> Queries.funnelOracleSql,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+        |  FROM events),
+        |f AS (SELECT *, CAST(CASE WHEN lag(event_type) OVER w IS NULL
+        |          OR lag(event_type) OVER w != event_type
+        |        THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |i AS (SELECT *, CAST(SUM(changed) OVER (PARTITION BY user_id
+        |        ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |      FROM f)
+        |SELECT user_id, island AS version, MIN(event_type) AS event_type,
+        |  CAST(MIN(sec) AS BIGINT) AS valid_from_s,
+        |  CAST(MAX(sec) AS BIGINT) AS valid_to_s,
+        |  COUNT(*) AS n_events
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, version""".stripMargin,
     "q_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

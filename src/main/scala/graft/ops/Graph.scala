@@ -107,8 +107,49 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** graph_triangles — per-document triangle membership in the
+    * near-dup candidate graph (triangle density separates genuine
+    * boilerplate FAMILIES from chance band collisions — a clique of
+    * near-dups is triangle-rich, a hub of unrelated collisions is
+    * not). The classic scale-safe plan: edges are ORIENTED from
+    * lower to higher (degree, id) — every triangle then has exactly
+    * one wedge vertex, wedge fan-out is bounded by out-degree ≤
+    * O(√E) (the Schank–Wagner orientation bound, vs Θ(max-degree²)
+    * unoriented) — one self-join builds wedges, one edge join closes
+    * them, one explode counts all three corners. Everything
+    * equi-joins; no vertex enumerates its full neighborhood square.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.bandCandidates(Dedup.signatures(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val und = cand.union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = und.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("deg"))
+    // orient u -> w iff (deg u, u) < (deg w, w): packed comparable key
+    val keyed = und
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+      .filter(col("da") * 1000000L + col("doc_a") < col("db") * 1000000L + col("doc_b"))
+      .select(col("doc_a").as("u"), col("doc_b").as("w"))
+      .localCheckpoint()
+    val wedges = keyed.as("e1")
+      .join(keyed.as("e2"), col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("a"), col("e1.w").as("b"), col("e2.w").as("c"))
+    // close the wedge: the oriented edge b->c (b < c in oriented order
+    // is not guaranteed — check both orientations via the undirected set)
+    val tri = wedges.join(keyed.select(col("u").as("b"), col("w").as("c"))
+        .union(keyed.select(col("w").as("b"), col("u").as("c"))), Seq("b", "c"))
+    val perVertex = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(perVertex, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
-    "graph_bfs" -> (bfs _)
+    "graph_bfs" -> (bfs _),
+    "graph_triangles" -> (triangles _)
   )
 }

@@ -931,6 +931,27 @@ object OpsOracles {
          |LEFT JOIN dg ON v.doc_id = dg.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    "graph_triangles" ->
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |und AS (SELECT doc_a, doc_b FROM cand
+         |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
+         |dg AS (SELECT doc_a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |ke AS (SELECT u.doc_a AS u, u.doc_b AS w
+         |       FROM und u JOIN dg a ON u.doc_a = a.v JOIN dg b ON u.doc_b = b.v
+         |       WHERE a.deg * 1000000 + u.doc_a < b.deg * 1000000 + u.doc_b),
+         |wg AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+         |       FROM ke e1 JOIN ke e2 ON e1.u = e2.u AND e1.w < e2.w),
+         |tr AS (SELECT wg.a, wg.b, wg.c FROM wg JOIN (
+         |         SELECT u AS b, w AS c FROM ke
+         |         UNION ALL SELECT w AS b, u AS c FROM ke) x
+         |       ON wg.b = x.b AND wg.c = x.c),
+         |pv AS (SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+         |         SELECT a AS v FROM tr UNION ALL SELECT b AS v FROM tr
+         |         UNION ALL SELECT c AS v FROM tr)
+         |       GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(pv.n_triangles, 0) AS n_triangles
+         |FROM documents d LEFT JOIN pv USING (doc_id) ORDER BY doc_id""".stripMargin,
     "graph_bfs" -> {
       val rounds = (1 to Graph.BfsRounds).map { t =>
         s"""d$t AS (

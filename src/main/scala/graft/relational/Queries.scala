@@ -914,6 +914,36 @@ object Queries {
       .orderBy("cohort_day", "offset_d")
   }
 
+  /** q_scd2 — slowly-changing-dimension type-2 history build: each
+    * user's event-type stream collapses into validity intervals (one
+    * row per RUN of equal consecutive types, with valid_from/valid_to
+    * and the run length) — the temporal-table construction every
+    * warehouse runs for dimension history. The island derivation is
+    * the [[qSessionize]] machinery keyed on VALUE CHANGE instead of
+    * time gap: lag → change flag → running island id → one grouped
+    * aggregation; a single user-keyed window shuffle, output bounded
+    * by the number of changes, not events.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        nsToSec(col("ts")).as("sec"))
+      .withColumn("changed",
+        (lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type")).cast("long"))
+      .withColumn("island", sum(col("changed")).over(
+        Window.partitionBy("user_id").orderBy("sec", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("sec")).as("valid_from_s"), max(col("sec")).as("valid_to_s"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island").as("version"), col("event_type"),
+        col("valid_from_s"), col("valid_to_s"), col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")

@@ -1239,6 +1239,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.count(_ > 0) > 0, "no vertex reached beyond the seeds")
   }
 
+  test("triangle counts match a brute-force Scala enumeration") {
+    import graft.ops.Graph
+    val und = bandEdges.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    for ((a, b) <- und if a < b; c <- adj(a).intersect(adj.getOrElse(b, Set.empty)) if c > b) {
+      for (v <- Seq(a, b, c)) triCount(v) = triCount.getOrElse(v, 0L) + 1L
+    }
+    val got = Graph.triangles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === docs.keySet)
+    docs.keys.foreach { v =>
+      assert(got(v) === triCount.getOrElse(v, 0L), s"triangles of doc $v")
+    }
+    assert(got.values.sum > 0, "band graph has no triangles — spec is vacuous")
+  }
+
   test("integer pagerank matches a Scala re-derivation over the band graph") {
     import graft.ops.Graph
     val edges = bandEdges

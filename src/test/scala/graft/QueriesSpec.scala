@@ -57,6 +57,39 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(gotRet(k) === cohort.count(_._2 == k._1).toLong) }
   }
 
+  test("scd2 intervals match a Scala run-length re-derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.relational.Queries
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Queries.nsToSec(col("ts")).as("sec"))
+      .as[(Long, Long, String, Long)].collect()
+    val expected = evs.groupBy(_._2).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._4, e._1))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      for (e <- sorted) {
+        if (runs.nonEmpty && runs.last._1 == e._3) {
+          val l = runs.last; runs(runs.length - 1) = (l._1, l._2, e._4, l._4 + 1)
+        } else runs += ((e._3, e._4, e._4, 1L))
+      }
+      runs.zipWithIndex.map { case ((t, f, to, n), i) =>
+        (u, i + 1L, t, f, to, n) }
+    }.toSet
+    val got = Queries.qScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    // intervals per user must tile without overlap
+    got.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._4, s"user $u intervals overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("bucketed fact tables co-locate the join: no Exchange in the plan") {
     import org.apache.spark.sql.functions.col
     // the SURVEY §3 claim: bucketing both fact tables on the join key
