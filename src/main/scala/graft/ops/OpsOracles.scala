@@ -931,6 +931,38 @@ object OpsOracles {
          |LEFT JOIN dg ON v.doc_id = dg.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    "pipeline_validate" ->
+      """WITH r1 AS (
+        |  SELECT 'lineitem_orphan_orderkey' AS rule,
+        |    CAST((SELECT COUNT(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS violations,
+        |    (SELECT COUNT(*) FROM lineitem) AS checked),
+        |r2 AS (
+        |  SELECT 'orders_orphan_custkey' AS rule,
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS violations,
+        |    (SELECT COUNT(*) FROM orders) AS checked),
+        |r3 AS (
+        |  SELECT 'lineitem_nonpositive_qty' AS rule,
+        |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    COUNT(*) AS checked FROM lineitem),
+        |r4 AS (
+        |  SELECT 'lineitem_nonpositive_price' AS rule,
+        |    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    COUNT(*) AS checked FROM lineitem),
+        |r5 AS (
+        |  SELECT 'lineitem_discount_range' AS rule,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    COUNT(*) AS checked FROM lineitem),
+        |r6 AS (
+        |  SELECT 'orders_null_custkey' AS rule,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    COUNT(*) AS checked FROM orders)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+        |ORDER BY rule""".stripMargin,
     "graph_triangles" ->
       s"""WITH $minhashSigCtes,
          |$bandCandCtes,

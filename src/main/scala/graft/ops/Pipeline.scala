@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -163,7 +163,50 @@ object Pipeline {
         sum(col("keep")).as("n_kept"),
         sum(col("n") * col("keep")).as("kept_chars"))
 
+  /** pipeline_validate — declarative data-quality assertions over the
+    * relational tables, the ingest-gate every warehouse runs before a
+    * batch is admitted: one row per rule with its violation count and
+    * the checked population. Rules cover the three DQ families —
+    * referential integrity (orphan lineitems / orders, an anti join
+    * each), domain constraints (non-positive quantity / price,
+    * discount out of [0,1] — scan-side conditional sums fused into
+    * ONE aggregation per table), and completeness (null keys). At
+    * 100 TB each anti join shuffles only the FK columns, every
+    * domain/completeness family is a single map-side-combined pass,
+    * and the output is rule-count-bounded.
+    */
+  def validate(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    def ruleRow(name: String, violations: Column, checked: Column, df: DataFrame) =
+      df.agg(violations.cast("long").as("violations"), checked.cast("long").as("checked"))
+        .select(lit(name).as("rule"), col("violations"), col("checked"))
+    val nL = l.count(); val nO = o.count()
+    val orphanL = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .select(lit("lineitem_orphan_orderkey").as("rule"), col("violations"),
+        lit(nL).as("checked"))
+    val orphanO = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .select(lit("orders_orphan_custkey").as("rule"), col("violations"),
+        lit(nO).as("checked"))
+    val domain = ruleRow("lineitem_nonpositive_qty",
+      sum((col("l_quantity") <= 0).cast("long")), count(lit(1)), l)
+      .union(ruleRow("lineitem_nonpositive_price",
+        sum((col("l_extendedprice") <= 0).cast("long")), count(lit(1)), l))
+      .union(ruleRow("lineitem_discount_range",
+        sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long")),
+        count(lit(1)), l))
+      .union(ruleRow("orders_null_custkey",
+        sum(col("o_custkey").isNull.cast("long")), count(lit(1)), o))
+    orphanL.union(orphanO).union(domain).orderBy("rule")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_validate" -> (validate _),
     "pipeline_clean" -> (clean _),
     "pipeline_train" -> (train _),
     "pipeline_shard" -> (shard _),
