@@ -931,6 +931,31 @@ object OpsOracles {
          |LEFT JOIN dg ON v.doc_id = dg.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    "sample_coreset" -> {
+      val rounds = (2 to Sampling.CoresetK).map { r =>
+        val prev = (1 until r).map(i => s"SELECT cvec FROM c$i").mkString(" UNION ALL ")
+        s"""m$r AS (
+           |  SELECT e.vec_id,
+           |    CAST(MIN(1000000 - ${cosU("e.embedding", "c.cvec")}) AS BIGINT) AS mind
+           |  FROM embeddings e, ($prev) c GROUP BY e.vec_id),
+           |p$r AS (SELECT MAX(mind * 1099511627776 - vec_id) AS p FROM m$r),
+           |c$r AS (SELECT e.vec_id AS center_id, e.embedding AS cvec, m.mind AS radius
+           |        FROM m$r m JOIN embeddings e ON m.vec_id = e.vec_id, p$r
+           |        WHERE m.mind * 1099511627776 - m.vec_id = p$r.p)""".stripMargin
+      }.mkString(",\n")
+      val out = (2 to Sampling.CoresetK).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, center_id, CAST(radius AS BIGINT) AS radius_u FROM c$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH c1 AS (
+         |  SELECT vec_id AS center_id, embedding AS cvec FROM embeddings
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY ${md5Int("('cs:' || CAST(vec_id AS VARCHAR))")}, vec_id) = 1),
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS round, center_id,
+         |  CAST(2000000 AS BIGINT) AS radius_u FROM c1
+         |UNION ALL $out
+         |ORDER BY round""".stripMargin
+    },
     "pipeline_validate" ->
       """WITH r1 AS (
         |  SELECT 'lineitem_orphan_orderkey' AS rule,

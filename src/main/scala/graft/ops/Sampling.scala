@@ -376,6 +376,68 @@ object Sampling {
       .orderBy("bucket")
   }
 
+  /** Centers selected by [[coreset]] (bounded so the oracle unrolls). */
+  val CoresetK = 4
+
+  /** Argmax pack factor for [[coreset]] — `mind·2⁴⁰ − vec_id` orders
+    * by (min-dist DESC, vec_id ASC) in one long: mind ≤ 2·10⁶ < 2²¹
+    * and the vec_id field needs id < 2⁴⁰ (the CellPack rule family —
+    * documented bound, covers 10¹² ids).
+    */
+  private val CsPack = 1L << 40
+
+  /** sample_coreset — k-center GREEDY coreset over the embeddings
+    * (Gonzalez's 2-approximation, the geometric-coverage complement
+    * to [[diverse]]'s hash-per-bucket sampling): seed = the
+    * hash-rank-minimal vector, then each round adds the vector
+    * FARTHEST (max-min cosine dissimilarity) from the chosen set —
+    * the selection every "cover the embedding space with K exemplars"
+    * curriculum/eval-set builder runs. Output: (round, center_id,
+    * radius_u) where radius_u is the coverage radius BEFORE the
+    * round's center was added — non-increasing by construction
+    * (spec-pinned).
+    *
+    * Scale shape: each of the K−1 rounds is ONE corpus pass against
+    * the ≤K-row broadcast chosen set, folded to a 1-row packed argmax
+    * (max-dist + smallest-id tiebreak in one long — no global sort);
+    * K bounded ⇒ K passes, the chosen frame localCheckpoint'd per
+    * round. All distances are the exact integer ⌊cos·10⁶⌋ chain.
+    */
+  def coreset(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Similarity.{cosUPre, dot}
+    val base = Tables(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("vn2"))
+    val wSeed = Window.orderBy(
+      expr("graft_md5_prefix(concat('cs:', cast(vec_id as string)))"), col("vec_id"))
+    var chosen = base
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") === 1)
+      .select(lit(1L).as("round"), col("vec_id").as("center_id"),
+        col("embedding").as("cvec"), col("vn2").as("cn2"),
+        lit(2000000L).as("radius_u"))
+      .localCheckpoint()
+    for (r <- 2 to CoresetK) {
+      val minD = base.crossJoin(broadcast(chosen))
+        .select(col("vec_id"), col("embedding"), col("vn2"),
+          (lit(1000000L) - cosUPre(col("embedding"), col("cvec"),
+            col("vn2"), col("cn2"))).as("d"))
+        .groupBy("vec_id")
+        .agg(min(col("d")).as("mind"),
+          first(col("embedding")).as("embedding"), first(col("vn2")).as("vn2"))
+      val packed = minD.agg(max(col("mind") * CsPack - col("vec_id")).as("p"))
+      val next = minD.crossJoin(broadcast(packed))
+        .filter(col("mind") * CsPack - col("vec_id") === col("p"))
+        .select(lit(r.toLong).as("round"), col("vec_id").as("center_id"),
+          col("embedding").as("cvec"), col("vn2").as("cn2"),
+          col("mind").as("radius_u"))
+      chosen = chosen.union(next).localCheckpoint()
+    }
+    chosen.select("round", "center_id", "radius_u").orderBy("round")
+  }
+
   /** HLL register count (2^p, p = 6) for [[hllDistinct]]. */
   val HllM = 64
 
@@ -429,6 +491,7 @@ object Sampling {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_diverse" -> (diverse _),
+    "sample_coreset" -> (coreset _),
     "stats_approx_quantile" -> (approxQuantile _),
     "agg_hll_distinct" -> (hllDistinct _),
     "stats_token_hist" -> (tokenHist _),

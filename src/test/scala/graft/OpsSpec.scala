@@ -312,6 +312,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "degree-guarantee union is vacuous: no vector isolated in table 1 found a peer in table 2")
   }
 
+  test("k-center coreset matches a Scala greedy re-derivation") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val seed = vecs.keys.minBy(id => (md5Int(s"cs:$id"), id))
+    var chosen = Vector(seed)
+    val expected = scala.collection.mutable.ArrayBuffer((1L, seed, 2000000L))
+    for (r <- 2 to Sampling.CoresetK) {
+      val minD = vecs.keys.map { v =>
+        v -> chosen.map(c => 1000000L - cosU(vecs(v), vecs(c))).min
+      }.toMap
+      val next = vecs.keys.maxBy(v => (minD(v), -v))
+      expected += ((r.toLong, next, minD(next)))
+      chosen :+= next
+    }
+    val got = Sampling.coreset(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected.toSeq)
+    // the coverage radius can only shrink as centers are added
+    val radii = got.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"radius grew: $got") }
+  }
+
   test("diverse sample covers every occupied bucket exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
