@@ -93,14 +93,49 @@ object VolumeQueries {
       .orderBy("level", "c", "z", "y", "x")
   }
 
+  /** src_jsonl_scan — the JSONL ingest path (newline-delimited JSON
+    * is THE LLM-corpus interchange format): write the documents table
+    * as JSON lines, read it back with an EXPLICIT schema (never
+    * schema inference — at 100 TB inference is a full extra pass and
+    * a type-drift hazard), and aggregate per source. The oracle
+    * computes the same aggregates from the parquet directly, so the
+    * row asserts the round trip is LOSSLESS — JSON string escaping,
+    * unicode, and int64 fidelity included (doc-id sums and exact char
+    * sums would all drift on any corruption).
+    */
+  def jsonlScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_jsonl_${ProcessHandle.current().pid()}"
+    val docs = graft.Tables(spark, dir, "documents")
+    docs.write.mode("overwrite").json(tmp)
+    spark.read.schema(docs.schema).json(tmp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(col("n_chars")).as("sum_n_chars"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),
     "src_volume_levels" -> (volumeLevels _),
-    "src_pyramid_sink" -> (pyramidSink _)
+    "src_pyramid_sink" -> (pyramidSink _),
+    "src_jsonl_scan" -> (jsonlScan _)
   )
 
   val oracles: Map[String, String] = Map(
+    // losslessness: the JSONL round trip must reproduce the parquet
+    // aggregates exactly
+    "src_jsonl_scan" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // round-trip identity: the sink read-back must equal the pyramid
     // recomputed from scratch — same independent derivation as the
     // oct_pyramid row
