@@ -38,7 +38,7 @@ object Bench {
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
     "dedup_exact", "dedup_substring", "dedup_substring_hashed",
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed",
+    "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed", "dedup_edit",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",

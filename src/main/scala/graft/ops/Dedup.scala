@@ -520,7 +520,46 @@ object Dedup {
     substringSpans(docs, marked)
   }
 
+  /** Prefix length compared by [[editVerify]] — bounds the O(L²) DP
+    * per pair at any document length.
+    */
+  val EditPrefix = 200
+
+  /** Max edit distance (on the [[EditPrefix]]-char prefix) for a
+    * verified near-dup pair: 20% of the prefix.
+    */
+  val EditMaxDist = 40L
+
+  /** dedup_edit — EDIT-DISTANCE verification of the MinHash band
+    * candidates: the fuzzy-dedup family member for corpora where
+    * token-set Jaccard is too coarse (small in-place edits, OCR
+    * noise, template fills — reorderings that keep token sets equal
+    * but change the text). Candidates come from the shared banding
+    * (never all pairs); each pair pays ONE Levenshtein DP over the
+    * [[EditPrefix]]-char prefixes (the standard cost cap — O(L²) per
+    * pair is why nobody runs edit distance uncapped at corpus scale),
+    * and pairs within [[EditMaxDist]] survive. levenshtein() is the
+    * classic DP in both engines, so distances are bit-identical.
+    */
+  def editVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"substring(text, 1, $EditPrefix)").as("pfx"),
+        length(col("text")).cast("long").as("len"))
+    val cand = bandCandidates(signatures(spark, dir))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a"),
+        col("len").as("len_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b"),
+        col("len").as("len_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_pfx"),
+        col("len_a"), col("len_b"))
+      .filter(col("edit_pfx") <= EditMaxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit" -> (editVerify _),
     "dedup_substring" -> (substring _),
     "dedup_substring_hashed" -> (substringHashed _),
     "dedup_exact" -> (exact _),

@@ -931,6 +931,17 @@ object OpsOracles {
          |LEFT JOIN dg ON v.doc_id = dg.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    "dedup_edit" ->
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |dp AS (SELECT doc_id, substr(text, 1, ${Dedup.EditPrefix}) AS pfx,
+         |        CAST(length(text) AS BIGINT) AS len FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_pfx,
+         |  a.len AS len_a, b.len AS len_b
+         |FROM cand c JOIN dp a ON c.doc_a = a.doc_id JOIN dp b ON c.doc_b = b.doc_id
+         |WHERE levenshtein(a.pfx, b.pfx) <= ${Dedup.EditMaxDist}
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "sample_coreset" -> {
       val rounds = (2 to Sampling.CoresetK).map { r =>
         val prev = (1 until r).map(i => s"SELECT cvec FROM c$i").mkString(" UNION ALL ")

@@ -1267,6 +1267,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.count(_ > 0) > 0, "no vertex reached beyond the seeds")
   }
 
+  test("edit-distance verification matches a Scala DP and stays within threshold") {
+    import graft.ops.Dedup
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(_.toLong)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val rows = Dedup.editVerify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no edit-verified pairs — banding spec is vacuous")
+    rows.foreach { case (a, b, d) =>
+      assert(d <= Dedup.EditMaxDist)
+      assert(d === lev(docs(a).take(Dedup.EditPrefix), docs(b).take(Dedup.EditPrefix)),
+        s"edit distance of ($a,$b)")
+    }
+  }
+
   test("triangle counts match a brute-force Scala enumeration") {
     import graft.ops.Graph
     val und = bandEdges.toSet
