@@ -124,11 +124,13 @@ object Graph {
       .select(col("doc_a"), col("doc_b"))
     val und = cand.union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = und.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("deg"))
-    // orient u -> w iff (deg u, u) < (deg w, w): packed comparable key
+    // orient u -> w iff (deg u, u) < (deg w, w): lexicographic struct
+    // comparison — exact at any id magnitude (a packed numeric key
+    // would alias distinct endpoints once ids outgrow the pack factor)
     val keyed = und
       .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
       .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
-      .filter(col("da") * 1000000L + col("doc_a") < col("db") * 1000000L + col("doc_b"))
+      .filter(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")))
       .select(col("doc_a").as("u"), col("doc_b").as("w"))
       .localCheckpoint()
     val wedges = keyed.as("e1")

@@ -1007,7 +1007,7 @@ object OpsOracles {
          |dg AS (SELECT doc_a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
          |ke AS (SELECT u.doc_a AS u, u.doc_b AS w
          |       FROM und u JOIN dg a ON u.doc_a = a.v JOIN dg b ON u.doc_b = b.v
-         |       WHERE a.deg * 1000000 + u.doc_a < b.deg * 1000000 + u.doc_b),
+         |       WHERE (a.deg, u.doc_a) < (b.deg, u.doc_b)),
          |wg AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
          |       FROM ke e1 JOIN ke e2 ON e1.u = e2.u AND e1.w < e2.w),
          |tr AS (SELECT wg.a, wg.b, wg.c FROM wg JOIN (

@@ -110,13 +110,26 @@ object VolumeQueries {
     val tmp = s"$root/graft_jsonl_${ProcessHandle.current().pid()}"
     val docs = graft.Tables(spark, dir, "documents")
     docs.write.mode("overwrite").json(tmp)
-    spark.read.schema(docs.schema).json(tmp)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("doc_id")).as("sum_doc_id"),
-        sum(length(col("text"))).as("sum_chars"),
-        sum(col("n_chars")).as("sum_n_chars"))
-      .orderBy("source")
+    try {
+      // the aggregate is a handful of rows — materialize it on the
+      // driver so the corpus-sized JSONL copy can be reclaimed from
+      // tmpfs immediately (tmpfs doubles as the shuffle dir; pid-keyed
+      // leftovers from many processes would starve shuffle space)
+      val agg = spark.read.schema(docs.schema).json(tmp)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("n_chars")).as("sum_n_chars"))
+        .orderBy("source")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(agg.collect().toIndexedSeq, 1), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -342,7 +342,14 @@ object EventStreams {
     */
   def advanceFunnel(st: FunnelSt, evs: Seq[Ev], windowSec: Long = 7L * 86400L): FunnelSt = {
     var s = st
-    for (e <- evs.sortBy(x => (x.sec, x.event_id))) {
+    // Within a second, fold views before clicks before purchases: the
+    // batch oracle is set-based (a click with sec == t1 qualifies), so
+    // a same-second click must see the view that opens its stage even
+    // when its event_id sorts first.
+    def stageRank(t: String): Int = t match {
+      case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+    }
+    for (e <- evs.sortBy(x => (x.sec, stageRank(x.event_type), x.event_id))) {
       e.event_type match {
         case "view" if s.t1 < 0 => s = s.copy(t1 = e.sec)
         case "click" if s.t2 < 0 && s.t1 >= 0 &&
@@ -390,7 +397,7 @@ object EventStreams {
     val fin = spark.table(sink)
       .groupBy("user_id")
       .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
-    fin.agg(sum((col("t1") >= 0).cast("long")).as("n_viewers")).crossJoin(
+    fin.agg(coalesce(sum((col("t1") >= 0).cast("long")), lit(0L)).as("n_viewers")).crossJoin(
         fin.filter(col("t2") >= 0)
           .agg(count(lit(1)).as("n_clickers"),
             coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_click_delay_s")))
