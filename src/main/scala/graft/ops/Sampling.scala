@@ -403,6 +403,27 @@ object Sampling {
     * K bounded ⇒ K passes, the chosen frame localCheckpoint'd per
     * round. All distances are the exact integer ⌊cos·10⁶⌋ chain.
     */
+  /** [[coreset]]'s round-1 seed: the hash-rank-minimal vector, as a
+    * packed-style arg-min — one map-side-combined `min` over the
+    * (hash, vec_id) struct folded to a 1-row broadcast frame, then one
+    * filter pass. NOT a corpus-wide row_number window, which would
+    * funnel every row through a single task at 100 TB. The struct min
+    * is exact at any hash/id magnitude (hash < 2³² would overflow the
+    * [[CsPack]] long field, so no packed long here). Factored out
+    * un-checkpointed so PlanAuditSpec can assert the no-Window claim
+    * (the loop's eager localCheckpoint hides round plans).
+    */
+  private[graft] def coresetSeed(base: DataFrame): DataFrame = {
+    val seeded = base.withColumn("h",
+      expr("graft_md5_prefix(concat('cs:', cast(vec_id as string)))"))
+    val seedKey = seeded.agg(min(struct(col("h"), col("vec_id"))).as("sk"))
+    seeded.crossJoin(broadcast(seedKey))
+      .filter(struct(col("h"), col("vec_id")) === col("sk"))
+      .select(lit(1L).as("round"), col("vec_id").as("center_id"),
+        col("embedding").as("cvec"), col("vn2").as("cn2"),
+        lit(2000000L).as("radius_u"))
+  }
+
   def coreset(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import graft.ops.Similarity.{cosUPre, dot}
@@ -410,15 +431,7 @@ object Sampling {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("vn2"))
-    val wSeed = Window.orderBy(
-      expr("graft_md5_prefix(concat('cs:', cast(vec_id as string)))"), col("vec_id"))
-    var chosen = base
-      .withColumn("rk", row_number().over(wSeed))
-      .filter(col("rk") === 1)
-      .select(lit(1L).as("round"), col("vec_id").as("center_id"),
-        col("embedding").as("cvec"), col("vn2").as("cn2"),
-        lit(2000000L).as("radius_u"))
-      .localCheckpoint()
+    var chosen = coresetSeed(base).localCheckpoint()
     for (r <- 2 to CoresetK) {
       val minD = base.crossJoin(broadcast(chosen))
         .select(col("vec_id"), col("embedding"), col("vn2"),

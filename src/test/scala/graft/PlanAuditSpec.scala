@@ -144,6 +144,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), "quantity envelope not pushed")
   }
 
+  test("coreset's seed is an arg-min aggregate, never a corpus-wide window") {
+    // the seed frame is checkpointed inside coreset, so audit the
+    // factored-out un-checkpointed plan directly
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        ops.Similarity.dot(col("embedding"), col("embedding")).as("vn2"))
+    val p = ops.Sampling.coresetSeed(base).queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), "coreset seed funnels the corpus through a Window")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "coreset seed lost its aggregate arg-min")
+  }
+
   test("q18 aggregates lineitem before joining (only big orders reach the joins)") {
     val p = formatted("q18_large")
     // the per-order HashAggregate must sit BELOW the decorate joins.
