@@ -121,8 +121,12 @@ object Dedup {
     * signature banded as 4 bands × 2 rows. One posexplode to
     * (band_idx, band_value) rows, one self-equi-join on that key —
     * bucket sizes track near-dup cluster sizes, not corpus size, so
-    * the join output is linear-ish in n at 100 TB (skewed bands are
-    * split by AQE skew-join handling).
+    * the join output is linear-ish in n at 100 TB. NOTE: pair output
+    * is inherently O(c²) in a c-sized identical family, and AQE skew
+    * splitting keys on INPUT size, so it cannot bound a degenerate
+    * band (a million-doc boilerplate family). When that risk is live,
+    * use [[bandCandidatesCapped]] — O(c) star substitution per hot
+    * bucket, connectivity-preserving for the clustering consumers.
     */
   private[ops] def bandCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashK / 2).map { j =>
@@ -137,6 +141,57 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Per-band-bucket membership cap for [[bandCandidatesCapped]]:
+    * buckets at or under the cap emit all pairs (exact LSH
+    * candidates); larger buckets emit STAR edges (bucket-min → member)
+    * instead — the standard production mitigation for degenerate
+    * bands, because all-pairs output in a c-member identical family is
+    * O(c²) no matter how the join's input is split (AQE skew handling
+    * keys on input bytes and cannot help). Stars keep output O(c) and
+    * preserve exactly what the clustering consumers need: every
+    * bucket member stays connected through the bucket minimum.
+    */
+  val BandCap = 8
+
+  /** [[bandCandidates]] with the [[BandCap]] hot-bucket mitigation.
+    * One extra bucket-stats aggregation (count + min doc per band
+    * bucket, map-side combined) decides each bucket's regime; the
+    * small-bucket side runs the same self-equi-join, the hot side is
+    * a single projection. `via_star` = 1 marks pairs that exist ONLY
+    * through star substitution (a pair also colliding in some small
+    * bucket keeps 0 — it is still an exact LSH candidate).
+    */
+  private[graft] def bandCandidatesCapped(sigs: DataFrame, cap: Int = BandCap): DataFrame = {
+    val bandCols = (0 until MinhashK / 2).map { j =>
+      concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
+    val stats = banded.groupBy("band_i", "band_v")
+      .agg(count(lit(1)).as("bsz"), min("doc_id").as("bmin"))
+    val bb = banded.join(stats, Seq("band_i", "band_v"))
+    val small = bb.filter(col("bsz") <= cap)
+    val pairs = small.as("a").join(small.as("b"),
+        col("a.band_i") === col("b.band_i") &&
+        col("a.band_v") === col("b.band_v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("via_star"))
+    val star = bb.filter(col("bsz") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1L).as("via_star"))
+    pairs.union(star).groupBy("doc_a", "doc_b")
+      .agg(min(col("via_star")).as("via_star"))
+  }
+
+  /** dedup_band_cap — the skew-hardened LSH candidate stage over the
+    * documents table: [[bandCandidatesCapped]] pairs with their
+    * via_star provenance, the frame a 100 TB dedup would feed to
+    * clustering when boilerplate families can be unbounded.
+    */
+  def bandCap(spark: SparkSession, dir: String): DataFrame =
+    bandCandidatesCapped(signatures(spark, dir)).orderBy("doc_a", "doc_b")
 
   /** dedup_minhash — k=8 MinHash signature per document over word-3-gram
     * shingles (affine permutations of the shared md5-int hash). The
@@ -568,6 +623,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash" -> (minhash _),
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_band_cap" -> (bandCap _),
     "dedup_simhash" -> (simhash _),
     "dedup_embed" -> (embed _),
     "dedup_cluster" -> (cluster _),

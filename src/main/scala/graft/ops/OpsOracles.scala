@@ -931,6 +931,27 @@ object OpsOracles {
          |LEFT JOIN dg ON v.doc_id = dg.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    "dedup_band_cap" ->
+      s"""WITH $minhashSigCtes,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, band0 AS band_v FROM sig
+         |  UNION ALL SELECT doc_id, 1, band1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, band2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, band3 FROM sig),
+         |bst AS (SELECT band_i, band_v, COUNT(*) AS bsz, MIN(doc_id) AS bmin
+         |        FROM bands GROUP BY 1, 2),
+         |bb AS (SELECT bands.doc_id, bands.band_i, bands.band_v, bst.bsz, bst.bmin
+         |       FROM bands JOIN bst USING (band_i, band_v)),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS via_star
+         |  FROM bb a JOIN bb b
+         |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+         |  WHERE a.bsz <= ${Dedup.BandCap}
+         |  UNION ALL
+         |  SELECT bmin AS doc_a, doc_id AS doc_b, 1 AS via_star FROM bb
+         |  WHERE bsz > ${Dedup.BandCap} AND doc_id <> bmin)
+         |SELECT doc_a, doc_b, CAST(MIN(via_star) AS BIGINT) AS via_star
+         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_edit" ->
       s"""WITH $minhashSigCtes,
          |$bandCandCtes,

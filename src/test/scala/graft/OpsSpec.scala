@@ -707,6 +707,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big < 20 * small, s"candidates grew $small -> $big")
   }
 
+  test("capped band candidates bound a degenerate identical family to O(c) star edges") {
+    // The pathological LSH input: one boilerplate family of 1000 docs
+    // with IDENTICAL signatures (all 4 bands collide for every pair —
+    // uncapped output would be C(1000,2) ≈ 5·10⁵ pairs, and 10⁶ docs
+    // would make it 5·10¹¹: no join-input skew split can bound pair
+    // OUTPUT). The capped stage must emit exactly c−1 star edges.
+    import org.apache.spark.sql.functions._
+    val family = spark.range(1000).select(col("id").as("doc_id"),
+      lit(7L).as("mh0"), lit(7L).as("mh1"), lit(7L).as("mh2"), lit(7L).as("mh3"),
+      lit(7L).as("mh4"), lit(7L).as("mh5"), lit(7L).as("mh6"), lit(7L).as("mh7"))
+    // plus a small genuine bucket: 5 docs sharing only band 0
+    val smallB = spark.range(2000, 2005).select(col("id").as("doc_id"),
+      lit(9L).as("mh0"), lit(9L).as("mh1"), (col("id") * 11).as("mh2"),
+      (col("id") * 13).as("mh3"), (col("id") * 17).as("mh4"),
+      (col("id") * 19).as("mh5"), (col("id") * 23).as("mh6"),
+      (col("id") * 29).as("mh7"))
+    val capped = Dedup.bandCandidatesCapped(family.union(smallB), cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val stars = capped.filter(_._3 == 1L)
+    val exactPairs = capped.filter(_._3 == 0L)
+    assert(stars.length === 999, s"family must shrink to c-1 star edges, got ${stars.length}")
+    assert(stars.forall { case (a, b, _) => a === 0L && b >= 1L && b <= 999L },
+      "star edges must anchor at the bucket-min doc")
+    assert(exactPairs.length === 10) // C(5,2) genuine candidates
+    // connectivity is what clustering needs — the star family must
+    // stay ONE component labeled by its minimum id
+    val pairsDf = Dedup.bandCandidatesCapped(family.union(smallB), cap = 8)
+      .select(col("doc_a"), col("doc_b"))
+    val verts = family.union(smallB).select(col("doc_id"))
+    val comps = Dedup.connectedComponents(pairsDf, verts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comps.filter(_._2 == 0L).length === 1000, "family fractured under capping")
+    assert(comps.filter(_._1 < 1000L).forall(_._3 == 1000L))
+  }
+
   test("multi-table ANN bucket bits scale with corpus size (bounded candidate growth)") {
     // lshAnnBits mirrors lshBits for the multi-table path: 8× the
     // vectors must NOT produce 64× the same-bucket candidate pairs
