@@ -94,7 +94,7 @@ object OctreeOracles {
        |SELECT CAST(1 AS BIGINT), c, z, y, x, CAST(v AS BIGINT) FROM lv1 WHERE v > 0
        |ORDER BY level, c, z, y, x""".stripMargin
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "oct_blockify" ->
       s"""WITH $voxelCte
          |SELECT c, z, y, x, v, z//4 + 1 AS bz, y//4 + 1 AS "by", x//4 + 1 AS bx,
@@ -354,4 +354,11 @@ object OctreeOracles {
          |       sqrt(1.0*1.0 + 1.5*1.5 + 6.0*6.0) / 16.0 AS radius
          |FROM blocks ORDER BY c, bz, "by", bx""".stripMargin
   )
+
+  /** The physical byte round trip (oct_ktx_bytes) shares the parse
+    * oracle verbatim: the bytes written to disk must parse back to
+    * exactly the frame the relational layout model predicts.
+    */
+  val all: Map[String, String] =
+    base + ("oct_ktx_bytes" -> base("oct_ktx_parse"))
 }

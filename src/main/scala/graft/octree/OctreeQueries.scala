@@ -130,7 +130,7 @@ object OctreeQueries {
     * plus the total image-data byte count. Shared by the write-layout
     * [[ktxHeader]] and its read-direction inverse [[ktxParse]].
     */
-  private def mipChain(leaf: Int, channels: Long,
+  private[octree] def mipChain(leaf: Int, channels: Long,
       tsize: Long): (Seq[(Long, Long, Long, Long, Long, Long)], Long) = {
     val nMips = 31 - Integer.numberOfLeadingZeros(leaf) + 1
     var acc = 0L // bytes of all (sizeField + data + pad) before this mip
@@ -207,11 +207,16 @@ object OctreeQueries {
     * containing region yields each probe once; everything after is
     * scan-side integer arithmetic.
     */
+  /** Probe count for [[ktxParse]] and [[KtxBinary.parseProbes]] —
+    * prime vs the 4-byte grain: hits size fields, odd data offsets
+    * and second bytes of uint16 elements.
+    */
+  private[octree] val KtxProbes = 23L
+
   def ktxParse(spark: SparkSession, dir: String): DataFrame = {
     val (tsize, channels) = (2L, 2L)
     val (_, dataBytes) = mipChain(VoxelGrid.Leaf, channels, tsize)
-    val nProbes = 23L // prime vs the 4-byte grain: hits size fields,
-    //  odd data offsets and second bytes of uint16 elements
+    val nProbes = KtxProbes
     val pad = lit(3L) - (col("mip_bytes") + lit(3L)) % 4
     val dataStart = col("mip_offset") + lit(4L)
     val d = col("region") === "data"
@@ -241,6 +246,34 @@ object OctreeQueries {
         col("byte_in_elem"), col("channel"), col("lz"), col("ly"), col("lx"),
         col("az"), col("ay"), col("ax"))
       .orderBy("bz", "by", "bx", "probe")
+  }
+
+  /** oct_ktx_bytes — the PHYSICAL KTX round trip: serialize every
+    * occupied block to a real binary `.ktx` file
+    * ([[KtxBinary.writeBlocks]]; reference ktx/__init__.py:320
+    * `write_stream`), then re-derive the probe frame from nothing but
+    * the read-back bytes ([[KtxBinary.parseProbes]], the
+    * `read_stream`:225 direction) — sharing [[ktxParse]]'s oracle, so
+    * a green row proves the bytes on disk ARE the layout the
+    * relational model claims. Files live on tmpfs for the check and
+    * are reclaimed once the small probe frame is materialized.
+    */
+  def ktxBytes(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_ktx_${ProcessHandle.current().pid()}"
+    KtxBinary.writeBlocks(spark, dir, out)
+    try {
+      val probes = KtxBinary.parseProbes(spark, out)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(probes.collect().toIndexedSeq, 1), probes.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
   }
 
   /** Re-tiling (tiff2octree.py:516 `conv_tiled_tiff`, which rewrites
@@ -306,6 +339,7 @@ object OctreeQueries {
     "oct_ktx_name" -> (ktxName _),
     "oct_ktx_header" -> (ktxHeader _),
     "oct_ktx_parse" -> (ktxParse _),
+    "oct_ktx_bytes" -> (ktxBytes _),
     "oct_adjust_dims" -> (adjustDims _),
     "oct_retile" -> (retile _),
     "oct_block_geom" -> (blockGeom _),

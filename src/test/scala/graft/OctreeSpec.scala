@@ -174,4 +174,40 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rebuilt === r.getAs[Long]("pos"), s"round-trip failed: $r")
     }
   }
+
+  test("physical ktx files round-trip: bytes parse to the relational frames, voxels lossless") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_ktx_spec").toString
+    try {
+      KtxBinary.writeBlocks(spark, dir, out)
+      // 1. the probe frame decoded from raw bytes equals the
+      //    oracle-verified relational ktxParse frame, row for row
+      val want = OctreeQueries.ktxParse(spark, dir).collect().map(_.toSeq)
+      val got = KtxBinary.parseProbes(spark, out).collect().map(_.toSeq)
+      assert(got.length === want.length)
+      assert(got.toSeq === want.toSeq)
+      // 2. mip-0 payloads decode back to the exact source voxel grid
+      val voxWant = VoxelGrid(spark, dir).orderBy("c", "z", "y", "x")
+        .collect().map(_.toSeq)
+      val voxGot = KtxBinary.parseVoxels(spark, out).collect().map(_.toSeq)
+      assert(voxGot.toSeq === voxWant.toSeq)
+      // 3. each file's on-disk size equals the header frame's
+      //    file_bytes accounting
+      val sizes = OctreeQueries.ktxHeader(spark, dir)
+        .select(col("path"), col("file_bytes")).distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sizes.nonEmpty)
+      sizes.foreach { case (p, bytes) =>
+        val f = new java.io.File(
+          s"$out/${p.map(_.toString).mkString("/")}/block_8_xy_$p.ktx")
+        assert(f.isFile, s"missing ktx file for $p")
+        assert(f.length() === bytes, s"file_bytes mismatch for $p")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
 }
