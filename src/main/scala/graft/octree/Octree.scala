@@ -145,15 +145,115 @@ object Downsample {
     agged.filter(col("v") > 0).select("c", "z", "y", "x", "v")
   }
 
-  /** Anti-aliased 2× downsample (tiff2octree.py:244 `downsample_aa` /
-    * :258 `downsample_spline3`, whose scipy kernels are interpolating
-    * low-pass filters): a separable 4-tap triangle filter with weights
-    * [1,3,3,1]/8 per axis, zero-padded at borders (zero = no-data).
+  /** A simple engine-native anti-aliased 2× downsample: a separable
+    * 4-tap triangle filter with weights [1,3,3,1]/8 per axis,
+    * zero-padded at borders (zero = no-data). The reference's exact
+    * `aa`/`spline3` kernels are [[aa]] and [[spline3]]; this triangle
+    * variant is kept as the cheap all-integer alternative.
     * Expressed as a contribution-explode — each voxel scatters into
     * its ≤8 destination cells with the product weight — followed by
     * one halved-key groupBy-sum: identical shuffle shape to the box
     * kernels, just 8× the map-side rows (still combined map-side).
     */
+  /** Exact separable weights of the reference's anti-aliased kernel
+    * (tiff2octree.py:244 `downsample_aa` = skimage `resize(...,
+    * anti_aliasing=True)` on the leaf scratch): a σ=0.5 Gaussian
+    * pre-smooth (radius 2: taps ∝ [e⁻⁸, e⁻², 1, e⁻², e⁻⁸], scipy
+    * 'mirror' boundary — skimage mode 'reflect' maps to ndimage
+    * 'mirror') followed by order-1 resampling at output centers
+    * 2j+0.5, i.e. the mean of adjacent smoothed samples. For the 4→2
+    * axis this composes to one fixed 2×4 matrix; row 1 is row 0
+    * mirrored.
+    */
+  val AaAxis: Array[Array[Double]] = {
+    val g1 = math.exp(-2.0); val g2 = math.exp(-8.0)
+    val d = 1.0 + 2 * g1 + 2 * g2
+    val (n0, n1, n2) = (1.0 / d, g1 / d, g2 / d)
+    val row0 = Array((n0 + n1) / 2, (2 * n1 + n0 + n2) / 2, (2 * n2 + n1) / 2, n2 / 2)
+    Array(row0, row0.reverse)
+  }
+
+  /** Fixed-point scale for the 3-D AA weight products: quantizing the
+    * PRODUCT (≤1) at 2⁻⁴⁰ keeps every wq·v term under 2⁵⁶ and the
+    * 64-term block sum under 2⁶², while the quantization error
+    * (~2⁻⁴⁰ relative) sits far below the uint16 rounding grain — and
+    * makes the whole kernel exact integer arithmetic, so Spark and
+    * the DuckDB oracle agree bit-for-bit regardless of aggregation
+    * order (a double Σ would be partition-order-dependent).
+    */
+  val AaScaleBits = 40
+
+  /** The 512 quantized 3-D weight products (jz,jy,jx,iz,iy,ix,wq) —
+    * single source of truth for the Spark broadcast frame AND the
+    * oracle's VALUES table.
+    */
+  val AaProducts: Seq[(Int, Int, Int, Int, Int, Int, Long)] =
+    for {
+      jz <- 0 to 1; jy <- 0 to 1; jx <- 0 to 1
+      iz <- 0 to 3; iy <- 0 to 3; ix <- 0 to 3
+    } yield (jz, jy, jx, iz, iy, ix,
+      Math.round(AaAxis(jz)(iz) * AaAxis(jy)(iy) * AaAxis(jx)(ix)
+        * (1L << AaScaleBits).toDouble))
+
+  /** oct_down_aa — the reference's anti-aliased 2× downsample with
+    * its EXACT kernel weights ([[AaAxis]]), applied per leaf block
+    * like the reference's per-scratch call. Scale shape: one
+    * broadcast join against the 512-row weight table fans each voxel
+    * to its 8 destination cells (the contribution-explode of
+    * [[linear]], with the explode folded into the join), then ONE
+    * halved-key groupBy summing exact integer wq·v terms map-side.
+    * Output value = round(Σ w·x), matching img_as_uint's rint on the
+    * unit-scaled resize result (linear kernels commute with the
+    * uint16↔[0,1] scaling; np.rint's half-to-even vs our half-up
+    * differs only on exact .5 ties, unreachable with irrational
+    * weights).
+    */
+  def aa(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
+    val spark = voxels.sparkSession
+    import spark.implicits._
+    val w = broadcast(AaProducts.toDF("jz", "jy", "jx", "iz", "iy", "ix", "wq"))
+    val half = 1L << (AaScaleBits - 1)
+    voxels
+      .withColumn("iz", (col("z") % leaf).cast("int"))
+      .withColumn("iy", (col("y") % leaf).cast("int"))
+      .withColumn("ix", (col("x") % leaf).cast("int"))
+      .join(w, Seq("iz", "iy", "ix"))
+      .groupBy(col("c"),
+        (expr(s"z div $leaf") * 2 + col("jz")).as("z"),
+        (expr(s"y div $leaf") * 2 + col("jy")).as("y"),
+        (expr(s"x div $leaf") * 2 + col("jx")).as("x"))
+      .agg(sum(col("wq") * col("v")).as("s"))
+      .select(col("c"), col("z"), col("y"), col("x"),
+        expr(s"(s + $half) div ${1L << AaScaleBits}").as("v"))
+      .filter(col("v") > 0)
+      .select("c", "z", "y", "x", "v")
+  }
+
+  /** oct_down_spline3 — the reference's cubic-spline 2× downsample
+    * (tiff2octree.py:258 `downsample_spline3` = scipy
+    * `ndimage.zoom(scratch, 0.5)`) on the engine's 4³ leaves. zoom's
+    * output grid (grid_mode=False) samples input coordinate
+    * j·(L−1)/(L∕2−1); for L=4 that is j·3 — exactly the knots 0 and
+    * 3 — and interpolating splines are EXACT at knots, so the kernel
+    * reduces to corner sampling: out(j) = x(3j) per axis, values
+    * unchanged. (The reference's IIR prefilter reproduces knot values
+    * only to ~1e-9 float error, occasionally visible through astype
+    * truncation; that jitter is float noise, not semantics, and is
+    * not modeled.) Zero shuffle: a scan-side filter + coordinate map.
+    */
+  def spline3(voxels: DataFrame, leaf: Int = VoxelGrid.Leaf): DataFrame = {
+    require(leaf == 4,
+      "spline3 corner-sampling closed form holds for the 4-voxel leaf axis")
+    val hi = leaf - 1L
+    def o(a: String) =
+      expr(s"($a div $leaf) * 2 + (CASE WHEN $a % $leaf = $hi THEN 1L ELSE 0L END)")
+    voxels
+      .filter((col("z") % leaf === 0 || col("z") % leaf === hi) &&
+        (col("y") % leaf === 0 || col("y") % leaf === hi) &&
+        (col("x") % leaf === 0 || col("x") % leaf === hi))
+      .select(col("c"), o("z").as("z"), o("y").as("y"), o("x").as("x"), col("v"))
+  }
+
   def linear(voxels: DataFrame, grid: Int): DataFrame = {
     val half = grid / 2
     // per-axis destination/weight for choice k: k=0 → main cell w=3,

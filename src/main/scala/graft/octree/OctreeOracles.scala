@@ -141,6 +141,37 @@ object OctreeOracles {
       downQuery("MAX(v)"),
     "oct_down_arthur" ->
       downQuery(s"CASE WHEN COUNT(*) >= 2 THEN $second ELSE MAX(v) END"),
+    "oct_down_aa" -> {
+      // the 512-row quantized weight table comes from the SAME Scala
+      // constants the Spark side broadcasts — one source of truth
+      val values = Downsample.AaProducts
+        .map { case (jz, jy, jx, iz, iy, ix, wq) =>
+          s"($jz,$jy,$jx,$iz,$iy,$ix,$wq)" }
+        .mkString(",")
+      val scale = 1L << Downsample.AaScaleBits
+      s"""WITH $voxelCte,
+         |wt(jz, jy, jx, iz, iy, ix, wq) AS (VALUES $values),
+         |agg AS (
+         |  SELECT c, (z // 4) * 2 + jz AS z, (y // 4) * 2 + jy AS y,
+         |    (x // 4) * 2 + jx AS x,
+         |    (CAST(SUM(wq * v) AS BIGINT) + ${scale / 2}) // $scale AS v
+         |  FROM voxels JOIN wt
+         |    ON z % 4 = iz AND y % 4 = iy AND x % 4 = ix
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT c, CAST(z AS BIGINT) AS z, CAST(y AS BIGINT) AS y,
+         |  CAST(x AS BIGINT) AS x, CAST(v AS BIGINT) AS v
+         |FROM agg WHERE v > 0 ORDER BY c, z, y, x""".stripMargin
+    },
+    "oct_down_spline3" ->
+      s"""WITH $voxelCte
+         |SELECT c,
+         |  CAST((z // 4) * 2 + CASE WHEN z % 4 = 3 THEN 1 ELSE 0 END AS BIGINT) AS z,
+         |  CAST((y // 4) * 2 + CASE WHEN y % 4 = 3 THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |  CAST((x // 4) * 2 + CASE WHEN x % 4 = 3 THEN 1 ELSE 0 END AS BIGINT) AS x,
+         |  CAST(v AS BIGINT) AS v
+         |FROM voxels
+         |WHERE z % 4 IN (0, 3) AND y % 4 IN (0, 3) AND x % 4 IN (0, 3)
+         |ORDER BY c, z, y, x""".stripMargin,
     "oct_down_linear" ->
       s"""WITH $voxelCte,
          |contrib AS (

@@ -58,6 +58,12 @@ object OctreeQueries {
   def downLinear(spark: SparkSession, dir: String): DataFrame =
     Downsample.linear(vox(spark, dir), VoxelGrid.Grid).orderBy("c", "z", "y", "x")
 
+  def downAa(spark: SparkSession, dir: String): DataFrame =
+    Downsample.aa(vox(spark, dir)).orderBy("c", "z", "y", "x")
+
+  def downSpline3(spark: SparkSession, dir: String): DataFrame =
+    Downsample.spline3(vox(spark, dir)).orderBy("c", "z", "y", "x")
+
   def downXY(spark: SparkSession, dir: String): DataFrame =
     Downsample(vox(spark, dir), "arthur", xyOnly = true).orderBy("c", "z", "y", "x")
 
@@ -323,6 +329,8 @@ object OctreeQueries {
     "oct_down_max" -> down("max") _,
     "oct_down_arthur" -> down("arthur") _,
     "oct_down_linear" -> (downLinear _),
+    "oct_down_aa" -> (downAa _),
+    "oct_down_spline3" -> (downSpline3 _),
     "oct_downsample_xy" -> (downXY _),
     "oct_pyramid" -> (pyramid _),
     "oct_pyramid_delta" -> (pyramidDelta _),

@@ -175,6 +175,38 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("aa kernel: weights are a partition of unity; uniform blocks are preserved") {
+    // each output's 64 quantized weights must sum to ~2^40 (partition
+    // of unity), so a constant block stays constant after rounding
+    val sums = Downsample.AaProducts.groupBy(t => (t._1, t._2, t._3))
+      .view.mapValues(_.map(_._7).sum)
+    sums.foreach { case (j, s) =>
+      assert(math.abs(s - (1L << Downsample.AaScaleBits)) <= 64, s"weights at $j sum to $s")
+    }
+    // dense uniform 4^3 block, both output checks: value preserved
+    val uni = vox((for (z <- 0L to 3L; y <- 0L to 3L; x <- 0L to 3L)
+      yield (0L, z, y, x, 1234L)): _*)
+    val out = Downsample.aa(uni).collect()
+    assert(out.length === 8)
+    assert(out.forall(_.getAs[Long]("v") === 1234L))
+    // the axis matrix rows are mirror images and rows sum to 1
+    Downsample.AaAxis.foreach(r => assert(math.abs(r.sum - 1.0) < 1e-12))
+    assert(Downsample.AaAxis(0).toSeq === Downsample.AaAxis(1).reverse.toSeq)
+  }
+
+  test("spline3 kernel: corner sampling on 4-voxel leaves, values unchanged") {
+    // zoom(0.5, order=3, grid_mode=False) samples axis coords j*(4-1)/(2-1)
+    // = {0, 3}: the knots — so outputs are the block's corner voxels
+    val block = vox(
+      (0L, 0L, 0L, 0L, 11L), (0L, 0L, 0L, 3L, 22L), (0L, 3L, 3L, 3L, 33L),
+      (0L, 1L, 1L, 1L, 99L), (0L, 2L, 0L, 0L, 77L)) // interior: dropped
+    val out = Downsample.spline3(block).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._2, t._3, t._4))
+    assert(out.toSeq === Seq((0L, 0L, 0L, 0L, 11L), (0L, 0L, 0L, 1L, 22L),
+      (0L, 1L, 1L, 1L, 33L)))
+  }
+
   test("physical ktx files round-trip: bytes parse to the relational frames, voxels lossless") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_ktx_spec").toString
