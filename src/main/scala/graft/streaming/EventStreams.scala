@@ -128,6 +128,53 @@ object EventStreams {
     spark.table(sink).orderBy("bucket_h", "event_type")
   }
 
+  /** stream_tumbling_file — the SAME tumbling aggregation driven from
+    * a FILE SOURCE instead of MemoryStream: the events table is first
+    * written as multiple parquet files (an executor-side write — the
+    * data never routes through the driver), then `readStream` over
+    * that directory with `maxFilesPerTrigger=2` drains it in several
+    * REAL micro-batches. This is the production entry point shape (a
+    * directory-watch deployment): it proves the streaming operators
+    * do not depend on MemoryStream's driver-side feeding. Shares the
+    * stream_tumbling oracle verbatim; the tmpfs staging copy is
+    * reclaimed once the small result frame is materialized.
+    */
+  def tumblingFile(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_stream_files_${ProcessHandle.current().pid()}"
+    val ev = typedEvents(spark, dir).toDF()
+    ev.repartition(8).write.mode("overwrite").parquet(tmp)
+    try {
+      val agg = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(tmp)
+        .withColumn("ets", timestamp_seconds(col("sec")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value_c")).as("sum_value_c"))
+        .select(floor(unix_timestamp(col("window.start")) / lit(3600.0)).cast("long").as("bucket_h"),
+          col("event_type"), col("cnt"), col("sum_value_c"))
+      val sink = sinkName("stream_tumbling_file")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete()).start()
+      q.processAllAvailable()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      require(nBatches >= 2,
+        s"file source drained in $nBatches batches; expected a real multi-batch run")
+      val res = spark.table(sink).orderBy("bucket_h", "event_type")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(res.collect().toIndexedSeq, 1), res.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** stream_sliding — watermarked SLIDING 2-hour windows advancing by
     * 1 hour: every event lands in exactly two overlapping windows
     * (Spark expands the window() to the covering set scan-side; the
@@ -678,6 +725,7 @@ object EventStreams {
     "stream_quantile" -> (quantileStream _),
     "stream_funnel" -> (funnelStream _),
     "stream_tumbling" -> (tumbling _),
+    "stream_tumbling_file" -> (tumblingFile _),
     "stream_session" -> (session _),
     "stream_dedup" -> (dedup _),
     "stream_dedup_wm" -> (dedupWm _),
@@ -775,6 +823,17 @@ object EventStreams {
     "stream_dedup_wm" ->
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
         |FROM events ORDER BY user_id, event_type""".stripMargin,
+    // the file-source drive computes the identical aggregate, so it
+    // shares the tumbling oracle verbatim (defined right below)
+    "stream_tumbling_file" ->
+      """WITH e AS (
+        |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,
+        |    event_type, CAST(FLOOR((value)*100) AS BIGINT) AS value_c
+        |  FROM events)
+        |SELECT bucket_h, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+        |FROM e GROUP BY bucket_h, event_type
+        |ORDER BY bucket_h, event_type""".stripMargin,
     "stream_tumbling" ->
       """WITH e AS (
         |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,

@@ -156,6 +156,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("file-source drive matches MemoryStream and batch tumbling (no driver feeding)") {
+    // tumblingFile itself requires >= 2 real micro-batches (its
+    // internal nBatches guard), so equality here also certifies the
+    // multi-trigger file-source path
+    val fromFiles = rows(EventStreams.tumblingFile(spark, dir),
+      "bucket_h", "event_type", "cnt", "sum_value_c")
+    val batch = rows(Queries.qTumbling(spark, dir),
+      "bucket_h", "event_type", "cnt", "sum_value_c")
+    assert(fromFiles === batch)
+  }
+
   test("sessionizeStream closes by gap, evicts by timeout, and restarts cleanly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
