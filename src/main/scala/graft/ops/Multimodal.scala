@@ -9,9 +9,9 @@ import graft.Tables
   * pattern for image/audio/video at 100 TB (payload bytes never leave
   * the executor; metadata is columnar and prunable).
   *
-  * The payloads here are utf-8 text bytes (this container deliberately
-  * has no image/audio codecs); the decode stage is a clearly-marked
-  * deterministic STUB behind the same batch-processing seam a real
+  * The scan-side payloads here are utf-8 text bytes; the decode stage
+  * ([[decodePng]]) runs a REAL codec — the JDK's javax.imageio PNG
+  * encoder/decoder — behind the batch-processing seam a heavier
   * decoder (pillow/ffmpeg via mapInPandas in PySpark, JNI here) would
   * plug into.
   */
@@ -20,7 +20,7 @@ object Multimodal {
   /** mm_pack — attach payload bytes + flat metadata. The oracle-facing
     * projection identifies the payload by checksum + head bytes (raw
     * binary columns don't round-trip the comparator); the binary
-    * column itself feeds [[decodeStub]].
+    * column itself feeds the [[decodePng]]-style decode stage.
     */
   def packed(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -78,32 +78,57 @@ object Multimodal {
         col("resized"), md5(col("resized")).as("resized_md5"))
       .orderBy("doc_id")
 
-  /** Decoded features produced by the (stubbed) media decoder. */
-  case class Decoded(doc_id: Long, width: Int, height: Int, mean_intensity: Double)
+  /** Features decoded from a real PNG payload. */
+  case class Decoded(doc_id: Long, width: Long, height: Long,
+                     mean_u: Long, px_checksum: Long)
 
-  /** mm_decode_stub — the batch-decode seam: partitions stream through
-    * a typed `mapPartitions` (Arrow-batched `mapInPandas` in the
-    * Python binding) where a real codec would decode payload bytes.
-    * The stub derives deterministic fake dimensions/intensity from the
-    * bytes; the Spark-side plumbing (schema, batching, partition
-    * isolation) is the real thing. The decode CALL is the stubbed
-    * seam; the fake's byte arithmetic is itself oracle-checked (a
-    * DuckDB hex-parse re-derivation hash-matches this output — see
-    * OpsOracles "mm_decode_stub"), so changing the fake (e.g. signed
-    * bytes, fold order) breaks the correctness gate by design.
+  /** Image edge for [[decodePng]]'s deterministic test images. */
+  val PngEdge = 8
+
+  /** mm_decode_png — a REAL codec behind the batch-decode seam:
+    * each document renders to a deterministic [[PngEdge]]² grayscale
+    * image (pixel i = code point i of the text mod 256, 0 past the
+    * end), is ENCODED to actual PNG bytes and DECODED back with the
+    * JDK's `javax.imageio` PNG codec inside the same typed
+    * `mapPartitions` the earlier stub occupied (Arrow-batched
+    * `mapInPandas` in a Python binding). The emitted features —
+    * dimensions, exact micro-mean, order-weighted pixel checksum —
+    * come from the DECODED raster, and PNG is lossless, so the DuckDB
+    * oracle predicts them from the text alone: a green row certifies
+    * a genuine encode→bytes→decode identity through a real codec, not
+    * byte arithmetic. (The encoded byte stream itself is codec-
+    * version-dependent and deliberately not oracle material.)
     */
-  def decodeStub(spark: SparkSession, dir: String): DataFrame = {
+  def decodePng(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    packed(spark, dir).as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        // STUB decoder: a real implementation calls the codec here.
-        val w = 8 + (if (bytes.nonEmpty) (bytes(0) & 0x3f) else 0)
-        val h = 8 + (if (bytes.length > 1) (bytes(1) & 0x3f) else 0)
-        val mean = if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        Decoded(id, w, h, mean)
-      }
-    }.toDF().orderBy("doc_id")
+    val edge = PngEdge
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val img = new java.awt.image.BufferedImage(
+            edge, edge, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          for (y <- 0 until edge; x <- 0 until edge) {
+            val i = y * edge + x
+            val p = if (i < cps.length) cps(i) % 256 else 0
+            img.getRaster.setSample(x, y, 0, p)
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          // REAL decode: the round trip must reproduce every pixel
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          var sum = 0L; var chk = 0L
+          for (y <- 0 until back.getHeight; x <- 0 until back.getWidth) {
+            val p = back.getRaster.getSample(x, y, 0).toLong
+            val i = y * back.getWidth + x
+            sum += p; chk += (i + 1) * p
+          }
+          Decoded(id, back.getWidth.toLong, back.getHeight.toLong,
+            (1000000L * sum) / (edge.toLong * edge), chk)
+        }
+      }.toDF().orderBy("doc_id")
   }
 
   /** mm_patchify — ViT-style patch extraction over an opaque payload
@@ -142,6 +167,6 @@ object Multimodal {
     "mm_meta_extract" -> (metaExtract _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize" -> (resize _),
-    "mm_decode_stub" -> (decodeStub _)
+    "mm_decode_png" -> (decodePng _)
   )
 }

@@ -1592,30 +1592,26 @@ object OpsOracles {
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
-    // The mapPartitions STUB decoder stays imperative (the real-codec
-    // seam); its deterministic fake is nonetheless byte-arithmetic, so
-    // the oracle re-derives it from hex(payload) and the row upgrades
-    // from rows-only to a full hash compare. Left fold over bytes in
-    // order ≡ Scala Array[Double].sum.
-    "mm_decode_stub" ->
-      """WITH b AS (
-        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
-        |  FROM documents),
-        |bb AS (
-        |  SELECT doc_id, n,
-        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
-        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
-        |      for i in range(1, CAST(n AS INT) + 1) ] AS bytes
-        |  FROM b)
-        |SELECT doc_id,
-        |  CAST(8 + CASE WHEN n >= 1 THEN bytes[1] & 63 ELSE 0 END AS INTEGER) AS width,
-        |  CAST(8 + CASE WHEN n >= 2 THEN bytes[2] & 63 ELSE 0 END AS INTEGER) AS height,
-        |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
-        |       ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |              [CAST(x AS DOUBLE) for x in bytes]), (a, v) -> a + v) / n
-        |  END AS mean_intensity
-        |FROM bb ORDER BY doc_id""".stripMargin,
+    // PNG is lossless, so the features extracted from the DECODED
+    // raster are predictable from the text alone: pixel i = code
+    // point i mod 256 (0 past the end). A hash-green row therefore
+    // certifies a real encode→bytes→decode identity through the JDK
+    // codec. All-integer features — no float drift.
+    "mm_decode_png" -> {
+      val edge = Multimodal.PngEdge
+      s"""WITH px AS (
+         |  SELECT doc_id, r.i,
+         |    CASE WHEN length(text) > r.i
+         |         THEN ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256
+         |         ELSE 0 END AS p
+         |  FROM documents, range(0, ${edge * edge}) r(i))
+         |SELECT doc_id, CAST($edge AS BIGINT) AS width,
+         |  CAST($edge AS BIGINT) AS height,
+         |  CAST((1000000 * SUM(p)) // ${edge * edge} AS BIGINT) AS mean_u,
+         |  CAST(SUM((r_i_plus_1) * p) AS BIGINT) AS px_checksum
+         |FROM (SELECT doc_id, i + 1 AS r_i_plus_1, p FROM px)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "mm_pack" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 8)))) AS head_hex,

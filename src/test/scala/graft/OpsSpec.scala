@@ -392,6 +392,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("png decode round-trips known pixels through the real JDK codec") {
+    // "AB" -> pixels [65, 66, 0, ..., 0]: mean_u = 1e6*131/64,
+    // checksum = 1*65 + 2*66 = 197 — and the decode path must have
+    // gone through actual PNG bytes, not the in-memory raster
+    // independent expectation for every doc from the raw text
+    val expected = docs.map { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val px = (0 until 64).map(i => if (i < cps.length) cps(i) % 256 else 0)
+      id -> ((1000000L * px.sum) / 64,
+        px.zipWithIndex.map { case (p, i) => (i + 1).toLong * p }.sum)
+    }
+    val df = graft.ops.Multimodal.decodePng(spark, dir)
+    assert(df.columns.toSeq === Seq("doc_id", "width", "height", "mean_u", "px_checksum"))
+    val got = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("mean_u"), r.getAs[Long]("px_checksum")))).toMap
+    assert(got === expected)
+  }
+
   test("patchify emits exactly the fitting 4x4 patches with exact code-point sums") {
     val rows = graft.ops.Multimodal.patchify(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), (r.getString(3), r.getLong(4))))
