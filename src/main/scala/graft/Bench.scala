@@ -25,21 +25,25 @@ object Bench {
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
-    "q_window", "q_sessionize", "q_tumbling", "q_asof", "q_funnel", "q_retention",
+    "q_window", "q_sessionize", "q_tumbling", "q_asof", "q_skew_join",
+    "q_funnel", "q_retention",
     "q_scd2",
     "q_pivot", "q_corr", "q_json_extract",
     "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
-    "oct_down_linear", "oct_downsample_xy", "oct_percentiles",
+    "oct_down_linear", "oct_down_aa", "oct_down_spline3",
+    "oct_downsample_xy", "oct_percentiles",
     "oct_intensity_params", "oct_blockify", "oct_path", "oct_empty_prune",
     "oct_resume", "oct_interleave", "oct_retile", "oct_block_geom",
     "oct_block_geom_aniso",
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
+    "oct_ktx_bytes",
     "dedup_exact", "dedup_substring", "dedup_substring_hashed",
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed", "dedup_edit",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
+    "dedup_band_cap",
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_topk_orders" -> (Queries.qTopkOrders _),
     "q_semijoin" -> (Queries.qSemijoin _),
     "q_rollup" -> (Queries.qRollup _),
+    "q_skew_join" -> (Queries.qSkewJoin _),
     "q_asof" -> (Queries.qAsof _),
     "q7_nations" -> (Queries.q7Nations _),
     "q17_avg_qty" -> (Queries.q17AvgQty _),
@@ -164,6 +165,20 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY gid, region, nation""".stripMargin,
+    "q_skew_join" ->
+      s"""WITH e AS (
+         |  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS uid,
+         |    ${C("value")} AS value_c
+         |  FROM events),
+         |d AS (
+         |  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS uid,
+         |    MIN(event_id) AS first_event
+         |  FROM events GROUP BY 1)
+         |SELECT CAST(((e.uid % 16) + 16) % 16 AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_events, CAST(SUM(e.value_c) AS BIGINT) AS sum_value_c,
+         |  CAST(MIN(d.first_event) AS BIGINT) AS min_first_event
+         |FROM e JOIN d ON e.uid = d.uid
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_asof" ->
       s"""WITH ev AS (
          |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,

@@ -944,6 +944,84 @@ object Queries {
       .orderBy("user_id", "version")
   }
 
+  /** The q_skew_join plan, unexecuted: half of all events remapped
+    * onto ONE synthetic hot user (`uid = -1`), then a forced
+    * sort-merge join of that deliberately skewed fact side against
+    * the per-uid first-event dimension. One join key owning ~50% of
+    * the fact rows is exactly the degenerate shape (one boilerplate
+    * family, one power-law user) that turns a single shuffle
+    * partition into the straggler at 100 TB — the `merge` hints keep
+    * AQE from hiding the problem behind a broadcast so the skew-split
+    * machinery itself is what gets exercised.
+    */
+  def skewJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    def uid = when(col("user_id") % 2 === 0, lit(-1L)).otherwise(col("user_id")).as("uid")
+    // AQE splits a skewed reduce partition along MAPPER boundaries, so
+    // the split needs the fact side's shuffle to have >1 map task. A
+    // 100 TB table arrives through thousands of scan tasks; sf ≤ 0.1
+    // events is ONE parquet row group = one mapper, which makes the
+    // hot partition unsplittable no matter the thresholds. The
+    // round-robin repartition(8) stands in for those production scan
+    // tasks — without it the skew machinery is silently a no-op here.
+    val e = Tables(spark, dir, "events").select(uid, cents(col("value")).as("value_c"))
+      .repartition(8)
+    // the dimension is materialized (localCheckpoint) before the join,
+    // like a dim table read from storage. This is load-bearing for the
+    // skew split, not a nicety: OptimizeSkewedJoin only matches a
+    // SortMergeJoin whose Sorts sit DIRECTLY on ENSURE_REQUIREMENTS
+    // shuffle stages. Left lazy, the dim's final HashAggregate lands
+    // between its Sort and the groupBy shuffle (already hash(uid)-
+    // partitioned, so EnsureRequirements adds no join exchange) and
+    // the rule never fires — measured, not theorized.
+    val d = Tables(spark, dir, "events").select(uid, col("event_id"))
+      .groupBy("uid").agg(min(col("event_id")).as("first_event"))
+      .localCheckpoint()
+    // the post-join rollup keys on pmod(uid,16), NOT uid: grouping on
+    // uid would reuse the join's hash partitioning, and AQE (with
+    // forceOptimizeSkewedJoin off) declines to split a skewed join
+    // whose co-partitioning a downstream stage still needs. Keying the
+    // rollup differently inserts that exchange regardless, so the
+    // split is free — and 16 output rows is scale-invariant.
+    e.hint("merge").join(d.hint("merge"), Seq("uid"))
+      .groupBy(pmod(col("uid"), lit(16L)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_c")).as("sum_value_c"),
+        min(col("first_event")).as("min_first_event"))
+      .orderBy("bucket")
+  }
+
+  /** Run `body` with AQE's skew-join thresholds lowered to bench
+    * scale, restoring the session values after. At production scale
+    * the DEFAULT thresholds (256 MB partition, 5× median) split a hot
+    * partition on their own; sf ≤ 0.1 events are single-digit MBs, so
+    * without this the skew path would be "enabled" but never actually
+    * fire — which is precisely the untested claim this closes.
+    */
+  def withSkewConfs[A](spark: SparkSession)(body: => A): A = {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** q_skew_join — hot-key AQE skew-split demonstration: execute
+    * [[skewJoinPlan]] under [[withSkewConfs]] (eager localCheckpoint
+    * so OptimizeSkewedJoin runs while the lowered thresholds are in
+    * effect, then the session confs are restored for neighboring
+    * queries). PlanAuditSpec asserts the executed join really is
+    * `SortMergeJoin(skew=true)` reading `AQEShuffleRead skewed`
+    * partitions — the claim "AQE handles our hot keys" is a tested
+    * plan property, not a config line.
+    */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    withSkewConfs(spark)(skewJoinPlan(spark, dir).localCheckpoint())
+
   /** q_rollup — region → nation rollup of customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region")

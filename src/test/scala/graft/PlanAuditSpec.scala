@@ -158,6 +158,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "coreset seed lost its aggregate arg-min")
   }
 
+  test("q_skew_join's hot key is actually split by AQE, not just enabled") {
+    // run at sf0.01 so the synthetic hot uid (-1, ~50% of events) owns
+    // comfortably more shuffle bytes than the lowered 16KB threshold;
+    // assert on the EXECUTED adaptive plan — the claim under test is
+    // that OptimizeSkewedJoin fired, not that the config is set
+    val skewDir = "/root/testdata/sf0.01"
+    val df = relational.Queries.withSkewConfs(spark) {
+      val plan = relational.Queries.skewJoinPlan(spark, skewDir)
+      plan.collect()
+      plan
+    }
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("skew=true"), "executed sort-merge join is not marked skew=true")
+    assert("""AQEShuffleRead[\s\S]{0,200}skewed""".r.findFirstIn(p).isDefined,
+      "no AQEShuffleRead in skewed mode — the hot partition was never split")
+  }
+
   test("q18 aggregates lineitem before joining (only big orders reach the joins)") {
     val p = formatted("q18_large")
     // the per-order HashAggregate must sit BELOW the decorate joins.
