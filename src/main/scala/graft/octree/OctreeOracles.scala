@@ -391,5 +391,12 @@ object OctreeOracles {
     * exactly the frame the relational layout model predicts.
     */
   val all: Map[String, String] =
-    base + ("oct_ktx_bytes" -> base("oct_ktx_parse"))
+    base +
+      ("oct_ktx_bytes" -> base("oct_ktx_parse")) +
+      // the TIFF byte round trip must decode back to exactly the
+      // volume model — the oracle is its independent re-derivation
+      ("oct_tiff_bytes" ->
+        s"""WITH $voxelCte
+           |SELECT c, z, y, x, CAST(v AS BIGINT) AS v FROM voxels
+           |ORDER BY c, z, y, x""".stripMargin)
 }

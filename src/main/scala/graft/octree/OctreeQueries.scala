@@ -282,6 +282,35 @@ object OctreeQueries {
     }
   }
 
+  /** oct_tiff_bytes — the PHYSICAL TIFF round trip: serialize every
+    * occupied block to real deflate-compressed multi-page `.tif`
+    * files in the reference's `default.<ch>.tif` octant layout
+    * ([[TiffBinary.writeBlocks]]; reference tiff2octree.py:303,:315),
+    * then decode the voxels from nothing but read-back bytes
+    * ([[TiffBinary.parseVoxels]] — IFD walk + strip inflate, the
+    * rasterio:281 read direction). The oracle is the independent
+    * DuckDB derivation of the volume model, so a green row proves
+    * write→bytes→parse is lossless end to end. Files live on tmpfs
+    * and are reclaimed once the parsed frame is materialized.
+    */
+  def tiffBytes(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_tiff_${ProcessHandle.current().pid()}"
+    TiffBinary.writeBlocks(spark, dir, out)
+    try {
+      val voxels = TiffBinary.parseVoxels(spark, out)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(voxels.collect().toIndexedSeq, 1), voxels.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   /** Re-tiling (tiff2octree.py:516 `conv_tiled_tiff`, which rewrites
     * strip TIFFs as 256² tiles so window reads stop scanning whole
     * rows): the columnar analog re-blocks the voxel store under a
@@ -348,6 +377,7 @@ object OctreeQueries {
     "oct_ktx_header" -> (ktxHeader _),
     "oct_ktx_parse" -> (ktxParse _),
     "oct_ktx_bytes" -> (ktxBytes _),
+    "oct_tiff_bytes" -> (tiffBytes _),
     "oct_adjust_dims" -> (adjustDims _),
     "oct_retile" -> (retile _),
     "oct_block_geom" -> (blockGeom _),

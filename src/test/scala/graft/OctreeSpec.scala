@@ -242,4 +242,42 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(out))
     }
   }
+
+  test("physical tiff files round-trip: deflate strips parse back to the exact voxel grid") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_tiff_spec").toString
+    try {
+      TiffBinary.writeBlocks(spark, dir, out)
+      // 1. bytes decode back to exactly the source volume model
+      val want = VoxelGrid(spark, dir).orderBy("c", "z", "y", "x")
+        .collect().map(_.toSeq)
+      val got = TiffBinary.parseVoxels(spark, out).collect().map(_.toSeq)
+      assert(got.length === want.length)
+      assert(got.toSeq === want.toSeq)
+      // 2. container shape: every occupied block has BOTH channel
+      //    files (the reference writes default.0.tif and default.1.tif
+      //    per octant dir), each a Leaf-page 16-bit Adobe-Deflate stack
+      val files = new java.io.File(out).listFiles().flatMap(_.listFiles())
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".tif"))
+      assert(files.nonEmpty)
+      val byDir = files.groupBy(_.getParentFile.getPath)
+      byDir.foreach { case (d, fs) =>
+        assert(fs.map(_.getName).sorted.toSeq === Seq("default.0.tif", "default.1.tif"),
+          s"octant $d missing a channel file")
+      }
+      files.foreach { f =>
+        val pages = TiffBinary.decodePages(java.nio.file.Files.readAllBytes(f.toPath))
+        assert(pages.length === VoxelGrid.Leaf, s"${f.getName}: wrong page count")
+        pages.foreach { case (_, w, h, bits, comp, _, _) =>
+          assert(w === VoxelGrid.Leaf.toLong && h === VoxelGrid.Leaf.toLong)
+          assert(bits === 16L && comp === 8L, s"${f.getName}: not 16-bit deflate")
+        }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
 }
