@@ -19,10 +19,13 @@ import graft.VoxelGrid
   * lossless against the oracle-verified relational frames.
   *
   * Mip 0 carries the block's real voxel values (uint16, channels
-  * interleaved innermost, row-major z,y,x); higher mips are the MAX
-  * 2³-cell downsample of the previous mip (the pyramid's kernel — the
-  * CONTAINER layout is the reference-fidelity part, the mip kernel is
-  * engine-chosen and documented). Serialization is per-block
+  * interleaved innermost, row-major z,y,x); each higher mip is the
+  * reference's default `arthur` 2³-cell downsample of the previous
+  * mip — sort the 8 subvoxels, take the second-largest, fall back to
+  * the largest when the second is zero/no-data (`Ktx.from_ndarray(...,
+  * mipmap_filter='arthur')` ktx/__init__.py:74, `create_mipmaps`
+  * ktx/util.py:195, `_filter_assorted_array` :164 — the same kernel
+  * oct_down_arthur expresses relationally). Serialization is per-block
   * `mapGroups` work on executors — at cluster scale the same bytes
   * would stream to a DSV2 writer; the file sink here is the local
   * test harness for the byte layout.
@@ -57,6 +60,21 @@ object KtxBinary {
   private def getU16(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
 
+  /** The deterministic key-value entries every block file carries
+    * (ktx/util.py:232 `populate_octree_metadata`; the per-run
+    * date/program/stats keys are excluded). Shared with
+    * [[OctreeQueries.ktxHeader]]'s byte accounting so key lengths are
+    * derived from these literals, never hand-counted.
+    */
+  private[octree] def staticKv(levels: Int, channels: Int): Seq[(String, String)] = Seq(
+    "distance_units" -> "micrometers",
+    "multiscale_level_id" -> (levels - 1).toString,
+    "multiscale_total_levels" -> levels.toString,
+    "number_of_channels" -> channels.toString)
+
+  /** Key of the per-block octant-path entry (value is block-dependent). */
+  private[octree] val OctreePathKey = "octree_path"
+
   /** One key-value entry: uint32 size, key\0value\0, NUL-pad to 4. */
   private def putKv(out: java.io.ByteArrayOutputStream, key: String, value: String): Unit = {
     val k = key.getBytes("UTF-8"); val v = value.getBytes("UTF-8")
@@ -80,15 +98,15 @@ object KtxBinary {
     val nMips = 31 - Integer.numberOfLeadingZeros(Leaf) + 1
     // key-value section first (header needs its byte count)
     val kv = new java.io.ByteArrayOutputStream()
-    putKv(kv, "distance_units", "micrometers")
-    putKv(kv, "multiscale_level_id", (Levels - 1).toString)
-    putKv(kv, "multiscale_total_levels", Levels.toString)
-    putKv(kv, "number_of_channels", Channels.toString)
-    putKv(kv, "octree_path", path.map(_.toString).mkString("/"))
+    staticKv(Levels, Channels).foreach { case (k, v) => putKv(kv, k, v) }
+    putKv(kv, OctreePathKey, path.map(_.toString).mkString("/"))
     val kvBytes = kv.size().toLong
-    // 13-field header (ktx/__init__.py:320 write order)
+    // 13-field header (ktx/__init__.py:320 write order). numberOfFaces
+    // is 0, matching what the reference's KtxHeader populate/write
+    // emits (its readers guard with _not_zero) — NOT the KTX 1.1
+    // spec's 1-for-non-cubemap convention.
     Seq(0x04030201L, 5123L, TSize.toLong, 33319L, 33324L, 33319L,
-      Leaf.toLong, Leaf.toLong, Leaf.toLong, 0L, 1L, nMips.toLong, kvBytes)
+      Leaf.toLong, Leaf.toLong, Leaf.toLong, 0L, 0L, nMips.toLong, kvBytes)
       .foreach(putU32(out, _))
     kv.writeTo(out)
     // mip chain: 4-byte imageSize + LE uint16 data + pad-to-4
@@ -97,12 +115,18 @@ object KtxBinary {
     for (m <- 0 until nMips) {
       if (m > 0) {
         val next = Array.ofDim[Long](edge / 2, edge / 2, edge / 2, Channels)
+        val cell = new Array[Long](8)
         for (z <- 0 until edge / 2; y <- 0 until edge / 2; x <- 0 until edge / 2;
              c <- 0 until Channels) {
-          var mx = 0L
-          for (dz <- 0 to 1; dy <- 0 to 1; dx <- 0 to 1)
-            mx = math.max(mx, cur(2 * z + dz)(2 * y + dy)(2 * x + dx)(c))
-          next(z)(y)(x)(c) = mx
+          // the reference's 'arthur' kernel (ktx/util.py:164): sort the
+          // 8 subvoxels, keep the second-largest; a zero second-largest
+          // (≤1 voxel with data) falls back to the largest
+          var i = 0
+          for (dz <- 0 to 1; dy <- 0 to 1; dx <- 0 to 1) {
+            cell(i) = cur(2 * z + dz)(2 * y + dy)(2 * x + dx)(c); i += 1
+          }
+          java.util.Arrays.sort(cell)
+          next(z)(y)(x)(c) = if (cell(6) == 0L) cell(7) else cell(6)
         }
         cur = next; edge /= 2
       }
@@ -230,6 +254,34 @@ object KtxBinary {
       .toDF("bz", "by", "bx", "path", "probe", "pos", "mip", "region",
         "byte_in_mip", "byte_in_elem", "channel", "lz", "ly", "lx", "az", "ay", "ax")
       .orderBy("bz", "by", "bx", "probe")
+  }
+
+  /** EVERY mip payload decoded back to mip-space absolute voxels
+    * (mip, c, az, ay, ax, v), zeros dropped — mip 0 must equal the
+    * source grid and mip m>0 must equal m applications of the
+    * reference's arthur kernel to it, so a spec can pin the in-file
+    * mip CONTENT (not just the layout) to ktx/util.py:195's default.
+    */
+  def parseMipVoxels(spark: SparkSession, outRoot: String): DataFrame = {
+    import spark.implicits._
+    files(spark, outRoot).select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val f = decode(bytes)
+        f.mips.flatMap { case (m, dEdge, _, off) =>
+          val dataStart = (off + 4).toInt
+          val e = dEdge.toInt
+          for {
+            lz <- 0 until e; ly <- 0 until e; lx <- 0 until e
+            c <- 0 until Channels
+            v = getU16(bytes,
+              dataStart + (((lz * e + ly) * e + lx) * Channels + c) * TSize)
+            if v > 0
+          } yield (m, c.toLong, (f.bz - 1) * e + lz, (f.by - 1) * e + ly,
+            (f.bx - 1) * e + lx, v)
+        }
+      }
+      .toDF("mip", "c", "az", "ay", "ax", "v")
+      .orderBy("mip", "c", "az", "ay", "ax")
   }
 
   /** Mip-0 payloads decoded back to absolute voxels (c, z, y, x, v),

@@ -163,14 +163,16 @@ object OctreeQueries {
       val size = keyLen + 1 + valLen + 1
       4 + size + (3 - ((size + 3) % 4))
     }
-    val kvConst =
-      kvEntry(14, 11) + // distance_units = micrometers
-        kvEntry(19, (VoxelGrid.Levels - 1).toString.length.toLong) + // multiscale_level_id
-        kvEntry(22, VoxelGrid.Levels.toString.length.toLong) + // multiscale_total_levels
-        kvEntry(18, channels.toString.length.toLong) // number_of_channels
+    // key/value lengths derive from the SAME literal strings
+    // KtxBinary.serialize writes (never hand-counted integers — a
+    // hand-counted 22 for the 23-char multiscale_total_levels key was
+    // masked by the 4-byte padding until r7)
+    val kvConst = KtxBinary.staticKv(VoxelGrid.Levels, channels.toInt)
+      .map { case (k, v) => kvEntry(k.length.toLong, v.length.toLong) }.sum
     // octree_path entry depends on the block's path length (digits
     // joined by '/': value length 2L-1, plus the appended NUL)
-    val pathSize = lit(11L + 1L) + length(col("path")).cast("long") * 2
+    val pathSize = lit(KtxBinary.OctreePathKey.length.toLong + 1L) +
+      length(col("path")).cast("long") * 2
     val kvBytes = (lit(kvConst + 4L) + pathSize +
       (lit(3L) - (pathSize + 3) % 4)).as("kv_bytes")
     // one KTX file per spatial block: channels are interleaved into
@@ -269,11 +271,15 @@ object OctreeQueries {
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val out = s"$root/graft_ktx_${ProcessHandle.current().pid()}"
-    KtxBinary.writeBlocks(spark, dir, out)
     try {
-      val probes = KtxBinary.parseProbes(spark, out)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(probes.collect().toIndexedSeq, 1), probes.schema)
+      // write INSIDE the try so a failure mid-write still reclaims the
+      // pid-keyed staging dir (tmpfs doubles as the shuffle dir)
+      KtxBinary.writeBlocks(spark, dir, out)
+      // eager localCheckpoint: partitions materialize on EXECUTORS, so
+      // the staging files can be reclaimed without routing the frame
+      // through the driver (no corpus-sized collect in any bytes op)
+      KtxBinary.parseProbes(spark, out).localCheckpoint(true)
+        .orderBy("bz", "by", "bx", "probe")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -298,11 +304,14 @@ object OctreeQueries {
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val out = s"$root/graft_tiff_${ProcessHandle.current().pid()}"
-    TiffBinary.writeBlocks(spark, dir, out)
     try {
-      val voxels = TiffBinary.parseVoxels(spark, out)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(voxels.collect().toIndexedSeq, 1), voxels.schema)
+      // write INSIDE the try (mid-write failures must not leak tmpfs
+      // staging); eager localCheckpoint keeps the corpus-sized voxel
+      // frame DISTRIBUTED — the old collect+parallelize rebuilt it on
+      // the driver, an OOM at 100× scale
+      TiffBinary.writeBlocks(spark, dir, out)
+      TiffBinary.parseVoxels(spark, out).localCheckpoint(true)
+        .orderBy("c", "z", "y", "x")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

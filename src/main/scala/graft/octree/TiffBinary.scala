@@ -156,7 +156,7 @@ object TiffBinary {
   /** Per-page metadata of one file's bytes, by walking the real IFD
     * chain: (page, width, length, bits, compression, stripOff, stripBytes).
     */
-  private[octree] def decodePages(bytes: Array[Byte]): Seq[(Int, Long, Long, Long, Long, Long, Long)] = {
+  private[graft] def decodePages(bytes: Array[Byte]): Seq[(Int, Long, Long, Long, Long, Long, Long)] = {
     require(bytes(0) == 'I' && bytes(1) == 'I' && getU16(bytes, 2) == 42, "bad TIFF header")
     var ifd = getU32(bytes, 4)
     val pages = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long)]

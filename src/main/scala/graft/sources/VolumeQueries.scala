@@ -109,8 +109,10 @@ object VolumeQueries {
       else System.getProperty("java.io.tmpdir")
     val tmp = s"$root/graft_jsonl_${ProcessHandle.current().pid()}"
     val docs = graft.Tables(spark, dir, "documents")
-    docs.write.mode("overwrite").json(tmp)
     try {
+      // write INSIDE the try: a mid-write failure must not leak the
+      // pid-keyed tmpfs staging dir (tmpfs doubles as the shuffle dir)
+      docs.write.mode("overwrite").json(tmp)
       // the aggregate is a handful of rows — materialize it on the
       // driver so the corpus-sized JSONL copy can be reclaimed from
       // tmpfs immediately (tmpfs doubles as the shuffle dir; pid-keyed

@@ -145,8 +145,10 @@ object EventStreams {
       else System.getProperty("java.io.tmpdir")
     val tmp = s"$root/graft_stream_files_${ProcessHandle.current().pid()}"
     val ev = typedEvents(spark, dir).toDF()
-    ev.repartition(8).write.mode("overwrite").parquet(tmp)
     try {
+      // write INSIDE the try: a mid-write failure must not leak the
+      // pid-keyed tmpfs staging dir (tmpfs doubles as the shuffle dir)
+      ev.repartition(8).write.mode("overwrite").parquet(tmp)
       val agg = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "2")
         .parquet(tmp)

@@ -243,6 +243,56 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ktx in-file mip chain is the reference's arthur kernel, per block") {
+    // mip m>0 bytes must equal m applications of ktx/util.py:164's
+    // 'arthur' (sort the 8 subvoxels, second-largest, 0→largest
+    // fallback; create_mipmaps :195 default) to the block's mip-0 —
+    // predicted here by an INDEPENDENT driver-side dense-array
+    // reimplementation of the numpy sort semantics
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_ktx_mip_spec").toString
+    try {
+      KtxBinary.writeBlocks(spark, dir, out)
+      val got = KtxBinary.parseMipVoxels(spark, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val leaf = VoxelGrid.Leaf
+      val vox = VoxelGrid(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val want = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long, Long)]
+      vox.groupBy { case (_, z, y, x, _) => (z / leaf, y / leaf, x / leaf) }
+        .foreach { case ((bz, by, bx), vs) =>
+          var grid = Array.ofDim[Long](2, leaf, leaf, leaf)
+          vs.foreach { case (c, z, y, x, v) =>
+            grid(c.toInt)((z % leaf).toInt)((y % leaf).toInt)((x % leaf).toInt) = v
+          }
+          var e = leaf; var m = 0L
+          while (e >= 1) {
+            for (c <- 0 until 2; z <- 0 until e; y <- 0 until e; x <- 0 until e
+                 if grid(c)(z)(y)(x) > 0)
+              want += ((m, c.toLong, bz * e + z, by * e + y, bx * e + x, grid(c)(z)(y)(x)))
+            if (e > 1) {
+              val next = Array.ofDim[Long](2, e / 2, e / 2, e / 2)
+              for (c <- 0 until 2; z <- 0 until e / 2; y <- 0 until e / 2; x <- 0 until e / 2) {
+                val cell = (for (dz <- 0 to 1; dy <- 0 to 1; dx <- 0 to 1)
+                  yield grid(c)(2 * z + dz)(2 * y + dy)(2 * x + dx)).sorted
+                next(c)(z)(y)(x) = if (cell(6) == 0L) cell(7) else cell(6)
+              }
+              grid = next
+            }
+            e /= 2; m += 1
+          }
+        }
+      assert(got.nonEmpty)
+      assert(got === want.toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("physical tiff files round-trip: deflate strips parse back to the exact voxel grid") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_tiff_spec").toString

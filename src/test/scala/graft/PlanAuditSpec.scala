@@ -186,4 +186,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
       "per-order aggregate is not below the decorate joins")
   }
+
+  test("byte-round-trip operators never collect an unbounded frame on the driver") {
+    // the staging-dir harnesses must keep parsed frames DISTRIBUTED
+    // (eager localCheckpoint), never rebuild them driver-side — a
+    // corpus-sized .collect() inside an operator is a driver OOM at
+    // scale, not just a harness wart. Guarded at the source level
+    // because a parallelize-from-collect and a localCheckpoint plan
+    // both print as an ExistingRDD scan.
+    def body(src: String, fn: String): String = {
+      val i = src.indexOf(s"def $fn")
+      assert(i >= 0, s"$fn not found")
+      val rest = src.substring(i)
+      val end = rest.indexOf("\n  def ")
+      if (end < 0) rest else rest.substring(0, end)
+    }
+    val files = Seq(
+      "src/main/scala/graft/octree/OctreeQueries.scala" ->
+        Seq("ktxBytes", "tiffBytes"),
+      "src/main/scala/graft/octree/KtxBinary.scala" ->
+        Seq("writeBlocks", "parseProbes", "parseVoxels", "parseMipVoxels"),
+      "src/main/scala/graft/octree/TiffBinary.scala" ->
+        Seq("writeBlocks", "parseVoxels"))
+    files.foreach { case (path, fns) =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      fns.foreach { fn =>
+        assert(!body(src, fn).contains(".collect("),
+          s"$path/$fn collects a frame on the driver")
+      }
+    }
+  }
 }
