@@ -38,7 +38,7 @@ object Bench {
     "oct_resume", "oct_interleave", "oct_retile", "oct_block_geom",
     "oct_block_geom_aniso",
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
-    "oct_ktx_bytes",
+    "oct_ktx_bytes", "oct_tiff_bytes", "oct_retile_bytes",
     "dedup_exact", "dedup_substring", "dedup_substring_hashed",
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed", "dedup_edit",

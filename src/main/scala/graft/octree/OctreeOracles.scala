@@ -398,5 +398,10 @@ object OctreeOracles {
       ("oct_tiff_bytes" ->
         s"""WITH $voxelCte
            |SELECT c, z, y, x, CAST(v AS BIGINT) AS v FROM voxels
+           |ORDER BY c, z, y, x""".stripMargin) +
+      // strip→tiled rewrite must be lossless: same volume identity
+      ("oct_retile_bytes" ->
+        s"""WITH $voxelCte
+           |SELECT c, z, y, x, CAST(v AS BIGINT) AS v FROM voxels
            |ORDER BY c, z, y, x""".stripMargin)
 }

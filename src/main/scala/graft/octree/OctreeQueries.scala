@@ -320,6 +320,36 @@ object OctreeQueries {
     }
   }
 
+  /** oct_retile_bytes — `conv_tiled_tiff` (tiff2octree.py:516) at the
+    * BYTE level: stage the octant tree as strip TIFFs, rewrite every
+    * file into the tiled layout (tags 322/323/324/325, zero-padded
+    * 16-multiple tiles — the read-efficiency format the reference
+    * stages all inputs through), then decode the voxels from nothing
+    * but the TILED bytes. Shares oct_tiff_bytes' oracle: a green row
+    * proves strip→tiled→parse is lossless end to end. Both stagings
+    * live on tmpfs and are reclaimed once the parsed frame is
+    * checkpointed executor-side.
+    */
+  def retileBytes(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val pid = ProcessHandle.current().pid()
+    val strip = s"$root/graft_rt_strip_$pid"
+    val tiled = s"$root/graft_rt_tiled_$pid"
+    try {
+      TiffBinary.writeBlocks(spark, dir, strip)
+      TiffBinary.convTiledDir(spark, strip, tiled, 16)
+      TiffBinary.parseVoxelsTiled(spark, tiled).localCheckpoint(true)
+        .orderBy("c", "z", "y", "x")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(strip)); rm(new java.io.File(tiled))
+    }
+  }
+
   /** Re-tiling (tiff2octree.py:516 `conv_tiled_tiff`, which rewrites
     * strip TIFFs as 256² tiles so window reads stop scanning whole
     * rows): the columnar analog re-blocks the voxel store under a
@@ -387,6 +417,7 @@ object OctreeQueries {
     "oct_ktx_parse" -> (ktxParse _),
     "oct_ktx_bytes" -> (ktxBytes _),
     "oct_tiff_bytes" -> (tiffBytes _),
+    "oct_retile_bytes" -> (retileBytes _),
     "oct_adjust_dims" -> (adjustDims _),
     "oct_retile" -> (retile _),
     "oct_block_geom" -> (blockGeom _),

@@ -304,23 +304,48 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = TiffBinary.parseVoxels(spark, out).collect().map(_.toSeq)
       assert(got.length === want.length)
       assert(got.toSeq === want.toSeq)
-      // 2. container shape: every occupied block has BOTH channel
-      //    files (the reference writes default.0.tif and default.1.tif
-      //    per octant dir), each a Leaf-page 16-bit Adobe-Deflate stack
+      // 2. container shape: each octant dir holds exactly the files of
+      //    the channels PRESENT in that block — an empty channel is
+      //    skipped, as the reference only imsaves when
+      //    img_data.max() > 0 (tiff2octree.py:312)
       val files = new java.io.File(out).listFiles().flatMap(_.listFiles())
         .flatMap(_.listFiles()).filter(_.getName.endsWith(".tif"))
       assert(files.nonEmpty)
-      val byDir = files.groupBy(_.getParentFile.getPath)
-      byDir.foreach { case (d, fs) =>
-        assert(fs.map(_.getName).sorted.toSeq === Seq("default.0.tif", "default.1.tif"),
-          s"octant $d missing a channel file")
-      }
+      val leaf = VoxelGrid.Leaf.toLong
+      val wantFiles = VoxelGrid(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1) / leaf, r.getLong(2) / leaf, r.getLong(3) / leaf))
+        .toSet
+      val gotFiles = files.map { f =>
+        val rel = f.getAbsolutePath.stripPrefix(new java.io.File(out).getAbsolutePath)
+        val digits = rel.split('/').filter(_.nonEmpty).dropRight(1)
+        var (bz, by, bx) = (0L, 0L, 0L)
+        digits.zipWithIndex.foreach { case (ds, i) =>
+          val lv = VoxelGrid.Levels - 2 - i
+          val d = ds.head - '1'
+          bx |= (d & 1L) << lv; by |= ((d >> 1) & 1L) << lv; bz |= ((d >> 2) & 1L) << lv
+        }
+        (f.getName.stripPrefix("default.").stripSuffix(".tif").toLong, bz, by, bx)
+      }.toSet
+      assert(gotFiles === wantFiles, "file set != channels present per block")
       files.foreach { f =>
-        val pages = TiffBinary.decodePages(java.nio.file.Files.readAllBytes(f.toPath))
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val pages = TiffBinary.decodePages(bytes)
         assert(pages.length === VoxelGrid.Leaf, s"${f.getName}: wrong page count")
-        pages.foreach { case (_, w, h, bits, comp, _, _) =>
+        pages.foreach { case (_, w, h, bits, comp, off, _) =>
           assert(w === VoxelGrid.Leaf.toLong && h === VoxelGrid.Leaf.toLong)
           assert(bits === 16L && comp === 8L, s"${f.getName}: not 16-bit deflate")
+          assert(off % 2 === 0L, s"${f.getName}: odd strip offset")
+        }
+        // TIFF 6.0 word alignment: every IFD in the chain sits on an
+        // even offset (strips are even-padded to guarantee it)
+        def getU32(b: Array[Byte], o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        var ifd = getU32(bytes, 4)
+        while (ifd != 0L) {
+          assert(ifd % 2 === 0L, s"${f.getName}: odd IFD offset $ifd")
+          val n = (bytes(ifd.toInt) & 0xff) | ((bytes(ifd.toInt + 1) & 0xff) << 8)
+          ifd = getU32(bytes, ifd.toInt + 2 + n * 12)
         }
       }
     } finally {
@@ -328,6 +353,53 @@ class OctreeSpec extends AnyFunSuite with BeforeAndAfterAll {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(new java.io.File(out))
+    }
+  }
+
+  test("tiled tiff: multi-tile pages with out-of-line offset arrays round-trip") {
+    // a 24×40 page under 16² tiles → a 2×3 = 6-tile grid: TileOffsets
+    // and TileByteCounts exceed 4 bytes, so they MUST be stored as
+    // offset-pointed LONG arrays; edge tiles carry zero padding that
+    // the decode clips back off
+    val rnd = new scala.util.Random(7)
+    val pages = Seq.fill(3)(Array.tabulate(24, 40)((y, x) =>
+      if (rnd.nextInt(3) == 0) 0L else 1L + rnd.nextInt(65535).toLong))
+    val bytes = TiffBinary.serializeTiledPages(pages, 16)
+    val back = TiffBinary.decodeTiledPages(bytes)
+    assert(back.length === 3)
+    back.zip(pages).foreach { case (got, want) =>
+      assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    }
+    // single-tile pages take the inline-value arm of the same tags
+    val one = Seq(Array.tabulate(4, 4)((y, x) => (y * 4 + x + 1).toLong))
+    assert(TiffBinary.decodeTiledPages(TiffBinary.serializeTiledPages(one, 16))
+      .head.map(_.toSeq).toSeq === one.head.map(_.toSeq).toSeq)
+  }
+
+  test("conv_tiled_tiff rewrite: strip and tiled parses agree on real staged files") {
+    val dir = "/root/testdata/sf0.001"
+    val strip = java.nio.file.Files.createTempDirectory("graft_rt_strip_spec").toString
+    val tiled = java.nio.file.Files.createTempDirectory("graft_rt_tiled_spec").toString
+    try {
+      TiffBinary.writeBlocks(spark, dir, strip)
+      TiffBinary.convTiledDir(spark, strip, tiled, 16)
+      val a = TiffBinary.parseVoxels(spark, strip).collect().map(_.toSeq)
+      val b = TiffBinary.parseVoxelsTiled(spark, tiled).collect().map(_.toSeq)
+      assert(a.nonEmpty)
+      assert(b.toSeq === a.toSeq)
+      // the tiled mirror holds exactly the strip tree's files
+      def rels(root: String): Set[String] = {
+        val p = new java.io.File(root).getAbsolutePath
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+        walk(new java.io.File(root)).map(_.getAbsolutePath.stripPrefix(p)).toSet
+      }
+      assert(rels(tiled) === rels(strip))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(strip)); rm(new java.io.File(tiled))
     }
   }
 }
