@@ -61,7 +61,8 @@ object Bench {
     "sim_hybrid_rrf", "sim_filtered_topk", "sim_hamming_topk",
     "mm_pack", "mm_meta_extract", "mm_decode_png", "mm_frame_sample",
     "mm_resize", "mm_patchify",
-    "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_jsonl_scan")
+    "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_jsonl_scan",
+    "src_n5_bytes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -93,6 +93,60 @@ object VolumeQueries {
       .orderBy("level", "c", "z", "y", "x")
   }
 
+  /** src_n5_bytes — the PHYSICAL N5 round trip over the reference's
+    * primary input arm (tiff2octree.py:779 `n5_zarr_to_dask_array`):
+    * write the arthur pyramid as a real N5 container ([[N5Binary
+    * .writeContainer]] — root/group/dataset attributes.json + one
+    * gzip'd big-endian chunk file per occupied block of every
+    * (channel, level)), then decode every level's voxels from nothing
+    * but the read-back bytes ([[N5Binary.parseVoxels]], the
+    * `gen_block_from_n5_zarr`:330 read direction). Shares the
+    * oct_pyramid oracle verbatim — a green row proves the bytes on
+    * disk hold exactly the pyramid the relational model claims.
+    * Staging lives on tmpfs, reclaimed once the parsed frame is
+    * checkpointed executor-side.
+    */
+  def n5Bytes(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_n5_${ProcessHandle.current().pid()}"
+    try {
+      N5Binary.writeContainer(spark, dir, out)
+      N5Binary.parseVoxels(spark, out).localCheckpoint(true)
+        .orderBy("level", "c", "z", "y", "x")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
+  /** src_n5_discover — the `check_n5_channels` / `check_n5_levels`
+    * probe chain (tiff2octree.py:728/:711) against REAL container
+    * bytes: stage the container, then derive the level/channel
+    * catalog purely from the read-back `c{c}/s{s}/attributes.json`
+    * files. Same frame shape as src_volume_levels — the relational
+    * discovery model and the physical container agree row for row.
+    */
+  def n5Discover(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_n5d_${ProcessHandle.current().pid()}"
+    try {
+      N5Binary.writeContainer(spark, dir, out)
+      N5Binary.discoverLevels(spark, out).localCheckpoint(true)
+        .orderBy("level", "c")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   /** src_jsonl_scan — the JSONL ingest path (newline-delimited JSON
     * is THE LLM-corpus interchange format): write the documents table
     * as JSON lines, read it back with an EXPLICIT schema (never
@@ -139,7 +193,9 @@ object VolumeQueries {
     "src_volume_scan_l1" -> (volumeScanL1 _),
     "src_volume_levels" -> (volumeLevels _),
     "src_pyramid_sink" -> (pyramidSink _),
-    "src_jsonl_scan" -> (jsonlScan _)
+    "src_jsonl_scan" -> (jsonlScan _),
+    "src_n5_bytes" -> (n5Bytes _),
+    "src_n5_discover" -> (n5Discover _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +211,16 @@ object VolumeQueries {
     // recomputed from scratch — same independent derivation as the
     // oct_pyramid row
     "src_pyramid_sink" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // N5 bytes → voxels must reproduce the arthur pyramid exactly
+    "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // physical-container discovery shares the relational catalog oracle
+    "src_n5_discover" ->
+      """WITH s AS (
+        |  SELECT l.level, c.c, 16 >> l.level AS edge, (16 >> l.level) // 4 AS nb
+        |  FROM range(0, 3) l(level), range(0, 2) c(c))
+        |SELECT CAST(level AS BIGINT) AS level, CAST(c AS BIGINT) AS c,
+        |  CAST(edge AS BIGINT) AS edge, CAST(nb * nb * nb AS BIGINT) AS n_blocks
+        |FROM s ORDER BY level, c""".stripMargin,
     "src_volume_scan" ->
       """WITH g AS (
         |  SELECT zz.z, yy.y, xx.x,

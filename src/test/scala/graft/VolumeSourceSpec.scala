@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.sources.{VolumeQueries, VolumeSource}
+import graft.sources.{N5Binary, VolumeQueries, VolumeSource}
 
 class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -142,6 +142,55 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       import spark.implicits._
       (for (z <- 0L until 4L; y <- 0L until 4L; x <- 0L until 4L)
         yield (0L, z, y, x, z * 16 + y * 4 + x + 1)).toDF("c", "z", "y", "x", "v")
+    }
+  }
+
+  test("physical n5 container round-trips: chunk bytes parse back to the exact arthur pyramid") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_n5_spec").toString
+    try {
+      N5Binary.writeContainer(spark, dir, out)
+      // 1. every level's voxels decoded from bytes == the pyramid frame
+      val want = graft.octree.Pyramid(graft.VoxelGrid(spark, dir))
+        .orderBy("level", "c", "z", "y", "x").collect().map(_.toSeq)
+      val got = N5Binary.parseVoxels(spark, out).collect().map(_.toSeq)
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq)
+      // 2. discovery from attributes.json bytes == the full catalog
+      val levels = N5Binary.discoverLevels(spark, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(levels === (for (s <- 0L until 3L; c <- 0L until 2L) yield {
+        val edge = 16L >> s
+        val nb = edge / graft.VoxelGrid.Leaf
+        (s, c, edge, nb * nb * nb)
+      }).toSeq)
+      // 3. sparsity: exactly one chunk file per OCCUPIED s0 block per
+      //    channel (all-zero chunks are absent, the N5 convention)
+      val occupied = graft.VoxelGrid(spark, dir).collect().map { r =>
+        val leaf = graft.VoxelGrid.Leaf
+        (r.getLong(0), r.getLong(1) / leaf, r.getLong(2) / leaf, r.getLong(3) / leaf)
+      }.toSet
+      def chunks(root: java.io.File): Seq[java.io.File] =
+        if (root.isDirectory) Option(root.listFiles()).toSeq.flatten.flatMap(chunks)
+        else if (root.getName != "attributes.json") Seq(root) else Seq.empty
+      val s0 = chunks(new java.io.File(out))
+        .filter(_.getAbsolutePath.contains("/s0/"))
+      assert(s0.size === occupied.size)
+      // 4. chunk header: default mode, 3 dims of blockSize each
+      val bytes = java.nio.file.Files.readAllBytes(s0.head.toPath)
+      def u16(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def u32(o: Int) = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      assert(u16(0) === 0 && u16(2) === 3)
+      assert((0 until 3).map(i => u32(4 + 4 * i)) === Seq.fill(3)(graft.VoxelGrid.Leaf.toLong))
+      // 5. the root pixelResolution attribute reads back
+      //    (get_pixel_resolution_n5_zarr's probe)
+      assert(N5Binary.pixelResolution(out) === N5Binary.PixelResolution)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
     }
   }
 }
