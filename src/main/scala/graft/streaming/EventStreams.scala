@@ -529,6 +529,58 @@ object EventStreams {
     finalizeSessionSink(spark.table(sink))
   }
 
+  /** stream_session_file — the SAME stateful sessionization driven
+    * from a FILE SOURCE in multiple REAL micro-batches, so the one
+    * flatMapGroupsWithState operator is also proven free of
+    * MemoryStream's driver-side feeding (the [[tumblingFile]] pattern
+    * extended to arbitrary-state streaming). The staging writes FOUR
+    * CHRONOLOGICAL time slices as sequential single-file commits: the
+    * file source replays files in modification-time order, so each
+    * batch's events are no older than the previous slice's maximum —
+    * the 30-minute watermark never drops a cross-batch event and the
+    * multi-batch drain must reproduce the single-batch (and batch
+    * twin's) sessions exactly. This mirrors production directory-watch
+    * ingest, where arriving files ARE roughly event-time ordered.
+    * Shares the stream_session oracle verbatim.
+    */
+  def sessionFile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_stream_sess_${ProcessHandle.current().pid()}"
+    val ev = typedEvents(spark, dir)
+    try {
+      // bounded driver work: two scalars for the slice bounds
+      val mm = ev.toDF().agg(min(col("sec")), max(col("sec"))).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = math.max(1L, (hi - lo) / 4 + 1)
+      for (k <- 0L until 4L) {
+        ev.toDF()
+          .filter(col("sec") >= lo + k * step && col("sec") < lo + (k + 1) * step)
+          .coalesce(1).write.mode(if (k == 0L) "overwrite" else "append").parquet(tmp)
+      }
+      val sessions = sessionizeStream(
+        spark.readStream.schema(ev.toDF().schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp).as[Ev])
+      val sink = sinkName("stream_session_file")
+      val q = sessions.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update()).start()
+      q.processAllAvailable()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      require(nBatches >= 2,
+        s"file source drained in $nBatches batches; expected a real multi-batch run")
+      finalizeSessionSink(spark.table(sink)).localCheckpoint(true)
+        .orderBy("user_id", "session_start")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** The streaming sessionization DAG: watermarked event time →
     * groupByKey(user) → flatMapGroupsWithState with EventTimeTimeout.
     * Factored out so specs can drive it trigger-by-trigger.
@@ -729,6 +781,7 @@ object EventStreams {
     "stream_tumbling" -> (tumbling _),
     "stream_tumbling_file" -> (tumblingFile _),
     "stream_session" -> (session _),
+    "stream_session_file" -> (sessionFile _),
     "stream_dedup" -> (dedup _),
     "stream_dedup_wm" -> (dedupWm _),
     "stream_kmv" -> (kmvStream _),
@@ -845,26 +898,31 @@ object EventStreams {
         |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
         |FROM e GROUP BY bucket_h, event_type
         |ORDER BY bucket_h, event_type""".stripMargin,
-    "stream_session" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id,
-        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
-        |    CAST(FLOOR((value)*100) AS BIGINT) AS value_c
-        |  FROM events),
-        |s AS (
-        |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
-        |                   OR sec - lag(sec) OVER w > 1800
-        |            THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
-        |t AS (
-        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-        |  FROM s)
-        |SELECT user_id, CAST(MIN(sec) AS BIGINT) AS session_start,
-        |  COUNT(*) AS n_events,
-        |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
-        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
-        |FROM t GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+    "stream_session" -> sessionOracle,
+    // the chronological multi-batch file-source drain must reproduce
+    // the identical sessions — shares the oracle verbatim
+    "stream_session_file" -> sessionOracle
   )
+
+  private lazy val sessionOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CAST(FLOOR((value)*100) AS BIGINT) AS value_c
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |                   OR sec - lag(sec) OVER w > 1800
+      |            THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |t AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM s)
+      |SELECT user_id, CAST(MIN(sec) AS BIGINT) AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
+      |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+      |FROM t GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 }

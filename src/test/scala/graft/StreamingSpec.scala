@@ -167,6 +167,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromFiles === batch)
   }
 
+  test("file-source multi-batch sessionize equals the MemoryStream drain") {
+    // sessionFile writes four CHRONOLOGICAL slices and requires >= 2
+    // real micro-batches, so equality certifies the stateful
+    // flatMapGroupsWithState operator under a genuine multi-trigger
+    // file-source drain — open sessions crossing batch boundaries,
+    // watermark advancing between batches, timeout evictions included
+    val fromFiles = rows(EventStreams.sessionFile(spark, dir),
+      "user_id", "session_start", "n_events", "dur_sec", "sum_value_c")
+    val fromMemory = rows(EventStreams.session(spark, dir),
+      "user_id", "session_start", "n_events", "dur_sec", "sum_value_c")
+    assert(fromFiles === fromMemory)
+  }
+
   test("sessionizeStream closes by gap, evicts by timeout, and restarts cleanly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
