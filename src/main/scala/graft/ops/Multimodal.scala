@@ -131,6 +131,72 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
   }
 
+  /** Features decoded from a real WAV payload. */
+  case class DecodedWav(doc_id: Long, n_samples: Long, sample_rate: Long,
+                        sum_s: Long, s_checksum: Long, peak: Long)
+
+  /** Sample count / rate for [[decodeWav]]'s deterministic clips. */
+  val WavSamples = 256
+  val WavRate = 8000
+
+  /** mm_decode_wav — the AUDIO twin of [[decodePng]], through a
+    * DIFFERENT real codec: each document renders to a deterministic
+    * [[WavSamples]]-sample 16-bit mono PCM clip (sample i =
+    * (code point i mod 256)·257 − 32768, silence past the end), is
+    * serialized to actual RIFF/WAVE bytes (hand-written container:
+    * RIFF size, fmt chunk, data chunk) and decoded back with the
+    * JDK's `javax.sound.sampled.AudioSystem` WAV reader inside the
+    * same batch-decode seam. The emitted features — frame count and
+    * sample rate FROM THE DECODER, exact sample sum, order-weighted
+    * checksum, peak amplitude — come from the decoded frames, and PCM
+    * is lossless, so the DuckDB oracle predicts them from the text
+    * alone: a green row certifies a genuine encode→bytes→decode
+    * identity through a second independent codec family.
+    */
+  def decodeWav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nSamples, rate) = (WavSamples, WavRate)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val out = new java.io.ByteArrayOutputStream()
+          def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+          def w32(v: Long): Unit = {
+            out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+            out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+          }
+          val dataLen = nSamples * 2
+          out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+          out.write("WAVE".getBytes("US-ASCII"))
+          out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+          w16(1); w16(1)                    // PCM, mono
+          w32(rate.toLong); w32(rate.toLong * 2) // sample rate, byte rate
+          w16(2); w16(16)                   // block align, bits
+          out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+          for (i <- 0 until nSamples) {
+            val s = if (i < cps.length) (cps(i) % 256) * 257 - 32768 else 0
+            w16(s & 0xffff)
+          }
+          // REAL decode: format fields and frames come from the codec
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(out.toByteArray))
+          val fmt = ais.getFormat
+          require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, "not PCM")
+          val frames = ais.getFrameLength
+          val buf = ais.readAllBytes()
+          var sum = 0L; var chk = 0L; var peak = 0L
+          for (i <- 0 until frames.toInt) {
+            val s = (((buf(2 * i + 1) & 0xff) << 8) | (buf(2 * i) & 0xff)).toShort.toLong
+            sum += s; chk += (i + 1) * s; peak = math.max(peak, math.abs(s))
+          }
+          DecodedWav(id, frames, fmt.getSampleRate.toLong, sum, chk, peak)
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
   /** mm_patchify — ViT-style patch extraction over an opaque payload
     * viewed as a character grid: the first 8 rows of width 16 split
     * into a 4×2 grid of 4×4 patches (px ∈ 0..3, py ∈ 0..1); each
@@ -167,6 +233,7 @@ object Multimodal {
     "mm_meta_extract" -> (metaExtract _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize" -> (resize _),
-    "mm_decode_png" -> (decodePng _)
+    "mm_decode_png" -> (decodePng _),
+    "mm_decode_wav" -> (decodeWav _)
   )
 }

@@ -1612,6 +1612,21 @@ object OpsOracles {
          |FROM (SELECT doc_id, i + 1 AS r_i_plus_1, p FROM px)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "mm_decode_wav" -> {
+      val n = Multimodal.WavSamples
+      s"""WITH smp AS (
+         |  SELECT doc_id, r.i,
+         |    CASE WHEN length(text) > r.i
+         |         THEN (ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256) * 257 - 32768
+         |         ELSE 0 END AS s
+         |  FROM documents, range(0, $n) r(i))
+         |SELECT doc_id, CAST($n AS BIGINT) AS n_samples,
+         |  CAST(${Multimodal.WavRate} AS BIGINT) AS sample_rate,
+         |  CAST(SUM(s) AS BIGINT) AS sum_s,
+         |  CAST(SUM((i + 1) * s) AS BIGINT) AS s_checksum,
+         |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
+         |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "mm_pack" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 8)))) AS head_hex,

@@ -410,6 +410,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("wav decode round-trips known samples through the real JDK codec") {
+    // sample i = (cp(i) % 256)*257 - 32768, silence past the text end;
+    // PCM is lossless, so sums/checksum/peak from the decoded frames
+    // must equal the same features derived straight from the text
+    import graft.ops.Multimodal.{WavSamples, WavRate}
+    val expected = docs.map { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val s = (0 until WavSamples).map(i =>
+        if (i < cps.length) (cps(i) % 256) * 257 - 32768 else 0)
+      id -> ((s.map(_.toLong).sum,
+        s.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum,
+        s.map(v => math.abs(v.toLong)).max))
+    }
+    val df = graft.ops.Multimodal.decodeWav(spark, dir)
+    assert(df.columns.toSeq === Seq(
+      "doc_id", "n_samples", "sample_rate", "sum_s", "s_checksum", "peak"))
+    val got = df.collect().map { r =>
+      assert(r.getAs[Long]("n_samples") === WavSamples.toLong)
+      assert(r.getAs[Long]("sample_rate") === WavRate.toLong)
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("sum_s"), r.getAs[Long]("s_checksum"), r.getAs[Long]("peak")))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("patchify emits exactly the fitting 4x4 patches with exact code-point sums") {
     val rows = graft.ops.Multimodal.patchify(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), (r.getString(3), r.getLong(4))))
