@@ -188,6 +188,59 @@ object VolumeQueries {
     }
   }
 
+  /** src_ingest_dispatch — the reference's multi-format ingest
+    * dispatch (tiff2octree.py:1279-1311) as a catalog operator: stage
+    * the same volume through every physical arm (N5 container, `.tif`
+    * and `.jp2` slice dirs, multi-page TIFF stacks), then run the
+    * probe chain — N5 first, slice-dir sniff, stack — purely from
+    * read-back bytes, one catalog row per input with the reference's
+    * `calc_optimal_nlevels` / `adjust_dimensions` level math. Header-
+    * bounded sniffing (IFD walk / leading JP2 boxes / attributes.json
+    * only); JPEG2000 pixel decode stays the documented codec seam in
+    * [[Jp2Binary]].
+    */
+  def ingestDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_ingest_${ProcessHandle.current().pid()}"
+    try {
+      IngestDispatch.stageAll(spark, dir, out)
+      IngestDispatch.discover(spark, out).localCheckpoint(true)
+        .orderBy("input")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
+  /** src_slice_ingest — the slice-dir READ direction
+    * (`gen_highest_resolution_blocks_from_slices` tiff2octree.py:1024
+    * sorts the per-z files and assigns z by position): stage both
+    * channels as single-page `.tif` slices, then reproduce the whole
+    * voxel frame from nothing but read-back slice bytes. Shares the
+    * voxel-model oracle — a green row proves the slice arm ingests
+    * losslessly.
+    */
+  def sliceIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_slices_${ProcessHandle.current().pid()}"
+    try {
+      IngestDispatch.stageSlices(spark, dir, out)
+      IngestDispatch.parseSliceVoxels(spark, out).localCheckpoint(true)
+        .orderBy("c", "z", "y", "x")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),
@@ -195,7 +248,9 @@ object VolumeQueries {
     "src_pyramid_sink" -> (pyramidSink _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_n5_bytes" -> (n5Bytes _),
-    "src_n5_discover" -> (n5Discover _)
+    "src_n5_discover" -> (n5Discover _),
+    "src_ingest_dispatch" -> (ingestDispatch _),
+    "src_slice_ingest" -> (sliceIngest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +305,24 @@ object VolumeQueries {
         |  FROM range(0, 3) l(level), range(0, 2) c(c))
         |SELECT CAST(level AS BIGINT) AS level, CAST(c AS BIGINT) AS c,
         |  CAST(edge AS BIGINT) AS edge, CAST(nb * nb * nb AS BIGINT) AS n_blocks
-        |FROM s ORDER BY level, c""".stripMargin
+        |FROM s ORDER BY level, c""".stripMargin,
+    // the dispatch catalog is fully determined by the volume model
+    // (16³ grid, 2 channels, leaf 4 at the requested 3 levels; the
+    // auto formula gives 1 level since 16³ < 512³) — the Spark side
+    // must RE-DERIVE every value from staged container bytes
+    "src_ingest_dispatch" ->
+      """SELECT * FROM (VALUES
+        |  ('n5',             'n5',     'n5',  CAST(2 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('slices_jp2/ch0', 'slices', 'jp2', CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('slices_tif/ch0', 'slices', 'tif', CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('stack/ch0.tif',  'stack',  'tif', CAST(1 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('stack/ch1.tif',  'stack',  'tif', CAST(1 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT))
+        |) AS t(input, arm, fmt, n_inputs, dim_z, dim_y, dim_x, spp, bits,
+        |       nlevels_auto, leaf_z, leaf_y, leaf_x)
+        |ORDER BY input""".stripMargin,
+    // slice-arm losslessness: the read-back must equal the voxel model
+    "src_slice_ingest" ->
+      s"""WITH ${graft.octree.OctreeOracles.voxelCte}
+         |SELECT c, z, y, x, v FROM voxels ORDER BY c, z, y, x""".stripMargin
   )
 }

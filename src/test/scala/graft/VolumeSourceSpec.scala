@@ -193,4 +193,72 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(out))
     }
   }
+
+  test("ingest level math matches the reference formulas") {
+    import graft.sources.IngestDispatch.{adjustDimensions, calcOptimalNlevels}
+    // adjust_dimensions trims each axis to a multiple of 2^nlevels
+    assert(adjustDimensions(Seq(16L, 16L, 16L), 3) === Seq(16L, 16L, 16L))
+    assert(adjustDimensions(Seq(1000L, 300L, 77L), 1) === Seq(1000L, 300L, 76L))
+    assert(adjustDimensions(Seq(1000L, 300L, 77L), 4) === Seq(992L, 288L, 64L))
+    // calc_optimal_nlevels grows levels until a leaf is under 512³
+    assert(calcOptimalNlevels(Seq(16L, 16L, 16L)) === 1)
+    assert(calcOptimalNlevels(Seq(4096L, 2048L, 1024L)) === 4)
+    assert(calcOptimalNlevels(Seq(5000L, 5000L, 5000L)) === 5)
+    // boundary: leaf exactly 512³ is NOT under the cap → one more level
+    assert(calcOptimalNlevels(Seq(512L, 512L, 512L)) === 2)
+  }
+
+  test("jp2 header boxes round-trip and cross-check ihdr against SIZ") {
+    import graft.sources.Jp2Binary
+    val page = Array.tabulate(16, 16)((y, x) => (y * 16 + x).toLong)
+    val bytes = Jp2Binary.serialize(page)
+    // signature box is byte-exact per ISO 15444-1 I.5.1
+    assert(bytes.take(12).map(_ & 0xff).toSeq ===
+      Seq(0, 0, 0, 12, 'j', 'P', ' ', ' ', 0x0d, 0x0a, 0x87, 0x0a))
+    val hd = Jp2Binary.parseHeader(bytes)
+    assert(hd === Jp2Binary.Jp2Header(16, 16, 1, 16))
+    // header parse must work from a bounded prefix (the sniff reads 4 KB)
+    assert(Jp2Binary.parseHeader(bytes.take(
+      math.min(bytes.length, 4096))) === hd)
+    // a tampered SIZ width must fail the ihdr/SIZ cross-check
+    val bad = bytes.clone()
+    val jp2c = (0 until bytes.length - 8).find(o =>
+      new String(bytes.slice(o + 4, o + 8), "US-ASCII") == "jp2c").get
+    bad(jp2c + 8 + 11) = 99.toByte // low byte of Xsiz
+    assertThrows[IllegalArgumentException](Jp2Binary.parseHeader(bad))
+  }
+
+  test("ingest dispatch: every staged arm sniffs to the reference catalog, slices ingest losslessly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_spec").toString
+    try {
+      graft.sources.IngestDispatch.stageAll(spark, dir, out)
+      val rows = graft.sources.IngestDispatch.discover(spark, out).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+          (r.getLong(4), r.getLong(5), r.getLong(6)), r.getLong(7), r.getLong(8),
+          r.getLong(9), (r.getLong(10), r.getLong(11), r.getLong(12)))).toSeq
+      val g = (16L, 16L, 16L); val leaf = (4L, 4L, 4L)
+      assert(rows === Seq(
+        ("n5", "n5", "n5", 2L, g, 1L, 16L, 1L, leaf),
+        ("slices_jp2/ch0", "slices", "jp2", 16L, g, 1L, 16L, 1L, leaf),
+        ("slices_tif/ch0", "slices", "tif", 16L, g, 1L, 16L, 1L, leaf),
+        ("stack/ch0.tif", "stack", "tif", 1L, g, 1L, 16L, 1L, leaf),
+        ("stack/ch1.tif", "stack", "tif", 1L, g, 1L, 16L, 1L, leaf)))
+      // the slice arm read direction reproduces the voxel model exactly
+      val want = graft.VoxelGrid(spark, dir)
+        .orderBy("c", "z", "y", "x").collect().map(_.toSeq)
+      val got = graft.sources.IngestDispatch.parseSliceVoxels(spark, out)
+        .collect().map(_.toSeq)
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq)
+      // every slice file exists even when its plane is empty
+      assert(new java.io.File(s"$out/slices_tif/ch0").list().length === 16)
+      assert(new java.io.File(s"$out/slices_jp2/ch0").list().length === 16)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
 }
