@@ -32,12 +32,15 @@ object Queries {
   /** Exact integer cents of a (possibly negative) double amount. */
   def cents(c: Column): Column = floor(c * 100).cast("long")
 
-  /** events.ts is nano-grain; it is read as a raw BIGINT of epoch nanos
-    * (see [[graft.Tables]]) because (a) Spark's TimestampType is micros
-    * and (b) nano epoch values exceed 2^53, so any double math on them
-    * would silently lose exactness. All derived time columns therefore
-    * use pure integer division (floor for positive epochs), matching
-    * `epoch_ns(ts) // k` in the DuckDB oracles.
+  /** events.ts is canonically a BIGINT of epoch nanos: whatever the
+    * physical parquet grain (INT64 TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    * NTZ — both have shipped), [[graft.Tables.normalizeEventTs]] rewrites
+    * it to epoch nanos at the read seam, because (a) Spark's
+    * TimestampType is micros and (b) nano epoch values exceed 2^53, so
+    * any double math on them would silently lose exactness. All derived
+    * time columns therefore use pure integer division (floor for
+    * positive epochs), matching `epoch_ns(ts) // k` in the DuckDB
+    * oracles — which is equally grain-agnostic on the DuckDB side.
     */
   def nsToSec(c: Column): Column = {
     // SQL `div` (integral division) — Column./ would detour through
@@ -905,7 +908,7 @@ object Queries {
     */
   def qRetention(spark: SparkSession, dir: String): DataFrame = {
     val acts = Tables(spark, dir, "events")
-      .select(col("user_id"), expr("(ts div 1000000000L) div 86400").as("day"))
+      .select(col("user_id"), floor(nsToSec(col("ts")) / lit(86400.0)).cast("long").as("day"))
       .distinct()
     val cohort = acts.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     acts.join(cohort, "user_id")
