@@ -129,12 +129,14 @@ object IngestDispatch {
   }
 
   /** Stage the same volume through EVERY input arm under `root`:
-    * slice dirs, stacks, and the `n5/` [[N5Binary]] container.
+    * slice dirs, stacks, the `n5/` [[N5Binary]] container, and the
+    * `zarr/` [[ZarrBinary]] container.
     */
   def stageAll(spark: SparkSession, dir: String, root: String): Unit = {
     stageSlices(spark, dir, root)
     stageStacks(spark, dir, root)
     N5Binary.writeContainer(spark, dir, s"$root/n5")
+    ZarrBinary.writeContainer(spark, dir, s"$root/zarr")
   }
 
   // ---------------------------------------------------------------- sniffing
@@ -187,6 +189,22 @@ object IngestDispatch {
     finally in.close()
   }
 
+  /** Minimal executor-side parse of a Zarr `.zarray`: (shape
+    * slowest-first, bits). Zarr dtype strings are
+    * `[<>|](u?int marker)(bytes)` — e.g. `">u2"` = big-endian uint16.
+    */
+  private def zarrDims(zarrayPath: String): (Seq[Long], Long) = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(zarrayPath)), "UTF-8")
+    val shape = """"shape"\s*:\s*\[([0-9,\s]+)\]""".r
+      .findFirstMatchIn(s).map(_.group(1).split(',').map(_.trim.toLong).toSeq)
+      .getOrElse(throw new IllegalArgumentException(s"no shape in $zarrayPath"))
+    val bits = """"dtype"\s*:\s*"[<>|]?[uif](\d+)"""".r
+      .findFirstMatchIn(s).map(_.group(1).toLong * 8)
+      .getOrElse(throw new IllegalArgumentException(s"no dtype in $zarrayPath"))
+    (shape, bits)
+  }
+
   /** Minimal executor-side parse of an N5 dataset attributes.json. */
   private def n5Dims(attrPath: String): (Seq[Long], Long) = {
     val s = new String(java.nio.file.Files.readAllBytes(
@@ -214,11 +232,22 @@ object IngestDispatch {
       val (pages, w, h, bits, spp) = sniffTiff(f.getPath)
       catalog("stack", "tif", 1L, Seq(pages, h, w), spp, bits)
     } else {
-      // N5 probe first (reference: check_n5_channels → n5_zarr_to_dask_array)
+      // plain-Zarr probe FIRST — the reference tries zarr.open(indir)
+      // before falling back to zarr.N5Store (tiff2octree.py:764-767)
+      val zarrSelf = new java.io.File(f, ".zarray")
+      val zarrCh = (0 until 10).map(i => new java.io.File(f, s"c$i/s0/.zarray"))
+        .filter(_.isFile)
+      // N5 second (reference: check_n5_channels → n5_zarr_to_dask_array)
       val selfS0 = new java.io.File(f, "s0/attributes.json")
       val chDirs = (0 until 10).map(i => new java.io.File(f, s"c$i/s0/attributes.json"))
         .filter(_.isFile)
-      if (selfS0.isFile || chDirs.nonEmpty) {
+      if (zarrSelf.isFile || zarrCh.nonEmpty) {
+        val first = if (zarrSelf.isFile) zarrSelf else zarrCh.head
+        val (shapeZYX, bits) = zarrDims(first.getPath)
+        // Zarr shape is slowest-first (z, y, x) — already catalog order
+        catalog("zarr", "zarr", if (zarrSelf.isFile) 1L else zarrCh.size.toLong,
+          shapeZYX, 1L, bits)
+      } else if (selfS0.isFile || chDirs.nonEmpty) {
         val first = if (selfS0.isFile) selfS0 else chDirs.head
         val (dimsXYZ, bits) = n5Dims(first.getPath)
         // N5 dimensions are fastest-first (x, y, z); catalog is (z, y, x)
@@ -247,7 +276,7 @@ object IngestDispatch {
   def discover(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val inputs = Seq("n5", "slices_jp2/ch0", "slices_tif/ch0",
-      "stack/ch0.tif", "stack/ch1.tif")
+      "stack/ch0.tif", "stack/ch1.tif", "zarr")
     spark.createDataset(inputs).repartition(inputs.size)
       .map(rel => sniff(root, rel))
       .toDF().orderBy("input")

@@ -147,6 +147,55 @@ object VolumeQueries {
     }
   }
 
+  /** src_zarr_bytes — the plain-Zarr flavor of the container round
+    * trip (the reference's FIRST probe: `zarr.open(indir)` at
+    * tiff2octree.py:764/:699/:779 before the N5Store fallback): write
+    * the pyramid as a physical Zarr v2 container (`.zarray` metadata,
+    * C-order `gz.gy.gx` chunk files, zlib DEFLATE), then decode every
+    * level's voxels from nothing but read-back bytes
+    * ([[ZarrBinary.parseVoxels]] — chunk shape broadcast-joined from
+    * `.zarray`, since Zarr chunks carry no header). Shares the
+    * oct_pyramid oracle verbatim.
+    */
+  def zarrBytes(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_zarr_${ProcessHandle.current().pid()}"
+    try {
+      ZarrBinary.writeContainer(spark, dir, out)
+      ZarrBinary.parseVoxels(spark, out).localCheckpoint(true)
+        .orderBy("level", "c", "z", "y", "x")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
+  /** src_zarr_discover — the Zarr flavor of the level/channel probe
+    * chain: stage the container, then derive the catalog purely from
+    * read-back `.zarray` bytes. Shares src_n5_discover's oracle — the
+    * two container flavors and the relational model agree row for row.
+    */
+  def zarrDiscover(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_zarrd_${ProcessHandle.current().pid()}"
+    try {
+      ZarrBinary.writeContainer(spark, dir, out)
+      ZarrBinary.discoverLevels(spark, out).localCheckpoint(true)
+        .orderBy("level", "c")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   /** src_jsonl_scan — the JSONL ingest path (newline-delimited JSON
     * is THE LLM-corpus interchange format): write the documents table
     * as JSON lines, read it back with an EXPLICIT schema (never
@@ -249,6 +298,8 @@ object VolumeQueries {
     "src_jsonl_scan" -> (jsonlScan _),
     "src_n5_bytes" -> (n5Bytes _),
     "src_n5_discover" -> (n5Discover _),
+    "src_zarr_bytes" -> (zarrBytes _),
+    "src_zarr_discover" -> (zarrDiscover _),
     "src_ingest_dispatch" -> (ingestDispatch _),
     "src_slice_ingest" -> (sliceIngest _)
   )
@@ -268,8 +319,18 @@ object VolumeQueries {
     "src_pyramid_sink" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // same losslessness bar for the plain-Zarr container flavor
+    "src_zarr_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // physical-container discovery shares the relational catalog oracle
     "src_n5_discover" ->
+      """WITH s AS (
+        |  SELECT l.level, c.c, 16 >> l.level AS edge, (16 >> l.level) // 4 AS nb
+        |  FROM range(0, 3) l(level), range(0, 2) c(c))
+        |SELECT CAST(level AS BIGINT) AS level, CAST(c AS BIGINT) AS c,
+        |  CAST(edge AS BIGINT) AS edge, CAST(nb * nb * nb AS BIGINT) AS n_blocks
+        |FROM s ORDER BY level, c""".stripMargin,
+    // the Zarr container's catalog must be indistinguishable from N5's
+    "src_zarr_discover" ->
       """WITH s AS (
         |  SELECT l.level, c.c, 16 >> l.level AS edge, (16 >> l.level) // 4 AS nb
         |  FROM range(0, 3) l(level), range(0, 2) c(c))
@@ -316,7 +377,8 @@ object VolumeQueries {
         |  ('slices_jp2/ch0', 'slices', 'jp2', CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
         |  ('slices_tif/ch0', 'slices', 'tif', CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
         |  ('stack/ch0.tif',  'stack',  'tif', CAST(1 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
-        |  ('stack/ch1.tif',  'stack',  'tif', CAST(1 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT))
+        |  ('stack/ch1.tif',  'stack',  'tif', CAST(1 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('zarr',           'zarr',   'zarr', CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT))
         |) AS t(input, arm, fmt, n_inputs, dim_z, dim_y, dim_x, spp, bits,
         |       nlevels_auto, leaf_z, leaf_y, leaf_x)
         |ORDER BY input""".stripMargin,

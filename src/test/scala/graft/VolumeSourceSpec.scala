@@ -194,6 +194,95 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("physical zarr container round-trips: chunk bytes parse back to the exact arthur pyramid") {
+    import graft.sources.ZarrBinary
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_zarr_spec").toString
+    try {
+      ZarrBinary.writeContainer(spark, dir, out)
+      // 1. every level's voxels decoded from bytes == the pyramid frame
+      val want = graft.octree.Pyramid(graft.VoxelGrid(spark, dir))
+        .orderBy("level", "c", "z", "y", "x").collect().map(_.toSeq)
+      val got = ZarrBinary.parseVoxels(spark, out).collect().map(_.toSeq)
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq)
+      // 2. discovery from .zarray bytes == the full catalog (same rows
+      //    as the N5 flavor — the two containers are interchangeable)
+      val levels = ZarrBinary.discoverLevels(spark, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(levels === (for (s <- 0L until 3L; c <- 0L until 2L) yield {
+        val edge = 16L >> s
+        val nb = edge / graft.VoxelGrid.Leaf
+        (s, c, edge, nb * nb * nb)
+      }).toSeq)
+      // 3. sparsity: exactly one chunk file per OCCUPIED s0 block per
+      //    channel (missing chunks = fill_value, the Zarr convention)
+      val occupied = graft.VoxelGrid(spark, dir).collect().map { r =>
+        val leaf = graft.VoxelGrid.Leaf
+        (r.getLong(0), r.getLong(1) / leaf, r.getLong(2) / leaf, r.getLong(3) / leaf)
+      }.toSet
+      def chunks(root: java.io.File): Seq[java.io.File] =
+        if (root.isDirectory) Option(root.listFiles()).toSeq.flatten.flatMap(chunks)
+        else if (!root.getName.startsWith(".")) Seq(root) else Seq.empty
+      val s0 = chunks(new java.io.File(out))
+        .filter(_.getAbsolutePath.contains("/s0/"))
+      assert(s0.size === occupied.size)
+      // 4. chunk files are RAW zlib — no N5-style header: the inflated
+      //    payload is exactly Leaf³ BE u16 values
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(java.nio.file.Files.readAllBytes(s0.head.toPath))
+      val l = graft.VoxelGrid.Leaf
+      val raw = new Array[Byte](l * l * l * 2 + 1)
+      val n = inf.inflate(raw)
+      assert(inf.finished() && n === l * l * l * 2)
+      // 5. the root .zattrs pixelResolution reads back
+      assert(ZarrBinary.pixelResolution(out) === ZarrBinary.PixelResolution)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
+  test("zarr decode is C-order on a non-cubic chunk (axis mixups cannot hide)") {
+    import graft.sources.ZarrBinary
+    val out = java.nio.file.Files.createTempDirectory("graft_zarr_order").toString
+    try {
+      // hand-write a one-chunk array of shape (2, 3, 4): value encodes
+      // the coordinate as z·100 + y·10 + x + 1, C-order serialization
+      val (dz, dy, dx) = (2, 3, 4)
+      new java.io.File(s"$out/c0/s0").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/c0/s0/.zarray"),
+        (s"""{"zarr_format":2,"shape":[$dz,$dy,$dx],"chunks":[$dz,$dy,$dx],""" +
+          s""""dtype":">u2","compressor":{"id":"zlib","level":1},""" +
+          s""""fill_value":0,"order":"C","filters":null}""").getBytes("UTF-8"))
+      val raw = new Array[Byte](dz * dy * dx * 2)
+      for (z <- 0 until dz; y <- 0 until dy; x <- 0 until dx) {
+        val v = z * 100 + y * 10 + x + 1
+        val off = ((z * dy + y) * dx + x) * 2
+        raw(off) = ((v >> 8) & 0xff).toByte; raw(off + 1) = (v & 0xff).toByte
+      }
+      val d = new java.util.zip.Deflater(1)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val nc = d.deflate(buf)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/c0/s0/0.0.0"), buf.take(nc))
+      val got = ZarrBinary.parseVoxels(spark, out).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val want = (for (z <- 0 until dz; y <- 0 until dy; x <- 0 until dx)
+        yield (z.toLong, y.toLong, x.toLong, (z * 100 + y * 10 + x + 1).toLong)).toSet
+      assert(got === want)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("ingest level math matches the reference formulas") {
     import graft.sources.IngestDispatch.{adjustDimensions, calcOptimalNlevels}
     // adjust_dimensions trims each axis to a multiple of 2^nlevels
@@ -243,7 +332,8 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("slices_jp2/ch0", "slices", "jp2", 16L, g, 1L, 16L, 1L, leaf),
         ("slices_tif/ch0", "slices", "tif", 16L, g, 1L, 16L, 1L, leaf),
         ("stack/ch0.tif", "stack", "tif", 1L, g, 1L, 16L, 1L, leaf),
-        ("stack/ch1.tif", "stack", "tif", 1L, g, 1L, 16L, 1L, leaf)))
+        ("stack/ch1.tif", "stack", "tif", 1L, g, 1L, 16L, 1L, leaf),
+        ("zarr", "zarr", "zarr", 2L, g, 1L, 16L, 1L, leaf)))
       // the slice arm read direction reproduces the voxel model exactly
       val want = graft.VoxelGrid(spark, dir)
         .orderBy("c", "z", "y", "x").collect().map(_.toSeq)
