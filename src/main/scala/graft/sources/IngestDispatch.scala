@@ -322,4 +322,34 @@ object IngestDispatch {
       .toDF("c", "z", "y", "x", "v")
       .orderBy("c", "z", "y", "x")
   }
+
+  /** The `.jp2` slice READ direction — the role `get_image`
+    * (tiff2octree.py:532, glymur) plays in the reference: a
+    * distributed binaryFile scan over the staged channel-0 `.jp2`
+    * slices, each file's pixels decoded from bytes alone through the
+    * REAL [[Jp2Codec]] entropy decoder (MQ + EBCOT), z from the
+    * sorted file name; must reproduce the channel-0 [[VoxelGrid]]
+    * exactly.
+    */
+  def parseJp2Voxels(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jp2")
+      .option("recursiveFileLookup", "true")
+      .load(s"$root/slices_jp2")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val parts = path.split('/')
+        val c = parts(parts.length - 2).stripPrefix("ch").toLong
+        val z = parts.last.stripPrefix("z").stripSuffix(".jp2").toLong
+        val page = Jp2Binary.decode(bytes)
+        for {
+          y <- page.indices; x <- page(y).indices
+          v = page(y)(x)
+          if v > 0
+        } yield (c, z, y.toLong, x.toLong, v)
+      }
+      .toDF("c", "z", "y", "x", "v")
+      .orderBy("c", "z", "y", "x")
+  }
 }

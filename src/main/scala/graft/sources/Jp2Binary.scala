@@ -6,21 +6,21 @@ package graft.sources
   * header via rasterio :673-677, and `get_image` :532 decodes pixels
   * with glymur at block-read time).
   *
-  * What is REAL here: the full JP2 box container (ISO/IEC 15444-1
-  * Annex I) — signature box, ftyp, jp2h(ihdr + colr) — and the
-  * codestream's SOC + SIZ marker segment (Annex A.5.1), both written
-  * and re-parsed byte-for-byte with nothing but the JDK. That covers
-  * everything the reference's DISPATCH path reads: rasterio's
-  * src.width / src.height / src.count / src.dtypes all come from
-  * these headers without decoding a single pixel.
+  * The full JP2 box container (ISO/IEC 15444-1 Annex I) — signature
+  * box, ftyp, jp2h(ihdr + colr) — and the codestream's SOC + SIZ
+  * marker segment (Annex A.5.1) are written and re-parsed
+  * byte-for-byte with nothing but the JDK. That covers everything the
+  * reference's DISPATCH path reads: rasterio's src.width / src.height
+  * / src.count / src.dtypes all come from these headers without
+  * decoding a single pixel.
   *
-  * What is a SEAM: the tile-part entropy data after SIZ. JPEG2000
-  * wavelet + MQ-coder entropy coding is a full codec out of scope for
-  * a pure-JDK build, so the payload between SIZ and EOC is a
-  * deterministic deflate of the raw samples, clearly NOT JPEG2000
-  * entropy data. [[parseHeader]] never reads it; a real OpenJPEG /
-  * glymur-equivalent decoder slots in exactly there (the same
-  * documented-codec-seam pattern mm_decode once used for PNG).
+  * The tile-part after SIZ — formerly the one documented codec seam —
+  * is since r8 a REAL JPEG2000 codestream: [[Jp2Codec]] implements
+  * the MQ arithmetic coder and the EBCOT bit-plane passes from the
+  * published spec for the constrained profile written here (one tile,
+  * one component, zero decomposition levels, one code block), so
+  * `.jp2` slices round-trip pixels through genuine entropy coding —
+  * the role `get_image`/glymur plays in the reference.
   */
 object Jp2Binary {
 
@@ -81,7 +81,8 @@ object Jp2Binary {
     jp2h.write(box("colr", colr.toByteArray))
     out.write(box("jp2h", jp2h.toByteArray))
     // jp2c: SOC, SIZ (one tile covering the image, one component),
-    // then the CODEC SEAM payload, then EOC
+    // then the REAL entropy-coded tile-part (COD/QCD/SOT/SOD + the
+    // MQ-coded packet, [[Jp2Codec.encodeTail]]), then EOC
     val cs = new java.io.ByteArrayOutputStream()
     putU16(cs, 0xff4f)                    // SOC
     putU16(cs, 0xff51)                    // SIZ
@@ -94,17 +95,34 @@ object Jp2Binary {
     putU16(cs, 1)                         // Csiz: one component
     cs.write(bits - 1)                    // Ssiz: depth-1, unsigned
     cs.write(1); cs.write(1)              // XRsiz, YRsiz
-    // ---- codec seam: NOT JPEG2000 entropy data (see scaladoc) ----
-    val raw = new java.io.ByteArrayOutputStream()
-    for (row <- page; v <- row) putU16(raw, v.toInt)
-    val d = new java.util.zip.Deflater(6)
-    d.setInput(raw.toByteArray); d.finish()
-    val buf = new Array[Byte](raw.size() + 64)
-    while (!d.finished()) cs.write(buf, 0, d.deflate(buf))
-    d.end()
+    cs.write(Jp2Codec.encodeTail(page, bits))
     cs.write(0xff); cs.write(0xd9)        // EOC
     out.write(box("jp2c", cs.toByteArray))
     out.toByteArray
+  }
+
+  /** Decode the pixel payload of a `.jp2` file written by
+    * [[serialize]]: walk the boxes to jp2c, then run the real
+    * [[Jp2Codec]] Tier-2 + Tier-1 decode — the `get_image`
+    * (tiff2octree.py:532) role. The header chain is re-validated via
+    * [[parseHeader]] first, so corrupt containers fail loudly before
+    * entropy decoding.
+    */
+  private[graft] def decode(bytes: Array[Byte]): Array[Array[Long]] = {
+    val hd = parseHeader(bytes)
+    var off = 12
+    var cs: Option[Array[Byte]] = None
+    while (off + 8 <= bytes.length && cs.isEmpty) {
+      val len = getU32(bytes, off)
+      if (new String(bytes.slice(off + 4, off + 8), "US-ASCII") == "jp2c")
+        cs = Some(bytes.slice(off + 8, off + len.toInt))
+      off += len.toInt
+    }
+    val page = Jp2Codec.decodeCodestream(
+      cs.getOrElse(throw new IllegalArgumentException("no jp2c box")))
+    require(page.length == hd.height.toInt && page.head.length == hd.width.toInt,
+      "decoded dimensions disagree with the header chain")
+    page
   }
 
   /** Parse the header chain from read-back bytes: signature + ftyp

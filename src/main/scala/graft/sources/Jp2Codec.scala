@@ -1,0 +1,651 @@
+package graft.sources
+
+/** A real JPEG2000 Part-1 entropy codec (ISO/IEC 15444-1 / ITU-T
+  * T.800), pure JDK, for the constrained profile [[Jp2Binary]] writes:
+  * one tile, one unsigned grayscale component, ZERO wavelet
+  * decomposition levels (so the single LL subband IS the image and no
+  * inverse DWT is needed — a legitimate codestream shape, signaled in
+  * COD), one 64×64 code block covering the page, one quality layer,
+  * LRCP. Within that profile this is the full Tier-1/Tier-2 machinery
+  * the reference leans on glymur/OpenJPEG for (`get_image`
+  * tiff2octree.py:524-545 decodes `.jp2` slices at block-read time):
+  *
+  *  - the MQ arithmetic coder (Annex C): the 47-state Qe probability
+  *    table, encoder with carry/0xFF byte-stuffing BYTEOUT and the
+  *    spec FLUSH (trailing 0xFF discarded), decoder whose BYTEIN
+  *    feeds 1-bits past the terminator;
+  *  - the EBCOT bit-plane coder (Annex D): 19 contexts (9
+  *    significance from the H/V/D neighborhood, 5 sign with the XOR
+  *    convention, 3 magnitude refinement, run-length + UNIFORM),
+  *    stripe-of-4 scan, and the three passes per plane — significance
+  *    propagation, magnitude refinement, cleanup with run-length
+  *    column mode — MSB plane cleanup-only;
+  *  - minimal Tier-2: the packet header (non-empty bit, single-node
+  *    inclusion and zero-bitplane tag trees, the variable-length
+  *    pass-count code, Lblock length signaling) with 0xFF
+  *    bit-unstuffing, COD/QCD/SOT/SOD marker segments, and the DC
+  *    level shift (Annex G) for unsigned samples.
+  *
+  * Encoder and decoder are independent implementations of the same
+  * published flowcharts; the spec pins them against each other with
+  * exhaustive round trips (random pages, extreme values, non-square
+  * shapes) plus structural checks (marker layout, no 0xFF93+ byte
+  * pairs inside the MQ codeword).
+  */
+object Jp2Codec {
+
+  // ------------------------------------------------------------ MQ tables
+  // Annex C, Table C.2: (Qe, NMPS, NLPS, SWITCH) per state.
+  private val Qe = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val Nmps = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val Nlps = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val Switch = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  // Context indices (Annex D): 0-8 significance, 9-13 sign,
+  // 14-16 magnitude refinement, 17 run-length, 18 uniform.
+  private val CtxRun = 17
+  private val CtxUni = 18
+  private val NCtx = 19
+
+  /** Initial (state, mps) per context — Table D.7: everything 0
+    * except the all-zero significance context (state 4), run-length
+    * (state 3) and uniform (state 46).
+    */
+  private def initStates(): (Array[Int], Array[Int]) = {
+    val st = new Array[Int](NCtx)
+    st(0) = 4; st(CtxRun) = 3; st(CtxUni) = 46
+    (st, new Array[Int](NCtx))
+  }
+
+  // ------------------------------------------------------------ MQ encoder
+  private final class MqEncoder {
+    private val (st, mps) = initStates()
+    private var a = 0x8000
+    private var c = 0
+    private var ct = 12
+    // The spec's BP starts one position BEFORE the codestream (C.2.3):
+    // a dummy byte absorbs a carry generated before the first real
+    // BYTEOUT. It is dropped at flush when still zero (the normal
+    // case); if a carry ever reached it, it is a real leading byte.
+    private val out = scala.collection.mutable.ArrayBuffer[Int](0)
+    private var b = 0
+
+    private def byteOut(): Unit = {
+      if (b == 0xFF) {
+        push(c >>> 20); c &= 0xFFFFF; ct = 7
+      } else if (c < 0x8000000) {
+        push(c >>> 19); c &= 0x7FFFF; ct = 8
+      } else {
+        // carry into the previous byte, then emit per its new value
+        b += 1
+        out(out.length - 1) = b
+        if (b == 0xFF) {
+          c &= 0x7FFFFFF
+          push(c >>> 20); c &= 0xFFFFF; ct = 7
+        } else {
+          push(c >>> 19); c &= 0x7FFFF; ct = 8
+        }
+      }
+    }
+
+    private def push(v: Int): Unit = { b = v & 0xFF; out += b }
+
+    private def renorm(): Unit = {
+      while ({
+        a <<= 1; c <<= 1; ct -= 1
+        if (ct == 0) byteOut()
+        (a & 0x8000) == 0
+      }) ()
+    }
+
+    def encode(ctx: Int, bit: Int): Unit = {
+      val q = Qe(st(ctx))
+      if (bit == mps(ctx)) {
+        a -= q
+        if ((a & 0x8000) == 0) {
+          if (a < q) a = q else c += q
+          st(ctx) = Nmps(st(ctx))
+          renorm()
+        } else c += q
+      } else {
+        a -= q
+        if (a < q) c += q else a = q
+        if (Switch(st(ctx)) == 1) mps(ctx) = 1 - mps(ctx)
+        st(ctx) = Nlps(st(ctx))
+        renorm()
+      }
+    }
+
+    /** Annex C.2.9 FLUSH: set as many C bits as possible, push the
+      * final bytes, discard a trailing 0xFF (the decoder's BYTEIN
+      * synthesizes 1-bits past the end).
+      */
+    def flush(): Array[Byte] = {
+      val tempc = (c + a - 1) & 0xFFFF8000
+      if (c < tempc) c = tempc
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      if (out.nonEmpty && out.last == 0xFF) out.remove(out.length - 1)
+      if (out.nonEmpty && out.head == 0) out.remove(0) // drop the dummy
+      out.map(_.toByte).toArray
+    }
+  }
+
+  // ------------------------------------------------------------ MQ decoder
+  private final class MqDecoder(data: Array[Byte]) {
+    private val (st, mps) = initStates()
+    private var bp = 0
+    private var a = 0
+    private var c = 0
+    private var ct = 0
+
+    private def byteAt(i: Int): Int =
+      if (i < data.length) data(i) & 0xFF else 0xFF
+
+    // INITDEC
+    c = byteAt(0) << 16
+    byteIn()
+    c <<= 7; ct -= 7; a = 0x8000
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xFF) {
+        if (byteAt(bp + 1) > 0x8F) { c += 0xFF00; ct = 8 }
+        else { bp += 1; c += byteAt(bp) << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp) << 8; ct = 8 }
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        if (ct == 0) byteIn()
+        a <<= 1; c <<= 1; ct -= 1
+        (a & 0x8000) == 0
+      }) ()
+    }
+
+    def decode(ctx: Int): Int = {
+      val q = Qe(st(ctx))
+      var d = 0
+      a -= q
+      if (((c >>> 16) & 0xFFFF) < q) {
+        // LPS interval selected: conditional exchange
+        if (a < q) { d = mps(ctx); st(ctx) = Nmps(st(ctx)) }
+        else {
+          d = 1 - mps(ctx)
+          if (Switch(st(ctx)) == 1) mps(ctx) = 1 - mps(ctx)
+          st(ctx) = Nlps(st(ctx))
+        }
+        a = q
+        renorm()
+      } else {
+        c -= q << 16
+        if ((a & 0x8000) == 0) {
+          if (a < q) {
+            d = 1 - mps(ctx)
+            if (Switch(st(ctx)) == 1) mps(ctx) = 1 - mps(ctx)
+            st(ctx) = Nlps(st(ctx))
+          } else { d = mps(ctx); st(ctx) = Nmps(st(ctx)) }
+          renorm()
+        } else d = mps(ctx)
+      }
+      d
+    }
+  }
+
+  // ------------------------------------------------------ bit-plane coder
+
+  /** Significance context from the neighborhood counts — Table D.1,
+    * LL/LH column (the only band at NL=0).
+    */
+  private def sigCtx(h: Int, v: Int, d: Int): Int =
+    if (h == 2) 8
+    else if (h == 1) { if (v >= 1) 7 else if (d >= 1) 6 else 5 }
+    else { // h == 0
+      if (v == 2) 4 else if (v == 1) 3
+      else if (d >= 2) 2 else if (d == 1) 1 else 0
+    }
+
+  /** Sign context + XOR bit from the clamped H/V sign contributions —
+    * Tables D.3/D.4.
+    */
+  private def signCtx(hc: Int, vc: Int): (Int, Int) = (hc, vc) match {
+    case (1, 1)   => (13, 0)
+    case (1, 0)   => (12, 0)
+    case (1, -1)  => (11, 0)
+    case (0, 1)   => (10, 0)
+    case (0, 0)   => (9, 0)
+    case (0, -1)  => (10, 1)
+    case (-1, 1)  => (11, 1)
+    case (-1, 0)  => (12, 1)
+    case (-1, -1) => (13, 1)
+    case other    => throw new IllegalStateException(s"sign ctx $other")
+  }
+
+  /** Shared per-block coding state driven identically by encoder and
+    * decoder — the pass structure, scan order and context formation
+    * live HERE once, with tiny closures doing the actual bit IO, so
+    * the two directions cannot drift apart.
+    */
+  private final class BlockState(val w: Int, val h: Int) {
+    val sigma = new Array[Boolean](w * h)
+    val sign = new Array[Int](w * h) // 0 positive, 1 negative
+    val mag = new Array[Int](w * h)
+    val visited = new Array[Boolean](w * h)
+    val refined = new Array[Boolean](w * h)
+
+    private def sig(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= w || y >= h) 0
+      else if (sigma(y * w + x)) 1 else 0
+
+    def neighborCounts(x: Int, y: Int): (Int, Int, Int) = (
+      sig(x - 1, y) + sig(x + 1, y),
+      sig(x, y - 1) + sig(x, y + 1),
+      sig(x - 1, y - 1) + sig(x + 1, y - 1) + sig(x - 1, y + 1) + sig(x + 1, y + 1))
+
+    private def signContrib(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= w || y >= h) 0
+      else if (!sigma(y * w + x)) 0
+      else if (sign(y * w + x) == 0) 1 else -1
+
+    def signContext(x: Int, y: Int): (Int, Int) = {
+      val hc = math.max(-1, math.min(1, signContrib(x - 1, y) + signContrib(x + 1, y)))
+      val vc = math.max(-1, math.min(1, signContrib(x, y - 1) + signContrib(x, y + 1)))
+      signCtx(hc, vc)
+    }
+
+    def magContext(x: Int, y: Int): Int = {
+      if (refined(y * w + x)) 16
+      else {
+        val (nh, nv, nd) = neighborCounts(x, y)
+        if (nh + nv + nd > 0) 15 else 14
+      }
+    }
+
+    /** One full coding schedule over `numPlanes` magnitude planes.
+      * `sigBit(ctx)`, `rawBit(ctx)` encode-or-decode one decision;
+      * `planeBit(idx)` is the encoder's source of magnitude bits (the
+      * decoder ORs decoded bits into `mag` itself, so it passes a
+      * reader of the evolving state). `onSig(idx, plane)` runs when a
+      * coefficient becomes significant (decoder sets the plane bit).
+      */
+    def run(numPlanes: Int,
+            bitIO: (Int, Int) => Int, // (ctx, encBit) => bit
+            planeBit: (Int, Int) => Int, // (idx, plane) => 0/1 for enc; dec ignores
+            onNewSig: (Int, Int) => Unit): Unit = {
+      for (p <- (numPlanes - 1) to 0 by -1) {
+        if (p < numPlanes - 1) {
+          sigPropPass(p, bitIO, planeBit, onNewSig)
+          magRefPass(p, bitIO, planeBit)
+        }
+        cleanupPass(p, bitIO, planeBit, onNewSig)
+        java.util.Arrays.fill(visited, false)
+      }
+    }
+
+    private def codeSignificance(x: Int, y: Int, p: Int,
+        bitIO: (Int, Int) => Int, planeBit: (Int, Int) => Int,
+        onNewSig: (Int, Int) => Unit): Unit = {
+      val idx = y * w + x
+      val (nh, nv, nd) = neighborCounts(x, y)
+      val bit = bitIO(sigCtx(nh, nv, nd), planeBit(idx, p))
+      if (bit == 1) {
+        sigma(idx) = true
+        onNewSig(idx, p)
+        val (sctx, xor) = signContext(x, y)
+        val coded = bitIO(sctx, sign(idx) ^ xor)
+        sign(idx) = coded ^ xor
+      }
+    }
+
+    private def sigPropPass(p: Int, bitIO: (Int, Int) => Int,
+        planeBit: (Int, Int) => Int, onNewSig: (Int, Int) => Unit): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        for (x <- 0 until w; y <- y0 until math.min(y0 + 4, h)) {
+          val idx = y * w + x
+          if (!sigma(idx)) {
+            val (nh, nv, nd) = neighborCounts(x, y)
+            if (nh + nv + nd > 0) {
+              codeSignificance(x, y, p, bitIO, planeBit, onNewSig)
+              visited(idx) = true
+            }
+          }
+        }
+        y0 += 4
+      }
+    }
+
+    private def magRefPass(p: Int, bitIO: (Int, Int) => Int,
+        planeBit: (Int, Int) => Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        for (x <- 0 until w; y <- y0 until math.min(y0 + 4, h)) {
+          val idx = y * w + x
+          if (sigma(idx) && !visited(idx)) {
+            val bit = bitIO(magContext(x, y), planeBit(idx, p))
+            if (bit == 1) mag(idx) |= 1 << p
+            refined(idx) = true
+          }
+        }
+        y0 += 4
+      }
+    }
+
+    private def cleanupPass(p: Int, bitIO: (Int, Int) => Int,
+        planeBit: (Int, Int) => Int, onNewSig: (Int, Int) => Unit): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        val rows = math.min(4, h - y0)
+        for (x <- 0 until w) {
+          var start = 0
+          val eligible = rows == 4 && (0 until 4).forall { i =>
+            val y = y0 + i
+            val idx = y * w + x
+            !sigma(idx) && !visited(idx) && {
+              val (nh, nv, nd) = neighborCounts(x, y)
+              nh + nv + nd == 0
+            }
+          }
+          if (eligible) {
+            val some = (0 until 4).exists(i => planeBit((y0 + i) * w + x, p) == 1)
+            val runBit = bitIO(CtxRun, if (some) 1 else 0)
+            if (runBit == 0) start = 4
+            else {
+              // the interrupt position, two UNIFORM bits MSB-first.
+              // Encoder side derives r from its own plane bits; the
+              // decoder reconstructs it from the decoded bits.
+              val encR = (0 until 4).indexWhere(i => planeBit((y0 + i) * w + x, p) == 1)
+              val hiSrc = if (encR >= 0) (encR >> 1) & 1 else 0
+              val loSrc = if (encR >= 0) encR & 1 else 0
+              val hi = bitIO(CtxUni, hiSrc)
+              val lo = bitIO(CtxUni, loSrc)
+              val r = (hi << 1) | lo
+              val y = y0 + r
+              val idx = y * w + x
+              sigma(idx) = true
+              onNewSig(idx, p)
+              val (sctx, xor) = signContext(x, y)
+              val coded = bitIO(sctx, sign(idx) ^ xor)
+              sign(idx) = coded ^ xor
+              start = r + 1
+            }
+          }
+          for (i <- start until rows) {
+            val y = y0 + i
+            val idx = y * w + x
+            if (!sigma(idx) && !visited(idx))
+              codeSignificance(x, y, p, bitIO, planeBit, onNewSig)
+          }
+        }
+        y0 += 4
+      }
+    }
+  }
+
+  /** Tier-1 encode of one code block of signed coefficients (row
+    * major). Returns (numPlanes, codeword bytes); numPlanes = 0 for an
+    * all-zero block (no codeword — the packet signals non-inclusion).
+    */
+  def encodeBlock(coef: Array[Int], w: Int, h: Int): (Int, Array[Byte]) = {
+    require(coef.length == w * h, "coef length mismatch")
+    val maxMag = coef.foldLeft(0)((m, v) => math.max(m, math.abs(v)))
+    if (maxMag == 0) return (0, Array.emptyByteArray)
+    val numPlanes = 32 - Integer.numberOfLeadingZeros(maxMag)
+    val st = new BlockState(w, h)
+    for (i <- coef.indices) {
+      st.mag(i) = math.abs(coef(i))
+      st.sign(i) = if (coef(i) < 0) 1 else 0
+    }
+    val enc = new MqEncoder
+    st.run(numPlanes,
+      bitIO = (ctx, bit) => { enc.encode(ctx, bit); bit },
+      planeBit = (idx, p) => (st.mag(idx) >> p) & 1,
+      onNewSig = (_, _) => ())
+    (numPlanes, enc.flush())
+  }
+
+  /** Tier-1 decode: the inverse of [[encodeBlock]] given the plane
+    * count from the packet header.
+    */
+  def decodeBlock(data: Array[Byte], w: Int, h: Int, numPlanes: Int): Array[Int] = {
+    val st = new BlockState(w, h)
+    if (numPlanes == 0) return new Array[Int](w * h)
+    val dec = new MqDecoder(data)
+    st.run(numPlanes,
+      bitIO = (ctx, _) => dec.decode(ctx),
+      planeBit = (idx, p) => (st.mag(idx) >> p) & 1,
+      onNewSig = (idx, p) => st.mag(idx) |= 1 << p)
+    // refinement/significance bits were ORed into mag as decoded
+    Array.tabulate(w * h)(i =>
+      if (!st.sigma(i)) 0
+      else if (st.sign(i) == 1) -st.mag(i) else st.mag(i))
+  }
+
+  // ------------------------------------------------------------ Tier-2
+
+  /** Packet-header bit writer with the 0xFF stuffing rule: a byte of
+    * 0xFF is followed by a 7-bit byte (MSB forced 0).
+    */
+  private final class HeaderWriter {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private var cur = 0
+    private var nBits = 0
+    private def limit: Int = if (out.nonEmpty && out.last == 0xFF) 7 else 8
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == limit) { out += cur; cur = 0; nBits = 0 }
+    }
+    def bits(v: Int, n: Int): Unit = for (i <- (n - 1) to 0 by -1) bit((v >> i) & 1)
+    def finish(): Array[Byte] = {
+      if (nBits > 0) { while (nBits != 0 && nBits < limit) { cur <<= 1; nBits += 1 }; out += cur }
+      if (out.nonEmpty && out.last == 0xFF) out += 0 // header may not end in 0xFF
+      out.map(_.toByte).toArray
+    }
+  }
+
+  private final class HeaderReader(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nBits = 0
+    private var prevFF = false
+    def bit(): Int = {
+      if (nBits == 0) {
+        cur = data(pos) & 0xFF; pos += 1
+        nBits = if (prevFF) 7 else 8
+        prevFF = cur == 0xFF
+        if (nBits == 7) cur &= 0x7F
+      }
+      nBits -= 1
+      (cur >> nBits) & 1
+    }
+    def bits(n: Int): Int = (0 until n).foldLeft(0)((acc, _) => (acc << 1) | bit())
+    /** Byte-aligns and returns the next byte offset. */
+    def align(): Int = { nBits = 0; if (prevFF) { prevFF = false; pos += 1 }; pos }
+  }
+
+  /** The single-code-block packet: header (non-empty, inclusion tag
+    * tree, zero-bitplane tag tree, pass count, Lblock + length) then
+    * the MQ codeword. `mb` is the plane budget from QCD
+    * (Mb = exponent + guards − 1); missing planes = mb − numPlanes.
+    */
+  private def writePacket(numPlanes: Int, mb: Int, body: Array[Byte]): Array[Byte] = {
+    val hw = new HeaderWriter
+    if (numPlanes == 0) {
+      hw.bit(0) // empty packet: nothing included
+      return hw.finish()
+    }
+    require(numPlanes <= mb, s"numPlanes $numPlanes exceeds Mb $mb")
+    hw.bit(1) // packet non-empty
+    hw.bit(1) // inclusion tag tree, single node, value 0: included in layer 0
+    val missing = mb - numPlanes
+    for (_ <- 0 until missing) hw.bit(0)
+    hw.bit(1) // zero-bitplane tag tree, single node, value `missing`
+    val passes = 3 * numPlanes - 2
+    if (passes == 1) hw.bit(0)
+    else if (passes == 2) hw.bits(2, 2) // "10"
+    else if (passes <= 5) { hw.bits(3, 2); hw.bits(passes - 3, 2) }
+    else if (passes <= 36) { hw.bits(0xF, 4); hw.bits(passes - 6, 5) }
+    else { hw.bits(0x1FF, 9); hw.bits(passes - 37, 7) }
+    // Lblock: starts at 3; k "1" bits raise it, then "0", then the
+    // length on (3 + k + floor(log2(passes))) bits
+    val lenBitsBase = 3 + (31 - Integer.numberOfLeadingZeros(passes))
+    var k = 0
+    while ((1 << (lenBitsBase + k)) <= body.length) k += 1
+    for (_ <- 0 until k) hw.bit(1)
+    hw.bit(0)
+    hw.bits(body.length, lenBitsBase + k)
+    hw.finish() ++ body
+  }
+
+  private def readPacket(data: Array[Byte], off: Int, mb: Int): (Int, Array[Byte], Int) = {
+    val hr = new HeaderReader(data, off)
+    if (hr.bit() == 0) return (0, Array.emptyByteArray, hr.align())
+    require(hr.bit() == 1, "code block not included in layer 0")
+    var missing = 0
+    while (hr.bit() == 0) missing += 1
+    val numPlanes = mb - missing
+    require(numPlanes > 0, s"no magnitude planes (missing=$missing, mb=$mb)")
+    val passes = {
+      if (hr.bit() == 0) 1
+      else if (hr.bit() == 0) 2
+      else {
+        val two = hr.bits(2)
+        if (two != 3) 3 + two
+        else {
+          val five = hr.bits(5)
+          if (five != 31) 6 + five
+          else {
+            // nine leading 1s total: "1111" + "11111" consumed above
+            37 + hr.bits(7)
+          }
+        }
+      }
+    }
+    require(passes == 3 * numPlanes - 2,
+      s"pass count $passes does not match $numPlanes planes")
+    var k = 0
+    while (hr.bit() == 1) k += 1
+    val lenBits = 3 + k + (31 - Integer.numberOfLeadingZeros(passes))
+    val len = hr.bits(lenBits)
+    val bodyStart = hr.align()
+    require(bodyStart + len <= data.length,
+      s"codeword truncated: $len bytes signaled, ${data.length - bodyStart} present")
+    (numPlanes, data.slice(bodyStart, bodyStart + len), bodyStart + len)
+  }
+
+  // -------------------------------------------------- codestream assembly
+
+  private val GuardBits = 2
+
+  private def putU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def putU32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+  private def getU16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def getU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Everything between SIZ and EOC: COD, QCD, SOT, SOD, one packet.
+    * `bits` is the unsigned sample depth; the DC level shift (Annex
+    * G.1.2) recenters to signed before Tier-1.
+    */
+  def encodeTail(page: Array[Array[Long]], bits: Int): Array[Byte] = {
+    val (h, w) = (page.length, page.head.length)
+    require(w <= 64 && h <= 64,
+      s"profile codes one 64x64 code block; got ${w}x$h")
+    val shift = 1 << (bits - 1)
+    val coef = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = page(y)(x)
+      require(s >= 0 && s < (1L << bits), s"sample $s out of $bits-bit range")
+      coef(y * w + x) = s.toInt - shift
+    }
+    val (numPlanes, body) = encodeBlock(coef, w, h)
+    val mb = bits + GuardBits - 1
+    val packet = writePacket(numPlanes, mb, body)
+    val out = new java.io.ByteArrayOutputStream()
+    // COD: default precincts, LRCP, 1 layer, no MCT, NL=0, 64x64
+    // code blocks, no style flags, 5/3 reversible
+    putU16(out, 0xFF52); putU16(out, 12)
+    out.write(0)                 // Scod
+    out.write(0); putU16(out, 1) // SGcod: LRCP, 1 layer
+    out.write(0)                 // MCT none
+    out.write(0)                 // SPcod: NL = 0
+    out.write(4); out.write(4)   // xcb-2, ycb-2 → 64×64
+    out.write(0)                 // code-block style
+    out.write(1)                 // transform: 5/3 reversible
+    // QCD: no quantization (style 0), guard bits, one subband exponent
+    putU16(out, 0xFF5C); putU16(out, 4)
+    out.write(GuardBits << 5)    // Sqcd
+    out.write(bits << 3)         // SPqcd: εb = bits
+    // SOT: one tile-part covering the tile
+    val psot = 12 + 2 + packet.length // SOT segment + SOD + packet
+    putU16(out, 0xFF90); putU16(out, 10)
+    putU16(out, 0)               // Isot
+    putU32(out, psot.toLong)
+    out.write(0); out.write(1)   // TPsot, TNsot
+    putU16(out, 0xFF93)          // SOD
+    out.write(packet)
+    out.toByteArray
+  }
+
+  /** Decode the full codestream (SOC..EOC) back to unsigned samples.
+    * Walks the marker segments, enforces the written profile, parses
+    * the packet, runs Tier-1 and undoes the DC level shift.
+    */
+  def decodeCodestream(cs: Array[Byte]): Array[Array[Long]] = {
+    require(getU16(cs, 0) == 0xFF4F && getU16(cs, 2) == 0xFF51,
+      "codestream must start SOC, SIZ")
+    val lsiz = getU16(cs, 4)
+    val w = (getU32(cs, 8) - getU32(cs, 16)).toInt  // Xsiz - XOsiz
+    val h = (getU32(cs, 12) - getU32(cs, 20)).toInt // Ysiz - YOsiz
+    val bits = (cs(42) & 0x7f) + 1 // Ssiz, after the 2-byte Csiz at 40
+    var off = 4 + lsiz
+    var mb = -1
+    var sodAt = -1
+    while (sodAt < 0) {
+      val marker = getU16(cs, off)
+      marker match {
+        case 0xFF52 =>
+          require((cs(off + 9) & 0xff) == 0, "profile requires NL=0")
+          off += 2 + getU16(cs, off + 2)
+        case 0xFF5C =>
+          val sqcd = cs(off + 4) & 0xff
+          require((sqcd & 0x1f) == 0, "profile requires no quantization")
+          val guards = sqcd >>> 5
+          val exp = (cs(off + 5) & 0xff) >>> 3
+          mb = exp + guards - 1
+          off += 2 + getU16(cs, off + 2)
+        case 0xFF90 => off += 2 + getU16(cs, off + 2)
+        case 0xFF93 => sodAt = off + 2
+        case other =>
+          throw new IllegalArgumentException(f"unexpected marker $other%04x")
+      }
+    }
+    require(mb > 0, "QCD must precede SOD")
+    val (numPlanes, body, pktEnd) = readPacket(cs, sodAt, mb)
+    require(pktEnd + 2 <= cs.length && getU16(cs, pktEnd) == 0xFFD9,
+      "EOC must close the codestream immediately after the packet")
+    val coef = decodeBlock(body, w, h, numPlanes)
+    val shift = 1L << (bits - 1)
+    Array.tabulate(h, w)((y, x) => coef(y * w + x).toLong + shift)
+  }
+}

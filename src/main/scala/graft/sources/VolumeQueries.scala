@@ -290,6 +290,31 @@ object VolumeQueries {
     }
   }
 
+  /** src_jp2_ingest — the `.jp2` slice READ direction through the
+    * REAL JPEG2000 entropy decoder ([[Jp2Codec]]: MQ coder + EBCOT
+    * bit-plane passes, the `get_image`/glymur role at
+    * tiff2octree.py:532): stage channel 0 as `.jp2` slices, then
+    * reproduce that channel's voxel frame from nothing but read-back
+    * bytes. Shares the voxel-model oracle filtered to c=0 — a green
+    * row proves genuine entropy-coded pixels ingest losslessly.
+    */
+  def jp2Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_jp2_${ProcessHandle.current().pid()}"
+    try {
+      IngestDispatch.stageSlices(spark, dir, out)
+      IngestDispatch.parseJp2Voxels(spark, out).localCheckpoint(true)
+        .orderBy("c", "z", "y", "x")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),
@@ -301,7 +326,8 @@ object VolumeQueries {
     "src_zarr_bytes" -> (zarrBytes _),
     "src_zarr_discover" -> (zarrDiscover _),
     "src_ingest_dispatch" -> (ingestDispatch _),
-    "src_slice_ingest" -> (sliceIngest _)
+    "src_slice_ingest" -> (sliceIngest _),
+    "src_jp2_ingest" -> (jp2Ingest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -385,6 +411,12 @@ object VolumeQueries {
     // slice-arm losslessness: the read-back must equal the voxel model
     "src_slice_ingest" ->
       s"""WITH ${graft.octree.OctreeOracles.voxelCte}
-         |SELECT c, z, y, x, v FROM voxels ORDER BY c, z, y, x""".stripMargin
+         |SELECT c, z, y, x, v FROM voxels ORDER BY c, z, y, x""".stripMargin,
+    // jp2-arm losslessness: channel 0 through the REAL JPEG2000
+    // entropy decoder must equal the voxel model
+    "src_jp2_ingest" ->
+      s"""WITH ${graft.octree.OctreeOracles.voxelCte}
+         |SELECT c, z, y, x, v FROM voxels WHERE c = 0
+         |ORDER BY c, z, y, x""".stripMargin
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Jp2Binary, Jp2Codec}
+
+/** Pins the real JPEG2000 codec: encoder and decoder are independent
+  * implementations of the published MQ + EBCOT flowcharts, so
+  * exhaustive round trips over adversarial pages are the correctness
+  * bar (there is no external JPEG2000 decoder in this container to
+  * cross-check against — same situation as the TIFF/KTX/N5 codecs).
+  */
+class Jp2CodecSpec extends AnyFunSuite {
+
+  private def roundTrip(page: Array[Array[Long]]): Unit = {
+    val bytes = Jp2Binary.serialize(page)
+    val back = Jp2Binary.decode(bytes)
+    assert(back.length === page.length)
+    for (y <- page.indices)
+      assert(back(y).toSeq === page(y).toSeq, s"row $y differs")
+  }
+
+  private def fill(h: Int, w: Int)(f: (Int, Int) => Long): Array[Array[Long]] =
+    Array.tabulate(h, w)((y, x) => f(y, x))
+
+  test("deterministic pseudorandom pages round-trip at many shapes") {
+    for ((h, w) <- Seq((16, 16), (64, 64), (1, 1), (5, 7), (64, 1), (1, 64), (13, 64))) {
+      var seed = h * 131L + w * 17L + 7L
+      def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+      roundTrip(fill(h, w)((_, _) => math.floorMod(next(), 65536L)))
+    }
+  }
+
+  test("extreme and structured pages round-trip") {
+    roundTrip(fill(16, 16)((_, _) => 0L))       // all zero: coeff -2^15
+    roundTrip(fill(16, 16)((_, _) => 65535L))   // all max: coeff 2^15-1
+    roundTrip(fill(16, 16)((_, _) => 32768L))   // all-zero coefficients: empty packet
+    roundTrip(fill(16, 16)((y, x) => if (y == 7 && x == 3) 60000L else 0L)) // lone spike
+    roundTrip(fill(16, 16)((y, x) => (y * 16 + x).toLong))               // gradient
+    roundTrip(fill(16, 16)((y, x) => if ((x + y) % 2 == 0) 0L else 65535L)) // checkerboard
+    roundTrip(fill(16, 16)((y, x) => if (x < 8) 32767L else 32769L))     // ±1 coeffs
+    roundTrip(fill(12, 16)((y, _) => if (y % 4 == 0) 40000L else 32768L)) // stripe-edge runs
+  }
+
+  test("sparse pages exercise the run-length mode heavily") {
+    for (density <- Seq(1, 5, 40)) {
+      var seed = density * 977L
+      def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+      roundTrip(fill(32, 32) { (_, _) =>
+        // mostly 32768 (zero coefficient) with occasional spikes
+        if (math.floorMod(next(), 100L) < density) math.floorMod(next(), 65536L) else 32768L
+      })
+    }
+  }
+
+  test("the codestream is structurally sound and the header chain still sniffs") {
+    val page = fill(16, 16)((y, x) => (x * 4096 + y * 13).toLong)
+    val bytes = Jp2Binary.serialize(page)
+    // the dispatch sniff path is unchanged by the real codec
+    val hd = Jp2Binary.parseHeader(bytes)
+    assert((hd.width, hd.height, hd.nc, hd.bits) === ((16L, 16L, 1, 16)))
+    // EOC closes the codestream
+    assert((bytes(bytes.length - 2) & 0xFF) === 0xFF)
+    assert((bytes(bytes.length - 1) & 0xFF) === 0xD9)
+    // MQ byte-stuffing: inside the jp2c box no 0xFF is followed by a
+    // byte over 0x8F except the marker segments we wrote ourselves
+    val allowed = Set(0x4F, 0x51, 0x52, 0x5C, 0x90, 0x93, 0xD9)
+    for (i <- 0 until bytes.length - 1) {
+      val a = bytes(i) & 0xFF; val b = bytes(i + 1) & 0xFF
+      if (a == 0xFF && b > 0x8F)
+        assert(allowed.contains(b), f"stray marker-like pair FF $b%02x at $i")
+    }
+  }
+
+  test("a corrupted entropy payload fails loudly, not silently") {
+    val page = fill(16, 16)((y, x) => (y * 16 + x).toLong)
+    val bytes = Jp2Binary.serialize(page)
+    // truncating the codeword must break the pass-count/length
+    // invariants or the dimension cross-check — never return garbage
+    val cut = bytes.take(bytes.length - 40)
+    intercept[Throwable](Jp2Binary.decode(cut))
+  }
+}

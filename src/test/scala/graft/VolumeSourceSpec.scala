@@ -344,6 +344,13 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // every slice file exists even when its plane is empty
       assert(new java.io.File(s"$out/slices_tif/ch0").list().length === 16)
       assert(new java.io.File(s"$out/slices_jp2/ch0").list().length === 16)
+      // the jp2 arm decodes its channel through the REAL entropy
+      // decoder and matches the voxel model exactly
+      val wantC0 = want.filter(_.head == 0L)
+      val gotJp2 = graft.sources.IngestDispatch.parseJp2Voxels(spark, out)
+        .collect().map(_.toSeq)
+      assert(gotJp2.nonEmpty)
+      assert(gotJp2.toSeq === wantC0.toSeq)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
