@@ -136,8 +136,13 @@ object Jp2Codec {
       * synthesizes 1-bits past the end).
       */
     def flush(): Array[Byte] = {
-      val tempc = (c + a - 1) & 0xFFFF8000
-      if (c < tempc) c = tempc
+      // SETBITS: fill the low-order bits of C with 1s while staying
+      // inside [C, C+A) — the decoder synthesizes 1-bits past the
+      // terminator, so the flushed prefix followed by 1s must still
+      // land in the final interval
+      val tempc = c + a
+      c |= 0xFFFF
+      if (c >= tempc) c -= 0x8000
       c <<= ct; byteOut()
       c <<= ct; byteOut()
       if (out.nonEmpty && out.last == 0xFF) out.remove(out.length - 1)
@@ -208,16 +213,39 @@ object Jp2Codec {
 
   // ------------------------------------------------------ bit-plane coder
 
-  /** Significance context from the neighborhood counts — Table D.1,
-    * LL/LH column (the only band at NL=0).
+  /** Subband orientations. LL and LH share a context column; HL is
+    * that column with the H and V roles swapped; HH has its own
+    * diagonal-driven column (Table D.1).
     */
-  private def sigCtx(h: Int, v: Int, d: Int): Int =
+  final val BandLL = 0
+  final val BandHL = 1
+  final val BandLH = 2
+  final val BandHH = 3
+
+  private def sigCtxLLLH(h: Int, v: Int, d: Int): Int =
     if (h == 2) 8
     else if (h == 1) { if (v >= 1) 7 else if (d >= 1) 6 else 5 }
     else { // h == 0
       if (v == 2) 4 else if (v == 1) 3
       else if (d >= 2) 2 else if (d == 1) 1 else 0
     }
+
+  private def sigCtxHH(h: Int, v: Int, d: Int): Int = {
+    val hv = h + v
+    if (d >= 3) 8
+    else if (d == 2) { if (hv >= 1) 7 else 6 }
+    else if (d == 1) { if (hv >= 2) 5 else if (hv == 1) 4 else 3 }
+    else { if (hv >= 2) 2 else if (hv == 1) 1 else 0 }
+  }
+
+  /** Significance context from the neighborhood counts — Table D.1,
+    * per band orientation.
+    */
+  private def sigCtx(band: Int, h: Int, v: Int, d: Int): Int = band match {
+    case BandHL => sigCtxLLLH(v, h, d) // H/V roles swapped
+    case BandHH => sigCtxHH(h, v, d)
+    case _      => sigCtxLLLH(h, v, d)
+  }
 
   /** Sign context + XOR bit from the clamped H/V sign contributions —
     * Tables D.3/D.4.
@@ -240,7 +268,7 @@ object Jp2Codec {
     * live HERE once, with tiny closures doing the actual bit IO, so
     * the two directions cannot drift apart.
     */
-  private final class BlockState(val w: Int, val h: Int) {
+  private final class BlockState(val w: Int, val h: Int, val band: Int) {
     val sigma = new Array[Boolean](w * h)
     val sign = new Array[Int](w * h) // 0 positive, 1 negative
     val mag = new Array[Int](w * h)
@@ -301,7 +329,7 @@ object Jp2Codec {
         onNewSig: (Int, Int) => Unit): Unit = {
       val idx = y * w + x
       val (nh, nv, nd) = neighborCounts(x, y)
-      val bit = bitIO(sigCtx(nh, nv, nd), planeBit(idx, p))
+      val bit = bitIO(sigCtx(band, nh, nv, nd), planeBit(idx, p))
       if (bit == 1) {
         sigma(idx) = true
         onNewSig(idx, p)
@@ -400,12 +428,12 @@ object Jp2Codec {
     * major). Returns (numPlanes, codeword bytes); numPlanes = 0 for an
     * all-zero block (no codeword — the packet signals non-inclusion).
     */
-  def encodeBlock(coef: Array[Int], w: Int, h: Int): (Int, Array[Byte]) = {
+  def encodeBlock(coef: Array[Int], w: Int, h: Int, band: Int = BandLL): (Int, Array[Byte]) = {
     require(coef.length == w * h, "coef length mismatch")
     val maxMag = coef.foldLeft(0)((m, v) => math.max(m, math.abs(v)))
     if (maxMag == 0) return (0, Array.emptyByteArray)
     val numPlanes = 32 - Integer.numberOfLeadingZeros(maxMag)
-    val st = new BlockState(w, h)
+    val st = new BlockState(w, h, band)
     for (i <- coef.indices) {
       st.mag(i) = math.abs(coef(i))
       st.sign(i) = if (coef(i) < 0) 1 else 0
@@ -421,8 +449,9 @@ object Jp2Codec {
   /** Tier-1 decode: the inverse of [[encodeBlock]] given the plane
     * count from the packet header.
     */
-  def decodeBlock(data: Array[Byte], w: Int, h: Int, numPlanes: Int): Array[Int] = {
-    val st = new BlockState(w, h)
+  def decodeBlock(data: Array[Byte], w: Int, h: Int, numPlanes: Int,
+      band: Int = BandLL): Array[Int] = {
+    val st = new BlockState(w, h, band)
     if (numPlanes == 0) return new Array[Int](w * h)
     val dec = new MqDecoder(data)
     st.run(numPlanes,
@@ -433,6 +462,137 @@ object Jp2Codec {
     Array.tabulate(w * h)(i =>
       if (!st.sigma(i)) 0
       else if (st.sign(i) == 1) -st.mag(i) else st.mag(i))
+  }
+
+  // ------------------------------------------------- reversible 5/3 DWT
+
+  /** One subband: orientation, dimensions and row-major coefficients. */
+  final case class Subband(band: Int, w: Int, h: Int, coef: Array[Int])
+
+  /** Forward 1D reversible 5/3 lifting (Annex F.4.8.2) with symmetric
+    * extension: returns (low = ceil(n/2) samples, high = floor(n/2)).
+    */
+  private def fwd53(x: Array[Int]): (Array[Int], Array[Int]) = {
+    val n = x.length
+    if (n == 1) return (Array(x(0)), Array.emptyIntArray)
+    val nh = n / 2
+    val nl = n - nh
+    val d = new Array[Int](nh)
+    val s = new Array[Int](nl)
+    def xe(i: Int): Int = // symmetric extension of x
+      if (i < 0) x(-i) else if (i >= n) x(2 * n - 2 - i) else x(i)
+    for (k <- 0 until nh) d(k) = x(2 * k + 1) - ((xe(2 * k) + xe(2 * k + 2)) >> 1)
+    def de(k: Int): Int = // symmetric extension of d
+      if (nh == 0) 0 else if (k < 0) d(0) else if (k >= nh) d(nh - 1) else d(k)
+    for (k <- 0 until nl) s(k) = x(2 * k) + ((de(k - 1) + de(k) + 2) >> 2)
+    (s, d)
+  }
+
+  /** Inverse of [[fwd53]]. */
+  private def inv53(s: Array[Int], d: Array[Int]): Array[Int] = {
+    val nl = s.length
+    val nh = d.length
+    val n = nl + nh
+    if (n == 1) return Array(s(0))
+    val x = new Array[Int](n)
+    def de(k: Int): Int =
+      if (nh == 0) 0 else if (k < 0) d(0) else if (k >= nh) d(nh - 1) else d(k)
+    for (k <- 0 until nl) x(2 * k) = s(k) - ((de(k - 1) + de(k) + 2) >> 2)
+    def xe(i: Int): Int =
+      if (i < 0) x(-i) else if (i >= n) x(2 * n - 2 - i) else x(i)
+    for (k <- 0 until nh) x(2 * k + 1) = d(k) + ((xe(2 * k) + xe(2 * k + 2)) >> 1)
+    x
+  }
+
+  /** One 2D decomposition level: vertical then horizontal lifting,
+    * yielding (LL, HL, LH, HH). HL is horizontally high-pass.
+    */
+  private def dwt2d(a: Array[Array[Int]]): (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = {
+    val h = a.length; val w = a(0).length
+    // vertical on each column
+    val lowH = h - h / 2
+    val top = Array.ofDim[Int](lowH, w)    // vertically low
+    val bot = Array.ofDim[Int](h / 2, w)   // vertically high
+    for (x <- 0 until w) {
+      val (s, d) = fwd53(Array.tabulate(h)(y => a(y)(x)))
+      for (y <- s.indices) top(y)(x) = s(y)
+      for (y <- d.indices) bot(y)(x) = d(y)
+    }
+    // horizontal on each row of both halves
+    def split(rows: Array[Array[Int]]): (Array[Array[Int]], Array[Array[Int]]) = {
+      if (rows.isEmpty) return (Array.empty, Array.empty)
+      val lo = Array.ofDim[Int](rows.length, w - w / 2)
+      val hi = Array.ofDim[Int](rows.length, w / 2)
+      for (y <- rows.indices) {
+        val (s, d) = fwd53(rows(y))
+        Array.copy(s, 0, lo(y), 0, s.length)
+        Array.copy(d, 0, hi(y), 0, d.length)
+      }
+      (lo, hi)
+    }
+    val (ll, hl) = split(top)
+    val (lh, hh) = split(bot)
+    (ll, hl, lh, hh)
+  }
+
+  private def idwt2d(ll: Array[Array[Int]], hl: Array[Array[Int]],
+      lh: Array[Array[Int]], hh: Array[Array[Int]]): Array[Array[Int]] = {
+    val lowH = ll.length; val highH = lh.length
+    val lowW = if (lowH > 0) ll(0).length else if (highH > 0) lh(0).length else 0
+    val highW = if (lowH > 0) hl(0).length else if (highH > 0) hh(0).length else 0
+    val h = lowH + highH; val w = lowW + highW
+    // horizontal inverse per row of each half
+    val top = Array.tabulate(lowH)(y => inv53(ll(y), hl(y)))
+    val bot = Array.tabulate(highH)(y => inv53(lh(y), hh(y)))
+    // vertical inverse per column
+    val out = Array.ofDim[Int](h, w)
+    for (x <- 0 until w) {
+      val col = inv53(Array.tabulate(lowH)(y => top(y)(x)),
+        Array.tabulate(highH)(y => bot(y)(x)))
+      for (y <- 0 until h) out(y)(x) = col(y)
+    }
+    out
+  }
+
+  /** NL-level forward DWT. Returns subbands in PACKET order: the
+    * deepest LL first, then each level's (HL, LH, HH) from deepest
+    * (lowest resolution) to shallowest.
+    */
+  def dwtForward(a0: Array[Array[Int]], levels: Int): Seq[Subband] = {
+    var a = a0
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[(Subband, Subband, Subband)]
+    for (_ <- 0 until levels) {
+      val (ll, hl, lh, hh) = dwt2d(a)
+      def sb(band: Int, g: Array[Array[Int]]): Subband = {
+        val gh = g.length; val gw = if (gh > 0) g(0).length else 0
+        Subband(band, gw, gh, Array.tabulate(gw * gh)(i => g(i / gw)(i % gw)))
+      }
+      perLevel += ((sb(BandHL, hl), sb(BandLH, lh), sb(BandHH, hh)))
+      a = ll
+    }
+    val gh = a.length; val gw = if (gh > 0) a(0).length else 0
+    val llSb = Subband(BandLL, gw, gh, Array.tabulate(gw * gh)(i => a(i / gw)(i % gw)))
+    llSb +: perLevel.reverse.flatMap(t => Seq(t._1, t._2, t._3)).toSeq
+  }
+
+  /** Inverse of [[dwtForward]] given the full-image dimensions. */
+  def dwtInverse(subbands: Seq[Subband], w: Int, h: Int, levels: Int): Array[Array[Int]] = {
+    def grid(sb: Subband): Array[Array[Int]] =
+      Array.tabulate(sb.h, sb.w)((y, x) => sb.coef(y * sb.w + x))
+    var a = grid(subbands.head)
+    // level dims from the shallowest down: recompute the (w, h) at
+    // each depth so odd sizes reassemble exactly
+    val dims = Iterator.iterate((w, h)) { case (dw, dh) => (dw - dw / 2, dh - dh / 2) }
+      .take(levels + 1).toSeq // dims(k) = size at depth k
+    for (depth <- levels to 1 by -1) {
+      val idx = 1 + (levels - depth) * 3
+      val (hl, lh, hh) = (subbands(idx), subbands(idx + 1), subbands(idx + 2))
+      a = idwt2d(a, grid(hl), grid(lh), grid(hh))
+      val (ew, eh) = dims(depth - 1)
+      require(a.length == eh && a(0).length == ew,
+        s"inverse DWT produced ${a(0).length}x${a.length}, expected ${ew}x$eh")
+    }
+    a
   }
 
   // ------------------------------------------------------------ Tier-2
@@ -476,74 +636,89 @@ object Jp2Codec {
     def align(): Int = { nBits = 0; if (prevFF) { prevFF = false; pos += 1 }; pos }
   }
 
-  /** The single-code-block packet: header (non-empty, inclusion tag
-    * tree, zero-bitplane tag tree, pass count, Lblock + length) then
-    * the MQ codeword. `mb` is the plane budget from QCD
-    * (Mb = exponent + guards − 1); missing planes = mb − numPlanes.
+  /** One packet holding one code block per subband of its resolution
+    * (each subband fits a single 64×64 block in this profile, so all
+    * tag trees are single-node): non-empty bit, then per code block —
+    * inclusion, zero-bitplane tag tree, pass count, Lblock + length —
+    * then the concatenated MQ codewords. `mbs` is each subband's plane
+    * budget from QCD (Mb = exponent + guards − 1).
     */
-  private def writePacket(numPlanes: Int, mb: Int, body: Array[Byte]): Array[Byte] = {
+  private def writePacket(cbs: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
     val hw = new HeaderWriter
-    if (numPlanes == 0) {
+    if (cbs.forall(_._1 == 0)) {
       hw.bit(0) // empty packet: nothing included
       return hw.finish()
     }
-    require(numPlanes <= mb, s"numPlanes $numPlanes exceeds Mb $mb")
     hw.bit(1) // packet non-empty
-    hw.bit(1) // inclusion tag tree, single node, value 0: included in layer 0
-    val missing = mb - numPlanes
-    for (_ <- 0 until missing) hw.bit(0)
-    hw.bit(1) // zero-bitplane tag tree, single node, value `missing`
-    val passes = 3 * numPlanes - 2
-    if (passes == 1) hw.bit(0)
-    else if (passes == 2) hw.bits(2, 2) // "10"
-    else if (passes <= 5) { hw.bits(3, 2); hw.bits(passes - 3, 2) }
-    else if (passes <= 36) { hw.bits(0xF, 4); hw.bits(passes - 6, 5) }
-    else { hw.bits(0x1FF, 9); hw.bits(passes - 37, 7) }
-    // Lblock: starts at 3; k "1" bits raise it, then "0", then the
-    // length on (3 + k + floor(log2(passes))) bits
-    val lenBitsBase = 3 + (31 - Integer.numberOfLeadingZeros(passes))
-    var k = 0
-    while ((1 << (lenBitsBase + k)) <= body.length) k += 1
-    for (_ <- 0 until k) hw.bit(1)
-    hw.bit(0)
-    hw.bits(body.length, lenBitsBase + k)
-    hw.finish() ++ body
-  }
-
-  private def readPacket(data: Array[Byte], off: Int, mb: Int): (Int, Array[Byte], Int) = {
-    val hr = new HeaderReader(data, off)
-    if (hr.bit() == 0) return (0, Array.emptyByteArray, hr.align())
-    require(hr.bit() == 1, "code block not included in layer 0")
-    var missing = 0
-    while (hr.bit() == 0) missing += 1
-    val numPlanes = mb - missing
-    require(numPlanes > 0, s"no magnitude planes (missing=$missing, mb=$mb)")
-    val passes = {
-      if (hr.bit() == 0) 1
-      else if (hr.bit() == 0) 2
+    for ((numPlanes, mb, body) <- cbs) {
+      if (numPlanes == 0) hw.bit(0) // inclusion tag tree: not in layer 0
       else {
-        val two = hr.bits(2)
-        if (two != 3) 3 + two
-        else {
-          val five = hr.bits(5)
-          if (five != 31) 6 + five
-          else {
-            // nine leading 1s total: "1111" + "11111" consumed above
-            37 + hr.bits(7)
-          }
-        }
+        require(numPlanes <= mb, s"numPlanes $numPlanes exceeds Mb $mb")
+        hw.bit(1) // inclusion tag tree, single node, value 0
+        val missing = mb - numPlanes
+        for (_ <- 0 until missing) hw.bit(0)
+        hw.bit(1) // zero-bitplane tag tree, single node, value `missing`
+        val passes = 3 * numPlanes - 2
+        if (passes == 1) hw.bit(0)
+        else if (passes == 2) hw.bits(2, 2) // "10"
+        else if (passes <= 5) { hw.bits(3, 2); hw.bits(passes - 3, 2) }
+        else if (passes <= 36) { hw.bits(0xF, 4); hw.bits(passes - 6, 5) }
+        else { hw.bits(0x1FF, 9); hw.bits(passes - 37, 7) }
+        // Lblock: starts at 3; k "1" bits raise it, then "0", then the
+        // length on (3 + k + floor(log2(passes))) bits
+        val lenBitsBase = 3 + (31 - Integer.numberOfLeadingZeros(passes))
+        var k = 0
+        while ((1 << (lenBitsBase + k)) <= body.length) k += 1
+        for (_ <- 0 until k) hw.bit(1)
+        hw.bit(0)
+        hw.bits(body.length, lenBitsBase + k)
       }
     }
-    require(passes == 3 * numPlanes - 2,
-      s"pass count $passes does not match $numPlanes planes")
-    var k = 0
-    while (hr.bit() == 1) k += 1
-    val lenBits = 3 + k + (31 - Integer.numberOfLeadingZeros(passes))
-    val len = hr.bits(lenBits)
-    val bodyStart = hr.align()
-    require(bodyStart + len <= data.length,
-      s"codeword truncated: $len bytes signaled, ${data.length - bodyStart} present")
-    (numPlanes, data.slice(bodyStart, bodyStart + len), bodyStart + len)
+    hw.finish() ++ cbs.flatMap(_._3)
+  }
+
+  private def readPacket(data: Array[Byte], off: Int,
+      mbs: Seq[Int]): (Seq[(Int, Array[Byte])], Int) = {
+    val hr = new HeaderReader(data, off)
+    if (hr.bit() == 0)
+      return (mbs.map(_ => (0, Array.emptyByteArray)), hr.align())
+    val metas = mbs.map { mb =>
+      if (hr.bit() == 0) (0, 0) // not included
+      else {
+        var missing = 0
+        while (hr.bit() == 0) missing += 1
+        val numPlanes = mb - missing
+        require(numPlanes > 0, s"no magnitude planes (missing=$missing, mb=$mb)")
+        val passes = {
+          if (hr.bit() == 0) 1
+          else if (hr.bit() == 0) 2
+          else {
+            val two = hr.bits(2)
+            if (two != 3) 3 + two
+            else {
+              val five = hr.bits(5)
+              if (five != 31) 6 + five
+              else 37 + hr.bits(7) // nine leading 1s consumed above
+            }
+          }
+        }
+        require(passes == 3 * numPlanes - 2,
+          s"pass count $passes does not match $numPlanes planes")
+        var k = 0
+        while (hr.bit() == 1) k += 1
+        val lenBits = 3 + k + (31 - Integer.numberOfLeadingZeros(passes))
+        (numPlanes, hr.bits(lenBits))
+      }
+    }
+    var pos = hr.align()
+    val out = metas.map { case (numPlanes, len) =>
+      require(pos + len <= data.length,
+        s"codeword truncated: $len bytes signaled, ${data.length - pos} present")
+      val body = data.slice(pos, pos + len)
+      pos += len
+      (numPlanes, body)
+    }
+    (out, pos)
   }
 
   // -------------------------------------------------- codestream assembly
@@ -563,53 +738,90 @@ object Jp2Codec {
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
       ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 
-  /** Everything between SIZ and EOC: COD, QCD, SOT, SOD, one packet.
-    * `bits` is the unsigned sample depth; the DC level shift (Annex
-    * G.1.2) recenters to signed before Tier-1.
+  /** Subband energy gain for the reversible 5/3 (LL 0, HL/LH 1,
+    * HH 2); the QCD exponent is bits + gain + 1, giving a plane
+    * budget comfortably above the lifting's worst-case coefficient
+    * growth at every depth.
+    */
+  private def bandGain(band: Int): Int = band match {
+    case BandLL => 0
+    case BandHH => 2
+    case _      => 1
+  }
+
+  /** Decomposition levels for a page: none for tiny pages, otherwise
+    * enough that every subband fits one 64×64 code block — a page up
+    * to 128×128 works at NL ≥ 1 because the shallowest (largest)
+    * subbands are ⌈dim/2⌉.
+    */
+  def levelsFor(w: Int, h: Int): Int = {
+    val m = math.max(w, h)
+    if (m <= 4) 0 else if (m <= 64) 1 else 2
+  }
+
+  /** Everything between SIZ and EOC: COD, QCD, SOT, SOD, one packet
+    * per resolution level (LRCP, one layer). `bits` is the unsigned
+    * sample depth; the DC level shift (Annex G.1.2) recenters to
+    * signed, then the reversible 5/3 DWT decomposes NL levels and
+    * each subband is Tier-1 coded as one code block.
     */
   def encodeTail(page: Array[Array[Long]], bits: Int): Array[Byte] = {
     val (h, w) = (page.length, page.head.length)
-    require(w <= 64 && h <= 64,
-      s"profile codes one 64x64 code block; got ${w}x$h")
+    require(w <= 128 && h <= 128,
+      s"profile codes one code block per subband; got ${w}x$h (max 128)")
+    val nl = levelsFor(w, h)
     val shift = 1 << (bits - 1)
-    val coef = new Array[Int](w * h)
-    for (y <- 0 until h; x <- 0 until w) {
+    val coef = Array.tabulate(h, w) { (y, x) =>
       val s = page(y)(x)
       require(s >= 0 && s < (1L << bits), s"sample $s out of $bits-bit range")
-      coef(y * w + x) = s.toInt - shift
+      s.toInt - shift
     }
-    val (numPlanes, body) = encodeBlock(coef, w, h)
-    val mb = bits + GuardBits - 1
-    val packet = writePacket(numPlanes, mb, body)
+    val subbands = dwtForward(coef, nl)
+    require(subbands.forall(sb => sb.w <= 64 && sb.h <= 64),
+      "subband exceeds the single code block")
+    val coded = subbands.map { sb =>
+      val (numPlanes, body) = encodeBlock(sb.coef, sb.w, sb.h, sb.band)
+      (sb, numPlanes, body)
+    }
+    // resolution r=0 is the deepest LL; r>=1 groups (HL, LH, HH)
+    val packets = (0 to nl).map { r =>
+      val cbs = if (r == 0) Seq(coded.head) else coded.slice(1 + (r - 1) * 3, 1 + r * 3)
+      writePacket(cbs.map { case (sb, n, b) =>
+        (n, bits + bandGain(sb.band) + 1 + GuardBits - 1, b)
+      })
+    }
+    val body = packets.flatten.toArray
     val out = new java.io.ByteArrayOutputStream()
-    // COD: default precincts, LRCP, 1 layer, no MCT, NL=0, 64x64
-    // code blocks, no style flags, 5/3 reversible
+    // COD: default precincts, LRCP, 1 layer, no MCT, NL levels,
+    // 64x64 code blocks, no style flags, 5/3 reversible
     putU16(out, 0xFF52); putU16(out, 12)
     out.write(0)                 // Scod
     out.write(0); putU16(out, 1) // SGcod: LRCP, 1 layer
     out.write(0)                 // MCT none
-    out.write(0)                 // SPcod: NL = 0
+    out.write(nl)                // SPcod: NL
     out.write(4); out.write(4)   // xcb-2, ycb-2 → 64×64
     out.write(0)                 // code-block style
     out.write(1)                 // transform: 5/3 reversible
-    // QCD: no quantization (style 0), guard bits, one subband exponent
-    putU16(out, 0xFF5C); putU16(out, 4)
+    // QCD: no quantization (style 0), guard bits, one exponent per
+    // subband in packet order (deepest LL, then HL/LH/HH per level)
+    putU16(out, 0xFF5C); putU16(out, 3 + subbands.length)
     out.write(GuardBits << 5)    // Sqcd
-    out.write(bits << 3)         // SPqcd: εb = bits
+    subbands.foreach(sb => out.write((bits + bandGain(sb.band) + 1) << 3))
     // SOT: one tile-part covering the tile
-    val psot = 12 + 2 + packet.length // SOT segment + SOD + packet
+    val psot = 12 + 2 + body.length // SOT segment + SOD + packets
     putU16(out, 0xFF90); putU16(out, 10)
     putU16(out, 0)               // Isot
     putU32(out, psot.toLong)
     out.write(0); out.write(1)   // TPsot, TNsot
     putU16(out, 0xFF93)          // SOD
-    out.write(packet)
+    out.write(body)
     out.toByteArray
   }
 
   /** Decode the full codestream (SOC..EOC) back to unsigned samples.
-    * Walks the marker segments, enforces the written profile, parses
-    * the packet, runs Tier-1 and undoes the DC level shift.
+    * Walks the marker segments, parses one packet per resolution,
+    * runs Tier-1 per subband, inverts the DWT and undoes the DC
+    * level shift.
     */
   def decodeCodestream(cs: Array[Byte]): Array[Array[Long]] = {
     require(getU16(cs, 0) == 0xFF4F && getU16(cs, 2) == 0xFF51,
@@ -619,33 +831,56 @@ object Jp2Codec {
     val h = (getU32(cs, 12) - getU32(cs, 20)).toInt // Ysiz - YOsiz
     val bits = (cs(42) & 0x7f) + 1 // Ssiz, after the 2-byte Csiz at 40
     var off = 4 + lsiz
-    var mb = -1
+    var nl = -1
+    var exps: Seq[Int] = Nil
+    var guards = 0
     var sodAt = -1
     while (sodAt < 0) {
       val marker = getU16(cs, off)
       marker match {
         case 0xFF52 =>
-          require((cs(off + 9) & 0xff) == 0, "profile requires NL=0")
+          nl = cs(off + 9) & 0xff
+          require((cs(off + 13) & 0xff) == 1, "profile requires 5/3 reversible")
           off += 2 + getU16(cs, off + 2)
         case 0xFF5C =>
+          val lqcd = getU16(cs, off + 2)
           val sqcd = cs(off + 4) & 0xff
           require((sqcd & 0x1f) == 0, "profile requires no quantization")
-          val guards = sqcd >>> 5
-          val exp = (cs(off + 5) & 0xff) >>> 3
-          mb = exp + guards - 1
-          off += 2 + getU16(cs, off + 2)
+          guards = sqcd >>> 5
+          exps = (0 until lqcd - 3).map(i => (cs(off + 5 + i) & 0xff) >>> 3)
+          off += 2 + lqcd
         case 0xFF90 => off += 2 + getU16(cs, off + 2)
         case 0xFF93 => sodAt = off + 2
         case other =>
           throw new IllegalArgumentException(f"unexpected marker $other%04x")
       }
     }
-    require(mb > 0, "QCD must precede SOD")
-    val (numPlanes, body, pktEnd) = readPacket(cs, sodAt, mb)
-    require(pktEnd + 2 <= cs.length && getU16(cs, pktEnd) == 0xFFD9,
-      "EOC must close the codestream immediately after the packet")
-    val coef = decodeBlock(body, w, h, numPlanes)
+    require(nl >= 0 && exps.length == 3 * nl + 1, "COD/QCD must precede SOD")
+    // subband geometry in packet order, mirroring dwtForward
+    val dims = Iterator.iterate((w, h)) { case (dw, dh) => (dw - dw / 2, dh - dh / 2) }
+      .take(nl + 1).toSeq
+    val bandsPerPacket: Seq[Seq[(Int, Int, Int)]] = (0 to nl).map { r =>
+      if (r == 0) { val (dw, dh) = dims(nl); Seq((BandLL, dw, dh)) }
+      else {
+        val (dw, dh) = dims(nl - r) // the level being reassembled
+        val (lw, lh) = (dw - dw / 2, dh - dh / 2)
+        Seq((BandHL, dw / 2, lh), (BandLH, lw, dh / 2), (BandHH, dw / 2, dh / 2))
+      }
+    }
+    var pos = sodAt
+    var expIdx = 0
+    val subbands = bandsPerPacket.flatMap { bands =>
+      val mbs = bands.map { _ => val e = exps(expIdx); expIdx += 1; e + guards - 1 }
+      val (cbs, end) = readPacket(cs, pos, mbs)
+      pos = end
+      bands.zip(cbs).map { case ((band, bw, bh), (numPlanes, body)) =>
+        Subband(band, bw, bh, decodeBlock(body, bw, bh, numPlanes, band))
+      }
+    }
+    require(pos + 2 <= cs.length && getU16(cs, pos) == 0xFFD9,
+      "EOC must close the codestream immediately after the packets")
+    val coef = dwtInverse(subbands, w, h, nl)
     val shift = 1L << (bits - 1)
-    Array.tabulate(h, w)((y, x) => coef(y * w + x).toLong + shift)
+    Array.tabulate(h, w)((y, x) => coef(y)(x).toLong + shift)
   }
 }

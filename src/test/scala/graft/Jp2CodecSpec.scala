@@ -52,6 +52,27 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("large pages round-trip through the multi-level wavelet path") {
+    // > 64 px forces NL=2; odd dims exercise the ceil/floor split
+    for ((h, w) <- Seq((128, 128), (100, 77), (65, 128), (127, 1))) {
+      var seed = h * 31L + w
+      def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+      roundTrip(fill(h, w)((_, _) => math.floorMod(next(), 65536L)))
+    }
+  }
+
+  test("the reversible 5/3 DWT is exactly invertible at adversarial shapes") {
+    for ((h, w, nl) <- Seq((16, 16, 1), (16, 16, 2), (7, 5, 2), (1, 9, 1), (64, 3, 3))) {
+      var seed = h * 7L + w * 3L + nl
+      def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+      val a = Array.tabulate(h, w)((_, _) => (math.floorMod(next(), 65536L) - 32768L).toInt)
+      val subbands = Jp2Codec.dwtForward(a, nl)
+      assert(subbands.length === 3 * nl + 1)
+      val back = Jp2Codec.dwtInverse(subbands, w, h, nl)
+      for (y <- 0 until h) assert(back(y).toSeq === a(y).toSeq, s"row $y at ${w}x$h nl=$nl")
+    }
+  }
+
   test("the codestream is structurally sound and the header chain still sniffs") {
     val page = fill(16, 16)((y, x) => (x * 4096 + y * 13).toLong)
     val bytes = Jp2Binary.serialize(page)
