@@ -187,6 +187,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-order aggregate is not below the decorate joins")
   }
 
+  test("zarr chunk decode broadcast-joins the tiny .zarray catalog, never shuffles the bytes") {
+    // Zarr chunks carry no header, so the parse must join chunk bytes
+    // against parsed .zarray metadata. The metadata side is
+    // O(levels × channels); the chunk side is the 100 TB side — a
+    // SortMergeJoin here would shuffle every payload byte on (c, s).
+    val out = java.nio.file.Files.createTempDirectory("graft_zarr_plan").toString
+    try {
+      graft.sources.ZarrBinary.writeContainer(spark, dir, out)
+      val p = graft.sources.ZarrBinary.parseVoxels(spark, out)
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("BroadcastHashJoin"),
+        "chunk-metadata join is not a broadcast hash join")
+      assert(!p.contains("SortMergeJoin"),
+        "chunk bytes are shuffle-sorted for the metadata join")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("byte-round-trip operators never collect an unbounded frame on the driver") {
     // the staging-dir harnesses must keep parsed frames DISTRIBUTED
     // (eager localCheckpoint), never rebuild them driver-side — a
