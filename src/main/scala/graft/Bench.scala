@@ -59,7 +59,8 @@ object Bench {
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
     "sim_hybrid_rrf", "sim_filtered_topk", "sim_hamming_topk",
-    "mm_pack", "mm_meta_extract", "mm_decode_png", "mm_decode_wav", "mm_frame_sample",
+    "mm_pack", "mm_meta_extract", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
+    "mm_frame_sample",
     "mm_resize", "mm_patchify",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_jsonl_scan",
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",

@@ -1627,6 +1627,21 @@ object OpsOracles {
          |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
          |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "mm_decode_jp2" -> {
+      val n = Multimodal.Jp2Edge * Multimodal.Jp2Edge
+      s"""WITH px AS (
+         |  SELECT doc_id, r.i,
+         |    CASE WHEN length(text) > r.i
+         |         THEN (ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256) * 257
+         |         ELSE 0 END AS p
+         |  FROM documents, range(0, $n) r(i))
+         |SELECT doc_id, CAST(${Multimodal.Jp2Edge} AS BIGINT) AS width,
+         |  CAST(${Multimodal.Jp2Edge} AS BIGINT) AS height,
+         |  CAST(SUM(p) AS BIGINT) AS sum_p,
+         |  CAST(SUM((i + 1) * p) AS BIGINT) AS p_checksum,
+         |  CAST(MAX(p) AS BIGINT) AS peak
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "mm_pack" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 8)))) AS head_hex,

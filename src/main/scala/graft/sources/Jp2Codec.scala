@@ -82,7 +82,9 @@ object Jp2Codec {
     // a dummy byte absorbs a carry generated before the first real
     // BYTEOUT. It is dropped at flush when still zero (the normal
     // case); if a carry ever reached it, it is a real leading byte.
-    private val out = scala.collection.mutable.ArrayBuffer[Int](0)
+    // Raw growable byte buffer — this is the per-bit hot path.
+    private var buf = new Array[Byte](64)
+    private var n = 1 // buf(0) is the dummy
     private var b = 0
 
     private def byteOut(): Unit = {
@@ -93,7 +95,7 @@ object Jp2Codec {
       } else {
         // carry into the previous byte, then emit per its new value
         b += 1
-        out(out.length - 1) = b
+        buf(n - 1) = b.toByte
         if (b == 0xFF) {
           c &= 0x7FFFFFF
           push(c >>> 20); c &= 0xFFFFF; ct = 7
@@ -103,7 +105,11 @@ object Jp2Codec {
       }
     }
 
-    private def push(v: Int): Unit = { b = v & 0xFF; out += b }
+    private def push(v: Int): Unit = {
+      b = v & 0xFF
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+      buf(n) = b.toByte; n += 1
+    }
 
     private def renorm(): Unit = {
       while ({
@@ -145,9 +151,9 @@ object Jp2Codec {
       if (c >= tempc) c -= 0x8000
       c <<= ct; byteOut()
       c <<= ct; byteOut()
-      if (out.nonEmpty && out.last == 0xFF) out.remove(out.length - 1)
-      if (out.nonEmpty && out.head == 0) out.remove(0) // drop the dummy
-      out.map(_.toByte).toArray
+      if (n > 0 && (buf(n - 1) & 0xFF) == 0xFF) n -= 1
+      val start = if (n > 0 && buf(0) == 0) 1 else 0 // drop the dummy
+      java.util.Arrays.copyOfRange(buf, start, n)
     }
   }
 
@@ -279,10 +285,13 @@ object Jp2Codec {
       if (x < 0 || y < 0 || x >= w || y >= h) 0
       else if (sigma(y * w + x)) 1 else 0
 
-    def neighborCounts(x: Int, y: Int): (Int, Int, Int) = (
-      sig(x - 1, y) + sig(x + 1, y),
-      sig(x, y - 1) + sig(x, y + 1),
-      sig(x - 1, y - 1) + sig(x + 1, y - 1) + sig(x - 1, y + 1) + sig(x + 1, y + 1))
+    // hot path: separate accessors, no tuple allocation per coded bit
+    def nH(x: Int, y: Int): Int = sig(x - 1, y) + sig(x + 1, y)
+    def nV(x: Int, y: Int): Int = sig(x, y - 1) + sig(x, y + 1)
+    def nD(x: Int, y: Int): Int =
+      sig(x - 1, y - 1) + sig(x + 1, y - 1) + sig(x - 1, y + 1) + sig(x + 1, y + 1)
+    def anyNeighbor(x: Int, y: Int): Boolean =
+      nH(x, y) + nV(x, y) + nD(x, y) > 0
 
     private def signContrib(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= w || y >= h) 0
@@ -297,10 +306,7 @@ object Jp2Codec {
 
     def magContext(x: Int, y: Int): Int = {
       if (refined(y * w + x)) 16
-      else {
-        val (nh, nv, nd) = neighborCounts(x, y)
-        if (nh + nv + nd > 0) 15 else 14
-      }
+      else if (anyNeighbor(x, y)) 15 else 14
     }
 
     /** One full coding schedule over `numPlanes` magnitude planes.
@@ -328,8 +334,7 @@ object Jp2Codec {
         bitIO: (Int, Int) => Int, planeBit: (Int, Int) => Int,
         onNewSig: (Int, Int) => Unit): Unit = {
       val idx = y * w + x
-      val (nh, nv, nd) = neighborCounts(x, y)
-      val bit = bitIO(sigCtx(band, nh, nv, nd), planeBit(idx, p))
+      val bit = bitIO(sigCtx(band, nH(x, y), nV(x, y), nD(x, y)), planeBit(idx, p))
       if (bit == 1) {
         sigma(idx) = true
         onNewSig(idx, p)
@@ -343,15 +348,19 @@ object Jp2Codec {
         planeBit: (Int, Int) => Int, onNewSig: (Int, Int) => Unit): Unit = {
       var y0 = 0
       while (y0 < h) {
-        for (x <- 0 until w; y <- y0 until math.min(y0 + 4, h)) {
-          val idx = y * w + x
-          if (!sigma(idx)) {
-            val (nh, nv, nd) = neighborCounts(x, y)
-            if (nh + nv + nd > 0) {
+        val yEnd = math.min(y0 + 4, h)
+        var x = 0
+        while (x < w) {
+          var y = y0
+          while (y < yEnd) {
+            val idx = y * w + x
+            if (!sigma(idx) && anyNeighbor(x, y)) {
               codeSignificance(x, y, p, bitIO, planeBit, onNewSig)
               visited(idx) = true
             }
+            y += 1
           }
+          x += 1
         }
         y0 += 4
       }
@@ -361,13 +370,20 @@ object Jp2Codec {
         planeBit: (Int, Int) => Int): Unit = {
       var y0 = 0
       while (y0 < h) {
-        for (x <- 0 until w; y <- y0 until math.min(y0 + 4, h)) {
-          val idx = y * w + x
-          if (sigma(idx) && !visited(idx)) {
-            val bit = bitIO(magContext(x, y), planeBit(idx, p))
-            if (bit == 1) mag(idx) |= 1 << p
-            refined(idx) = true
+        val yEnd = math.min(y0 + 4, h)
+        var x = 0
+        while (x < w) {
+          var y = y0
+          while (y < yEnd) {
+            val idx = y * w + x
+            if (sigma(idx) && !visited(idx)) {
+              val bit = bitIO(magContext(x, y), planeBit(idx, p))
+              if (bit == 1) mag(idx) |= 1 << p
+              refined(idx) = true
+            }
+            y += 1
           }
+          x += 1
         }
         y0 += 4
       }
@@ -380,13 +396,13 @@ object Jp2Codec {
         val rows = math.min(4, h - y0)
         for (x <- 0 until w) {
           var start = 0
-          val eligible = rows == 4 && (0 until 4).forall { i =>
+          var eligible = rows == 4
+          var i = 0
+          while (eligible && i < 4) {
             val y = y0 + i
             val idx = y * w + x
-            !sigma(idx) && !visited(idx) && {
-              val (nh, nv, nd) = neighborCounts(x, y)
-              nh + nv + nd == 0
-            }
+            eligible = !sigma(idx) && !visited(idx) && !anyNeighbor(x, y)
+            i += 1
           }
           if (eligible) {
             val some = (0 until 4).exists(i => planeBit((y0 + i) * w + x, p) == 1)

@@ -435,6 +435,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("jp2 decode round-trips known 16-bit pages through our own entropy codec") {
+    // pixel i = (cp(i) % 256)*257, zero past the text end; the 5/3
+    // transform is reversible, so decoded-pixel features must equal
+    // the same features derived straight from the text
+    import graft.ops.Multimodal.Jp2Edge
+    val n = Jp2Edge * Jp2Edge
+    val expected = docs.map { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val px = (0 until n).map(i => if (i < cps.length) ((cps(i) % 256) * 257).toLong else 0L)
+      id -> ((px.sum,
+        px.zipWithIndex.map { case (p, i) => (i + 1).toLong * p }.sum,
+        px.max))
+    }
+    val df = graft.ops.Multimodal.decodeJp2(spark, dir)
+    assert(df.columns.toSeq === Seq(
+      "doc_id", "width", "height", "sum_p", "p_checksum", "peak"))
+    val got = df.collect().map { r =>
+      assert(r.getAs[Long]("width") === Jp2Edge.toLong)
+      assert(r.getAs[Long]("height") === Jp2Edge.toLong)
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("sum_p"), r.getAs[Long]("p_checksum"), r.getAs[Long]("peak")))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("patchify emits exactly the fitting 4x4 patches with exact code-point sums") {
     val rows = graft.ops.Multimodal.patchify(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), (r.getString(3), r.getLong(4))))
