@@ -2,12 +2,11 @@ package graft.sources
 
 /** A real JPEG2000 Part-1 entropy codec (ISO/IEC 15444-1 / ITU-T
   * T.800), pure JDK, for the constrained profile [[Jp2Binary]] writes:
-  * one tile, one unsigned grayscale component, ZERO wavelet
-  * decomposition levels (so the single LL subband IS the image and no
-  * inverse DWT is needed — a legitimate codestream shape, signaled in
-  * COD), one 64×64 code block covering the page, one quality layer,
-  * LRCP. Within that profile this is the full Tier-1/Tier-2 machinery
-  * the reference leans on glymur/OpenJPEG for (`get_image`
+  * one tile, one unsigned grayscale component, one quality layer,
+  * LRCP, reversible 5/3 wavelet at 0-2 decomposition levels, 64×64
+  * code blocks over each subband's full grid (pages to 512×512).
+  * Within that profile this is the full Tier-1/Tier-2 machinery the
+  * reference leans on glymur/OpenJPEG for (`get_image`
   * tiff2octree.py:524-545 decodes `.jp2` slices at block-read time):
   *
   *  - the MQ arithmetic coder (Annex C): the 47-state Qe probability
@@ -15,22 +14,27 @@ package graft.sources
   *    spec FLUSH (trailing 0xFF discarded), decoder whose BYTEIN
   *    feeds 1-bits past the terminator;
   *  - the EBCOT bit-plane coder (Annex D): 19 contexts (9
-  *    significance from the H/V/D neighborhood, 5 sign with the XOR
-  *    convention, 3 magnitude refinement, run-length + UNIFORM),
-  *    stripe-of-4 scan, and the three passes per plane — significance
-  *    propagation, magnitude refinement, cleanup with run-length
-  *    column mode — MSB plane cleanup-only;
-  *  - minimal Tier-2: the packet header (non-empty bit, single-node
-  *    inclusion and zero-bitplane tag trees, the variable-length
-  *    pass-count code, Lblock length signaling) with 0xFF
-  *    bit-unstuffing, COD/QCD/SOT/SOD marker segments, and the DC
-  *    level shift (Annex G) for unsigned samples.
+  *    significance from the H/V/D neighborhood with per-band columns
+  *    — LL/LH shared, HL role-swapped, HH diagonal-driven — 5 sign
+  *    with the XOR convention, 3 magnitude refinement, run-length +
+  *    UNIFORM), stripe-of-4 scan, and the three passes per plane —
+  *    significance propagation, magnitude refinement, cleanup with
+  *    run-length column mode — MSB plane cleanup-only;
+  *  - the reversible 5/3 DWT (Annex F integer lifting with symmetric
+  *    extension), exactly invertible at odd and degenerate shapes;
+  *  - Tier-2: per-resolution packets whose headers carry true 2D
+  *    inclusion and zero-bitplane TAG TREES over each subband's
+  *    code-block grid (Annex B.10.2 — quad-tree minima shared across
+  *    neighboring blocks), the variable-length pass-count code,
+  *    Lblock length signaling, 0xFF bit-stuffing, COD/QCD/SOT/SOD
+  *    marker segments, and the DC level shift (Annex G) for unsigned
+  *    samples.
   *
   * Encoder and decoder are independent implementations of the same
   * published flowcharts; the spec pins them against each other with
   * exhaustive round trips (random pages, extreme values, non-square
-  * shapes) plus structural checks (marker layout, no 0xFF93+ byte
-  * pairs inside the MQ codeword).
+  * shapes, multi-code-block sizes) plus structural checks (marker
+  * layout, no 0xFF93+ byte pairs inside the MQ codeword).
   */
 object Jp2Codec {
 
@@ -652,88 +656,219 @@ object Jp2Codec {
     def align(): Int = { nBits = 0; if (prevFF) { prevFF = false; pos += 1 }; pos }
   }
 
-  /** One packet holding one code block per subband of its resolution
-    * (each subband fits a single 64×64 block in this profile, so all
-    * tag trees are single-node): non-empty bit, then per code block —
-    * inclusion, zero-bitplane tag tree, pass count, Lblock + length —
-    * then the concatenated MQ codewords. `mbs` is each subband's plane
-    * budget from QCD (Mb = exponent + guards − 1).
+  // ------------------------------------------------------------ tag trees
+
+  /** A 2D tag tree (Annex B.10.2): a quad-tree over the code-block
+    * grid whose internal node values are the minima of their children,
+    * letting the packet header share "value ≥ t" information across
+    * neighboring code blocks. One structure serves both directions:
+    * the encoder seeds leaf values with [[setValue]]; the decoder
+    * leaves values unknown and discovers them bit by bit. A 1×1 tree
+    * degenerates to the single-node unary code.
     */
-  private def writePacket(cbs: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+  private final class TagTree(lw: Int, lh: Int) {
+    // level 0 = leaves; each level halves (ceil) until 1×1; nodes
+    // stored per level in raster order, root last
+    private val dims = Iterator.iterate((lw, lh)) { case (a, b) =>
+      ((a + 1) / 2, (b + 1) / 2)
+    }.takeWhile(_ => true).take(
+      1 + math.max(ceilLog2(math.max(lw, 1)), ceilLog2(math.max(lh, 1)))).toIndexedSeq
+    private def ceilLog2(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.max(1, v) - 1)
+    private val value = dims.map { case (a, b) => Array.fill(a * b)(Int.MaxValue) }
+    private val low = dims.map { case (a, b) => new Array[Int](a * b) }
+    private val known = dims.map { case (a, b) => new Array[Boolean](a * b) }
+
+    def setValue(x: Int, y: Int, v: Int): Unit = {
+      value(0)(y * lw + x) = v
+      // push minima up
+      var lvl = 0
+      var (cx, cy) = (x, y)
+      while (lvl + 1 < dims.length) {
+        cx /= 2; cy /= 2; lvl += 1
+        val i = cy * dims(lvl)._1 + cx
+        if (v < value(lvl)(i)) value(lvl)(i) = v
+      }
+    }
+
+    /** Path of (level, index) from root down to leaf (x, y). */
+    private def path(x: Int, y: Int): Seq[(Int, Int)] =
+      (dims.length - 1 to 0 by -1).map { lvl =>
+        val (cx, cy) = (x >> lvl, y >> lvl)
+        (lvl, cy * dims(lvl)._1 + cx)
+      }
+
+    /** Emit bits so a decoder running [[decode]] with the same
+      * threshold resolves whether this leaf's value is < t (and if so,
+      * exactly what it is).
+      */
+    def encode(hw: HeaderWriter, x: Int, y: Int, threshold: Int): Unit = {
+      var bound = 0
+      for ((lvl, i) <- path(x, y)) {
+        if (low(lvl)(i) < bound) low(lvl)(i) = bound else bound = low(lvl)(i)
+        var done = false
+        while (!done && bound < threshold) {
+          if (bound < value(lvl)(i)) { hw.bit(0); bound += 1; low(lvl)(i) = bound }
+          else {
+            if (!known(lvl)(i)) { hw.bit(1); known(lvl)(i) = true }
+            done = true
+          }
+        }
+        low(lvl)(i) = bound
+        if (!done) return // bound reached threshold: leaf stays unresolved
+        bound = value(lvl)(i)
+      }
+    }
+
+    /** Returns the leaf's value if it resolves below `threshold`,
+      * otherwise `threshold` (meaning "at least threshold").
+      */
+    def decode(hr: HeaderReader, x: Int, y: Int, threshold: Int): Int = {
+      var bound = 0
+      var leafValue = threshold
+      val p = path(x, y)
+      var pi = 0
+      var stop = false
+      while (pi < p.length && !stop) {
+        val (lvl, i) = p(pi)
+        if (low(lvl)(i) < bound) low(lvl)(i) = bound else bound = low(lvl)(i)
+        if (!known(lvl)(i)) {
+          var done = false
+          while (!done && bound < threshold) {
+            if (hr.bit() == 1) { known(lvl)(i) = true; value(lvl)(i) = bound; done = true }
+            else { bound += 1; low(lvl)(i) = bound }
+          }
+          low(lvl)(i) = bound
+          if (!done) stop = true // "≥ threshold"
+        }
+        if (!stop) {
+          bound = value(lvl)(i)
+          if (pi == p.length - 1) leafValue = value(lvl)(i)
+        }
+        pi += 1
+      }
+      leafValue
+    }
+  }
+
+  /** Code-block grid for a subband: 64×64 blocks in raster order. */
+  private val CbSize = 64
+  private def cbGrid(sw: Int, sh: Int): (Int, Int) =
+    (math.max(1, (sw + CbSize - 1) / CbSize), math.max(1, (sh + CbSize - 1) / CbSize))
+
+  /** One packet holding the full code-block grid of every subband of
+    * its resolution: non-empty bit, then per subband, per code block
+    * in raster order — inclusion tag tree, zero-bitplane tag tree,
+    * pass count, Lblock + length — then the concatenated MQ
+    * codewords. `mbs` is each subband's plane budget from QCD
+    * (Mb = exponent + guards − 1).
+    */
+  /** One subband's contribution to a packet: grid dims plus each code
+    * block's (numPlanes, codeword) in raster order.
+    */
+  private final case class SubbandPacketPart(gw: Int, gh: Int, mb: Int,
+      cbs: IndexedSeq[(Int, Array[Byte])])
+
+  private def writePassCount(hw: HeaderWriter, passes: Int): Unit = {
+    if (passes == 1) hw.bit(0)
+    else if (passes == 2) hw.bits(2, 2) // "10"
+    else if (passes <= 5) { hw.bits(3, 2); hw.bits(passes - 3, 2) }
+    else if (passes <= 36) { hw.bits(0xF, 4); hw.bits(passes - 6, 5) }
+    else { hw.bits(0x1FF, 9); hw.bits(passes - 37, 7) }
+  }
+
+  private def readPassCount(hr: HeaderReader): Int = {
+    if (hr.bit() == 0) 1
+    else if (hr.bit() == 0) 2
+    else {
+      val two = hr.bits(2)
+      if (two != 3) 3 + two
+      else {
+        val five = hr.bits(5)
+        if (five != 31) 6 + five
+        else 37 + hr.bits(7) // nine leading 1s consumed above
+      }
+    }
+  }
+
+  private def writePacket(parts: Seq[SubbandPacketPart]): Array[Byte] = {
     val hw = new HeaderWriter
-    if (cbs.forall(_._1 == 0)) {
+    if (parts.forall(_.cbs.forall(_._1 == 0))) {
       hw.bit(0) // empty packet: nothing included
       return hw.finish()
     }
     hw.bit(1) // packet non-empty
-    for ((numPlanes, mb, body) <- cbs) {
-      if (numPlanes == 0) hw.bit(0) // inclusion tag tree: not in layer 0
-      else {
-        require(numPlanes <= mb, s"numPlanes $numPlanes exceeds Mb $mb")
-        hw.bit(1) // inclusion tag tree, single node, value 0
-        val missing = mb - numPlanes
-        for (_ <- 0 until missing) hw.bit(0)
-        hw.bit(1) // zero-bitplane tag tree, single node, value `missing`
-        val passes = 3 * numPlanes - 2
-        if (passes == 1) hw.bit(0)
-        else if (passes == 2) hw.bits(2, 2) // "10"
-        else if (passes <= 5) { hw.bits(3, 2); hw.bits(passes - 3, 2) }
-        else if (passes <= 36) { hw.bits(0xF, 4); hw.bits(passes - 6, 5) }
-        else { hw.bits(0x1FF, 9); hw.bits(passes - 37, 7) }
-        // Lblock: starts at 3; k "1" bits raise it, then "0", then the
-        // length on (3 + k + floor(log2(passes))) bits
-        val lenBitsBase = 3 + (31 - Integer.numberOfLeadingZeros(passes))
-        var k = 0
-        while ((1 << (lenBitsBase + k)) <= body.length) k += 1
-        for (_ <- 0 until k) hw.bit(1)
-        hw.bit(0)
-        hw.bits(body.length, lenBitsBase + k)
+    for (part <- parts) {
+      val incl = new TagTree(part.gw, part.gh)
+      val zbp = new TagTree(part.gw, part.gh)
+      for (gy <- 0 until part.gh; gx <- 0 until part.gw) {
+        val (numPlanes, _) = part.cbs(gy * part.gw + gx)
+        // inclusion value: first layer the cb appears in (0), or 1 =
+        // beyond the only layer; zero-bitplanes only matter when
+        // included, but the tag tree needs a consistent value
+        incl.setValue(gx, gy, if (numPlanes == 0) 1 else 0)
+        zbp.setValue(gx, gy, if (numPlanes == 0) 0 else part.mb - numPlanes)
+      }
+      for (gy <- 0 until part.gh; gx <- 0 until part.gw) {
+        val (numPlanes, body) = part.cbs(gy * part.gw + gx)
+        incl.encode(hw, gx, gy, 1)
+        if (numPlanes > 0) {
+          require(numPlanes <= part.mb, s"numPlanes $numPlanes exceeds Mb ${part.mb}")
+          val missing = part.mb - numPlanes
+          var t = 1
+          while (t <= missing) { zbp.encode(hw, gx, gy, t); t += 1 }
+          zbp.encode(hw, gx, gy, missing + 1) // resolves: value == missing
+          writePassCount(hw, 3 * numPlanes - 2)
+          // Lblock: starts at 3; k "1" bits raise it, then "0", then
+          // the length on (3 + k + floor(log2(passes))) bits
+          val passes = 3 * numPlanes - 2
+          val lenBitsBase = 3 + (31 - Integer.numberOfLeadingZeros(passes))
+          var k = 0
+          while ((1 << (lenBitsBase + k)) <= body.length) k += 1
+          for (_ <- 0 until k) hw.bit(1)
+          hw.bit(0)
+          hw.bits(body.length, lenBitsBase + k)
+        }
       }
     }
-    hw.finish() ++ cbs.flatMap(_._3)
+    hw.finish() ++ parts.flatMap(_.cbs.map(_._2)).flatten
   }
 
   private def readPacket(data: Array[Byte], off: Int,
-      mbs: Seq[Int]): (Seq[(Int, Array[Byte])], Int) = {
+      grids: Seq[(Int, Int, Int)]): (Seq[IndexedSeq[(Int, Array[Byte])]], Int) = {
     val hr = new HeaderReader(data, off)
     if (hr.bit() == 0)
-      return (mbs.map(_ => (0, Array.emptyByteArray)), hr.align())
-    val metas = mbs.map { mb =>
-      if (hr.bit() == 0) (0, 0) // not included
-      else {
-        var missing = 0
-        while (hr.bit() == 0) missing += 1
-        val numPlanes = mb - missing
-        require(numPlanes > 0, s"no magnitude planes (missing=$missing, mb=$mb)")
-        val passes = {
-          if (hr.bit() == 0) 1
-          else if (hr.bit() == 0) 2
-          else {
-            val two = hr.bits(2)
-            if (two != 3) 3 + two
-            else {
-              val five = hr.bits(5)
-              if (five != 31) 6 + five
-              else 37 + hr.bits(7) // nine leading 1s consumed above
-            }
-          }
+      return (grids.map { case (gw, gh, _) =>
+        IndexedSeq.fill(gw * gh)((0, Array.emptyByteArray))
+      }, hr.align())
+    val metas = grids.map { case (gw, gh, mb) =>
+      val incl = new TagTree(gw, gh)
+      val zbp = new TagTree(gw, gh)
+      (for (gy <- 0 until gh; gx <- 0 until gw) yield {
+        if (incl.decode(hr, gx, gy, 1) >= 1) (0, 0) // not included
+        else {
+          var t = 1
+          var missing = zbp.decode(hr, gx, gy, t)
+          while (missing >= t) { t += 1; missing = zbp.decode(hr, gx, gy, t) }
+          val numPlanes = mb - missing
+          require(numPlanes > 0, s"no magnitude planes (missing=$missing, mb=$mb)")
+          val passes = readPassCount(hr)
+          require(passes == 3 * numPlanes - 2,
+            s"pass count $passes does not match $numPlanes planes")
+          var k = 0
+          while (hr.bit() == 1) k += 1
+          val lenBits = 3 + k + (31 - Integer.numberOfLeadingZeros(passes))
+          (numPlanes, hr.bits(lenBits))
         }
-        require(passes == 3 * numPlanes - 2,
-          s"pass count $passes does not match $numPlanes planes")
-        var k = 0
-        while (hr.bit() == 1) k += 1
-        val lenBits = 3 + k + (31 - Integer.numberOfLeadingZeros(passes))
-        (numPlanes, hr.bits(lenBits))
-      }
+      }).toIndexedSeq
     }
     var pos = hr.align()
-    val out = metas.map { case (numPlanes, len) =>
+    val out = metas.map(_.map { case (numPlanes, len) =>
       require(pos + len <= data.length,
         s"codeword truncated: $len bytes signaled, ${data.length - pos} present")
       val body = data.slice(pos, pos + len)
       pos += len
       (numPlanes, body)
-    }
+    })
     (out, pos)
   }
 
@@ -781,10 +916,28 @@ object Jp2Codec {
     * signed, then the reversible 5/3 DWT decomposes NL levels and
     * each subband is Tier-1 coded as one code block.
     */
+  /** Tier-1 code every 64×64 code block of one subband, raster order. */
+  private def codeSubband(sb: Subband, mb: Int): SubbandPacketPart = {
+    val (gw, gh) = cbGrid(sb.w, sb.h)
+    val cbs = (for (gy <- 0 until gh; gx <- 0 until gw) yield {
+      val x0 = gx * CbSize; val y0 = gy * CbSize
+      val cw = math.min(CbSize, sb.w - x0)
+      val ch = math.min(CbSize, sb.h - y0)
+      if (cw <= 0 || ch <= 0) (0, Array.emptyByteArray)
+      else {
+        val rect = new Array[Int](cw * ch)
+        for (y <- 0 until ch; x <- 0 until cw)
+          rect(y * cw + x) = sb.coef((y0 + y) * sb.w + (x0 + x))
+        encodeBlock(rect, cw, ch, sb.band)
+      }
+    }).toIndexedSeq
+    SubbandPacketPart(gw, gh, mb, cbs)
+  }
+
   def encodeTail(page: Array[Array[Long]], bits: Int): Array[Byte] = {
     val (h, w) = (page.length, page.head.length)
-    require(w <= 128 && h <= 128,
-      s"profile codes one code block per subband; got ${w}x$h (max 128)")
+    require(w <= 512 && h <= 512,
+      s"profile codes a single tile; got ${w}x$h (max 512)")
     val nl = levelsFor(w, h)
     val shift = 1 << (bits - 1)
     val coef = Array.tabulate(h, w) { (y, x) =>
@@ -793,18 +946,11 @@ object Jp2Codec {
       s.toInt - shift
     }
     val subbands = dwtForward(coef, nl)
-    require(subbands.forall(sb => sb.w <= 64 && sb.h <= 64),
-      "subband exceeds the single code block")
-    val coded = subbands.map { sb =>
-      val (numPlanes, body) = encodeBlock(sb.coef, sb.w, sb.h, sb.band)
-      (sb, numPlanes, body)
-    }
+    val coded = subbands.map(sb =>
+      codeSubband(sb, bits + bandGain(sb.band) + 1 + GuardBits - 1))
     // resolution r=0 is the deepest LL; r>=1 groups (HL, LH, HH)
     val packets = (0 to nl).map { r =>
-      val cbs = if (r == 0) Seq(coded.head) else coded.slice(1 + (r - 1) * 3, 1 + r * 3)
-      writePacket(cbs.map { case (sb, n, b) =>
-        (n, bits + bandGain(sb.band) + 1 + GuardBits - 1, b)
-      })
+      writePacket(if (r == 0) Seq(coded.head) else coded.slice(1 + (r - 1) * 3, 1 + r * 3))
     }
     val body = packets.flatten.toArray
     val out = new java.io.ByteArrayOutputStream()
@@ -886,11 +1032,29 @@ object Jp2Codec {
     var pos = sodAt
     var expIdx = 0
     val subbands = bandsPerPacket.flatMap { bands =>
-      val mbs = bands.map { _ => val e = exps(expIdx); expIdx += 1; e + guards - 1 }
-      val (cbs, end) = readPacket(cs, pos, mbs)
+      val grids = bands.map { case (_, bw, bh) =>
+        val e = exps(expIdx); expIdx += 1
+        val (gw, gh) = cbGrid(bw, bh)
+        (gw, gh, e + guards - 1)
+      }
+      val (cbGrids, end) = readPacket(cs, pos, grids)
       pos = end
-      bands.zip(cbs).map { case ((band, bw, bh), (numPlanes, body)) =>
-        Subband(band, bw, bh, decodeBlock(body, bw, bh, numPlanes, band))
+      bands.zip(cbGrids).map { case ((band, bw, bh), cbs) =>
+        // stitch the decoded code blocks back into the subband
+        val coef = new Array[Int](bw * bh)
+        val (gw, gh) = cbGrid(bw, bh)
+        for (gy <- 0 until gh; gx <- 0 until gw) {
+          val x0 = gx * CbSize; val y0 = gy * CbSize
+          val cw = math.min(CbSize, bw - x0)
+          val ch = math.min(CbSize, bh - y0)
+          if (cw > 0 && ch > 0) {
+            val (numPlanes, body) = cbs(gy * gw + gx)
+            val rect = decodeBlock(body, cw, ch, numPlanes, band)
+            for (y <- 0 until ch; x <- 0 until cw)
+              coef((y0 + y) * bw + (x0 + x)) = rect(y * cw + x)
+          }
+        }
+        Subband(band, bw, bh, coef)
       }
     }
     require(pos + 2 <= cs.length && getU16(cs, pos) == 0xFFD9,

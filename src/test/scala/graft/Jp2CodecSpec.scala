@@ -53,8 +53,11 @@ class Jp2CodecSpec extends AnyFunSuite {
   }
 
   test("large pages round-trip through the multi-level wavelet path") {
-    // > 64 px forces NL=2; odd dims exercise the ceil/floor split
-    for ((h, w) <- Seq((128, 128), (100, 77), (65, 128), (127, 1))) {
+    // > 64 px forces NL=2; odd dims exercise the ceil/floor split;
+    // > 128 px forces MULTIPLE code blocks per subband (real 2D tag
+    // trees in the packet headers)
+    for ((h, w) <- Seq((128, 128), (100, 77), (65, 128), (127, 1),
+                       (256, 200), (300, 131), (512, 512))) {
       var seed = h * 31L + w
       def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
       roundTrip(fill(h, w)((_, _) => math.floorMod(next(), 65536L)))
