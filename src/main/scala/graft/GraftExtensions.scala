@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{KmvKthHash, Md5PrefixLong, SecondMax}
+import graft.functions.{FloatDot, KmvKthHash, Md5PrefixLong, SecondMax}
 
 /** Session-extensions injection of the engine's native functions and
   * planner rules — the cluster-wide deployment path: a user adds
@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_kmv_kth"),
       info("graft_kmv_kth", classOf[KmvKthHash]),
       (exprs: Seq[Expression]) => graft.functions.GraftFunctions.kmvBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_fdot"),
+      info("graft_fdot", classOf[FloatDot]),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
     // planner seam: rewrite the naive collect_list+sort second-max
     // idiom to the native two-slot aggregate (see SecondMaxRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)

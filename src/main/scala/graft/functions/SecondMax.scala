@@ -84,6 +84,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_kmv_kth", kmvBuilder, "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_fdot"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_fdot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

@@ -22,11 +22,21 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-fold double dot product of two float-array columns, as the
+    * native codegen'd [[graft.functions.FloatDot]] kernel — the same
+    * numeric contract as the `aggregate(zip_with(...))` higher-order
+    * form (element-order widening, left-to-right sum; all 20
+    * consumers re-verified hash-identical on the swap). A same-window
+    * isolated A/B over the eight dot-heavy queries measured 8.39 s
+    * native vs 8.52 s higher-order at dim-64 — a wash: the HOF
+    * overhead is not the bottleneck at this dimensionality. Kept
+    * because the kernel is allocation-free per row (no intermediate
+    * product array, no per-element lambda dispatch), which is the
+    * side that scales as embedding width grows. Registered at the
+    * [[graft.Tables]] seam, so any operator that loads a table can
+    * use it.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_fdot", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

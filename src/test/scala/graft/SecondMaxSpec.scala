@@ -44,4 +44,30 @@ class SecondMaxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT graft_second_max(x) FROM VALUES (1L),(5L),(3L) AS t(x)")
       .collect()(0).getLong(0) === 3L)
   }
+
+  test("graft_fdot matches the higher-order formulation bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val n = if (i % 17 == 0) 0 else 64
+      (Array.fill(n)(rnd.nextFloat() * 2 - 1), Array.fill(n)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("hof", aggregate(
+        zip_with(col("a"), col("b"), (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("native", call_function("graft_fdot", col("a"), col("b")))
+    // bit-identical: compare raw long bits, not approximate equality
+    val bad = df.select(col("hof"), col("native")).collect().count { r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+    }
+    assert(bad === 0)
+    // length mismatch and null element → null, like zip_with padding
+    val edge = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(call_function("graft_fdot", col("a"), col("b")).as("d"))
+    assert(edge.collect()(0).isNullAt(0))
+  }
 }
