@@ -323,6 +323,45 @@ object IngestDispatch {
       .orderBy("c", "z", "y", "x")
   }
 
+  /** The STACK read direction (`stack_to_dask_array`
+    * tiff2octree.py:628: one multi-page TIFF per channel, z = page
+    * index): a distributed binaryFile scan over the staged
+    * `stack/ch{c}.tif` files, every page decoded from bytes alone.
+    * A stack is an inherently serial container — one file = one task
+    * — which is exactly why the reference (and this engine) prefer
+    * slice dirs and chunked containers at scale; the arm exists
+    * because users arrive with stacks. Must reproduce [[VoxelGrid]]
+    * exactly.
+    */
+  def parseStackVoxels(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .load(s"$root/stack")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val c = path.split('/').last.stripPrefix("ch").stripSuffix(".tif").toLong
+        graft.octree.TiffBinary.decodePages(bytes).zipWithIndex.flatMap {
+          case ((_, w, h, bits, comp, off, nb), z) =>
+            require(bits == 16 && comp == 8, s"unexpected page encoding ($bits, $comp)")
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(bytes.slice(off.toInt, (off + nb).toInt))
+            val raw = new Array[Byte]((w * h * 2).toInt)
+            var o = 0
+            while (o < raw.length && !inf.finished()) o += inf.inflate(raw, o, raw.length - o)
+            inf.end()
+            for {
+              y <- 0 until h.toInt; x <- 0 until w.toInt
+              v = (raw(2 * (y * w.toInt + x)) & 0xff) |
+                ((raw(2 * (y * w.toInt + x) + 1) & 0xff) << 8)
+              if v > 0
+            } yield (c, z.toLong, y.toLong, x.toLong, v.toLong)
+        }
+      }
+      .toDF("c", "z", "y", "x", "v")
+      .orderBy("c", "z", "y", "x")
+  }
+
   /** The `.jp2` slice READ direction — the role `get_image`
     * (tiff2octree.py:532, glymur) plays in the reference: a
     * distributed binaryFile scan over the staged channel-0 `.jp2`

@@ -315,6 +315,31 @@ object VolumeQueries {
     }
   }
 
+  /** src_stack_ingest — the STACK read direction
+    * (`stack_to_dask_array` tiff2octree.py:628: multi-page TIFF per
+    * channel, z = page index): stage both channels as stacks, then
+    * reproduce the whole voxel frame from nothing but read-back
+    * stack bytes. Shares the voxel-model oracle — with this arm,
+    * every reference input format has a pixel-lossless read
+    * direction (slices tif, slices jp2, stack, N5, Zarr).
+    */
+  def stackIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_stack_${ProcessHandle.current().pid()}"
+    try {
+      IngestDispatch.stageStacks(spark, dir, out)
+      IngestDispatch.parseStackVoxels(spark, out).localCheckpoint(true)
+        .orderBy("c", "z", "y", "x")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),
@@ -327,7 +352,8 @@ object VolumeQueries {
     "src_zarr_discover" -> (zarrDiscover _),
     "src_ingest_dispatch" -> (ingestDispatch _),
     "src_slice_ingest" -> (sliceIngest _),
-    "src_jp2_ingest" -> (jp2Ingest _)
+    "src_jp2_ingest" -> (jp2Ingest _),
+    "src_stack_ingest" -> (stackIngest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,6 +443,11 @@ object VolumeQueries {
     "src_jp2_ingest" ->
       s"""WITH ${graft.octree.OctreeOracles.voxelCte}
          |SELECT c, z, y, x, v FROM voxels WHERE c = 0
-         |ORDER BY c, z, y, x""".stripMargin
+         |ORDER BY c, z, y, x""".stripMargin,
+    // stack-arm losslessness: both channels' multi-page stacks must
+    // equal the voxel model
+    "src_stack_ingest" ->
+      s"""WITH ${graft.octree.OctreeOracles.voxelCte}
+         |SELECT c, z, y, x, v FROM voxels ORDER BY c, z, y, x""".stripMargin
   )
 }

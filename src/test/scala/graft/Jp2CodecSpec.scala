@@ -95,6 +95,29 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("random byte corruption is always bounded: throws or returns, never hangs") {
+    // the decoder's failure mode under corruption must be a loud
+    // exception or a (wrong) bounded result — MQ BYTEIN feeds 1-bits
+    // past the terminator, every header loop is length-bounded, and
+    // signaled lengths are validated, so no input can loop forever
+    val page = fill(32, 32)((y, x) => ((y * 32 + x) * 61 % 65536).toLong)
+    val bytes = Jp2Binary.serialize(page)
+    var seed = 12345L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    var threw = 0
+    for (_ <- 0 until 200) {
+      val mut = bytes.clone()
+      // corrupt 1-4 bytes anywhere in the file
+      for (_ <- 0 to math.floorMod(next(), 4L).toInt)
+        mut(math.floorMod(next(), mut.length.toLong).toInt) = next().toByte
+      val t0 = System.nanoTime()
+      try { Jp2Binary.decode(mut); () }
+      catch { case _: Throwable => threw += 1 }
+      assert(System.nanoTime() - t0 < 5L * 1000 * 1000 * 1000, "decode took >5s on corrupt input")
+    }
+    assert(threw > 0) // sanity: corruption is actually being detected
+  }
+
   test("a corrupted entropy payload fails loudly, not silently") {
     val page = fill(16, 16)((y, x) => (y * 16 + x).toLong)
     val bytes = Jp2Binary.serialize(page)

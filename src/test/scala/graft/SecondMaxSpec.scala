@@ -69,5 +69,13 @@ class SecondMaxSpec extends AnyFunSuite with BeforeAndAfterAll {
     val edge = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
       .select(call_function("graft_fdot", col("a"), col("b")).as("d"))
     assert(edge.collect()(0).isNullAt(0))
+    // grain-adaptive: a double-element regeneration of the embeddings
+    // table must keep working, in full double precision
+    val dd = Seq((Array(0.5d, 0.25d), Array(2.0d, 4.0d))).toDF("a", "b")
+      .select(call_function("graft_fdot", col("a"), col("b")).as("d"))
+    assert(dd.collect()(0).getDouble(0) === 2.0)
+    val fd = Seq((Array(0.5f, 0.25f), Array(2.0d, 4.0d))).toDF("a", "b")
+      .select(call_function("graft_fdot", col("a"), col("b")).as("d"))
+    assert(fd.collect()(0).getDouble(0) === 2.0)
   }
 }

@@ -351,6 +351,12 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq)
       assert(gotJp2.nonEmpty)
       assert(gotJp2.toSeq === wantC0.toSeq)
+      // the stack arm's multi-page read direction reproduces both
+      // channels exactly (z = page index)
+      val gotStack = graft.sources.IngestDispatch.parseStackVoxels(spark, out)
+        .collect().map(_.toSeq)
+      assert(gotStack.nonEmpty)
+      assert(gotStack.toSeq === want.toSeq)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
