@@ -28,9 +28,10 @@ import graft.VoxelGrid
   * independently in parallel (`mapPartitions` over the input list);
   * no driver-side IO.
   *
-  * JPEG2000 pixel DECODE (reference `get_image` :532, glymur) stays a
-  * documented codec seam in [[Jp2Binary]]; the dispatch itself — the
-  * part the reference performs with header metadata — is real.
+  * JPEG2000 pixel DECODE (reference `get_image` :532, glymur) is —
+  * since r8 — the real [[Jp2Codec]] entropy decoder behind
+  * [[Jp2Binary.decode]] (see [[parseJp2Voxels]]); the dispatch sniff
+  * itself still reads only the header boxes.
   */
 object IngestDispatch {
 
@@ -309,7 +310,12 @@ object IngestDispatch {
             inf.setInput(bytes.slice(off.toInt, (off + nb).toInt))
             val raw = new Array[Byte]((w * h * 2).toInt)
             var o = 0
-            while (o < raw.length && !inf.finished()) o += inf.inflate(raw, o, raw.length - o)
+            while (o < raw.length && !inf.finished()) {
+              val n = inf.inflate(raw, o, raw.length - o)
+              require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+                s"truncated deflate stream: $o of ${raw.length} bytes inflated")
+              o += n
+            }
             inf.end()
             for {
               y <- 0 until h.toInt; x <- 0 until w.toInt
@@ -348,7 +354,12 @@ object IngestDispatch {
             inf.setInput(bytes.slice(off.toInt, (off + nb).toInt))
             val raw = new Array[Byte]((w * h * 2).toInt)
             var o = 0
-            while (o < raw.length && !inf.finished()) o += inf.inflate(raw, o, raw.length - o)
+            while (o < raw.length && !inf.finished()) {
+              val n = inf.inflate(raw, o, raw.length - o)
+              require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+                s"truncated deflate stream: $o of ${raw.length} bytes inflated")
+              o += n
+            }
             inf.end()
             for {
               y <- 0 until h.toInt; x <- 0 until w.toInt

@@ -74,8 +74,15 @@ object ZarrBinary {
     inf.setInput(comp)
     val raw = new Array[Byte](rawLen)
     var off = 0
-    while (off < rawLen && !inf.finished())
-      off += inf.inflate(raw, off, rawLen - off)
+    while (off < rawLen && !inf.finished()) {
+      val n = inf.inflate(raw, off, rawLen - off)
+      // inflate() == 0 with needsInput means the stream is TRUNCATED:
+      // no more input will ever arrive, so looping again would spin
+      // forever — fail loudly instead
+      require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+        s"truncated deflate stream: $off of $rawLen bytes inflated")
+      off += n
+    }
     require(off == rawLen && inf.finished(),
       s"zlib payload is not exactly $rawLen bytes")
     inf.end()

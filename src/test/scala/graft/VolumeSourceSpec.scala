@@ -283,6 +283,47 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corrupt container chunks fail loudly in both N5 and Zarr parsers") {
+    // a truncated/garbled chunk must surface as a task failure with
+    // the parser's own message, never as silently-missing voxels —
+    // at 100 TB a quiet decode hole is data corruption, not an error
+    val dir = "/root/testdata/sf0.001"
+    for ((name, write, parse) <- Seq[(String,
+        (org.apache.spark.sql.SparkSession, String, String) => Unit,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      ("n5", (s, d, o) => N5Binary.writeContainer(s, d, o),
+        (s, o) => N5Binary.parseVoxels(s, o)),
+      ("zarr", (s, d, o) => graft.sources.ZarrBinary.writeContainer(s, d, o),
+        (s, o) => graft.sources.ZarrBinary.parseVoxels(s, o)))) {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_corrupt_$name").toString
+      try {
+        write(spark, dir, out)
+        // find one chunk file and truncate it mid-payload
+        def chunks(root: java.io.File): Seq[java.io.File] =
+          if (root.isDirectory) Option(root.listFiles()).toSeq.flatten.flatMap(chunks)
+          else if (!root.getName.startsWith(".") && root.getName != "attributes.json")
+            Seq(root) else Seq.empty
+        val victim = chunks(new java.io.File(out)).head
+        val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+        java.nio.file.Files.write(victim.toPath, bytes.take(bytes.length / 2))
+        val e = intercept[Throwable](parse(spark, out).collect())
+        // the parser's length/format require must be the root cause
+        def chain(t: Throwable): Seq[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+        assert(chain(e).exists(c => c.getMessage != null &&
+          (c.getMessage.contains("not exactly") || c.getMessage.contains("truncated") ||
+            c.getMessage.contains("chunk") || c.getMessage.contains("Unexpected") ||
+            c.isInstanceOf[java.io.IOException])),
+          s"$name corruption surfaced as: ${chain(e).map(_.getClass.getSimpleName)}")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(out))
+      }
+    }
+  }
+
   test("ingest level math matches the reference formulas") {
     import graft.sources.IngestDispatch.{adjustDimensions, calcOptimalNlevels}
     // adjust_dimensions trims each axis to a multiple of 2^nlevels
