@@ -77,7 +77,7 @@ object Jp2Codec {
   }
 
   // ------------------------------------------------------------ MQ encoder
-  private final class MqEncoder {
+  private[sources] final class MqEncoder {
     private val (st, mps) = initStates()
     private var a = 0x8000
     private var c = 0
@@ -162,7 +162,7 @@ object Jp2Codec {
   }
 
   // ------------------------------------------------------------ MQ decoder
-  private final class MqDecoder(data: Array[Byte]) {
+  private[sources] final class MqDecoder(data: Array[Byte]) {
     private val (st, mps) = initStates()
     private var bp = 0
     private var a = 0
@@ -620,7 +620,7 @@ object Jp2Codec {
   /** Packet-header bit writer with the 0xFF stuffing rule: a byte of
     * 0xFF is followed by a 7-bit byte (MSB forced 0).
     */
-  private final class HeaderWriter {
+  private[sources] final class HeaderWriter {
     private val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     private var cur = 0
     private var nBits = 0
@@ -637,7 +637,7 @@ object Jp2Codec {
     }
   }
 
-  private final class HeaderReader(data: Array[Byte], var pos: Int) {
+  private[sources] final class HeaderReader(data: Array[Byte], var pos: Int) {
     private var cur = 0
     private var nBits = 0
     private var prevFF = false
@@ -666,7 +666,7 @@ object Jp2Codec {
     * leaves values unknown and discovers them bit by bit. A 1×1 tree
     * degenerates to the single-node unary code.
     */
-  private final class TagTree(lw: Int, lh: Int) {
+  private[sources] final class TagTree(lw: Int, lh: Int) {
     // level 0 = leaves; each level halves (ceil) until 1×1; nodes
     // stored per level in raster order, root last
     private val dims = Iterator.iterate((lw, lh)) { case (a, b) =>
