@@ -56,8 +56,8 @@ object ZarrBinary {
   /** Array metadata for pyramid level index s (edge = Grid >> s).
     * `shape` is slowest-first (z, y, x) per the C `order`.
     */
-  private def zarray(edge: Int): String =
-    s"""{"zarr_format":2,"shape":[$edge,$edge,$edge],"chunks":[$Leaf,$Leaf,$Leaf],"dtype":">u2","compressor":{"id":"zlib","level":1},"fill_value":0,"order":"C","filters":null}"""
+  private def zarray(edge: Int, separator: String): String =
+    s"""{"zarr_format":2,"shape":[$edge,$edge,$edge],"chunks":[$Leaf,$Leaf,$Leaf],"dtype":">u2","compressor":{"id":"zlib","level":1},"fill_value":0,"order":"C","filters":null,"dimension_separator":"$separator"}"""
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(1)
@@ -104,9 +104,14 @@ object ZarrBinary {
 
   /** Write the full container: root + group + array metadata (bounded,
     * driver-side), then every occupied chunk of every (channel, level)
-    * serialized and written on executors.
+    * serialized and written on executors. `separator` is the Zarr v2
+    * `dimension_separator`: `"."` (the v2 default — flat chunk files
+    * `gz.gy.gx`) or `"/"` (the nested layout many real stores use and
+    * v3 standardizes — `gz/gy/gx` directories); `zarr.open` reads
+    * both, so both are first-class inputs here.
     */
-  def writeContainer(spark: SparkSession, dir: String, outRoot: String): Unit = {
+  def writeContainer(spark: SparkSession, dir: String, outRoot: String,
+      separator: String = "."): Unit = {
     import spark.implicits._
     new java.io.File(outRoot).mkdirs()
     def put(rel: String, txt: String): Unit =
@@ -114,12 +119,14 @@ object ZarrBinary {
         java.nio.file.Paths.get(s"$outRoot/$rel"), txt.getBytes("UTF-8")): Unit
     put(".zgroup", zgroup)
     put(".zattrs", zattrs)
+    require(separator == "." || separator == "/",
+      s"unsupported dimension_separator '$separator'")
     for (c <- 0 until Channels) {
       new java.io.File(s"$outRoot/c$c").mkdirs()
       put(s"c$c/.zgroup", zgroup)
       for (s <- 0 until Levels) {
         new java.io.File(s"$outRoot/c$c/s$s").mkdirs()
-        put(s"c$c/s$s/.zarray", zarray(VoxelGrid.Grid >> s))
+        put(s"c$c/s$s/.zarray", zarray(VoxelGrid.Grid >> s, separator))
       }
     }
     graft.octree.Pyramid(VoxelGrid(spark, dir))
@@ -131,8 +138,10 @@ object ZarrBinary {
       .mapGroups { (key: (Long, Long, Long, Long, Long), it: Iterator[(Long, Long, Long, Long, Long, Long)]) =>
         val (c, s, gz, gy, gx) = key
         val vox = it.map(t => (t._3 % Leaf, t._4 % Leaf, t._5 % Leaf, t._6)).toSeq
-        // chunk file name is grid position in SHAPE order: <gz>.<gy>.<gx>
-        (s"c$c/s$s", s"$gz.$gy.$gx", serializeChunk(vox))
+        // chunk position in SHAPE order, flat file <gz>.<gy>.<gx> or
+        // nested dirs <gz>/<gy>/<gx> per the separator
+        if (separator == ".") (s"c$c/s$s", s"$gz.$gy.$gx", serializeChunk(vox))
+        else (s"c$c/s$s/$gz/$gy", gx.toString, serializeChunk(vox))
       }
       .foreach { t =>
         val (rel, name, bytes) = t
@@ -203,11 +212,14 @@ object ZarrBinary {
       .select(
         regexp_extract(col("path"), "/c([0-9]+)/", 1).cast("long").as("c"),
         regexp_extract(col("path"), "/s([0-9]+)/", 1).cast("long").as("s"),
-        regexp_extract(col("path"), "/([0-9]+)\\.([0-9]+)\\.([0-9]+)$", 1)
+        // flat "gz.gy.gx" files and nested "gz/gy/gx" dirs both match:
+        // the three grid coordinates are the last three dot- or
+        // slash-separated numeric components
+        regexp_extract(col("path"), "/([0-9]+)[./]([0-9]+)[./]([0-9]+)$", 1)
           .cast("long").as("gz"),
-        regexp_extract(col("path"), "/([0-9]+)\\.([0-9]+)\\.([0-9]+)$", 2)
+        regexp_extract(col("path"), "/([0-9]+)[./]([0-9]+)[./]([0-9]+)$", 2)
           .cast("long").as("gy"),
-        regexp_extract(col("path"), "/([0-9]+)\\.([0-9]+)\\.([0-9]+)$", 3)
+        regexp_extract(col("path"), "/([0-9]+)[./]([0-9]+)[./]([0-9]+)$", 3)
           .cast("long").as("gx"),
         col("content"))
     chunks

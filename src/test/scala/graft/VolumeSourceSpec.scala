@@ -245,6 +245,34 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nested-separator zarr containers round-trip identically to flat ones") {
+    // dimension_separator "/" (the nested layout real stores use and
+    // v3 standardizes) must parse back to the same pyramid as "."
+    import graft.sources.ZarrBinary
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_zarr_nested").toString
+    try {
+      ZarrBinary.writeContainer(spark, dir, out, separator = "/")
+      // chunks are nested directories now, not flat dot-files
+      assert(new java.io.File(s"$out/c0/s0").listFiles()
+        .exists(f => f.isDirectory && f.getName.forall(_.isDigit)))
+      val want = graft.octree.Pyramid(graft.VoxelGrid(spark, dir))
+        .orderBy("level", "c", "z", "y", "x").collect().map(_.toSeq)
+      val got = ZarrBinary.parseVoxels(spark, out).collect().map(_.toSeq)
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq)
+      // and the .zarray advertises the separator
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/c0/s0/.zarray")), "UTF-8")
+      assert(txt.contains(""""dimension_separator":"/""""))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("zarr decode is C-order on a non-cubic chunk (axis mixups cannot hide)") {
     import graft.sources.ZarrBinary
     val out = java.nio.file.Files.createTempDirectory("graft_zarr_order").toString
