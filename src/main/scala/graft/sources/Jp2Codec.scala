@@ -985,7 +985,21 @@ object Jp2Codec {
     * runs Tier-1 per subband, inverts the DWT and undoes the DC
     * level shift.
     */
-  def decodeCodestream(cs: Array[Byte]): Array[Array[Long]] = {
+  def decodeCodestream(cs: Array[Byte]): Array[Array[Long]] =
+    decodeCodestreamAtResolution(cs, Int.MaxValue)
+
+  /** Decode only resolutions 0..`maxRes` — the reason the codestream
+    * is packetized by resolution at all: a viewer zoomed out reads the
+    * LRCP prefix and reconstructs the depth-(NL−maxRes) LL
+    * approximation at 1/2^(NL−maxRes) scale per axis WITHOUT touching
+    * the higher-resolution packets (the reference's Horta viewer
+    * behavior — "at low zoom, lower resolution images are
+    * displayed"). `maxRes ≥ NL` decodes everything exactly; lower
+    * values return the reversible low-pass preview with the DC level
+    * shift re-applied (clamped to the sample range — the 5/3 low-pass
+    * can overshoot by a few codes at sharp edges).
+    */
+  def decodeCodestreamAtResolution(cs: Array[Byte], maxRes: Int): Array[Array[Long]] = {
     require(getU16(cs, 0) == 0xFF4F && getU16(cs, 2) == 0xFF51,
       "codestream must start SOC, SIZ")
     val lsiz = getU16(cs, 4)
@@ -1029,9 +1043,10 @@ object Jp2Codec {
         Seq((BandHL, dw / 2, lh), (BandLH, lw, dh / 2), (BandHH, dw / 2, dh / 2))
       }
     }
+    val lastRes = math.min(maxRes, nl)
     var pos = sodAt
     var expIdx = 0
-    val subbands = bandsPerPacket.flatMap { bands =>
+    val subbands = bandsPerPacket.take(lastRes + 1).flatMap { bands =>
       val grids = bands.map { case (_, bw, bh) =>
         val e = exps(expIdx); expIdx += 1
         val (gw, gh) = cbGrid(bw, bh)
@@ -1057,10 +1072,17 @@ object Jp2Codec {
         Subband(band, bw, bh, coef)
       }
     }
-    require(pos + 2 <= cs.length && getU16(cs, pos) == 0xFFD9,
-      "EOC must close the codestream immediately after the packets")
-    val coef = dwtInverse(subbands, w, h, nl)
+    if (lastRes == nl)
+      // full decode: every packet consumed, EOC must follow
+      require(pos + 2 <= cs.length && getU16(cs, pos) == 0xFFD9,
+        "EOC must close the codestream immediately after the packets")
+    val keptLevels = lastRes
+    val depth = nl - lastRes // remaining decomposition depth of the output
+    val (ow, oh) = dims(depth)
+    val coef = dwtInverse(subbands, ow, oh, keptLevels)
     val shift = 1L << (bits - 1)
-    Array.tabulate(h, w)((y, x) => coef(y)(x).toLong + shift)
+    val maxS = (1L << bits) - 1
+    Array.tabulate(oh, ow)((y, x) =>
+      math.max(0L, math.min(maxS, coef(y)(x).toLong + shift)))
   }
 }

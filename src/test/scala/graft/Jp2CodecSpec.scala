@@ -76,6 +76,44 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("resolution-truncated decode yields the exact low-pass preview from a packet prefix") {
+    // the viewer behavior the multi-resolution packets exist for:
+    // reading only resolutions 0..r reconstructs the depth-(NL-r) LL
+    // approximation without touching later packets
+    def codestream(bytes: Array[Byte]): Array[Byte] = {
+      var off = 12
+      var cs: Array[Byte] = null
+      while (cs == null) {
+        val len = (((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+          ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)).toInt
+        if (new String(bytes.slice(off + 4, off + 8), "US-ASCII") == "jp2c")
+          cs = bytes.slice(off + 8, off + len)
+        off += len
+      }
+      cs
+    }
+    for ((h, w) <- Seq((64, 64), (100, 77))) {
+      var seed = h * 311L + w
+      def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+      val page = fill(h, w)((_, _) => math.floorMod(next(), 65536L))
+      val cs = codestream(Jp2Binary.serialize(page))
+      val nl = Jp2Codec.levelsFor(w, h)
+      // full resolution == the plain decode, exactly
+      val full = Jp2Codec.decodeCodestreamAtResolution(cs, nl)
+      assert(full.map(_.toSeq).toSeq === page.map(_.toSeq).toSeq)
+      // r=0: the deepest LL + DC shift, clamped — compare against the
+      // forward DWT of the same page
+      val shifted = Array.tabulate(h, w)((y, x) => page(y)(x).toInt - 32768)
+      val ll = Jp2Codec.dwtForward(shifted, nl).head
+      val preview = Jp2Codec.decodeCodestreamAtResolution(cs, 0)
+      assert(preview.length === ll.h && preview.head.length === ll.w)
+      for (y <- 0 until ll.h; x <- 0 until ll.w) {
+        val want = math.max(0L, math.min(65535L, ll.coef(y * ll.w + x).toLong + 32768L))
+        assert(preview(y)(x) === want, s"($y,$x) at ${w}x$h")
+      }
+    }
+  }
+
   test("the codestream is structurally sound and the header chain still sniffs") {
     val page = fill(16, 16)((y, x) => (x * 4096 + y * 13).toLong)
     val bytes = Jp2Binary.serialize(page)
