@@ -56,8 +56,8 @@ object ZarrBinary {
   /** Array metadata for pyramid level index s (edge = Grid >> s).
     * `shape` is slowest-first (z, y, x) per the C `order`.
     */
-  private def zarray(edge: Int, separator: String): String =
-    s"""{"zarr_format":2,"shape":[$edge,$edge,$edge],"chunks":[$Leaf,$Leaf,$Leaf],"dtype":">u2","compressor":{"id":"zlib","level":1},"fill_value":0,"order":"C","filters":null,"dimension_separator":"$separator"}"""
+  private def zarray(edge: Int, separator: String, compressor: String): String =
+    s"""{"zarr_format":2,"shape":[$edge,$edge,$edge],"chunks":[$Leaf,$Leaf,$Leaf],"dtype":">u2","compressor":{"id":"$compressor","level":1},"fill_value":0,"order":"C","filters":null,"dimension_separator":"$separator"}"""
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(1)
@@ -89,17 +89,40 @@ object ZarrBinary {
     raw
   }
 
-  /** Serialize one chunk: zlib of the C-order BE uint16 block —
-    * offset (z·bsY + y)·bsX + x, x fastest.
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(buf)
+    gz.write(raw); gz.close()
+    buf.toByteArray
+  }
+
+  private def gunzipBytes(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+    val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(comp))
+    val raw = new Array[Byte](rawLen)
+    var off = 0
+    var n = 0
+    while (off < rawLen && n >= 0) {
+      n = gz.read(raw, off, rawLen - off)
+      if (n > 0) off += n
+    }
+    require(off == rawLen && gz.read() < 0,
+      s"gzip payload is not exactly $rawLen bytes")
+    raw
+  }
+
+  /** Serialize one chunk: the C-order BE uint16 block through the
+    * array's compressor (numcodecs `zlib` = raw DEFLATE, `gzip` =
+    * gzip-framed) — offset (z·bsY + y)·bsX + x, x fastest.
     */
-  private def serializeChunk(vox: Seq[(Long, Long, Long, Long)]): Array[Byte] = {
+  private def serializeChunk(vox: Seq[(Long, Long, Long, Long)],
+      compressor: String): Array[Byte] = {
     val raw = new Array[Byte](Leaf * Leaf * Leaf * 2)
     vox.foreach { case (lz, ly, lx, v) =>
       val off = ((lz * Leaf + ly) * Leaf + lx).toInt * 2
       raw(off) = ((v >> 8) & 0xff).toByte
       raw(off + 1) = (v & 0xff).toByte
     }
-    deflate(raw)
+    if (compressor == "gzip") gzipBytes(raw) else deflate(raw)
   }
 
   /** Write the full container: root + group + array metadata (bounded,
@@ -111,7 +134,7 @@ object ZarrBinary {
     * both, so both are first-class inputs here.
     */
   def writeContainer(spark: SparkSession, dir: String, outRoot: String,
-      separator: String = "."): Unit = {
+      separator: String = ".", compressor: String = "zlib"): Unit = {
     import spark.implicits._
     new java.io.File(outRoot).mkdirs()
     def put(rel: String, txt: String): Unit =
@@ -121,12 +144,14 @@ object ZarrBinary {
     put(".zattrs", zattrs)
     require(separator == "." || separator == "/",
       s"unsupported dimension_separator '$separator'")
+    require(compressor == "zlib" || compressor == "gzip",
+      s"unsupported compressor '$compressor'")
     for (c <- 0 until Channels) {
       new java.io.File(s"$outRoot/c$c").mkdirs()
       put(s"c$c/.zgroup", zgroup)
       for (s <- 0 until Levels) {
         new java.io.File(s"$outRoot/c$c/s$s").mkdirs()
-        put(s"c$c/s$s/.zarray", zarray(VoxelGrid.Grid >> s, separator))
+        put(s"c$c/s$s/.zarray", zarray(VoxelGrid.Grid >> s, separator, compressor))
       }
     }
     graft.octree.Pyramid(VoxelGrid(spark, dir))
@@ -140,8 +165,8 @@ object ZarrBinary {
         val vox = it.map(t => (t._3 % Leaf, t._4 % Leaf, t._5 % Leaf, t._6)).toSeq
         // chunk position in SHAPE order, flat file <gz>.<gy>.<gx> or
         // nested dirs <gz>/<gy>/<gx> per the separator
-        if (separator == ".") (s"c$c/s$s", s"$gz.$gy.$gx", serializeChunk(vox))
-        else (s"c$c/s$s/$gz/$gy", gx.toString, serializeChunk(vox))
+        if (separator == ".") (s"c$c/s$s", s"$gz.$gy.$gx", serializeChunk(vox, compressor))
+        else (s"c$c/s$s/$gz/$gy", gx.toString, serializeChunk(vox, compressor))
       }
       .foreach { t =>
         val (rel, name, bytes) = t
@@ -184,15 +209,18 @@ object ZarrBinary {
           java.nio.file.Paths.get(p)), "UTF-8")
         val shape = jsonLongs(txt, "shape")
         val chunks = jsonLongs(txt, "chunks")
+        val comp = """"compressor"\s*:\s*\{[^}]*"id"\s*:\s*"([a-z0-9]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException("no compressor id in .zarray"))
         val nBlocks = shape.zip(chunks)
           .map { case (d, b) => (d + b - 1) / b }.product
         // shape is slowest-first; the volume is cubic so any axis is
         // the edge, but read index 0 (z) deliberately — an N5-style
         // fastest-first mixup would still pass on a cube, so the spec
         // pins a non-cubic decode separately
-        (c, s, chunks(0), chunks(1), chunks(2), shape(0), nBlocks)
+        (c, s, chunks(0), chunks(1), chunks(2), shape(0), nBlocks, comp)
       }
-      .toDF("c", "s", "bsZ", "bsY", "bsX", "edge", "n_blocks")
+      .toDF("c", "s", "bsZ", "bsY", "bsX", "edge", "n_blocks", "compressor")
   }
 
   /** Every chunk of every (channel, level) decoded back to pyramid
@@ -225,11 +253,17 @@ object ZarrBinary {
     chunks
       .join(broadcast(arrayMeta(spark, outRoot)), Seq("c", "s"))
       .select(col("s"), col("c"), col("gz"), col("gy"), col("gx"),
-        col("bsZ"), col("bsY"), col("bsX"), col("content"))
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Array[Byte])]
-      .flatMap { case (s, c, gz, gy, gx, bsZl, bsYl, bsXl, bytes) =>
+        col("bsZ"), col("bsY"), col("bsX"), col("compressor"), col("content"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String, Array[Byte])]
+      .flatMap { case (s, c, gz, gy, gx, bsZl, bsYl, bsXl, comp, bytes) =>
         val (bsZ, bsY, bsX) = (bsZl.toInt, bsYl.toInt, bsXl.toInt)
-        val raw = inflate(bytes, bsZ * bsY * bsX * 2)
+        val rawLen = bsZ * bsY * bsX * 2
+        val raw = comp match {
+          case "zlib" => inflate(bytes, rawLen)
+          case "gzip" => gunzipBytes(bytes, rawLen)
+          case other => throw new IllegalArgumentException(
+            s"unsupported compressor '$other'")
+        }
         val level = (Levels - s).toLong
         for {
           iz <- 0 until bsZ; iy <- 0 until bsY; ix <- 0 until bsX

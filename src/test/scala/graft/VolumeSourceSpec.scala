@@ -273,6 +273,34 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gzip-compressed zarr containers round-trip identically to zlib ones") {
+    // numcodecs ships both `zlib` (raw DEFLATE) and `gzip`
+    // (gzip-framed) as distinct codec ids; the parser must honor the
+    // id in .zarray per array via the same broadcast-joined metadata
+    import graft.sources.ZarrBinary
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_zarr_gzip").toString
+    try {
+      ZarrBinary.writeContainer(spark, dir, out, compressor = "gzip")
+      // chunk payloads are genuinely gzip-framed (magic 1f 8b)
+      def chunks(root: java.io.File): Seq[java.io.File] =
+        if (root.isDirectory) Option(root.listFiles()).toSeq.flatten.flatMap(chunks)
+        else if (!root.getName.startsWith(".")) Seq(root) else Seq.empty
+      val head = java.nio.file.Files.readAllBytes(chunks(new java.io.File(out)).head.toPath)
+      assert((head(0) & 0xff) === 0x1f && (head(1) & 0xff) === 0x8b)
+      val want = graft.octree.Pyramid(graft.VoxelGrid(spark, dir))
+        .orderBy("level", "c", "z", "y", "x").collect().map(_.toSeq)
+      val got = ZarrBinary.parseVoxels(spark, out).collect().map(_.toSeq)
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("zarr decode is C-order on a non-cubic chunk (axis mixups cannot hide)") {
     import graft.sources.ZarrBinary
     val out = java.nio.file.Files.createTempDirectory("graft_zarr_order").toString
