@@ -43,12 +43,13 @@ object Bench {
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed", "dedup_edit",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
-    "dedup_band_cap",
+    "dedup_band_cap", "dedup_semantic",
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
+    "text_chunk",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct",
@@ -60,6 +61,7 @@ object Bench {
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
     "sim_hybrid_rrf", "sim_filtered_topk", "sim_hamming_topk",
     "mm_pack", "mm_meta_extract", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
+    "mm_audio_feats",
     "mm_frame_sample",
     "mm_resize", "mm_patchify",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_jsonl_scan",

@@ -372,6 +372,75 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Per-cell membership cap for [[semantic]]'s pair stage. Cells at
+    * or under the cap run the exact within-cell pairwise check; larger
+    * cells degrade to comparing each member against the cell's min-id
+    * REPRESENTATIVE only — which is precisely the published SemDeDup
+    * pruning rule (Abbas et al. 2023 prune by similarity to a cluster
+    * representative), so the hot-cell regime is not an approximation
+    * of the operator, it IS the at-scale operator. Seed cells average
+    * √n members ([[Similarity.ivfCentMod]]), so at 100 TB every cell
+    * is in the representative regime and the pair stage is O(n) total;
+    * at gate scale (~√500 ≈ 32-member cells) both regimes run.
+    */
+  val SemCap = 32
+
+  /** Within-cell duplicate threshold ⌊cos·10⁶⌋ for [[semantic]] — the
+    * p99 of the within-seed-cell pair-cosine distribution of this
+    * corpus (max ≈ 0.48), so ~1 % of within-cell pairs are duplicates.
+    */
+  val SemTauU = 350000L
+
+  /** dedup_semantic — SemDeDup-style semantic deduplication: partition
+    * the corpus by nearest seed centroid ([[Similarity.seedCells]] —
+    * the IVF cell assignment), then prune within each cell: a vector
+    * is a semantic duplicate iff it has a SMALLER-id within-cell
+    * partner at cos ≥ τ ([[SemTauU]]) — exact pairwise inside small
+    * cells, representative-star inside cells above [[SemCap]]
+    * (`via_star` = 1 marks the latter). Complementary to
+    * [[embed]]/[[embedCluster]]: those bucket by sign-LSH and find
+    * NEAR-duplicates; this partitions by centroid and prunes whole
+    * semantic neighborhoods — the two mechanisms the SemDeDup paper
+    * contrasts.
+    *
+    * Scale shape: centroid broadcast is O(√n); assignment is the IVF
+    * broadcast-product HashAggregate; the pair stage shuffles once on
+    * `cell` and its output is bounded by cap·n (small regime) + n
+    * (star regime) — never all-pairs. Output: one row per vector
+    * (vec_id, cell, dup_of, is_dup, via_star), dup_of = −1 for kept
+    * vectors.
+    */
+  def semantic(spark: SparkSession, dir: String): DataFrame = {
+    val a = Similarity.seedCells(spark, dir)
+    val stats = a.groupBy("cell")
+      .agg(count(lit(1)).as("csz"), min(col("vec_id")).as("rep"))
+    // stats is one row per seed cell (≤ √n) — broadcastable at any
+    // corpus size, so membership augmentation costs no shuffle.
+    val aug = a.join(broadcast(stats), Seq("cell"))
+    val small = aug.filter(col("csz") <= SemCap)
+    val smallDups = small.as("x").join(small.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Similarity.cosUPre(col("x.embedding"), col("y.embedding"),
+        col("x.vn2"), col("y.vn2")) >= SemTauU)
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("dup_of"))
+      .withColumn("via_star", lit(0L))
+    val reps = aug.filter(col("csz") > SemCap && col("vec_id") === col("rep"))
+      .select(col("cell"), col("embedding").as("rvec"), col("vn2").as("rn2"))
+    val hotDups = aug.filter(col("csz") > SemCap && col("vec_id") =!= col("rep"))
+      .join(broadcast(reps), Seq("cell"))
+      .filter(Similarity.cosUPre(col("rvec"), col("embedding"),
+        col("rn2"), col("vn2")) >= SemTauU)
+      .select(col("vec_id"), col("rep").as("dup_of"), lit(1L).as("via_star"))
+    a.select(col("vec_id"), col("cell"))
+      .join(smallDups.union(hotDups), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"),
+        coalesce(col("via_star"), lit(0L)).as("via_star"))
+      .orderBy("vec_id")
+  }
+
   /** dedup_decontaminate — benchmark-overlap decontamination: flag
     * training documents sharing ≥ 3 word-3-gram shingles with a
     * held-out benchmark subset (doc_id ≡ 0 mod 97 — a stand-in for
@@ -626,6 +695,7 @@ object Dedup {
     "dedup_band_cap" -> (bandCap _),
     "dedup_simhash" -> (simhash _),
     "dedup_embed" -> (embed _),
+    "dedup_semantic" -> (semantic _),
     "dedup_cluster" -> (cluster _),
     "dedup_embed_cluster" -> (embedCluster _)
   )

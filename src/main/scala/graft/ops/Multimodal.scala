@@ -197,6 +197,77 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
   }
 
+  /** Per-frame features extracted from a decoded WAV payload. */
+  case class AudioFrame(doc_id: Long, frame_id: Long, n: Long,
+                        energy: Long, zcr: Long, peak: Long, sum_s: Long)
+
+  /** Analysis-frame length for [[audioFeats]] (samples per frame). */
+  val WavFrameLen = 64
+
+  /** mm_audio_feats — frame-level audio feature extraction, the step
+    * a speech/audio training pipeline runs right after decode: the
+    * same deterministic clip as [[decodeWav]] round-trips through the
+    * REAL RIFF/WAVE codec (encode to bytes, decode with the JDK
+    * reader), then each [[WavFrameLen]]-sample analysis frame emits
+    * exact-integer features — energy Σs² (≤ 2^36, no overflow),
+    * zero-crossing count (adjacent products < 0 — the classic
+    * voiced/unvoiced discriminator), peak amplitude, and sample sum.
+    * PCM is lossless so the DuckDB oracle predicts every frame from
+    * the text alone; a mismatch anywhere in container, codec, or
+    * framing turns the row red.
+    *
+    * Scale shape: map-only over documents (one flatMap emitting
+    * n_samples/frame_len rows per doc inside the one mapPartitions
+    * batch seam — payload bytes never leave the executor), zero
+    * shuffles before the output sort.
+    */
+  def audioFeats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nSamples, rate, frameLen) = (WavSamples, WavRate, WavFrameLen)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val out = new java.io.ByteArrayOutputStream()
+          def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+          def w32(v: Long): Unit = {
+            out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+            out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+          }
+          val dataLen = nSamples * 2
+          out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+          out.write("WAVE".getBytes("US-ASCII"))
+          out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+          w16(1); w16(1)
+          w32(rate.toLong); w32(rate.toLong * 2)
+          w16(2); w16(16)
+          out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+          for (i <- 0 until nSamples) {
+            val s = if (i < cps.length) (cps(i) % 256) * 257 - 32768 else 0
+            w16(s & 0xffff)
+          }
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(out.toByteArray))
+          require(ais.getFormat.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, "not PCM")
+          val buf = ais.readAllBytes()
+          val samples = Array.tabulate(ais.getFrameLength.toInt) { i =>
+            (((buf(2 * i + 1) & 0xff) << 8) | (buf(2 * i) & 0xff)).toShort.toLong
+          }
+          samples.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+            var energy = 0L; var zcr = 0L; var peak = 0L; var sum = 0L
+            for (j <- fr.indices) {
+              energy += fr(j) * fr(j); sum += fr(j)
+              peak = math.max(peak, math.abs(fr(j)))
+              if (j > 0 && fr(j - 1) * fr(j) < 0) zcr += 1
+            }
+            AudioFrame(id, fi.toLong, fr.length.toLong, energy, zcr, peak, sum)
+          }
+        }
+      }.toDF().orderBy("doc_id", "frame_id")
+  }
+
   /** Features decoded from a real JPEG2000 payload. */
   case class DecodedJp2(doc_id: Long, width: Long, height: Long,
                         sum_p: Long, p_checksum: Long, peak: Long)
@@ -288,6 +359,7 @@ object Multimodal {
     "mm_resize" -> (resize _),
     "mm_decode_png" -> (decodePng _),
     "mm_decode_wav" -> (decodeWav _),
+    "mm_audio_feats" -> (audioFeats _),
     "mm_decode_jp2" -> (decodeJp2 _)
   )
 }

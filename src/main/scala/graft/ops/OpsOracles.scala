@@ -815,6 +815,23 @@ object OpsOracles {
          |        ORDER BY score_u DESC, tok) AS BIGINT) AS rk FROM s)
          |SELECT doc_id, rk, tok, tf, df, n_tokens, score_u
          |FROM r WHERE rk <= ${TextAnalysis.TfidfK} ORDER BY doc_id, rk""".stripMargin,
+    "text_chunk" -> {
+      val W = TextAnalysis.ChunkW
+      val S = TextAnalysis.ChunkS
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |e AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d WHERE len(t) > 0),
+         |c AS (
+         |  SELECT doc_id, CAST(u.s // $S AS BIGINT) AS chunk_id,
+         |         CAST(u.s AS BIGINT) AS start_tok,
+         |         t[u.s + 1 : least(u.s + $W, n)] AS ct
+         |  FROM e, unnest([$S * g for g in generate_series(0, (n - 1) // $S)]) u(s))
+         |SELECT doc_id, chunk_id, start_tok, CAST(len(ct) AS BIGINT) AS n_tok,
+         |  ct[1] AS head_tok,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(i AS BIGINT) * ${md5Int("ct[i]")} for i in generate_series(1, len(ct))]),
+         |    (a, v) -> a + v) AS BIGINT) AS cksum
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "text_pack" -> {
       val w = TextAnalysis.WinTokens
       s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
@@ -1158,6 +1175,36 @@ object OpsOracles {
          |  UNION ALL SELECT id_b AS doc, id_a AS partner FROM hits)
          |SELECT doc, LEAST(MIN(partner), doc) AS canonical, COUNT(*) AS n_partners
          |FROM u GROUP BY doc ORDER BY doc""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $ivfModsCte,
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |         ${cosU("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e, c),
+         |cell AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM asg
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+         |cs AS (SELECT cell, COUNT(*) AS csz, MIN(vec_id) AS rep FROM cell GROUP BY cell),
+         |aug AS (SELECT cell.vec_id, cell.embedding, cell.cell, cs.csz, cs.rep
+         |        FROM cell JOIN cs USING (cell)),
+         |sd AS (
+         |  SELECT y.vec_id, MIN(x.vec_id) AS dup_of, 0 AS via_star
+         |  FROM aug x JOIN aug y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE x.csz <= ${Dedup.SemCap}
+         |    AND ${cosU("x.embedding", "y.embedding")} >= ${Dedup.SemTauU}
+         |  GROUP BY y.vec_id),
+         |hd AS (
+         |  SELECT m.vec_id, m.rep AS dup_of, 1 AS via_star
+         |  FROM aug m JOIN aug r ON m.cell = r.cell AND r.vec_id = m.rep
+         |  WHERE m.csz > ${Dedup.SemCap} AND m.vec_id != m.rep
+         |    AND ${cosU("r.embedding", "m.embedding")} >= ${Dedup.SemTauU}),
+         |d AS (SELECT * FROM sd UNION ALL SELECT * FROM hd)
+         |SELECT cell.vec_id, cell.cell,
+         |  CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(d.dup_of IS NOT NULL AS BIGINT) AS is_dup,
+         |  CAST(COALESCE(d.via_star, 0) AS BIGINT) AS via_star
+         |FROM cell LEFT JOIN d ON cell.vec_id = d.vec_id
+         |ORDER BY cell.vec_id""".stripMargin,
     "sim_pairs_thresh" ->
       s"""WITH $bucketedDynCte,
          |${pairsCte(300000L)}
@@ -1626,6 +1673,26 @@ object OpsOracles {
          |  CAST(SUM((i + 1) * s) AS BIGINT) AS s_checksum,
          |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
          |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "mm_audio_feats" -> {
+      val n = Multimodal.WavSamples
+      val fl = Multimodal.WavFrameLen
+      s"""WITH smp AS (
+         |  SELECT doc_id, r.i,
+         |    CASE WHEN length(text) > r.i
+         |         THEN (ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256) * 257 - 32768
+         |         ELSE 0 END AS s
+         |  FROM documents, range(0, $n) r(i)),
+         |f AS (
+         |  SELECT doc_id, CAST(i // $fl AS BIGINT) AS frame_id, i, s,
+         |    lag(s) OVER (PARTITION BY doc_id, i // $fl ORDER BY i) AS prev
+         |  FROM smp)
+         |SELECT doc_id, frame_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(s * s) AS BIGINT) AS energy,
+         |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+         |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+         |  CAST(SUM(s) AS BIGINT) AS sum_s
+         |FROM f GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id""".stripMargin
     },
     "mm_decode_jp2" -> {
       val n = Multimodal.Jp2Edge * Multimodal.Jp2Edge

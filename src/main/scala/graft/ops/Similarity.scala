@@ -656,6 +656,22 @@ object Similarity {
     */
   val LloydRounds = 2
 
+  /** Seed-centroid cell assignment of the whole corpus — the frame
+    * (vec_id, embedding, vn2, cell) consumed by
+    * [[graft.ops.Dedup.semantic]]: the same √n seed centroids and
+    * max_by assignment as the IVF operators, WITHOUT the Lloyd
+    * refinement (semantic dedup prunes against the seed partition;
+    * refining the index is a separate training concern with its own
+    * operator). One broadcast product + one HashAggregate + one
+    * key-join — identical scale shape to sim_ivf_topk's first stage.
+    */
+  private[ops] def seedCells(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = ivfCentsProbes(spark, dir)
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    base.join(nearestCell(scoredSeed(base, cents)), "vec_id")
+  }
+
   /** Scored (vec_id, cent_id, ccos) frame vs the FLOAT seed centroids. */
   private def scoredSeed(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))

@@ -719,7 +719,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Chunk geometry for [[chunk]]: window of [[ChunkW]] tokens at
+    * stride [[ChunkS]] — the 25 % overlap every RAG/pretraining
+    * chunker defaults to, so a fact straddling a boundary appears
+    * whole in at least one chunk.
+    */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** text_chunk — overlapping token-window chunking: split every
+    * document into [[ChunkW]]-token windows at stride [[ChunkS]],
+    * emitting per-chunk provenance (doc, ordinal, token offset) plus
+    * an order-weighted token-hash checksum — the document→chunk
+    * explosion that precedes embedding in a RAG indexing pipeline and
+    * sequence packing in a pretraining one.
+    *
+    * Exactness: every output is an integer or a token string — the
+    * checksum is Σ i·md5(tok_i) over the chunk (order-weighted bigint,
+    * ≤ 2^42 so no overflow), so the oracle matches bit-for-bit.
+    * Scale shape: ONE scan, one generator explode (sequence of chunk
+    * starts — ≤ n/stride elements per doc, never data-independent
+    * blowup), zero joins, zero shuffles before the output sort; the
+    * slice projection is per-row codegen. At 100 TB this is the
+    * map-only operator it should be.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val md5 = Dedup.md5Int("tok")
+    Tables(spark, dir, "documents")
+      .withColumn("t", expr(toksExpr))
+      .withColumn("n", expr("cast(size(t) as bigint)"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(expr(s"sequence(0L, n - 1, $ChunkS)")).as(Seq("chunk_id0", "start")))
+      .withColumn("ct", expr(s"slice(t, cast(start as int) + 1, $ChunkW)"))
+      .select(col("doc_id"),
+        col("chunk_id0").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        expr("cast(size(ct) as bigint)").as("n_tok"),
+        expr("element_at(ct, 1)").as("head_tok"),
+        expr(s"aggregate(zip_with(ct, sequence(1L, size(ct)), (tok, i) -> i * $md5), 0L, (a, v) -> a + v)")
+          .as("cksum"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (chunk _),
     "text_bpe" -> (bpe _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_charlm" -> (charLm _),

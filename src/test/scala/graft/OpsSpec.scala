@@ -435,6 +435,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("audio frame features match a direct PCM re-derivation") {
+    // the codec round trip is pinned by the wav-decode spec; here the
+    // FRAMING must match: per 64-sample frame, energy Σs², adjacent
+    // sign-change count, peak, and sum derived straight from the text
+    import graft.ops.Multimodal.{WavSamples, WavFrameLen}
+    val expected = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val s = (0 until WavSamples).map(i =>
+        if (i < cps.length) (cps(i) % 256) * 257 - 32768 else 0)
+      s.grouped(WavFrameLen).zipWithIndex.map { case (fr, fi) =>
+        val zcr = fr.sliding(2).count { case Seq(a, b) => a.toLong * b < 0; case _ => false }
+        (id, fi.toLong, fr.length.toLong,
+          fr.map(v => v.toLong * v).sum, zcr.toLong,
+          fr.map(v => math.abs(v.toLong)).max, fr.map(_.toLong).sum)
+      }
+    }
+    val got = graft.ops.Multimodal.audioFeats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // every doc frames completely: n_samples / frame_len frames each
+    assert(got.groupBy(_._1).values.forall(_.length === WavSamples / WavFrameLen))
+  }
+
   test("jp2 decode round-trips known 16-bit pages through our own entropy codec") {
     // pixel i = (cp(i) % 256)*257, zero past the text end; the 5/3
     // transform is reversible, so decoded-pixel features must equal
@@ -1668,6 +1692,82 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rPqK >= rPq - 0.1, s"refined-PQ recall collapsed: $rPqK vs seed $rPq")
     assert(rIvf >= 0.35, s"IVF recall collapsed: $rIvf (pq=$rPq lsh=$rLsh)")
     assert(rLsh >= 0.5, s"LSH recall below the decorrelated-table floor: $rLsh (pq=$rPq ivf=$rIvf)")
+  }
+
+  test("token-window chunking matches a Scala re-derivation") {
+    val W = TextAnalysis.ChunkW
+    val S = TextAnalysis.ChunkS
+    val dmap = docs
+    val expected = dmap.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+      val t = tokens(text)
+      (0 until t.length by S).zipWithIndex.map { case (s, ci) =>
+        val ct = t.slice(s, math.min(s + W, t.length))
+        val ck = ct.zipWithIndex.map { case (tok, i) => (i + 1).toLong * md5Int(tok) }.sum
+        (id, ci.toLong, s.toLong, ct.length.toLong, ct.head, ck)
+      }
+    }
+    val got = TextAnalysis.chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // coverage invariant: chunk starts step by the stride, so every
+    // token index < n is inside at least one chunk and consecutive
+    // chunks overlap by W − S tokens (when the next chunk is full)
+    got.groupBy(_._1).values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, ci, st, _, _, _), i) =>
+        assert(ci === i.toLong && st === i.toLong * S)
+      }
+      val (id, _, st, n, _, _) = sorted.last
+      assert(st + n === tokens(dmap(id)).length.toLong, "last chunk must end at doc end")
+    }
+  }
+
+  test("semantic dedup matches a Scala SemDeDup re-derivation") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val n = vecs.size.toLong
+    val centMod = Similarity.ivfCentMod(n)
+    val cents = vecs.keys.filter(_ % centMod == 0).toSeq.sorted
+    // nearest seed centroid, smallest-cent_id tiebreak (the max_by pack)
+    val cellOf = vecs.keys.map { v =>
+      v -> cents.maxBy(c => (cosU(vecs(v), vecs(c)), -c))
+    }.toMap
+    val members = cellOf.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq.sorted }
+    val expected = vecs.keys.toSeq.sorted.map { v =>
+      val cell = cellOf(v)
+      val mem = members(cell)
+      if (mem.length <= Dedup.SemCap) {
+        val partners = mem.filter(o => o < v && cosU(vecs(o), vecs(v)) >= Dedup.SemTauU)
+        if (partners.nonEmpty) (v, cell, partners.min, 1L, 0L)
+        else (v, cell, -1L, 0L, 0L)
+      } else {
+        val rep = mem.min
+        if (v != rep && cosU(vecs(rep), vecs(v)) >= Dedup.SemTauU)
+          (v, cell, rep, 1L, 1L)
+        else (v, cell, -1L, 0L, 0L)
+      }
+    }
+    val got = Dedup.semantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // invariants: a duplicate's canonical is always a smaller id in
+    // the same cell; cell representatives are never pruned
+    got.filter(_._4 == 1L).foreach { case (v, cell, dupOf, _, _) =>
+      assert(dupOf >= 0 && dupOf < v && cellOf(dupOf) === cell)
+    }
+    members.values.foreach { mem =>
+      val rep = mem.min
+      assert(got.find(_._1 == rep).get._4 === 0L, s"rep $rep pruned")
+    }
+    // the corpus must actually exercise the prune (threshold sits at
+    // the within-cell p99) — a zero-dup run would test nothing
+    assert(got.count(_._4 == 1L) > 0, "no semantic duplicates found at tau")
   }
 
   test("linear downsample conserves total weighted mass away from borders") {
