@@ -411,6 +411,85 @@ object EventStreams {
     s
   }
 
+  /** Per-user retention state: the first-seen (cohort) day plus a
+    * 64-bit mask of seen day-offsets — O(1) per user regardless of
+    * stream length (the batch operator's per-(user, day) distinct set
+    * would grow with the horizon). Offsets at or beyond
+    * [[RetMaxOffset]] days are dropped — the standard fixed analysis
+    * window of a retention dashboard (this corpus spans ~31 days, so
+    * the cap is semantically invisible at every benchmark scale).
+    */
+  case class RetSt(cohort: Long, mask: Long)
+  val RetMaxOffset = 64
+
+  /** Single-trigger retention state transition. An earlier-than-cohort
+    * day (bounded cross-trigger disorder) re-bases the cohort and
+    * shifts existing offsets up; bits shifted past the cap fall out of
+    * the window (unreachable under the driver's one-trigger drain).
+    */
+  def advanceRetention(st: Option[RetSt], days: Seq[Long]): RetSt = {
+    var cohort = st.map(_.cohort).getOrElse(Long.MaxValue)
+    var mask = st.map(_.mask).getOrElse(0L)
+    for (d <- days) {
+      if (d < cohort) {
+        val shift = cohort - d
+        mask = if (cohort == Long.MaxValue || shift >= RetMaxOffset) 0L
+               else mask << shift
+        cohort = d
+      }
+      val off = d - cohort
+      if (off < RetMaxOffset) mask |= 1L << off
+    }
+    RetSt(cohort, mask)
+  }
+
+  /** stream_retention — LIVE cohort retention: per-user group state
+    * ([[RetSt]] — cohort day + offset bitmask, constant size) advanced
+    * by `mapGroupsWithState`, each trigger emitting the user's current
+    * (cohort, mask) snapshot; the sink read takes each user's final
+    * snapshot (minimum cohort, then maximum mask — the state is
+    * monotone in that order), explodes the mask bits back into
+    * (cohort_day, offset_d) pairs and counts users — the same
+    * day-grain cohort table as the batch q_retention, sharing its
+    * oracle verbatim. The classic daily-active dashboard fed from a
+    * stream: heavy event flow in, O(users) state, tiny live table out.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val snaps = input.toDS()
+      .map(e => (e.user_id, e.sec / 86400L))
+      .groupByKey(_._1)
+      .mapGroupsWithState[RetSt, (Long, Long, Long)](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[RetSt]) =>
+          val st = advanceRetention(state.getOption, it.map(_._2).toSeq)
+          state.update(st)
+          (uid, st.cohort, st.mask)
+      }
+      .toDF("user_id", "cohort", "mask")
+    val sink = sinkName("stream_retention")
+    val q = snaps.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    val st = spark.table(sink)
+    // final snapshot per user: cohort only decreases; for the final
+    // cohort the mask only grows — two bounded aggregations
+    val minC = st.groupBy(col("user_id").as("uid"))
+      .agg(min(col("cohort")).as("cohort_day"))
+    val fin = st.join(minC,
+        st("user_id") === minC("uid") && st("cohort") === minC("cohort_day"))
+      .groupBy(col("uid"), col("cohort_day"))
+      .agg(max(col("mask")).as("mask"))
+    fin.select(col("cohort_day"), col("mask"),
+        explode(expr(s"sequence(0L, ${RetMaxOffset - 1}L)")).as("offset_d"))
+      .filter(expr("(shiftright(mask, cast(offset_d as int)) & 1) = 1"))
+      .groupBy("cohort_day", "offset_d")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_d")
+  }
+
   /** stream_funnel — the LIVE conversion funnel: per-user stage
     * timestamps held in constant-size group state
     * (`flatMapGroupsWithState`, the [[sessionizeStream]] machinery
@@ -778,6 +857,7 @@ object EventStreams {
     "stream_volume_stats" -> (volumeStats _),
     "stream_quantile" -> (quantileStream _),
     "stream_funnel" -> (funnelStream _),
+    "stream_retention" -> (retention _),
     "stream_tumbling" -> (tumbling _),
     "stream_tumbling_file" -> (tumblingFile _),
     "stream_session" -> (session _),
@@ -800,6 +880,18 @@ object EventStreams {
     "stream_quantile" -> graft.ops.OpsOracles.all("stats_approx_quantile"),
     // the per-user state machine drains to the batch funnel summary
     "stream_funnel" -> Queries.funnelOracleSql,
+    // the per-user (cohort, mask) state drains to the batch cohort
+    // table — same SQL as q_retention (SparkEntry.oracleSql)
+    "stream_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS offset_d,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_cms" -> {
       import graft.ops.{Sampling, OpsOracles}
       val unions = (0 until Sampling.CmsDepth).map { j =>

@@ -371,6 +371,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest(8) === ((1000L, -1L, -1L)), "out-of-window click admitted")
   }
 
+  test("stream_retention equals the batch cohort table and re-bases across triggers") {
+    import EventStreams.{RetSt, advanceRetention, RetMaxOffset}
+    // bounded drain equals batch q_retention exactly
+    val got = rows(EventStreams.retention(spark, dir),
+      "cohort_day", "offset_d", "n_users")
+    val want = rows(Queries.qRetention(spark, dir),
+      "cohort_day", "offset_d", "n_users")
+    assert(got === want)
+    // state transition unit semantics: offsets accumulate as bits
+    val s1 = advanceRetention(None, Seq(100L, 102L, 100L))
+    assert(s1 === RetSt(100L, (1L << 0) | (1L << 2)))
+    // a later trigger adds offsets against the SAME cohort
+    val s2 = advanceRetention(Some(s1), Seq(105L))
+    assert(s2 === RetSt(100L, (1L << 0) | (1L << 2) | (1L << 5)))
+    // an earlier day re-bases the cohort and shifts existing offsets
+    val s3 = advanceRetention(Some(s2), Seq(98L))
+    assert(s3 === RetSt(98L, (1L << 0) | (1L << 2) | (1L << 4) | (1L << 7)))
+    // offsets beyond the analysis window fall outside the mask
+    val s4 = advanceRetention(Some(s3), Seq(98L + RetMaxOffset))
+    assert(s4 === s3, "offset at the cap must be dropped")
+  }
+
   test("kmv sketch state survives a checkpointed restart (custom agg buffer recovery)") {
     // The KmvKthHash TypedImperativeAggregate serializes its bounded
     // TreeSet buffer into the state store; a restarted query must
