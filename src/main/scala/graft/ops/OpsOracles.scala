@@ -1400,6 +1400,49 @@ object OpsOracles {
          |    ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, rrf_u, lex_u, cos_u, lex_rank, cos_rank
          |FROM f QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_maxsim" -> {
+      val D = Similarity.MaxsimD
+      val vecList = "[" + (1 to D)
+        .map(j => s"(${md5Int(s"(tok || '#$j')")} % 2001) - 1000").mkString(", ") + "]"
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |tl AS (SELECT doc_id, $toks AS t FROM documents),
+         |tokpos AS (SELECT doc_id, u.s['tok'] AS tok, MIN(u.s['i']) AS fi
+         |           FROM tl, unnest([{'tok': t[i], 'i': i} for i in generate_series(1, len(t))]) u(s)
+         |           GROUP BY 1, 2),
+         |dtv0 AS (SELECT doc_id, tok,
+         |           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS BIGINT) AS ti
+         |         FROM tokpos),
+         |dtv AS (SELECT doc_id, tok, ti, $vecList AS tv FROM dtv0 WHERE ti < ${Similarity.MaxsimDocT}),
+         |dtn AS (SELECT *, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          [tv[i] * tv[i] for i in range(1, ${D + 1})]), (a, v) -> a + v) AS BIGINT) AS tn2
+         |        FROM dtv),
+         |dv AS (SELECT * FROM dtn WHERE tn2 > 0),
+         |bg AS (SELECT DISTINCT doc_id, unnest(
+         |        CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |        ELSE CAST([] AS VARCHAR[]) END) AS bgr FROM tl),
+         |rare AS (SELECT bgr FROM bg, nn GROUP BY bgr, nn.n HAVING COUNT(*) * 4 <= nn.n),
+         |pbg AS (SELECT doc_id AS probe_id, bgr FROM bg, pmod WHERE doc_id % pmod.m = 0),
+         |cand AS (SELECT DISTINCT pbg.probe_id, bg.doc_id
+         |         FROM bg JOIN rare USING (bgr) JOIN pbg USING (bgr)
+         |         WHERE bg.doc_id != pbg.probe_id),
+         |qtv AS (SELECT dv.doc_id AS probe_id, ti AS qi, tv AS qv, tn2 AS qn2
+         |        FROM dv, pmod WHERE dv.doc_id % pmod.m = 0 AND ti < ${Similarity.MaxsimQT}),
+         |sc AS (SELECT c.probe_id, c.doc_id, q.qi,
+         |         CAST(FLOOR(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           [q.qv[i] * v.tv[i] for i in range(1, ${D + 1})]), (a, x) -> a + x) AS DOUBLE)
+         |           / (sqrt(q.qn2) * sqrt(v.tn2)) * 1000000.0) AS BIGINT) AS cc
+         |       FROM cand c JOIN dv v ON c.doc_id = v.doc_id
+         |       JOIN qtv q ON c.probe_id = q.probe_id),
+         |mx AS (SELECT probe_id, doc_id, qi, MAX(cc) AS mc FROM sc GROUP BY 1, 2, 3),
+         |s AS (SELECT probe_id, doc_id, CAST(SUM(mc) AS BIGINT) AS maxsim_u,
+         |        COUNT(*) AS n_qt FROM mx GROUP BY 1, 2)
+         |SELECT probe_id, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY maxsim_u DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, maxsim_u, n_qt
+         |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "sim_knn_graph" -> {
       // Second bucketing: the same plan-time lshPlane ±1 coefficients
       // Similarity.bucketT(KnnTable2, ·) uses, masked to the bit

@@ -501,6 +501,78 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Token-vector geometry for [[maxsim]]: [[MaxsimD]]-component
+    * integer vectors per token, the first [[MaxsimDocT]] distinct
+    * tokens per document and [[MaxsimQT]] per query.
+    */
+  val MaxsimD = 8
+  val MaxsimDocT = 8
+  val MaxsimQT = 4
+
+  /** sim_maxsim — multi-vector LATE-INTERACTION retrieval (the
+    * ColBERT scoring rule): each document carries one small vector
+    * per token (deterministic integer hash vectors — component j of a
+    * token is md5(tok#j) mod 2001 − 1000, the pure-function stand-in
+    * for a token-encoder output), and a query scores a candidate as
+    * Σ over query tokens of the MAX cosine against any document
+    * token — fine-grained term matching that single-vector cosine
+    * collapses away. Candidates come from the same rare-shared-bigram
+    * inverted index as [[hybridRrf]] (recall stage), so the quadratic
+    * interaction matrix is only ever built per candidate pair, never
+    * corpus-wide: per pair it is [[MaxsimQT]]×[[MaxsimDocT]] cheap
+    * integer dots.
+    *
+    * Scale shape: the doc-side token-vector frame is a map-side
+    * projection (≤ [[MaxsimDocT]] rows/doc); probes (≤64, via
+    * [[ivfProbeMod]]) and their query vectors broadcast; the one
+    * shuffle groups interaction terms by (probe, doc, query-token)
+    * for the max — bounded by candidates × 32. Every number before
+    * the final floor(cos·10⁶) is an exact integer, so both engines
+    * agree bit-for-bit.
+    */
+  def maxsim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val pmod = ivfProbeMod(nDocs)
+    val base = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
+    val vecComponents = (1 to MaxsimD)
+      .map(j => s"(${graft.ops.Dedup.md5Int(s"concat(tok, '#$j')")} % 2001) - 1000")
+      .mkString(", ")
+    // one row per (doc, first-8-distinct-token): integer vector + self-dot
+    val dtv = base
+      .select(col("doc_id"),
+        posexplode(expr(s"slice(array_distinct(t), 1, $MaxsimDocT)")).as(Seq("ti", "tok")))
+      .withColumn("tv", expr(s"array($vecComponents)"))
+      .withColumn("tn2", expr("aggregate(tv, 0L, (a, x) -> a + x * x)"))
+      .filter(col("tn2") > 0)
+    // recall stage: candidate docs share ≥1 rare bigram with the probe
+    val bg = base.select(col("doc_id"),
+        explode(expr(graft.ops.TextAnalysis.grams(2))).as("bgr")).distinct()
+    val rare = bg.groupBy("bgr").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 4 <= nDocs).select("bgr")
+    val pbg = bg.filter(col("doc_id") % pmod === 0)
+      .select(col("doc_id").as("probe_id"), col("bgr"))
+    val cand = bg.join(rare, Seq("bgr")).join(broadcast(pbg), Seq("bgr"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select("probe_id", "doc_id").distinct()
+    val qtv = dtv.filter(col("doc_id") % pmod === 0 && col("ti") < MaxsimQT)
+      .select(col("doc_id").as("probe_id"), col("ti").as("qi"),
+        col("tv").as("qv"), col("tn2").as("qn2"))
+    val contrib = cand.join(dtv, Seq("doc_id")).join(broadcast(qtv), Seq("probe_id"))
+      .select(col("probe_id"), col("doc_id"), col("qi"),
+        floor(expr("aggregate(zip_with(qv, tv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+          / (sqrt(col("qn2")) * sqrt(col("tn2"))) * 1000000.0).cast("long").as("cc"))
+    val w = Window.partitionBy("probe_id").orderBy(col("maxsim_u").desc, col("doc_id"))
+    contrib.groupBy("probe_id", "doc_id", "qi").agg(max(col("cc")).as("mc"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("mc")).as("maxsim_u"), count(lit(1)).as("n_qt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Packing factor for the nearest-cell `max_by` ordering:
     * |ccos| ≤ 10⁶ < 2^20 and cent_id < 2^40 (≈10¹² — covers
     * 100 TB-scale vec ids; max product 2^20·2^40 = 2^60 < 2^63, no
@@ -1242,6 +1314,7 @@ object Similarity {
     "embed_pca_power" -> (pcaPower _),
     "embed_project" -> (pcaProject _),
     "sim_hybrid_rrf" -> (hybridRrf _),
+    "sim_maxsim" -> (maxsim _),
     "sim_filtered_topk" -> (filteredTopk _),
     "sim_hamming_topk" -> (hammingTopk _),
     "sim_pq_topk" -> (pqTopk _),

@@ -1723,6 +1723,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maxsim late-interaction retrieval matches a Scala re-derivation") {
+    import Similarity.{MaxsimD, MaxsimDocT, MaxsimQT, ivfProbeMod}
+    val dmap = docs
+    val n = dmap.size.toLong
+    val pmod = ivfProbeMod(n)
+    def tokVec(tok: String): Array[Long] =
+      (1 to MaxsimD).map(j => md5Int(s"$tok#$j") % 2001 - 1000).toArray
+    def cosU(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      math.floor(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1000000.0).toLong
+    }
+    val docToks = dmap.map { case (id, text) =>
+      id -> tokens(text).distinct.take(MaxsimDocT).map(tokVec).filter(_.exists(_ != 0L))
+    }
+    val bigrams = dmap.map { case (id, text) =>
+      val t = tokens(text); id -> t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+    }
+    val df = bigrams.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val rare = df.filter { case (_, c) => c * 4 <= n }.keySet
+    val expected = dmap.keys.filter(_ % pmod == 0).toSeq.sorted.flatMap { p =>
+      val qv = docToks(p).take(MaxsimQT)
+      val pBg = bigrams(p).intersect(rare)
+      val cands = dmap.keys.filter(d =>
+        d != p && bigrams(d).exists(pBg.contains) && docToks(d).nonEmpty && qv.nonEmpty)
+      val scored = cands.toSeq.map { d =>
+        val s = qv.map(q => docToks(d).map(tv => cosU(q, tv)).max).sum
+        (d, s, qv.length.toLong)
+      }
+      scored.sortBy { case (d, s, _) => (-s, d) }.take(5).zipWithIndex.map {
+        case ((d, s, nq), i) => (p, (i + 1).toLong, d, s, nq)
+      }
+    }
+    val got = Similarity.maxsim(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("maxsim_u"),
+        r.getAs[Long]("n_qt"))).toSeq
+    assert(got === expected)
+  }
+
   test("semantic dedup matches a Scala SemDeDup re-derivation") {
     import spark.implicits._
     val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
