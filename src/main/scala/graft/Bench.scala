@@ -52,11 +52,11 @@ object Bench {
     "text_chunk",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile",
-    "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct",
+    "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_kmv_overlap",
     "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
-    "stats_value_hist", "stats_token_hist", "stats_cov_matrix",
+    "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
     "sim_hybrid_rrf", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",

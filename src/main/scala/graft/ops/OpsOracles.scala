@@ -461,6 +461,59 @@ object OpsOracles {
          |QUALIFY row_number() OVER (PARTITION BY event_type, p ORDER BY bucket) = 1
          |ORDER BY event_type, p""".stripMargin
     },
+    "agg_kmv_overlap" -> {
+      val K = Sampling.KmvK
+      s"""WITH du AS (SELECT DISTINCT event_type,
+         |    CAST(user_id AS VARCHAR) || '@' ||
+         |    CAST((epoch_ns(ts) // 1000000000) // 86400 AS VARCHAR) AS key
+         |  FROM events),
+         |dh AS (SELECT DISTINCT event_type, ${md5Int("key")} AS h FROM du),
+         |kth AS (SELECT event_type, MAX(h) AS kth FROM (
+         |          SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM dh)
+         |        WHERE rk <= $K GROUP BY event_type),
+         |smp AS (SELECT dh.event_type, dh.h FROM dh JOIN kth USING (event_type) WHERE dh.h <= kth.kth),
+         |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |          FROM kth a, kth b WHERE a.event_type < b.event_type),
+         |un AS (SELECT p.ta, p.tb, s.h FROM pairs p JOIN smp s ON s.event_type = p.ta
+         |       UNION SELECT p.ta, p.tb, s.h FROM pairs p JOIN smp s ON s.event_type = p.tb),
+         |topu AS (SELECT ta, tb, h FROM (
+         |           SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk FROM un)
+         |         WHERE rk <= $K),
+         |ug AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS k_union, MAX(h) AS union_kth
+         |       FROM topu GROUP BY 1, 2),
+         |mt AS (SELECT t.ta, t.tb, CAST(COUNT(*) AS BIGINT) AS matches FROM topu t
+         |       JOIN smp a ON a.event_type = t.ta AND a.h = t.h
+         |       JOIN smp b ON b.event_type = t.tb AND b.h = t.h GROUP BY 1, 2),
+         |ex AS (SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |       FROM du a JOIN du b ON a.key = b.key AND a.event_type < b.event_type GROUP BY 1, 2),
+         |est AS (SELECT ug.ta, ug.tb, ug.k_union, ug.union_kth,
+         |          CAST(COALESCE(mt.matches, 0) AS BIGINT) AS matches,
+         |          CAST(CASE WHEN ug.k_union < $K THEN ug.k_union
+         |               ELSE ${K - 1} * 4294967296 // GREATEST(ug.union_kth, 1) END AS BIGINT) AS est_union
+         |        FROM ug LEFT JOIN mt USING (ta, tb))
+         |SELECT est.ta, est.tb, est.k_union, est.union_kth, est.matches, est.est_union,
+         |  CAST(est.matches * est.est_union // est.k_union AS BIGINT) AS est_inter,
+         |  CAST(1000000 * est.matches // est.k_union AS BIGINT) AS jacc_u,
+         |  CAST(COALESCE(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+         |FROM est LEFT JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin
+    },
+    "stats_source_drift" ->
+      s"""WITH tl AS (SELECT doc_id, source, unnest($toks) AS tok FROM documents),
+         |cell AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS o FROM tl GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(o) AS BIGINT) AS src_tot FROM cell GROUP BY 1),
+         |tt AS (SELECT tok, CAST(SUM(o) AS BIGINT) AS tok_tot FROM cell GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cell),
+         |d AS (SELECT c.source, c.tok, c.o,
+         |        CAST(c.o AS HUGEINT) * nn.n_total - CAST(st.src_tot AS HUGEINT) * tt.tok_tot AS num,
+         |        CAST(st.src_tot AS HUGEINT) * tt.tok_tot * nn.n_total AS den
+         |      FROM cell c JOIN st USING (source) JOIN tt USING (tok), nn),
+         |r AS (SELECT source, tok, o,
+         |        CAST(FLOOR(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+         |          / CAST(den AS DOUBLE) * 1000000.0) AS BIGINT) AS drift_u
+         |      FROM d)
+         |SELECT source, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY drift_u DESC, tok) AS BIGINT) AS rank, tok, o, drift_u
+         |FROM r QUALIFY rank <= ${Sampling.DriftTopK} ORDER BY source, rank""".stripMargin,
     "stats_value_hist" -> {
       val w = Sampling.HistWidthC
       s"""WITH e AS (SELECT event_type,

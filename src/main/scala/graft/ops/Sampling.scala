@@ -502,7 +502,123 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** Per-source report depth for [[sourceDrift]]. */
+  val DriftTopK = 5
+
+  /** stats_source_drift — per-source token-distribution drift: for
+    * every (source, token) cell, the χ² contribution
+    * (o·N − s·t)² ∕ (s·t·N) of observed count o against the
+    * independence expectation s·t∕N, reported as the top-[[DriftTopK]]
+    * most-drifted tokens per source — the distribution-shift monitor a
+    * pipeline runs per ingest source (a source whose token mix departs
+    * from the corpus is the one to quarantine). Exactness follows the
+    * q_corr recipe: all products in DECIMAL(38,0) (o·N and s·t·N fit —
+    * ≤ N³ < 10³⁸ far beyond any corpus), doubles only in the final
+    * ratio, identical chains both engines, then floor·10⁶.
+    *
+    * Scale shape: one token explode → one map-side-combined (source,
+    * token) count; both marginals re-aggregate the CELL frame (≤
+    * sources × vocab rows, never the corpus) and broadcast back; the
+    * per-source top-k window sorts the cell frame only.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
+      .select(col("source"), explode(col("t")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("o"))
+    val st = cell.groupBy("source").agg(sum(col("o")).as("src_tot"))
+    val tt = cell.groupBy("tok").agg(sum(col("o")).as("tok_tot"))
+    val nn = cell.agg(sum(col("o")).as("n_total"))
+    def wide(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val d = cell.join(broadcast(st), Seq("source"))
+      .join(broadcast(tt), Seq("tok")).crossJoin(broadcast(nn))
+      .withColumn("num",
+        wide(col("o")) * wide(col("n_total")) - wide(col("src_tot")) * wide(col("tok_tot")))
+      .withColumn("den",
+        wide(col("src_tot")) * wide(col("tok_tot")) * wide(col("n_total")))
+      .withColumn("drift_u",
+        floor(col("num").cast("double") * col("num").cast("double")
+          / col("den").cast("double") * lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy("source").orderBy(col("drift_u").desc, col("tok"))
+    d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= DriftTopK)
+      .select("source", "rank", "tok", "o", "drift_u")
+      .orderBy("source", "rank")
+  }
+
+  /** agg_kmv_overlap — SKETCH-ALGEBRA set overlap: estimate the
+    * intersection cardinality and Jaccard of the active (user, day)
+    * key sets between every pair of event types from their bounded
+    * KMV sketches alone — the dataset-overlap estimator a pipeline
+    * runs before deciding whether two ingest streams are near-copies
+    * (the sketch-level sibling of dedup_decontaminate's exact join).
+    * Union sketch = the [[KmvK]] smallest distinct hashes of the two
+    * per-type samples (a subset of each type's own sample, the
+    * classic KMV closure property); Jaccard = matches∕k over that
+    * union sample; est_inter = matches·est_union div k. All integer
+    * arithmetic (hash ranks, `div`) — bit-identical in the oracle —
+    * with the exact intersection riding along as the correctness
+    * anchor a production run would drop.
+    *
+    * Scale shape: the only corpus-scale work is the distinct + one
+    * bounded sketch aggregation per type (map-side combined TreeSet
+    * partials) + one broadcast-filter back for the ≤K-row samples;
+    * everything pairwise happens on ≤ types·K rows. The exact
+    * ride-along is the one linear join (drops at scale).
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.relational.Queries
+    graft.functions.GraftFunctions.register(spark)
+    val dh = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("@"),
+          floor(Queries.nsToSec(col("ts")) / lit(86400.0)).cast("long").cast("string")).as("key"))
+      .distinct()
+      .withColumn("h", expr("graft_md5_prefix(key)"))
+    val hs = dh.select(col("event_type"), col("h")).distinct()
+    val kth = hs.groupBy("event_type")
+      .agg(expr(s"graft_kmv_kth(h, $KmvK)").as("kmv"))
+      .select(col("event_type"), col("kmv.kth_hash").as("kth"))
+    val samples = hs.join(broadcast(kth), Seq("event_type"))
+      .filter(col("h") <= col("kth")).select("event_type", "h")
+    val types = kth.select("event_type")
+    val pairs = types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val sa = samples.select(col("event_type").as("ta"), col("h"))
+    val sb = samples.select(col("event_type").as("tb"), col("h"))
+    val un = pairs.join(sa, Seq("ta")).select(col("ta"), col("tb"), col("h"))
+      .union(pairs.join(sb, Seq("tb")).select(col("ta"), col("tb"), col("h")))
+      .distinct()
+    val wu = Window.partitionBy("ta", "tb").orderBy("h")
+    val topu = un.withColumn("rk", row_number().over(wu)).filter(col("rk") <= KmvK)
+      .select("ta", "tb", "h")
+    val ug = topu.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("union_kth"))
+    val mt = topu.join(sa, Seq("ta", "h"), "left_semi")
+      .join(sb, Seq("tb", "h"), "left_semi")
+      .groupBy("ta", "tb").agg(count(lit(1)).as("matches0"))
+    val ex = dh.select(col("event_type").as("ta"), col("key"))
+      .join(dh.select(col("event_type").as("tb"), col("key")), Seq("key"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter0"))
+    ug.join(mt, Seq("ta", "tb"), "left").join(ex, Seq("ta", "tb"), "left")
+      .withColumn("matches", coalesce(col("matches0"), lit(0L)))
+      .withColumn("est_union",
+        when(col("k_union") < KmvK, col("k_union"))
+          .otherwise(expr(s"(${KmvK - 1} * 4294967296) div greatest(union_kth, 1)")))
+      .withColumn("est_inter", expr("(matches * est_union) div k_union"))
+      .withColumn("jacc_u", expr("(1000000 * matches) div k_union"))
+      .withColumn("exact_inter", coalesce(col("exact_inter0"), lit(0L)))
+      .select("ta", "tb", "k_union", "union_kth", "matches", "est_union",
+        "est_inter", "jacc_u", "exact_inter")
+      .orderBy("ta", "tb")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_source_drift" -> (sourceDrift _),
+    "agg_kmv_overlap" -> (kmvOverlap _),
     "sample_diverse" -> (diverse _),
     "sample_coreset" -> (coreset _),
     "stats_approx_quantile" -> (approxQuantile _),

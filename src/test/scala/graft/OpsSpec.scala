@@ -1723,6 +1723,76 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmv overlap estimates match a Scala sketch-algebra re-derivation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Sampling
+    val keys = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("@"),
+          floor(graft.relational.Queries.nsToSec(col("ts")) / lit(86400.0))
+            .cast("long").cast("string")).as("key"))
+      .distinct().as[(String, String)].collect().toSeq
+    val K = Sampling.KmvK
+    val keysByType = keys.groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2).toSet }
+    val samples = keysByType.map { case (t, ks) =>
+      t -> ks.map(md5Int).toSeq.distinct.sorted.take(K)
+    }
+    val types = keysByType.keys.toSeq.sorted
+    val expected = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield {
+      val (ta, tb) = (types(i), types(j))
+      val unionTop = (samples(ta) ++ samples(tb)).distinct.sorted.take(K)
+      val kU = unionTop.length.toLong
+      val uKth = unionTop.last
+      val matches = unionTop.count(h =>
+        samples(ta).contains(h) && samples(tb).contains(h)).toLong
+      val estUnion = if (kU < K) kU else (K - 1).toLong * 4294967296L / math.max(uKth, 1L)
+      (ta, tb, kU, uKth, matches, estUnion, matches * estUnion / kU,
+        1000000L * matches / kU, keysByType(ta).intersect(keysByType(tb)).size.toLong)
+    }).toSeq
+    val got = Sampling.kmvOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got === expected)
+    // sketch-estimate sanity: the estimator is unbiased-ish — every
+    // pair's estimate lands within 50 % of the exact intersection on
+    // this corpus (loose, but catches an estimator regression)
+    got.foreach { case (ta, tb, _, _, _, _, est, _, exact) =>
+      assert(est <= exact * 3 / 2 + 8 && est * 3 / 2 + 8 >= exact,
+        s"estimate $est vs exact $exact for ($ta,$tb)")
+    }
+  }
+
+  test("source drift matches a Scala chi-square re-derivation") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val rows0 = Tables(spark, dir, "documents").select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val cell = rows0.toSeq.flatMap { case (_, src, text) => tokens(text).map(t => (src, t)) }
+      .groupBy(identity).map { case ((s, t), o) => (s, t, o.size.toLong) }.toSeq
+    val srcTot = cell.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
+    val tokTot = cell.groupBy(_._2).map { case (t, cs) => t -> cs.map(_._3).sum }
+    val n = cell.map(_._3).sum
+    val drift = cell.map { case (s, t, o) =>
+      val num = BigInt(o) * n - BigInt(srcTot(s)) * tokTot(t)
+      val den = BigInt(srcTot(s)) * tokTot(t) * n
+      (s, t, o, math.floor(num.toDouble * num.toDouble / den.toDouble * 1000000.0).toLong)
+    }
+    val expected = drift.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (s, cs) =>
+      cs.sortBy { case (_, t, _, du) => (-du, t) }.take(Sampling.DriftTopK).zipWithIndex
+        .map { case ((_, t, o, du), i) => (s, (i + 1).toLong, t, o, du) }
+    }
+    val got = Sampling.sourceDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // χ² contributions are non-negative and the report is dense:
+    // every source present in the corpus appears with exactly k rows
+    assert(got.forall(_._5 >= 0L))
+    assert(got.groupBy(_._1).values.forall(_.length === Sampling.DriftTopK))
+  }
+
   test("maxsim late-interaction retrieval matches a Scala re-derivation") {
     import Similarity.{MaxsimD, MaxsimDocT, MaxsimQT, ivfProbeMod}
     val dmap = docs

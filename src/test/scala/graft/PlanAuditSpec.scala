@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("single-scan operators stay single-scan") {
     Seq("text_filter", "text_rep_ngram", "agg_kmv_distinct",
-      "embed_quantize", "pipeline_clean", "oct_ktx_parse").foreach { n =>
+      "embed_quantize", "pipeline_clean", "oct_ktx_parse",
+      "text_chunk", "mm_audio_feats").foreach { n =>
       assert(scans(formatted(n)) === 1, s"$n grew extra scans")
     }
   }
@@ -49,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_embed", "sim_lsh_topk", "dedup_decontaminate",
       "sim_pq_topk", "text_tfidf", "dedup_bloom", "agg_cms_topk",
       "dedup_substring", "dedup_substring_hashed", "text_charlm",
-      "sim_pq_kmeans", "sim_knn_graph", "sim_hybrid_rrf").foreach { n =>
+      "sim_pq_kmeans", "sim_knn_graph", "sim_hybrid_rrf",
+      "sim_maxsim").foreach { n =>
       val p = formatted(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
