@@ -521,12 +521,26 @@ object Sampling {
     * sources × vocab rows, never the corpus) and broadcast back; the
     * per-source top-k window sorts the cell frame only.
     */
-  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val cell = Tables(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
-      .select(col("source"), explode(col("t")).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("o"))
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    driftReport(
+      Tables(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
+        .select(col("source"), explode(col("t")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("o")))
+
+  /** The χ² read stage of [[sourceDrift]] over a (source, tok, o)
+    * cell frame — also the finalize of the streaming twin, whose
+    * state store maintains exactly this mergeable frame (counts merge
+    * by addition across triggers like the quantile histogram).
+    */
+  private[graft] def driftReport(cell0: DataFrame): DataFrame = {
+    // eager localCheckpoint: the cell frame is bounded (sources ×
+    // vocab) and referenced four times below (marginals + the join
+    // back) — one materialization instead of four corpus passes, and
+    // fresh attribute ids so the memory-sink view of the streaming
+    // twin self-joins cleanly
+    val cell = cell0.localCheckpoint()
     val st = cell.groupBy("source").agg(sum(col("o")).as("src_tot"))
     val tt = cell.groupBy("tok").agg(sum(col("o")).as("tok_tot"))
     val nn = cell.agg(sum(col("o")).as("n_total"))

@@ -846,7 +846,35 @@ object EventStreams {
     spark.table(sink).orderBy("source", "split")
   }
 
+  /** stream_drift — the ingest-source drift monitor LIVE: the
+    * streaming aggregation maintains the (source, token) count cell
+    * frame in its state store (bounded by sources × vocab, counts
+    * merge by addition across triggers — the [[quantileStream]]
+    * mergeable-state shape), and the drain runs the SAME χ² read
+    * stage as the batch operator ([[graft.ops.Sampling.driftReport]])
+    * — a live "which source is drifting right now" dashboard over a
+    * document stream, sharing the batch oracle verbatim.
+    */
+  def driftStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).as[Doc].collect().toSeq
+    val input = MemoryStream[Doc]
+    input.addData(docs)
+    val cells = input.toDF()
+      .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
+      .select(col("source"), explode(col("t")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("o"))
+    val sink = sinkName("stream_drift")
+    val q = cells.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.ops.Sampling.driftReport(spark.table(sink))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift" -> (driftStream _),
     "stream_card" -> (cardStream _),
     "stream_sliding" -> (sliding _),
     "stream_join" -> (joinStatic _),
@@ -878,6 +906,8 @@ object EventStreams {
     "stream_volume_stats" -> graft.octree.OctreeOracles.all("oct_stats"),
     // the histogram state drains to the same read as the batch operator
     "stream_quantile" -> graft.ops.OpsOracles.all("stats_approx_quantile"),
+    // the (source, token) count state drains to the same χ² read
+    "stream_drift" -> graft.ops.OpsOracles.all("stats_source_drift"),
     // the per-user state machine drains to the batch funnel summary
     "stream_funnel" -> Queries.funnelOracleSql,
     // the per-user (cohort, mask) state drains to the batch cohort

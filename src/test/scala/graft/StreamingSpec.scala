@@ -371,6 +371,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest(8) === ((1000L, -1L, -1L)), "out-of-window click admitted")
   }
 
+  test("stream_drift equals the batch chi-square report, state merging across triggers") {
+    val got = rows(EventStreams.driftStream(spark, dir),
+      "source", "rank", "tok", "o", "drift_u")
+    val want = rows(graft.ops.Sampling.sourceDrift(spark, dir),
+      "source", "rank", "tok", "o", "drift_u")
+    assert(got === want)
+    // the mergeable-state claim, directly: the corpus fed in two
+    // triggers must drain to the identical report (counts add in the
+    // state store; a non-mergeable formulation would double-count or
+    // drop the first trigger)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsSeq = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[EventStreams.Doc].collect().toSeq
+    val (b1, b2) = docsSeq.splitAt(docsSeq.size / 2)
+    val input = MemoryStream[EventStreams.Doc]
+    val cells = input.toDF()
+      .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
+      .select(col("source"), explode(col("t")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("o"))
+    val q = cells.writeStream.format("memory").queryName("drift_two_triggers")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got2 = rows(graft.ops.Sampling.driftReport(spark.table("drift_two_triggers")),
+      "source", "rank", "tok", "o", "drift_u")
+    assert(got2 === want)
+  }
+
   test("stream_retention equals the batch cohort table and re-bases across triggers") {
     import EventStreams.{RetSt, advanceRetention, RetMaxOffset}
     // bounded drain equals batch q_retention exactly
