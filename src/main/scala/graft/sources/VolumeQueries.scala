@@ -340,7 +340,180 @@ object VolumeQueries {
     }
   }
 
+  /** Shard count for [[tfrecordSink]] — matches the pipeline_shard
+    * content-independent hash rule's spirit at a size that exercises
+    * multi-record shards at every benchmark scale.
+    */
+  val TfShards = 8
+
+  /** src_tfrecord_sink — the TRAINING-SHARD export direction: stage
+    * the documents table as real TFRecord shard files
+    * ([[TfRecordBinary]] — length-prefixed masked-CRC32C framing,
+    * hand-encoded `tf.train.Example` protobuf payloads, the format
+    * every TF/JAX data loader reads), then re-ingest them with a
+    * distributed binaryFile scan that re-parses every record from
+    * bytes alone — both CRCs verified per record, the Example walked
+    * by a generic tag/wire-type decoder (an independent reader, not a
+    * byte-mirror of the writer). The per-shard aggregate (record
+    * count, parsed-field sums, rank-weighted text hash, TOTAL BYTES)
+    * is predicted by the DuckDB oracle from the parquet table alone —
+    * including the byte totals via exact varint-size arithmetic — so
+    * a green row certifies the full encode→frame→parse identity.
+    *
+    * Scale shape: shard assignment is the content-independent hash
+    * rule (`md5('shard:'||doc_id) % shards`); each executor streams
+    * its shard's records straight to the file (no per-shard buffering
+    * beyond one record); the read-back is one distributed binaryFile
+    * scan, payload bytes never touch the driver.
+    */
+  def tfrecordSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_tfrec_${ProcessHandle.current().pid()}"
+    try {
+      new java.io.File(tmp).mkdirs()
+      val nShards = TfShards
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("text"))
+        .withColumn("shard",
+          expr(s"graft_md5_prefix(concat('shard:', cast(doc_id as string))) % $nShards"))
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .select(col("shard"), col("doc_id"), col("n_chars"), col("text"))
+        .as[(Long, Long, Long, String)]
+        .foreachPartition { (it: Iterator[(Long, Long, Long, String)]) =>
+          var cur = -1L
+          var os: java.io.OutputStream = null
+          for ((sh, id, n, t) <- it) {
+            if (sh != cur) {
+              if (os != null) os.close()
+              cur = sh
+              os = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$tmp/shard-$sh.tfrecord"))
+            }
+            os.write(TfRecordBinary.record(TfRecordBinary.exampleBytes(id, n, t)))
+          }
+          if (os != null) os.close()
+        }
+      val agg = spark.read.format("binaryFile").load(s"$tmp/*.tfrecord")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val shard = path.substring(path.lastIndexOf("shard-") + 6)
+            .stripSuffix(".tfrecord").toLong
+          TfRecordBinary.parseShard(bytes).zipWithIndex.map { case (r, i) =>
+            val h = graft.functions.GraftHash.md5PrefixLong(
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.text))
+            (shard, r.docId, r.nChars, r.text.getBytes("UTF-8").length.toLong,
+              r.recBytes, (i + 1).toLong * h)
+          }
+        }
+        .toDF("shard", "doc_id", "n_chars", "text_bytes", "rec_bytes", "wh")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_records"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_n_chars"),
+          sum(col("text_bytes")).as("sum_text_bytes"),
+          sum(col("rec_bytes")).as("bytes_total"),
+          sum(col("wh")).as("text_cksum"))
+        .orderBy("shard")
+      // the aggregate is ≤ shards rows — pin it before the staging
+      // dir (tmpfs, shared with shuffle) is reclaimed
+      agg.localCheckpoint(true).orderBy("shard")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  /** src_wds_sink — the WEBDATASET export direction: stage the
+    * documents table as WebDataset shards — plain POSIX ustar
+    * archives ([[TarBinary]], hand-rolled headers with real checksum
+    * fields) whose members share a zero-padded basename key per
+    * sample (`00000042.txt` = text, `00000042.cls` = lang, the
+    * classic WDS classification layout) — then re-ingest with a
+    * distributed binaryFile scan that re-parses every archive from
+    * bytes alone, header checksums verified per member, samples
+    * re-assembled by key. Per-shard aggregates INCLUDING the total
+    * archive bytes (header + 512-padding + trailer arithmetic) are
+    * predicted by the oracle from the parquet table, so a green row
+    * certifies the container layout end to end. Same shard rule and
+    * scale shape as [[tfrecordSink]].
+    */
+  def wdsSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_wds_${ProcessHandle.current().pid()}"
+    try {
+      new java.io.File(tmp).mkdirs()
+      val nShards = TfShards
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("shard",
+          expr(s"graft_md5_prefix(concat('shard:', cast(doc_id as string))) % $nShards"))
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .select(col("shard"), col("doc_id"), col("text"), col("lang"))
+        .as[(Long, Long, String, String)]
+        .foreachPartition { (it: Iterator[(Long, Long, String, String)]) =>
+          var cur = -1L
+          var os: java.io.OutputStream = null
+          def close(): Unit = if (os != null) { os.write(TarBinary.trailer); os.close() }
+          for ((sh, id, t, l) <- it) {
+            if (sh != cur) {
+              close(); cur = sh
+              os = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$tmp/shard-$sh.tar"))
+            }
+            os.write(TarBinary.entry(f"$id%08d.txt", t.getBytes("UTF-8")))
+            os.write(TarBinary.entry(f"$id%08d.cls", l.getBytes("US-ASCII")))
+          }
+          close()
+        }
+      val agg = spark.read.format("binaryFile").load(s"$tmp/*.tar")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val shard = path.substring(path.lastIndexOf("shard-") + 6)
+            .stripSuffix(".tar").toLong
+          def h(s: String): Long = graft.functions.GraftHash.md5PrefixLong(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          TarBinary.parse(bytes).grouped(2).zipWithIndex.map { case (pair, i) =>
+            val txt = pair.find(_.name.endsWith(".txt")).get
+            val cls = pair.find(_.name.endsWith(".cls")).get
+            require(txt.name.stripSuffix(".txt") == cls.name.stripSuffix(".cls"),
+              "sample key mismatch between members")
+            val id = txt.name.stripSuffix(".txt").toLong
+            (shard, id, txt.size, (i + 1).toLong * h(new String(txt.data, "UTF-8")),
+              h(new String(cls.data, "US-ASCII")), bytes.length.toLong)
+          }
+        }
+        .toDF("shard", "doc_id", "text_bytes", "wh", "lh", "file_bytes")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_samples"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("text_bytes")).as("sum_text_bytes"),
+          max(col("file_bytes")).as("bytes_total"),
+          sum(col("wh")).as("text_cksum"), sum(col("lh")).as("lang_cksum"))
+        .orderBy("shard")
+      agg.localCheckpoint(true).orderBy("shard")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_tfrecord_sink" -> (tfrecordSink _),
+    "src_wds_sink" -> (wdsSink _),
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),
     "src_volume_levels" -> (volumeLevels _),
@@ -365,6 +538,57 @@ object VolumeQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // TFRecord export: the oracle predicts the parsed-back per-shard
+    // aggregates INCLUDING total bytes from the parquet table alone —
+    // exact varint-size arithmetic over the hand-encoded Example
+    // layout (entry sizes derived in TfRecordBinary's scaladoc)
+    "src_tfrecord_sink" -> {
+      def vs(x: String) =
+        s"(CASE WHEN ($x) < 128 THEN 1 WHEN ($x) < 16384 THEN 2 WHEN ($x) < 2097152 THEN 3 WHEN ($x) < 268435456 THEN 4 ELSE 5 END)"
+      val md5 = graft.ops.OpsOracles.md5Int _
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, text,
+         |    ${md5("('shard:' || CAST(doc_id AS VARCHAR))")} % $TfShards AS shard
+         |  FROM documents),
+         |m AS (SELECT *, CAST(octet_length(encode(text)) AS BIGINT) AS tlen,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rk
+         |      FROM d),
+         |s1 AS (SELECT *, 16 + ${vs("doc_id")} AS e_id, 17 + ${vs("n_chars")} AS e_nc,
+         |        1 + ${vs("tlen")} + tlen AS bl FROM m),
+         |s2 AS (SELECT *, 1 + ${vs("bl")} + bl AS ft FROM s1),
+         |s3 AS (SELECT *, 7 + ${vs("ft")} + ft AS ei FROM s2),
+         |s4 AS (SELECT *, e_id + e_nc + 1 + ${vs("ei")} + ei AS fts FROM s3),
+         |rec AS (SELECT shard, doc_id, n_chars, tlen, rk, text,
+         |    17 + ${vs("fts")} + fts AS rec_bytes FROM s4)
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_records,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+         |  CAST(SUM(tlen) AS BIGINT) AS sum_text_bytes,
+         |  CAST(SUM(rec_bytes) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(rk * ${md5("text")}) AS BIGINT) AS text_cksum
+         |FROM rec GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    // WebDataset export: per-shard aggregates incl. archive byte
+    // totals (header + 512-padding + two-block trailer arithmetic)
+    "src_wds_sink" -> {
+      val md5 = graft.ops.OpsOracles.md5Int _
+      s"""WITH d AS (SELECT doc_id, text, lang,
+         |    ${md5("('shard:' || CAST(doc_id AS VARCHAR))")} % $TfShards AS shard
+         |  FROM documents),
+         |m AS (SELECT *, CAST(octet_length(encode(text)) AS BIGINT) AS tlen,
+         |       CAST(octet_length(encode(lang)) AS BIGINT) AS llen,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rk
+         |      FROM d),
+         |e AS (SELECT *,
+         |    512 + ((tlen + 511) // 512) * 512 + 512 + ((llen + 511) // 512) * 512 AS ebytes
+         |  FROM m)
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_samples,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(SUM(tlen) AS BIGINT) AS sum_text_bytes,
+         |  CAST(SUM(ebytes) + 1024 AS BIGINT) AS bytes_total,
+         |  CAST(SUM(rk * ${md5("text")}) AS BIGINT) AS text_cksum,
+         |  CAST(SUM(${md5("lang")}) AS BIGINT) AS lang_cksum
+         |FROM e GROUP BY shard ORDER BY shard""".stripMargin
+    },
     // round-trip identity: the sink read-back must equal the pyramid
     // recomputed from scratch — same independent derivation as the
     // oct_pyramid row

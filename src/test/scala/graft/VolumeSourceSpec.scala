@@ -461,4 +461,79 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(out))
     }
   }
+
+  test("tfrecord framing and Example encoding round-trip, CRCs detect corruption") {
+    import graft.sources.TfRecordBinary
+    val rows = Seq((0L, 0L, ""), (7L, 3L, "abc"),
+      (4999L, 577L, "x" * 577), (128L, 16384L, "spark sort merge"))
+    val shard = TfRecordBinary.shardBytes(rows)
+    val parsed = TfRecordBinary.parseShard(shard)
+    assert(parsed.map(r => (r.docId, r.nChars, r.text)) === rows)
+    // byte accounting: per-record framing is 16 bytes + the Example
+    assert(parsed.map(_.recBytes).sum === shard.length.toLong)
+    // the oracle's varint-size CASE math must agree with the encoder
+    for (v <- Seq(0L, 1L, 127L, 128L, 16383L, 16384L, 2097151L, 2097152L))
+      assert(TfRecordBinary.varintSize(v) ===
+        (if (v < 128) 1 else if (v < 16384) 2 else if (v < 2097152) 3 else 4))
+    // a flipped payload byte must fail the data CRC
+    val corrupt = shard.clone()
+    corrupt(20) = (corrupt(20) ^ 0x01).toByte
+    intercept[IllegalArgumentException](TfRecordBinary.parseShard(corrupt))
+    // a flipped length byte must fail the length CRC
+    val corrupt2 = shard.clone()
+    corrupt2(0) = (corrupt2(0) ^ 0x01).toByte
+    intercept[IllegalArgumentException](TfRecordBinary.parseShard(corrupt2))
+    // masked CRC32C pins the published masking constant
+    assert(TfRecordBinary.maskedCrc(Array[Byte]()) ===
+      ((0L >>> 15 | 0L << 17) + TfRecordBinary.MaskDelta & 0xffffffffL))
+  }
+
+  test("src_tfrecord_sink stages shards and re-parses them to the table's aggregates") {
+    val dir = "/root/testdata/sf0.001"
+    val got = VolumeQueries.tfrecordSink(spark, dir).collect()
+    assert(got.length === VolumeQueries.TfShards)
+    val total = got.map(_.getAs[Long]("n_records")).sum
+    assert(total === 500L)
+    // parsed sums must equal the table's own aggregates per shard
+    graft.functions.GraftFunctions.register(spark)
+    val want = Tables(spark, dir, "documents")
+      .withColumn("shard", expr(
+        s"graft_md5_prefix(concat('shard:', cast(doc_id as string))) % ${VolumeQueries.TfShards}"))
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("doc_id").as("sid"))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sid")))).toMap
+    got.foreach { r =>
+      val (n, sid) = want(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_records") === n)
+      assert(r.getAs[Long]("sum_doc_id") === sid)
+    }
+  }
+
+  test("ustar entries round-trip, checksums detect header corruption") {
+    import graft.sources.TarBinary
+    val samples = Seq(("00000007.txt", "hello world".getBytes("UTF-8")),
+      ("00000007.cls", "en".getBytes("UTF-8")),
+      ("00000012.txt", Array.fill[Byte](512)('a'.toByte)),  // exact block boundary
+      ("00000012.cls", Array.empty[Byte]))                   // zero-size member
+    val archive = samples.map { case (n, d) => TarBinary.entry(n, d) }
+      .foldLeft(Array.empty[Byte])(_ ++ _) ++ TarBinary.trailer
+    val parsed = TarBinary.parse(archive)
+    assert(parsed.map(m => (m.name, m.data.toSeq)) ===
+      samples.map { case (n, d) => (n, d.toSeq) })
+    // byte accounting: entries + the two-block trailer = file size
+    assert(parsed.map(_.entryBytes).sum + 1024 === archive.length.toLong)
+    // a flipped name byte must fail the header checksum
+    val corrupt = archive.clone()
+    corrupt(3) = (corrupt(3) ^ 0x01).toByte
+    intercept[IllegalArgumentException](TarBinary.parse(corrupt))
+  }
+
+  test("src_wds_sink stages WebDataset tar shards and re-assembles samples") {
+    val dir = "/root/testdata/sf0.001"
+    val got = VolumeQueries.wdsSink(spark, dir).collect()
+    assert(got.length === VolumeQueries.TfShards)
+    assert(got.map(_.getAs[Long]("n_samples")).sum === 500L)
+    // tar members are 512-aligned: every shard's byte total is a block multiple
+    got.foreach(r => assert(r.getAs[Long]("bytes_total") % 512 === 0L))
+  }
 }
