@@ -196,6 +196,50 @@ object VolumeQueries {
     }
   }
 
+  /** src_zarr3_bytes — the Zarr v3 container round trip (zarr-specs
+    * v3.0: one `zarr.json` per node, regular chunk grid, bytes→gzip
+    * codec pipeline, `c/gz/gy/gx` default chunk keys): forward-compat
+    * engine surface for the store format the v2 world is migrating
+    * to. Shares the oct_pyramid oracle like both v2 flavors.
+    */
+  def zarr3Bytes(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_zarr3_${ProcessHandle.current().pid()}"
+    try {
+      Zarr3Binary.writeContainer(spark, dir, out)
+      Zarr3Binary.parseVoxels(spark, out).localCheckpoint(true)
+        .orderBy("level", "c", "z", "y", "x")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
+  /** src_zarr3_discover — the v3 flavor of the level/channel probe,
+    * from read-back `zarr.json` bytes; shares src_n5_discover's
+    * oracle (all three container catalogs agree row for row).
+    */
+  def zarr3Discover(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val out = s"$root/graft_zarr3d_${ProcessHandle.current().pid()}"
+    try {
+      Zarr3Binary.writeContainer(spark, dir, out)
+      Zarr3Binary.discoverLevels(spark, out).localCheckpoint(true)
+        .orderBy("level", "c")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   /** src_jsonl_scan — the JSONL ingest path (newline-delimited JSON
     * is THE LLM-corpus interchange format): write the documents table
     * as JSON lines, read it back with an EXPLICIT schema (never
@@ -523,6 +567,8 @@ object VolumeQueries {
     "src_n5_discover" -> (n5Discover _),
     "src_zarr_bytes" -> (zarrBytes _),
     "src_zarr_discover" -> (zarrDiscover _),
+    "src_zarr3_bytes" -> (zarr3Bytes _),
+    "src_zarr3_discover" -> (zarr3Discover _),
     "src_ingest_dispatch" -> (ingestDispatch _),
     "src_slice_ingest" -> (sliceIngest _),
     "src_jp2_ingest" -> (jp2Ingest _),
@@ -597,6 +643,8 @@ object VolumeQueries {
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor
     "src_zarr_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // and for the Zarr v3 flavor (one zarr.json per node, codec pipeline)
+    "src_zarr3_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // physical-container discovery shares the relational catalog oracle
     "src_n5_discover" ->
       """WITH s AS (
@@ -607,6 +655,14 @@ object VolumeQueries {
         |FROM s ORDER BY level, c""".stripMargin,
     // the Zarr container's catalog must be indistinguishable from N5's
     "src_zarr_discover" ->
+      """WITH s AS (
+        |  SELECT l.level, c.c, 16 >> l.level AS edge, (16 >> l.level) // 4 AS nb
+        |  FROM range(0, 3) l(level), range(0, 2) c(c))
+        |SELECT CAST(level AS BIGINT) AS level, CAST(c AS BIGINT) AS c,
+        |  CAST(edge AS BIGINT) AS edge, CAST(nb * nb * nb AS BIGINT) AS n_blocks
+        |FROM s ORDER BY level, c""".stripMargin,
+    // and the v3 catalog from zarr.json documents
+    "src_zarr3_discover" ->
       """WITH s AS (
         |  SELECT l.level, c.c, 16 >> l.level AS edge, (16 >> l.level) // 4 AS nb
         |  FROM range(0, 3) l(level), range(0, 2) c(c))

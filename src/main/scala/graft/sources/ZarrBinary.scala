@@ -59,7 +59,7 @@ object ZarrBinary {
   private def zarray(edge: Int, separator: String, compressor: String): String =
     s"""{"zarr_format":2,"shape":[$edge,$edge,$edge],"chunks":[$Leaf,$Leaf,$Leaf],"dtype":">u2","compressor":{"id":"$compressor","level":1},"fill_value":0,"order":"C","filters":null,"dimension_separator":"$separator"}"""
 
-  private def deflate(raw: Array[Byte]): Array[Byte] = {
+  private[sources] def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(1)
     d.setInput(raw); d.finish()
     val out = new java.io.ByteArrayOutputStream()
@@ -69,7 +69,7 @@ object ZarrBinary {
     out.toByteArray
   }
 
-  private def inflate(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+  private[sources] def inflate(comp: Array[Byte], rawLen: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(comp)
     val raw = new Array[Byte](rawLen)
@@ -89,14 +89,14 @@ object ZarrBinary {
     raw
   }
 
-  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+  private[sources] def gzipBytes(raw: Array[Byte]): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(buf)
     gz.write(raw); gz.close()
     buf.toByteArray
   }
 
-  private def gunzipBytes(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+  private[sources] def gunzipBytes(comp: Array[Byte], rawLen: Int): Array[Byte] = {
     val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(comp))
     val raw = new Array[Byte](rawLen)
     var off = 0
@@ -181,7 +181,7 @@ object ZarrBinary {
     * hand parse (same recipe as [[IngestDispatch]]'s n5Dims) — the
     * metadata is builder-shaped, not arbitrary JSON.
     */
-  private def jsonLongs(txt: String, field: String): Seq[Long] =
+  private[sources] def jsonLongs(txt: String, field: String): Seq[Long] =
     (s""""$field"\\s*:\\s*\\[([0-9,\\s]+)\\]""").r
       .findFirstMatchIn(txt).map(_.group(1).split(',').map(_.trim.toLong).toSeq)
       .getOrElse(throw new IllegalArgumentException(s"no $field in .zarray"))

@@ -536,4 +536,46 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tar members are 512-aligned: every shard's byte total is a block multiple
     got.foreach(r => assert(r.getAs[Long]("bytes_total") % 512 === 0L))
   }
+
+  test("zarr v3 containers round-trip: zarr.json metadata + c/ chunk keys + codec pipeline") {
+    import graft.sources.Zarr3Binary
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_zarr3_spec").toString
+    try {
+      Zarr3Binary.writeContainer(spark, dir, out)
+      // voxels decoded from bytes == the pyramid frame (same bar as v2)
+      val want = graft.octree.Pyramid(graft.VoxelGrid(spark, dir))
+        .orderBy("level", "c", "z", "y", "x").collect().map(_.toSeq)
+      val got = Zarr3Binary.parseVoxels(spark, out).collect().map(_.toSeq)
+      assert(got.nonEmpty && got.toSeq === want.toSeq)
+      // catalog from zarr.json bytes == the shared container catalog
+      val levels = Zarr3Binary.discoverLevels(spark, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(levels === (for (s <- 0L until 3L; c <- 0L until 2L) yield {
+        val edge = 16L >> s
+        val nb = edge / graft.VoxelGrid.Leaf
+        (s, c, edge, nb * nb * nb)
+      }).toSeq)
+      // v3 layout invariants: ONE metadata document per node, chunks
+      // under the default c/ key prefix, gzip-framed payloads
+      assert(new java.io.File(s"$out/zarr.json").isFile)
+      assert(new java.io.File(s"$out/c0/s0/zarr.json").isFile)
+      assert(!new java.io.File(s"$out/.zgroup").exists)
+      def chunks(root: java.io.File): Seq[java.io.File] =
+        if (root.isDirectory) Option(root.listFiles()).toSeq.flatten.flatMap(chunks)
+        else if (root.getName != "zarr.json") Seq(root) else Seq.empty
+      val files = chunks(new java.io.File(out))
+      assert(files.nonEmpty)
+      assert(files.forall(_.getAbsolutePath.matches(".*/c/[0-9]+/[0-9]+/[0-9]+$")))
+      val head = java.nio.file.Files.readAllBytes(files.head.toPath)
+      assert((head(0) & 0xff) === 0x1f && (head(1) & 0xff) === 0x8b, "not gzip-framed")
+      // root attributes ride inline in the v3 document
+      assert(Zarr3Binary.pixelResolution(out) === Zarr3Binary.PixelResolution)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
 }
