@@ -138,6 +138,7 @@ object IngestDispatch {
     stageStacks(spark, dir, root)
     N5Binary.writeContainer(spark, dir, s"$root/n5")
     ZarrBinary.writeContainer(spark, dir, s"$root/zarr")
+    Zarr3Binary.writeContainer(spark, dir, s"$root/zarr3")
   }
 
   // ---------------------------------------------------------------- sniffing
@@ -206,6 +207,23 @@ object IngestDispatch {
     (shape, bits)
   }
 
+  /** Minimal executor-side parse of a Zarr v3 array `zarr.json`:
+    * (shape slowest-first, bits). v3 data types are plain names —
+    * `"uint16"` etc.
+    */
+  private def zarr3Dims(docPath: String): (Seq[Long], Long) = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(docPath)), "UTF-8")
+    require(s.contains(""""zarr_format":3"""), s"not a v3 document: $docPath")
+    val shape = """"shape"\s*:\s*\[([0-9,\s]+)\]""".r
+      .findFirstMatchIn(s).map(_.group(1).split(',').map(_.trim.toLong).toSeq)
+      .getOrElse(throw new IllegalArgumentException(s"no shape in $docPath"))
+    val bits = """"data_type"\s*:\s*"(?:u?int|float)(\d+)"""".r
+      .findFirstMatchIn(s).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"no data_type in $docPath"))
+    (shape, bits)
+  }
+
   /** Minimal executor-side parse of an N5 dataset attributes.json. */
   private def n5Dims(attrPath: String): (Seq[Long], Long) = {
     val s = new String(java.nio.file.Files.readAllBytes(
@@ -233,8 +251,13 @@ object IngestDispatch {
       val (pages, w, h, bits, spp) = sniffTiff(f.getPath)
       catalog("stack", "tif", 1L, Seq(pages, h, w), spp, bits)
     } else {
-      // plain-Zarr probe FIRST — the reference tries zarr.open(indir)
-      // before falling back to zarr.N5Store (tiff2octree.py:764-767)
+      // Zarr v3 probe FIRST (a `zarr.json` array doc under a channel
+      // group is unambiguous — v3 readers check the v3 document
+      // before v2 metadata), then plain v2 Zarr — the reference tries
+      // zarr.open(indir) before falling back to zarr.N5Store
+      // (tiff2octree.py:764-767)
+      val z3Ch = (0 until 10).map(i => new java.io.File(f, s"c$i/s0/zarr.json"))
+        .filter(_.isFile)
       val zarrSelf = new java.io.File(f, ".zarray")
       val zarrCh = (0 until 10).map(i => new java.io.File(f, s"c$i/s0/.zarray"))
         .filter(_.isFile)
@@ -242,7 +265,11 @@ object IngestDispatch {
       val selfS0 = new java.io.File(f, "s0/attributes.json")
       val chDirs = (0 until 10).map(i => new java.io.File(f, s"c$i/s0/attributes.json"))
         .filter(_.isFile)
-      if (zarrSelf.isFile || zarrCh.nonEmpty) {
+      if (z3Ch.nonEmpty) {
+        val (shapeZYX, bits) = zarr3Dims(z3Ch.head.getPath)
+        // v3 shape is slowest-first like v2 — already catalog order
+        catalog("zarr3", "zarr3", z3Ch.size.toLong, shapeZYX, 1L, bits)
+      } else if (zarrSelf.isFile || zarrCh.nonEmpty) {
         val first = if (zarrSelf.isFile) zarrSelf else zarrCh.head
         val (shapeZYX, bits) = zarrDims(first.getPath)
         // Zarr shape is slowest-first (z, y, x) — already catalog order
@@ -277,7 +304,7 @@ object IngestDispatch {
   def discover(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val inputs = Seq("n5", "slices_jp2/ch0", "slices_tif/ch0",
-      "stack/ch0.tif", "stack/ch1.tif", "zarr")
+      "stack/ch0.tif", "stack/ch1.tif", "zarr", "zarr3")
     spark.createDataset(inputs).repartition(inputs.size)
       .map(rel => sniff(root, rel))
       .toDF().orderBy("input")

@@ -710,7 +710,8 @@ object VolumeQueries {
         |  ('slices_tif/ch0', 'slices', 'tif', CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
         |  ('stack/ch0.tif',  'stack',  'tif', CAST(1 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
         |  ('stack/ch1.tif',  'stack',  'tif', CAST(1 AS BIGINT),  CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
-        |  ('zarr',           'zarr',   'zarr', CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT))
+        |  ('zarr',           'zarr',   'zarr', CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('zarr3',          'zarr3',  'zarr3', CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT))
         |) AS t(input, arm, fmt, n_inputs, dim_z, dim_y, dim_x, spp, bits,
         |       nlevels_auto, leaf_z, leaf_y, leaf_x)
         |ORDER BY input""".stripMargin,

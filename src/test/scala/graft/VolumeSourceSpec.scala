@@ -430,7 +430,8 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("slices_tif/ch0", "slices", "tif", 16L, g, 1L, 16L, 1L, leaf),
         ("stack/ch0.tif", "stack", "tif", 1L, g, 1L, 16L, 1L, leaf),
         ("stack/ch1.tif", "stack", "tif", 1L, g, 1L, 16L, 1L, leaf),
-        ("zarr", "zarr", "zarr", 2L, g, 1L, 16L, 1L, leaf)))
+        ("zarr", "zarr", "zarr", 2L, g, 1L, 16L, 1L, leaf),
+        ("zarr3", "zarr3", "zarr3", 2L, g, 1L, 16L, 1L, leaf)))
       // the slice arm read direction reproduces the voxel model exactly
       val want = graft.VoxelGrid(spark, dir)
         .orderBy("c", "z", "y", "x").collect().map(_.toSeq)
