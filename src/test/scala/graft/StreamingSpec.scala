@@ -471,6 +471,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "restored sketch buffers diverged from the full-corpus batch sketch")
   }
 
+  test("retention state survives a checkpointed restart (mapGroupsWithState recovery)") {
+    // the per-user RetSt rows live in the state store; a restarted
+    // query must restore them — batch 1's offsets are committed, so
+    // run 2 reads only batch 2, and a lost state would re-base every
+    // user's cohort to their batch-2 minimum
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.streaming.EventStreams.{RetSt, advanceRetention}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val days = allEvents.map(e => (e.user_id, e.sec / 86400L))
+    val (b1, b2) = days.splitAt(days.size / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ret_ckpt_").toString
+    val input = MemoryStream[(Long, Long)]
+    val last = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+    def drain(): Unit = {
+      val snaps = input.toDS()
+        .groupByKey(_._1)
+        .mapGroupsWithState[RetSt, (Long, Long, Long)](GroupStateTimeout.NoTimeout()) {
+          (uid: Long, it: Iterator[(Long, Long)], state: GroupState[RetSt]) =>
+            val st = advanceRetention(state.getOption, it.map(_._2).toSeq)
+            state.update(st)
+            (uid, st.cohort, st.mask)
+        }.toDF("user_id", "cohort", "mask")
+      val q = snaps.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach { r =>
+            last.synchronized { last(r.getLong(0)) = (r.getLong(1), r.getLong(2)) }
+          }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    input.addData(b1); drain()
+    input.addData(b2); drain()
+    // the restored-and-advanced state must equal a single fold over
+    // the whole corpus (order-independent below the offset cap)
+    val expect = days.groupBy(_._1).map { case (u, ds) =>
+      val st = advanceRetention(None, ds.map(_._2))
+      u -> ((st.cohort, st.mask))
+    }
+    assert(last.toMap === expect, "restored retention state diverged")
+  }
+
   test("stream_dedup_wm suppresses in-window dups, evicts state, re-admits after eviction") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
