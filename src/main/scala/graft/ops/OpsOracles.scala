@@ -497,6 +497,34 @@ object OpsOracles {
          |  CAST(COALESCE(ex.exact_inter, 0) AS BIGINT) AS exact_inter
          |FROM est LEFT JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin
     },
+    "stats_ks_drift" ->
+      s"""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS len FROM documents),
+         |pl AS (SELECT source, len, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+         |al AS (SELECT len, CAST(SUM(c) AS BIGINT) AS cl FROM pl GROUP BY 1),
+         |ca AS (SELECT len, CAST(SUM(cl) OVER (ORDER BY len) AS BIGINT) AS call FROM al),
+         |src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM pl GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+         |grid AS (SELECT s.source, ca.len, ca.call
+         |         FROM (SELECT DISTINCT source FROM pl) s, ca),
+         |g2 AS (SELECT grid.source, grid.len, grid.call, COALESCE(pl.c, 0) AS c
+         |       FROM grid LEFT JOIN pl USING (source, len)),
+         |g3 AS (SELECT source, len, call,
+         |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS c1
+         |       FROM g2),
+         |g4 AS (SELECT g3.source, g3.len,
+         |         ABS(CAST(c1 AS HUGEINT) * (nn.n - src.n_src)
+         |           - CAST(call - c1 AS HUGEINT) * src.n_src) AS diff
+         |       FROM g3 JOIN src USING (source), nn),
+         |mx AS (SELECT source, MAX(diff) AS dd FROM g4 GROUP BY 1),
+         |at AS (SELECT g4.source, MIN(g4.len) AS at_len
+         |       FROM g4 JOIN mx ON g4.source = mx.source AND g4.diff = mx.dd GROUP BY 1)
+         |SELECT mx.source, src.n_src,
+         |  CAST(FLOOR(CAST(mx.dd AS DOUBLE)
+         |    / (CAST(src.n_src AS DOUBLE) * CAST(nn.n - src.n_src AS DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS ks_u,
+         |  at.at_len
+         |FROM mx JOIN src USING (source) JOIN at USING (source), nn
+         |ORDER BY mx.source""".stripMargin,
     "stats_source_drift" ->
       s"""WITH tl AS (SELECT doc_id, source, unnest($toks) AS tok FROM documents),
          |cell AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS o FROM tl GROUP BY 1, 2),

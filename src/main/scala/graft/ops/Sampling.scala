@@ -630,8 +630,63 @@ object Sampling {
       .orderBy("ta", "tb")
   }
 
+  /** stats_ks_drift — per-source two-sample Kolmogorov–Smirnov drift
+    * on the document-length distribution: for each source, D =
+    * max over lengths |F_src − F_rest| against the REST of the corpus
+    * — the second drift lens beside [[sourceDrift]]'s χ² (KS sees
+    * shape shifts a frequency test misses, e.g. a source that starts
+    * truncating documents). All CDF arithmetic is exact integers:
+    * D's numerator is max |c1·n2 − c2·n1| in DECIMAL(38,0)/HUGEINT
+    * (c·n products overflow int64 at 10¹⁰-doc corpora — the q_corr
+    * recipe), doubles only in the final ⌊10⁶·D⌋; `at_len` reports the
+    * smallest length achieving the max.
+    *
+    * Scale shape: one (source, length) count aggregation over the
+    * corpus; everything after lives on the bounded (sources ×
+    * distinct-length) grid — distinct lengths are bounded by the max
+    * document length (a policy constant), not the corpus, so the
+    * single-partition cumulative window over the length domain stays
+    * O(domain) at any scale.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("len"))
+    val perSrcLen = docs.groupBy("source", "len").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded grid input, referenced 4×
+    val cumAll = perSrcLen.groupBy("len").agg(sum(col("c")).as("cl"))
+      .withColumn("call", sum(col("cl")).over(
+        Window.orderBy("len").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("len", "call")
+    val srcTot = perSrcLen.groupBy("source").agg(sum(col("c")).as("n_src"))
+    val nn = perSrcLen.agg(sum(col("c")).as("n_total"))
+    def wide(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val wSrc = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = perSrcLen.select("source").distinct().crossJoin(cumAll)
+      .join(perSrcLen, Seq("source", "len"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("c1", sum(col("c0")).over(wSrc))
+      .join(broadcast(srcTot), Seq("source")).crossJoin(broadcast(nn))
+      .withColumn("diff", abs(
+        wide(col("c1")) * wide(col("n_total") - col("n_src"))
+          - wide(col("call") - col("c1")) * wide(col("n_src"))))
+    val mx = grid.groupBy("source").agg(max(col("diff")).as("d"))
+    val at = grid.join(mx, Seq("source"))
+      .filter(col("diff") === col("d"))
+      .groupBy("source").agg(min(col("len")).as("at_len"))
+    mx.join(at, Seq("source")).join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("n_src"),
+        floor(col("d").cast("double")
+          / (col("n_src").cast("double") * (col("n_total") - col("n_src")).cast("double"))
+          * lit(1000000.0)).cast("long").as("ks_u"),
+        col("at_len"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_source_drift" -> (sourceDrift _),
+    "stats_ks_drift" -> (ksDrift _),
     "agg_kmv_overlap" -> (kmvOverlap _),
     "sample_diverse" -> (diverse _),
     "sample_coreset" -> (coreset _),

@@ -1723,6 +1723,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ks drift matches a Scala two-sample re-derivation") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val rows0 = Tables(spark, dir, "documents").select("source", "n_chars")
+      .as[(String, Long)].collect().toSeq
+    val n = rows0.size.toLong
+    val lens = rows0.map(_._2).distinct.sorted
+    val bySrc = rows0.groupBy(_._1)
+    val expected = bySrc.keys.toSeq.sorted.map { s =>
+      val ns = bySrc(s).size.toLong
+      val mine = bySrc(s).map(_._2)
+      val diffs = lens.map { x =>
+        val c1 = mine.count(_ <= x).toLong
+        val c2 = rows0.count(r => r._1 != s && r._2 <= x).toLong
+        (x, (BigInt(c1) * (n - ns) - BigInt(c2) * ns).abs)
+      }
+      val d = diffs.map(_._2).max
+      val atLen = diffs.filter(_._2 == d).map(_._1).min
+      val ksU = math.floor(d.toDouble / (ns.toDouble * (n - ns).toDouble) * 1000000.0).toLong
+      (s, ns, ksU, atLen)
+    }
+    val got = Sampling.ksDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // D is a probability-scale statistic: 0 ≤ ks_u ≤ 10⁶
+    assert(got.forall(r => r._3 >= 0L && r._3 <= 1000000L))
+  }
+
   test("kmv overlap estimates match a Scala sketch-algebra re-derivation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
