@@ -366,6 +366,31 @@ object OpsOracles {
          |       ELSE 0 END AS BIGINT) AS n_wins
          |FROM pk ORDER BY doc_id""".stripMargin
     },
+    "pipeline_export" -> {
+      def vs(x: String) =
+        s"(CASE WHEN ($x) < 128 THEN 1 WHEN ($x) < 16384 THEN 2 WHEN ($x) < 2097152 THEN 3 WHEN ($x) < 268435456 THEN 4 ELSE 5 END)"
+      s"""WITH $trainCtes,
+         |se AS (SELECT sv.doc_id, sv.n_tokens, cs.masked,
+         |         ${md5Int("('shard:' || CAST(sv.doc_id AS VARCHAR))")} % ${Pipeline.NShards} AS shard
+         |       FROM sv JOIN cs USING (doc_id)),
+         |m AS (SELECT *, CAST(octet_length(encode(masked)) AS BIGINT) AS tlen,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rk
+         |      FROM se),
+         |x1 AS (SELECT *, 16 + ${vs("doc_id")} AS e_id, 18 + ${vs("n_tokens")} AS e_nt,
+         |        1 + ${vs("tlen")} + tlen AS bl FROM m),
+         |x2 AS (SELECT *, 1 + ${vs("bl")} + bl AS ft FROM x1),
+         |x3 AS (SELECT *, 7 + ${vs("ft")} + ft AS ei FROM x2),
+         |x4 AS (SELECT *, e_id + e_nt + 1 + ${vs("ei")} + ei AS fts FROM x3),
+         |rec AS (SELECT shard, doc_id, n_tokens, tlen, rk, masked,
+         |    17 + ${vs("fts")} + fts AS rec_bytes FROM x4)
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_records,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_n_tokens,
+         |  CAST(SUM(tlen) AS BIGINT) AS sum_text_bytes,
+         |  CAST(SUM(rec_bytes) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(rk * ${md5Int("masked")}) AS BIGINT) AS text_cksum
+         |FROM rec GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "pipeline_shard" ->
       s"""WITH $trainCtes,
          |sh2 AS (SELECT doc_id, n_tokens,

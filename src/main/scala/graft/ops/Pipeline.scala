@@ -60,7 +60,13 @@ object Pipeline {
     * RAW count — an upper bound on survivors, which only pads the
     * bucket frame, never changes offsets).
     */
-  def train(spark: SparkSession, dir: String): DataFrame = {
+  /** Survivors of the full cleaning flow — filter → mask → exact-dedup
+    * canonicalization → benchmark decontamination — with the canonical
+    * MASKED text riding along: (doc_id, source, n_dups, text,
+    * n_tokens). The shared front of [[train]] (which packs them) and
+    * [[export]] (which serializes them to shards).
+    */
+  private[ops] def survivorsWithText(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import TextAnalysis.toksExpr
     val masked = TextAnalysis.withMasked(
@@ -72,7 +78,7 @@ object Pipeline {
         min_by(col("source"), col("doc_id")).as("source"),
         min_by(col("masked"), col("doc_id")).as("masked"),
         count(lit(1)).as("n_dups"))
-      // the packer tokenizes the masked text below; rename once so the
+      // downstream tokenizes the masked text; rename once so the
       // shared tokenizer expression (bound to `text`) applies
       .withColumnRenamed("masked", "text")
       .filter(col("doc_id") % 97 =!= 0) // held-out docs never train
@@ -87,11 +93,15 @@ object Pipeline {
       .select(col("doc_id"), explode_outer(expr(Dedup.shinglesExpr)).as("s"))
       .join(bench, Seq("s"), "left")
       .groupBy("doc_id").agg(count(col("hit")).as("n_hit"))
-    val survivors = canon.join(hits, Seq("doc_id"))
+    canon.join(hits, Seq("doc_id"))
       .filter(col("n_hit") < 3)
       .withColumn("t", expr(toksExpr))
-      .select(col("doc_id"), col("source"), col("n_dups"),
+      .select(col("doc_id"), col("source"), col("n_dups"), col("text"),
         expr("cast(size(t) as bigint)").as("n_tokens"))
+  }
+
+  def train(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = survivorsWithText(spark, dir)
     val edge = math.max(1L,
       math.ceil(math.sqrt(Tables(spark, dir, "documents").count().toDouble)).toLong)
     TextAnalysis.packDf(survivors.select("doc_id", "n_tokens"), edge)
@@ -99,6 +109,84 @@ object Pipeline {
       .select("doc_id", "source", "n_dups", "n_tokens",
         "start_tok", "first_win", "last_win", "n_wins")
       .orderBy("doc_id")
+  }
+
+  /** pipeline_export — the CAPSTONE of the trainer-facing flow: the
+    * [[survivorsWithText]] corpus (cleaned, masked, exact-deduped,
+    * decontaminated) exported as REAL TFRecord training shards under
+    * the [[shard]] manifest's content-independent hash rule, then
+    * re-ingested from bytes alone (CRCs verified per record,
+    * `n_tokens` int64 + masked-text bytes features) — the per-shard
+    * audit (record count, token sums, rank-weighted text hash, TOTAL
+    * BYTES) predicted by the oracle from the parquet table through
+    * the entire cleaning chain AND the varint-exact Example byte
+    * arithmetic. One green row = the whole corpus→shards path is
+    * certified end to end, bytes included.
+    *
+    * Scale shape: the cleaning chain is the audited pipeline_train
+    * front; staging and parsing are the [[graft.sources.TfRecordBinary]]
+    * executor-side seam; nothing corpus-sized touches the driver.
+    */
+  def export(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_export_${ProcessHandle.current().pid()}"
+    try {
+      new java.io.File(tmp).mkdirs()
+      import graft.sources.TfRecordBinary
+      survivorsWithText(spark, dir)
+        .withColumn("shard",
+          expr(s"graft_md5_prefix(concat('shard:', cast(doc_id as string))) % $NShards"))
+        .repartition(NShards, col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .select(col("shard"), col("doc_id"), col("n_tokens"), col("text"))
+        .as[(Long, Long, Long, String)]
+        .foreachPartition { (it: Iterator[(Long, Long, Long, String)]) =>
+          var cur = -1L
+          var os: java.io.OutputStream = null
+          for ((sh, id, n, t) <- it) {
+            if (sh != cur) {
+              if (os != null) os.close()
+              cur = sh
+              os = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$tmp/shard-$sh.tfrecord"))
+            }
+            os.write(TfRecordBinary.record(
+              TfRecordBinary.exampleBytes(id, n, t, midKey = "n_tokens")))
+          }
+          if (os != null) os.close()
+        }
+      val agg = spark.read.format("binaryFile").load(s"$tmp/*.tfrecord")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val shard = path.substring(path.lastIndexOf("shard-") + 6)
+            .stripSuffix(".tfrecord").toLong
+          TfRecordBinary.parseShard(bytes, midKey = "n_tokens")
+            .zipWithIndex.map { case (r, i) =>
+              val h = graft.functions.GraftHash.md5PrefixLong(
+                org.apache.spark.unsafe.types.UTF8String.fromString(r.text))
+              (shard, r.docId, r.nChars, r.text.getBytes("UTF-8").length.toLong,
+                r.recBytes, (i + 1).toLong * h)
+            }
+        }
+        .toDF("shard", "doc_id", "n_tokens", "text_bytes", "rec_bytes", "wh")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_records"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_tokens")).as("sum_n_tokens"),
+          sum(col("text_bytes")).as("sum_text_bytes"),
+          sum(col("rec_bytes")).as("bytes_total"),
+          sum(col("wh")).as("text_cksum"))
+        .orderBy("shard")
+      agg.localCheckpoint(true).orderBy("shard")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
   }
 
   /** Output shards for [[shard]]. */
@@ -210,6 +298,7 @@ object Pipeline {
     "pipeline_clean" -> (clean _),
     "pipeline_train" -> (train _),
     "pipeline_shard" -> (shard _),
+    "pipeline_export" -> (export _),
     "pipeline_card" -> (card _)
   )
 }

@@ -69,13 +69,16 @@ object TfRecordBinary {
   private def mapEntry(key: String, feature: Array[Byte]): Array[Byte] =
     lenDelim(1, lenDelim(1, key.getBytes("UTF-8")) ++ lenDelim(2, feature))
 
-  /** One Example's serialized bytes for a (doc_id, n_chars, text) row
-    * — fixed key order keeps shard bytes deterministic.
+  /** One Example's serialized bytes for a (doc_id, <midKey>, text)
+    * row — fixed key order keeps shard bytes deterministic. The
+    * middle int64 feature's key is caller-chosen (`n_chars` for the
+    * raw-table sink, `n_tokens` for the pipeline export).
     */
-  def exampleBytes(docId: Long, nChars: Long, text: String): Array[Byte] = {
+  def exampleBytes(docId: Long, midVal: Long, text: String,
+      midKey: String = "n_chars"): Array[Byte] = {
     val features =
       mapEntry("doc_id", int64Feature(docId)) ++
-      mapEntry("n_chars", int64Feature(nChars)) ++
+      mapEntry(midKey, int64Feature(midVal)) ++
       mapEntry("text", bytesFeature(text.getBytes("UTF-8")))
     lenDelim(1, features)
   }
@@ -91,8 +94,8 @@ object TfRecordBinary {
   }
 
   /** A whole shard file's bytes from its rows (already in shard order). */
-  def shardBytes(rows: Seq[(Long, Long, String)]): Array[Byte] =
-    rows.iterator.map { case (id, n, t) => record(exampleBytes(id, n, t)) }
+  def shardBytes(rows: Seq[(Long, Long, String)], midKey: String = "n_chars"): Array[Byte] =
+    rows.iterator.map { case (id, n, t) => record(exampleBytes(id, n, t, midKey)) }
       .foldLeft(Array.empty[Byte])(_ ++ _)
 
   // ---------------------------------------------------------------- read
@@ -126,7 +129,7 @@ object TfRecordBinary {
     * features by key — an independent decoder, not a byte-mirror of
     * the encoder (it follows tags/wire types, skipping unknowns).
     */
-  def parseExample(data: Array[Byte]): (Long, Long, String) = {
+  def parseExample(data: Array[Byte], midKey: String = "n_chars"): (Long, Long, String) = {
     var docId = -1L; var nChars = -1L; var text = ""
     val r = new Reader(data)
     def parseFeature(buf: Array[Byte]): Either[Long, String] = {
@@ -175,7 +178,7 @@ object TfRecordBinary {
             }
             (key, fv) match {
               case ("doc_id", Left(v)) => docId = v
-              case ("n_chars", Left(v)) => nChars = v
+              case (k, Left(v)) if k == midKey => nChars = v
               case ("text", Right(s)) => text = s
               case _ => ()
             }
@@ -187,7 +190,7 @@ object TfRecordBinary {
   }
 
   /** Parse a whole shard file, verifying BOTH masked CRCs per record. */
-  def parseShard(buf: Array[Byte]): Seq[ParsedRecord] = {
+  def parseShard(buf: Array[Byte], midKey: String = "n_chars"): Seq[ParsedRecord] = {
     val r = new Reader(buf)
     val out = scala.collection.mutable.ArrayBuffer.empty[ParsedRecord]
     while (r.pos < buf.length) {
@@ -199,7 +202,7 @@ object TfRecordBinary {
       val data = r.bytes(len.toInt)
       val dataCrc = r.le32()
       require(dataCrc == maskedCrc(data), "data CRC mismatch")
-      val (id, n, t) = parseExample(data)
+      val (id, n, t) = parseExample(data, midKey)
       out += ParsedRecord(id, n, t, (r.pos - start).toLong)
     }
     out.toSeq

@@ -1723,6 +1723,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline export shards agree with the shard manifest and the survivor corpus") {
+    import graft.ops.Pipeline
+    val exp = Pipeline.export(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_records"), r.getAs[Long]("sum_n_tokens")))).toMap
+    val man = Pipeline.shard(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    // same survivors, same content-independent hash rule: the export's
+    // parsed-back record counts and token sums must equal the manifest
+    assert(exp === man)
+    // and the whole survivor corpus is covered exactly once
+    val nSurvivors = Pipeline.train(spark, dir).count()
+    assert(exp.values.map(_._1).sum === nSurvivors)
+  }
+
   test("ks drift matches a Scala two-sample re-derivation") {
     import spark.implicits._
     import graft.ops.Sampling
