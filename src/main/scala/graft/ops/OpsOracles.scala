@@ -1506,6 +1506,32 @@ object OpsOracles {
          |    ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, rrf_u, lex_u, cos_u, lex_rank, cos_rank
          |FROM f QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_mrl_topk" -> {
+      val P = Similarity.MrlPrefix
+      def dot16(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  [CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) for i in range(1, ${P + 1})]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      def cos16(a: String, b: String) =
+        s"""CAST(FLOOR(${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)})) * 1000000.0) AS BIGINT)"""
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |      FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
+         |s AS (SELECT p.probe_id, e.vec_id, p.pvec, e.embedding,
+         |        ${cos16("p.pvec", "e.embedding")} AS cos16_u
+         |      FROM embeddings e, p WHERE e.vec_id != p.probe_id),
+         |top AS (SELECT * FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos16_u DESC, vec_id) <= ${Similarity.MrlShortlist}),
+         |f AS (SELECT probe_id, vec_id, cos16_u,
+         |        ${cosU("pvec", "embedding")} AS cos_u FROM top)
+         |SELECT probe_id, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, cos_u, cos16_u
+         |FROM f QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "sim_maxsim" -> {
       val D = Similarity.MaxsimD
       val vecList = "[" + (1 to D)

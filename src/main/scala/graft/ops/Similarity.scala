@@ -501,6 +501,54 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Prefix length / shortlist depth for [[mrlTopk]]. */
+  val MrlPrefix = 16
+  val MrlShortlist = 20
+
+  /** sim_mrl_topk — MATRYOSHKA-style dimension-adaptive retrieval
+    * (MRL: prefixes of a matryoshka embedding are themselves usable
+    * embeddings): shortlist [[MrlShortlist]] candidates per probe by
+    * cosine over the FIRST [[MrlPrefix]] dimensions (¼ of the dot
+    * work and ¼ of the bytes a cache-resident shortlist index has to
+    * hold), then re-rank the shortlist with the full-width cosine —
+    * the two-stage funnel production MRL deployments run. Both
+    * scores ride along. Complementary to [[hammingTopk]]'s 1-bit
+    * shortlist: this one trades a narrower compression factor for a
+    * float-fidelity first stage.
+    *
+    * Scale shape: probes are the bounded [[ivfProbeMod]] set
+    * (broadcast); the prefix stage is the one corpus pass (d/4
+    * arithmetic — at 100 TB it composes with any bucketing upstream);
+    * the full-width stage touches only shortlist × probes rows.
+    */
+  def mrlTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val pmod = ivfProbeMod(n)
+    val base = embPar(spark, dir)
+      .withColumn("p16", expr(s"slice(embedding, 1, $MrlPrefix)"))
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+      .withColumn("vn16", dot(col("p16"), col("p16")))
+    val pr = emb(spark, dir).filter(col("vec_id") % pmod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        expr(s"slice(embedding, 1, $MrlPrefix)").as("pp16"),
+        dot(col("embedding"), col("embedding")).as("pn2"))
+      .withColumn("pn16", dot(col("pp16"), col("pp16")))
+    val short = base.crossJoin(broadcast(pr))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("vn2"),
+        col("pvec"), col("pn2"),
+        cosUPre(col("pp16"), col("p16"), col("pn16"), col("vn16")).as("cos16_u"))
+    val ws = Window.partitionBy("probe_id").orderBy(col("cos16_u").desc, col("vec_id"))
+    val wf = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    short.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= MrlShortlist)
+      .withColumn("cos_u", cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "rank", "vec_id", "cos_u", "cos16_u")
+      .orderBy("probe_id", "rank")
+  }
+
   /** Token-vector geometry for [[maxsim]]: [[MaxsimD]]-component
     * integer vectors per token, the first [[MaxsimDocT]] distinct
     * tokens per document and [[MaxsimQT]] per query.
@@ -1315,6 +1363,7 @@ object Similarity {
     "embed_project" -> (pcaProject _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_maxsim" -> (maxsim _),
+    "sim_mrl_topk" -> (mrlTopk _),
     "sim_filtered_topk" -> (filteredTopk _),
     "sim_hamming_topk" -> (hammingTopk _),
     "sim_pq_topk" -> (pqTopk _),
