@@ -486,6 +486,36 @@ object OpsOracles {
          |QUALIFY row_number() OVER (PARTITION BY event_type, p ORDER BY bucket) = 1
          |ORDER BY event_type, p""".stripMargin
     },
+    "sample_negatives" ->
+      s"""WITH $bucketedDynCte,
+         |${pairsCte(-2000000L)},
+         |nn2 AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn2
+         |       WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn2.n),
+         |cand AS (
+         |  SELECT id_a AS probe_id, id_b AS neg_id, cos_u FROM hits, pm WHERE id_a % pm.m = 0
+         |  UNION ALL
+         |  SELECT id_b AS probe_id, id_a AS neg_id, cos_u FROM hits, pm WHERE id_b % pm.m = 0),
+         |hard AS (
+         |  SELECT probe_id, CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_u DESC, neg_id) AS BIGINT) AS rank, neg_id, cos_u
+         |  FROM cand WHERE cos_u < ${Sampling.NegDupU}
+         |  QUALIFY rank <= ${Sampling.NegHard}),
+         |mates AS (SELECT DISTINCT probe_id, neg_id FROM cand),
+         |pr AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |       FROM embeddings, pm WHERE vec_id % pm.m = 0),
+         |easy AS (
+         |  SELECT p.probe_id,
+         |    CAST(${Sampling.NegHard} + row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY ${md5Int("('neg:' || CAST(p.probe_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR))")}, e.vec_id) AS BIGINT) AS rank,
+         |    e.vec_id AS neg_id, ${cosU("p.pvec", "e.embedding")} AS cos_u
+         |  FROM embeddings e, pr p
+         |  WHERE e.vec_id != p.probe_id AND NOT EXISTS (
+         |    SELECT 1 FROM mates m WHERE m.probe_id = p.probe_id AND m.neg_id = e.vec_id)
+         |  QUALIFY rank <= ${Sampling.NegHard + Sampling.NegEasy})
+         |SELECT probe_id, rank, neg_id, cos_u, 'hard' AS kind FROM hard
+         |UNION ALL SELECT probe_id, rank, neg_id, cos_u, 'easy' AS kind FROM easy
+         |ORDER BY probe_id, rank""".stripMargin,
     "agg_kmv_overlap" -> {
       val K = Sampling.KmvK
       s"""WITH du AS (SELECT DISTINCT event_type,

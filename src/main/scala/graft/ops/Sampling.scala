@@ -684,7 +684,71 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Negative-mining depths and the near-duplicate exclusion bound
+    * for [[negatives]].
+    */
+  val NegHard = 3
+  val NegEasy = 2
+  val NegDupU = 400000L
+
+  /** sample_negatives — CONTRASTIVE-TRAINING negative mining: for
+    * each probe, [[NegHard]] hard negatives (highest-cosine LSH
+    * bucket mates BELOW the near-dup bound [[NegDupU]] — mining close
+    * non-duplicates while excluding probable positives, the classic
+    * false-negative guard) plus [[NegEasy]] easy negatives drawn by
+    * deterministic hash rank from the NON-bucket-mate corpus — the
+    * (anchor, hard, easy) example construction every embedding-model
+    * training pipeline runs. Exact cosines ride along on both kinds;
+    * easy ranks sit at a fixed offset after the hard slots.
+    *
+    * Scale shape: hard candidates come from the corpus-size-scaled
+    * LSH buckets ([[Similarity.bucketedPairs]] — never all-pairs);
+    * the easy stage is one corpus pass against the ≤64 broadcast
+    * probes with a per-probe rank limit (map-side WindowGroupLimit
+    * prune), and the bucket-mate exclusion set is probes × occupancy
+    * — broadcastable at any corpus size.
+    */
+  def negatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    val pmod = Similarity.ivfProbeMod(n)
+    val pairs = Similarity.bucketedPairs(spark, dir, minCosU = -2000000L)
+    val cand = pairs.select(col("id_a").as("probe_id"), col("id_b").as("neg_id"), col("cos_u"))
+      .union(pairs.select(col("id_b").as("probe_id"), col("id_a").as("neg_id"), col("cos_u")))
+      .filter(col("probe_id") % pmod === 0)
+    val wh = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("neg_id"))
+    val hard = cand.filter(col("cos_u") < NegDupU)
+      .withColumn("rank", row_number().over(wh).cast("long"))
+      .filter(col("rank") <= NegHard)
+      .select(col("probe_id"), col("rank"), col("neg_id"), col("cos_u"),
+        lit("hard").as("kind"))
+    val mates = cand.select("probe_id", "neg_id").distinct()
+    val probes = emb.filter(col("vec_id") % pmod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        Similarity.dot(col("embedding"), col("embedding")).as("pn2"))
+    val we = Window.partitionBy("probe_id").orderBy(col("h"), col("neg_id"))
+    val easy = emb
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("neg_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("vn2"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neg_id") =!= col("probe_id"))
+      .join(broadcast(mates), Seq("probe_id", "neg_id"), "left_anti")
+      .withColumn("h", expr(
+        "graft_md5_prefix(concat('neg:', cast(probe_id as string), ':', cast(neg_id as string)))"))
+      .withColumn("erank", row_number().over(we))
+      .filter(col("erank") <= NegEasy)
+      .select(col("probe_id"), (col("erank") + NegHard).cast("long").as("rank"),
+        col("neg_id"),
+        Similarity.cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"),
+        lit("easy").as("kind"))
+    hard.union(easy).orderBy("probe_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_negatives" -> (negatives _),
     "stats_source_drift" -> (sourceDrift _),
     "stats_ks_drift" -> (ksDrift _),
     "agg_kmv_overlap" -> (kmvOverlap _),

@@ -1723,6 +1723,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("negative mining matches a Scala re-derivation (dups excluded, easies hash-ranked)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sampling
+    val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = embDf.count()
+    val nbits = Similarity.lshBits(n)
+    val buckets = embDf.select(col("vec_id"),
+      Similarity.bucketN(col("embedding"), nbits).as("b")).as[(Long, Long)].collect().toMap
+    val vecs = embDf.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def dotD(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))) * 1000000.0).toLong
+    val pmod = Similarity.ivfProbeMod(n)
+    val probes = vecs.keys.filter(_ % pmod == 0).toSeq.sorted
+    val expected = probes.flatMap { p =>
+      val hard = vecs.keys.filter(v => v != p && buckets(v) == buckets(p)).toSeq
+        .map(v => (v, cosU(vecs(p), vecs(v))))
+        .filter(_._2 < Sampling.NegDupU)
+        .sortBy { case (v, c) => (-c, v) }.take(Sampling.NegHard).zipWithIndex
+        .map { case ((v, c), i) => (p, (i + 1).toLong, v, c, "hard") }
+      val easy = vecs.keys.filter(v => v != p && buckets(v) != buckets(p)).toSeq
+        .map(v => (v, md5Int(s"neg:$p:$v")))
+        .sortBy { case (v, h) => (h, v) }.take(Sampling.NegEasy).zipWithIndex
+        .map { case ((v, _), i) =>
+          (p, (Sampling.NegHard + i + 1).toLong, v, cosU(vecs(p), vecs(v)), "easy") }
+      hard ++ easy
+    }
+    val got = Sampling.negatives(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neg_id"), r.getAs[Long]("cos_u"), r.getAs[String]("kind"))).toSeq
+    assert(got === expected)
+    // the near-dup guard is active: no hard negative at or above the bound
+    assert(got.filter(_._5 == "hard").forall(_._4 < Sampling.NegDupU))
+    // easies never collide with the probe's bucket
+    got.filter(_._5 == "easy").foreach { case (p, _, v, _, _) =>
+      assert(buckets(v) !== buckets(p))
+    }
+  }
+
   test("pipeline export shards agree with the shard manifest and the survivor corpus") {
     import graft.ops.Pipeline
     val exp = Pipeline.export(spark, dir).collect()
