@@ -25,7 +25,7 @@ object Bench {
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
-    "q_window", "q_sessionize", "q_tumbling", "q_asof", "q_skew_join",
+    "q_window", "q_sessionize", "q_tumbling", "q_asof", "q_range_join", "q_interval_join", "q_skew_join",
     "q_funnel", "q_retention",
     "q_scd2",
     "q_pivot", "q_corr", "q_json_extract",
@@ -43,7 +43,7 @@ object Bench {
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed", "dedup_edit",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
-    "dedup_band_cap", "dedup_semantic",
+    "dedup_band_cap", "dedup_semantic", "dedup_incremental", "dedup_keep_best",
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",

@@ -28,6 +28,8 @@ object SparkEntry {
     "q_rollup" -> (Queries.qRollup _),
     "q_skew_join" -> (Queries.qSkewJoin _),
     "q_asof" -> (Queries.qAsof _),
+    "q_range_join" -> (Queries.qRangeJoin _),
+    "q_interval_join" -> (Queries.qIntervalJoin _),
     "q7_nations" -> (Queries.q7Nations _),
     "q17_avg_qty" -> (Queries.q17AvgQty _),
     "q10_returns" -> (Queries.q10Returns _),
@@ -202,6 +204,32 @@ object SparkEntry {
          |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
          |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
          |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, 788918400 + (event_id % 2400) * 86400 AS t FROM events),
+         |iv AS (
+         |  SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS lo,
+         |    epoch_us(o_orderdate) // 1000000 + 604800 AS hi
+         |  FROM orders WHERE o_orderpriority = '1-URGENT')
+         |SELECT event_id, COUNT(*) AS n_orders,
+         |  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+         |FROM ev JOIN iv ON t >= lo AND t < hi
+         |GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "q_interval_join" ->
+      s"""WITH a AS (
+         |  SELECT o_orderkey AS a_key, epoch_us(o_orderdate) // 1000000 AS a_lo,
+         |    epoch_us(o_orderdate) // 1000000 + 604800 AS a_hi
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |b AS (
+         |  SELECT o_orderkey AS b_key, epoch_us(o_orderdate) // 1000000 AS b_lo,
+         |    epoch_us(o_orderdate) // 1000000 + 864000 AS b_hi
+         |  FROM orders WHERE o_orderpriority = '2-HIGH')
+         |SELECT a_key, COUNT(*) AS n_overlaps,
+         |  CAST(MIN(b_key) AS BIGINT) AS min_b_key,
+         |  CAST(SUM(LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo)) AS BIGINT) AS sum_overlap_s
+         |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+         |GROUP BY a_key ORDER BY a_key""".stripMargin,
     "q7_nations" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |CAST(year(l_shipdate) AS BIGINT) AS ship_year,

@@ -682,8 +682,101 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** dedup_incremental — NEW-BATCH admission against the corpus band
+    * index: the production daily-ingest dedup shape. A full re-dedup
+    * of corpus+batch re-pairs old×old every day — O(corpus) work for
+    * an O(batch) question. Instead the historical corpus keeps its
+    * banded MinHash signatures as a persisted, band-value-keyed INDEX
+    * (here rebuilt from the shared [[signatures]] frame; at 100 TB
+    * it's a bucketed table that only ever receives appends), and each
+    * incoming batch (modeled as `doc_id % 4 == 0`) probes it with ONE
+    * equi-join on (band_i, band_v): candidates are old index hits plus
+    * earlier-in-batch docs (`idx < new` on the new side — so batch
+    * self-dups resolve to their first occurrence, order-deterministic).
+    * Exact token-Jaccard verification (the [[ngramJaccard]] integer
+    * rule, τ=0.5) runs on candidates only; per new doc the verdict is
+    * `dup_of` = min verified partner (−1 = none) and `kept` = no
+    * verified partner. Work per ingest day is O(batch × bucket
+    * occupancy), independent of corpus size; the [[BandCap]] star
+    * mitigation applies unchanged if boilerplate buckets go hot.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bandCols = (0 until MinhashK / 2).map { j =>
+      concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+    }
+    val banded = signatures(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 4 === 0).as("is_new"),
+        posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
+    val probe = banded.filter(col("is_new"))
+      .select(col("doc_id").as("doc_new"), col("band_i"), col("band_v"))
+    val index = banded.select(col("doc_id").as("doc_idx"),
+      col("is_new").as("idx_new"), col("band_i"), col("band_v"))
+    val cands = probe.join(index, Seq("band_i", "band_v"))
+      .filter((!col("idx_new") || col("doc_idx") < col("doc_new")) &&
+        col("doc_idx") =!= col("doc_new"))
+      .select(col("doc_new"), col("doc_idx")).distinct()
+    val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr(s"array_distinct($toksExpr)").as("toks"),
+        expr(s"cast(size(array_distinct($toksExpr)) as bigint)").as("nt"))
+    val verdict = cands
+      .join(docs.select(col("doc_id").as("doc_new"), col("toks").as("toks_a"),
+        col("nt").as("nt_a")), Seq("doc_new"))
+      .join(docs.select(col("doc_id").as("doc_idx"), col("toks").as("toks_b"),
+        col("nt").as("nt_b")), Seq("doc_idx"))
+      .withColumn("inter", expr("cast(size(array_intersect(toks_a, toks_b)) as bigint)"))
+      .withColumn("uni", col("nt_a") + col("nt_b") - col("inter"))
+      .groupBy("doc_new")
+      .agg(count(lit(1)).as("n_cands"),
+        min(when(col("inter") * 2 >= col("uni"), col("doc_idx"))).as("dup_of"))
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+      .join(verdict.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        (coalesce(col("dup_of"), lit(-1L)) === -1L).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** dedup_keep_best — quality-ranked survivor selection: instead of
+    * [[cluster]]'s min-id canonical, each near-dup cluster keeps its
+    * HIGHEST-QUALITY member (the rule real pipelines want — dropping
+    * the clean copy because a mangled duplicate has a smaller id is a
+    * data-quality bug). Clusters come from the shared
+    * [[connectedComponents]] contraction over the verified
+    * ngram-Jaccard pairs; the rank is [[TextAnalysis.quality]]'s
+    * composite score floored to integer micros (ties break to the
+    * smaller doc_id via a lexicographic max_by struct — fully
+    * deterministic in both engines). One extra bounded aggregation on
+    * the cluster frame + one equi-join back; no new corpus pass — the
+    * quality scan is the same map-side projection text_quality runs.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = connectedComponents(
+      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+      Tables(spark, dir, "documents").select(col("doc_id")))
+    val scored = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(floor(score * 1000000) as bigint)").as("score_u"))
+    val j = clusters.join(scored, Seq("doc_id"))
+    val best = j.groupBy("cluster")
+      .agg(max_by(col("doc_id"),
+          struct(col("score_u"), (-col("doc_id")).as("nid"))).as("survivor"),
+        max("score_u").as("best_score_u"))
+    j.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("score_u"), col("survivor"),
+        (col("doc_id") === col("survivor")).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_edit" -> (editVerify _),
+    "dedup_incremental" -> (incremental _),
+    "dedup_keep_best" -> (keepBest _),
     "dedup_substring" -> (substring _),
     "dedup_substring_hashed" -> (substringHashed _),
     "dedup_exact" -> (exact _),

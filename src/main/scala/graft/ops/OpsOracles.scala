@@ -1282,6 +1282,83 @@ object OpsOracles {
     "dedup_minhash" ->
       s"""WITH $minhashSigCtes
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashSigCtes,
+         |nb AS (
+         |  SELECT doc_id, 0 AS band_i, band0 AS band_v FROM sig
+         |  UNION ALL SELECT doc_id, 1, band1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, band2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, band3 FROM sig),
+         |pr AS (SELECT doc_id AS doc_new, band_i, band_v FROM nb WHERE doc_id % 4 = 0),
+         |ix AS (SELECT doc_id AS doc_idx, doc_id % 4 = 0 AS idx_new, band_i, band_v FROM nb),
+         |cd AS (
+         |  SELECT DISTINCT doc_new, doc_idx
+         |  FROM pr JOIN ix USING (band_i, band_v)
+         |  WHERE (NOT idx_new OR doc_idx < doc_new) AND doc_idx <> doc_new),
+         |tk AS (
+         |  SELECT doc_id, list_distinct($toks) AS t,
+         |    CAST(len(list_distinct($toks)) AS BIGINT) AS nt
+         |  FROM documents),
+         |vf AS (
+         |  SELECT cd.doc_new, cd.doc_idx,
+         |    CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS inter,
+         |    ta.nt AS nt_a, tb.nt AS nt_b
+         |  FROM cd JOIN tk ta ON cd.doc_new = ta.doc_id
+         |          JOIN tk tb ON cd.doc_idx = tb.doc_id),
+         |ag AS (
+         |  SELECT doc_new, COUNT(*) AS n_cands,
+         |    MIN(CASE WHEN inter * 2 >= nt_a + nt_b - inter THEN doc_idx END) AS dup_of
+         |  FROM vf GROUP BY doc_new)
+         |SELECT d.doc_id, CAST(COALESCE(ag.n_cands, 0) AS BIGINT) AS n_cands,
+         |  CAST(COALESCE(ag.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(COALESCE(ag.dup_of, -1) = -1 AS BIGINT) AS kept
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_new
+         |WHERE d.doc_id % 4 = 0
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |$bandCandCtes,
+         |$ngramHitsCtes,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jhits
+         |  UNION ALL SELECT doc_b, doc_a FROM jhits),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
+         |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc),
+         |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster),
+         |qq AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+         |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPat}')) AS BIGINT) AS stops,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |qr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n > 0 THEN alpha / n ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+         |    CASE WHEN n > 0 THEN punct / n ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         |    CASE WHEN n > 0 THEN upper / n ELSE CAST(0.0 AS DOUBLE) END AS upper_ratio,
+         |    CASE WHEN n_tokens > 0 THEN stops / n_tokens ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |  FROM qq),
+         |sc AS (
+         |  SELECT doc_id, CAST(FLOOR((alpha_ratio * CAST(0.5 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.2 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - upper_ratio) * CAST(0.2 AS DOUBLE)
+         |    + stop_ratio * CAST(0.1 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_u
+         |  FROM qr),
+         |j AS (
+         |  SELECT mm.doc AS doc_id, mm.cluster, cs.cluster_size, sc.score_u
+         |  FROM mm JOIN cs USING (cluster) JOIN sc ON mm.doc = sc.doc_id),
+         |sv AS (
+         |  SELECT cluster, doc_id AS survivor FROM j
+         |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY score_u DESC, doc_id) = 1)
+         |SELECT j.doc_id, j.cluster, j.cluster_size, j.score_u, sv.survivor,
+         |  CAST(j.doc_id = sv.survivor AS BIGINT) AS kept
+         |FROM j JOIN sv USING (cluster)
+         |ORDER BY j.doc_id""".stripMargin,
     "dedup_minhash_pairs" -> {
       val matches = (0 until Dedup.MinhashK)
         .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")

@@ -1041,4 +1041,86 @@ object Queries {
         col("gid"), col("n_customers"), col("sum_acctbal_c"))
       .orderBy(col("gid"), col("region"), col("nation"))
   }
+
+  /** q_range_join — interval-containment join with NO equi-key,
+    * re-expressed as a bucketed equi-join.
+    *
+    * Each event maps to an instant `t` in the order era (the q_asof
+    * mapping); each 1-URGENT order opens a 7-day interval
+    * `[o_orderdate, o_orderdate + 7d)`. The join predicate is pure
+    * range (`lo <= t < hi`) — exactly the shape Spark's planner can
+    * only execute as BroadcastNestedLoopJoin / CartesianProduct, both
+    * of which are O(n·m) scale-killers. The fix is the standard range
+    * bucketing: fix a bucket width W on the shared domain, explode
+    * each interval to the ⌈L/W⌉+1 ≤ 2 buckets it overlaps (W = the
+    * interval length, so replication is bounded by 2), map each point
+    * to its single bucket, equi-join on the bucket id and apply the
+    * exact range predicate as a post-filter. A point sits in exactly
+    * one bucket, so every qualifying (event, order) pair materializes
+    * exactly once — no dedup pass. The join output is the TRUE match
+    * set (density-bounded: intervals/day × 7), never the cartesian,
+    * and the plan is a plain shuffled equi-join that scales to 100 TB
+    * on both sides. Per event: containing-interval count, min/sum of
+    * the matching order keys (events with no match are inner-dropped,
+    * matching the oracle).
+    */
+  /** q_interval_join — interval×interval OVERLAP join with no
+    * equi-key, via bucketing plus the canonical-bucket emission rule.
+    *
+    * Both sides are interval sets (1-URGENT orders open 7-day
+    * windows, 2-HIGH orders 10-day windows); the predicate is pure
+    * overlap (`a.lo < b.hi AND b.lo < a.hi`). Unlike
+    * [[qRangeJoin]]'s point side, BOTH sides explode to the ≤2
+    * buckets they cover, so a pair overlapping across a bucket edge
+    * would match in two buckets. The fix is NOT a distinct shuffle
+    * over the pair output (that's a second full-width shuffle of the
+    * largest frame in the query): each pair is emitted only from its
+    * CANONICAL bucket — the bucket containing the overlap's start
+    * `max(lo_a, lo_b)`, which by construction lies in both intervals'
+    * bucket ranges, so the pair appears in that bucket and in no
+    * earlier one it can claim. One equi-join + a codegen'd filter,
+    * output exactly the true overlap set. W = the larger interval
+    * length bounds replication at 2 rows/interval; at 100 TB both
+    * sides shuffle once on the bucket id and the dedup is free.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 10L * 86400L
+    def side(prio: String, days: Long, k: String, lo: String, hi: String) =
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === prio)
+        .select(col("o_orderkey").as(k),
+          expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as(lo))
+        .withColumn(hi, col(lo) + days * 86400L)
+        .withColumn("bk", explode(expr(s"sequence($lo div $W, ($hi - 1) div $W)")))
+    val a = side("1-URGENT", 7L, "a_key", "a_lo", "a_hi")
+    val b = side("2-HIGH", 10L, "b_key", "b_lo", "b_hi")
+    a.join(b, a("bk") === b("bk") &&
+        col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi") &&
+        a("bk") === expr(s"greatest(a_lo, b_lo) div $W"))
+      .groupBy("a_key")
+      .agg(count(lit(1)).as("n_overlaps"),
+        min("b_key").as("min_b_key"),
+        sum(expr("least(a_hi, b_hi) - greatest(a_lo, b_lo)")).as("sum_overlap_s"))
+      .orderBy("a_key")
+  }
+
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 7L * 86400L
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"),
+        (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"))
+      .withColumn("bk", expr(s"t div $W"))
+    val iv = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("lo"))
+      .withColumn("hi", col("lo") + W)
+      .withColumn("bk", explode(expr(s"sequence(lo div $W, (hi - 1) div $W)")))
+    ev.join(iv, ev("bk") === iv("bk") && col("t") >= col("lo") && col("t") < col("hi"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_orderkey").as("min_orderkey"),
+        sum("o_orderkey").as("sum_orderkey"))
+      .orderBy("event_id")
+  }
 }

@@ -746,6 +746,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (13L, 13L, 1L)))
   }
 
+  test("dedup_incremental admits against the corpus index with first-occurrence self-dup resolution") {
+    import spark.implicits._
+    val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tb = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val tc = "uniform victor whiskey xray yankee zulu anchor breeze canyon dune"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    // old corpus: 1 (=A), 5 (unique); new batch (%4==0): 4 (=A, dup of
+    // OLD 1), 8 (=B, first occurrence in batch), 12 (=B, dup of
+    // EARLIER-IN-BATCH 8), 16 (=C, unique -> kept)
+    Seq((1L, "en", ta, "s"), (5L, "en", tc + " extra stray tokens here", "s"),
+        (4L, "en", ta, "s"), (8L, "en", tb, "s"), (12L, "en", tb, "s"),
+        (16L, "en", "one two three four five six seven eight nine ten", "s"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.Dedup.incremental(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (4L, 1L, 1L, 0L),   // candidate {1}, verified dup of old 1
+      (8L, 0L, -1L, 1L),  // later batch twin 12 is NOT its candidate
+      (12L, 1L, 8L, 0L),  // resolves to its earlier in-batch twin
+      (16L, 0L, -1L, 1L)))
+  }
+
+  test("dedup_keep_best keeps the highest-quality cluster member, not the min id") {
+    import spark.implicits._
+    val t15 = (1 to 15).map(i => f"w$i%02d")
+    val a = t15.mkString(" ")
+    val b = (t15 ++ Seq("u16", "u17")).mkString(" ")
+    // same token core (near-dup of a and b) but stopword-rich -> the
+    // composite quality score is strictly highest on the LARGEST id
+    val c = (t15 ++ Seq("the", "and", "of", "to", "is", "in")).mkString(" ")
+    val d = (1 to 20).map(i => f"zz$i%02d").mkString(" ") // singleton
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keepbest_spec").toString
+    Seq((10L, "en", a, "s"), (11L, "en", b, "s"), (12L, "en", c, "s"),
+        (13L, "en", d, "s"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.Dedup.keepBest(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // survivor re-derived from the frame's own scores: argmax by
+    // (score_u, -doc_id) per cluster
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val expect = members.maxBy(m => (m._4, -m._1))._1
+      assert(members.forall(_._5 === expect), s"survivor mismatch in $members")
+      assert(members.forall(m => (m._6 === 1L) === (m._1 === expect)))
+    }
+    // and the fixture is non-trivial: cluster {10,11,12} keeps 12
+    // (best score), NOT the min id 10 that dedup_cluster would pick
+    val trio = rows.filter(r => Set(10L, 11L, 12L).contains(r._1))
+    assert(trio.length === 3 && trio.forall(_._5 === 12L))
+    assert(rows.find(_._1 === 13L).get._6 === 1L)
+  }
+
   test("connected components converge on a deep chain within default rounds") {
     // a 400-node path has diameter 399: min-label propagation would
     // need ~399 rounds; star contraction must land the single

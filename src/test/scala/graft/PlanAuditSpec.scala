@@ -51,10 +51,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sim_pq_topk", "text_tfidf", "dedup_bloom", "agg_cms_topk",
       "dedup_substring", "dedup_substring_hashed", "text_charlm",
       "sim_pq_kmeans", "sim_knn_graph", "sim_hybrid_rrf",
-      "sim_maxsim").foreach { n =>
+      "sim_maxsim", "dedup_incremental", "dedup_keep_best").foreach { n =>
       val p = formatted(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+    }
+  }
+
+  test("range joins bucket to an equi-join, never a nested loop") {
+    // the pure-range predicates would default to BNLJ/CartesianProduct;
+    // the bucketed rewrites must plan a hash or sort-merge EQUI-join
+    Seq("q_range_join", "q_interval_join").foreach { n =>
+      val p = formatted(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$n lost its equi-join form")
     }
   }
 

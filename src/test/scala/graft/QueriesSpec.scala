@@ -140,6 +140,52 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wide.map(_.getAs[Long]("bucket_h")).toSet === long.keySet.map(_._1))
   }
 
+  test("q_range_join matches the naive cross-filter join exactly") {
+    import org.apache.spark.sql.functions._
+    // the bucketed rewrite must produce the TRUE containment match
+    // set: same aggregate rows as the O(n·m) cross-filter reference
+    // (each qualifying pair counted exactly once — a double-counted
+    // interval straddling a bucket edge would inflate n_orders)
+    val got = Queries.qRangeJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"),
+        (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"))
+    val iv = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("lo"))
+    val naive = ev.crossJoin(iv)
+      .filter(col("t") >= col("lo") && col("t") < col("lo") + 7L * 86400L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"), sum("o_orderkey").as("sm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSet === naive.toSet)
+  }
+
+  test("q_interval_join matches the naive cross-filter overlap join exactly") {
+    import org.apache.spark.sql.functions._
+    // the canonical-bucket rule must emit each overlapping pair
+    // exactly once: a pair straddling a bucket edge matches in TWO
+    // buckets, and double emission would inflate n_overlaps
+    val got = Queries.qIntervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def side(prio: String, days: Long, k: String, lo: String, hi: String) =
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === prio)
+        .select(col("o_orderkey").as(k),
+          expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as(lo))
+        .withColumn(hi, col(lo) + days * 86400L)
+    val naive = side("1-URGENT", 7L, "a_key", "a_lo", "a_hi")
+      .crossJoin(side("2-HIGH", 10L, "b_key", "b_lo", "b_hi"))
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .groupBy("a_key")
+      .agg(count(lit(1)).as("n"), min("b_key").as("mn"),
+        sum(expr("least(a_hi, b_hi) - greatest(a_lo, b_lo)")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSet === naive.toSet)
+  }
+
   test("q1 aggregates to the 6 flag/status groups with exact cents") {
     val rows = Queries.q1Agg(spark, dir).collect()
     assert(rows.length === 6)
