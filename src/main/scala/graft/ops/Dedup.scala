@@ -102,7 +102,7 @@ object Dedup {
     * affine permutations are trivial per-row arithmetic, and the
     * shuffle carries only partial minima (map-side combine).
     */
-  private[ops] def signatures(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sigAggs = (0 until MinhashK).map { j =>
       val (aj, bj) = perm(j)

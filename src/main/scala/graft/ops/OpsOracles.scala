@@ -1315,6 +1315,38 @@ object OpsOracles {
          |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_new
          |WHERE d.doc_id % 4 = 0
          |ORDER BY d.doc_id""".stripMargin,
+    "stream_incr_dedup" ->
+      s"""WITH $minhashSigCtes,
+         |nb AS (
+         |  SELECT doc_id, 0 AS band_i, band0 AS band_v FROM sig
+         |  UNION ALL SELECT doc_id, 1, band1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, band2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, band3 FROM sig),
+         |pr AS (SELECT doc_id AS doc_new, band_i, band_v FROM nb WHERE doc_id % 4 = 0),
+         |ix AS (SELECT doc_id AS doc_idx, band_i, band_v FROM nb WHERE doc_id % 4 <> 0),
+         |cd AS (
+         |  SELECT DISTINCT doc_new, doc_idx
+         |  FROM pr JOIN ix USING (band_i, band_v)),
+         |tk AS (
+         |  SELECT doc_id, list_distinct($toks) AS t,
+         |    CAST(len(list_distinct($toks)) AS BIGINT) AS nt
+         |  FROM documents),
+         |vf AS (
+         |  SELECT cd.doc_new, cd.doc_idx,
+         |    CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS inter,
+         |    ta.nt AS nt_a, tb.nt AS nt_b
+         |  FROM cd JOIN tk ta ON cd.doc_new = ta.doc_id
+         |          JOIN tk tb ON cd.doc_idx = tb.doc_id),
+         |ag AS (
+         |  SELECT doc_new, COUNT(*) AS n_cands,
+         |    MIN(CASE WHEN inter * 2 >= nt_a + nt_b - inter THEN doc_idx END) AS dup_of
+         |  FROM vf GROUP BY doc_new)
+         |SELECT d.doc_id, CAST(COALESCE(ag.n_cands, 0) AS BIGINT) AS n_cands,
+         |  CAST(COALESCE(ag.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(COALESCE(ag.dup_of, -1) = -1 AS BIGINT) AS kept
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_new
+         |WHERE d.doc_id % 4 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashSigCtes,
          |$bandCandCtes,

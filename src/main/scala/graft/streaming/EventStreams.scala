@@ -873,7 +873,79 @@ object EventStreams {
     graft.ops.Sampling.driftReport(spark.table(sink))
   }
 
+  /** stream_incr_dedup — [[graft.ops.Dedup.incremental]]'s admission
+    * stage LIVE: incoming documents stream-static-join against the
+    * STATIC historical band index (the persisted artifact a 100 TB
+    * deployment keeps between ingest days). The MinHash signature is
+    * computed SCAN-SIDE as a fold over the shingle array (bit-identical
+    * to the batch explode+groupBy signatures, but stateless — a
+    * streaming groupBy per doc would be a second stateful operator),
+    * candidates come from one equi-join probe per band row, the exact
+    * integer-Jaccard verify is a stateless projection, and the only
+    * state is the per-doc verdict aggregation (Complete mode; bounded
+    * by the batch in flight). Unlike the batch twin there is no
+    * earlier-in-batch arm — the live path adjudicates each doc against
+    * the index as it arrives, which is exactly the production
+    * semantics (the index absorbs the batch afterwards).
+    */
+  def incrDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.{Dedup, TextAnalysis}
+    val bandCols = (0 until Dedup.MinhashK / 2).map { j =>
+      concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+    }
+    val index = Dedup.signatures(spark, dir).filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id").as("doc_idx"),
+        posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
+    val oldToks = Tables(spark, dir, "documents").filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id").as("doc_idx"),
+        expr(s"array_distinct(${TextAnalysis.toksExpr})").as("toks_b"),
+        expr(s"cast(size(array_distinct(${TextAnalysis.toksExpr})) as bigint)").as("nt_b"))
+    val newDocs = Tables(spark, dir, "documents").filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"), col("source")).as[Doc].collect().toSeq
+    val input = MemoryStream[Doc]
+    input.addData(newDocs)
+    val sigExprs = (0 until Dedup.MinhashK).map { j =>
+      val (aj, bj) = Dedup.perm(j)
+      expr(s"aggregate(sh, cast(9223372036854775807 as bigint), " +
+        s"(acc, x) -> least(acc, ($aj * graft_md5_prefix(x) + $bj) % ${Dedup.MinhashP}))")
+        .as(s"mh$j")
+    }
+    val streamBands = input.toDF()
+      .withColumn("t", expr(TextAnalysis.toksExpr))
+      .withColumn("sh", expr(Dedup.shinglesExpr))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: col("t") +: sigExprs: _*)
+      .withColumn("toks_a", array_distinct(col("t")))
+      .withColumn("nt_a", size(col("toks_a")).cast("long"))
+      .select(col("doc_id"), col("toks_a"), col("nt_a"),
+        posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
+    val verdict = streamBands
+      .join(index, Seq("band_i", "band_v"))
+      .join(oldToks, Seq("doc_idx"))
+      .withColumn("inter", expr("cast(size(array_intersect(toks_a, toks_b)) as bigint)"))
+      .withColumn("uni", col("nt_a") + col("nt_b") - col("inter"))
+      .groupBy("doc_id")
+      .agg(size(collect_set(col("doc_idx"))).cast("long").as("n_cands"),
+        min(when(col("inter") * 2 >= col("uni"), col("doc_idx"))).as("dup_of"))
+    val sink = sinkName("stream_incr_dedup")
+    val q = verdict.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    Tables(spark, dir, "documents").filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"))
+      .join(spark.table(sink), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        (coalesce(col("dup_of"), lit(-1L)) === -1L).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_incr_dedup" -> (incrDedup _),
     "stream_drift" -> (driftStream _),
     "stream_card" -> (cardStream _),
     "stream_sliding" -> (sliding _),
@@ -908,6 +980,7 @@ object EventStreams {
     "stream_quantile" -> graft.ops.OpsOracles.all("stats_approx_quantile"),
     // the (source, token) count state drains to the same χ² read
     "stream_drift" -> graft.ops.OpsOracles.all("stats_source_drift"),
+    "stream_incr_dedup" -> graft.ops.OpsOracles.all("stream_incr_dedup"),
     // the per-user state machine drains to the batch funnel summary
     "stream_funnel" -> Queries.funnelOracleSql,
     // the per-user (cohort, mask) state drains to the batch cohort

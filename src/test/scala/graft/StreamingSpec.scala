@@ -554,6 +554,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(key9 === 2L, "post-eviction recurrence must re-emit")
   }
 
+  test("stream_incr_dedup admits against the static index only (no in-batch arm)") {
+    import spark.implicits._
+    val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tb = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sincr_spec").toString
+    // old corpus: 1 (=A); new batch: 4 (=A, dup of old 1), 8 and 12
+    // (=B twins with NO old counterpart -> BOTH kept live, unlike the
+    // batch twin where 12 resolves to earlier-in-batch 8)
+    Seq((1L, "en", ta, "s"), (4L, "en", ta, "s"),
+        (8L, "en", tb, "s"), (12L, "en", tb, "s"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val live = EventStreams.incrDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(live === Set((4L, 1L, 1L, 0L), (8L, 0L, -1L, 1L), (12L, 0L, -1L, 1L)))
+    val batch = graft.ops.Dedup.incremental(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch === Set((4L, 1L, 1L, 0L), (8L, 0L, -1L, 1L), (12L, 1L, 8L, 0L)))
+  }
+
   test("sessionsOf splits on the strict 30-min gap boundary") {
     import EventStreams._
     val evs = Seq(
