@@ -608,6 +608,20 @@ object OpsOracles {
          |  CAST(SUM(value_c) AS BIGINT) AS sum_c
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "stats_exact_median" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(FLOOR((value)*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |  SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |m1 AS (SELECT event_type, MIN(v) AS v1, CAST(MAX(n) AS BIGINT) AS n
+        |       FROM w WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |m2 AS (SELECT event_type, MIN(v) AS v2
+        |       FROM w WHERE cum >= (n + 2) // 2 GROUP BY 1)
+        |SELECT m1.event_type, m1.n, v1, v2, (v1 + v2) // 2 AS median_c
+        |FROM m1 JOIN m2 USING (event_type) ORDER BY event_type""".stripMargin,
     "sample_stratified" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,

@@ -764,6 +764,42 @@ object Sampling {
     "stats_value_hist" -> (valueHist _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_cms_topk" -> (cmsTopk _),
-    "stats_length_deciles" -> (lengthDeciles _)
+    "stats_length_deciles" -> (lengthDeciles _),
+    "stats_exact_median" -> (exactMedian _)
   )
+
+  /** stats_exact_median — EXACT per-group median without a per-group
+    * sort: the third member of the quantile family. Exact rank
+    * statistics normally force a sort of every group
+    * ([[lengthDeciles]] — fine on bounded frames, a scale-killer on a
+    * 100 TB fact table), and the mergeable histogram
+    * ([[approxQuantile]]) trades exactness for scale. But when the
+    * value domain is bounded (integer cents here), the EXACT
+    * order statistic is reachable at scale: one map-side-combined
+    * groupBy onto the (group, value) domain — the only corpus-wide
+    * shuffle — then cumulative counts, rank thresholds and the median
+    * itself all run on the bounded histogram frame (≤ groups ×
+    * distinct cents rows, independent of corpus size). Median of an
+    * even group is ⌊(v1+v2)/2⌋ over the two middle ranks — all-integer,
+    * bit-identical in both engines.
+    */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+    import graft.relational.Queries.cents
+    val h = Tables(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val w = h
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    val m1 = w.filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min("v").as("v1"), max("n").as("n"))
+    val m2 = w.filter(col("cum") >= expr("(n + 2) div 2"))
+      .groupBy("event_type").agg(min("v").as("v2"))
+    m1.join(m2, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("v1"), col("v2"),
+        expr("(v1 + v2) div 2").as("median_c"))
+      .orderBy("event_type")
+  }
 }

@@ -746,6 +746,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (13L, 13L, 1L)))
   }
 
+  test("stats_exact_median equals the sort-based median per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vals = Tables(spark, dir, "events")
+      .select(col("event_type"), graft.relational.Queries.cents(col("value")))
+      .as[(String, Long)].collect()
+    val expect = vals.groupBy(_._1).map { case (t, xs) =>
+      val s = xs.map(_._2).sorted
+      val n = s.length
+      val v1 = s((n + 1) / 2 - 1)
+      val v2 = s((n + 2) / 2 - 1)
+      t -> (n.toLong, v1, v2, (v1 + v2) / 2)
+    }
+    val got = graft.ops.Sampling.exactMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expect)
+  }
+
   test("dedup_incremental admits against the corpus index with first-occurrence self-dup resolution") {
     import spark.implicits._
     val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
