@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner seam: rewrite the naive collect_list+sort second-max
     // idiom to the native two-slot aggregate (see SecondMaxRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)
+    // planner seam: bucket no-equi-key point-in-interval joins into
+    // equi-joins so they never plan BNLJ (see RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite a point-in-interval join with NO equi-key
+  *
+  *   SELECT ... FROM points p JOIN intervals i ON p.t >= i.lo AND p.t < i.hi
+  *
+  * into the bucketed equi-join [[graft.relational.Queries.qRangeJoin]]
+  * builds by hand — so plain `spark.sql` users get the scale-safe plan
+  * automatically. Without the rewrite Spark can only plan this
+  * condition as BroadcastNestedLoopJoin (or a cartesian product): the
+  * O(n·m) shape that is fine at notebook scale and fatal at 100 TB.
+  *
+  * The rewrite fixes a bucket width W on the shared (long) domain,
+  * explodes each interval row to `sequence(lo div W, (hi-1) div W)`
+  * bucket ids via a [[Generate]], and joins on
+  * `t div W = bucket` plus the ORIGINAL range condition. Truncating
+  * division is monotone, so every point's single bucket lies within
+  * its matching interval's bucket range — each qualifying pair
+  * materializes exactly once and the join output is the true match
+  * set; non-qualifying same-bucket pairs are discarded by the
+  * retained range predicate. A Project restores the original output,
+  * so the rewrite is invisible to the query.
+  *
+  * Guards: inner joins only; the range pair must be the ONLY
+  * cross-side conjuncts apart from other non-equi residuals (if any
+  * equi conjunct exists Spark already plans a hash join — and the
+  * rewrite's own EqualTo makes it idempotent); `t`, `lo`, `hi` must be
+  * deterministic LongType expressions each referencing exactly one
+  * side. W comes from `spark.graft.rangeJoin.bucketWidth` (default
+  * 604800 = 7 days of epoch seconds; set it near the median interval
+  * length — replication per interval row is len/W + 1).
+  * `spark.graft.rangeJoin.enabled=false` switches the rule off.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+
+  private def width: Long =
+    conf.getConfString("spark.graft.rangeJoin.bucketWidth", "604800").toLong
+
+  /** (point expr t, interval lo, interval hi) with `t` < hi bound
+    * exclusive, extracted from the conjunct pair; `t >= lo` and
+    * `t < hi` accepted in either written order and orientation.
+    */
+  private def rangePair(conjuncts: Seq[Expression]): Option[(Expression, Expression, Expression)] = {
+    val geq = conjuncts.collect {
+      case GreaterThanOrEqual(t, lo) => (t, lo)
+      case LessThanOrEqual(lo, t) => (t, lo)
+    }
+    val lt = conjuncts.collect {
+      case LessThan(t, hi) => (t, hi)
+      case GreaterThan(hi, t) => (t, hi)
+    }
+    (for {
+      (t1, lo) <- geq
+      (t2, hi) <- lt
+      if t1.semanticEquals(t2)
+    } yield (t1, lo, hi)).headOption
+  }
+
+  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty || !e.deterministic) None
+    else if (refs.subsetOf(l.outputSet)) Some(true)
+    else if (refs.subsetOf(r.outputSet)) Some(false)
+    else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        // any cross-side equi conjunct -> Spark already hash-joins
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (sideOf(a, left, right), sideOf(b, left, right)) match {
+              case (Some(x), Some(y)) => x != y
+              case _ => false
+            }
+          case _ => false
+        }
+        val rewritten = if (hasEqui) None else rangePair(conjuncts).flatMap {
+          case (t, lo, hi) if t.dataType == LongType &&
+              lo.dataType == LongType && hi.dataType == LongType =>
+            (sideOf(t, left, right), sideOf(lo, left, right), sideOf(hi, left, right)) match {
+              case (Some(tSide), Some(ivSide), Some(ivSide2))
+                  if ivSide == ivSide2 && tSide != ivSide =>
+                val w = Literal(width, LongType)
+                val bk = AttributeReference("graft_range_bk", LongType, nullable = false)()
+                // Sequence is TimeZoneAwareExpression: a None zone is
+                // fine out of the parser (ResolveTimeZone fills it)
+                // but UNRESOLVED when inserted by an optimizer rule
+                val seq = new Sequence(IntegralDivide(lo, w),
+                  IntegralDivide(Subtract(hi, Literal(1L, LongType)), w))
+                  .withTimeZone(conf.sessionLocalTimeZone)
+                val (pointChild, ivChild) =
+                  if (tSide) (left, right) else (right, left)
+                val gen = Generate(Explode(seq), Nil, outer = false, None, Seq(bk), ivChild)
+                val newCond = And(EqualTo(IntegralDivide(t, w), bk), cond)
+                val newJoin =
+                  if (tSide) Join(pointChild, gen, Inner, Some(newCond), hint)
+                  else Join(gen, pointChild, Inner, Some(newCond), hint)
+                Some(Project(j.output, newJoin))
+              case _ => None
+            }
+          case _ => None
+        }
+        rewritten.getOrElse(j)
+    }
+  }
+}

@@ -1331,6 +1331,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("injected range-join rule buckets plain SQL interval joins into equi-joins") {
+    val active = SparkSession.getActiveSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-rangejoin-spec")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s2.conf.set("spark.graft.rangeJoin.bucketWidth", "10")
+      // points 0..99, intervals [k*7, k*7+13) for k = 0..12: interval
+      // length 13 > W = 10, so intervals explode to 2-3 buckets and
+      // pairs straddle bucket edges - the exactly-once guarantee is
+      // exercised, not just the happy path
+      val df = s2.sql(
+        """SELECT p.t, count(*) AS n, min(i.k) AS mn
+          |FROM (SELECT id AS t FROM range(100)) p
+          |JOIN (SELECT id AS k, id * 7 AS lo, id * 7 + 13 AS hi FROM range(13)) i
+          |  ON p.t >= i.lo AND p.t < i.hi
+          |GROUP BY p.t ORDER BY p.t""".stripMargin)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"range join not rewritten:\n$phys")
+      assert(phys.contains("Generate"), s"no bucket explode in plan:\n$phys")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // naive reference with the rule disabled
+      s2.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val naive = s2.sql(
+        """SELECT p.t, count(*) AS n, min(i.k) AS mn
+          |FROM (SELECT id AS t FROM range(100)) p
+          |JOIN (SELECT id AS k, id * 7 AS lo, id * 7 + 13 AS hi FROM range(13)) i
+          |  ON p.t >= i.lo AND p.t < i.hi
+          |GROUP BY p.t ORDER BY p.t""".stripMargin)
+      assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "kill-switch did not restore the naive plan")
+      assert(got.toSeq === naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      s2.conf.set("spark.graft.rangeJoin.enabled", "true")
+      // joins that already have an equi key are left alone
+      val equi = s2.sql(
+        """SELECT count(*) FROM (SELECT id AS k, id AS t FROM range(50)) a
+          |JOIN (SELECT id AS k, id AS lo, id + 5 AS hi FROM range(50)) b
+          |  ON a.k = b.k AND a.t >= b.lo AND a.t < b.hi""".stripMargin)
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("graft_range_bk"))
+      assert(equi.collect()(0).getLong(0) === 50L)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      active.foreach { a =>
+        SparkSession.setActiveSession(a); SparkSession.setDefaultSession(a)
+      }
+    }
+  }
+
   test("text_pack offsets are the exact serial cumsum; invariant under bucket edge") {
     import org.apache.spark.sql.functions._
     val got = TextAnalysis.pack(spark, dir).collect()
