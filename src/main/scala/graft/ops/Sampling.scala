@@ -783,23 +783,36 @@ object Sampling {
     * even group is ⌊(v1+v2)/2⌋ over the two middle ranks — all-integer,
     * bit-identical in both engines.
     */
-  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+  def exactMedian(spark: SparkSession, dir: String): DataFrame =
+    medianPick(medianHist(
+      Tables(spark, dir, "events").select(col("event_type"), col("value"))))
+
+  /** The exact (group, cents) count grid — [[exactMedian]]'s one
+    * corpus-wide shuffle, shared with the streaming twin (counts
+    * merge by addition across triggers, so the grid IS the streaming
+    * state shape).
+    */
+  private[graft] def medianHist(df: DataFrame): DataFrame = {
     import graft.relational.Queries.cents
-    val h = Tables(spark, dir, "events")
-      .select(col("event_type"), cents(col("value")).as("v"))
+    df.select(col("event_type"), cents(col("value")).as("v"))
       .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
-    val w = h
-      .withColumn("cum", sum("c").over(
+  }
+
+  /** Bounded-frame read stage: cumulative counts → middle ranks →
+    * ⌊(v1+v2)/2⌋ per group. Both rank picks fold into ONE
+    * aggregation (conditional mins) — no self-join of the histogram
+    * frame.
+    */
+  private[graft] def medianPick(h: DataFrame): DataFrame =
+    h.withColumn("cum", sum("c").over(
         Window.partitionBy("event_type").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
-    val m1 = w.filter(col("cum") >= expr("(n + 1) div 2"))
-      .groupBy("event_type").agg(min("v").as("v1"), max("n").as("n"))
-    val m2 = w.filter(col("cum") >= expr("(n + 2) div 2"))
-      .groupBy("event_type").agg(min("v").as("v2"))
-    m1.join(m2, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("v1"),
+        min(when(col("cum") >= expr("(n + 2) div 2"), col("v"))).as("v2"))
       .select(col("event_type"), col("n"), col("v1"), col("v2"),
         expr("(v1 + v2) div 2").as("median_c"))
       .orderBy("event_type")
-  }
 }

@@ -559,6 +559,29 @@ object EventStreams {
     graft.ops.Sampling.quantPick(spark.table(sink))
   }
 
+  /** stream_exact_median — EXACT live medians: the streaming agg
+    * maintains [[graft.ops.Sampling.medianHist]]'s (group, cents)
+    * count grid in its state store (bounded by groups × the value
+    * domain; counts merge by ADDITION across triggers — same
+    * mergeable-state shape as [[quantileStream]], but the drain reads
+    * an exact order statistic, not a bucket estimate). Shares the
+    * batch oracle verbatim.
+    */
+  def exactMedianStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)]
+    input.addData(evs)
+    val agg = graft.ops.Sampling.medianHist(input.toDS().toDF("event_type", "value"))
+    val sink = sinkName("stream_exact_median")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.ops.Sampling.medianPick(spark.table(sink))
+  }
+
   /** stream_topk — continuous leaderboard: top-10 users by total
     * event value, re-ranked every trigger (Complete mode supports the
     * post-aggregation sort+limit). State is the running per-user
@@ -946,6 +969,7 @@ object EventStreams {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_incr_dedup" -> (incrDedup _),
+    "stream_exact_median" -> (exactMedianStream _),
     "stream_drift" -> (driftStream _),
     "stream_card" -> (cardStream _),
     "stream_sliding" -> (sliding _),
@@ -981,6 +1005,7 @@ object EventStreams {
     // the (source, token) count state drains to the same χ² read
     "stream_drift" -> graft.ops.OpsOracles.all("stats_source_drift"),
     "stream_incr_dedup" -> graft.ops.OpsOracles.all("stream_incr_dedup"),
+    "stream_exact_median" -> graft.ops.OpsOracles.all("stats_exact_median"),
     // the per-user state machine drains to the batch funnel summary
     "stream_funnel" -> Queries.funnelOracleSql,
     // the per-user (cohort, mask) state drains to the batch cohort

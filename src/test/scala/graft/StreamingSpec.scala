@@ -554,6 +554,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(key9 === 2L, "post-eviction recurrence must re-emit")
   }
 
+  test("median count grid merges across triggers to the exact batch medians") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect().toSeq
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[(String, Double)]
+    val agg = graft.ops.Sampling.medianHist(input.toDS().toDF("event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("med_grid_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    input.addData(h1); q.processAllAvailable()
+    input.addData(h2); q.processAllAvailable()
+    q.stop()
+    val live = graft.ops.Sampling.medianPick(spark.table("med_grid_spec"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSet
+    val batch = graft.ops.Sampling.exactMedian(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSet
+    assert(live === batch && live.nonEmpty)
+  }
+
   test("stream_incr_dedup admits against the static index only (no in-batch arm)") {
     import spark.implicits._
     val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
