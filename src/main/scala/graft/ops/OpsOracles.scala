@@ -1839,6 +1839,42 @@ object OpsOracles {
          |SELECT probe_id, vec_id, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_mmr_topk" -> {
+      val rounds = (2 to Similarity.MmrK).map { r =>
+        s"""ms$r AS (
+           |  SELECT c.probe_id, c.vec_id, MAX(${cosU("c.embedding", "s.embedding")}) AS maxsim_u
+           |  FROM cand${r - 1} c JOIN sel${r - 1} s ON c.probe_id = s.probe_id
+           |  GROUP BY 1, 2),
+           |pick$r AS (
+           |  SELECT c.probe_id, c.vec_id, c.embedding, c.rel_u,
+           |    c.rel_u - m.maxsim_u AS mmr_u, CAST($r AS BIGINT) AS pick
+           |  FROM cand${r - 1} c JOIN ms$r m ON c.probe_id = m.probe_id AND c.vec_id = m.vec_id
+           |  QUALIFY row_number() OVER (PARTITION BY c.probe_id ORDER BY mmr_u DESC, c.vec_id) = 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r),
+           |cand$r AS (
+           |  SELECT c.* FROM cand${r - 1} c
+           |  WHERE NOT EXISTS (SELECT 1 FROM pick$r p
+           |                    WHERE p.probe_id = c.probe_id AND p.vec_id = c.vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id % 101 = 0),
+         |sc AS (SELECT p.probe_id, e.vec_id, e.embedding,
+         |        ${cosU("p.pvec", "e.embedding")} AS rel_u
+         |      FROM embeddings e, p WHERE e.vec_id != p.probe_id),
+         |short AS (SELECT * FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rel_u DESC, vec_id)
+         |    <= ${Similarity.MmrShortlist}),
+         |sel1 AS (SELECT probe_id, vec_id, embedding, rel_u, rel_u AS mmr_u,
+         |    CAST(1 AS BIGINT) AS pick
+         |  FROM short
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rel_u DESC, vec_id) = 1),
+         |cand1 AS (SELECT s.* FROM short s
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel1 p
+         |                    WHERE p.probe_id = s.probe_id AND p.vec_id = s.vec_id)),
+         |$rounds
+         |SELECT probe_id, pick, vec_id, rel_u, mmr_u
+         |FROM sel${Similarity.MmrK} ORDER BY probe_id, pick""".stripMargin
+    },
     "sim_lsh_topk" -> {
       // The ±1 sparse-plane coefficients are the SAME plan-time
       // constants Similarity.lshBuckets broadcasts (Similarity

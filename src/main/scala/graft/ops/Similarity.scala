@@ -549,6 +549,63 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** [[mmrTopk]] shortlist depth and result size. */
+  val MmrShortlist = 20
+  val MmrK = 5
+
+  /** sim_mmr_topk — Maximal-Marginal-Relevance diversity re-ranking
+    * (Carbonell & Goldstein 1998): from each probe's exact top-[[MmrShortlist]]
+    * cosine shortlist, greedily select [[MmrK]] results maximizing
+    * `λ·rel − (1−λ)·max-sim-to-already-selected` with λ = ½ — in
+    * integer micros the argmax of `rel_u − maxsim_u` (the ½ scales
+    * out). The standard fix for near-duplicate result lists: a probe
+    * inside a dup cluster otherwise returns 5 copies of one answer.
+    *
+    * Scale shape: the ONE corpus-scale stage is the shortlist
+    * (broadcast ≤64-probe frame against the corpus, map-side
+    * WindowGroupLimit prune); it is localCheckpoint'd once, and the
+    * greedy rounds — [[MmrK]]−1 unrolled join+argmax steps, each
+    * O(probes × shortlist × selected) ≤ 64·20·5 rows — never touch
+    * the corpus again. Selection is fully deterministic: ties break
+    * (mmr_u desc, vec_id), and every pairwise sim is the shared
+    * integer-micro cosine.
+    */
+  def mmrTopk(spark: SparkSession, dir: String): DataFrame = {
+    val scored = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(probes(spark, dir)))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("vn2"),
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("rel_u"))
+    val w = Window.partitionBy("probe_id").orderBy(col("rel_u").desc, col("vec_id"))
+    val shortlist = scored.withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= MmrShortlist).drop("srank")
+      .localCheckpoint()
+    val wPick = Window.partitionBy("probe_id").orderBy(col("mmr_u").desc, col("vec_id"))
+    var sel = shortlist.withColumn("mmr_u", col("rel_u"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .drop("rn").withColumn("pick", lit(1L))
+    var cand = shortlist.join(sel.select(col("probe_id"), col("vec_id")),
+      Seq("probe_id", "vec_id"), "left_anti")
+    for (r <- 2 to MmrK) {
+      val ms = cand
+        .join(sel.select(col("probe_id"), col("embedding").as("svec"),
+          col("vn2").as("sn2")), Seq("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(max(cosUPre(col("embedding"), col("svec"), col("vn2"), col("sn2")))
+          .as("maxsim_u"))
+      val pick = cand.join(ms, Seq("probe_id", "vec_id"))
+        .withColumn("mmr_u", col("rel_u") - col("maxsim_u"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .drop("rn", "maxsim_u").withColumn("pick", lit(r.toLong))
+      sel = sel.unionByName(pick)
+      cand = cand.join(pick.select(col("probe_id"), col("vec_id")),
+        Seq("probe_id", "vec_id"), "left_anti")
+    }
+    sel.select(col("probe_id"), col("pick"), col("vec_id"), col("rel_u"), col("mmr_u"))
+      .orderBy("probe_id", "pick")
+  }
+
   /** Token-vector geometry for [[maxsim]]: [[MaxsimD]]-component
     * integer vectors per token, the first [[MaxsimDocT]] distinct
     * tokens per document and [[MaxsimQT]] per query.
@@ -1364,6 +1421,7 @@ object Similarity {
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_maxsim" -> (maxsim _),
     "sim_mrl_topk" -> (mrlTopk _),
+    "sim_mmr_topk" -> (mmrTopk _),
     "sim_filtered_topk" -> (filteredTopk _),
     "sim_hamming_topk" -> (hammingTopk _),
     "sim_pq_topk" -> (pqTopk _),

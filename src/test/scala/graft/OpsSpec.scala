@@ -606,6 +606,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_mmr_topk matches a full Scala greedy MMR re-derivation") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val probes = vecs.keys.filter(_ % 101 == 0).toSeq.sorted
+    val expect = probes.flatMap { p =>
+      val short = vecs.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, cosU(vecs(p), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.MmrShortlist)
+      // (id, rel, mmr): pick 1 is max relevance with mmr = rel
+      var sel = Vector((short.head._1, short.head._2, short.head._2))
+      var cand = short.tail
+      while (sel.length < Similarity.MmrK && cand.nonEmpty) {
+        val scoredC = cand.map { case (id, rel) =>
+          val maxSim = sel.map(s => cosU(vecs(id), vecs(s._1))).max
+          (id, rel, rel - maxSim)
+        }
+        val best = scoredC.minBy { case (i, _, m) => (-m, i) }
+        sel :+= best
+        cand = cand.filterNot(_._1 == best._1)
+      }
+      sel.zipWithIndex.map { case ((id, rel, mmr), i) =>
+        (p, (i + 1).toLong, id, rel, mmr)
+      }
+    }
+    val got = Similarity.mmrTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expect)
+  }
+
   test("hamming ANN distances are exact and recall stays above the floor") {
     import spark.implicits._
     val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
