@@ -28,6 +28,7 @@ object SparkEntry {
     "q_rollup" -> (Queries.qRollup _),
     "q_skew_join" -> (Queries.qSkewJoin _),
     "q_asof" -> (Queries.qAsof _),
+    "q_asof_native" -> (Queries.qAsofNative _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "q_interval_join" -> (Queries.qIntervalJoin _),
     "q7_nations" -> (Queries.q7Nations _),
@@ -65,6 +66,34 @@ object SparkEntry {
   /** Exact integer cents expression, DuckDB dialect. */
   private def C(x: String) = s"CAST(FLOOR(($x)*100) AS BIGINT)"
   private def SUMC(x: String) = s"CAST(SUM(${C(x)}) AS BIGINT)"
+
+  /** Shared by q_asof (union-and-window) and q_asof_native (the
+    * custom physical operator) — one SQL, two engines' worth of
+    * independent implementations.
+    */
+  private val asofOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+       |    788918400 + (event_id % 2400) * 86400 AS t,
+       |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+       |  FROM events),
+       |ord AS (
+       |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+       |    epoch_us(o_orderdate) // 1000000 AS t,
+       |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+       |  FROM orders),
+       |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+       |m AS (
+       |  SELECT *,
+       |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+       |    last_value(osec IGNORE NULLS) OVER w AS asof_osec
+       |  FROM u WINDOW w AS (PARTITION BY key
+       |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id, key,
+       |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
+       |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
+       |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -181,29 +210,10 @@ object SparkEntry {
          |  CAST(MIN(d.first_event) AS BIGINT) AS min_first_event
          |FROM e JOIN d ON e.uid = d.uid
          |GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "q_asof" ->
-      s"""WITH ev AS (
-         |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
-         |    788918400 + (event_id % 2400) * 86400 AS t,
-         |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
-         |  FROM events),
-         |ord AS (
-         |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
-         |    epoch_us(o_orderdate) // 1000000 AS t,
-         |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
-         |  FROM orders),
-         |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
-         |m AS (
-         |  SELECT *,
-         |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
-         |    last_value(osec IGNORE NULLS) OVER w AS asof_osec
-         |  FROM u WINDOW w AS (PARTITION BY key
-         |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT event_id, key,
-         |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
-         |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
-         |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q_asof" -> asofOracle,
+    // the native physical operator certifies against the SAME oracle
+    // as the union-and-window composition
+    "q_asof_native" -> asofOracle,
     "q_range_join" ->
       s"""WITH ev AS (
          |  SELECT event_id, 788918400 + (event_id % 2400) * 86400 AS t FROM events),

@@ -582,11 +582,15 @@ object Similarity {
       .filter(col("srank") <= MmrShortlist).drop("srank")
       .localCheckpoint()
     val wPick = Window.partitionBy("probe_id").orderBy(col("mmr_u").desc, col("vec_id"))
+    // each round references sel and cand multiple times (ms, pick,
+    // union, anti) — without per-round truncation the lazy lineage
+    // re-expands ~3^r subtrees (the pca 97-scan disease); the frames
+    // are ≤ probes × shortlist rows, so the checkpoints are free
     var sel = shortlist.withColumn("mmr_u", col("rel_u"))
       .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-      .drop("rn").withColumn("pick", lit(1L))
+      .drop("rn").withColumn("pick", lit(1L)).localCheckpoint()
     var cand = shortlist.join(sel.select(col("probe_id"), col("vec_id")),
-      Seq("probe_id", "vec_id"), "left_anti")
+      Seq("probe_id", "vec_id"), "left_anti").localCheckpoint()
     for (r <- 2 to MmrK) {
       val ms = cand
         .join(sel.select(col("probe_id"), col("embedding").as("svec"),
@@ -598,9 +602,10 @@ object Similarity {
         .withColumn("mmr_u", col("rel_u") - col("maxsim_u"))
         .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
         .drop("rn", "maxsim_u").withColumn("pick", lit(r.toLong))
+        .localCheckpoint()
       sel = sel.unionByName(pick)
       cand = cand.join(pick.select(col("probe_id"), col("vec_id")),
-        Seq("probe_id", "vec_id"), "left_anti")
+        Seq("probe_id", "vec_id"), "left_anti").localCheckpoint()
     }
     sel.select(col("probe_id"), col("pick"), col("vec_id"), col("rel_u"), col("mmr_u"))
       .orderBy("probe_id", "pick")

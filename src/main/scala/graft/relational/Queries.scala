@@ -1064,6 +1064,42 @@ object Queries {
     * the matching order keys (events with no match are inner-dropped,
     * matching the oracle).
     */
+  /** q_asof_native — [[qAsof]]'s EXACT semantics through the custom
+    * physical operator ([[graft.plans.AsOfJoinExec]]): logical
+    * [[graft.plans.AsOfJoin]] node → [[graft.plans.AsOfJoinStrategy]]
+    * → one-pass sort-merge exec. Shares q_asof's oracle VERBATIM, so
+    * one green row certifies two independent implementations (the
+    * union-and-window composition and the native operator) against
+    * the same SQL. The strategy arrives via [[graft.GraftExtensions]]
+    * on extension-loaded sessions and idempotently via
+    * `spark.experimental.extraStrategies` here (public API, works on
+    * any session).
+    */
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 100 + 1).cast("long").as("key"),
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"))
+    val ord = Tables(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("okey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"),
+      col("o_orderkey"))
+    val evPlan = ev.queryExecution.analyzed
+    val ordPlan = ord.queryExecution.analyzed
+    val joined = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      AsOfJoin(evPlan, ordPlan,
+        evPlan.output(1), evPlan.output(2),
+        ordPlan.output(0), ordPlan.output(1), ordPlan.output(2)))
+    joined.select(col("event_id"), col("key"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(col("osec"), lit(-1L)).as("asof_osec"))
+      .orderBy("event_id")
+  }
+
   /** q_interval_join — interval×interval OVERLAP join with no
     * equi-key, via bucketing plus the canonical-bucket emission rule.
     *

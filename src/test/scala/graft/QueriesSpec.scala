@@ -140,6 +140,44 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wide.map(_.getAs[Long]("bucket_h")).toSet === long.keySet.map(_._1))
   }
 
+  test("native as-of join plans AsOfJoinExec and equals the union-and-window twin") {
+    val native = Queries.qAsofNative(spark, dir)
+    val phys = native.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), s"custom operator not planned:\n$phys")
+    val got = native.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val twin = Queries.qAsof(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq === twin.toSeq)
+    // and some events genuinely have no prior order (the -1 arm runs)
+    assert(got.exists(_._3 == -1L) && got.exists(_._3 != -1L))
+  }
+
+  test("native as-of join tie semantics: inclusive bound, max tie on equal times") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 99L), (3L, 20L, 50L), (4L, 30L, 7L))
+      .toDF("lid", "lkey", "lt")
+    // key 10: orders at t=100 (ids 5 and 6 - equal time, max tie wins,
+    // inclusive bound) and t=101 (must NOT match t=100);
+    // key 20: only later orders (no match); key 30 absent entirely
+    val r = Seq((10L, 100L, 5L), (10L, 100L, 6L), (10L, 101L, 7L), (20L, 60L, 8L))
+      .toDF("rkey", "rt", "rid")
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    val j = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      AsOfJoin(lp, rp, lp.output(1), lp.output(2),
+        rp.output(0), rp.output(1), rp.output(2)))
+    val got = j.select(col("lid"), col("rid")).collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 6L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+  }
+
   test("q_range_join matches the naive cross-filter join exactly") {
     import org.apache.spark.sql.functions._
     // the bucketed rewrite must produce the TRUE containment match
