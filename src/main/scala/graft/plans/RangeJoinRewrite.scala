@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.LongType
 /** Optimizer rule: rewrite a point-in-interval join with NO equi-key
   *
   *   SELECT ... FROM points p JOIN intervals i ON p.t >= i.lo AND p.t < i.hi
+  *   (also the inclusive `p.t BETWEEN i.lo AND i.hi` form)
   *
   * into the bucketed equi-join [[graft.relational.Queries.qRangeJoin]]
   * builds by hand — so plain `spark.sql` users get the scale-safe plan
@@ -45,24 +46,30 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def width: Long =
     conf.getConfString("spark.graft.rangeJoin.bucketWidth", "604800").toLong
 
-  /** (point expr t, interval lo, interval hi) with `t` < hi bound
-    * exclusive, extracted from the conjunct pair; `t >= lo` and
-    * `t < hi` accepted in either written order and orientation.
+  /** (point expr t, interval lo, exclusive-upper-bucket bound): the
+    * lower bound is `t >= lo`; the upper bound is `t < hi` (bucket
+    * range ends at (hi-1) div W) or `t <= hi` — the parser's
+    * `BETWEEN lo AND hi` form — (bucket range ends at hi div W).
+    * Either written order/orientation of each comparison is accepted.
+    * Returns (t, lo, lastBucketBoundExclusiveMinusOne) where the
+    * third element is the expression E with last bucket = E div W.
     */
   private def rangePair(conjuncts: Seq[Expression]): Option[(Expression, Expression, Expression)] = {
     val geq = conjuncts.collect {
       case GreaterThanOrEqual(t, lo) => (t, lo)
       case LessThanOrEqual(lo, t) => (t, lo)
     }
-    val lt = conjuncts.collect {
-      case LessThan(t, hi) => (t, hi)
-      case GreaterThan(hi, t) => (t, hi)
+    val upper = conjuncts.collect {
+      case LessThan(t, hi) => (t, Subtract(hi, Literal(1L, LongType)))
+      case GreaterThan(hi, t) => (t, Subtract(hi, Literal(1L, LongType)))
+      case LessThanOrEqual(t, hi) => (t, hi)
+      case GreaterThanOrEqual(hi, t) => (t, hi)
     }
     (for {
       (t1, lo) <- geq
-      (t2, hi) <- lt
-      if t1.semanticEquals(t2)
-    } yield (t1, lo, hi)).headOption
+      (t2, last) <- upper
+      if t1.semanticEquals(t2) && !lo.semanticEquals(last)
+    } yield (t1, lo, last)).headOption
   }
 
   private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] = {
@@ -88,9 +95,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case _ => false
         }
         val rewritten = if (hasEqui) None else rangePair(conjuncts).flatMap {
-          case (t, lo, hi) if t.dataType == LongType &&
-              lo.dataType == LongType && hi.dataType == LongType =>
-            (sideOf(t, left, right), sideOf(lo, left, right), sideOf(hi, left, right)) match {
+          case (t, lo, last) if t.dataType == LongType &&
+              lo.dataType == LongType && last.dataType == LongType =>
+            (sideOf(t, left, right), sideOf(lo, left, right), sideOf(last, left, right)) match {
               case (Some(tSide), Some(ivSide), Some(ivSide2))
                   if ivSide == ivSide2 && tSide != ivSide =>
                 val w = Literal(width, LongType)
@@ -98,8 +105,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 // Sequence is TimeZoneAwareExpression: a None zone is
                 // fine out of the parser (ResolveTimeZone fills it)
                 // but UNRESOLVED when inserted by an optimizer rule
-                val seq = new Sequence(IntegralDivide(lo, w),
-                  IntegralDivide(Subtract(hi, Literal(1L, LongType)), w))
+                val seq = new Sequence(IntegralDivide(lo, w), IntegralDivide(last, w))
                   .withTimeZone(conf.sessionLocalTimeZone)
                 val (pointChild, ivChild) =
                   if (tSide) (left, right) else (right, left)

@@ -1401,6 +1401,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "kill-switch did not restore the naive plan")
       assert(got.toSeq === naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
       s2.conf.set("spark.graft.rangeJoin.enabled", "true")
+      // the inclusive BETWEEN form rewrites too, with the exact
+      // inclusive-upper match set (boundary points t = hi included)
+      val btw = s2.sql(
+        """SELECT p.t, count(*) AS n
+          |FROM (SELECT id AS t FROM range(100)) p
+          |JOIN (SELECT id * 7 AS lo, id * 7 + 13 AS hi FROM range(13)) i
+          |  ON p.t BETWEEN i.lo AND i.hi
+          |GROUP BY p.t ORDER BY p.t""".stripMargin)
+      val physB = btw.queryExecution.executedPlan.toString
+      assert(!physB.contains("BroadcastNestedLoopJoin") && physB.contains("Generate"),
+        s"BETWEEN form not rewritten:\n$physB")
+      val gotB = btw.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expB = (0L until 100L).map { t =>
+        t -> (0L until 13L).count(k => t >= k * 7 && t <= k * 7 + 13).toLong
+      }.filter(_._2 > 0).toMap
+      assert(gotB === expB)
       // joins that already have an equi key are left alone
       val equi = s2.sql(
         """SELECT count(*) FROM (SELECT id AS k, id AS t FROM range(50)) a
