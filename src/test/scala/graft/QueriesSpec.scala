@@ -119,6 +119,51 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native as-of join runs shuffle-free over key-bucketed tables") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // the declared ClusteredDistribution means a key-bucketed layout
+    // satisfies the operator's requirement outright: no Exchange at
+    // all, only the local sorts - the 100 TB repeated-as-of path
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"), (col("user_id") % 100 + 1).cast("long").as("key"),
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"))
+    val ord = Tables(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("okey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"),
+      col("o_orderkey"))
+    spark.sql("DROP TABLE IF EXISTS ev_bkt")
+    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    ev.write.bucketBy(8, "key").sortBy("key", "t")
+      .mode("overwrite").saveAsTable("ev_bkt")
+    ord.write.bucketBy(8, "okey").sortBy("okey", "osec")
+      .mode("overwrite").saveAsTable("ord_bkt")
+    try {
+      val lp = spark.table("ev_bkt").queryExecution.analyzed
+      val rp = spark.table("ord_bkt").queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val j = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+        AsOfJoin(lp, rp, a(lp, "key"), a(lp, "t"),
+          a(rp, "okey"), a(rp, "osec"), a(rp, "o_orderkey")))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), s"operator missing:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed as-of join still shuffles:\n$plan")
+      val got = j.select(col("event_id"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("k"))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val twin = Queries.qAsofNative(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.toSeq === twin.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ev_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
   test("q_pivot cells reconcile with q_tumbling's long-format sums") {
     import org.apache.spark.sql.functions.col
     val long = Queries.qTumbling(spark, dir).collect()
