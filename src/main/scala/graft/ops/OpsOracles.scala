@@ -154,6 +154,33 @@ object OpsOracles {
        |jhits AS (
        |  SELECT * FROM np WHERE inter * 2 >= nt_a + nt_b - inter)""".stripMargin
 
+  /** text_quality's composite score floored to integer micros — CTE
+    * chain ending in `sc(doc_id, score_u)`, shared by dedup_keep_best
+    * and sample_curriculum.
+    */
+  private val scoreCtes: String =
+    s"""qq AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+       |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPat}')) AS BIGINT) AS stops,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |qr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n > 0 THEN alpha / n ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+       |    CASE WHEN n > 0 THEN punct / n ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN n > 0 THEN upper / n ELSE CAST(0.0 AS DOUBLE) END AS upper_ratio,
+       |    CASE WHEN n_tokens > 0 THEN stops / n_tokens ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+       |  FROM qq),
+       |sc AS (
+       |  SELECT doc_id, CAST(FLOOR((alpha_ratio * CAST(0.5 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.2 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - upper_ratio) * CAST(0.2 AS DOUBLE)
+       |    + stop_ratio * CAST(0.1 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_u
+       |  FROM qr)""".stripMargin
+
   /** Shared PII regexes / filter thresholds (see [[TextAnalysis]]). */
   private val ePat = TextAnalysis.emailPat
   private val iPat = TextAnalysis.ipPat
@@ -607,6 +634,23 @@ object OpsOracles {
          |  CAST(MAX(value_c) AS BIGINT) AS max_c,
          |  CAST(SUM(value_c) AS BIGINT) AS sum_c
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "sample_curriculum" -> {
+      val ts = (1 to 9).map { k =>
+        s"MIN(CASE WHEN cum >= GREATEST(1, ($k * n) // 10) THEN score_u END) AS t$k"
+      }.mkString(",\n  ")
+      val ph = (1 to 9).map(k => s"CAST(sc.score_u >= t.t$k AS BIGINT)").mkString(" + ")
+      s"""WITH $scoreCtes,
+         |h AS (SELECT score_u, COUNT(*) AS c FROM sc GROUP BY 1),
+         |w AS (SELECT *,
+         |  SUM(c) OVER (ORDER BY score_u
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  SUM(c) OVER () AS n FROM h),
+         |t AS (SELECT
+         |  $ts
+         |FROM w)
+         |SELECT sc.doc_id, sc.score_u, CAST($ph AS BIGINT) AS phase
+         |FROM sc, t ORDER BY sc.doc_id""".stripMargin
     },
     "stats_exact_median" ->
       """WITH e AS (SELECT event_type,
@@ -1374,27 +1418,7 @@ object OpsOracles {
          |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
          |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc),
          |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster),
-         |qq AS (
-         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
-         |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper,
-         |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPat}')) AS BIGINT) AS stops,
-         |    CAST(len($toks) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |qr AS (
-         |  SELECT doc_id,
-         |    CASE WHEN n > 0 THEN alpha / n ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
-         |    CASE WHEN n > 0 THEN punct / n ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
-         |    CASE WHEN n > 0 THEN upper / n ELSE CAST(0.0 AS DOUBLE) END AS upper_ratio,
-         |    CASE WHEN n_tokens > 0 THEN stops / n_tokens ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
-         |  FROM qq),
-         |sc AS (
-         |  SELECT doc_id, CAST(FLOOR((alpha_ratio * CAST(0.5 AS DOUBLE)
-         |    + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.2 AS DOUBLE)
-         |    + (CAST(1.0 AS DOUBLE) - upper_ratio) * CAST(0.2 AS DOUBLE)
-         |    + stop_ratio * CAST(0.1 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_u
-         |  FROM qr),
+         |$scoreCtes,
          |j AS (
          |  SELECT mm.doc AS doc_id, mm.cluster, cs.cluster_size, sc.score_u
          |  FROM mm JOIN cs USING (cluster) JOIN sc ON mm.doc = sc.doc_id),

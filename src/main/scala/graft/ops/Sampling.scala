@@ -765,8 +765,48 @@ object Sampling {
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_cms_topk" -> (cmsTopk _),
     "stats_length_deciles" -> (lengthDeciles _),
-    "stats_exact_median" -> (exactMedian _)
+    "stats_exact_median" -> (exactMedian _),
+    "sample_curriculum" -> (curriculum _)
   )
+
+  /** sample_curriculum — curriculum-phase assignment by EXACT corpus
+    * quantiles of the quality score: phase k (0..9) = number of
+    * decile thresholds at or below the doc's score, so training can
+    * ramp easy→hard (or the reverse) with equal-ish phases. A global
+    * `ntile` is a single-partition sort of the corpus; instead the
+    * [[exactMedian]] bounded-histogram trick generalizes — the
+    * (score_u, count) histogram is ≤10⁶+1 rows REGARDLESS of corpus
+    * size (score is integer micros in [0, 10⁶]), the nine decile
+    * thresholds (min score with cum ≥ max(1, k·n div 10)) fold into
+    * one aggregation over it, and the phase label is a broadcast
+    * 1-row join + 9 codegen'd comparisons per doc. Threshold ties
+    * keep equal scores in the same phase (phases are equal-sized up
+    * to tie groups — the deterministic behavior a reproducible
+    * curriculum wants).
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(floor(score * 1000000) as bigint)").as("score_u"))
+    val h = scored.groupBy("score_u").agg(count(lit(1)).as("c"))
+    val w = h
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("score_u")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(
+        Window.partitionBy(lit(1))))
+    val tAggs = (1 to 9).map { k =>
+      min(when(col("cum") >= greatest(lit(1L), expr(s"($k * n) div 10")),
+        col("score_u"))).as(s"t$k")
+    }
+    val thresholds = w.agg(tAggs.head, tAggs.tail: _*)
+    val phase = (1 to 9).map { k =>
+      (col("score_u") >= col(s"t$k")).cast("long")
+    }.reduce(_ + _)
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("score_u"), phase.as("phase"))
+      .orderBy("doc_id")
+  }
 
   /** stats_exact_median — EXACT per-group median without a per-group
     * sort: the third member of the quantile family. Exact rank

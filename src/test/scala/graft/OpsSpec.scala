@@ -780,6 +780,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (13L, 13L, 1L)))
   }
 
+  test("sample_curriculum phases match a sort-based decile re-derivation") {
+    val rows = graft.ops.Sampling.curriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val scores = rows.map(_._2).sorted
+    val n = scores.length.toLong
+    // threshold k = min score with cumulative count >= max(1, k*n/10)
+    val thresholds = (1 to 9).map { k =>
+      val rank = math.max(1L, k * n / 10)
+      scores(rank.toInt - 1)
+    }
+    rows.foreach { case (id, s, p) =>
+      val expect = thresholds.count(s >= _).toLong
+      assert(p === expect, s"doc $id score $s")
+    }
+    // phases are monotone in score and the extremes are populated
+    assert(rows.filter(_._3 == 0L).nonEmpty && rows.filter(_._3 == 9L).nonEmpty)
+  }
+
   test("stats_exact_median equals the sort-based median per group") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
