@@ -9,7 +9,10 @@ import org.apache.spark.sql.types.LongType
 /** Optimizer rule: rewrite a point-in-interval join with NO equi-key
   *
   *   SELECT ... FROM points p JOIN intervals i ON p.t >= i.lo AND p.t < i.hi
-  *   (also the inclusive `p.t BETWEEN i.lo AND i.hi` form)
+  *   (also the inclusive `p.t BETWEEN i.lo AND i.hi` form, and the
+  *   interval-OVERLAP form `a.lo < b.hi AND b.lo < a.hi` where both
+  *   sides explode and the canonical-bucket filter keeps each pair
+  *   exactly once)
   *
   * into the bucketed equi-join [[graft.relational.Queries.qRangeJoin]]
   * builds by hand — so plain `spark.sql` users get the scale-safe plan
@@ -80,6 +83,37 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
+  /** Interval-OVERLAP pattern: two cross-side less-thans in opposite
+    * directions (`a.lo < b.hi AND b.lo < a.hi`, strict or inclusive) —
+    * each side is an interval. Returns
+    * (loLeft, lastLeft, loRight, lastRight) where each `last` is the
+    * expression E with last covered bucket = E div W.
+    */
+  private def overlapPair(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Expression)] = {
+    def minus1(e: Expression) = Subtract(e, Literal(1L, LongType))
+    val lts = conjuncts.flatMap {
+      case LessThan(x, y) => Some((x, y, true))
+      case GreaterThan(y, x) => Some((x, y, true))
+      case LessThanOrEqual(x, y) => Some((x, y, false))
+      case GreaterThanOrEqual(y, x) => Some((x, y, false))
+      case _ => None
+    }.flatMap { case (x, y, strict) =>
+      if (x.dataType != LongType || y.dataType != LongType) None
+      else (sideOf(x, l, r), sideOf(y, l, r)) match {
+        case (Some(xs), Some(ys)) if xs != ys => Some((x, y, strict, xs))
+        case _ => None
+      }
+    }
+    val lr = lts.filter(_._4)   // x on left, y on right: left.lo < right.hi
+    val rl = lts.filterNot(_._4) // x on right, y on left: right.lo < left.hi
+    (for {
+      (loL, hiR, strictR, _) <- lr
+      (loR, hiL, strictL, _) <- rl
+    } yield (loL, if (strictL) minus1(hiL) else hiL,
+             loR, if (strictR) minus1(hiR) else hiR)).headOption
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
@@ -94,32 +128,51 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             }
           case _ => false
         }
-        val rewritten = if (hasEqui) None else rangePair(conjuncts).flatMap {
+        lazy val w = Literal(width, LongType)
+        // Sequence is TimeZoneAwareExpression: a None zone is fine out
+        // of the parser (ResolveTimeZone fills it) but UNRESOLVED when
+        // inserted by an optimizer rule
+        def buckets(lo: Expression, last: Expression): Expression =
+          new Sequence(IntegralDivide(lo, w), IntegralDivide(last, w))
+            .withTimeZone(conf.sessionLocalTimeZone)
+        val pointForm = if (hasEqui) None else rangePair(conjuncts).flatMap {
           case (t, lo, last) if t.dataType == LongType &&
               lo.dataType == LongType && last.dataType == LongType =>
             (sideOf(t, left, right), sideOf(lo, left, right), sideOf(last, left, right)) match {
               case (Some(tSide), Some(ivSide), Some(ivSide2))
                   if ivSide == ivSide2 && tSide != ivSide =>
-                val w = Literal(width, LongType)
                 val bk = AttributeReference("graft_range_bk", LongType, nullable = false)()
-                // Sequence is TimeZoneAwareExpression: a None zone is
-                // fine out of the parser (ResolveTimeZone fills it)
-                // but UNRESOLVED when inserted by an optimizer rule
-                val seq = new Sequence(IntegralDivide(lo, w), IntegralDivide(last, w))
-                  .withTimeZone(conf.sessionLocalTimeZone)
-                val (pointChild, ivChild) =
-                  if (tSide) (left, right) else (right, left)
-                val gen = Generate(Explode(seq), Nil, outer = false, None, Seq(bk), ivChild)
+                val ivChild = if (tSide) right else left
+                val gen = Generate(Explode(buckets(lo, last)), Nil, outer = false,
+                  None, Seq(bk), ivChild)
                 val newCond = And(EqualTo(IntegralDivide(t, w), bk), cond)
                 val newJoin =
-                  if (tSide) Join(pointChild, gen, Inner, Some(newCond), hint)
-                  else Join(gen, pointChild, Inner, Some(newCond), hint)
+                  if (tSide) Join(left, gen, Inner, Some(newCond), hint)
+                  else Join(gen, right, Inner, Some(newCond), hint)
                 Some(Project(j.output, newJoin))
               case _ => None
             }
           case _ => None
         }
-        rewritten.getOrElse(j)
+        // interval-overlap form: BOTH sides explode to their covered
+        // buckets; a straddling pair would match in several buckets, so
+        // the join keeps only the CANONICAL one — the bucket holding
+        // the overlap start max(lo_l, lo_r), provably inside both
+        // sides' covered ranges for every pair the original predicate
+        // accepts. Dedup is a codegen'd filter, not a distinct shuffle.
+        lazy val overlapForm = if (hasEqui) None else
+          overlapPair(conjuncts, left, right).map { case (loL, lastL, loR, lastR) =>
+            val bkL = AttributeReference("graft_range_bkl", LongType, nullable = false)()
+            val bkR = AttributeReference("graft_range_bkr", LongType, nullable = false)()
+            val genL = Generate(Explode(buckets(loL, lastL)), Nil, outer = false,
+              None, Seq(bkL), left)
+            val genR = Generate(Explode(buckets(loR, lastR)), Nil, outer = false,
+              None, Seq(bkR), right)
+            val canonical = EqualTo(bkL, IntegralDivide(Greatest(Seq(loL, loR)), w))
+            val newCond = And(And(EqualTo(bkL, bkR), canonical), cond)
+            Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+          }
+        pointForm.orElse(overlapForm).getOrElse(j)
     }
   }
 }

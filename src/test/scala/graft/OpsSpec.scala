@@ -1436,6 +1436,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         t -> (0L until 13L).count(k => t >= k * 7 && t <= k * 7 + 13).toLong
       }.filter(_._2 > 0).toMap
       assert(gotB === expB)
+      // interval-OVERLAP joins rewrite too: both sides explode and the
+      // canonical-bucket filter keeps each straddling pair exactly once
+      val ovl = s2.sql(
+        """SELECT a.k AS ak, count(*) AS n, min(b.k) AS mn
+          |FROM (SELECT id AS k, id * 5 AS lo, id * 5 + 8 AS hi FROM range(40)) a
+          |JOIN (SELECT id AS k, id * 7 AS lo, id * 7 + 13 AS hi FROM range(13)) b
+          |  ON a.lo < b.hi AND b.lo < a.hi
+          |GROUP BY a.k ORDER BY ak""".stripMargin)
+      val physO = ovl.queryExecution.executedPlan.toString
+      assert(!physO.contains("BroadcastNestedLoopJoin") && !physO.contains("CartesianProduct"),
+        s"overlap join not rewritten:\n$physO")
+      val gotO = ovl.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expO = (0L until 40L).flatMap { ak =>
+        val bs = (0L until 13L).filter(bk => ak * 5 < bk * 7 + 13 && bk * 7 < ak * 5 + 8)
+        if (bs.isEmpty) None else Some((ak, bs.size.toLong, bs.min))
+      }
+      assert(gotO.toSeq === expO)
       // joins that already have an equi key are left alone
       val equi = s2.sql(
         """SELECT count(*) FROM (SELECT id AS k, id AS t FROM range(50)) a
