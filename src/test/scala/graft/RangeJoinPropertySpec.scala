@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property pins for [[graft.plans.RangeJoinRewrite]]: the rewritten
+  * plans must return EXACTLY the naive predicate's match set for
+  * arbitrary data — negative domains (truncating-division
+  * monotonicity), inverted "intervals" (lo > hi: the predicate pair
+  * is just two inequalities, not interval semantics), empty sides,
+  * boundary ties, and bucket widths from 1 to far-larger-than-range.
+  * Each case is re-derived in pure Scala, never by a second Spark
+  * plan, so a rewrite bug can't cancel itself out.
+  */
+class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var prev: Option[SparkSession] = None
+  @transient lazy val spark: SparkSession = {
+    prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]").appName("graft-rangejoin-prop")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    prev.foreach { a =>
+      SparkSession.setActiveSession(a); SparkSession.setDefaultSession(a)
+    }
+  }
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genCase = for {
+    w <- Gen.oneOf(1L, 3L, 7L, 10L, 1000L)
+    nP <- Gen.choose(0, 25)
+    pts <- Gen.listOfN(nP, Gen.choose(-60L, 100L))
+    nI <- Gen.choose(0, 12)
+    ivs <- Gen.listOfN(nI, for {
+      lo <- Gen.choose(-70L, 90L)
+      len <- Gen.choose(-8L, 35L) // negative = inverted
+    } yield (lo, lo + len))
+  } yield (w, pts, ivs)
+
+  test("point-in-interval rewrite returns the exact match set (strict and BETWEEN)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    check(Prop.forAll(genCase) { case (w, pts, ivs) =>
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", w.toString)
+      val p = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val strict = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expectS = for {
+        (t, i) <- pts.zipWithIndex; ((lo, hi), j) <- ivs.zipWithIndex
+        if t >= lo && t < hi
+      } yield (i.toLong, j.toLong)
+      val btw = p.join(iv, col("t") >= col("lo") && col("t") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expectB = for {
+        (t, i) <- pts.zipWithIndex; ((lo, hi), j) <- ivs.zipWithIndex
+        if t >= lo && t <= hi
+      } yield (i.toLong, j.toLong)
+      // exact multiset equality: a double-emitted straddler would
+      // surface as a duplicate pair
+      strict.sorted.toSeq == expectS.sorted && btw.sorted.toSeq == expectB.sorted
+    }, 8)
+  }
+
+  test("interval-overlap rewrite returns the exact match set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    check(Prop.forAll(genCase) { case (w, pts, ivs) =>
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", w.toString)
+      // reuse pts as a second interval family with width 6
+      val a = pts.zipWithIndex.map { case (lo, i) => (i.toLong, lo, lo + 6L) }
+        .toDF("aid", "alo", "ahi")
+      val b = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("bid", "blo", "bhi")
+      val got = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expect = for {
+        (alo, i) <- pts.zipWithIndex; ((blo, bhi), j) <- ivs.zipWithIndex
+        if alo < bhi && blo < alo + 6L
+      } yield (i.toLong, j.toLong)
+      got.sorted.toSeq == expect.sorted
+    }, 8)
+  }
+
+  test("the rewrite actually fires on these shapes (not silently naive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    val p = Seq((1L, 5L)).toDF("pid", "t")
+    val iv = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val plan = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"))
+    val a = Seq((1L, 0L, 6L)).toDF("aid", "alo", "ahi")
+    val b = Seq((1L, 3L, 9L)).toDF("bid", "blo", "bhi")
+    val plan2 = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("Generate") && !plan2.contains("BroadcastNestedLoopJoin"))
+  }
+}
