@@ -1106,6 +1106,64 @@ object OpsOracles {
          |        ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM d)
          |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    "pipeline_incr" ->
+      s"""WITH $filterCtes,
+         |$minhashSigCtes,
+         |elig AS (SELECT doc_id FROM g WHERE n_fail = 0 AND doc_id % 97 <> 0),
+         |bat AS (SELECT doc_id, CAST(n_fail = 0 AS BIGINT) AS keep_quality
+         |        FROM g WHERE doc_id % 4 = 0 AND doc_id % 97 <> 0),
+         |nbase AS (SELECT s.* FROM sig s JOIN elig USING (doc_id)),
+         |nb AS (
+         |  SELECT doc_id, 0 AS band_i, band0 AS band_v FROM nbase
+         |  UNION ALL SELECT doc_id, 1, band1 FROM nbase
+         |  UNION ALL SELECT doc_id, 2, band2 FROM nbase
+         |  UNION ALL SELECT doc_id, 3, band3 FROM nbase),
+         |pr AS (SELECT doc_id AS doc_new, band_i, band_v FROM nb WHERE doc_id % 4 = 0),
+         |ix AS (SELECT doc_id AS doc_idx, doc_id % 4 = 0 AS idx_new, band_i, band_v FROM nb),
+         |cd AS (
+         |  SELECT DISTINCT doc_new, doc_idx
+         |  FROM pr JOIN ix USING (band_i, band_v)
+         |  WHERE (NOT idx_new OR doc_idx < doc_new) AND doc_idx <> doc_new),
+         |tk AS (
+         |  SELECT doc_id, list_distinct($toks) AS t,
+         |    CAST(len(list_distinct($toks)) AS BIGINT) AS nt
+         |  FROM documents),
+         |vf AS (
+         |  SELECT cd.doc_new, cd.doc_idx,
+         |    CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS inter,
+         |    ta.nt AS nt_a, tb.nt AS nt_b
+         |  FROM cd JOIN tk ta ON cd.doc_new = ta.doc_id
+         |          JOIN tk tb ON cd.doc_idx = tb.doc_id),
+         |ag AS (
+         |  SELECT doc_new, COUNT(*) AS nc,
+         |    MIN(CASE WHEN inter * 2 >= nt_a + nt_b - inter THEN doc_idx END) AS dof
+         |  FROM vf GROUP BY doc_new),
+         |shx AS (SELECT doc_id, unnest($shingles) AS s FROM fd),
+         |bs AS (SELECT DISTINCT s FROM shx WHERE doc_id % 97 = 0),
+         |nh AS (
+         |  SELECT shx.doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+         |  FROM shx JOIN bs USING (s)
+         |  WHERE shx.doc_id % 4 = 0 AND shx.doc_id % 97 <> 0 GROUP BY 1),
+         |fin AS (
+         |  SELECT b.doc_id, b.keep_quality,
+         |    CASE WHEN b.keep_quality = 0 THEN -1
+         |         ELSE COALESCE(ag.nc, 0) END AS n_cands,
+         |    CASE WHEN b.keep_quality = 0 THEN -1
+         |         ELSE COALESCE(ag.dof, -1) END AS dup_of,
+         |    CASE WHEN b.keep_quality = 0
+         |           OR (b.keep_quality = 1 AND COALESCE(ag.dof, -1) <> -1) THEN -1
+         |         ELSE COALESCE(nh.nh, 0) END AS n_hit
+         |  FROM bat b LEFT JOIN ag ON b.doc_id = ag.doc_new
+         |             LEFT JOIN nh ON b.doc_id = nh.doc_id)
+         |SELECT doc_id, keep_quality,
+         |  CAST(n_cands AS BIGINT) AS n_cands, CAST(dup_of AS BIGINT) AS dup_of,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(keep_quality = 1 AND dup_of = -1 AND n_hit < 3 AS BIGINT) AS admitted,
+         |  CASE WHEN keep_quality = 0 THEN 'quality'
+         |       WHEN dup_of <> -1 THEN 'dup'
+         |       WHEN n_hit >= 3 THEN 'contaminated'
+         |       ELSE 'admitted' END AS stage
+         |FROM fin ORDER BY doc_id""".stripMargin,
     "dedup_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest($shingles) AS s FROM d),

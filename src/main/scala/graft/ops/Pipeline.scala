@@ -293,7 +293,95 @@ object Pipeline {
     orphanL.union(orphanO).union(domain).orderBy("rule")
   }
 
+  /** pipeline_incr — the DAILY-INGEST admission audit, end to end:
+    * for each incoming-batch document (doc_id % 4 == 0, benchmark
+    * docs excluded) the staged verdict a production ingest day
+    * produces — quality gate → incremental near-dup probe against the
+    * retained-corpus band index ([[Dedup.incremental]]'s asymmetric
+    * join, restricted to quality-keeping docs on BOTH sides) →
+    * benchmark decontamination ([[Dedup.decontaminate]]'s ≥3-shingle
+    * rule) → admitted. One row per batch doc with reason-coded
+    * `stage` (`quality` / `dup` / `contaminated` / `admitted`) and
+    * the stage metrics; −1 marks stages the doc never reached.
+    *
+    * Scale ledger: one rule-flag scan (map-side), one band equi-join
+    * probe (O(batch × bucket occupancy), corpus-size-independent —
+    * the index is the persisted artifact), one shingle-key shuffle
+    * for the benchmark hits; nothing rescans the historical corpus
+    * beyond the (persistable) signature build.
+    */
+  def incr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.Dedup
+    val docs = Tables(spark, dir, "documents")
+    val isBatch = col("doc_id") % 4 === 0 && col("doc_id") % 97 =!= 0
+    val flagged = TextAnalysis.withRuleFlags(docs).select(col("doc_id"), col("keep"))
+    val batch = flagged.filter(isBatch)
+    val elig = flagged.filter(col("keep") === 1 && col("doc_id") % 97 =!= 0)
+      .select("doc_id")
+    val bandCols = (0 until Dedup.MinhashK / 2).map { j =>
+      concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+    }
+    val banded = Dedup.signatures(spark, dir).join(elig, Seq("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 4 === 0).as("is_new"),
+        posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
+    val probe = banded.filter(col("is_new"))
+      .select(col("doc_id").as("doc_new"), col("band_i"), col("band_v"))
+    val index = banded.select(col("doc_id").as("doc_idx"),
+      col("is_new").as("idx_new"), col("band_i"), col("band_v"))
+    val cands = probe.join(index, Seq("band_i", "band_v"))
+      .filter((!col("idx_new") || col("doc_idx") < col("doc_new")) &&
+        col("doc_idx") =!= col("doc_new"))
+      .select(col("doc_new"), col("doc_idx")).distinct()
+    val toksOf = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(${TextAnalysis.toksExpr})").as("toks"),
+        expr(s"cast(size(array_distinct(${TextAnalysis.toksExpr})) as bigint)").as("nt"))
+    val verdict = cands
+      .join(toksOf.select(col("doc_id").as("doc_new"), col("toks").as("toks_a"),
+        col("nt").as("nt_a")), Seq("doc_new"))
+      .join(toksOf.select(col("doc_id").as("doc_idx"), col("toks").as("toks_b"),
+        col("nt").as("nt_b")), Seq("doc_idx"))
+      .withColumn("inter", expr("cast(size(array_intersect(toks_a, toks_b)) as bigint)"))
+      .withColumn("uni", col("nt_a") + col("nt_b") - col("inter"))
+      .groupBy("doc_new")
+      .agg(count(lit(1)).as("nc"),
+        min(when(col("inter") * 2 >= col("uni"), col("doc_idx"))).as("dof"))
+    val sh = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr(TextAnalysis.toksExpr))
+      .select(col("doc_id"), explode(expr(Dedup.shinglesExpr)).as("s"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select("s").distinct().withColumn("hit", lit(1))
+    val hits = sh.filter(isBatch)
+      .join(bench, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+    batch
+      .join(verdict.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("keep_quality", col("keep"))
+      .withColumn("n_cands",
+        when(col("keep") === 0, -1L).otherwise(coalesce(col("nc"), lit(0L))))
+      .withColumn("dup_of",
+        when(col("keep") === 0, -1L).otherwise(coalesce(col("dof"), lit(-1L))))
+      .withColumn("n_hit",
+        when(col("keep") === 0 || col("dup_of") =!= -1L, -1L)
+          .otherwise(coalesce(col("nh"), lit(0L))))
+      .withColumn("admitted",
+        (col("keep") === 1 && col("dup_of") === -1L && col("n_hit") < 3).cast("long"))
+      .withColumn("stage",
+        when(col("keep") === 0, "quality")
+          .when(col("dup_of") =!= -1L, "dup")
+          .when(col("n_hit") >= 3, "contaminated")
+          .otherwise("admitted"))
+      .select("doc_id", "keep_quality", "n_cands", "dup_of", "n_hit",
+        "admitted", "stage")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_incr" -> (incr _),
     "pipeline_validate" -> (validate _),
     "pipeline_clean" -> (clean _),
     "pipeline_train" -> (train _),

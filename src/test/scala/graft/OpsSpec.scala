@@ -818,6 +818,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("pipeline_incr stages every ingest-day verdict with the right reason") {
+    import spark.implicits._
+    // 25 alpha tokens, >100 chars: passes every quality rule
+    def longText(prefix: String): String =
+      (1 to 25).map(i => f"$prefix$i%02dword").mkString(" ")
+    val benchText = longText("bench")
+    val corpusText = longText("corpus")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pincr_spec").toString
+    Seq(
+      (97L, "en", benchText, "s"),            // benchmark doc (mod 97)
+      (1L, "en", corpusText, "s"),            // retained old corpus
+      (8L, "en", "x", "s"),                   // batch: fails quality
+      (12L, "en", corpusText, "s"),           // batch: near-dup of old 1
+      (4L, "en", benchText, "s"),             // batch: contaminated
+      (16L, "en", longText("fresh"), "s"))    // batch: admitted
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.Pipeline.incr(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    assert(got(8L) === ((0L, -1L, -1L, -1L, 0L, "quality")))
+    assert(got(12L) === ((1L, 1L, 1L, -1L, 0L, "dup")))
+    // contaminated: all 23 shingles of the benchmark doc hit
+    assert(got(4L)._1 === 1L && got(4L)._3 === -1L &&
+      got(4L)._4 >= 3L && got(4L)._6 === "contaminated")
+    assert(got(16L) === ((1L, 0L, -1L, 0L, 1L, "admitted")))
+    assert(got.size === 4) // 97 (benchmark) and 1 (old) are not batch rows
+  }
+
   test("dedup_incremental admits against the corpus index with first-occurrence self-dup resolution") {
     import spark.implicits._
     val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
