@@ -1916,6 +1916,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rPqK = recallOf(topSets(Similarity.pqKmeans(spark, dir)))
     val rIvf = recallOf(topSets(Similarity.ivfTopk(spark, dir)))
     val rLsh = recallOf(topSets(Similarity.lshTopk(spark, dir)))
+    val ivfpqRows = Similarity.ivfpqTopk(spark, dir).collect()
+    // structural validity: dense ranks, ADC ascending within probe
+    ivfpqRows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      val s = rows.sortBy(_.getAs[Long]("rank"))
+      assert(s.map(_.getAs[Long]("rank")).toSeq == (1L to s.length), s"probe $p ranks")
+      val ds = s.map(_.getAs[Long]("adc_d"))
+      assert(ds.zip(ds.drop(1)).forall { case (a, b) => a <= b }, s"probe $p adc order")
+    }
+    // IVF-PQ ranks by L2 (the FAISS default metric), so its ground
+    // truth is the exact L2 top-5, not the cosine top-5 the other
+    // methods target
+    def exactTop5L2(p: Long): Set[Long] = {
+      val pv = vmap(p)
+      vecs.filter(_._1 != p).map { case (id, v) =>
+        val d = pv.indices.foldLeft(0.0) { (acc, i) =>
+          val x = pv(i).toDouble - v(i).toDouble; acc + x * x
+        }
+        (d, id)
+      }.sortBy { case (d, id) => (d, id) }.take(5).map(_._2).toSet
+    }
+    val ivfpqSets = ivfpqRows
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rIvfPq = ivfpqSets.toSeq.map { case (p, got) =>
+      val truth = exactTop5L2(p)
+      (truth intersect got).size.toDouble / truth.size
+    }.sum / ivfpqSets.size
+    info(f"ivf-pq L2 recall@5: $rIvfPq%.3f (ivf=$rIvf%.3f pq=$rPq%.3f)")
+    // measured 0.225 at sf0.01 — an independent numpy replication of
+    // the full pipeline (seed codebook + Lloyd round + 4-cell ADC)
+    // lands on the identical 0.225, so the number is inherent to
+    // 8-byte codes on these near-random synthetic embeddings (the
+    // 4-of-16-cell ceiling alone is 0.632; quantization noise swamps
+    // the tiny neighbor margins unstructured data leaves). The floor
+    // catches an encode/assignment/LUT break, not quality drift.
+    assert(rIvfPq >= 0.15, s"IVF-PQ recall collapsed: $rIvfPq")
     // floors sit below the values measured against full-corpus exact
     // ground truth over each method's own probe set (IVF 0.48, PQ
     // 0.36 at sf0.01 — IVF probes one cell of ~sqrt(n)); they exist
