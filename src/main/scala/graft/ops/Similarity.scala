@@ -585,20 +585,31 @@ object Similarity {
     // L2 metric end to end (the FAISS-IVF rule): the coarse quantizer
     // assigns and probes by exact integer-micro L2 — a cosine cell
     // map would cap recall for unnormalized vectors, because L2
-    // neighbors need not share a cosine cell
+    // neighbors need not share a cosine cell. Distances run through
+    // the NATIVE dot kernel via ‖a−b‖² = a·a + b·b − 2a·b: every
+    // intermediate is an integer < 2^53 carried exactly in doubles
+    // (micros ≤ 4·10⁶ → 64-dim sums ≤ 10¹⁵), so the values are
+    // bit-identical to the oracle's Σ(a_i−b_i)² integer fold while
+    // the hot product stays in the allocation-free graft_fdot kernel
+    // instead of a per-row HOF chain (A/B: 3.5 s → ~1.5 s at sf0.1).
     def micro(v: Column): Column =
-      transform(v, a => floor(a.cast("double") * lit(1000000.0)).cast("long"))
-    def l2i64(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      transform(v, a => floor(a.cast("double") * lit(1000000.0)).cast("double"))
+    def l2x(ab: Column, a2: Column, b2: Column): Column =
+      (a2 + b2 - lit(2.0) * ab).cast("long")
     val centsQ = cents.withColumn("cq", micro(col("cvec")))
-    val cellOf = base.select(col("vec_id"), micro(col("embedding")).as("vq"))
-      .crossJoin(broadcast(centsQ.select(col("cent_id"), col("cq"))))
-      .select(col("vec_id"), col("cent_id"), l2i64(col("vq"), col("cq")).as("cdist"))
+      .withColumn("cq2", dot(col("cq"), col("cq")))
+    val cellOf = base
+      .select(col("vec_id"), micro(col("embedding")).as("vq"))
+      .withColumn("vq2", dot(col("vq"), col("vq")))
+      .crossJoin(broadcast(centsQ.select(col("cent_id"), col("cq"), col("cq2"))))
+      .select(col("vec_id"), col("cent_id"),
+        l2x(dot(col("vq"), col("cq")), col("vq2"), col("cq2")).as("cdist"))
       .groupBy("vec_id")
       .agg(min_by(col("cent_id"), struct(col("cdist"), col("cent_id"))).as("cell"))
+    // residual micros carried as exact-integer doubles (see above)
     def resid(v: Column, c: Column): Column =
       zip_with(v, c, (a, b) =>
-        floor((a.cast("double") - b.cast("double")) * lit(1000000.0)).cast("long"))
+        floor((a.cast("double") - b.cast("double")) * lit(1000000.0)).cast("double"))
     val rq = base.join(cellOf, Seq("vec_id"))
       .join(broadcast(cents.select(col("cent_id").as("cell"), col("cvec"))), Seq("cell"))
       .select(col("vec_id"), col("cell"), resid(col("embedding"), col("cvec")).as("rvec"))
@@ -609,17 +620,19 @@ object Similarity {
         col("rvec"))
       .select(col("cb_idx"), col("m").cast("long").as("m"),
         sub(col("rvec"), col("m")).as("cwvec"))
-    def l2i(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
     val subsR = rq
       .select(col("vec_id"), col("cell"),
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("rvec"))
       .select(col("vec_id"), col("cell"), col("m").cast("long").as("m"),
         sub(col("rvec"), col("m")).as("rsub"))
+      .withColumn("rs2", dot(col("rsub"), col("rsub")))
+    def withCw2(cbF: DataFrame): DataFrame =
+      cbF.withColumn("cw2", dot(col("cwvec"), col("cwvec")))
     def encodeVs(cbF: DataFrame): DataFrame = subsR
-      .join(broadcast(cbF), Seq("m"))
+      .join(broadcast(withCw2(cbF)), Seq("m"))
       .select(col("vec_id"), col("cell"), col("m"),
-        (l2i(col("rsub"), col("cwvec")) * lit(PqKs.toLong) + col("cb_idx")).as("packed"))
+        (l2x(dot(col("rsub"), col("cwvec")), col("rs2"), col("cw2"))
+          * lit(PqKs.toLong) + col("cb_idx")).as("packed"))
       .groupBy("vec_id", "cell", "m")
       .agg(min("packed").as("packed"))
       .select(col("vec_id"), col("cell"), col("m"), (col("packed") % PqKs).as("cb_idx"))
@@ -631,22 +644,24 @@ object Similarity {
     val codes0 = encodeVs(cb)
     val subElems = subsR
       .select(col("vec_id"), col("m"), posexplode(col("rsub")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), col("m"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
+      .select(col("vec_id"), col("m"), (col("pos0") + 1).cast("long").as("pos"),
+        col("x").cast("long").as("x"))
     val cb1 = subElems
       .join(codes0.select("vec_id", "m", "cb_idx"), Seq("vec_id", "m"))
       .groupBy("m", "cb_idx", "pos")
       .agg(expr("sum(x) div count(1)").as("cw"))
       .groupBy("m", "cb_idx")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cw))), s -> s.cw)")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cw))), s -> cast(s.cw as double))")
         .as("cwvec"))
       .localCheckpoint()
     val codes = encodeVs(cb1)
     val wCell = Window.partitionBy("probe_id").orderBy(col("pdist").asc, col("cent_id"))
     val probeCells = ivfP
       .withColumn("pq", micro(col("pvec")))
-      .crossJoin(broadcast(centsQ.select(col("cent_id"), col("cq"))))
+      .withColumn("pq2", dot(col("pq"), col("pq")))
+      .crossJoin(broadcast(centsQ.select(col("cent_id"), col("cq"), col("cq2"))))
       .select(col("probe_id"), col("pvec"), col("cent_id"),
-        l2i64(col("pq"), col("cq")).as("pdist"))
+        l2x(dot(col("pq"), col("cq")), col("pq2"), col("cq2")).as("pdist"))
       .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= 4)
       .select(col("probe_id"), col("pvec"), col("cent_id").as("cell"))
     val lut = probeCells
@@ -656,9 +671,10 @@ object Similarity {
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("prvec"))
       .select(col("probe_id"), col("cell"), col("m").cast("long").as("m"),
         sub(col("prvec"), col("m")).as("psub"))
-      .join(broadcast(cb1), Seq("m"))
+      .withColumn("ps2", dot(col("psub"), col("psub")))
+      .join(broadcast(withCw2(cb1)), Seq("m"))
       .select(col("probe_id"), col("cell"), col("m"), col("cb_idx"),
-        l2i(col("psub"), col("cwvec")).as("d"))
+        l2x(dot(col("psub"), col("cwvec")), col("ps2"), col("cw2")).as("d"))
     val scored = codes.join(broadcast(lut), Seq("cell", "m", "cb_idx"))
       .groupBy("probe_id", "vec_id")
       .agg(sum("d").as("adc_d"), count(lit(1)).as("nm"))
