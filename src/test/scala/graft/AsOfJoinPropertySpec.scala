@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property pins for the hand-written [[graft.plans.AsOfJoinExec]]
+  * merge loop — the riskiest code path in the engine (mutable
+  * buffered-row state per partition). Arbitrary key/time/tie data:
+  * duplicate timestamps per key, keys present on only one side,
+  * empty sides, single-row partitions, ties that must resolve to the
+  * greatest (time, tie). Each case is checked against an in-memory
+  * Scala reference, with the shuffle forced across 4 partitions so
+  * the per-partition merge really runs on split data.
+  */
+class AsOfJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genCase = for {
+    nL <- Gen.choose(0, 40)
+    left <- Gen.listOfN(nL, for {
+      k <- Gen.choose(0L, 6L) // few keys -> heavy per-key traffic
+      t <- Gen.choose(-20L, 50L)
+    } yield (k, t))
+    nR <- Gen.choose(0, 40)
+    right <- Gen.listOfN(nR, for {
+      k <- Gen.choose(0L, 8L) // some keys absent on the left
+      rt <- Gen.choose(-20L, 50L)
+    } yield (k, rt))
+  } yield (left, right)
+
+  test("as-of merge equals the in-memory reference on arbitrary data") {
+    import spark.implicits._
+    check(Prop.forAll(genCase) { case (left, right) =>
+      val l = left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "lkey", "lt").repartition(4, org.apache.spark.sql.functions.col("lkey"))
+      val r = right.zipWithIndex.map { case ((k, rt), i) => (i.toLong + 1000L, k, rt) }
+        .toDF("rid", "rkey", "rt")
+      val lp = l.queryExecution.analyzed
+      val rp = r.queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val j = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+        graft.plans.AsOfJoin(lp, rp, a(lp, "lkey"), a(lp, "lt"),
+          a(rp, "rkey"), a(rp, "rt"), a(rp, "rid")))
+      val got = j.select("lid", "rid").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      val expect = left.zipWithIndex.map { case ((k, t), i) =>
+        val cands = right.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+        val best =
+          if (cands.isEmpty) -1L
+          else cands.maxBy { case ((_, rt), ri) => (rt, ri) }._2.toLong + 1000L
+        i.toLong -> best
+      }.toMap
+      got == expect
+    }, 12)
+  }
+}
