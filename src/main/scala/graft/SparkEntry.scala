@@ -21,6 +21,7 @@ object SparkEntry {
     "q5_join" -> (Queries.q5Join _),
     "q_window" -> (Queries.qWindow _),
     "q_sessionize" -> (Queries.qSessionize _),
+    "q_session_native" -> (Queries.qSessionNative _),
     "q_tumbling" -> (Queries.qTumbling _),
     "q_distinct" -> (Queries.qDistinct _),
     "q_topk_orders" -> (Queries.qTopkOrders _),
@@ -66,6 +67,30 @@ object SparkEntry {
   /** Exact integer cents expression, DuckDB dialect. */
   private def C(x: String) = s"CAST(FLOOR(($x)*100) AS BIGINT)"
   private def SUMC(x: String) = s"CAST(SUM(${C(x)}) AS BIGINT)"
+
+  /** Shared by q_sessionize (lag/cumsum windows) and q_session_native
+    * (the built-in session_window operator).
+    */
+  private val sessionizeOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+       |    ${C("value")} AS value_c
+       |  FROM events),
+       |s AS (
+       |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+       |                   OR sec - lag(sec) OVER w > 1800
+       |            THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |t AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM s)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
+       |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+       |FROM t GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
 
   /** Shared by q_asof (union-and-window) and q_asof_native (the
     * custom physical operator) — one SQL, two engines' worth of
@@ -134,26 +159,9 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, rn""".stripMargin,
-    "q_sessionize" ->
-      s"""WITH e AS (
-         |  SELECT event_id, user_id,
-         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
-         |    ${C("value")} AS value_c
-         |  FROM events),
-         |s AS (
-         |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
-         |                   OR sec - lag(sec) OVER w > 1800
-         |            THEN 1 ELSE 0 END AS is_new
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
-         |t AS (
-         |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM s)
-         |SELECT user_id, session_id, COUNT(*) AS n_events,
-         |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
-         |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
-         |FROM t GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+    "q_sessionize" -> sessionizeOracle,
+    // the built-in session_window path certifies against the SAME SQL
+    "q_session_native" -> sessionizeOracle,
     "q_tumbling" ->
       s"""WITH e AS (
          |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,

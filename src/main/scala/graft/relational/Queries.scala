@@ -252,6 +252,35 @@ object Queries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q_session_native — [[qSessionize]]'s EXACT semantics through
+    * Spark's BUILT-IN `session_window` operator (the
+    * prefer-built-ins-first principle: the gap-merge is a native
+    * streaming-capable aggregation, no lag/cumsum window chain).
+    * Boundary semantics verified empirically: session_window MERGES
+    * an event arriving exactly `gap` after the previous one (split
+    * iff diff > gap), which is precisely the window formulation's
+    * strict `sec − prev > 1800` rule at gap = 1800 — an exact-1801
+    * event pair in the corpus pins it. Ordinal session ids come from one
+    * bounded per-user window over the SESSION frame (rows =
+    * sessions, not events). Shares q_sessionize's oracle VERBATIM —
+    * one SQL certifies the hand-built and the built-in paths.
+    */
+  def qSessionNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), nsToSec(col("ts")).as("sec"),
+        cents(col("value")).as("value_c"))
+      .withColumn("ets", timestamp_seconds(col("sec")))
+    val w = Window.partitionBy("user_id").orderBy(col("session_window.start"))
+    e.groupBy(col("user_id"), session_window(col("ets"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+        sum(col("value_c")).as("sum_value_c"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("dur_sec"), col("sum_value_c"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** q_tumbling — 1-hour tumbling-window aggregation over events
     * (batch twin of the Structured Streaming version).
     */

@@ -645,6 +645,50 @@ object EventStreams {
     * ingest, where arriving files ARE roughly event-time ordered.
     * Shares the stream_session oracle verbatim.
     */
+  /** stream_session_native — sessionization through Spark's BUILT-IN
+    * streaming `session_window` aggregation (the merging-window state
+    * store) beside the custom flatMapGroupsWithState machine: the
+    * prefer-built-ins principle applied to the hardest streaming op.
+    * Boundary semantics pinned by the batch twin
+    * ([[graft.relational.Queries.qSessionNative]]): session_window
+    * MERGES an event arriving exactly `gap` after the previous one,
+    * so gap = 1800 s reproduces the strict `> 1800` split rule.
+    * Append mode + 30-min watermark: sessions emit exactly once,
+    * finalized, and state evicts at the watermark (update mode is
+    * unsupported for session windows). A bounded drain would
+    * otherwise strand every session inside the final watermark
+    * horizon (13 on this corpus), so the feed ends with one sentinel
+    * "punctuation" event a day past the corpus — it advances the
+    * GLOBAL watermark so the tail flushes, and its own single-event
+    * session is dropped at read by its sentinel user id. Shares the
+    * stream_session oracle verbatim.
+    */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val evs = typedEvents(spark, dir).collect().toSeq
+    val sentinel = Ev(-1L, -1L, evs.map(_.sec).max + 86400L, 0L, "flush")
+    input.addData(evs :+ sentinel)
+    val agg = input.toDS().toDF()
+      .withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ets"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("session_start"),
+        (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+        sum(col("value_c")).as("sum_value_c"))
+    val sink = sinkName("stream_session_native")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("dur_sec"), col("sum_value_c"))
+      .orderBy("user_id", "session_start")
+  }
+
   def sessionFile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = new java.io.File("/dev/shm")
@@ -985,6 +1029,7 @@ object EventStreams {
     "stream_tumbling" -> (tumbling _),
     "stream_tumbling_file" -> (tumblingFile _),
     "stream_session" -> (session _),
+    "stream_session_native" -> (sessionNative _),
     "stream_session_file" -> (sessionFile _),
     "stream_dedup" -> (dedup _),
     "stream_dedup_wm" -> (dedupWm _),
@@ -1119,6 +1164,7 @@ object EventStreams {
         |FROM e GROUP BY bucket_h, event_type
         |ORDER BY bucket_h, event_type""".stripMargin,
     "stream_session" -> sessionOracle,
+    "stream_session_native" -> sessionOracle,
     // the chronological multi-batch file-source drain must reproduce
     // the identical sessions — shares the oracle verbatim
     "stream_session_file" -> sessionOracle

@@ -596,6 +596,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch === Set((4L, 1L, 1L, 0L), (8L, 0L, -1L, 1L), (12L, 1L, 8L, 0L)))
   }
 
+  test("native session_window merges across real micro-batches to the custom sessionizer's output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = allEvents.sortBy(e => (e.sec, e.event_id))
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val sentinel = EventStreams.Ev(-1L, -1L, evs.map(_.sec).max + 86400L, 0L, "flush")
+    val input = MemoryStream[EventStreams.Ev]
+    val agg = input.toDS().toDF()
+      .withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ets"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"), min(col("sec")).as("session_start"),
+        (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+        sum(col("value_c")).as("sum_value_c"))
+    val q = agg.writeStream.format("memory").queryName("sess_native_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    // two REAL chronological micro-batches + the flush sentinel: a
+    // session straddling the batch edge must merge in the state store
+    input.addData(h1); q.processAllAvailable()
+    input.addData(h2 :+ sentinel); q.processAllAvailable()
+    q.stop()
+    val live = spark.table("sess_native_spec").filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "n_events", "dur_sec", "sum_value_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val custom = EventStreams.session(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(live === custom && live.nonEmpty)
+  }
+
   test("sessionsOf splits on the strict 30-min gap boundary") {
     import EventStreams._
     val evs = Seq(
