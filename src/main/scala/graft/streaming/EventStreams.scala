@@ -582,6 +582,91 @@ object EventStreams {
     graft.ops.Sampling.medianPick(spark.table(sink))
   }
 
+  /** stream_range_join — [[graft.relational.Queries.qRangeJoin]]'s
+    * bucketed no-equi-key containment join LIVE: each arriving event
+    * maps scan-side to its single domain bucket and stream-static
+    * equi-joins the STATIC exploded interval frame (the persisted
+    * bucket index — ≤2 rows per interval); the exact range predicate
+    * is a stateless post-filter, so the only stateful operator is the
+    * per-event verdict aggregation (bounded by the events in flight
+    * on the bounded drain; an unbounded deployment would window it).
+    * Events with no containing interval re-enter at read (the batch
+    * op's inner-join semantics are restored by construction: COUNT
+    * over zero rows). Shares q_range_join's oracle verbatim.
+    */
+  def rangeJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W = 7L * 86400L
+    val iv = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("lo"))
+      .withColumn("hi", col("lo") + W)
+      .withColumn("bk", explode(expr(s"sequence(lo div $W, (hi - 1) div $W)")))
+    val input = MemoryStream[Long]
+    input.addData(Tables(spark, dir, "events")
+      .select(col("event_id")).as[Long].collect().toSeq)
+    val verdict = input.toDF().toDF("event_id")
+      .withColumn("t", lit(788918400L) + (col("event_id") % 2400) * 86400L)
+      .withColumn("bk", expr(s"t div $W"))
+      .join(iv, Seq("bk"))
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_orderkey").as("min_orderkey"),
+        sum("o_orderkey").as("sum_orderkey"))
+    val sink = sinkName("stream_range_join")
+    val q = verdict.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("event_id")
+  }
+
+  /** stream_asof — the as-of enrichment LIVE: each arriving event is
+    * stream-static equi-joined on its key against the static orders
+    * frame, the `osec <= t` bound is a stateless filter, and the
+    * winning row is the per-event max of the packed (osec, orderkey)
+    * order — the same greatest-(time, tie) rule as the batch
+    * [[graft.relational.Queries.qAsof]] and the native operator,
+    * resolved by ONE aggregation instead of buffered state. Events
+    * with no prior order rejoin at read with the −1 sentinel. Shares
+    * q_asof's oracle verbatim — three independent implementations
+    * (union-window, custom SparkPlan, stream-static) against one SQL.
+    */
+  def asofStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ord = Tables(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("key"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"),
+      col("o_orderkey"))
+    val input = MemoryStream[(Long, Long)]
+    input.addData(Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id")).as[(Long, Long)].collect().toSeq)
+    val verdict = input.toDF().toDF("event_id", "user_id")
+      .withColumn("key", (col("user_id") % 100 + 1).cast("long"))
+      .withColumn("t", lit(788918400L) + (col("event_id") % 2400) * 86400L)
+      .join(ord, Seq("key"))
+      .filter(col("osec") <= col("t"))
+      .groupBy("event_id", "key")
+      .agg(max_by(col("o_orderkey"), struct(col("osec"), col("o_orderkey")))
+          .as("asof_orderkey"),
+        max("osec").as("asof_osec"))
+    val sink = sinkName("stream_asof")
+    val q = verdict.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    Tables(spark, dir, "events")
+      .select(col("event_id"), (col("user_id") % 100 + 1).cast("long").as("key"))
+      .join(spark.table(sink).select("event_id", "asof_orderkey", "asof_osec"),
+        Seq("event_id"), "left")
+      .select(col("event_id"), col("key"),
+        coalesce(col("asof_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(col("asof_osec"), lit(-1L)).as("asof_osec"))
+      .orderBy("event_id")
+  }
+
   /** stream_topk — continuous leaderboard: top-10 users by total
     * event value, re-ranked every trigger (Complete mode supports the
     * post-aggregation sort+limit). State is the running per-user
@@ -1020,6 +1105,8 @@ object EventStreams {
     "stream_join" -> (joinStatic _),
     "stream_sj" -> (streamStreamJoin _),
     "stream_topk" -> (topk _),
+    "stream_range_join" -> (rangeJoinStream _),
+    "stream_asof" -> (asofStream _),
     "stream_cms" -> (cmsStream _),
     "stream_hll" -> (hllStream _),
     "stream_volume_stats" -> (volumeStats _),
@@ -1165,6 +1252,44 @@ object EventStreams {
         |ORDER BY bucket_h, event_type""".stripMargin,
     "stream_session" -> sessionOracle,
     "stream_session_native" -> sessionOracle,
+    // same SQL as the batch q_range_join / q_asof rows (duplicated
+    // text: referencing SparkEntry.oracleSql here would recurse — it
+    // merges this map)
+    "stream_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, 788918400 + (event_id % 2400) * 86400 AS t FROM events),
+        |iv AS (
+        |  SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS lo,
+        |    epoch_us(o_orderdate) // 1000000 + 604800 AS hi
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT event_id, COUNT(*) AS n_orders,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+        |FROM ev JOIN iv ON t >= lo AND t < hi
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "stream_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+        |    788918400 + (event_id % 2400) * 86400 AS t,
+        |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+        |  FROM events),
+        |ord AS (
+        |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+        |    epoch_us(o_orderdate) // 1000000 AS t,
+        |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+        |  FROM orders),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+        |m AS (
+        |  SELECT *,
+        |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+        |    last_value(osec IGNORE NULLS) OVER w AS asof_osec
+        |  FROM u WINDOW w AS (PARTITION BY key
+        |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, key,
+        |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
+        |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
+        |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin,
     // the chronological multi-batch file-source drain must reproduce
     // the identical sessions — shares the oracle verbatim
     "stream_session_file" -> sessionOracle

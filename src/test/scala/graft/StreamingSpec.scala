@@ -596,6 +596,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch === Set((4L, 1L, 1L, 0L), (8L, 0L, -1L, 1L), (12L, 1L, 8L, 0L)))
   }
 
+  test("stream_range_join and stream_asof equal their batch twins on the bounded drain") {
+    val liveR = EventStreams.rangeJoinStream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchR = Queries.qRangeJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(liveR === batchR && liveR.nonEmpty)
+    val liveA = EventStreams.asofStream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchA = Queries.qAsof(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(liveA === batchA && liveA.exists(_._3 == -1L))
+  }
+
   test("native session_window merges across real micro-batches to the custom sessionizer's output") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
