@@ -576,6 +576,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live === batch && live.nonEmpty)
   }
 
+  test("incr-dedup verdict aggregation merges across triggers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // same fixture as the single-trigger spec, but the BATCH arrives
+    // in two real triggers: doc 4's candidate set and verdict must
+    // come out identical (Complete-mode agg state merges per doc)
+    val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tb = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sincr2_spec").toString
+    Seq((1L, "en", ta, "s"), (4L, "en", ta, "s"),
+        (8L, "en", tb, "s"), (12L, "en", tb, "s"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // drive the operator's internals with a split feed: reuse the
+    // public op for the expectation, then a manual two-trigger run
+    val expect = EventStreams.incrDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expect === Set((4L, 1L, 1L, 0L), (8L, 0L, -1L, 1L), (12L, 0L, -1L, 1L)))
+    val newDocs = Tables(spark, tmp, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[EventStreams.Doc].collect().toSeq.sortBy(_.doc_id)
+    val (h1, h2) = newDocs.splitAt(1)
+    val got = EventStreams.incrDedupDriven(spark, tmp, Seq(h1, h2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+  }
+
   test("stream_incr_dedup admits against the static index only (no in-batch arm)") {
     import spark.implicits._
     val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
