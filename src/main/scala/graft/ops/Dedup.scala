@@ -700,14 +700,30 @@ object Dedup {
     * occupancy), independent of corpus size; the [[BandCap]] star
     * mitigation applies unchanged if boilerplate buckets go hot.
     */
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
+  /** The banded frame [[incremental]] probes: (doc_id, is_new,
+    * band_i, band_v). At 100 TB this IS the persisted index artifact
+    * (append-only, band-value-keyed); the artifact-fidelity spec
+    * writes it to parquet, reloads it, and proves identical verdicts.
+    */
+  private[graft] def incrementalBands(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val bandCols = (0 until MinhashK / 2).map { j =>
       concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
     }
-    val banded = signatures(spark, dir)
+    signatures(spark, dir)
       .select(col("doc_id"), (col("doc_id") % 4 === 0).as("is_new"),
         posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
+  }
+
+  def incremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalVs(spark, dir, incrementalBands(spark, dir))
+
+  /** [[incremental]] against an explicit banded frame — the seam the
+    * persisted-index spec drives with a written-and-reloaded copy.
+    */
+  private[graft] def incrementalVs(spark: SparkSession, dir: String,
+      banded: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val probe = banded.filter(col("is_new"))
       .select(col("doc_id").as("doc_new"), col("band_i"), col("band_v"))
     val index = banded.select(col("doc_id").as("doc_idx"),

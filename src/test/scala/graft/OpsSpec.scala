@@ -847,6 +847,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size === 4) // 97 (benchmark) and 1 (old) are not batch rows
   }
 
+  test("the band index survives a parquet round trip with identical verdicts") {
+    // the 100 TB claim is that the banded frame is a PERSISTED
+    // artifact probed across ingest days: write it to disk, reload,
+    // and the admission table must be bit-identical
+    val inline = graft.ops.Dedup.incremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bandidx_spec").toString
+    graft.ops.Dedup.incrementalBands(spark, dir)
+      .write.mode("overwrite").parquet(s"$tmp/band_index.parquet")
+    val reloaded = spark.read.parquet(s"$tmp/band_index.parquet")
+    val viaDisk = graft.ops.Dedup.incrementalVs(spark, dir, reloaded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(inline.nonEmpty && viaDisk.toSeq === inline.toSeq)
+  }
+
   test("dedup_incremental admits against the corpus index with first-occurrence self-dup resolution") {
     import spark.implicits._
     val ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
