@@ -59,7 +59,7 @@ object Bench {
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
     "pipeline_export", "pipeline_incr",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
-    "stats_ks_drift", "stats_exact_median",
+    "stats_ks_drift", "stats_exact_median", "stats_label_errors",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
     "sim_hybrid_rrf", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",

@@ -181,6 +181,42 @@ object OpsOracles {
        |    + stop_ratio * CAST(0.1 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_u
        |  FROM qr)""".stripMargin
 
+  /** The two-table k-NN edge CTE chain ending in
+    * `r(vec_id, nbr_id, cos_u, rank)` — shared by sim_knn_graph and
+    * stats_label_errors. Second bucketing: the same plan-time
+    * lshPlane ±1 coefficients Similarity.bucketT(KnnTable2, ·) uses,
+    * masked to the bit count nb derives from COUNT(*). UNION (not
+    * ALL) dedups cross-table pairs: identical payloads.
+    */
+  private lazy val knnCtes: String = {
+    val planeBucket = (0 until 24).map { j =>
+      val proj = Similarity.lshPlane(Similarity.KnnTable2, j).map { case (dd, s) =>
+        s"CAST($s.0 AS DOUBLE) * CAST(embedding[$dd] AS DOUBLE)"
+      }.mkString(" + ")
+      s"CASE WHEN $j < nb.nbits THEN CAST(($proj) > 0.0 AS BIGINT) * ${1L << j} ELSE 0 END"
+    }.mkString("\n     + ")
+    s"""$bucketedDynCte,
+       |b2 AS (SELECT vec_id, embedding, $planeBucket AS bucket
+       |       FROM embeddings, nb),
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
+       |         ${cosU("a.embedding", "a2.embedding")} AS cos_u
+       |  FROM b a JOIN b a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
+       |         ${cosU("a.embedding", "a2.embedding")} AS cos_u
+       |  FROM b2 a JOIN b2 a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id),
+       |e AS (
+       |  SELECT id_a AS vec_id, id_b AS nbr_id, cos_u FROM pr
+       |  UNION ALL
+       |  SELECT id_b AS vec_id, id_a AS nbr_id, cos_u FROM pr),
+       |r AS (
+       |  SELECT vec_id, nbr_id, cos_u,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_u DESC, nbr_id) AS BIGINT) AS rank
+       |  FROM e)""".stripMargin
+  }
+
   /** Shared PII regexes / filter thresholds (see [[TextAnalysis]]). */
   private val ePat = TextAnalysis.emailPat
   private val iPat = TextAnalysis.ipPat
@@ -1810,40 +1846,34 @@ object OpsOracles {
          |  doc_id, maxsim_u, n_qt
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
-    "sim_knn_graph" -> {
-      // Second bucketing: the same plan-time lshPlane ±1 coefficients
-      // Similarity.bucketT(KnnTable2, ·) uses, masked to the bit
-      // count nb derives from COUNT(*) (bit j depends only on j).
-      val planeBucket = (0 until 24).map { j =>
-        val proj = Similarity.lshPlane(Similarity.KnnTable2, j).map { case (dd, s) =>
-          s"CAST($s.0 AS DOUBLE) * CAST(embedding[$dd] AS DOUBLE)"
-        }.mkString(" + ")
-        s"CASE WHEN $j < nb.nbits THEN CAST(($proj) > 0.0 AS BIGINT) * ${1L << j} ELSE 0 END"
-      }.mkString("\n     + ")
-      // UNION (not ALL) dedups cross-table pairs: identical payloads
-      s"""WITH $bucketedDynCte,
-         |b2 AS (SELECT vec_id, embedding, $planeBucket AS bucket
-         |       FROM embeddings, nb),
-         |pr AS (
-         |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
-         |         ${cosU("a.embedding", "a2.embedding")} AS cos_u
-         |  FROM b a JOIN b a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id
-         |  UNION
-         |  SELECT a.vec_id AS id_a, a2.vec_id AS id_b,
-         |         ${cosU("a.embedding", "a2.embedding")} AS cos_u
-         |  FROM b2 a JOIN b2 a2 ON a.bucket = a2.bucket AND a.vec_id < a2.vec_id),
-         |e AS (
-         |  SELECT id_a AS vec_id, id_b AS nbr_id, cos_u FROM pr
-         |  UNION ALL
-         |  SELECT id_b AS vec_id, id_a AS nbr_id, cos_u FROM pr),
-         |r AS (
-         |  SELECT vec_id, nbr_id, cos_u,
-         |    CAST(row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_u DESC, nbr_id) AS BIGINT) AS rank
-         |  FROM e)
+    "sim_knn_graph" ->
+      s"""WITH $knnCtes
          |SELECT vec_id, rank, nbr_id, cos_u FROM r
-         |WHERE rank <= ${Similarity.KnnK} ORDER BY vec_id, rank""".stripMargin
-    },
+         |WHERE rank <= ${Similarity.KnnK} ORDER BY vec_id, rank""".stripMargin,
+    "stats_label_errors" ->
+      s"""WITH $knnCtes,
+         |kn AS (SELECT vec_id, nbr_id FROM r WHERE rank <= ${Similarity.KnnK}),
+         |lv AS (SELECT kn.vec_id, CAST(e2.label AS BIGINT) AS nl
+         |       FROM kn JOIN embeddings e2 ON kn.nbr_id = e2.vec_id),
+         |vc AS (SELECT vec_id, nl, COUNT(*) AS c FROM lv GROUP BY 1, 2),
+         |mj AS (SELECT vec_id, nl AS maj_label, CAST(c AS BIGINT) AS n_maj FROM vc
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nl) = 1),
+         |nnb AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs FROM kn GROUP BY 1),
+         |agr AS (SELECT lv.vec_id, CAST(COUNT(*) AS BIGINT) AS n_agree
+         |        FROM lv JOIN embeddings l ON lv.vec_id = l.vec_id
+         |        WHERE lv.nl = CAST(l.label AS BIGINT) GROUP BY 1)
+         |SELECT emb.vec_id, CAST(emb.label AS BIGINT) AS label,
+         |  CAST(COALESCE(nnb.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+         |  CAST(COALESCE(mj.maj_label, -1) AS BIGINT) AS maj_label,
+         |  CAST(COALESCE(mj.n_maj, 0) AS BIGINT) AS n_maj,
+         |  CAST(COALESCE(agr.n_agree, 0) AS BIGINT) AS n_agree,
+         |  CAST(COALESCE(mj.maj_label, -1) <> CAST(emb.label AS BIGINT)
+         |    AND COALESCE(mj.n_maj, 0) * 2 > COALESCE(nnb.n_nbrs, 0) AS BIGINT) AS flagged
+         |FROM embeddings emb
+         |LEFT JOIN nnb ON emb.vec_id = nnb.vec_id
+         |LEFT JOIN mj ON emb.vec_id = mj.vec_id
+         |LEFT JOIN agr ON emb.vec_id = agr.vec_id
+         |ORDER BY emb.vec_id""".stripMargin,
     "sim_ivfpq_topk" -> {
       val d = Similarity.PqD
       def l2i(a: String, b: String) =

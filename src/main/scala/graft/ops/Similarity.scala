@@ -374,6 +374,48 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** stats_label_errors — k-NN label-error screening (the
+    * cleanlab-style data-quality gate): a vector whose neighborhood
+    * votes for a DIFFERENT label than its own is a likely annotation
+    * error. Votes come from the existing [[knnGraph]] (guaranteed-
+    * degree two-table LSH k-NN — never all-pairs); the majority label
+    * is a deterministic max_by (count, then smaller label), and a
+    * vector is flagged when a STRICT majority of its neighbors
+    * disagrees. Isolated vectors (no bucket peer in either table)
+    * keep −1/0 sentinels and are never flagged. Beyond the k-NN
+    * stage, everything is one narrow join + three bounded
+    * aggregations keyed by vec_id — map-side combinable at any
+    * corpus size.
+    */
+  def labelErrors(spark: SparkSession, dir: String): DataFrame = {
+    val kn = knnGraph(spark, dir).select("vec_id", "nbr_id")
+    val labels = emb(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val lv = kn.join(labels.select(col("vec_id").as("nbr_id"), col("label").as("nl")),
+      Seq("nbr_id")).select("vec_id", "nl")
+    val vc = lv.groupBy("vec_id", "nl").agg(count(lit(1)).as("c"))
+    val mj = vc.groupBy("vec_id")
+      .agg(max_by(col("nl"), struct(col("c"), (-col("nl")).as("neg"))).as("maj_label"),
+        max("c").as("n_maj"))
+    val nn = kn.groupBy("vec_id").agg(count(lit(1)).as("n_nbrs"))
+    val ag = lv.join(labels, Seq("vec_id"))
+      .filter(col("nl") === col("label"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_agree"))
+    labels
+      .join(nn, Seq("vec_id"), "left")
+      .join(mj, Seq("vec_id"), "left")
+      .join(ag, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("maj_label"), lit(-1L)).as("maj_label"),
+        coalesce(col("n_maj"), lit(0L)).as("n_maj"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("flagged",
+        (col("maj_label") =!= col("label") &&
+          col("n_maj") * 2 > col("n_nbrs")).cast("long"))
+      .orderBy("vec_id")
+  }
+
   /** Hamming shortlist size for [[hammingTopk]]'s exact rerank. */
   val HamShortlist = 50
 
@@ -1574,6 +1616,7 @@ object Similarity {
     "sim_pq_topk" -> (pqTopk _),
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),
+    "stats_label_errors" -> (labelErrors _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_topk" -> (lshTopk _),
     "sim_pairs_thresh" -> (pairsThresh _),

@@ -640,6 +640,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === expect)
   }
 
+  test("label-error flags match a majority-vote re-derivation over the knn graph") {
+    import spark.implicits._
+    val labels = Tables(spark, dir, "embeddings").select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap.view.mapValues(_.toLong).toMap
+    val edges = Similarity.knnGraph(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = graft.ops.Similarity.labelErrors(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.size === labels.size)
+    labels.foreach { case (v, own) =>
+      val nbrs = edges.getOrElse(v, Seq.empty).map(labels)
+      val (expMaj, expCnt) =
+        if (nbrs.isEmpty) (-1L, 0L)
+        else {
+          val grouped = nbrs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          val m = grouped.minBy { case (l, c) => (-c, l) }
+          (m._1, m._2)
+        }
+      val expAgree = nbrs.count(_ == own).toLong
+      val expFlag = if (expMaj != own && expCnt * 2 > nbrs.size) 1L else 0L
+      assert(got(v) === ((own, nbrs.size.toLong, expMaj, expCnt, expAgree, expFlag)),
+        s"vec $v")
+    }
+    // the screen is non-trivial on this corpus: both flag arms occur
+    assert(got.values.exists(_._6 == 1L) && got.values.exists(_._6 == 0L))
+  }
+
   test("hamming ANN distances are exact and recall stays above the floor") {
     import spark.implicits._
     val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
