@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.LongType
   * retained range predicate. A Project restores the original output,
   * so the rewrite is invisible to the query.
   *
-  * Guards: inner joins only; the range pair must be the ONLY
+  * Guards: inner joins (plus LEFT/RIGHT OUTER when the preserved side
+  * is the un-exploded point side); the range pair must be the ONLY
   * cross-side conjuncts apart from other non-equi residuals (if any
   * equi conjunct exists Spark already plans a hash join — and the
   * rewrite's own EqualTo makes it idempotent); `t`, `lo`, `hi` must be
@@ -117,7 +118,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
+      // Inner always; LEFT OUTER only when the PRESERVED side is the
+      // point side (a point maps to exactly one bucket, so unmatched
+      // preserved rows emit exactly once with nulls; the interval
+      // side's Generate would duplicate a preserved unmatched
+      // interval) — symmetrically RIGHT OUTER. The overlap form
+      // explodes BOTH sides, so it stays Inner-only.
+      case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter), Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
         // any cross-side equi conjunct -> Spark already hash-joins
         val hasEqui = conjuncts.exists {
@@ -146,10 +153,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 val gen = Generate(Explode(buckets(lo, last)), Nil, outer = false,
                   None, Seq(bk), ivChild)
                 val newCond = And(EqualTo(IntegralDivide(t, w), bk), cond)
-                val newJoin =
-                  if (tSide) Join(left, gen, Inner, Some(newCond), hint)
-                  else Join(gen, right, Inner, Some(newCond), hint)
-                Some(Project(j.output, newJoin))
+                // outer joins: only when the preserved side is the
+                // un-exploded point side
+                val typeOk = jt == Inner ||
+                  (jt == LeftOuter && tSide) || (jt == RightOuter && !tSide)
+                if (!typeOk) None else {
+                  val newJoin =
+                    if (tSide) Join(left, gen, jt, Some(newCond), hint)
+                    else Join(gen, right, jt, Some(newCond), hint)
+                  Some(Project(j.output, newJoin))
+                }
               case _ => None
             }
           case _ => None
@@ -160,7 +173,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // the overlap start max(lo_l, lo_r), provably inside both
         // sides' covered ranges for every pair the original predicate
         // accepts. Dedup is a codegen'd filter, not a distinct shuffle.
-        lazy val overlapForm = if (hasEqui) None else
+        lazy val overlapForm = if (hasEqui || jt != Inner) None else
           overlapPair(conjuncts, left, right).map { case (loL, lastL, loR, lastR) =>
             val bkL = AttributeReference("graft_range_bkl", LongType, nullable = false)()
             val bkR = AttributeReference("graft_range_bkr", LongType, nullable = false)()

@@ -98,6 +98,45 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }, 8)
   }
 
+  test("left-outer point joins rewrite with exact null-arm preservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    check(Prop.forAll(genCase) { case (w, pts, ivs) =>
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", w.toString)
+      val p = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"), "left")
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      val expect = pts.zipWithIndex.flatMap { case (t, i) =>
+        val ms = ivs.zipWithIndex.collect {
+          case ((lo, hi), j) if t >= lo && t < hi => (i.toLong, j.toLong)
+        }
+        if (ms.isEmpty) Seq((i.toLong, -1L)) else ms
+      }
+      got.sorted.toSeq == expect.sorted
+    }, 8)
+    // the left-outer rewrite actually fires (the naive BNLJ LeftOuter
+    // would also return correct rows - plan shape is the claim)
+    val pf = Seq((1L, 5L)).toDF("pid", "t")
+    val ivf = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val lp = pf.join(ivf, col("t") >= col("lo") && col("t") < col("hi"), "left")
+      .queryExecution.executedPlan.toString
+    assert(lp.contains("Generate") && !lp.contains("BroadcastNestedLoopJoin"), lp)
+    // and the outer-preserving-the-INTERVAL side is NOT rewritten (a
+    // Generate would duplicate unmatched preserved intervals)
+    val p1 = Seq((1L, 5L)).toDF("pid", "t")
+    val i1 = Seq((1L, 0L, 10L), (2L, 90L, 95L)).toDF("iid", "lo", "hi")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    val rightPreserved = p1.join(i1,
+      org.apache.spark.sql.functions.col("t") >= org.apache.spark.sql.functions.col("lo") &&
+        org.apache.spark.sql.functions.col("t") < org.apache.spark.sql.functions.col("hi"),
+      "right")
+    assert(!rightPreserved.queryExecution.optimizedPlan.toString.contains("graft_range_bk"))
+    assert(rightPreserved.count() === 2L) // unmatched interval kept once
+  }
+
   test("the rewrite actually fires on these shapes (not silently naive)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
