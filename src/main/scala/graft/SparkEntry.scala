@@ -94,31 +94,11 @@ object SparkEntry {
 
   /** Shared by q_asof (union-and-window) and q_asof_native (the
     * custom physical operator) — one SQL, two engines' worth of
-    * independent implementations.
+    * independent implementations; the TEXT lives in
+    * [[graft.relational.SharedOracles]] because the streaming twin
+    * certifies against it too.
     */
-  private val asofOracle: String =
-    s"""WITH ev AS (
-       |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
-       |    788918400 + (event_id % 2400) * 86400 AS t,
-       |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
-       |  FROM events),
-       |ord AS (
-       |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
-       |    epoch_us(o_orderdate) // 1000000 AS t,
-       |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
-       |  FROM orders),
-       |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
-       |m AS (
-       |  SELECT *,
-       |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
-       |    last_value(osec IGNORE NULLS) OVER w AS asof_osec
-       |  FROM u WINDOW w AS (PARTITION BY key
-       |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |SELECT event_id, key,
-       |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
-       |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
-       |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
+  private val asofOracle: String = graft.relational.SharedOracles.asof
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -222,18 +202,7 @@ object SparkEntry {
     // the native physical operator certifies against the SAME oracle
     // as the union-and-window composition
     "q_asof_native" -> asofOracle,
-    "q_range_join" ->
-      s"""WITH ev AS (
-         |  SELECT event_id, 788918400 + (event_id % 2400) * 86400 AS t FROM events),
-         |iv AS (
-         |  SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS lo,
-         |    epoch_us(o_orderdate) // 1000000 + 604800 AS hi
-         |  FROM orders WHERE o_orderpriority = '1-URGENT')
-         |SELECT event_id, COUNT(*) AS n_orders,
-         |  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
-         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
-         |FROM ev JOIN iv ON t >= lo AND t < hi
-         |GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "q_range_join" -> graft.relational.SharedOracles.rangeJoin,
     "q_interval_join" ->
       s"""WITH a AS (
          |  SELECT o_orderkey AS a_key, epoch_us(o_orderdate) // 1000000 AS a_lo,

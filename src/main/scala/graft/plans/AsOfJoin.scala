@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -43,11 +44,30 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 /** Maps the logical [[AsOfJoin]] to [[AsOfJoinExec]] — injected via
   * [[graft.GraftExtensions]] and (idempotently) via
   * `spark.experimental.extraStrategies`.
+  *
+  * The exec reads keys/times via `UnsafeRow.getLong`, which silently
+  * yields 0 for a null slot — a null key would become a real (0, 0)
+  * row and corrupt the join with no error. The strategy therefore
+  * ENFORCES the LongType half of the operator's contract at plan time
+  * (planning fails loudly otherwise); the null half is enforced at
+  * runtime by the exec, whose eval projections wrap any nullable
+  * expression in [[AssertNotNull]] — in the projection only, NOT in
+  * the declared distribution/ordering, so a bucketed layout's
+  * hashpartitioning(key) still satisfies the requirement and the
+  * Exchange-free read-back is preserved.
   */
 object AsOfJoinStrategy extends SparkStrategy {
+  private def typed(e: Expression, role: String): Expression = {
+    require(e.dataType == org.apache.spark.sql.types.LongType,
+      s"graft AsOfJoin: $role must be LongType, got ${e.dataType.simpleString} ($e)")
+    e
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, lt, rk, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+      AsOfJoinExec(planLater(l), planLater(r),
+        typed(lk, "leftKey"), typed(lt, "leftTime"),
+        typed(rk, "rightKey"), typed(rt, "rightTime"), typed(tie, "rightTie")) :: Nil
     case _ => Nil
   }
 }
@@ -77,10 +97,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  /** A null key/time would read back from the UnsafeRow as a real 0
+    * and silently corrupt the join — guard nullable inputs so the
+    * query FAILS on a null instead. Applied only inside the eval
+    * projections (never in the declared distribution/ordering, which
+    * must stay semantically equal to a bucketed child's partitioning).
+    */
+  private def notNull(e: Expression, role: String): Expression =
+    if (e.nullable)
+      AssertNotNull(e, Seq(s"graft AsOfJoin $role — filter null keys/times upstream"))
+    else e
+
   override protected def doExecute(): RDD[InternalRow] = {
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lEval = UnsafeProjection.create(Seq(leftKey, leftTime), left.output)
-      val rEval = UnsafeProjection.create(Seq(rightKey, rightTime), right.output)
+      val lEval = UnsafeProjection.create(
+        Seq(notNull(leftKey, "leftKey"), notNull(leftTime, "leftTime")), left.output)
+      val rEval = UnsafeProjection.create(
+        Seq(notNull(rightKey, "rightKey"), notNull(rightTime, "rightTime")), right.output)
       // bind against the node's OWN output: the right attributes are
       // nullable there, so the projection null-checks the null-row
       // fields even when the child schema declares them non-nullable

@@ -1,10 +1,12 @@
 package graft.plans
 
+import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Max}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: rewrite a point-in-interval join with NO equi-key
   *
@@ -20,26 +22,61 @@ import org.apache.spark.sql.types.LongType
   * condition as BroadcastNestedLoopJoin (or a cartesian product): the
   * O(n·m) shape that is fine at notebook scale and fatal at 100 TB.
   *
-  * The rewrite fixes a bucket width W on the shared (long) domain,
-  * explodes each interval row to `sequence(lo div W, (hi-1) div W)`
-  * bucket ids via a [[Generate]], and joins on
-  * `t div W = bucket` plus the ORIGINAL range condition. Truncating
-  * division is monotone, so every point's single bucket lies within
-  * its matching interval's bucket range — each qualifying pair
-  * materializes exactly once and the join output is the true match
-  * set; non-qualifying same-bucket pairs are discarded by the
-  * retained range predicate. A Project restores the original output,
-  * so the rewrite is invisible to the query.
+  * The rewrite fixes a bucket width W on the shared domain (LongType
+  * natively; TimestampType / TimestampNTZType are widened to epoch
+  * microseconds, which is exact — micros IS the internal timestamp
+  * precision, so `t < hi` ⟺ `micros(t) <= micros(hi) - 1`), explodes
+  * each interval row to `sequence(lo div W, (hi-1) div W)` bucket ids
+  * via a [[Generate]], and joins on `t div W = bucket` plus the
+  * ORIGINAL range condition. Truncating division is monotone, so
+  * every point's single bucket lies within its matching interval's
+  * bucket range — each qualifying pair materializes exactly once and
+  * the join output is the true match set; non-qualifying same-bucket
+  * pairs are discarded by the retained range predicate. A Project
+  * restores the original output, so the rewrite is invisible to the
+  * query.
+  *
+  * == Bucket width & replication bound ==
+  *
+  * Replication per interval row is span/W + 1, so an ill-chosen W is
+  * a blowup (a 7-day interval over a micros domain at W=604800 is a
+  * million-way explode; an accidental nanos-vs-seconds pairing worse).
+  * By default (`spark.graft.rangeJoin.adaptiveWidth=true`) the rule
+  * therefore derives W from the data with a one-off plan-time
+  * pre-pass over the interval side — a column-pruned global aggregate
+  * computing the max and approximate-median of
+  * `greatest(last - lo, 0)` (memoized per canonicalized child, so
+  * repeated optimizer batches and re-plans don't re-scan):
+  *
+  *   W = max(1, medianSpan, maxSpan/cap + 1),  cap = maxBucketsPerRow
+  *
+  * The median term balances buckets (≈2 buckets per typical
+  * interval); the maxSpan/cap term HARD-BOUNDS every row's explode at
+  * `cap`+1 ids, so no data distribution can exceed Spark's sequence
+  * limit or OOM an executor — W is a free parameter, so raising it
+  * never affects correctness, only bucket fan-out. With adaptivity
+  * off the configured `spark.graft.rangeJoin.bucketWidth` is used,
+  * but the same pre-pass still guards it: if maxSpan/W would exceed
+  * the cap the rule logs and declines the rewrite (the query keeps
+  * its original BNLJ plan rather than exploding). Inverted intervals
+  * (lo > hi) clamp to a single bucket id — the retained predicate
+  * rejects them anyway, and an unclamped descending `sequence` over a
+  * garbage span is exactly the blowup the guard exists to stop.
+  * Streaming interval sides cannot be pre-scanned; they use the
+  * configured width unguarded (documented limitation — set the width
+  * explicitly for streams).
   *
   * Guards: inner joins (plus LEFT/RIGHT OUTER when the preserved side
   * is the un-exploded point side); the range pair must be the ONLY
   * cross-side conjuncts apart from other non-equi residuals (if any
-  * equi conjunct exists Spark already plans a hash join — and the
-  * rewrite's own EqualTo makes it idempotent); `t`, `lo`, `hi` must be
-  * deterministic LongType expressions each referencing exactly one
-  * side. W comes from `spark.graft.rangeJoin.bucketWidth` (default
-  * 604800 = 7 days of epoch seconds; set it near the median interval
-  * length — replication per interval row is len/W + 1).
+  * equi conjunct — EqualTo or EqualNullSafe — exists Spark already
+  * plans a hash join, and the rewrite's own EqualTo makes it
+  * idempotent); `t`, `lo`, `hi` must be deterministic Long- or
+  * timestamp-typed expressions each referencing exactly one side.
+  * `spark.graft.rangeJoin.bucketWidth` (default 604800) must be
+  * positive — otherwise the rule logs and disables itself (W=0 under
+  * non-ANSI IntegralDivide yields nulls and an inner join that
+  * silently matches NOTHING; never risk that).
   * `spark.graft.rangeJoin.enabled=false` switches the rule off.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
@@ -47,27 +84,54 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
 
-  private def width: Long =
+  private def configuredWidth: Long =
     conf.getConfString("spark.graft.rangeJoin.bucketWidth", "604800").toLong
 
-  /** (point expr t, interval lo, exclusive-upper-bucket bound): the
-    * lower bound is `t >= lo`; the upper bound is `t < hi` (bucket
-    * range ends at (hi-1) div W) or `t <= hi` — the parser's
-    * `BETWEEN lo AND hi` form — (bucket range ends at hi div W).
-    * Either written order/orientation of each comparison is accepted.
-    * Returns (t, lo, lastBucketBoundExclusiveMinusOne) where the
-    * third element is the expression E with last bucket = E div W.
+  private def adaptive: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.adaptiveWidth", "true").toBoolean
+
+  private def maxBucketsPerRow: Long =
+    conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRow", "4096").toLong
+
+  /** Normalize a comparison operand to the shared Long bucket domain.
+    * Timestamps widen to epoch micros (exact: micros is the internal
+    * precision of both timestamp types). Anything else: not ours.
+    */
+  private def norm(e: Expression): Option[Expression] = e.dataType match {
+    case LongType => Some(e)
+    case TimestampType => Some(UnixMicros(e))
+    case TimestampNTZType =>
+      // NTZ -> TZ at the session zone is monotone non-decreasing
+      // (DST overlaps merge instants, never reorder them), which is
+      // all bucket coverage needs; the retained original predicate
+      // compares the untouched NTZ values.
+      Some(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))))
+    case _ => None
+  }
+
+  /** (point expr t, interval lo, exclusive-upper-bucket bound), all in
+    * the normalized Long domain: the lower bound is `t >= lo`; the
+    * upper bound is `t < hi` (bucket range ends at (hi-1) div W) or
+    * `t <= hi` — the parser's `BETWEEN lo AND hi` form — (bucket
+    * range ends at hi div W). Either written order/orientation of
+    * each comparison is accepted. Returns (t, lo, last) where
+    * last div W is the final covered bucket.
     */
   private def rangePair(conjuncts: Seq[Expression]): Option[(Expression, Expression, Expression)] = {
-    val geq = conjuncts.collect {
-      case GreaterThanOrEqual(t, lo) => (t, lo)
-      case LessThanOrEqual(lo, t) => (t, lo)
+    def n2(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      for (an <- norm(a); bn <- norm(b)) yield (an, bn)
+    val geq = conjuncts.flatMap {
+      case GreaterThanOrEqual(t, lo) => n2(t, lo)
+      case LessThanOrEqual(lo, t) => n2(t, lo)
+      case _ => None
     }
-    val upper = conjuncts.collect {
-      case LessThan(t, hi) => (t, Subtract(hi, Literal(1L, LongType)))
-      case GreaterThan(hi, t) => (t, Subtract(hi, Literal(1L, LongType)))
-      case LessThanOrEqual(t, hi) => (t, hi)
-      case GreaterThanOrEqual(hi, t) => (t, hi)
+    def m1(e: Expression) = Subtract(e, Literal(1L, LongType))
+    val upper = conjuncts.flatMap {
+      case LessThan(t, hi) => n2(t, hi).map { case (tn, hn) => (tn, m1(hn)) }
+      case GreaterThan(hi, t) => n2(t, hi).map { case (tn, hn) => (tn, m1(hn)) }
+      case LessThanOrEqual(t, hi) => n2(t, hi)
+      case GreaterThanOrEqual(hi, t) => n2(t, hi)
+      case _ => None
     }
     (for {
       (t1, lo) <- geq
@@ -87,8 +151,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Interval-OVERLAP pattern: two cross-side less-thans in opposite
     * directions (`a.lo < b.hi AND b.lo < a.hi`, strict or inclusive) —
     * each side is an interval. Returns
-    * (loLeft, lastLeft, loRight, lastRight) where each `last` is the
-    * expression E with last covered bucket = E div W.
+    * (loLeft, lastLeft, loRight, lastRight), all normalized Long,
+    * where each `last` is the expression E with last covered bucket
+    * = E div W.
     */
   private def overlapPair(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Expression, Expression)] = {
@@ -100,10 +165,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(y, x) => Some((x, y, false))
       case _ => None
     }.flatMap { case (x, y, strict) =>
-      if (x.dataType != LongType || y.dataType != LongType) None
-      else (sideOf(x, l, r), sideOf(y, l, r)) match {
-        case (Some(xs), Some(ys)) if xs != ys => Some((x, y, strict, xs))
-        case _ => None
+      (for (xn <- norm(x); yn <- norm(y)) yield (xn, yn)) match {
+        case Some((xn, yn)) => (sideOf(xn, l, r), sideOf(yn, l, r)) match {
+          case (Some(xs), Some(ys)) if xs != ys => Some((xn, yn, strict, xs))
+          case _ => None
+        }
+        case None => None
       }
     }
     val lr = lts.filter(_._4)   // x on left, y on right: left.lo < right.hi
@@ -115,8 +182,81 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
              loR, if (strictR) minus1(hiR) else hiR)).headOption
   }
 
+  // ---- plan-time span statistics (adaptive width + blowup guard) ----
+
+  /** (maxSpan, medianSpan) memo keyed by canonicalized (plan, lo,
+    * last) hashes. A hash collision can only mis-size W — W never
+    * affects correctness — and the map is tiny (LRU 64).
+    */
+  private val statsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, Int, Int), (Long, Long)](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, Int), (Long, Long)]): Boolean = size() > 64
+    })
+
+  private[graft] def clearStatsCache(): Unit = statsCache.clear()
+
+  /** Runs the column-pruned global aggregate
+    * `SELECT max(s), approx_percentile(s, 0.5) FROM iv` with
+    * `s = greatest(last - lo, 0)`. Returns (-1,-1) for an empty
+    * interval side. One driver-blocking job per DISTINCT interval
+    * child per session lifetime (memoized); the scan reads only the
+    * bound columns.
+    */
+  private def spanStats(ivPlan: LogicalPlan, lo: Expression, last: Expression): (Long, Long) = {
+    val key = (ivPlan.canonicalized.hashCode, lo.canonicalized.hashCode,
+      last.canonicalized.hashCode)
+    val cached = statsCache.get(key)
+    if (cached != null) return cached
+    val span = Greatest(Seq(Subtract(last, lo), Literal(0L, LongType)))
+    val agg = Aggregate(Nil, Seq(
+      Alias(Max(span).toAggregateExpression(), "graft_mx")(),
+      Alias(new ApproximatePercentile(span, Literal(0.5d)).toAggregateExpression(),
+        "graft_med")()), ivPlan)
+    val row = GraftPlanBridge.ofRows(SparkSession.active, agg).collect().head
+    val res = if (row.isNullAt(0)) (-1L, -1L) else (row.getLong(0), row.getLong(1))
+    statsCache.put(key, res)
+    res
+  }
+
+  /** Decide the bucket width for a rewrite whose exploding interval
+    * side(s) are `ivSides` (plan, lo, last). Some(w) = rewrite with
+    * width w; None = decline the rewrite (guard tripped).
+    */
+  private def chooseWidth(ivSides: Seq[(LogicalPlan, Expression, Expression)]): Option[Long] = {
+    val wConf = configuredWidth
+    val cap = math.max(1L, maxBucketsPerRow)
+    if (ivSides.exists(_._1.isStreaming)) return Some(wConf)
+    val stats = ivSides.map { case (p, lo, last) =>
+      try spanStats(p, lo, last) catch {
+        case e: Exception =>
+          logWarning(s"graft range-join span pre-pass failed (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); falling back to configured bucket width")
+          (-2L, -2L)
+      }
+    }
+    if (stats.exists(_._1 == -2L)) return Some(wConf)
+    val known = stats.filter(_._1 >= 0L)
+    if (known.isEmpty) return Some(wConf) // empty interval side: any W is fine
+    val mx = known.map(_._1).max
+    val med = known.map(_._2).max
+    if (adaptive) Some(math.max(1L, math.max(med, mx / cap + 1L)))
+    else if (mx / wConf + 1L > cap) {
+      logWarning(s"graft range-join rewrite declined: max interval span $mx at " +
+        s"bucketWidth=$wConf exceeds maxBucketsPerRow=$cap buckets per row; " +
+        "enable spark.graft.rangeJoin.adaptiveWidth or raise the width")
+      None
+    } else Some(wConf)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    if (configuredWidth <= 0L) {
+      logWarning(s"spark.graft.rangeJoin.bucketWidth=$configuredWidth is not positive; " +
+        "range-join rewrite disabled (W=0 would bucket-join NOTHING under non-ANSI " +
+        "integral division)")
+      return plan
+    }
     plan.transform {
       // Inner always; LEFT OUTER only when the PRESERVED side is the
       // point side (a point maps to exactly one bucket, so unmatched
@@ -133,39 +273,47 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               case (Some(x), Some(y)) => x != y
               case _ => false
             }
+          case EqualNullSafe(a, b) =>
+            (sideOf(a, left, right), sideOf(b, left, right)) match {
+              case (Some(x), Some(y)) => x != y
+              case _ => false
+            }
           case _ => false
         }
-        lazy val w = Literal(width, LongType)
         // Sequence is TimeZoneAwareExpression: a None zone is fine out
         // of the parser (ResolveTimeZone fills it) but UNRESOLVED when
-        // inserted by an optimizer rule
-        def buckets(lo: Expression, last: Expression): Expression =
-          new Sequence(IntegralDivide(lo, w), IntegralDivide(last, w))
+        // inserted by an optimizer rule. The Greatest clamp collapses
+        // inverted intervals (last < lo) to one bucket id instead of a
+        // descending sequence over a garbage span.
+        def buckets(lo: Expression, last: Expression, w: Literal): Expression = {
+          val loDiv = IntegralDivide(lo, w)
+          new Sequence(loDiv, Greatest(Seq(IntegralDivide(last, w), loDiv)))
             .withTimeZone(conf.sessionLocalTimeZone)
+        }
         val pointForm = if (hasEqui) None else rangePair(conjuncts).flatMap {
-          case (t, lo, last) if t.dataType == LongType &&
-              lo.dataType == LongType && last.dataType == LongType =>
+          case (t, lo, last) =>
             (sideOf(t, left, right), sideOf(lo, left, right), sideOf(last, left, right)) match {
               case (Some(tSide), Some(ivSide), Some(ivSide2))
                   if ivSide == ivSide2 && tSide != ivSide =>
-                val bk = AttributeReference("graft_range_bk", LongType, nullable = false)()
                 val ivChild = if (tSide) right else left
-                val gen = Generate(Explode(buckets(lo, last)), Nil, outer = false,
-                  None, Seq(bk), ivChild)
-                val newCond = And(EqualTo(IntegralDivide(t, w), bk), cond)
                 // outer joins: only when the preserved side is the
                 // un-exploded point side
                 val typeOk = jt == Inner ||
                   (jt == LeftOuter && tSide) || (jt == RightOuter && !tSide)
-                if (!typeOk) None else {
+                if (!typeOk) None
+                else chooseWidth(Seq((ivChild, lo, last))).map { wv =>
+                  val w = Literal(wv, LongType)
+                  val bk = AttributeReference("graft_range_bk", LongType, nullable = false)()
+                  val gen = Generate(Explode(buckets(lo, last, w)), Nil, outer = false,
+                    None, Seq(bk), ivChild)
+                  val newCond = And(EqualTo(IntegralDivide(t, w), bk), cond)
                   val newJoin =
                     if (tSide) Join(left, gen, jt, Some(newCond), hint)
                     else Join(gen, right, jt, Some(newCond), hint)
-                  Some(Project(j.output, newJoin))
+                  Project(j.output, newJoin)
                 }
               case _ => None
             }
-          case _ => None
         }
         // interval-overlap form: BOTH sides explode to their covered
         // buckets; a straddling pair would match in several buckets, so
@@ -174,16 +322,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // sides' covered ranges for every pair the original predicate
         // accepts. Dedup is a codegen'd filter, not a distinct shuffle.
         lazy val overlapForm = if (hasEqui || jt != Inner) None else
-          overlapPair(conjuncts, left, right).map { case (loL, lastL, loR, lastR) =>
-            val bkL = AttributeReference("graft_range_bkl", LongType, nullable = false)()
-            val bkR = AttributeReference("graft_range_bkr", LongType, nullable = false)()
-            val genL = Generate(Explode(buckets(loL, lastL)), Nil, outer = false,
-              None, Seq(bkL), left)
-            val genR = Generate(Explode(buckets(loR, lastR)), Nil, outer = false,
-              None, Seq(bkR), right)
-            val canonical = EqualTo(bkL, IntegralDivide(Greatest(Seq(loL, loR)), w))
-            val newCond = And(And(EqualTo(bkL, bkR), canonical), cond)
-            Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+          overlapPair(conjuncts, left, right).flatMap { case (loL, lastL, loR, lastR) =>
+            chooseWidth(Seq((left, loL, lastL), (right, loR, lastR))).map { wv =>
+              val w = Literal(wv, LongType)
+              val bkL = AttributeReference("graft_range_bkl", LongType, nullable = false)()
+              val bkR = AttributeReference("graft_range_bkr", LongType, nullable = false)()
+              val genL = Generate(Explode(buckets(loL, lastL, w)), Nil, outer = false,
+                None, Seq(bkL), left)
+              val genR = Generate(Explode(buckets(loR, lastR, w)), Nil, outer = false,
+                None, Seq(bkR), right)
+              val canonical = EqualTo(bkL, IntegralDivide(Greatest(Seq(loL, loR)), w))
+              val newCond = And(And(EqualTo(bkL, bkR), canonical), cond)
+              Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+            }
           }
         pointForm.orElse(overlapForm).getOrElse(j)
     }

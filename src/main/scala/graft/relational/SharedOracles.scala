@@ -1,0 +1,58 @@
+package graft.relational
+
+/** Oracle SQL shared by BATCH and STREAMING twins of the same
+  * operator. The invariant "one SQL certifies N independent
+  * implementations" only holds if the text physically cannot drift —
+  * so the strings live here, referenced by BOTH
+  * [[graft.SparkEntry.oracleSql]] and
+  * [[graft.streaming.EventStreams]]'s oracle map (EventStreams cannot
+  * reference SparkEntry.oracleSql directly: SparkEntry MERGES the
+  * streaming map, so that reference would recurse).
+  */
+object SharedOracles {
+
+  /** q_asof / q_asof_native / stream_asof — THREE independent as-of
+    * implementations (union-and-window, the native AsOfJoinExec
+    * physical operator, stream-static max-of-packed aggregation)
+    * certified against this one SQL.
+    */
+  val asof: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+      |    788918400 + (event_id % 2400) * 86400 AS t,
+      |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+      |  FROM events),
+      |ord AS (
+      |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+      |    epoch_us(o_orderdate) // 1000000 AS t,
+      |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+      |  FROM orders),
+      |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+      |m AS (
+      |  SELECT *,
+      |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+      |    last_value(osec IGNORE NULLS) OVER w AS asof_osec
+      |  FROM u WINDOW w AS (PARTITION BY key
+      |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, key,
+      |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
+      |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
+      |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
+
+  /** q_range_join / stream_range_join — the bucketed no-equi-key
+    * containment join, batch and live, against one SQL.
+    */
+  val rangeJoin: String =
+    """WITH ev AS (
+      |  SELECT event_id, 788918400 + (event_id % 2400) * 86400 AS t FROM events),
+      |iv AS (
+      |  SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS lo,
+      |    epoch_us(o_orderdate) // 1000000 + 604800 AS hi
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT event_id, COUNT(*) AS n_orders,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+      |FROM ev JOIN iv ON t >= lo AND t < hi
+      |GROUP BY event_id ORDER BY event_id""".stripMargin
+}

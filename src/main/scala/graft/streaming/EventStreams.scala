@@ -1262,44 +1262,12 @@ object EventStreams {
         |ORDER BY bucket_h, event_type""".stripMargin,
     "stream_session" -> sessionOracle,
     "stream_session_native" -> sessionOracle,
-    // same SQL as the batch q_range_join / q_asof rows (duplicated
-    // text: referencing SparkEntry.oracleSql here would recurse — it
-    // merges this map)
-    "stream_range_join" ->
-      """WITH ev AS (
-        |  SELECT event_id, 788918400 + (event_id % 2400) * 86400 AS t FROM events),
-        |iv AS (
-        |  SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS lo,
-        |    epoch_us(o_orderdate) // 1000000 + 604800 AS hi
-        |  FROM orders WHERE o_orderpriority = '1-URGENT')
-        |SELECT event_id, COUNT(*) AS n_orders,
-        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
-        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
-        |FROM ev JOIN iv ON t >= lo AND t < hi
-        |GROUP BY event_id ORDER BY event_id""".stripMargin,
-    "stream_asof" ->
-      """WITH ev AS (
-        |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
-        |    788918400 + (event_id % 2400) * 86400 AS t,
-        |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
-        |  FROM events),
-        |ord AS (
-        |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
-        |    epoch_us(o_orderdate) // 1000000 AS t,
-        |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
-        |  FROM orders),
-        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
-        |m AS (
-        |  SELECT *,
-        |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
-        |    last_value(osec IGNORE NULLS) OVER w AS asof_osec
-        |  FROM u WINDOW w AS (PARTITION BY key
-        |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, key,
-        |  CAST(COALESCE(asof_orderkey, -1) AS BIGINT) AS asof_orderkey,
-        |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
-        |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // same SQL as the batch q_range_join / q_asof rows — the TEXT is
+    // hoisted into graft.relational.SharedOracles so the batch and
+    // streaming twins physically cannot drift (referencing
+    // SparkEntry.oracleSql here would recurse — it merges this map)
+    "stream_range_join" -> graft.relational.SharedOracles.rangeJoin,
+    "stream_asof" -> graft.relational.SharedOracles.asof,
     // the chronological multi-batch file-source drain must reproduce
     // the identical sessions — shares the oracle verbatim
     "stream_session_file" -> sessionOracle

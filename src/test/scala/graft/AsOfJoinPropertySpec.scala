@@ -77,4 +77,52 @@ class AsOfJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       got == expect
     }, 12)
   }
+
+  private def asofDf(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+      lk: String, lt: String, rk: String, rt: String, tie: String) = {
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp, a(lp, lk), a(lp, lt), a(rp, rk), a(rp, rt), a(rp, tie)))
+  }
+
+  test("nullable-typed but null-free inputs pass the plan-time null guard") {
+    import spark.implicits._
+    // Option[Long] encoder -> nullable LongType columns; the strategy
+    // wraps them in AssertNotNull, which must be a pass-through here
+    val l = Seq((1L, Option(5L), Option(1L))).toDF("lid", "lkey", "lt")
+    val r = Seq((100L, Option(5L), Option(3L))).toDF("rid", "rkey", "rt")
+    val got = asofDf(l, r, "lkey", "lt", "rkey", "rt", "rid")
+      .select("lid", "rid").collect()
+    assert(got.length === 1 && got(0).isNullAt(1)) // rt=3 > lt=1: no match
+  }
+
+  test("a null key/time raises at runtime instead of joining as (0,0)") {
+    import spark.implicits._
+    val l = Seq((1L, Option(0L), Option(1L)), (2L, Option.empty[Long], Option(2L)))
+      .toDF("lid", "lkey", "lt")
+    val r = Seq((100L, Option(0L), Option(0L))).toDF("rid", "rkey", "rt")
+    // without the AssertNotNull wrap, UnsafeRow.getLong turns the null
+    // key into 0 and row lid=2 silently matches rid=100
+    val e = intercept[Exception] {
+      asofDf(l, r, "lkey", "lt", "rkey", "rt", "rid").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.toLowerCase.contains("null")), e.toString)
+  }
+
+  test("a non-LongType bound expression fails planning loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 5, 1L)).toDF("lid", "lkey", "lt") // lkey is IntegerType
+    val r = Seq((100L, 5, 0L)).toDF("rid", "rkey", "rt")
+    val e = intercept[Throwable] {
+      asofDf(l, r, "lkey", "lt", "rkey", "rt", "rid").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("must be LongType")), e.toString)
+  }
 }

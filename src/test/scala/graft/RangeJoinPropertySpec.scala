@@ -57,6 +57,7 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.col
     check(Prop.forAll(genCase) { case (w, pts, ivs) =>
       spark.conf.set("spark.graft.rangeJoin.bucketWidth", w.toString)
+      spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
       val p = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
       val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
         .toDF("iid", "lo", "hi")
@@ -83,6 +84,7 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.col
     check(Prop.forAll(genCase) { case (w, pts, ivs) =>
       spark.conf.set("spark.graft.rangeJoin.bucketWidth", w.toString)
+      spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
       // reuse pts as a second interval family with width 6
       val a = pts.zipWithIndex.map { case (lo, i) => (i.toLong, lo, lo + 6L) }
         .toDF("aid", "alo", "ahi")
@@ -103,6 +105,7 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.col
     check(Prop.forAll(genCase) { case (w, pts, ivs) =>
       spark.conf.set("spark.graft.rangeJoin.bucketWidth", w.toString)
+      spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
       val p = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
       val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
         .toDF("iid", "lo", "hi")
@@ -129,6 +132,7 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val p1 = Seq((1L, 5L)).toDF("pid", "t")
     val i1 = Seq((1L, 0L, 10L), (2L, 90L, 95L)).toDF("iid", "lo", "hi")
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
     val rightPreserved = p1.join(i1,
       org.apache.spark.sql.functions.col("t") >= org.apache.spark.sql.functions.col("lo") &&
         org.apache.spark.sql.functions.col("t") < org.apache.spark.sql.functions.col("hi"),
@@ -141,6 +145,7 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
     val p = Seq((1L, 5L)).toDF("pid", "t")
     val iv = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
     val plan = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
@@ -151,5 +156,109 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan2 = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
       .queryExecution.executedPlan.toString
     assert(plan2.contains("Generate") && !plan2.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("adaptive width bounds per-row replication on huge spans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 1e12-wide interval at the configured W=1 would be a
+    // 10^12-element sequence (query death); the plan-time pre-pass
+    // must derive a sane W instead
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "1")
+    spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "true")
+    val p = Seq((1L, 5L), (2L, 999999999999L), (3L, -7L)).toDF("pid", "t")
+    val iv = Seq((10L, 0L, 1000000000000L), (11L, 500L, 1000000000500L))
+      .toDF("iid", "lo", "hi")
+    val q = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = q.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 10L), (2L, 10L), (2L, 11L)))
+  }
+
+  test("static width declines the rewrite past the bucket cap instead of exploding") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "1")
+    spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
+    val p = Seq((1L, 5L)).toDF("pid", "t")
+    val iv = Seq((10L, 0L, 1000000000L)).toDF("iid", "lo", "hi") // 1e9 buckets at W=1
+    val q = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_range_bk"))
+    assert(q.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L)))
+  }
+
+  test("non-positive width disables the rule but never silently empties the join") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    for (w <- Seq("0", "-5")) {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", w)
+      spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
+      val p = Seq((1L, 5L)).toDF("pid", "t")
+      val iv = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
+      val q = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("graft_range_bk"))
+      // the W=0 failure mode this guards: IntegralDivide by 0 -> null
+      // bucket ids -> an inner join that matches NOTHING
+      assert(q.count() === 1L)
+    }
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "604800")
+  }
+
+  test("inverted intervals clamp to one bucket id (no descending-sequence blowup)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
+    // lo div W - (hi-1) div W ~ 2.8e11: un-clamped this is a
+    // 10^11-element DESCENDING sequence per probe of the row
+    val p = Seq((1L, 5L)).toDF("pid", "t")
+    val iv = Seq((10L, 0L, 10L), (11L, 1000000000000L, -1000000000000L))
+      .toDF("iid", "lo", "hi")
+    val q = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(q.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L)))
+  }
+
+  test("timestamp-typed range joins rewrite via the epoch-micros widening") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "true")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val p = Seq((1L, ts(5000L)), (2L, ts(15000L)), (3L, ts(10000L)))
+      .toDF("pid", "t")
+    val iv = Seq((10L, ts(0L), ts(10000L)), (11L, ts(9000L), ts(20000L)))
+      .toDF("iid", "lo", "hi")
+    val strict = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+    val plan = strict.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(strict.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 10L), (2L, 11L), (3L, 11L)))
+    // BETWEEN (inclusive) on timestamps: the hi-boundary row joins
+    val btw = p.join(iv, col("t") >= col("lo") && col("t") <= col("hi"))
+    assert(btw.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(btw.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 10L), (2L, 11L), (3L, 10L), (3L, 11L)))
+  }
+
+  test("a cross-side null-safe equality suppresses the rewrite (hash join exists)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
+    val p = Seq((1L, 5L, 9L)).toDF("pid", "t", "pk")
+    val iv = Seq((10L, 0L, 10L, 9L)).toDF("iid", "lo", "hi", "ik")
+    val q = p.join(iv, col("pk") <=> col("ik") &&
+      col("t") >= col("lo") && col("t") < col("hi"))
+    // the rewrite's Generate+explode would be pure overhead on top of
+    // the hash-joinable null-safe key
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_range_bk"))
+    assert(q.count() === 1L)
   }
 }
