@@ -57,7 +57,7 @@ object Bench {
     "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
-    "pipeline_export", "pipeline_incr",
+    "pipeline_export", "pipeline_incr", "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",

@@ -43,7 +43,13 @@ object KtxBinary {
       .map(_.toByte)
 
   private def pathOf(bz: Long, by: Long, bx: Long): String =
-    ((Levels - 2) to 0 by -1).map { lv =>
+    pathOfAt(Levels, bz, by, bx)
+
+  /** Octant digit string of a block that lives at pyramid `level`
+    * (level-1 digits; the level-1 root is the empty string).
+    */
+  private[octree] def pathOfAt(level: Int, bz: Long, by: Long, bx: Long): String =
+    ((level - 2) to 0 by -1).map { lv =>
       def bit(b: Long) = ((b - 1) >> lv) & 1L
       (1L + bit(bx) + 2L * bit(by) + 4L * bit(bz)).toString
     }.mkString
@@ -66,10 +72,17 @@ object KtxBinary {
     * [[OctreeQueries.ktxHeader]]'s byte accounting so key lengths are
     * derived from these literals, never hand-counted.
     */
-  private[octree] def staticKv(levels: Int, channels: Int): Seq[(String, String)] = Seq(
+  private[octree] def staticKv(levels: Int, channels: Int): Seq[(String, String)] =
+    staticKvAt(levels - 1, levels, channels)
+
+  /** [[staticKv]] for a block at an arbitrary pyramid level of a
+    * `total`-deep tree (level_id is 0-based, so the level-1 root
+    * carries 0 and a leaf carries total-1).
+    */
+  private[octree] def staticKvAt(levelId: Int, total: Int, channels: Int): Seq[(String, String)] = Seq(
     "distance_units" -> "micrometers",
-    "multiscale_level_id" -> (levels - 1).toString,
-    "multiscale_total_levels" -> levels.toString,
+    "multiscale_level_id" -> levelId.toString,
+    "multiscale_total_levels" -> total.toString,
     "number_of_channels" -> channels.toString)
 
   /** Key of the per-block octant-path entry (value is block-dependent). */
@@ -86,8 +99,19 @@ object KtxBinary {
 
   /** Serialize one spatial block: (relpath, fileName, bytes). */
   private def serialize(bz: Long, by: Long, bx: Long,
+      vox: Seq[(Long, Long, Long, Long, Long)]): (String, String, Array[Byte]) =
+    serializeAt(Levels, bz, by, bx, vox)
+
+  /** [[serialize]] for a block at an arbitrary pyramid `level` — the
+    * octant relpath shortens to level-1 digits and the
+    * multiscale_level_id kv entry tracks the level, everything else
+    * (header, mip chain, payload layout) is the leaf serialization
+    * verbatim. Used by [[OctreePipeline]] to emit the full per-level
+    * KTX tree.
+    */
+  private[octree] def serializeAt(level: Int, bz: Long, by: Long, bx: Long,
       vox: Seq[(Long, Long, Long, Long, Long)]): (String, String, Array[Byte]) = {
-    val path = pathOf(bz, by, bx)
+    val path = pathOfAt(level, bz, by, bx)
     // mip 0 grid, channels interleaved innermost
     val grid = Array.ofDim[Long](Leaf, Leaf, Leaf, Channels)
     vox.foreach { case (c, lz, ly, lx, v) =>
@@ -98,7 +122,7 @@ object KtxBinary {
     val nMips = 31 - Integer.numberOfLeadingZeros(Leaf) + 1
     // key-value section first (header needs its byte count)
     val kv = new java.io.ByteArrayOutputStream()
-    staticKv(Levels, Channels).foreach { case (k, v) => putKv(kv, k, v) }
+    staticKvAt(level - 1, Levels, Channels).foreach { case (k, v) => putKv(kv, k, v) }
     putKv(kv, OctreePathKey, path.map(_.toString).mkString("/"))
     val kvBytes = kv.size().toLong
     // 13-field header (ktx/__init__.py:320 write order). numberOfFaces
@@ -165,6 +189,48 @@ object KtxBinary {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$outRoot/$rel/$name"), bytes): Unit
       }
+  }
+
+  /** Level-generic decode of one file's mip-0 payload: (level,
+    * 1-based block coords, nonzero voxels (c, lz, ly, lx, v)). The
+    * level is inferred from the octree_path kv entry's digit count
+    * (empty path = the level-1 root, which the leaf-only [[decode]]
+    * rejects), so one reader walks a whole per-level tree.
+    */
+  private[octree] def decodeMip0Any(bytes: Array[Byte])
+      : (Int, Long, Long, Long, Seq[(Long, Long, Long, Long, Long)]) = {
+    require(bytes.take(12).sameElements(Magic), "bad KTX magic")
+    require(getU32(bytes, 12) == 0x04030201L, "bad endianness marker")
+    val kvBytes = getU32(bytes, 12 + 12 * 4)
+    var p = 64
+    var path = ""
+    var seen = false
+    while (p < 64 + kvBytes) {
+      val size = getU32(bytes, p).toInt
+      val entry = bytes.slice(p + 4, p + 4 + size)
+      val nul = entry.indexOf(0.toByte)
+      val key = new String(entry.take(nul), "UTF-8")
+      val value = new String(entry.slice(nul + 1, entry.length - 1), "UTF-8")
+      if (key == OctreePathKey) { path = value.replace("/", ""); seen = true }
+      p += 4 + size + (3 - ((size + 3) % 4))
+    }
+    require(seen, "octree_path kv entry missing")
+    val level = path.length + 1
+    var (bz, by, bx) = (0L, 0L, 0L)
+    path.zipWithIndex.foreach { case (ch, i) =>
+      val lv = level - 2 - i
+      val d = ch - '1'
+      bx |= (d & 1L) << lv; by |= ((d >> 1) & 1L) << lv; bz |= ((d >> 2) & 1L) << lv
+    }
+    val dataStart = (64L + kvBytes + 4L).toInt // mip-0 size field skipped
+    val vox = for {
+      lz <- 0 until Leaf; ly <- 0 until Leaf; lx <- 0 until Leaf
+      c <- 0 until Channels
+      v = getU16(bytes,
+        dataStart + (((lz * Leaf + ly) * Leaf + lx) * Channels + c) * TSize)
+      if v > 0
+    } yield (c.toLong, lz.toLong, ly.toLong, lx.toLong, v)
+    (level, bz + 1, by + 1, bx + 1, vox)
   }
 
   /** Decoded header + mip directory of one file's bytes. */

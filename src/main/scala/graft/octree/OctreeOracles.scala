@@ -403,5 +403,36 @@ object OctreeOracles {
       ("oct_retile_bytes" ->
         s"""WITH $voxelCte
            |SELECT c, z, y, x, CAST(v AS BIGINT) AS v FROM voxels
-           |ORDER BY c, z, y, x""".stripMargin)
+           |ORDER BY c, z, y, x""".stripMargin) +
+      // the end-to-end capstone (slices → ingest → pyramid →
+      // interrupted+resumed per-level tree write → byte parse) must
+      // return the pyramid EXACTLY — volume identity, shared verbatim
+      ("pipeline_octree" -> pyramidOracle) +
+      // per-artifact audit of the finished tree: per level, file
+      // counts per family (a TIFF per nonempty (block, channel), a
+      // KTX per nonempty block), voxel stats and a position-weighted
+      // checksum from the TIFF bytes, and the same count/checksum
+      // independently from the KTX mip-0 bytes — all predicted from
+      // the DuckDB pyramid reconstruction
+      ("pipeline_octree_audit" ->
+        s"""WITH pyr AS ($pyramidOracle),
+           |blk AS (
+           |  SELECT level, c, z, y, x, v,
+           |         z//4 AS bz, y//4 AS "by", x//4 AS bx FROM pyr),
+           |tf AS (
+           |  SELECT level, COUNT(*) AS n_tif_files
+           |  FROM (SELECT DISTINCT level, c, bz, "by", bx FROM blk) GROUP BY level),
+           |kf AS (
+           |  SELECT level, COUNT(*) AS n_ktx_files
+           |  FROM (SELECT DISTINCT level, bz, "by", bx FROM blk) GROUP BY level),
+           |vx AS (
+           |  SELECT level, COUNT(*) AS n_voxels,
+           |         CAST(SUM(v) AS BIGINT) AS sum_v,
+           |         CAST(MAX(v) AS BIGINT) AS max_v,
+           |         CAST(SUM((((z*16 + y)*16 + x)*2 + c + 1) * v) AS BIGINT) AS cksum
+           |  FROM blk GROUP BY level)
+           |SELECT tf.level, n_tif_files, n_ktx_files, n_voxels, sum_v, max_v, cksum,
+           |       n_voxels AS ktx_n_voxels, cksum AS ktx_cksum
+           |FROM tf JOIN kf ON tf.level = kf.level JOIN vx ON tf.level = vx.level
+           |ORDER BY tf.level""".stripMargin)
 }

@@ -421,6 +421,8 @@ object OctreeQueries {
     "oct_adjust_dims" -> (adjustDims _),
     "oct_retile" -> (retile _),
     "oct_block_geom" -> (blockGeom _),
-    "oct_block_geom_aniso" -> (blockGeomAniso _)
+    "oct_block_geom_aniso" -> (blockGeomAniso _),
+    "pipeline_octree" -> (OctreePipeline.pipelineOctree _),
+    "pipeline_octree_audit" -> (OctreePipeline.pipelineOctreeAudit _)
   )
 }

@@ -49,7 +49,7 @@ object TiffBinary {
     out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
   }
 
-  private def getU16(b: Array[Byte], off: Int): Int =
+  private[octree] def getU16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
   private def getU32(b: Array[Byte], off: Int): Long =
@@ -66,7 +66,7 @@ object TiffBinary {
     out.toByteArray
   }
 
-  private def inflate(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+  private[octree] def inflate(comp: Array[Byte], rawLen: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(comp)
     val raw = new Array[Byte](rawLen)
@@ -136,7 +136,7 @@ object TiffBinary {
   }
 
   /** Serialize one (block, channel) as a Leaf-page strip TIFF. */
-  private def serialize(vox: Seq[(Long, Long, Long, Long)]): Array[Byte] = {
+  private[octree] def serialize(vox: Seq[(Long, Long, Long, Long)]): Array[Byte] = {
     val grid = Array.ofDim[Long](Leaf, Leaf, Leaf)
     vox.foreach { case (lz, ly, lx, v) => grid(lz.toInt)(ly.toInt)(lx.toInt) = v }
     serializePages((0 until Leaf).map(z =>
