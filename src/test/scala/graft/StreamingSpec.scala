@@ -820,4 +820,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every emitted pair appears exactly once (append mode, no dupes)
     assert(got.distinct.length === got.length)
   }
+
+  test("as-of: stream-static aggregation equals AsOfJoinExec on EVERY micro-batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // the static right side: stream_asof's orders projection
+    val ord = Tables(spark, dir, "orders").select(
+        col("o_custkey").cast("long").as("key"),
+        expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"),
+        col("o_orderkey"))
+      .localCheckpoint(true)
+    val ordRef: Map[Long, Seq[(Long, Long)]] = ord.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    // per-micro-batch results: batchId -> (aggPath, nativePath), each
+    // event_id -> (asof_orderkey, asof_osec)
+    val perBatch = scala.collection.concurrent.TrieMap[Long,
+      (Map[Long, (Long, Long)], Map[Long, (Long, Long)])]()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val q = input.toDF().toDF("event_id", "key", "t").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = df.localCheckpoint(true)
+        // (1) the stream_asof shape on this batch: equi-join + bound
+        // filter + ONE max-of-packed aggregation, no-match rows
+        // restored at read with the -1 sentinel
+        val agg = batch
+          .join(ord, Seq("key")).filter(col("osec") <= col("t"))
+          .groupBy("event_id")
+          .agg(max_by(col("o_orderkey"), struct(col("osec"), col("o_orderkey")))
+              .as("a_ok"),
+            max("osec").as("a_os"))
+        val aggMap = batch.select("event_id")
+          .join(agg, Seq("event_id"), "left")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) (-1L, -1L) else (r.getLong(1), r.getLong(2)))).toMap
+        // (2) the native operator on the SAME batch frame
+        val bp = batch.queryExecution.analyzed
+        val op = ord.queryExecution.analyzed
+        def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+          p.output.find(_.name == n).get
+        val native = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+          graft.plans.AsOfJoin(bp, op, a(bp, "key"), a(bp, "t"),
+            a(op, "key"), a(op, "osec"), a(op, "o_orderkey")))
+          .select(col("event_id"),
+            coalesce(col("o_orderkey"), lit(-1L)).as("ok"),
+            coalesce(col("osec"), lit(-1L)).as("os"))
+        val nativeMap = native.collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        perBatch.put(id, (aggMap, nativeMap)): Unit
+      }
+      .start()
+    // three triggers over disjoint event slices
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), (col("user_id") % 100 + 1).cast("long"),
+        (lit(788918400L) + (col("event_id") % 2400) * 86400L))
+      .as[(Long, Long, Long)].collect().toSeq
+    val slices = evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq
+    for (s <- slices) { input.addData(s); q.processAllAvailable() }
+    q.stop()
+    assert(perBatch.size >= 3, s"expected >=3 micro-batches, saw ${perBatch.size}")
+    // the guarded invariant: on every micro-batch the stream-static
+    // aggregation, the custom physical operator and the in-memory
+    // reference agree row for row
+    val seen = scala.collection.mutable.Set[Long]()
+    for ((id, (aggMap, nativeMap)) <- perBatch.toSeq.sortBy(_._1)) {
+      assert(aggMap === nativeMap, s"agg vs native diverged in micro-batch $id")
+      val ref = aggMap.keys.map { eid =>
+        val (key, t) = evs.find(_._1 == eid).map(e => (e._2, e._3)).get
+        val cands = ordRef.getOrElse(key, Nil).filter(_._1 <= t)
+        eid -> (if (cands.isEmpty) (-1L, -1L)
+                else { val m = cands.max; (m._2, m._1) })
+      }.toMap
+      assert(aggMap === ref, s"micro-batch $id diverged from the reference")
+      seen ++= aggMap.keys
+    }
+    assert(seen.size === evs.length, "every event enriched exactly once")
+  }
 }
