@@ -93,6 +93,32 @@ object VolumeQueries {
       .orderBy("level", "c", "z", "y", "x")
   }
 
+  /** src_volume_sink — the DSV2 WRITE direction of the custom
+    * connector ([[VolumeSink]]): the blockified arthur pyramid
+    * written through `df.write.format(...)` into the per-block chunk
+    * store, with the (level, c, bz, by, bx) clustering shuffle and
+    * within-partition sort planned BY SPARK from the Write's
+    * `RequiresDistributionAndOrdering` declaration (the writer's
+    * contiguity tripwire fails the task if they were not applied),
+    * then every chunk decoded back to pyramid voxels from bytes
+    * alone. Shares the oct_pyramid oracle verbatim — a green row
+    * proves the planner-arranged write and the byte round trip are
+    * lossless end to end.
+    */
+  def volumeSink(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_vsink_${ProcessHandle.current().pid()}"
+    graft.octree.Addressing.blockify(
+        graft.octree.Pyramid(graft.VoxelGrid(spark, dir)))
+      .select("level", "c", "bz", "by", "bx", "lz", "ly", "lx", "v")
+      .write.format("graft.sources.VolumeSink").option("path", tmp)
+      .mode(SaveMode.Overwrite).save()
+    VolumeSink.parseVoxels(spark, tmp).localCheckpoint(true)
+      .orderBy("level", "c", "z", "y", "x")
+  }
+
   /** src_n5_bytes — the PHYSICAL N5 round trip over the reference's
     * primary input arm (tiff2octree.py:779 `n5_zarr_to_dask_array`):
     * write the arthur pyramid as a real N5 container ([[N5Binary
@@ -562,6 +588,7 @@ object VolumeQueries {
     "src_volume_scan_l1" -> (volumeScanL1 _),
     "src_volume_levels" -> (volumeLevels _),
     "src_pyramid_sink" -> (pyramidSink _),
+    "src_volume_sink" -> (volumeSink _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_n5_bytes" -> (n5Bytes _),
     "src_n5_discover" -> (n5Discover _),
@@ -639,6 +666,8 @@ object VolumeQueries {
     // recomputed from scratch — same independent derivation as the
     // oct_pyramid row
     "src_pyramid_sink" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // the DSV2 write path must round-trip the same pyramid identity
+    "src_volume_sink" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor

@@ -579,4 +579,88 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(out))
     }
   }
+
+  private def rmAll(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(): Unit
+  }
+
+  private def sinkTmp(tag: String): String = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$root/graft_vsink_spec_${ProcessHandle.current().pid()}_$tag"
+  }
+
+  test("DSV2 sink: Spark plans the clustering+sort and each block lands in ONE file") {
+    import graft.sources.VolumeSink
+    val out = sinkTmp("plan")
+    try {
+      val pyr = graft.octree.Pyramid(graft.VoxelGrid(spark, "/root/testdata/sf0.001"))
+      val blocked = graft.octree.Addressing.blockify(pyr)
+        .select("level", "c", "bz", "by", "bx", "lz", "ly", "lx", "v")
+      // DELIBERATELY mis-ordered input: rows shuffled across keys. The
+      // write still succeeds because Spark satisfies the Write's
+      // RequiresDistributionAndOrdering; the writer's contiguity
+      // tripwire would fail the task otherwise.
+      blocked.orderBy(col("v"), col("lx"))
+        .write.format("graft.sources.VolumeSink").option("path", out)
+        .mode("overwrite").save()
+      // one chunk file per distinct block, under level=/c= dirs
+      val nBlocks = blocked.select("level", "c", "bz", "by", "bx").distinct().count()
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      val files = walk(new java.io.File(out))
+      assert(files.count(_.getName.endsWith(".vox")).toLong === nBlocks)
+      assert(files.exists(_.getName == "_manifest.json"), "commit manifest missing")
+      assert(!files.exists(_.getName.contains("inprogress")), "staged files leaked")
+      // round trip: decoded chunks equal the pyramid frame exactly
+      val got = VolumeSink.parseVoxels(spark, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sorted.toSeq
+      val want = pyr.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sorted.toSeq
+      assert(got === want)
+    } finally rmAll(new java.io.File(out))
+  }
+
+  test("DSV2 sink: duplicate blocks abort instead of silently overwriting") {
+    val out = sinkTmp("dup")
+    try {
+      val pyr = graft.octree.Pyramid(graft.VoxelGrid(spark, "/root/testdata/sf0.001"))
+      val blocked = graft.octree.Addressing.blockify(pyr)
+        .select("level", "c", "bz", "by", "bx", "lz", "ly", "lx", "v")
+        .localCheckpoint(true)
+      blocked.write.format("graft.sources.VolumeSink").option("path", out)
+        .mode("overwrite").save()
+      // appending the same blocks again must fail the move-without-
+      // replace guard, not quietly replace the chunk files
+      val e = intercept[Exception] {
+        blocked.write.format("graft.sources.VolumeSink").option("path", out)
+          .mode("append").save()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Seq(Option(x.getMessage).getOrElse(""),
+          x.getClass.getName) ++ msgs(x.getCause))
+      assert(msgs(e).exists(m => m.contains("FileAlreadyExists") || m.contains("exists")),
+        e.toString)
+    } finally rmAll(new java.io.File(out))
+  }
+
+  test("DSV2 sink: a wrong input schema is rejected at write planning") {
+    val out = sinkTmp("schema")
+    try {
+      val e = intercept[Exception] {
+        spark.range(3).toDF("level")
+          .write.format("graft.sources.VolumeSink").option("path", out)
+          .mode("overwrite").save()
+      }
+      // Spark's own V2 write analysis rejects the shape first
+      // (INCOMPATIBLE_DATA_FOR_TABLE); the builder's own require is
+      // the backstop for non-analyzer entry points
+      assert(e.getMessage != null &&
+        (e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE") ||
+          e.getMessage.contains("VolumeSink expects columns")),
+        e.toString)
+    } finally rmAll(new java.io.File(out))
+  }
 }
