@@ -90,8 +90,12 @@ object Bench {
       // method-split, so letting it through keeps codegen
       .config("spark.sql.codegen.hugeMethodLimit", (1 << 23).toString)
       // shuffle/spill on tmpfs: the host's disk has multi-second stalls
-      // that block shuffle-file IO (observed 80s pauses at ~0% CPU)
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      // that block shuffle-file IO (observed 80s pauses at ~0% CPU).
+      // SPARK_GRAFT_LOCAL_DIR overrides for shuffle-fabric A/Bs (e.g.
+      // the dedup_substring byte-vs-pass tradeoff measured on real
+      // disk — SURVEY §6).
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -549,12 +549,15 @@ object Dedup {
     * text (the suffix-array analog — group keys replace sorted
     * suffixes) + one per-doc window for the merge. No pairwise
     * comparisons anywhere — cost is linear in corpus length at any
-    * scale. An A/B in one JVM measured the "hash the windows first,
-    * verify only colliding groups" variant 10-20% SLOWER here (the
-    * second explode pass costs more than the ~2× shuffle-byte saving
-    * on local/tmpfs shuffle); on a network-shuffle cluster where
-    * bytes dominate it is the drop-in swap — shipped as
-    * [[substringHashed]] (r5), output spec-asserted identical.
+    * scale. The "hash the windows first, verify only colliding
+    * groups" variant ships as [[substringHashed]] (output
+    * spec-asserted identical); the r9 four-quadrant A/B (tmpfs and
+    * real-disk shuffle × sf0.1 and sf1.0, after the merge-hint fix
+    * below) measured the hashed variant 11-20% FASTER in every
+    * quadrant — it is the recommended default; this text-keyed form
+    * stays as the simpler shape and the A/B baseline (SURVEY §6 has
+    * the numbers; the r4 "hashed slower on tmpfs" result predated
+    * the merge hints).
     */
   /** Shared stage: one row per length-[[SubstrL]] window of each
     * document ≥ [[SubstrL]] chars (shorter docs re-enter via the
@@ -609,7 +612,12 @@ object Dedup {
     val sh = substringWindows(docs).localCheckpoint()
     val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
-    val marked = sh.join(dup, Seq("sh")).select(col("doc_id"), col("pos"))
+    // the duplicate-window frame SCALES WITH THE CORPUS — it must
+    // never broadcast (the r9 sf1.0 sweep caught AQE doing exactly
+    // that to the hashed twin once the post-agg size slipped under
+    // the threshold, OOMing the driver). The merge hint keeps the
+    // join a shuffle at every scale.
+    val marked = sh.join(dup.hint("merge"), Seq("sh")).select(col("doc_id"), col("pos"))
     substringSpans(docs, marked)
   }
 
@@ -620,27 +628,31 @@ object Dedup {
     * shuffle bytes than the window text); only the hash-COLLIDING
     * windows are then re-grouped on their actual text, so a 64-bit
     * collision can never mark a unique window as duplicated (equal
-    * strings always hash equal → no false negatives either). This is
-    * the drop-in swap for network-shuffle clusters where bytes
-    * dominate; on local/tmpfs shuffle the extra explode pass makes it
-    * 10-20% slower (A/B-measured r4 — see [[substring]]'s scaladoc),
-    * which is why both paths ship.
+    * strings always hash equal → no false negatives either). The r9
+    * four-quadrant A/B (tmpfs/disk shuffle × sf0.1/sf1.0) measured
+    * this variant 11-20% faster than the text-keyed form in EVERY
+    * quadrant once both use merge-hinted dup joins — it is the
+    * recommended default at any fabric (SURVEY §6).
     */
   def substringHashed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     // consumed by the hash count AND the colliding re-derivation —
     // checkpoint so the explode runs once (cluster scale: persist)
     val sh = substringWindows(docs).localCheckpoint()
-    // 8-byte-key corpus pass: hashes occurring more than once
+    // 8-byte-key corpus pass: hashes occurring more than once. Like
+    // [[substring]]'s dup frame, dupH/dupText scale with the corpus:
+    // the merge hints stop AQE from broadcasting them (at sf1.0 the
+    // ~3M-row dupH slipped under the 64 MB threshold and the
+    // broadcast build OOM'd the driver — the sweep's catch)
     val dupH = sh.groupBy(xxhash64(col("sh")).as("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
     // text verify touches ONLY the colliding subset (itself consumed
     // twice: the text count and the mark join)
-    val colliding = sh.withColumn("h", xxhash64(col("sh"))).join(dupH, Seq("h"))
+    val colliding = sh.withColumn("h", xxhash64(col("sh"))).join(dupH.hint("merge"), Seq("h"))
       .localCheckpoint()
     val dupText = colliding.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
-    val marked = colliding.join(dupText, Seq("sh")).select(col("doc_id"), col("pos"))
+    val marked = colliding.join(dupText.hint("merge"), Seq("sh")).select(col("doc_id"), col("pos"))
     substringSpans(docs, marked)
   }
 
