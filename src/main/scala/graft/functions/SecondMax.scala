@@ -88,6 +88,14 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_fdot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_char_bigrams"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_char_bigrams", exprs => CharBigrams(exprs.head), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_window_hashes"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_window_hashes", WindowHashes.builder, "built-in")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

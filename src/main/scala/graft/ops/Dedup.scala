@@ -632,23 +632,47 @@ object Dedup {
     * four-quadrant A/B (tmpfs/disk shuffle × sf0.1/sf1.0) measured
     * this variant 11-20% faster than the text-keyed form in EVERY
     * quadrant once both use merge-hinted dup joins — it is the
-    * recommended default at any fabric (SURVEY §6).
+    * recommended default at any fabric (SURVEY §6). Late r9 the
+    * window stage moved onto the native
+    * [[graft.functions.WindowHashes]] kernel (hash the byte slice in
+    * place, never materialize window text corpus-wide), halving it
+    * again: sf0.1 3.44 → 1.90 s, sf1.0 33.3 → 17.0 s — now ~2.2×
+    * faster than the text-keyed baseline.
     */
   def substringHashed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables(spark, dir, "documents")
-    // consumed by the hash count AND the colliding re-derivation —
-    // checkpoint so the explode runs once (cluster scale: persist)
-    val sh = substringWindows(docs).localCheckpoint()
+    val L = SubstrL
+    // the corpus pass never materializes window TEXT at all: the
+    // native [[graft.functions.WindowHashes]] kernel hashes each
+    // 30-char window's UTF-8 byte slice in place (the prior
+    // `xxhash64(substring)` explode allocated an interpreted-lambda
+    // string per character position, and the checkpoint stored the
+    // 30× inflated window text — this frame is 16 bytes/position).
+    // Consumed by the hash count AND the colliding re-derivation —
+    // checkpoint so the explode runs once (cluster scale: persist).
+    val sh = docs
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_window_hashes(text, $L)")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+      .localCheckpoint()
     // 8-byte-key corpus pass: hashes occurring more than once. Like
     // [[substring]]'s dup frame, dupH/dupText scale with the corpus:
     // the merge hints stop AQE from broadcasting them (at sf1.0 the
     // ~3M-row dupH slipped under the 64 MB threshold and the
     // broadcast build OOM'd the driver — the sweep's catch)
-    val dupH = sh.groupBy(xxhash64(col("sh")).as("h")).agg(count(lit(1)).as("cnt"))
+    val dupH = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
-    // text verify touches ONLY the colliding subset (itself consumed
-    // twice: the text count and the mark join)
-    val colliding = sh.withColumn("h", xxhash64(col("sh"))).join(dupH.hint("merge"), Seq("h"))
+    // text verify touches ONLY the colliding subset: re-attach the doc
+    // text (one shuffle of the corpus text, cheaper than shipping the
+    // 30× window inflation) and cut each colliding window back out
+    // with the codegen'd builtin substring. Consumed twice (text
+    // count + mark join) — checkpoint.
+    val colliding = sh.join(dupH.hint("merge"), Seq("h"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("sh", expr(s"substring(text, cast(pos AS int), $L)"))
+      .select("doc_id", "pos", "sh")
       .localCheckpoint()
     val dupText = colliding.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")

