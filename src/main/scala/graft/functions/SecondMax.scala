@@ -96,6 +96,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_window_hashes", WindowHashes.builder, "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_char_windows"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_char_windows", CharWindows.builder, "built-in")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

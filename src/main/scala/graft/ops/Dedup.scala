@@ -545,8 +545,9 @@ object Dedup {
     * accounting a dedup pass acts on: span count, duplicated chars,
     * and the ⌊1000·dup∕len⌋ fraction a gate thresholds.
     *
-    * At 100 TB: one explode (positions) + ONE groupBy on the window
-    * text (the suffix-array analog — group keys replace sorted
+    * At 100 TB: one explode (positions, via the native
+    * [[graft.functions.CharWindows]] kernel) + ONE groupBy on the
+    * window text (the suffix-array analog — group keys replace sorted
     * suffixes) + one per-doc window for the merge. No pairwise
     * comparisons anywhere — cost is linear in corpus length at any
     * scale. The "hash the windows first, verify only colliding
@@ -565,12 +566,15 @@ object Dedup {
     */
   private def substringWindows(docs: DataFrame): DataFrame = {
     val L = SubstrL
+    // native [[graft.functions.CharWindows]] kernel: one O(n·L) byte
+    // pass per document instead of the interpreted per-position
+    // lambda whose substring(text, i, L) re-walked the string head
+    // for every i (O(n²) bytes on long documents)
     docs
       .filter(length(col("text")) >= L)
-      .select(col("doc_id"), expr(
-        s"explode(transform(sequence(1, length(text) - ${L - 1}), " +
-          s"i -> struct(i, substring(text, i, $L) AS sh)))").as("e"))
-      .select(col("doc_id"), col("e.i").cast("long").as("pos"), col("e.sh").as("sh"))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_char_windows(text, $L)")).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("sh"))
   }
 
   /** Shared stage: interval-merge the marked positions into maximal
@@ -605,6 +609,7 @@ object Dedup {
   }
 
   def substring(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables(spark, dir, "documents")
     // the window frame feeds BOTH the duplicate count and the mark
     // join: checkpoint it so the explode (the expensive stage) runs
@@ -636,8 +641,10 @@ object Dedup {
     * window stage moved onto the native
     * [[graft.functions.WindowHashes]] kernel (hash the byte slice in
     * place, never materialize window text corpus-wide), halving it
-    * again: sf0.1 3.44 → 1.90 s, sf1.0 33.3 → 17.0 s — now ~2.2×
-    * faster than the text-keyed baseline.
+    * again: sf0.1 3.44 → 1.90 s, sf1.0 33.3 → 17.0 s — ~1.6× faster
+    * than the text-keyed baseline once that baseline got its own
+    * native window kernel (27.9 s at sf1.0); the residual gap is
+    * purely the 30-char-vs-8-byte shuffle key.
     */
   def substringHashed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

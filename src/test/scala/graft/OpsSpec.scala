@@ -97,6 +97,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CharWindows kernel equals the SQL substring-window form, incl. multibyte") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("", "ab", "abcdef", "héllo wörld", "日本語テキスト",
+      "a😀b🚀c😀d", "z" * 35)
+    val df = samples.toDF("text")
+    for (l <- Seq(1, 2, 4)) {
+      val packed = df.selectExpr(s"graft_char_windows(text, $l) AS ws")
+        .as[Seq[String]].collect()
+      val ref = df.selectExpr(
+        s"""CASE WHEN length(text) >= $l THEN
+              transform(sequence(1, length(text) - ${l - 1}),
+                        i -> substring(text, i, $l))
+            ELSE array_remove(array(''), '') END AS ws""")
+        .as[Seq[String]].collect()
+      assert(packed.map(_.toSeq) === ref.map(_.toSeq), s"L=$l")
+    }
+  }
+
   test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
     import spark.implicits._
     import graft.ops.Similarity
