@@ -100,6 +100,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_char_windows", CharWindows.builder, "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_token_ngrams"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_token_ngrams", TokenNgrams.builder, "built-in")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

@@ -239,8 +239,14 @@ object TextAnalysis {
     * n-gram builder shared by [[topNgrams]], [[repNgram]] and
     * [[Dedup.shinglesExpr]] (three hand-maintained copies would
     * silently desynchronize the tokenizer/empty-array conventions).
+    * Emits the native [[graft.functions.TokenNgrams]] kernel (always
+    * registered by [[graft.Tables]]); [[gramsSql]] keeps the
+    * interpreted-lambda SQL form as the spec-side cross-check.
     */
-  def grams(n: Int): String =
+  def grams(n: Int): String = s"graft_token_ngrams(t, $n)"
+
+  /** Reference SQL form of [[grams]] (spec cross-check only). */
+  def gramsSql(n: Int): String =
     s"""CASE WHEN size(t) >= $n THEN
           transform(sequence(1, size(t) - ${n - 1}),
             i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")}))

@@ -116,6 +116,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TokenNgrams kernel equals the SQL concat_ws form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples: Seq[Seq[String]] = Seq(
+      Seq(), Seq("a"), Seq("a", "b"), Seq("the", "quick", "brown", "fox"),
+      Seq("wörd", "日本", "😀", "x"), Seq.fill(40)("tok"))
+    val df = samples.toDF("t")
+    for (n <- Seq(1, 2, 3)) {
+      val packed = df.selectExpr(s"graft_token_ngrams(t, $n) AS gs")
+        .as[Seq[String]].collect()
+      val ref = df.selectExpr(s"(${graft.ops.TextAnalysis.gramsSql(n)}) AS gs")
+        .as[Seq[String]].collect()
+      assert(packed.map(_.toSeq) === ref.map(_.toSeq), s"n=$n")
+    }
+  }
+
   test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
     import spark.implicits._
     import graft.ops.Similarity
