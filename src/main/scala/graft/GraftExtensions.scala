@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharBigrams, CharWindows, FloatDot, KmvKthHash, Md5PrefixLong, SecondMax, TokenNgrams, WindowHashes}
+import graft.functions.{AlnumTokens, CharBigrams, CharWindows, FloatDot, KmvKthHash, Md5PrefixLong, SecondMax, TokenNgrams, WindowHashes}
 
 /** Session-extensions injection of the engine's native functions and
   * planner rules — the cluster-wide deployment path: a user adds
@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_token_ngrams"),
       info("graft_token_ngrams", classOf[TokenNgrams]),
       (exprs: Seq[Expression]) => TokenNgrams.builder(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_alnum_tokens"),
+      info("graft_alnum_tokens", classOf[AlnumTokens]),
+      (exprs: Seq[Expression]) => AlnumTokens(exprs.head)))
     // planner seam: rewrite the naive collect_list+sort second-max
     // idiom to the native two-slot aggregate (see SecondMaxRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)

@@ -104,6 +104,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_token_ngrams", TokenNgrams.builder, "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_alnum_tokens"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_alnum_tokens", exprs => AlnumTokens(exprs.head), "built-in")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

@@ -13,8 +13,14 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Lower-cased alnum token array. */
-  val toksExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  /** The engine's tokenizer — the native [[graft.functions.AlnumTokens]]
+    * single-scan kernel (always registered by [[graft.Tables]]);
+    * [[toksSqlExpr]] keeps the regexp form as the spec cross-check.
+    */
+  val toksExpr = "graft_alnum_tokens(text)"
+
+  /** Reference SQL form of [[toksExpr]] (spec cross-check only). */
+  val toksSqlExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
   /** text_tokens — whitespace/alnum token counts + a BPE-ish estimate
     * (chars/4, the common heuristic for byte-pair encoders).

@@ -132,6 +132,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AlnumTokens kernel equals the regexp_extract_all(lower) form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("", "Hello, World! 42", "  a  b  ", "ALLCAPS",
+      "mixed123CASE456", "héllo wörld", "İstanbul Kelvin",
+      "日本語 abc 123", "a😀b", "tabs\tand\nnewlines")
+    val df = samples.toDF("text")
+    val packed = df.selectExpr(s"${graft.ops.TextAnalysis.toksExpr} AS t")
+      .as[Seq[String]].collect()
+    val ref = df.selectExpr(s"${graft.ops.TextAnalysis.toksSqlExpr} AS t")
+      .as[Seq[String]].collect()
+    assert(packed.map(_.toSeq) === ref.map(_.toSeq))
+  }
+
   test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
     import spark.implicits._
     import graft.ops.Similarity
