@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AlnumTokens, CharBigrams, CharWindows, FloatDot, KmvKthHash, Md5PrefixLong, SecondMax, TokenNgrams, WindowHashes}
+import graft.functions.{AlnumTokens, CharBigrams, CharWindows, FloatDot, KmvKthHash, LongDot, Md5PrefixLong, SecondMax, TokenNgrams, WindowHashes}
 
 /** Session-extensions injection of the engine's native functions and
   * planner rules — the cluster-wide deployment path: a user adds
@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_alnum_tokens"),
       info("graft_alnum_tokens", classOf[AlnumTokens]),
       (exprs: Seq[Expression]) => AlnumTokens(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_ldot"),
+      info("graft_ldot", classOf[LongDot]),
+      (exprs: Seq[Expression]) => LongDot(exprs(0), exprs(1))))
     // planner seam: rewrite the naive collect_list+sort second-max
     // idiom to the native two-slot aggregate (see SecondMaxRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)

@@ -108,6 +108,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_alnum_tokens", exprs => AlnumTokens(exprs.head), "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_ldot"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_ldot", exprs => LongDot(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

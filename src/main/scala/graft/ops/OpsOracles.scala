@@ -1827,9 +1827,12 @@ object OpsOracles {
          |        ELSE CAST([] AS VARCHAR[]) END) AS bgr FROM tl),
          |rare AS (SELECT bgr FROM bg, nn GROUP BY bgr, nn.n HAVING COUNT(*) * 4 <= nn.n),
          |pbg AS (SELECT doc_id AS probe_id, bgr FROM bg, pmod WHERE doc_id % pmod.m = 0),
-         |cand AS (SELECT DISTINCT pbg.probe_id, bg.doc_id
-         |         FROM bg JOIN rare USING (bgr) JOIN pbg USING (bgr)
-         |         WHERE bg.doc_id != pbg.probe_id),
+         |cand0 AS (SELECT pbg.probe_id, bg.doc_id, COUNT(*) AS nshared
+         |          FROM bg JOIN rare USING (bgr) JOIN pbg USING (bgr)
+         |          WHERE bg.doc_id != pbg.probe_id GROUP BY 1, 2),
+         |cand AS (SELECT probe_id, doc_id FROM cand0
+         |         QUALIFY row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY nshared DESC, doc_id) <= ${Similarity.MaxsimShortlist}),
          |qtv AS (SELECT dv.doc_id AS probe_id, ti AS qi, tv AS qv, tn2 AS qn2
          |        FROM dv, pmod WHERE dv.doc_id % pmod.m = 0 AND ti < ${Similarity.MaxsimQT}),
          |sc AS (SELECT c.probe_id, c.doc_id, q.qi,

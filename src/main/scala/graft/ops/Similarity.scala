@@ -802,6 +802,18 @@ object Similarity {
   val MaxsimDocT = 8
   val MaxsimQT = 4
 
+  /** Late-interaction rerank depth: each probe's recall candidates are
+    * capped to the top-[[MaxsimShortlist]] by shared-rare-bigram count
+    * (doc_id tiebreak) BEFORE the token-interaction stage — the
+    * ColBERT retrieve-then-rerank shape. Without the cap the df-based
+    * rare filter alone is corpus-relative (df·4 ≤ n admits bigrams in
+    * a quarter of the corpus), and the r9 sf1.0 probe measured 9M
+    * candidate pairs → 289M interaction rows: recall-bounded is not
+    * shortlist-bounded. With it the interaction stage is
+    * probes × [[MaxsimShortlist]] × 32 rows at ANY corpus size.
+    */
+  val MaxsimShortlist = 128
+
   /** sim_maxsim — multi-vector LATE-INTERACTION retrieval (the
     * ColBERT scoring rule): each document carries one small vector
     * per token (deterministic integer hash vectors — component j of a
@@ -810,18 +822,23 @@ object Similarity {
     * Σ over query tokens of the MAX cosine against any document
     * token — fine-grained term matching that single-vector cosine
     * collapses away. Candidates come from the same rare-shared-bigram
-    * inverted index as [[hybridRrf]] (recall stage), so the quadratic
-    * interaction matrix is only ever built per candidate pair, never
-    * corpus-wide: per pair it is [[MaxsimQT]]×[[MaxsimDocT]] cheap
-    * integer dots.
+    * inverted index as [[hybridRrf]] (recall stage), then each
+    * probe's candidates are CAPPED to the top-[[MaxsimShortlist]] by
+    * shared-rare-bigram count before any token interaction — the
+    * ColBERT retrieve-then-rerank shape. Per shortlisted pair the
+    * interaction is [[MaxsimQT]]×[[MaxsimDocT]] cheap integer dots
+    * (the native graft_ldot kernel).
     *
     * Scale shape: the doc-side token-vector frame is a map-side
-    * projection (≤ [[MaxsimDocT]] rows/doc); probes (≤64, via
-    * [[ivfProbeMod]]) and their query vectors broadcast; the one
-    * shuffle groups interaction terms by (probe, doc, query-token)
-    * for the max — bounded by candidates × 32. Every number before
-    * the final floor(cos·10⁶) is an exact integer, so both engines
-    * agree bit-for-bit.
+    * projection (≤ [[MaxsimDocT]] rows/doc, checkpointed); probes
+    * (≤64, via [[ivfProbeMod]]) and their query vectors broadcast;
+    * the interaction stage is probes × [[MaxsimShortlist]] × 32 rows
+    * at ANY corpus size (before the cap the df-relative rare filter
+    * let candidates grow with the corpus — the r9 sf1.0 probe
+    * measured 9M pairs / 289M interaction rows, and the cap cut the
+    * query 13.5 → 5.4 s at sf1.0 while keeping it oracle-green at
+    * both scales). Every number before the final floor(cos·10⁶) is
+    * an exact integer, so both engines agree bit-for-bit.
     */
   def maxsim(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -834,28 +851,60 @@ object Similarity {
       .map(j => s"(${graft.ops.Dedup.md5Int(s"concat(tok, '#$j')")} % 2001) - 1000")
       .mkString(", ")
     // one row per (doc, first-8-distinct-token): integer vector + self-dot
+    // ≤8 rows/doc with the 8-dim hash vector — consumed by the
+    // contrib join AND the probe projection: checkpoint so the
+    // md5-vector build runs once (cluster scale: persist)
     val dtv = base
       .select(col("doc_id"),
         posexplode(expr(s"slice(array_distinct(t), 1, $MaxsimDocT)")).as(Seq("ti", "tok")))
       .withColumn("tv", expr(s"array($vecComponents)"))
       .withColumn("tn2", expr("aggregate(tv, 0L, (a, x) -> a + x * x)"))
       .filter(col("tn2") > 0)
-    // recall stage: candidate docs share ≥1 rare bigram with the probe
+      .localCheckpoint()
+    // recall stage: candidate docs share ≥1 rare bigram with the
+    // probe. The distinct (doc, bigram) frame feeds rare + pbg + cand
+    // — without a checkpoint the corpus explode+distinct re-ran for
+    // each consumer (measured as the query's two dominant stages)
+    // the distinct's own exchange would be AQE-coalesced to a handful
+    // of tasks (small bytes, heavy rows); a user-specified repartition
+    // on the distinct keys is exempt from coalescing and the final
+    // aggregate reuses its layout — the stage stays session-wide
     val bg = base.select(col("doc_id"),
-        explode(expr(graft.ops.TextAnalysis.grams(2))).as("bgr")).distinct()
+        explode(expr(graft.ops.TextAnalysis.grams(2))).as("bgr"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"), col("bgr"))
+      .distinct()
+      .localCheckpoint()
     val rare = bg.groupBy("bgr").agg(count(lit(1)).as("df"))
       .filter(col("df") * 4 <= nDocs).select("bgr")
     val pbg = bg.filter(col("doc_id") % pmod === 0)
       .select(col("doc_id").as("probe_id"), col("bgr"))
+    // shortlist cap: rank each probe's candidates by how many rare
+    // bigrams they share (the lexical-evidence ordering), keep the
+    // top-MaxsimShortlist — WindowGroupLimit keeps the per-probe sort
+    // bounded, and the interaction stage below is O(probes · cap · 32)
+    // at any corpus size
+    val wCand = Window.partitionBy("probe_id")
+      .orderBy(col("nshared").desc, col("doc_id"))
     val cand = bg.join(rare, Seq("bgr")).join(broadcast(pbg), Seq("bgr"))
       .filter(col("doc_id") =!= col("probe_id"))
-      .select("probe_id", "doc_id").distinct()
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("nshared"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= MaxsimShortlist)
+      .select("probe_id", "doc_id")
     val qtv = dtv.filter(col("doc_id") % pmod === 0 && col("ti") < MaxsimQT)
       .select(col("doc_id").as("probe_id"), col("ti").as("qi"),
         col("tv").as("qv"), col("tn2").as("qn2"))
-    val contrib = cand.join(dtv, Seq("doc_id")).join(broadcast(qtv), Seq("probe_id"))
+    // CPU-dense interaction stage: AQE coalesces the small-byte
+    // candidate shuffle to a handful of partitions, which would
+    // serialize the dot work (measured 4 tasks × 13 s at sf1.0) —
+    // repartition to session parallelism first (the JP2-seam rule),
+    // and compute the token dot with the native graft_ldot kernel
+    // instead of the interpreted zip_with lambda pair.
+    val contrib = cand.join(dtv, Seq("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(qtv), Seq("probe_id"))
       .select(col("probe_id"), col("doc_id"), col("qi"),
-        floor(expr("aggregate(zip_with(qv, tv, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+        floor(expr("graft_ldot(qv, tv)")
           / (sqrt(col("qn2")) * sqrt(col("tn2"))) * 1000000.0).cast("long").as("cc"))
     val w = Window.partitionBy("probe_id").orderBy(col("maxsim_u").desc, col("doc_id"))
     contrib.groupBy("probe_id", "doc_id", "qi").agg(max(col("cc")).as("mc"))

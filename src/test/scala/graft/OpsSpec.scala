@@ -146,6 +146,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(packed.map(_.toSeq) === ref.map(_.toSeq))
   }
 
+  test("LongDot kernel equals the aggregate(zip_with) long form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq(), Seq()), (Seq(1L, 2L, 3L), Seq(4L, -5L, 6L)),
+      (Seq(1000000L, -999999L), Seq(2000000L, 3L)),
+      (Seq(Long.MaxValue / 4, 2L), Seq(2L, 1L)))
+    val df = samples.toDF("a", "b")
+    val packed = df.selectExpr("graft_ldot(a, b) AS d").as[Long].collect()
+    val ref = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, p) -> s + p) AS d")
+      .as[Long].collect()
+    assert(packed.toSeq === ref.toSeq)
+    // length mismatch -> null, like zip_with's null padding
+    val mm = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .selectExpr("graft_ldot(a, b) AS d").collect()
+    assert(mm.head.isNullAt(0))
+  }
+
   test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
     import spark.implicits._
     import graft.ops.Similarity
@@ -2328,7 +2347,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("maxsim late-interaction retrieval matches a Scala re-derivation") {
-    import Similarity.{MaxsimD, MaxsimDocT, MaxsimQT, ivfProbeMod}
+    import Similarity.{MaxsimD, MaxsimDocT, MaxsimQT, MaxsimShortlist, ivfProbeMod}
     val dmap = docs
     val n = dmap.size.toLong
     val pmod = ivfProbeMod(n)
@@ -2350,9 +2369,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = dmap.keys.filter(_ % pmod == 0).toSeq.sorted.flatMap { p =>
       val qv = docToks(p).take(MaxsimQT)
       val pBg = bigrams(p).intersect(rare)
-      val cands = dmap.keys.filter(d =>
-        d != p && bigrams(d).exists(pBg.contains) && docToks(d).nonEmpty && qv.nonEmpty)
-      val scored = cands.toSeq.map { d =>
+      // shortlist cap mirrors the engine: rank by shared-rare-bigram
+      // count (doc_id tiebreak) BEFORE the token-vector filter
+      val cands = dmap.keys.toSeq
+        .map(d => (d, bigrams(d).count(pBg.contains)))
+        .filter { case (d, ns) => d != p && ns > 0 }
+        .sortBy { case (d, ns) => (-ns, d) }
+        .take(MaxsimShortlist)
+        .map(_._1)
+        .filter(d => docToks(d).nonEmpty && qv.nonEmpty)
+      val scored = cands.map { d =>
         val s = qv.map(q => docToks(d).map(tv => cosU(q, tv)).max).sum
         (d, s, qv.length.toLong)
       }
