@@ -1754,9 +1754,12 @@ object OpsOracles {
          |rare AS (SELECT tok, CAST(FLOOR(1000000.0 * nn.n / COUNT(*)) AS BIGINT) AS idf_u
          |         FROM d, nn GROUP BY tok, nn.n HAVING COUNT(*) * 4 <= nn.n),
          |pt AS (SELECT doc_id AS probe_id, tok FROM d, pmod WHERE doc_id % pmod.m = 0),
-         |lex AS (SELECT pt.probe_id, d.doc_id, CAST(SUM(idf_u) AS BIGINT) AS lex_u
-         |        FROM d JOIN rare USING (tok) JOIN pt USING (tok)
-         |        WHERE d.doc_id != pt.probe_id GROUP BY 1, 2),
+         |lex0 AS (SELECT pt.probe_id, d.doc_id, CAST(SUM(idf_u) AS BIGINT) AS lex_u
+         |         FROM d JOIN rare USING (tok) JOIN pt USING (tok)
+         |         WHERE d.doc_id != pt.probe_id GROUP BY 1, 2),
+         |lex AS (SELECT probe_id, doc_id, lex_u FROM lex0
+         |        QUALIFY row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY lex_u DESC, doc_id) <= ${Similarity.HybridShortlist}),
          |pe AS (SELECT vec_id AS probe_id, embedding AS pvec
          |       FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
          |sc AS (SELECT l.probe_id, l.doc_id, l.lex_u,

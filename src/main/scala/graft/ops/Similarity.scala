@@ -475,6 +475,12 @@ object Similarity {
     */
   val RrfK = 60L
 
+  /** Lexical recall depth for [[hybridRrf]]: candidates per probe
+    * advancing to the dense rerank (see the [[MaxsimShortlist]]
+    * rationale — caps the dense stage at any corpus size).
+    */
+  val HybridShortlist = 128
+
   /** sim_hybrid_rrf — HYBRID retrieval: the lexical-recall →
     * dense-rerank → reciprocal-rank-fusion pipeline every
     * retrieval-augmented stack runs. ≤64 probe documents
@@ -494,11 +500,14 @@ object Similarity {
     *
     * Scale shape: the inverted-index join is token-keyed (the
     * text_tfidf shuffle) with the probe side broadcast (≤64 probes ×
-    * their rare tokens); the dense rerank touches ONLY the lexical
-    * candidates (never an all-pairs product — the classic
-    * recall-then-rerank cost structure); the three rankings are
-    * per-probe windows over candidate sets bounded by Σ df(rare
-    * probe tokens).
+    * their rare tokens); only the top-[[HybridShortlist]] lexical
+    * candidates per probe advance to the dense rerank (late-r9 — the
+    * explicit recall-depth contract; Σ df(rare probe tokens) is
+    * corpus-relative, so the uncapped dense stage grew with the
+    * corpus), so the rerank and all three rank windows are O(probes ×
+    * 128) at any scale. The cap itself is a WindowGroupLimit-bounded
+    * pass over the lexical pairs (~0.8 s at sf1.0 — the price of a
+    * dense stage that stops scaling with the corpus).
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -515,10 +524,19 @@ object Similarity {
         floor(lit(1000000.0) * lit(nDocs) / col("df")).cast("long").as("idf_u"))
     val pt = dt.filter(col("doc_id") % pmod === 0)
       .select(col("doc_id").as("probe_id"), col("tok"))
-    val lex = dt.join(rare, Seq("tok"))
+    val lex0 = dt.join(rare, Seq("tok"))
       .join(broadcast(pt), Seq("tok"))
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy("probe_id", "doc_id").agg(sum(col("idf_u")).as("lex_u"))
+    // recall depth: only the top-HybridShortlist lexical candidates
+    // per probe advance to the dense rerank (the production
+    // retrieve-then-rerank contract; same reasoning as the maxsim
+    // cap — the df-relative rare filter alone is corpus-relative, so
+    // without the cap the dense stage grows with the corpus).
+    // WindowGroupLimit keeps the per-probe sort bounded.
+    val wCap = Window.partitionBy("probe_id").orderBy(col("lex_u").desc, col("doc_id"))
+    val lex = lex0.withColumn("cap_rank", row_number().over(wCap))
+      .filter(col("cap_rank") <= HybridShortlist).drop("cap_rank")
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("vn2"))
     val pe = e.filter(col("vec_id") % pmod === 0)

@@ -845,10 +845,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probes = docs.keys.filter(_ % pmod == 0).toSeq.sorted
     val expected = probes.flatMap { p =>
       val pg = docBigrams(p).filter(idf.contains)
+      // lexical recall depth mirrors the engine: top-HybridShortlist
+      // by (lex_u desc, doc_id) BEFORE the dense rerank join
       val cands = docBigrams.collect {
         case (d, gs) if d != p && gs.exists(pg.contains) =>
-          (d, pg.intersect(gs).toSeq.map(idf).sum, cosU(vecs(p), vecs(d)))
+          (d, pg.intersect(gs).toSeq.map(idf).sum)
       }.toSeq
+        .sortBy { case (d, l) => (-l, d) }
+        .take(Similarity.HybridShortlist)
+        .filter { case (d, _) => vecs.contains(d) }
+        .map { case (d, l) => (d, l, cosU(vecs(p), vecs(d))) }
       if (cands.isEmpty) Nil else {
         val lexRank = cands.sortBy { case (d, l, _) => (-l, d) }
           .zipWithIndex.map { case ((d, _, _), i) => d -> (i + 1L) }.toMap
