@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AlnumTokens, CharBigrams, CharWindows, FloatDot, KmvKthHash, LongDot, Md5PrefixLong, SecondMax, TokenNgrams, WindowHashes}
+import graft.functions.{AlnumTokens, CharBigrams, CharWindows, FloatDot, FloatDotQuant, FloatL2, FloatL2Quant, KmvKthHash, LongDot, Md5PrefixLong, SecondMax, TokenNgrams, WindowHashes}
 
 /** Session-extensions injection of the engine's native functions and
   * planner rules — the cluster-wide deployment path: a user adds
@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ldot"),
       info("graft_ldot", classOf[LongDot]),
       (exprs: Seq[Expression]) => LongDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_fdotq"),
+      info("graft_fdotq", classOf[FloatDotQuant]),
+      (exprs: Seq[Expression]) => FloatDotQuant(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_fl2"),
+      info("graft_fl2", classOf[FloatL2]),
+      (exprs: Seq[Expression]) => FloatL2(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_fl2q"),
+      info("graft_fl2q", classOf[FloatL2Quant]),
+      (exprs: Seq[Expression]) => FloatL2Quant(exprs(0), exprs(1))))
     // planner seam: rewrite the naive collect_list+sort second-max
     // idiom to the native two-slot aggregate (see SecondMaxRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)

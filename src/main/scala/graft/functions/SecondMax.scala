@@ -112,6 +112,18 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_ldot", exprs => LongDot(exprs(0), exprs(1)), "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_fdotq"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_fdotq", exprs => FloatDotQuant(exprs(0), exprs(1)), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_fl2"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_fl2", exprs => FloatL2(exprs(0), exprs(1)), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_fl2q"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_fl2q", exprs => FloatL2Quant(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

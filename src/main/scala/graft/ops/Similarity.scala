@@ -1062,7 +1062,10 @@ object Similarity {
     * the oracle: each element is `x · (q · 1e-6)`, folded left from
     * 0.0.
     */
-  def dotQ(a: Column, q: Column): Column =
+  def dotQ(a: Column, q: Column): Column = call_function("graft_fdotq", a, q)
+
+  /** Reference HOF form of [[dotQ]] (spec cross-check only). */
+  def dotQSql(a: Column, q: Column): Column =
     aggregate(
       zip_with(a, q, (x, v) => x.cast("double") * (v.cast("double") * lit(1.0e-6))),
       lit(0.0), (acc, x) => acc + x)
@@ -1266,10 +1269,10 @@ object Similarity {
   private def sub(v: Column, m: Column): Column =
     slice(v, (m * PqD + 1).cast("int"), lit(PqD))
 
-  /** Left-fold double dot of two [[PqD]]-dim slices. */
-  private def dotSub(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, c) => x.cast("double") * c.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-fold double dot of two [[PqD]]-dim slices — the native
+    * graft_fdot kernel (identical widening/fold contract).
+    */
+  private def dotSub(a: Column, b: Column): Column = dot(a, b)
 
   /** sim_pq_topk — product-quantization ANN: each vector's 64 dims
     * split into [[PqM]] subspaces, each encoded as the id of its
@@ -1365,18 +1368,19 @@ object Similarity {
         sub(col("embedding"), col("m")).as("cvec"))
   }
 
-  /** ⌊L2²·10⁶⌋ of svec vs a FLOAT codeword (cvec). */
+  /** ⌊L2²·10⁶⌋ of svec vs a FLOAT codeword (cvec) — native
+    * [[graft.functions.FloatL2]] kernel (same left-fold double
+    * arithmetic as the HOF form, ULP-identical; the lambdas ran
+    * interpreted over corpus × codebook assignment rows).
+    */
   private def duFloat: Column = floor(
-    aggregate(zip_with(col("svec"), col("cvec"),
-      (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-      lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+    call_function("graft_fl2", col("svec"), col("cvec")) * lit(1000000.0)).cast("long")
 
-  /** ⌊L2²·10⁶⌋ of svec vs a micro-int codeword (cvq). */
+  /** ⌊L2²·10⁶⌋ of svec vs a micro-int codeword (cvq) — native
+    * [[graft.functions.FloatL2Quant]] kernel.
+    */
   private def duQuant: Column = floor(
-    aggregate(zip_with(col("svec"), col("cvq"),
-      (x, q) => (x.cast("double") - q.cast("double") * lit(1.0e-6))
-        * (x.cast("double") - q.cast("double") * lit(1.0e-6))),
-      lit(0.0), (acc, v) => acc + v) * lit(1000000.0)).cast("long")
+    call_function("graft_fl2q", col("svec"), col("cvq")) * lit(1000000.0)).cast("long")
 
   /** Argmin-L2 encode, keeping the packed (du, cb_idx) long: `% PqKs`
     * recovers the code, `div PqKs` the quantization error — the latter

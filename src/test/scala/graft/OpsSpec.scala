@@ -165,6 +165,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mm.head.isNullAt(0))
   }
 
+  test("quantized-vector kernels equal their HOF double-fold forms bit-for-bit") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val fl: Seq[Seq[Float]] = Seq(
+      Seq(0.1f, -0.2f, 0.3f), Seq(1e-7f, 2e7f, -3.3f), Seq(0f, 0f, 0f))
+    val qs: Seq[Seq[Long]] = Seq(
+      Seq(123456L, -999999L, 1L), Seq(0L, 1000000L, -1L), Seq(7L, 8L, 9L))
+    val df = fl.zip(qs).toDF("a", "q")
+    def bits(c: String) = s"cast($c as string)"
+    val rows = df.selectExpr(
+      s"${bits("graft_fdotq(a, q)")} AS k1",
+      s"${bits("aggregate(zip_with(a, q, (x, v) -> cast(x as double) * (cast(v as double) * 1.0e-6)), cast(0.0 as double), (acc, x) -> acc + x)")} AS h1",
+      s"${bits("graft_fl2q(a, q)")} AS k2",
+      s"${bits("aggregate(zip_with(a, q, (x, v) -> (cast(x as double) - cast(v as double) * 1.0e-6) * (cast(x as double) - cast(v as double) * 1.0e-6)), cast(0.0 as double), (acc, x) -> acc + x)")} AS h2",
+      s"${bits("graft_fl2(a, a)")} AS k3",
+      s"${bits("aggregate(zip_with(a, a, (x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), cast(0.0 as double), (acc, x) -> acc + x)")} AS h3")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1), "fdotq")
+      assert(r.getString(2) === r.getString(3), "fl2q")
+      assert(r.getString(4) === r.getString(5), "fl2")
+    }
+  }
+
   test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
     import spark.implicits._
     import graft.ops.Similarity
