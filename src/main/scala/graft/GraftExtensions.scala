@@ -62,6 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_fl2q"),
       info("graft_fl2q", classOf[FloatL2Quant]),
       (exprs: Seq[Expression]) => FloatL2Quant(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_argmin"),
+      info("graft_pq_argmin", classOf[graft.functions.PqArgmin]),
+      (exprs: Seq[Expression]) => graft.functions.GraftFunctions.pqArgminBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_argmin_l2"),
+      info("graft_argmin_l2", classOf[graft.functions.ArgminL2]),
+      (exprs: Seq[Expression]) => graft.functions.ArgminL2(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vlsum"),
+      info("graft_vlsum", classOf[graft.functions.VecSumLong]),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VecSumLong(exprs(0)).toAggregateExpression()))
     // planner seam: rewrite the naive collect_list+sort second-max
     // idiom to the native two-slot aggregate (see SecondMaxRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)

@@ -124,6 +124,40 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_fl2q", exprs => FloatL2Quant(exprs(0), exprs(1)), "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_pq_argmin"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_pq_argmin", pqArgminBuilder _, "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_argmin_l2"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_argmin_l2", exprs => ArgminL2(exprs(0), exprs(1)), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_vlsum"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_vlsum", exprs => VecSumLong(exprs(0)).toAggregateExpression(),
+        "built-in")
+    }
+  }
+
+  /** Shared graft_pq_argmin builder (temp-function registry and
+    * session-extensions injection): the trailing ks / mode arguments
+    * are plan-time literals lifted into expression parameters.
+    */
+  def pqArgminBuilder(exprs: Seq[Expression]): PqArgmin =
+    PqArgmin(exprs(0), exprs(1), exprs(2),
+      foldInt(exprs(3), "ks"), foldInt(exprs(4), "mode"))
+
+  /** Plan-time Int of a foldable literal argument (ks / mode of
+    * graft_pq_argmin are expression parameters, not runtime columns).
+    */
+  private def foldInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"graft_pq_argmin: $name must be a literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long    => l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_argmin: $name must be an integer literal, got $other")
+    }
   }
 
   /** Shared graft_kmv_kth(hash, K) builder (temp-function registry and

@@ -658,14 +658,24 @@ object Similarity {
       (a2 + b2 - lit(2.0) * ab).cast("long")
     val centsQ = cents.withColumn("cq", micro(col("cvec")))
       .withColumn("cq2", dot(col("cq"), col("cq")))
+    // coarse assignment via the graft_argmin_l2 kernel: centroids
+    // flattened (ordered by cent_id — ties keep the lowest index =
+    // lowest cent_id, exactly min_by(cent_id, struct(cdist, cent_id)))
+    // into ONE broadcast row; the whole n × k scan runs in-register,
+    // no crossJoin row materialization, no assignment shuffle. On the
+    // exact-integer micros the kernel's direct Σ(a−b)² fold equals
+    // the former a·a+b·b−2ab expansion exactly.
+    val centArr = centsQ.agg(
+      expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
+        .as("cent_ids"),
+      expr("flatten(transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq))")
+        .as("cent_flat"))
     val cellOf = base
       .select(col("vec_id"), micro(col("embedding")).as("vq"))
-      .withColumn("vq2", dot(col("vq"), col("vq")))
-      .crossJoin(broadcast(centsQ.select(col("cent_id"), col("cq"), col("cq2"))))
-      .select(col("vec_id"), col("cent_id"),
-        l2x(dot(col("vq"), col("cq")), col("vq2"), col("cq2")).as("cdist"))
-      .groupBy("vec_id")
-      .agg(min_by(col("cent_id"), struct(col("cdist"), col("cent_id"))).as("cell"))
+      .withColumn("cts", scalarStruct(centArr, "cent_ids", "cent_flat"))
+      .select(col("vec_id"), element_at(col("cts.cent_ids"),
+        (call_function("graft_argmin_l2", col("vq"), col("cts.cent_flat"))
+          .getField("idx") + 1).cast("int")).as("cell"))
     // residual micros carried as exact-integer doubles (see above)
     def resid(v: Column, c: Column): Column =
       zip_with(v, c, (a, b) =>
@@ -688,31 +698,33 @@ object Similarity {
       .withColumn("rs2", dot(col("rsub"), col("rsub")))
     def withCw2(cbF: DataFrame): DataFrame =
       cbF.withColumn("cw2", dot(col("cwvec"), col("cwvec")))
-    def encodeVs(cbF: DataFrame): DataFrame = subsR
-      .join(broadcast(withCw2(cbF)), Seq("m"))
-      .select(col("vec_id"), col("cell"), col("m"),
-        (l2x(dot(col("rsub"), col("cwvec")), col("rs2"), col("cw2"))
-          * lit(PqKs.toLong) + col("cb_idx")).as("packed"))
-      .groupBy("vec_id", "cell", "m")
-      .agg(min("packed").as("packed"))
-      .select(col("vec_id"), col("cell"), col("m"), (col("packed") % PqKs).as("cb_idx"))
+    // kernel encode, mode 2: residual micros are exact-integer-valued
+    // doubles, so the kernel's direct Σ(a−b)² fold equals the former
+    // join formulation's a·a+b·b−2ab expansion exactly (every term
+    // and sum < 2^53) — spec-pinned against the join form
+    def encodeVs(cbF: DataFrame): DataFrame =
+      pqEncodeK(rq.select(col("vec_id"), col("cell"), col("rvec")), "rvec",
+          cbF.select(col("m"), col("cb_idx"), col("cwvec")), "cwvec", 2,
+          carry = Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("m"), (col("packed") % PqKs).as("cb_idx"))
     // one Lloyd refinement on the residual codebook: per-(m, codeword,
     // dim) integer means of the residual elements each seed codeword
     // attracted (`sum div count` truncates identically in both
     // engines), then re-encode — the standard train step that lifts
     // the seed codebook's quantization quality
     val codes0 = encodeVs(cb)
-    val subElems = subsR
-      .select(col("vec_id"), col("m"), posexplode(col("rsub")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), col("m"), (col("pos0") + 1).cast("long").as("pos"),
-        col("x").cast("long").as("x"))
-    val cb1 = subElems
+    // vector-form Lloyd update (graft_vlsum — see pqLloydCb): the
+    // residual micros stay whole, per-(m, codeword) element-wise
+    // integer sums div count, no ×D explode, no rebuild sort
+    val subsRQ = subsR.select(col("vec_id"), col("m"),
+      expr("transform(rsub, x -> cast(x as bigint))").as("xqv"))
+    val cb1 = subsRQ
       .join(codes0.select("vec_id", "m", "cb_idx"), Seq("vec_id", "m"))
-      .groupBy("m", "cb_idx", "pos")
-      .agg(expr("sum(x) div count(1)").as("cw"))
       .groupBy("m", "cb_idx")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cw))), s -> cast(s.cw as double))")
-        .as("cwvec"))
+      .agg(call_function("graft_vlsum", col("xqv")).as("sums"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("cb_idx"),
+        expr("transform(sums, s -> cast(s div cnt as double))").as("cwvec"))
       .localCheckpoint()
     val codes = encodeVs(cb1)
     val wCell = Window.partitionBy("probe_id").orderBy(col("pdist").asc, col("cent_id"))
@@ -1127,18 +1139,29 @@ object Similarity {
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
         expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
 
-  /** One Lloyd update: per-(cell, dim) integer means (`sum div count`
-    * — both engines truncate toward zero) rebuilt into micro-int
-    * centroid arrays (cent_id, cvecq, cn2). Two HashAggregates with
-    * map-side combine; output ≤ k rows.
+  /** Micro-int vectors (vec_id, xqv) kept WHOLE — ⌊x·10⁶⌋ per
+    * element (the vector-form Lloyd-update input).
     */
-  private def lloydUpdate(elems: DataFrame, cell: DataFrame): DataFrame =
-    elems.join(cell, "vec_id")
-      .groupBy("cell", "pos")
-      .agg(expr("sum(xq) div count(1)").as("dimq"))
+  private def microVecs(base: DataFrame): DataFrame =
+    base.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+        .as("xqv"))
+
+  /** One Lloyd update: per-cell ELEMENT-WISE integer sums
+    * ([[graft.functions.VecSumLong]]) divided by the member count —
+    * the same per-dim `sum div count` (both engines truncate toward
+    * zero) as the former long-form (posexplode → (cell, pos) groupBy
+    * → collect_list + array_sort rebuild), with the explode's ×D
+    * shuffled-row multiplier and the rebuild sort gone: micro-int
+    * centroid arrays (cent_id, cvecq, cn2) out of ONE
+    * ObjectHashAggregate. Output ≤ k rows.
+    */
+  private def lloydUpdate(vecsQ: DataFrame, cell: DataFrame): DataFrame =
+    vecsQ.join(cell, "vec_id")
       .groupBy(col("cell").as("cent_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, dimq))), s -> s.dimq)")
-        .as("cvecq"))
+      .agg(call_function("graft_vlsum", col("xqv")).as("sums"),
+        count(lit(1)).as("cnt"))
+      .select(col("cent_id"), expr("transform(sums, s -> s div cnt)").as("cvecq"))
       .withColumn("cn2", dotQQ(col("cvecq")))
 
   /** The spherical-kmeans objective Σ_v max_c ⌊cos·10⁶⌋ of a scored
@@ -1162,11 +1185,11 @@ object Similarity {
     val (cents, _) = ivfCentsProbes(spark, dir)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
-    val elems = microElems(base)
+    val vecsQ = microVecs(base)
     var scored = scoredSeed(base, cents)
     val out = scala.collection.mutable.ArrayBuffer(scored)
     for (_ <- 1 to rounds) {
-      val centsQ = lloydUpdate(elems, nearestCell(scored)).localCheckpoint()
+      val centsQ = lloydUpdate(vecsQ, nearestCell(scored)).localCheckpoint()
       scored = scoredQ(base, centsQ)
       out += scored
     }
@@ -1195,11 +1218,11 @@ object Similarity {
     val (cents, ivfP) = ivfCentsProbes(spark, dir)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
-    val elems = microElems(base)
+    val vecsQ = microVecs(base)
     var cell = nearestCell(scoredSeed(base, cents))
     var centsQ: DataFrame = null
     for (_ <- 1 to LloydRounds) {
-      centsQ = lloydUpdate(elems, cell).localCheckpoint()
+      centsQ = lloydUpdate(vecsQ, cell).localCheckpoint()
       cell = nearestCell(scoredQ(base, centsQ))
     }
     val assigned = base.join(cell, "vec_id")
@@ -1306,9 +1329,11 @@ object Similarity {
       .withColumn("cn2",
         aggregate(transform(col("cvec"), c => c.cast("double") * c.cast("double")),
           lit(0.0), (acc, v) => acc + v))
-    // encode: argmin_L2 codeword per (vector, subspace), packed tiebreak
-    val subs = pqSubs(spark, dir)
-    val codes = pqEncode(subs, cb.select("m", "cb_idx", "cvec"))
+    // encode: argmin_L2 codeword per (vector, subspace), packed
+    // tiebreak — the kernel map-only pass over full embeddings
+    val codes = pqEncodeK(embPar(spark, dir).select(col("vec_id"), col("embedding")),
+        "embedding", cb.select("m", "cb_idx", "cvec"), "cvec", 0)
+      .select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
     // probe LUT: per-(subspace, codeword) partial dots, nano-floored
     val p = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
@@ -1385,36 +1410,101 @@ object Similarity {
   /** Argmin-L2 encode, keeping the packed (du, cb_idx) long: `% PqKs`
     * recovers the code, `div PqKs` the quantization error — the latter
     * is what the Lloyd convergence spec sums.
+    *
+    * JOIN formulation — the spec-pinned cross-check reference for
+    * [[pqEncodeK]], which the queries now run: same rows, but this
+    * form materializes corpus × (M·Ks) join rows through a
+    * min-aggregate.
     */
-  private def pqEncodePacked(subs: DataFrame, cb: DataFrame, du: Column): DataFrame =
+  private[graft] def pqEncodePacked(subs: DataFrame, cb: DataFrame, du: Column): DataFrame =
     subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), (du * PqKs + col("cb_idx")).as("packed"))
       .groupBy("vec_id", "m")
       .agg(min(col("packed")).as("packed"))
 
-  /** Encode against a FLOAT codebook: argmin L2, packed tiebreak. */
-  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+  /** Encode against a FLOAT codebook: argmin L2, packed tiebreak
+    * (join-formulation reference of the kernel path).
+    */
+  private[graft] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
     pqEncodePacked(subs, cb, duFloat)
       .select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
 
-  /** Micro-int sub-vector elements (vec_id, m, pos, xq). */
-  private def pqMicroElems(subs: DataFrame): DataFrame =
-    subs.select(col("vec_id"), col("m"), posexplode(col("svec")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), col("m"), (col("pos0") + 1).cast("long").as("pos"),
-        expr("cast(floor(cast(x as double) * 1e6) as bigint)").as("xq"))
-
-  /** One per-subspace Lloyd update: per-(m, codeword, dim) integer
-    * means rebuilt into micro-int codewords (m, cb_idx, cvq, cn2).
-    * Codewords that attract no vectors drop out (both engines
-    * identically). ≤ M·[[PqKs]] output rows.
+  /** One-row flattened codebook (cb_keys, cb_flat): entry e owns key
+    * m·[[PqKs]]+cb_idx and the D codeword elements at [e·D, (e+1)·D)
+    * — the broadcast payload of [[pqEncodeK]]. array_sort orders the
+    * entries by (m, cb_idx); the pair is unique, so the codeword
+    * arrays never enter the comparison.
     */
-  private def pqLloydCb(subElems: DataFrame, codes: DataFrame): DataFrame =
-    subElems.join(codes, Seq("vec_id", "m"))
-      .groupBy("m", "cb_idx", "pos")
-      .agg(expr("sum(xq) div count(1)").as("dimq"))
+  private def pqCbFlat(cb: DataFrame, vcol: String): DataFrame =
+    cb.agg(
+      expr(s"transform(array_sort(collect_list(struct(m, cb_idx, $vcol))), " +
+        s"s -> s.m * $PqKs + s.cb_idx)").as("cb_keys"),
+      expr(s"flatten(transform(array_sort(collect_list(struct(m, cb_idx, $vcol))), " +
+        s"s -> s.$vcol))").as("cb_flat"))
+
+  /** The flattened codebook as ONE scalar-subquery struct column:
+    * computed once before the main query and embedded as a literal —
+    * a 1-row broadcast without ANY join node, so the
+    * no-cross-product plan audit stays intact (a
+    * crossJoin(broadcast(1-row)) would plan a
+    * BroadcastNestedLoopJoin). The temp view binds at ANALYSIS time
+    * (Dataset construction is eagerly analyzed), so sequential
+    * re-use of the name across Lloyd rounds is safe.
+    */
+  private def scalarStruct(one: DataFrame, f1: String, f2: String): Column = {
+    val view = "graft_scalar_cb"
+    one.createOrReplaceTempView(view)
+    expr(s"(select struct($f1, $f2) from $view)")
+  }
+
+  /** KERNEL encode — [[graft.functions.PqArgmin]] against the
+    * flattened broadcast codebook: the same (vec_id[, carry], m,
+    * packed) rows as [[pqEncodePacked]] (equivalence spec-pinned),
+    * with the corpus × (M·Ks) broadcast join + min-aggregate
+    * collapsed into ONE codegen'd map-only call per vector — zero
+    * encode explode, zero encode shuffle, the full argmin runs inside
+    * whole-stage codegen. Subspaces the codebook lost (Lloyd
+    * drop-outs) surface as null slots and are filtered, matching the
+    * inner join's vanished groups. `mode` picks the du arithmetic
+    * (0 float codebook, 1 micro-int, 2 exact-integer doubles — see
+    * [[graft.functions.GraftPq.argmin]]).
+    */
+  private def pqEncodeK(vecs: DataFrame, vecCol: String, cb: DataFrame,
+      vcol: String, mode: Int, carry: Seq[String] = Nil): DataFrame =
+    vecs.withColumn("cbs", scalarStruct(pqCbFlat(cb, vcol), "cb_keys", "cb_flat"))
+      .select(Seq(col("vec_id")) ++ carry.map(col) :+
+        posexplode(call_function("graft_pq_argmin", col(vecCol),
+          col("cbs.cb_keys"), col("cbs.cb_flat"), lit(PqKs), lit(mode)))
+          .as(Seq("m0", "packed")): _*)
+      .filter(col("packed").isNotNull)
+      .select(Seq(col("vec_id")) ++ carry.map(col) :+
+        col("m0").cast("long").as("m") :+ col("packed"): _*)
+
+  /** Micro-int sub-vectors (vec_id, m, xqv) kept WHOLE — ⌊x·10⁶⌋ per
+    * element, element order = dim order (the Lloyd-update input).
+    */
+  private def pqSubsQ(subs: DataFrame): DataFrame =
+    subs.select(col("vec_id"), col("m"),
+      expr("transform(svec, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+        .as("xqv"))
+
+  /** One per-subspace Lloyd update: per-(m, codeword) ELEMENT-WISE
+    * integer sums ([[graft.functions.VecSumLong]]) divided by the
+    * member count — the same `sum div count` per dim as the former
+    * long-form (posexplode → (m, cb_idx, pos) groupBy → collect_list
+    * + array_sort rebuild), with the explode's ×D shuffled-row
+    * multiplier and the rebuild sort gone: the vectors stay whole
+    * through ONE ObjectHashAggregate. Codewords that attract no
+    * vectors drop out (both engines identically). ≤ M·[[PqKs]]
+    * output rows.
+    */
+  private def pqLloydCb(subsQ: DataFrame, codes: DataFrame): DataFrame =
+    subsQ.join(codes, Seq("vec_id", "m"))
       .groupBy("m", "cb_idx")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, dimq))), s -> s.dimq)")
-        .as("cvq"))
+      .agg(call_function("graft_vlsum", col("xqv")).as("sums"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("cb_idx"),
+        expr("transform(sums, s -> s div cnt)").as("cvq"))
       .withColumn("cn2",
         aggregate(transform(col("cvq"),
           q => (q.cast("double") * lit(1.0e-6)) * (q.cast("double") * lit(1.0e-6))),
@@ -1435,14 +1525,14 @@ object Similarity {
   private[graft] def pqLloydPacked(spark: SparkSession, dir: String,
       rounds: Int): Seq[DataFrame] = {
     val n = emb(spark, dir).count()
-    val subs = pqSubs(spark, dir)
-    val subElems = pqMicroElems(subs)
-    var packed = pqEncodePacked(subs, pqSeedCb(spark, dir, n), duFloat)
+    val vecs = embPar(spark, dir).select(col("vec_id"), col("embedding"))
+    val subsQ = pqSubsQ(pqSubs(spark, dir))
+    var packed = pqEncodeK(vecs, "embedding", pqSeedCb(spark, dir, n), "cvec", 0)
     val out = scala.collection.mutable.ArrayBuffer(packed)
     for (_ <- 1 to rounds) {
       val codes = packed.select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
-      val cb = pqLloydCb(subElems, codes).localCheckpoint()
-      packed = pqEncodePacked(subs, cb, duQuant)
+      val cb = pqLloydCb(subsQ, codes).localCheckpoint()
+      packed = pqEncodeK(vecs, "embedding", cb, "cvq", 1)
       out += packed
     }
     out.toSeq
@@ -1470,13 +1560,14 @@ object Similarity {
     */
   def pqKmeans(spark: SparkSession, dir: String): DataFrame = {
     val n = emb(spark, dir).count()
-    val subs = pqSubs(spark, dir)
-    val subElems = pqMicroElems(subs)
-    var codes1 = pqEncode(subs, pqSeedCb(spark, dir, n))
+    val vecs = embPar(spark, dir).select(col("vec_id"), col("embedding"))
+    val subsQ = pqSubsQ(pqSubs(spark, dir))
+    var codes1 = pqEncodeK(vecs, "embedding", pqSeedCb(spark, dir, n), "cvec", 0)
+      .select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
     var cb1: DataFrame = null
     for (_ <- 1 to LloydRounds) {
-      cb1 = pqLloydCb(subElems, codes1).localCheckpoint()
-      codes1 = pqEncodePacked(subs, cb1, duQuant)
+      cb1 = pqLloydCb(subsQ, codes1).localCheckpoint()
+      codes1 = pqEncodeK(vecs, "embedding", cb1, "cvq", 1)
         .select(col("vec_id"), col("m"), (col("packed") % PqKs).as("cb_idx"))
     }
     // ADC against the refined book
@@ -1490,9 +1581,7 @@ object Similarity {
         sub(col("pvec"), col("m")).as("psub"))
       .join(broadcast(cb1), Seq("m"))
       .select(col("probe_id"), col("pn2"), col("m"), col("cb_idx"),
-        floor(aggregate(zip_with(col("psub"), col("cvq"),
-          (x, q) => x.cast("double") * (q.cast("double") * lit(1.0e-6))),
-          lit(0.0), (acc, v) => acc + v) * lit(1.0e9)).cast("long").as("pdot_su"),
+        floor(dotQ(col("psub"), col("cvq")) * lit(1.0e9)).cast("long").as("pdot_su"),
         floor(col("cn2") * lit(1.0e9)).cast("long").as("cn2_su"))
     val scored = codes1.join(broadcast(lut), Seq("m", "cb_idx"))
       .groupBy("probe_id", "vec_id")

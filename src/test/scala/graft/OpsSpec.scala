@@ -189,6 +189,152 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pq argmin kernel equals the join-formulation encode (all modes, ties, dropped subspaces)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val M = 4; val D = 3; val Ks = 64
+    // deterministic pseudo-random floats; vec 7 gets integer-valued
+    // elements so mode 2 is exercised on its contract domain too
+    def f(i: Long, j: Int): Float =
+      (math.sin(i * 31 + j * 7) * 3).toFloat
+    val vecs = (0L until 20L).map(i =>
+      (i, (0 until M * D).map(j => f(i, j)).toArray)).toDF("vec_id", "embedding")
+    // codebook: m=2 DROPPED entirely; duplicated codeword in m=0
+    // (cb_idx 5 and 9 identical → tie must resolve to 5);
+    // non-contiguous cb_idx everywhere
+    val cwF: Seq[(Long, Long, Array[Float])] =
+      Seq((0L, 5L), (0L, 9L), (0L, 41L), (1L, 0L), (1L, 63L), (3L, 17L)).map {
+        case (m, k) =>
+          val base = if (m == 0 && k == 9) Seq(0L -> 5L) else Seq(m -> k)
+          val (bm, bk) = base.head
+          (m, k, (0 until D).map(j => f(bm * 100 + bk, j)).toArray)
+      }
+    val cbF = cwF.toDF("m", "cb_idx", "cvec")
+    val subs = vecs
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        expr(s"slice(embedding, cast(m * $D + 1 as int), $D)").as("svec"))
+    def kernel(cb: org.apache.spark.sql.DataFrame, vcol: String, mode: Int) =
+      vecs.crossJoin(broadcast(cb.agg(
+          expr(s"transform(array_sort(collect_list(struct(m, cb_idx, $vcol))), " +
+            s"s -> s.m * $Ks + s.cb_idx)").as("cb_keys"),
+          expr(s"flatten(transform(array_sort(collect_list(struct(m, cb_idx, $vcol))), " +
+            s"s -> s.$vcol))").as("cb_flat"))))
+        .select(col("vec_id"), posexplode(call_function("graft_pq_argmin",
+          col("embedding"), col("cb_keys"), col("cb_flat"), lit(Ks), lit(mode)))
+          .as(Seq("m0", "packed")))
+        .filter(col("packed").isNotNull)
+        .select(col("vec_id"), col("m0").cast("long").as("m"), col("packed"))
+        .as[(Long, Long, Long)].collect().toSet
+    def joinForm(cb: org.apache.spark.sql.DataFrame, du: org.apache.spark.sql.Column) =
+      subs.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), (du * Ks + col("cb_idx")).as("packed"))
+        .groupBy("vec_id", "m").agg(min("packed").as("packed"))
+        .as[(Long, Long, Long)].collect().toSet
+    // mode 0: float codebook, floor(l2 * 1e6)
+    val k0 = kernel(cbF, "cvec", 0)
+    val j0 = joinForm(cbF,
+      floor(call_function("graft_fl2", col("svec"), col("cvec")) * lit(1.0e6)).cast("long"))
+    assert(k0 === j0 && k0.nonEmpty, "mode 0")
+    assert(!k0.exists(_._2 == 2L), "dropped subspace must vanish")
+    // the m=0 duplicate codewords tie on du -> lower cb_idx (5) wins
+    assert(k0.filter(_._2 == 0L).forall(r => (r._3 % Ks) != 9L), "tie -> lower idx")
+    // mode 1: micro-int codebook
+    val cbQ = cbF.select(col("m"), col("cb_idx"),
+      expr("transform(cvec, x -> cast(floor(cast(x as double) * 1e6) as bigint))").as("cvq"))
+    val k1 = kernel(cbQ, "cvq", 1)
+    val j1 = joinForm(cbQ,
+      floor(call_function("graft_fl2q", col("svec"), col("cvq")) * lit(1.0e6)).cast("long"))
+    assert(k1 === j1 && k1.nonEmpty, "mode 1")
+    // mode 2: exact-integer-valued doubles; the kernel's direct fold
+    // must also equal the a²+b²−2ab expansion the query form used
+    val vecsI = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as double))").as("embedding"))
+    val cbI = cbF.select(col("m"), col("cb_idx"),
+      expr("transform(cvec, x -> cast(floor(cast(x as double) * 1e6) as double))").as("cvec"))
+    val k2 = vecsI.crossJoin(broadcast(cbI.agg(
+        expr(s"transform(array_sort(collect_list(struct(m, cb_idx, cvec))), " +
+          s"s -> s.m * $Ks + s.cb_idx)").as("cb_keys"),
+        expr(s"flatten(transform(array_sort(collect_list(struct(m, cb_idx, cvec))), " +
+          s"s -> s.cvec))").as("cb_flat"))))
+      .select(col("vec_id"), posexplode(call_function("graft_pq_argmin",
+        col("embedding"), col("cb_keys"), col("cb_flat"), lit(Ks), lit(2)))
+        .as(Seq("m0", "packed")))
+      .filter(col("packed").isNotNull)
+      .select(col("vec_id"), col("m0").cast("long").as("m"), col("packed"))
+      .as[(Long, Long, Long)].collect().toSet
+    val subsI = vecsI
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        expr(s"slice(embedding, cast(m * $D + 1 as int), $D)").as("svec"))
+    val j2 = subsI.join(broadcast(cbI), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        (expr("cast(aggregate(zip_with(svec, cvec, (x, c) -> x * x + c * c - 2 * x * c), " +
+          "cast(0.0 as double), (a, v) -> a + v) as long)") * Ks + col("cb_idx")).as("packed"))
+      .groupBy("vec_id", "m").agg(min("packed").as("packed"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k2 === j2 && k2.nonEmpty, "mode 2 vs expansion form")
+  }
+
+  test("argmin_l2 kernel equals the min_by join formulation (incl. duplicate-centroid ties)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    def mk(seed: Long): Array[Double] =
+      (0 until 4).map(j => math.floor(math.sin(seed * 13 + j * 5) * 1e6)).toArray
+    val vecs = (0L until 30L).map(i => (i, mk(i))).toDF("vec_id", "vq")
+    // cent_id 40 duplicates cent_id 10's vector -> tie must pick 10
+    val cents = Seq(10L -> mk(100), 25L -> mk(101), 40L -> mk(100), 7L -> mk(102))
+      .toDF("cent_id", "cq")
+    val centArr = cents.agg(
+      expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)").as("ids"),
+      expr("flatten(transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq))").as("flat"))
+    val kernel = vecs.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), element_at(col("ids"),
+        (call_function("graft_argmin_l2", col("vq"), col("flat"))
+          .getField("idx") + 1).cast("int")).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val joinForm = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        expr("cast(aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0.0 as double), (s, v) -> s + v) as long)").as("cdist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(col("cdist"), col("cent_id"))).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel === joinForm && kernel.size === 30)
+    assert(!kernel.values.exists(_ == 40L), "tie must resolve to the lower cent_id")
+  }
+
+  test("vlsum aggregate equals the long-form explode + groupBy rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // skewed groups incl. a singleton; values exercise negatives and
+    // partial-merge boundaries (4 shuffle partitions)
+    val rows = (0L until 200L).map { i =>
+      (i % 7, (0 until 5).map(j => (i * 31 + j * 17) % 1000 - 500).toArray)
+    }
+    val df = rows.toDF("k", "v").repartition(4)
+    val agg = df.groupBy("k")
+      .agg(call_function("graft_vlsum", col("v")).as("sums"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val longForm = df
+      .select(col("k"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("k", "pos").agg(sum("x").as("s"))
+      .groupBy("k")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), t -> t.s)").as("sums"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(agg === longForm && agg.size === 7)
+    // scala re-derivation (third opinion)
+    val scalaForm = rows.groupBy(_._1).map { case (k, g) =>
+      k -> (0 until 5).map(j => g.map(_._2(j)).sum)
+    }
+    assert(agg.map { case (k, v) => k -> v.toSeq } === scalaForm)
+  }
+
   test("pca power iteration matches an independent Scala chain; Rayleigh quotient grows") {
     import spark.implicits._
     import graft.ops.Similarity
