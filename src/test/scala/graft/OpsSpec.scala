@@ -1694,6 +1694,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT graft_kmv_kth(x, 2).k_used, graft_kmv_kth(x, 2).kth_hash " +
           "FROM VALUES (30L), (10L), (20L), (10L) t(x)").collect()(0)
       assert((kmv.getLong(0), kmv.getLong(1)) === ((2L, 20L)))
+      // the vector-quantization seam: argmin over a 2-entry codebook
+      // for subspace 0 (keys 0·64+idx), plus the struct scan + vlsum
+      val pq = s2.sql(
+        "SELECT graft_pq_argmin(array(cast(1.0 as float), cast(2.0 as float)), " +
+          "array(3L, 7L), array(cast(9.0 as float), cast(9.0 as float), " +
+          "cast(1.0 as float), cast(2.0 as float)), 64, 0)[0]").collect()(0)
+      assert(pq.getLong(0) === 7L, "exact match at idx 7 -> du 0, packed 7")
+      val am = s2.sql(
+        "SELECT graft_argmin_l2(array(1.0d, 2.0d), " +
+          "array(9.0d, 9.0d, 1.0d, 2.0d)).idx").collect()(0)
+      assert(am.getLong(0) === 1L)
+      val vs = s2.sql(
+        "SELECT graft_vlsum(v) FROM VALUES (array(1L, 2L)), (array(10L, 20L)) t(v)")
+        .collect()(0).getSeq[Long](0)
+      assert(vs === Seq(11L, 22L))
     } finally {
       // always clear first so a missing prior session can't leave the
       // local[2] spec session as the process-wide default
