@@ -672,9 +672,9 @@ object Similarity {
         .as("cent_flat"))
     val cellOf = base
       .select(col("vec_id"), micro(col("embedding")).as("vq"))
-      .withColumn("cts", scalarStruct(centArr, "cent_ids", "cent_flat"))
-      .select(col("vec_id"), element_at(col("cts.cent_ids"),
-        (call_function("graft_argmin_l2", col("vq"), col("cts.cent_flat"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), element_at(col("cent_ids"),
+        (call_function("graft_argmin_l2", col("vq"), col("cent_flat"))
           .getField("idx") + 1).cast("int")).as("cell"))
     // residual micros carried as exact-integer doubles (see above)
     def resid(v: Column, c: Column): Column =
@@ -705,7 +705,7 @@ object Similarity {
     def encodeVs(cbF: DataFrame): DataFrame =
       pqEncodeK(rq.select(col("vec_id"), col("cell"), col("rvec")), "rvec",
           cbF.select(col("m"), col("cb_idx"), col("cwvec")), "cwvec", 2,
-          carry = Seq("cell"))
+          carry = Seq("cell"), subquery = false)
         .select(col("vec_id"), col("cell"), col("m"), (col("packed") % PqKs).as("cb_idx"))
     // one Lloyd refinement on the residual codebook: per-(m, codeword,
     // dim) integer means of the residual elements each seed codeword
@@ -1453,7 +1453,12 @@ object Similarity {
     */
   private def scalarStruct(one: DataFrame, f1: String, f2: String): Column = {
     val view = "graft_scalar_cb"
-    one.createOrReplaceTempView(view)
+    // materialize the 1-row frame FIRST: the optimizer re-plans the
+    // scalar subquery per field reference, so an un-checkpointed
+    // codebook lineage (a corpus-scaled aggregation) would execute
+    // once per referencing column — measured 3.3 → 5.5 s on
+    // sim_ivfpq_topk at sf1.0 before this checkpoint
+    one.localCheckpoint().createOrReplaceTempView(view)
     expr(s"(select struct($f1, $f2) from $view)")
   }
 
@@ -1469,16 +1474,34 @@ object Similarity {
     * (0 float codebook, 1 micro-int, 2 exact-integer doubles — see
     * [[graft.functions.GraftPq.argmin]]).
     */
+  /** `subquery = true` attaches the codebook as a scalar-subquery
+    * struct — no join node, which the sim_pq_topk / sim_pq_kmeans
+    * no-cross-product plan audit requires. `subquery = false` uses a
+    * 1-row broadcast crossJoin instead: a single-plan form whose
+    * codebook lineage participates in exchange REUSE across the
+    * consuming query (the ivfpq path computes its residual frame in
+    * both the encode and the codebook; chopping it behind eager
+    * subquery checkpoints measured 3.3 → 4.6 s at sf1.0).
+    */
   private def pqEncodeK(vecs: DataFrame, vecCol: String, cb: DataFrame,
-      vcol: String, mode: Int, carry: Seq[String] = Nil): DataFrame =
-    vecs.withColumn("cbs", scalarStruct(pqCbFlat(cb, vcol), "cb_keys", "cb_flat"))
+      vcol: String, mode: Int, carry: Seq[String] = Nil,
+      subquery: Boolean = true): DataFrame = {
+    val flat = pqCbFlat(cb, vcol)
+    val withCb =
+      if (subquery)
+        vecs.withColumn("cbs", scalarStruct(flat, "cb_keys", "cb_flat"))
+          .withColumn("cb_keys", col("cbs.cb_keys"))
+          .withColumn("cb_flat", col("cbs.cb_flat"))
+      else vecs.crossJoin(broadcast(flat))
+    withCb
       .select(Seq(col("vec_id")) ++ carry.map(col) :+
         posexplode(call_function("graft_pq_argmin", col(vecCol),
-          col("cbs.cb_keys"), col("cbs.cb_flat"), lit(PqKs), lit(mode)))
+          col("cb_keys"), col("cb_flat"), lit(PqKs), lit(mode)))
           .as(Seq("m0", "packed")): _*)
       .filter(col("packed").isNotNull)
       .select(Seq(col("vec_id")) ++ carry.map(col) :+
         col("m0").cast("long").as("m") :+ col("packed"): _*)
+  }
 
   /** Micro-int sub-vectors (vec_id, m, xqv) kept WHOLE — ⌊x·10⁶⌋ per
     * element, element order = dim order (the Lloyd-update input).
