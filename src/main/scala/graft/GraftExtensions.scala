@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_vlsum", classOf[graft.functions.VecSumLong]),
       (exprs: Seq[Expression]) =>
         graft.functions.VecSumLong(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_topk_min"),
+      info("graft_topk_min", classOf[graft.functions.TopKMin]),
+      (exprs: Seq[Expression]) => graft.functions.GraftFunctions.topkBuilder(exprs)))
     // planner seam: rewrite the naive collect_list+sort second-max
     // idiom to the native two-slot aggregate (see SecondMaxRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)

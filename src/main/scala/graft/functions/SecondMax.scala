@@ -137,6 +137,18 @@ object GraftFunctions {
         "graft_vlsum", exprs => VecSumLong(exprs(0)).toAggregateExpression(),
         "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_topk_min"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_topk_min", topkBuilder _, "built-in")
+    }
+  }
+
+  /** Shared graft_topk_min(x, K) builder (K is a plan-time literal). */
+  def topkBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_topk_min requires exactly 2 arguments (x, K), got ${exprs.length}")
+    TopKMin(exprs.head, foldInt(exprs(1), "K")).toAggregateExpression()
   }
 
   /** Shared graft_pq_argmin builder (temp-function registry and
@@ -151,12 +163,12 @@ object GraftFunctions {
     * graft_pq_argmin are expression parameters, not runtime columns).
     */
   private def foldInt(e: Expression, name: String): Int = {
-    require(e.foldable, s"graft_pq_argmin: $name must be a literal")
+    require(e.foldable, s"graft function argument $name must be a literal")
     e.eval() match {
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long    => l.intValue()
       case other => throw new IllegalArgumentException(
-        s"graft_pq_argmin: $name must be an integer literal, got $other")
+        s"graft function argument $name must be an integer literal, got $other")
     }
   }
 

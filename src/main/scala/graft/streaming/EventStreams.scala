@@ -204,6 +204,89 @@ object EventStreams {
     spark.table(sink).orderBy("win_start_h", "event_type")
   }
 
+  /** Corpus buckets of the [[annTopk]] serve index. */
+  val AnnBuckets = 32L
+
+  /** A probe vector on the serve stream. */
+  case class ProbeV(probe_id: Long, pvec: Array[Float], pn2: Double)
+
+  /** stream_ann_topk — ONLINE retrieval serving: a probe-vector
+    * stream scored against the STATIC indexed corpus — the
+    * vector-search serve path of a RAG stack. The "index" is the
+    * bucketed corpus with precomputed norms, materialized once before
+    * the stream starts; each probe micro-batch fans out over the
+    * [[AnnBuckets]] corpus buckets through a STATELESS stream-static
+    * equi-join (zero join state; the static side re-plans per
+    * micro-batch, so an index refresh is picked up live), scores
+    * exact integer cosine, and keeps the per-probe top-5 in the
+    * bounded [[graft.functions.TopKMin]] aggregate: each candidate
+    * packs (score, vec_id) into ONE long — (1.1e6 − cos_u)·2⁴⁰ +
+    * vec_id, ascending order IS the (cos desc, vec_id asc) ranking —
+    * so the state store holds ≤ 5 longs per probe no matter how many
+    * candidates stream past. Probes arrive in three micro-batches
+    * (the driver-side collect feeds the MemoryStream endpoint only —
+    * a deployment reads the probe topic); the drained sink
+    * hash-matches sim_brute_topk's oracle: exact serve ≡ the batch
+    * scan. The scale seam is the bucket key: this exact-serve
+    * baseline probes ALL buckets (the sim_brute contract); swapping
+    * `sequence(0, B-1)` for the probe's IVF/LSH probed-cell set
+    * turns the same DAG — same join, same bounded top-K state —
+    * into sub-linear ANN serving.
+    */
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val corpus = emb
+      .select(col("vec_id"), col("embedding"),
+        graft.ops.Similarity.dot(col("embedding"), col("embedding")).as("vn2"),
+        (col("vec_id") % AnnBuckets).as("bucket"))
+      .localCheckpoint()
+    val probeRows = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        graft.ops.Similarity.dot(col("embedding"), col("embedding")).as("pn2"))
+      .as[ProbeV].collect().toSeq
+    val input = MemoryStream[ProbeV]
+    val scored = annServeDag(input.toDS(), corpus)
+    val sink = sinkName("stream_ann_topk")
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    // three serve waves; Complete mode re-emits the full ranking each
+    // trigger, so the final drain covers every probe served so far
+    probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    annUnpack(spark.table(sink)).orderBy("probe_id", "rank")
+  }
+
+  private val AnnShift = 1L << 40
+
+  /** The serve DAG, factored so specs can drive it trigger-by-trigger
+    * and watch the bounded per-probe top-K state.
+    */
+  def annServeDag(probes: Dataset[ProbeV], corpus: DataFrame): DataFrame =
+    probes.toDF()
+      .withColumn("bucket", explode(expr(s"sequence(0L, ${AnnBuckets - 1}L)")))
+      .join(corpus, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        ((lit(1100000L) - graft.ops.Similarity.cosUPre(col("pvec"), col("embedding"),
+          col("pn2"), col("vn2"))) * lit(AnnShift) + col("vec_id")).as("packed"))
+      .groupBy("probe_id")
+      .agg(call_function("graft_topk_min", col("packed"), lit(5)).as("top"))
+
+  /** Unpack the (probe_id, top) sink rows to (probe_id, rank, vec_id,
+    * cos_u) — the sim_brute_topk output contract.
+    */
+  def annUnpack(sunk: DataFrame): DataFrame =
+    sunk
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "packed")))
+      .select(col("probe_id"), (col("r0") + 1).cast("long").as("rank"),
+        (col("packed") % lit(AnnShift)).as("vec_id"),
+        (lit(1100000L) - expr("shiftright(packed, 40)")).as("cos_u"))
+
   /** stream_join — stream-static enrichment: the event stream joined
     * to the STATIC customer dimension (the standard reference-data
     * decorate; the static side is re-planned per micro-batch, so a
@@ -1113,6 +1196,7 @@ object EventStreams {
     "stream_card" -> (cardStream _),
     "stream_sliding" -> (sliding _),
     "stream_join" -> (joinStatic _),
+    "stream_ann_topk" -> (annTopk _),
     "stream_sj" -> (streamStreamJoin _),
     "stream_topk" -> (topk _),
     "stream_range_join" -> (rangeJoinStream _),
@@ -1147,6 +1231,8 @@ object EventStreams {
     // the (source, token) count state drains to the same χ² read
     "stream_drift" -> graft.ops.OpsOracles.all("stats_source_drift"),
     "stream_incr_dedup" -> graft.ops.OpsOracles.all("stream_incr_dedup"),
+    // the serve stream drains to the same exact top-5 as the batch scan
+    "stream_ann_topk" -> graft.ops.OpsOracles.all("sim_brute_topk"),
     "stream_exact_median" -> graft.ops.OpsOracles.all("stats_exact_median"),
     // the per-user state machine drains to the batch funnel summary
     "stream_funnel" -> Queries.funnelOracleSql,

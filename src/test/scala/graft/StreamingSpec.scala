@@ -51,6 +51,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size.toLong === batchCount)
   }
 
+  test("stream_ann_topk serves each wave exactly and equals the batch brute scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val corpus = emb
+      .select(col("vec_id"), col("embedding"),
+        graft.ops.Similarity.dot(col("embedding"), col("embedding")).as("vn2"),
+        (col("vec_id") % EventStreams.AnnBuckets).as("bucket"))
+      .localCheckpoint()
+    val probes = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        graft.ops.Similarity.dot(col("embedding"), col("embedding")).as("pn2"))
+      .as[EventStreams.ProbeV].collect().toSeq.sortBy(_.probe_id)
+    assert(probes.size >= 2, "need at least two probes to form two waves")
+    val (w1, w2) = probes.splitAt(probes.size / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.ProbeV]
+    val q = EventStreams.annServeDag(input.toDS(), corpus)
+      .writeStream.format("memory").queryName("ann_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    val batch = rows(graft.ops.Similarity.bruteTopk(spark, dir),
+      "probe_id", "rank", "vec_id", "cos_u")
+    // wave 1: exactly the first wave's probes served, matching the
+    // batch scan restricted to them
+    input.addData(w1); q.processAllAvailable()
+    val served1 = rows(EventStreams.annUnpack(spark.table("ann_trigger_spec")),
+      "probe_id", "rank", "vec_id", "cos_u")
+    val w1Ids = w1.map(_.probe_id).toSet
+    assert(served1 === batch.filter(r => w1Ids.contains(r.head.asInstanceOf[Long])))
+    // the state per probe is the bounded top array, never the
+    // candidate stream: <= 5 entries per probe in the sink
+    assert(spark.table("ann_trigger_spec")
+      .select(size(col("top"))).collect().forall(_.getInt(0) <= 5))
+    // wave 2: full equality with the batch scan
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    val served = rows(EventStreams.annUnpack(spark.table("ann_trigger_spec")),
+      "probe_id", "rank", "vec_id", "cos_u")
+    assert(served === batch)
+  }
+
   test("stream_card refreshes across triggers and converges to the batch card") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
