@@ -2118,6 +2118,24 @@ object OpsOracles {
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
+    // The oracle is the FULL REBUILD: every vector assigned from
+    // scratch to the frozen base-derived centroids. The engine only
+    // scores the new batch and unions the persisted base rows, so a
+    // hash match certifies incremental merge == full rebuild.
+    "sim_index_refresh" -> {
+      val m = Similarity.RefreshNewMod
+      s"""WITH nb AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % $m != 0),
+         |cmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 32) r(g), nb
+         |         WHERE (CAST(1 AS BIGINT) << g) * (CAST(1 AS BIGINT) << g) >= nb.n),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings, cmod
+         |      WHERE vec_id % $m != 0 AND vec_id % cmod.m = 0),
+         |asg AS (SELECT e.vec_id, c.cent_id, ${cosU("e.embedding", "c.cvec")} AS ccos
+         |        FROM embeddings e, c)
+         |SELECT vec_id, cent_id AS cell, CAST(vec_id % $m = 0 AS BIGINT) AS is_new
+         |FROM asg
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     "sim_ivf_topk" ->
       s"""WITH $ivfModsCte,
          |asg AS (

@@ -1655,6 +1655,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_index_refresh merges O(batch) against the persisted artifact and equals a full rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    // pure-Scala full rebuild: frozen base-derived centroids, every
+    // vector assigned from scratch
+    val m = Similarity.RefreshNewMod
+    val baseIds = vecs.keys.filter(_ % m != 0).toSeq
+    val cmod = Similarity.ivfCentMod(baseIds.size.toLong)
+    val cents = baseIds.filter(_ % cmod == 0)
+    // sub-linear index: k <= sqrt(n_base) centroids (the broadcast bound)
+    assert(cents.nonEmpty &&
+      cents.size.toLong <= math.ceil(math.sqrt(baseIds.size.toDouble)).toLong)
+    def cellOf(v: Long): Long = cents.maxBy(c => (cosU(vecs(v), vecs(c)), -c))
+    val expected = vecs.keys.toSeq.sorted
+      .map(v => (v, cellOf(v), if (v % m == 0) 1L else 0L))
+    val got = Similarity.indexRefresh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // poisoned-artifact proof of O(batch): flip one persisted base
+    // cell to a sentinel; the refresh must carry it through verbatim
+    // (the base side is READ, never re-scored) while the new batch
+    // still assigns correctly against the frozen centroids
+    val centsDf = Similarity.refreshCents(spark, dir)
+    val poisonId = baseIds.min
+    val poisoned = Similarity.refreshBaseIndex(spark, dir, centsDf)
+      .withColumn("cell",
+        when(col("vec_id") === poisonId, lit(-999L)).otherwise(col("cell")))
+    val out = Similarity.indexRefreshVs(spark, dir, centsDf, poisoned).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.find(_._1 === poisonId).get._2 === -999L)
+    assert(out.filter(_._3 === 1L) === expected.filter(_._3 === 1L))
+  }
+
   test("pipeline_clean output is canonical, kept, and stratum-capped") {
     val out = ops.Pipeline.clean(spark, dir).collect()
     assert(out.nonEmpty)
