@@ -51,7 +51,7 @@ object Bench {
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
     "text_chunk",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
-    "sample_curriculum",
+    "sample_curriculum", "sample_soft_dedup",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_kmv_overlap",
     "embed_quantize", "embed_pca_power",

@@ -1523,6 +1523,34 @@ object OpsOracles {
          |  CAST(j.doc_id = sv.survivor AS BIGINT) AS kept
          |FROM j JOIN sv USING (cluster)
          |ORDER BY j.doc_id""".stripMargin,
+    // Shares dedup_cluster's transitive-closure chain; the survivor
+    // is the hash-min member (uniform among the cluster), and only it
+    // carries the inverse-probability weight.
+    "sample_soft_dedup" ->
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |$bandCandCtes,
+         |$ngramHitsCtes,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jhits
+         |  UNION ALL SELECT doc_b, doc_a FROM jhits),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
+         |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc),
+         |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster),
+         |h AS (
+         |  SELECT mm.doc AS doc_id, mm.cluster, cs.cluster_size,
+         |    ${md5Int("('sd:' || CAST(mm.doc AS VARCHAR))")} AS u_hash
+         |  FROM mm JOIN cs USING (cluster)),
+         |sv AS (
+         |  SELECT cluster, doc_id AS survivor FROM h
+         |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY u_hash, doc_id) = 1)
+         |SELECT h.doc_id, h.cluster, h.cluster_size, h.u_hash,
+         |  CAST(h.doc_id = sv.survivor AS BIGINT) AS kept,
+         |  CAST(CASE WHEN h.doc_id = sv.survivor THEN h.cluster_size ELSE 0 END AS BIGINT) AS ht_weight
+         |FROM h JOIN sv USING (cluster)
+         |ORDER BY h.doc_id""".stripMargin,
     "dedup_minhash_pairs" -> {
       val matches = (0 until Dedup.MinhashK)
         .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")

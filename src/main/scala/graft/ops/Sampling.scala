@@ -747,7 +747,40 @@ object Sampling {
     hard.union(easy).orderBy("probe_id", "rank")
   }
 
+  /** sample_soft_dedup — UNBIASED soft deduplication: instead of
+    * always keeping the min-id ([[Dedup.cluster]]) or the
+    * highest-quality member ([[Dedup.keepBest]]), keep ONE uniformly
+    * random representative per near-dup cluster — the deterministic
+    * md5-prefix hash ranks members, the hash-min survives — and carry
+    * the Horvitz-Thompson inverse-probability weight (= cluster_size)
+    * on the survivor so downstream token/statistics accounting stays
+    * unbiased: E[Σ ht_weight · f(doc)] = Σ_docs f(doc) for any f,
+    * which neither deterministic canonical rule satisfies (both bias
+    * toward low ids / high scores). The training use: duplicate
+    * clusters contribute exactly one member each epoch, chosen
+    * without the systematic skew of id-ordering, and the weight
+    * column lets loss re-scaling or mixture accounting see the true
+    * corpus mass. Scale shape: rides the shared O(log² n) CC
+    * contraction + ONE bounded per-cluster aggregation + a key join —
+    * no new corpus pass beyond the pair graph it already shares.
+    */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val clusters = Dedup.cluster(spark, dir)
+    val hashed = clusters.select(col("doc_id"), col("cluster"), col("cluster_size"),
+      expr("graft_md5_prefix(concat('sd:', cast(doc_id as string)))").as("u_hash"))
+    val pick = hashed.groupBy("cluster")
+      .agg(min_by(col("doc_id"), struct(col("u_hash"), col("doc_id"))).as("survivor"))
+    hashed.join(pick, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("u_hash"),
+        (col("doc_id") === col("survivor")).cast("long").as("kept"),
+        when(col("doc_id") === col("survivor"), col("cluster_size"))
+          .otherwise(0L).as("ht_weight"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_soft_dedup" -> (softDedup _),
     "sample_negatives" -> (negatives _),
     "stats_source_drift" -> (sourceDrift _),
     "stats_ks_drift" -> (ksDrift _),

@@ -1228,6 +1228,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.find(_._1 === 13L).get._6 === 1L)
   }
 
+  test("sample_soft_dedup keeps one hash-uniform survivor per cluster with HT weights") {
+    import spark.implicits._
+    val t15 = (1 to 15).map(i => f"w$i%02d")
+    val a = t15.mkString(" ")
+    val b = (t15 ++ Seq("u16", "u17")).mkString(" ")
+    val c = (t15 ++ Seq("v16", "v17")).mkString(" ")
+    val d = (1 to 20).map(i => f"zz$i%02d").mkString(" ") // singleton
+    val tmp = java.nio.file.Files.createTempDirectory("graft_softdedup_spec").toString
+    Seq((10L, "en", a, "s"), (11L, "en", b, "s"), (12L, "en", c, "s"),
+        (13L, "en", d, "s"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.Sampling.softDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet === Set(10L, 11L, 12L, 13L))
+    // exactly one survivor per cluster, chosen by (u_hash, doc_id) min
+    // — NOT the min id, unless the hash happens to rank it first
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val expect = members.minBy(m => (m._4, m._1))._1
+      assert(members.count(_._5 === 1L) === 1)
+      assert(members.find(_._5 === 1L).get._1 === expect)
+      // the survivor carries the full cluster mass; others carry none
+      members.foreach { m =>
+        assert(m._6 === (if (m._1 === expect) m._3 else 0L))
+      }
+    }
+    // Horvitz-Thompson invariant: total carried weight == corpus size
+    assert(rows.map(_._6).sum === rows.length.toLong)
+    // the hash is the spec's own md5 re-derivation (engine-independent)
+    rows.foreach(m => assert(m._4 === md5Int(s"sd:${m._1}")))
+  }
+
   test("connected components converge on a deep chain within default rounds") {
     // a 400-node path has diameter 399: min-label propagation would
     // need ~399 rounds; star contraction must land the single
