@@ -71,6 +71,89 @@ object VolumeQueries {
       .bucketBy(buckets, "bz", "by", "bx").sortBy("bz", "by", "bx")
       .mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** Target rows per compacted file ([[compactStore]]). At 100 TB
+    * this maps to the parquet row-group / file-size target (~128 MB);
+    * here it is sized so the sf0.01 pyramid actually splits dirs into
+    * multiple files and the spec's arithmetic is exercised.
+    */
+  val CompactTargetRows = 2048L
+
+  /** Simulated append-ingest waves for [[volumeCompact]]'s fragmented
+    * fixture store.
+    */
+  val CompactWaves = 5
+
+  /** Append-fragment the pyramid store: [[CompactWaves]] incremental
+    * ingests (z-slab slices) each append their own small files into
+    * every (level, c) directory — the small-files state a real store
+    * reaches after weeks of micro-batch appends.
+    */
+  private[graft] def fragmentStore(spark: SparkSession, dir: String,
+      path: String): Unit = {
+    val pyr = graft.octree.Pyramid(graft.VoxelGrid(spark, dir)).localCheckpoint()
+    (0 until CompactWaves).foreach { k =>
+      pyr.filter(pmod(col("z"), lit(CompactWaves.toLong)) === k.toLong)
+        .write.mode(SaveMode.Append).partitionBy("level", "c").parquet(path)
+    }
+  }
+
+  /** Size-targeted parallel compaction of a (level, c)-partitioned
+    * voxel store: per-directory row counts (a tiny broadcast frame)
+    * derive the file budget nf = ⌈rows ∕ [[CompactTargetRows]]⌉, each
+    * row salts into one of its directory's nf slots by coordinate
+    * hash, and ONE clustering shuffle on (level, c, salt) rewrites
+    * the store — so write parallelism scales with DATA (Σ nf tasks),
+    * not directory count (the one-task-per-dir trap that serializes a
+    * hot directory at 100 TB), and `maxRecordsPerFile` hard-caps any
+    * salt-skewed file at the target. Reads stay partition-pruned; the
+    * within-partition (z, y, x) sort keeps blocks contiguous for
+    * row-group skipping.
+    */
+  private[graft] def compactStore(spark: SparkSession, from: String,
+      to: String): Unit = {
+    val voxels = spark.read.parquet(from)
+    val counts = voxels.groupBy("level", "c").count()
+    voxels.join(broadcast(counts), Seq("level", "c"))
+      .withColumn("salt",
+        pmod(xxhash64(col("z"), col("y"), col("x")),
+          expr(s"(count + ${CompactTargetRows - 1}) div $CompactTargetRows")))
+      .repartition(col("level"), col("c"), col("salt"))
+      .drop("count", "salt")
+      .sortWithinPartitions("level", "c", "z", "y", "x")
+      .write.option("maxRecordsPerFile", CompactTargetRows)
+      .mode(SaveMode.Overwrite).partitionBy("level", "c").parquet(to)
+  }
+
+  /** src_volume_compact — small-files compaction of the pyramid
+    * store, the operational op a 100 TB volume store cannot live
+    * without: [[fragmentStore]] stages the many-small-files state an
+    * append-only ingest accumulates, [[compactStore]] rewrites it
+    * with the salt-parallel size-targeted shuffle, and the compacted
+    * store is read back to voxels. Shares the oct_pyramid oracle
+    * verbatim — a green row proves compaction is exactly lossless;
+    * the spec additionally pins the file arithmetic (per-directory
+    * file count collapses to ≤ nf, every file ≤ the row target).
+    */
+  def volumeCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val frag = s"$root/graft_vcmp_frag_${ProcessHandle.current().pid()}"
+    val comp = s"$root/graft_vcmp_${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(frag))
+    fragmentStore(spark, dir, frag)
+    compactStore(spark, frag, comp)
+    val back = spark.read.parquet(comp)
+      .select(col("level").cast("long").as("level"),
+        col("c").cast("long").as("c"), col("z"), col("y"), col("x"), col("v"))
+      .orderBy("level", "c", "z", "y", "x").localCheckpoint(true)
+    rm(new java.io.File(frag)); rm(new java.io.File(comp))
+    back
+  }
+
   /** src_pyramid_sink — the pyramid sink as its own ORACLE row: build
     * the pyramid, write it through the (level, c)-partitioned store,
     * read every level back through the store reader and return the
@@ -589,6 +672,7 @@ object VolumeQueries {
     "src_volume_levels" -> (volumeLevels _),
     "src_pyramid_sink" -> (pyramidSink _),
     "src_volume_sink" -> (volumeSink _),
+    "src_volume_compact" -> (volumeCompact _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_n5_bytes" -> (n5Bytes _),
     "src_n5_discover" -> (n5Discover _),
@@ -668,6 +752,9 @@ object VolumeQueries {
     "src_pyramid_sink" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // the DSV2 write path must round-trip the same pyramid identity
     "src_volume_sink" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // compaction is exactly lossless: the compacted store reads back
+    // to the same pyramid the oracle recomputes from the base tables
+    "src_volume_compact" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor

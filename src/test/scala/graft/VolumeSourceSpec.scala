@@ -145,6 +145,56 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("volume compaction collapses small files losslessly under the size target") {
+    import spark.implicits._
+    // 2 channels x 16-cube: the full-res level holds 4096 rows per
+    // channel dir, ABOVE CompactTargetRows, so the per-dir file
+    // budget arithmetic (nf = ceil(rows/target) > 1) is exercised
+    val wide = (for (c <- 0L until 2L; z <- 0L until 16L; y <- 0L until 16L;
+        x <- 0L until 16L)
+      yield (c, z, y, x, z * 256 + y * 16 + x + 1)).toDF("c", "z", "y", "x", "v")
+    val pyr = graft.octree.Pyramid(wide).localCheckpoint()
+    val frag = java.nio.file.Files.createTempDirectory("graft-cmp-frag").toString
+    val comp = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    (0 until VolumeQueries.CompactWaves).foreach { k =>
+      pyr.filter(pmod(col("z"), lit(VolumeQueries.CompactWaves.toLong)) === k.toLong)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("level", "c").parquet(frag)
+    }
+    VolumeQueries.compactStore(spark, frag, comp)
+    def filesPerDir(root: String): Map[String, Seq[java.io.File]] =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("level="))
+        .flatMap(l => Option(l.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+          .map(c => s"${l.getName}/${c.getName}" ->
+            Option(c.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".parquet")).toSeq))
+        .toMap
+    val fragF = filesPerDir(frag)
+    val compF = filesPerDir(comp)
+    assert(fragF.keySet === compF.keySet)
+    val target = VolumeQueries.CompactTargetRows
+    fragF.keySet.foreach { d =>
+      val rows = compF(d).map(f => spark.read.parquet(f.getPath).count())
+      val nf = (rows.sum + target - 1) / target
+      // never more files than needed modulo the hard row cap; never
+      // more than the fragmented state
+      assert(compF(d).size <= 2 * nf, s"$d over file budget")
+      assert(compF(d).size <= fragF(d).size, s"$d grew")
+      rows.foreach(r => assert(r <= target, s"$d has an oversized file"))
+    }
+    // the fixture really was fragmented, and compaction really collapsed
+    assert(fragF.values.map(_.size).max >= VolumeQueries.CompactWaves)
+    assert(compF.values.map(_.size).sum < fragF.values.map(_.size).sum)
+    // lossless: identical voxel multiset
+    val a = spark.read.parquet(frag).select("level", "c", "z", "y", "x", "v")
+      .orderBy("level", "c", "z", "y", "x").collect().toSeq
+    val b = spark.read.parquet(comp).select("level", "c", "z", "y", "x", "v")
+      .orderBy("level", "c", "z", "y", "x").collect().toSeq
+    assert(a.map(_.toString) === b.map(_.toString))
+  }
+
   test("physical n5 container round-trips: chunk bytes parse back to the exact arthur pyramid") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_n5_spec").toString
