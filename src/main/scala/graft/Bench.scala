@@ -71,7 +71,8 @@ object Bench {
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_volume_sink", "src_jsonl_scan",
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",
-    "src_jp2_ingest", "src_stack_ingest", "src_volume_compact")
+    "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",
+    "src_volume_snapshot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

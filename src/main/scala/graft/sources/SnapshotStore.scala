@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot manifests over a partitioned parquet store —
+  * the minimal table-format layer (the Iceberg/Delta idea) the volume
+  * store needs for safe rewrites at 100 TB: data files are immutable
+  * and append-only, each commit writes `manifest-v{N}.json` listing
+  * EXACTLY the files that make up that version, readers plan from a
+  * manifest's explicit file list (never from directory listing — the
+  * eventual-consistency trap object stores punish), so a compaction
+  * can rewrite the live tree while every older version stays
+  * readable until [[expire]] reclaims its unreferenced files.
+  *
+  * The manifest is a single driver-side JSON file (the file LIST is
+  * the metadata; at 100 TB a manifest of ~10⁵ file names is a few MB
+  * — the same order as Iceberg's manifest lists).
+  */
+object SnapshotStore {
+
+  private def mfile(root: String, v: Int): java.io.File =
+    new java.io.File(s"$root/manifest-v$v.json")
+
+  private val MName = "manifest-v([0-9]+)\\.json".r
+
+  /** Committed versions, ascending. */
+  def versions(root: String): Seq[Int] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case MName(v) => Some(v.toInt)
+        case _ => None
+      }).toSeq.sorted
+
+  def latest(root: String): Int = versions(root).max
+
+  /** Every parquet data file currently on disk, root-relative, sorted
+    * — what a writer passes to [[commit]] (minus a previous set, for
+    * an incremental commit).
+    */
+  def listDataFiles(root: String): Seq[String] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(base).filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath.stripPrefix(base.getPath).stripPrefix("/")).sorted
+  }
+
+  /** Write the next version's manifest over the given file set;
+    * returns the new version number.
+    */
+  def commit(root: String, files: Seq[String]): Int = {
+    val v = versions(root).lastOption.getOrElse(0) + 1
+    val json = s"""{"version":$v,"files":[${
+      files.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(mfile(root, v).toPath, json.getBytes("UTF-8"))
+    v
+  }
+
+  /** The file list of a committed version. */
+  def files(root: String, v: Int): Seq[String] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(mfile(root, v).toPath), "UTF-8")
+    """"files":\[([^\]]*)\]""".r.findFirstMatchIn(txt).get.group(1)
+      .split(',').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
+
+  /** Time-travel read: plan the scan from version `v`'s explicit file
+    * list. `basePath` keeps the (level, c) partition columns; files
+    * written after v — or files a later compaction superseded — are
+    * invisible, files v references stay visible even after the live
+    * tree was rewritten.
+    */
+  def read(spark: SparkSession, root: String, v: Int): DataFrame =
+    spark.read.option("basePath", root)
+      .parquet(files(root, v).map(f => s"$root/$f"): _*)
+
+  /** Vacuum: delete every data file not referenced by version `keep`
+    * and every older manifest. Returns the deleted data files. Safe
+    * by construction — `keep`'s files are never touched, so the
+    * retained version reads identically before and after.
+    */
+  def expire(root: String, keep: Int): Seq[String] = {
+    val live = files(root, keep).toSet
+    val dead = listDataFiles(root).filterNot(live)
+    dead.foreach(f => new java.io.File(s"$root/$f").delete(): Unit)
+    versions(root).filter(_ < keep).foreach(v => mfile(root, v).delete(): Unit)
+    dead
+  }
+}

@@ -110,8 +110,15 @@ object VolumeQueries {
     * row-group skipping.
     */
   private[graft] def compactStore(spark: SparkSession, from: String,
-      to: String): Unit = {
-    val voxels = spark.read.parquet(from)
+      to: String): Unit =
+    compactPlan(spark.read.parquet(from))
+      .write.option("maxRecordsPerFile", CompactTargetRows)
+      .mode(SaveMode.Overwrite).partitionBy("level", "c").parquet(to)
+
+  /** The shared compaction plan: count → salt → one clustering
+    * shuffle → within-partition sort.
+    */
+  private def compactPlan(voxels: DataFrame): DataFrame = {
     val counts = voxels.groupBy("level", "c").count()
     voxels.join(broadcast(counts), Seq("level", "c"))
       .withColumn("salt",
@@ -120,8 +127,24 @@ object VolumeQueries {
       .repartition(col("level"), col("c"), col("salt"))
       .drop("count", "salt")
       .sortWithinPartitions("level", "c", "z", "y", "x")
+  }
+
+  /** Rewrite-in-place compaction for a [[SnapshotStore]]-managed
+    * tree: read version `v`'s explicit file list, APPEND the
+    * compacted files alongside the originals (data files are
+    * immutable — nothing is deleted until expire), and return the
+    * just-written file set for the next manifest commit. The input
+    * frame is checkpointed before the write so the job never reads
+    * the directory it is appending into.
+    */
+  private[graft] def compactVersion(spark: SparkSession, root: String,
+      v: Int): Seq[String] = {
+    val before = SnapshotStore.listDataFiles(root).toSet
+    val voxels = SnapshotStore.read(spark, root, v).localCheckpoint()
+    compactPlan(voxels)
       .write.option("maxRecordsPerFile", CompactTargetRows)
-      .mode(SaveMode.Overwrite).partitionBy("level", "c").parquet(to)
+      .mode(SaveMode.Append).partitionBy("level", "c").parquet(root)
+    SnapshotStore.listDataFiles(root).filterNot(before)
   }
 
   /** src_volume_compact — small-files compaction of the pyramid
@@ -151,6 +174,39 @@ object VolumeQueries {
         col("c").cast("long").as("c"), col("z"), col("y"), col("x"), col("v"))
       .orderBy("level", "c", "z", "y", "x").localCheckpoint(true)
     rm(new java.io.File(frag)); rm(new java.io.File(comp))
+    back
+  }
+
+  /** src_volume_snapshot — snapshot isolation + time travel over the
+    * pyramid store ([[SnapshotStore]]): the fragmented ingest state
+    * commits as version 1, [[compactVersion]] rewrites the live tree
+    * (new compacted files appended, originals untouched) and commits
+    * as version 2 — and the op returns the TIME-TRAVEL READ OF v1
+    * taken AFTER the rewrite. Sharing the oct_pyramid oracle, a green
+    * row therefore certifies the lakehouse rewrite-isolation
+    * contract: a compaction that changed every live file left
+    * history bit-identical. The spec adds the rest of the table-format
+    * story: disjoint file sets, v2 ≡ v1 ≡ pyramid, latest resolution,
+    * and a vacuum ([[SnapshotStore.expire]]) that reclaims v1's files
+    * without disturbing v2.
+    */
+  def volumeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val store = s"$root/graft_vsnap_${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(store))
+    fragmentStore(spark, dir, store)
+    val v1 = SnapshotStore.commit(store, SnapshotStore.listDataFiles(store))
+    SnapshotStore.commit(store, compactVersion(spark, store, v1)): Unit
+    val back = SnapshotStore.read(spark, store, v1)
+      .select(col("level").cast("long").as("level"),
+        col("c").cast("long").as("c"), col("z"), col("y"), col("x"), col("v"))
+      .orderBy("level", "c", "z", "y", "x").localCheckpoint(true)
+    rm(new java.io.File(store))
     back
   }
 
@@ -673,6 +729,7 @@ object VolumeQueries {
     "src_pyramid_sink" -> (pyramidSink _),
     "src_volume_sink" -> (volumeSink _),
     "src_volume_compact" -> (volumeCompact _),
+    "src_volume_snapshot" -> (volumeSnapshot _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_n5_bytes" -> (n5Bytes _),
     "src_n5_discover" -> (n5Discover _),
@@ -755,6 +812,9 @@ object VolumeQueries {
     // compaction is exactly lossless: the compacted store reads back
     // to the same pyramid the oracle recomputes from the base tables
     "src_volume_compact" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // the v1 time-travel read AFTER the compaction rewrite must still
+    // be exactly the pyramid: rewrite isolation, certified by hash
+    "src_volume_snapshot" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor

@@ -195,6 +195,49 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.map(_.toString) === b.map(_.toString))
   }
 
+  test("snapshot store: rewrite isolation, time travel, and vacuum safety") {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    val wide = (for (c <- 0L until 2L; z <- 0L until 16L; y <- 0L until 16L;
+        x <- 0L until 16L)
+      yield (c, z, y, x, z * 256 + y * 16 + x + 1)).toDF("c", "z", "y", "x", "v")
+    val pyr = graft.octree.Pyramid(wide).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    (0 until VolumeQueries.CompactWaves).foreach { k =>
+      pyr.filter(pmod(col("z"), lit(VolumeQueries.CompactWaves.toLong)) === k.toLong)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("level", "c").parquet(store)
+    }
+    val v1 = SnapshotStore.commit(store, SnapshotStore.listDataFiles(store))
+    val v2 = SnapshotStore.commit(store,
+      VolumeQueries.compactVersion(spark, store, v1))
+    assert(SnapshotStore.latest(store) === v2)
+    val f1 = SnapshotStore.files(store, v1).toSet
+    val f2 = SnapshotStore.files(store, v2).toSet
+    // the rewrite produced a wholly new file set; both are live on disk
+    assert(f1.nonEmpty && f2.nonEmpty && f1.intersect(f2).isEmpty)
+    assert((f1 ++ f2).subsetOf(SnapshotStore.listDataFiles(store).toSet))
+    def voxels(v: Int): Seq[String] =
+      SnapshotStore.read(spark, store, v)
+        .select(col("level").cast("long"), col("c").cast("long"),
+          col("z"), col("y"), col("x"), col("v"))
+        .orderBy("level", "c", "z", "y", "x").collect().map(_.toString).toSeq
+    val expected = pyr
+      .select(col("level").cast("long"), col("c").cast("long"),
+        col("z"), col("y"), col("x"), col("v"))
+      .orderBy("level", "c", "z", "y", "x").collect().map(_.toString).toSeq
+    // time travel BEHIND the rewrite and the rewritten head both read
+    // exactly the pyramid
+    assert(voxels(v1) === expected)
+    assert(voxels(v2) === expected)
+    // vacuum: v1's files reclaimed, v1's manifest gone, v2 untouched
+    val dead = SnapshotStore.expire(store, v2)
+    assert(dead.toSet === f1)
+    assert(SnapshotStore.versions(store) === Seq(v2))
+    assert(SnapshotStore.listDataFiles(store).toSet === f2)
+    assert(voxels(v2) === expected)
+  }
+
   test("physical n5 container round-trips: chunk bytes parse back to the exact arthur pyramid") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_n5_spec").toString
