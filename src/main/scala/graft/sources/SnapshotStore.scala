@@ -49,13 +49,47 @@ object SnapshotStore {
   /** Write the next version's manifest over the given file set;
     * returns the new version number.
     */
-  def commit(root: String, files: Seq[String]): Int = {
+  def commit(root: String, files: Seq[String]): Int =
+    commitTagged(root, files, None)
+
+  private def commitTagged(root: String, files: Seq[String],
+      batch: Option[Long]): Int = {
     val v = versions(root).lastOption.getOrElse(0) + 1
-    val json = s"""{"version":$v,"files":[${
+    val tag = batch.map(b => s""""batch":$b,""").getOrElse("")
+    val json = s"""{"version":$v,$tag"files":[${
       files.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
     java.nio.file.Files.write(mfile(root, v).toPath, json.getBytes("UTF-8"))
     v
   }
+
+  /** The streaming-ingest batch tag of a version, if it has one. */
+  def batchOf(root: String, v: Int): Option[Long] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(mfile(root, v).toPath), "UTF-8")
+    """"batch":([0-9]+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+  }
+
+  /** Whether a streaming micro-batch already committed — the
+    * exactly-once guard a replayed batch hits.
+    */
+  def hasBatch(root: String, batchId: Long): Boolean =
+    versions(root).exists(v => batchOf(root, v).contains(batchId))
+
+  /** Exactly-once streaming commit: extend the latest version's file
+    * list with this batch's new files under the batch tag. A replay
+    * of an already-committed batch is a no-op (returns None). Files
+    * appended by a FAILED attempt (written but never committed) are
+    * invisible to readers — the manifest, not the directory, defines
+    * the table — and are reclaimed by [[expire]].
+    */
+  def commitBatch(root: String, batchId: Long,
+      newFiles: Seq[String]): Option[Int] =
+    if (hasBatch(root, batchId)) None
+    else {
+      val prev = versions(root).lastOption
+        .map(files(root, _)).getOrElse(Seq.empty)
+      Some(commitTagged(root, (prev ++ newFiles).distinct, Some(batchId)))
+    }
 
   /** The file list of a committed version. */
   def files(root: String, v: Int): Seq[String] = {

@@ -147,6 +147,26 @@ object VolumeQueries {
     SnapshotStore.listDataFiles(root).filterNot(before)
   }
 
+  /** The stream_volume_ingest foreachBatch body — one exactly-once
+    * table commit per micro-batch: skip entirely if the batch already
+    * committed (replay after a successful commit), otherwise append
+    * the batch's parquet files and commit a manifest referencing the
+    * just-appended set. A crash BETWEEN append and commit leaves
+    * orphan files that no manifest references — readers never see
+    * them (the manifest defines the table) and [[SnapshotStore
+    * .expire]] reclaims them — so the replayed attempt lands the data
+    * exactly once however the previous attempt died.
+    */
+  private[graft] def ingestBatch(root: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    if (!SnapshotStore.hasBatch(root, batchId)) {
+      val before = SnapshotStore.listDataFiles(root).toSet
+      batch.write.mode(SaveMode.Append)
+        .partitionBy("level", "c").parquet(root)
+      SnapshotStore.commitBatch(root, batchId,
+        SnapshotStore.listDataFiles(root).filterNot(before)): Unit
+    }
+
   /** src_volume_compact — small-files compaction of the pyramid
     * store, the operational op a 100 TB volume store cannot live
     * without: [[fragmentStore]] stages the many-small-files state an

@@ -287,6 +287,55 @@ object EventStreams {
         (col("packed") % lit(AnnShift)).as("vec_id"),
         (lit(1100000L) - expr("shiftright(packed, 40)")).as("cos_u"))
 
+  /** A pyramid voxel on the ingest stream. */
+  case class Vox(level: Long, c: Long, z: Long, y: Long, x: Long, v: Long)
+
+  /** stream_volume_ingest — STREAMING LAKEHOUSE INGEST: pyramid
+    * voxels arrive as micro-batches and land in the
+    * [[graft.sources.SnapshotStore]]-managed table through
+    * `foreachBatch`, ONE exactly-once manifest commit per batch
+    * ([[graft.sources.VolumeQueries.ingestBatch]]): a replayed batch
+    * that already committed is a no-op, and a batch whose previous
+    * attempt died between file append and manifest commit leaves only
+    * manifest-invisible orphans (reclaimed by expire) — the commit
+    * protocol a streaming writer needs against an object store. The
+    * voxel rows ride a MemoryStream endpoint (a deployment reads the
+    * ingest topic); the drained table's LATEST version reads back the
+    * complete pyramid, sharing oct_pyramid's oracle — a green hash
+    * certifies the batch-wise manifest log reassembles the exact
+    * table. The spec drives the crash/replay windows explicitly.
+    */
+  def volumeIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("/dev/shm")
+    val tmproot = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val store = s"$tmproot/graft_vsing_${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(store))
+    new java.io.File(store).mkdirs()
+    val rows = graft.octree.Pyramid(graft.VoxelGrid(spark, dir))
+      .as[Vox].collect().toSeq
+    val input = MemoryStream[Vox]
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch(graft.sources.VolumeQueries.ingestBatch(store) _)
+      .start()
+    rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val back = graft.sources.SnapshotStore
+      .read(spark, store, graft.sources.SnapshotStore.latest(store))
+      .select(col("level").cast("long").as("level"),
+        col("c").cast("long").as("c"), col("z"), col("y"), col("x"), col("v"))
+      .orderBy("level", "c", "z", "y", "x").localCheckpoint(true)
+    rm(new java.io.File(store))
+    back
+  }
+
   /** stream_join — stream-static enrichment: the event stream joined
     * to the STATIC customer dimension (the standard reference-data
     * decorate; the static side is re-planned per micro-batch, so a
@@ -1197,6 +1246,7 @@ object EventStreams {
     "stream_sliding" -> (sliding _),
     "stream_join" -> (joinStatic _),
     "stream_ann_topk" -> (annTopk _),
+    "stream_volume_ingest" -> (volumeIngest _),
     "stream_sj" -> (streamStreamJoin _),
     "stream_topk" -> (topk _),
     "stream_range_join" -> (rangeJoinStream _),
@@ -1233,6 +1283,8 @@ object EventStreams {
     "stream_incr_dedup" -> graft.ops.OpsOracles.all("stream_incr_dedup"),
     // the serve stream drains to the same exact top-5 as the batch scan
     "stream_ann_topk" -> graft.ops.OpsOracles.all("sim_brute_topk"),
+    // the manifest log reassembles the exact pyramid table
+    "stream_volume_ingest" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     "stream_exact_median" -> graft.ops.OpsOracles.all("stats_exact_median"),
     // the per-user state machine drains to the batch funnel summary
     "stream_funnel" -> Queries.funnelOracleSql,

@@ -93,6 +93,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === batch)
   }
 
+  test("stream_volume_ingest commits exactly once through crash and replay windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.{SnapshotStore, VolumeQueries}
+    val wide = (for (c <- 0L until 2L; z <- 0L until 8L; y <- 0L until 8L;
+        x <- 0L until 8L)
+      yield (c, z, y, x, z * 64 + y * 8 + x + 1)).toDF("c", "z", "y", "x", "v")
+    val pyr = graft.octree.Pyramid(wide).localCheckpoint()
+    val all = pyr.collect().map(_.toString).toSeq.sorted
+    val b0 = pyr.filter(col("z") % 2 === 0).localCheckpoint()
+    val b1 = pyr.filter(col("z") % 2 =!= 0).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft-sing").toString
+    def tableRows: Seq[String] =
+      SnapshotStore.read(spark, store, SnapshotStore.latest(store))
+        .select(col("level").cast("long"), col("c").cast("long"),
+          col("z"), col("y"), col("x"), col("v"))
+        .collect().map(_.toString).toSeq.sorted
+    // batch 0 commits normally
+    VolumeQueries.ingestBatch(store)(b0, 0L)
+    assert(SnapshotStore.batchOf(store, SnapshotStore.latest(store)) === Some(0L))
+    assert(tableRows === b0.select(col("level").cast("long"), col("c").cast("long"),
+      col("z"), col("y"), col("x"), col("v")).collect().map(_.toString).toSeq.sorted)
+    // batch 1's FIRST attempt dies between file append and manifest
+    // commit: orphan files on disk, invisible to readers
+    b1.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("level", "c").parquet(store)
+    val orphaned = SnapshotStore.listDataFiles(store).toSet
+    assert(orphaned.size > SnapshotStore.files(store, SnapshotStore.latest(store)).size)
+    assert(tableRows.size === b0.count())
+    // the replay lands batch 1 exactly once (orphans stay invisible)
+    VolumeQueries.ingestBatch(store)(b1, 1L)
+    assert(tableRows === all)
+    // a replay AFTER the successful commit is a complete no-op
+    val vs = SnapshotStore.versions(store)
+    val fs = SnapshotStore.listDataFiles(store)
+    VolumeQueries.ingestBatch(store)(b1, 1L)
+    assert(SnapshotStore.versions(store) === vs)
+    assert(SnapshotStore.listDataFiles(store) === fs)
+    // vacuum reclaims the crashed attempt's orphans; the table is intact
+    val live = SnapshotStore.files(store, SnapshotStore.latest(store)).toSet
+    val dead = SnapshotStore.expire(store, SnapshotStore.latest(store))
+    assert(dead.nonEmpty && dead.toSet.intersect(live).isEmpty)
+    assert(SnapshotStore.listDataFiles(store).toSet === live)
+    assert(tableRows === all)
+  }
+
   test("stream_card refreshes across triggers and converges to the batch card") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
