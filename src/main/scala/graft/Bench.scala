@@ -41,7 +41,7 @@ object Bench {
     "oct_ktx_bytes", "oct_tiff_bytes", "oct_retile_bytes",
     "dedup_exact", "dedup_substring", "dedup_substring_hashed",
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_cluster", "dedup_embed", "dedup_edit",
+    "dedup_ngram_jaccard", "dedup_curve", "dedup_cluster", "dedup_embed", "dedup_edit",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
     "dedup_band_cap", "dedup_semantic", "dedup_incremental", "dedup_keep_best",
     "graph_pagerank", "graph_bfs", "graph_triangles",

@@ -66,7 +66,19 @@ object Dedup {
     * shingle-disjoint) are out of scope here — that's what
     * [[simhash]] / [[embed]] cover.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    verifiedCandidates(spark, dir)
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("nt_a"), col("nt_b"),
+        col("uni"), (col("inter") / col("uni")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The exact-verified band-candidate frame BEFORE the τ filter —
+    * (doc_a, doc_b, inter, nt_a, nt_b, uni) for every LSH candidate
+    * pair — shared by [[ngramJaccard]] (τ = 0.5 cut) and [[curve]]
+    * (the full threshold sweep).
+    */
+  private[graft] def verifiedCandidates(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cands = bandCandidates(signatures(spark, dir))
     // Decouple parallelism from file layout: a single-file table scans
@@ -85,10 +97,38 @@ object Dedup {
         expr("cast(size(array_intersect(toks_a, toks_b)) as bigint)").as("inter"),
         col("nt_a"), col("nt_b"))
       .withColumn("uni", col("nt_a") + col("nt_b") - col("inter"))
-      .filter(col("inter") * 2 >= col("uni"))
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("nt_a"), col("nt_b"),
-        col("uni"), (col("inter") / col("uni")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dedup_curve — the duplicate-rate-vs-threshold SWEEP every dedup
+    * deployment tunes against before committing to a τ: one pass over
+    * the shared exact-verified candidate frame, fanned across the
+    * τ ∈ {0.50 .. 0.95 step 0.05} grid (a broadcast 10-row frame —
+    * the sweep costs one candidate-frame scan, not ten corpus
+    * passes), reporting per threshold the surviving pair count, the
+    * count of documents touched by a surviving pair, and the
+    * duplicate fraction in ppm (all-integer: inter·100 ≥ τ·uni and a
+    * div-floored ppm, so both engines agree exactly). Thresholds
+    * below the banding design point τ = 0.5 are intentionally out of
+    * range — the LSH candidate recall floor does not cover them.
+    */
+  def curve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedCandidates(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .localCheckpoint()
+    val nTotal = Tables(spark, dir, "documents").count()
+    val taus = spark.range(50, 100, 5).select(col("id").as("tau"))
+    val hits = pairs.crossJoin(broadcast(taus))
+      .filter(col("inter") * 100 >= col("tau") * col("uni"))
+    val np = hits.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val nd = hits.select(col("tau"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("tau").agg(countDistinct("d").as("n_dup_docs"))
+    taus.join(np, Seq("tau"), "left").join(nd, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr(s"(n_dup_docs * 1000000) div $nTotal"))
+      .orderBy("tau")
   }
 
   /** The k=8 shingle-MinHash signature frame (doc_id, mh0..mh7) —
@@ -842,6 +882,7 @@ object Dedup {
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_bloom" -> (bloomDecontaminate _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_curve" -> (curve _),
     "dedup_minhash" -> (minhash _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_band_cap" -> (bandCap _),

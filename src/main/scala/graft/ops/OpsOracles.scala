@@ -1402,6 +1402,26 @@ object OpsOracles {
          |SELECT doc_a, doc_b, inter, nt_a, nt_b, nt_a + nt_b - inter AS uni,
          |  inter / (nt_a + nt_b - inter) AS jaccard
          |FROM jhits ORDER BY doc_a, doc_b""".stripMargin,
+    // np in ngramHitsCtes is the UNFILTERED verified-candidate frame;
+    // the sweep filters it per tau — one candidate scan, ten rows out
+    "dedup_curve" ->
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |$ngramHitsCtes,
+         |taus AS (SELECT CAST(t AS BIGINT) AS tau FROM range(50, 100, 5) r(t)),
+         |h AS (
+         |  SELECT taus.tau, np.doc_a, np.doc_b FROM np, taus
+         |  WHERE np.inter * 100 >= taus.tau * (np.nt_a + np.nt_b - np.inter)),
+         |pp AS (SELECT tau, COUNT(*) AS n_pairs FROM h GROUP BY tau),
+         |dd AS (SELECT tau, COUNT(DISTINCT d) AS n_dup_docs FROM (
+         |    SELECT tau, doc_a AS d FROM h
+         |    UNION ALL SELECT tau, doc_b AS d FROM h) u GROUP BY tau),
+         |nt AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT taus.tau, CAST(COALESCE(pp.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(dd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(COALESCE(dd.n_dup_docs, 0) * 1000000 // nt.n AS BIGINT) AS dup_ppm
+         |FROM taus LEFT JOIN pp USING (tau) LEFT JOIN dd USING (tau), nt
+         |ORDER BY taus.tau""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $minhashSigCtes,
          |$bandCandCtes,

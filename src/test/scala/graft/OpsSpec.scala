@@ -1228,6 +1228,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.find(_._1 === 13L).get._6 === 1L)
   }
 
+  test("dedup_curve sweeps monotonically and agrees with ngram_jaccard at tau=0.5") {
+    val rows = Dedup.curve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (50L to 95L by 5L))
+    // raising the threshold can only shrink the surviving set
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"pairs grew from tau=${lo._1} to ${hi._1}")
+      assert(hi._3 <= lo._3, s"docs grew from tau=${lo._1} to ${hi._1}")
+    }
+    // the tau=0.50 point IS dedup_ngram_jaccard's verified pair set
+    val jac = Dedup.ngramJaccard(spark, dir).collect()
+    assert(rows.head._2 === jac.length.toLong)
+    assert(rows.head._3 ===
+      jac.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length.toLong)
+    // each doc in a pair is counted once; ppm arithmetic is the
+    // floored integer division over the true corpus size
+    val n = Tables(spark, dir, "documents").count()
+    rows.foreach { r =>
+      assert(r._3 <= 2 * r._2)
+      assert(r._4 === r._3 * 1000000L / n)
+    }
+    // the fixture is non-trivial: some pair survives only below the
+    // top threshold (the curve actually bends)
+    assert(rows.head._2 > rows.last._2)
+  }
+
   test("sample_soft_dedup keeps one hash-uniform survivor per cluster with HT weights") {
     import spark.implicits._
     val t15 = (1 to 15).map(i => f"w$i%02d")
