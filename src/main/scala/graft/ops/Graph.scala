@@ -149,9 +149,114 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Middle-vertex degree cap for [[commonNeighbors]] — wedges are
+    * only enumerated through middles with degree ≤ this, bounding the
+    * per-vertex fan-out at deg² ≤ CnMidCap² and making the whole pass
+    * O(E · CnMidCap) instead of Θ(Σ deg²) (a single boilerplate hub
+    * of degree 10⁴ would otherwise emit 10⁸ wedges — and hub middles
+    * are exactly the ones that carry no link-prediction signal, the
+    * standard reason common-neighbor scoring drops them).
+    */
+  val CnMidCap = 64L
+
+  /** Resource-allocation micro-units: each shared middle b adds
+    * 10⁶ div deg(b) — the Zhou–Lü–Zhang RA index in exact integer
+    * arithmetic (Adamic–Adar's 1/log deg would be float and
+    * engine-divergent).
+    */
+  val CnRaU = 1000000L
+
+  /** graph_common_neighbors — link prediction over the k-NN
+    * similarity graph ([[Similarity.knnGraph]], undirected): for
+    * every NON-adjacent pair (a, c) sharing at least one low-degree
+    * middle neighbor, the common-neighbor count and the integer
+    * resource-allocation score Σ_b 10⁶ div deg(b) — the "these two
+    * vectors are probably near-dups even though no LSH bucket caught
+    * them directly" recall booster a semantic-dedup deployment layers
+    * over its ANN index. (The MinHash band graph is the wrong base
+    * here: band collisions are clique-complete per family, so it has
+    * no distance-2 pairs at all — the k-NN graph, capped at
+    * [[Similarity.KnnK]] per vertex, is exactly the sparse graph
+    * link prediction wants.)
+    *
+    * Scale shape: one degree aggregation, one capped wedge self-join
+    * (middles filtered to deg ≤ [[CnMidCap]] BEFORE the join — the
+    * k-NN out-degree cap already bounds deg ≲ 2k, the explicit cap
+    * keeps the bound under adversarial in-degree hubs), one groupBy
+    * (a, c), one anti-join against the existing edge set. Everything
+    * equi-joins; no driver collect.
+    */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val ke = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+        greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+      .distinct()
+    val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
+    // adjacency oriented OUT of the capped middles: (middle b, spoke)
+    val spokes = und
+      .join(deg.filter(col("deg") <= CnMidCap).withColumnRenamed("v", "id_a"), Seq("id_a"))
+      .select(col("id_a").as("b"), col("id_b").as("spoke"), col("deg"))
+    val wedges = spokes.as("s1")
+      .join(spokes.as("s2"),
+        col("s1.b") === col("s2.b") && col("s1.spoke") < col("s2.spoke"))
+      .select(col("s1.spoke").as("id_a"), col("s2.spoke").as("id_b"),
+        expr(s"$CnRaU div s1.deg").as("ra"))
+    wedges
+      .join(und, Seq("id_a", "id_b"), "left_anti")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("cn"), sum(col("ra")).as("ra_u"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Core threshold and bounded peel rounds for [[kcore]]. */
+  val KcoreK = 3L
+  val KcoreRounds = 4
+
+  /** graph_kcore — bounded-round [[KcoreK]]-core peeling of the
+    * near-dup candidate graph: each round drops every vertex whose
+    * degree WITHIN the surviving subgraph is < k, then recomputes
+    * induced degrees ([[KcoreRounds]] rounds, the [[PrRounds]]
+    * bounded-iteration pattern so the oracle unrolls exactly). The
+    * surviving core is the "dense boilerplate nucleus" — the set a
+    * cleaning pipeline samples for template mining, versus the
+    * pendant chance-collision fringe the peel removes.
+    *
+    * Per round: one semi-join of the edge set against the surviving
+    * vertices (both sides) + one degree aggregation — O(E) per round
+    * with `localCheckpoint` truncation, the induced-subgraph cousin
+    * of [[pagerank]]'s message rounds.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.bandCandidates(Dedup.signatures(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val und = cand.union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var live = und.select(col("doc_a").as("v")).distinct()
+    var liveDeg = und.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to KcoreRounds) {
+      live = liveDeg.filter(col("deg") >= KcoreK).select(col("v")).localCheckpoint()
+      val induced = und
+        .join(live.withColumnRenamed("v", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(live.withColumnRenamed("v", "doc_b"), Seq("doc_b"), "left_semi")
+      liveDeg = induced.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("deg"))
+    }
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(liveDeg.filter(col("deg") >= KcoreK)
+          .select(col("v").as("doc_id"), col("deg")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("deg").isNotNull).cast("long").as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
-    "graph_triangles" -> (triangles _)
+    "graph_triangles" -> (triangles _),
+    "graph_common_neighbors" -> (commonNeighbors _),
+    "graph_kcore" -> (kcore _)
   )
 }

@@ -1367,6 +1367,43 @@ object OpsOracles {
          |FROM documents v LEFT JOIN d${Graph.BfsRounds} dd ON v.doc_id = dd.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    "graph_common_neighbors" ->
+      s"""WITH $knnCtes,
+         |ke AS (SELECT LEAST(vec_id, nbr_id) AS id_a, GREATEST(vec_id, nbr_id) AS id_b
+         |       FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
+         |und AS (SELECT id_a, id_b FROM ke
+         |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
+         |dgc AS (SELECT id_a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |spc AS (SELECT u.id_a AS b, u.id_b AS spoke, dgc.deg
+         |        FROM und u JOIN dgc ON u.id_a = dgc.v WHERE dgc.deg <= ${Graph.CnMidCap}),
+         |wgc AS (SELECT s1.spoke AS id_a, s2.spoke AS id_b,
+         |          CAST(${Graph.CnRaU} // s1.deg AS BIGINT) AS ra
+         |        FROM spc s1 JOIN spc s2 ON s1.b = s2.b AND s1.spoke < s2.spoke)
+         |SELECT wgc.id_a, wgc.id_b, CAST(COUNT(*) AS BIGINT) AS cn,
+         |  CAST(SUM(ra) AS BIGINT) AS ra_u
+         |FROM wgc ANTI JOIN und ON wgc.id_a = und.id_a AND wgc.id_b = und.id_b
+         |GROUP BY wgc.id_a, wgc.id_b ORDER BY id_a, id_b""".stripMargin,
+    "graph_kcore" -> {
+      val k = Graph.KcoreK
+      val rounds = (1 to Graph.KcoreRounds).map { t =>
+        s"""v$t AS (SELECT v FROM dg${t - 1} WHERE deg >= $k),
+           |e$t AS (SELECT u.doc_a, u.doc_b FROM und u
+           |        JOIN v$t a ON u.doc_a = a.v JOIN v$t b ON u.doc_b = b.v),
+           |dg$t AS (SELECT doc_a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+           |         FROM e$t GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |und AS (SELECT doc_a, doc_b FROM cand
+         |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
+         |dg0 AS (SELECT doc_a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |$rounds,
+         |core AS (SELECT v AS doc_id, deg FROM dg${Graph.KcoreRounds} WHERE deg >= $k)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN core.deg IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,
+         |  CAST(COALESCE(core.deg, 0) AS BIGINT) AS core_deg
+         |FROM documents d LEFT JOIN core USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "dedup_bloom" -> {
       val m = Dedup.BloomBits
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),

@@ -2073,6 +2073,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.count(_ > 0) > 0, "no vertex reached beyond the seeds")
   }
 
+  test("common-neighbor scores match a Scala wedge enumeration over the knn graph") {
+    import graft.ops.Graph
+    // edge base: the spec-pinned knn operator's own output — this test
+    // pins the NEW wedge/anti-join/scoring logic on top of it
+    val ke = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val und = ke ++ ke.map(_.swap)
+    val deg = und.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val byMid = und.toSeq.collect {
+      case (b, s) if deg(b) <= Graph.CnMidCap => (b, s)
+    }.groupBy(_._1)
+    val expected = byMid.toSeq.flatMap { case (b, sp) =>
+      val ss = sp.map(_._2).sorted
+      for (a <- ss; c <- ss if a < c && !und.contains((a, c)))
+        yield ((a, c), Graph.CnRaU / deg(b))
+    }.groupBy(_._1).view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
+    val got = Graph.commonNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "no non-adjacent common-neighbor pairs — spec is vacuous")
+    // every predicted pair is genuinely non-adjacent and sanely scored
+    got.foreach { case ((a, c), (cn, ra)) =>
+      assert(!und.contains((a, c)), s"($a,$c) is an existing edge")
+      assert(ra <= cn * Graph.CnRaU && ra >= cn, s"ra out of range for ($a,$c)")
+    }
+  }
+
+  test("bounded k-core peel matches a Scala round-by-round re-derivation") {
+    import graft.ops.Graph
+    val und = bandEdges.toSet
+    var liveDeg = und.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    for (_ <- 1 to Graph.KcoreRounds) {
+      val live = liveDeg.filter(_._2 >= Graph.KcoreK).keySet
+      liveDeg = und.toSeq
+        .filter { case (u, v) => live(u) && live(v) }
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    }
+    val core = liveDeg.filter(_._2 >= Graph.KcoreK)
+    val got = Graph.kcore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === docs.keySet)
+    docs.keys.foreach { v =>
+      val (inCore, coreDeg) = got(v)
+      assert(inCore === (if (core.contains(v)) 1L else 0L), s"in_core of $v")
+      assert(coreDeg === core.getOrElse(v, 0L), s"core_deg of $v")
+    }
+    assert(core.nonEmpty, "band graph has no 3-core — spec is vacuous")
+    assert(got.values.exists(_._1 === 0L), "everything survived — peel untested")
+  }
+
   test("edit-distance verification matches a Scala DP and stays within threshold") {
     import graft.ops.Dedup
     def lev(a: String, b: String): Long = {
