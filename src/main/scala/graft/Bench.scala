@@ -50,7 +50,7 @@ object Bench {
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
-    "text_chunk",
+    "text_chunk", "text_cdc_chunks",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile",
@@ -68,7 +68,7 @@ object Bench {
     "mm_pack", "mm_meta_extract", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
     "mm_audio_feats",
     "mm_frame_sample",
-    "mm_resize", "mm_patchify",
+    "mm_resize", "mm_patchify", "mm_scene_detect",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_volume_sink", "src_jsonl_scan",
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",

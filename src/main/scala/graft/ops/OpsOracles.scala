@@ -1045,6 +1045,34 @@ object OpsOracles {
          |        ORDER BY score_u DESC, tok) AS BIGINT) AS rk FROM s)
          |SELECT doc_id, rk, tok, tf, df, n_tokens, score_u
          |FROM r WHERE rk <= ${TextAnalysis.TfidfK} ORDER BY doc_id, rk""".stripMargin,
+    "text_cdc_chunks" -> {
+      val w = TextAnalysis.CdcW
+      val m = TextAnalysis.CdcMod
+      s"""WITH bs AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |            FROM documents WHERE length(text) >= 1),
+         |bn AS (
+         |  SELECT doc_id, CAST(k + $w - 1 AS BIGINT) AS e
+         |  FROM (SELECT doc_id, text, n,
+         |          unnest(range(1, GREATEST(n - $w + 2, 1))) AS k FROM bs)
+         |  WHERE ${md5Int(s"substr(text, CAST(k AS INT), $w)")} % $m = 0
+         |    AND k + $w - 1 < n),
+         |en AS (SELECT doc_id, e FROM bn UNION ALL SELECT doc_id, n AS e FROM bs),
+         |ch AS (
+         |  SELECT doc_id, CAST(row_number() OVER win AS BIGINT) AS chunk_idx,
+         |    COALESCE(LAG(e) OVER win + 1, 1) AS s, e
+         |  FROM en WINDOW win AS (PARTITION BY doc_id ORDER BY e)),
+         |cc AS (
+         |  SELECT ch.doc_id, ch.chunk_idx, CAST(ch.s AS BIGINT) AS chunk_start,
+         |    CAST(ch.e - ch.s + 1 AS BIGINT) AS chunk_len,
+         |    md5(substr(bs.text, CAST(ch.s AS INT), CAST(ch.e - ch.s + 1 AS INT))) AS chunk_md5
+         |  FROM ch JOIN bs USING (doc_id)),
+         |shc AS (SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS shared
+         |        FROM cc GROUP BY 1)
+         |SELECT cc.doc_id, cc.chunk_idx, cc.chunk_start, cc.chunk_len,
+         |  cc.chunk_md5, shc.shared
+         |FROM cc JOIN shc USING (chunk_md5)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     "text_chunk" -> {
       val W = TextAnalysis.ChunkW
       val S = TextAnalysis.ChunkS
@@ -2417,6 +2445,38 @@ object OpsOracles {
         |lower(hex(encode(substr(text, CAST(f.frame_idx * 32 + 1 AS INT), 16)))) AS frame_hex
         |FROM documents, range(0, 4) f(frame_idx)
         |WHERE CAST(octet_length(encode(text)) AS BIGINT) >= f.frame_idx * 32 + 16
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_scene_detect" -> {
+      val hv = (c: String) =>
+        s"(strpos('0123456789abcdef', substr($c, CAST(p AS INT), 1)) - 1)"
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+         |    lower(hex(encode(substr(text, CAST(f.frame_idx * 32 + 1 AS INT), 16)))) AS h
+         |  FROM documents, range(0, ${Multimodal.SceneFrames}) f(frame_idx)
+         |  WHERE CAST(octet_length(encode(text)) AS BIGINT) >= f.frame_idx * 32 + 16),
+         |wp AS (SELECT doc_id, frame_idx, h,
+         |        LAG(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS hp FROM fr),
+         |df AS (
+         |  SELECT doc_id, frame_idx, (hp IS NOT NULL) AS has_prev,
+         |    COALESCE(SUM(ABS(${hv("h")} - ${hv("hp")})), 0) AS d
+         |  FROM wp, range(1, 33) r(p)
+         |  GROUP BY doc_id, frame_idx, hp IS NOT NULL),
+         |ct AS (SELECT doc_id, frame_idx,
+         |        CAST(has_prev AND d >= ${Multimodal.SceneTau} AS BIGINT) AS cut FROM df),
+         |sc AS (SELECT doc_id, frame_idx, cut,
+         |        SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id FROM ct),
+         |sl AS (SELECT doc_id, scene_id, CAST(COUNT(*) AS BIGINT) AS scene_len,
+         |        CAST(SUM(cut) AS BIGINT) AS sc_cuts FROM sc GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, SUM(scene_len) AS n_frames, SUM(sc_cuts) AS n_cuts,
+         |        CAST(COUNT(*) AS BIGINT) AS n_scenes, MAX(scene_len) AS max_scene_len
+         |       FROM sl GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(ag.n_frames, 0) AS BIGINT) AS n_frames,
+         |  CAST(COALESCE(ag.n_cuts, 0) AS BIGINT) AS n_cuts,
+         |  CAST(COALESCE(ag.n_scenes, 0) AS BIGINT) AS n_scenes,
+         |  CAST(COALESCE(ag.max_scene_len, 0) AS BIGINT) AS max_scene_len
+         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin
+    }
   )
 }

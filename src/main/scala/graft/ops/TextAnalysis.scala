@@ -792,8 +792,75 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Rolling-window length and boundary modulus for [[cdcChunks]]:
+    * a boundary fires where the [[CdcW]]-char window hash ≡ 0 mod
+    * [[CdcMod]], so chunks average ≈ [[CdcMod]] chars.
+    */
+  val CdcW = 8
+  val CdcMod = 64L
+
+  /** text_cdc_chunks — content-defined chunking (the rsync/LBFS/
+    * restic boundary rule): a chunk boundary falls after character
+    * position i whenever the hash of the [[CdcW]]-char window ending
+    * at i is ≡ 0 mod [[CdcMod]]. Because boundaries depend only on
+    * LOCAL content, an insertion early in a document shifts every
+    * byte offset but leaves all downstream chunk hashes intact —
+    * exactly why storage dedup uses CDC instead of fixed-size blocks,
+    * and why it is the right chunk-level dedup for re-crawled corpora
+    * (each chunk row carries `shared`, the count of distinct docs
+    * containing that exact chunk). Fixed-stride cousins: [[chunk]]
+    * (token windows), mm_patchify (pixel blocks).
+    *
+    * Exactness: the boundary hash is the engine's shared md5-prefix
+    * integer ([[Dedup.md5Int]] — the native kernel on the Spark side,
+    * the strpos polynomial in DuckDB) and chunk identity is full
+    * md5 hex, so both engines agree bit-for-bit. Scale shape: window
+    * hashing is ONE pass per doc via the `graft_char_windows` kernel
+    * (O(n·W) bytes, not the O(n²) per-position substring walk), the
+    * chunk assembly is two doc-keyed window functions, and the
+    * cross-doc `shared` count is one hash-keyed aggregation joined
+    * back with an explicit merge hint (the count frame scales with
+    * the corpus — never a broadcast candidate, per the sf1.0 sweep's
+    * AQE-OOM lesson).
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+    // boundary ends: char position p0+CdcW (1-based end of the window
+    // starting at 0-based p0) wherever the window hash hits the rule;
+    // the final end n closes the last chunk
+    val bnds = base
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"graft_char_windows(text, $CdcW)")).as(Seq("p0", "w")))
+      .filter(expr(s"graft_md5_prefix(w) % $CdcMod = 0"))
+      .select(col("doc_id"), col("n"), (col("p0") + CdcW).cast("long").as("end"))
+      .where(col("end") < col("n"))
+      .select(col("doc_id"), col("end"))
+    val ends = bnds.union(base.select(col("doc_id"), col("n").as("end")))
+    val wd = Window.partitionBy("doc_id").orderBy("end")
+    val chunks = ends
+      .withColumn("chunk_idx", row_number().over(wd).cast("long"))
+      .withColumn("start", coalesce(lag(col("end"), 1).over(wd) + 1L, lit(1L)))
+      .join(base.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        (col("end") - col("start") + 1L).as("chunk_len"),
+        md5(expr("substring(text, cast(start as int), cast(end - start + 1 as int))"))
+          .as("chunk_md5"))
+    val sharedCnt = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("shared"))
+    chunks.join(sharedCnt.hint("merge"), Seq("chunk_md5"))
+      .select(col("doc_id"), col("chunk_idx"), col("start").as("chunk_start"),
+        col("chunk_len"), col("chunk_md5"), col("shared"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> (chunk _),
+    "text_cdc_chunks" -> (cdcChunks _),
     "text_bpe" -> (bpe _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_charlm" -> (charLm _),

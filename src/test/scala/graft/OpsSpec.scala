@@ -2124,6 +2124,87 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._1 === 0L), "everything survived — peel untested")
   }
 
+  test("scene detection matches a Scala nibble-L1 re-derivation") {
+    import graft.ops.Multimodal
+    val hexv = "0123456789abcdef"
+    def frameHex(text: String, f: Int): Option[String] = {
+      val nBytes = text.getBytes("UTF-8").length
+      if (nBytes >= f * 32 + 16)
+        Some(text.slice(f * 32, f * 32 + 16).getBytes("UTF-8")
+          .map(b => f"$b%02x").mkString)
+      else None
+    }
+    val expected = docs.map { case (id, text) =>
+      val frames = (0 until Multimodal.SceneFrames.toInt)
+        .flatMap(f => frameHex(text, f))
+      val cuts = frames.sliding(2).collect { case Seq(a, b) =>
+        (0 until 32).map(i => math.abs(hexv.indexOf(a(i)) - hexv.indexOf(b(i)))).sum
+      }.map(_ >= Multimodal.SceneTau).toSeq
+      if (frames.isEmpty) id -> ((0L, 0L, 0L, 0L))
+      else {
+        val nCuts = cuts.count(identity).toLong
+        // scene lengths: a run ends right before each cut
+        val sceneLens = cuts.foldLeft(List(1L)) { (acc, isCut) =>
+          if (isCut) 1L :: acc else (acc.head + 1L) :: acc.tail
+        }
+        id -> ((frames.size.toLong, nCuts, nCuts + 1L, sceneLens.max))
+      }
+    }
+    val got = Multimodal.sceneDetect(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expected)
+    // fixture exercises both branches: some cut fires, some diff stays under τ
+    assert(expected.values.exists(_._2 > 0L), "no cuts anywhere — τ too high")
+    assert(expected.values.exists(v => v._1 >= 2L && v._2 < v._1 - 1L),
+      "every consecutive pair cut — τ too low")
+  }
+
+  test("cdc chunks match a Scala re-derivation and survive an insertion shift") {
+    import graft.ops.TextAnalysis
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def chunksOf(text: String): Seq[(Long, Long, Long, String)] = {
+      val w = TextAnalysis.CdcW
+      val n = text.length
+      if (n < 1) Seq.empty
+      else {
+        val bnds = (0 to n - w)
+          .filter(p0 => md5Int(text.substring(p0, p0 + w)) % TextAnalysis.CdcMod == 0)
+          .map(_ + w).filter(_ < n)
+        val ends = bnds :+ n
+        ends.zipWithIndex.map { case (e, i) =>
+          val start = if (i == 0) 1 else ends(i - 1) + 1
+          ((i + 1).toLong, start.toLong, (e - start + 1).toLong,
+            md5Hex(text.substring(start - 1, e)))
+        }
+      }
+    }
+    val perDoc = docs.view.mapValues(chunksOf).toMap
+    val sharedBy = perDoc.toSeq
+      .flatMap { case (id, cs) => cs.map(c => (c._4, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val expected = perDoc.flatMap { case (id, cs) =>
+      cs.map(c => (id, c._1) -> ((c._2, c._3, c._4, sharedBy(c._4))))
+    }
+    val got = TextAnalysis.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._4 > 1L), "no cross-doc shared chunk — spec is vacuous")
+    assert(perDoc.values.exists(_.size > 1), "no doc ever split — boundary rule untested")
+    // the CDC property itself: a prefix insertion shifts every offset
+    // but preserves every chunk hash after the first boundary
+    val (_, text) = docs.maxBy { case (_, t) => chunksOf(t).size }
+    val orig = chunksOf(text).map(_._4)
+    assert(orig.size >= 3, "need a multi-chunk doc to exercise the shift property")
+    val shifted = chunksOf("INSERTED-PREFIX-" + text).map(_._4).toSet
+    orig.drop(1).foreach { h =>
+      assert(shifted.contains(h), "downstream chunk hash lost after prefix insertion")
+    }
+  }
+
   test("edit-distance verification matches a Scala DP and stays within threshold") {
     import graft.ops.Dedup
     def lev(a: String, b: String): Long = {
