@@ -45,7 +45,7 @@ object Bench {
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
     "dedup_band_cap", "dedup_semantic", "dedup_incremental", "dedup_keep_best",
     "graph_pagerank", "graph_bfs", "graph_triangles",
-    "graph_common_neighbors", "graph_kcore",
+    "graph_common_neighbors", "graph_kcore", "graph_label_prop",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",

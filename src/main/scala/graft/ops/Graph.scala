@@ -252,11 +252,65 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Synchronous label-propagation rounds for [[labelProp]] —
+    * bounded like [[PrRounds]] so the oracle unrolls exactly (LPA
+    * oscillates under unbounded synchronous updates anyway; fixed
+    * rounds with a deterministic tiebreak is the reproducible form).
+    */
+  val LpRounds = 4
+
+  /** graph_label_prop — bounded-round SYNCHRONOUS label propagation
+    * (Raghavan et al. 2007) over the undirected k-NN similarity
+    * graph ([[Similarity.knnGraph]]): every vertex starts as its own
+    * label; each round it adopts the label most frequent among its
+    * neighbors, ties broken by MIN label (the deterministic variant —
+    * the classic random tiebreak is irreproducible across engines).
+    * After [[LpRounds]] rounds, vertices sharing a label are a
+    * community; output carries the community size — the coarse
+    * semantic-community partition a curation pipeline shards or
+    * per-community caps by, one level coarser than near-dup clusters.
+    *
+    * Scale shape per round: one edge⋈label equi-join, one
+    * (dst, label) count, one per-dst argmax — all map-side-combinable
+    * aggregations on the edge partitioning, O(E) per round with
+    * `localCheckpoint` truncation; the argmax is a single
+    * max(struct(count, -label)) aggregate, never a window over the
+    * whole vote set. Isolated vertices (edge-free in both LSH
+    * tables) keep their own label through the left join.
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val ke = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+        greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+      .distinct()
+    val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var lab = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("v")).withColumn("lab", col("v"))
+    for (_ <- 1 to LpRounds) {
+      val picked = und
+        .join(lab.select(col("v").as("id_a"), col("lab")), Seq("id_a"))
+        .groupBy(col("id_b").as("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("plab"))
+      lab = lab.join(picked, Seq("v"), "left")
+        .select(col("v"), coalesce(col("plab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    val sizes = lab.groupBy("lab").agg(count(lit(1)).as("comm_size"))
+    lab.join(sizes, Seq("lab"))
+      .select(col("v").as("vec_id"), col("lab").as("label"), col("comm_size"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),
     "graph_common_neighbors" -> (commonNeighbors _),
-    "graph_kcore" -> (kcore _)
+    "graph_kcore" -> (kcore _),
+    "graph_label_prop" -> (labelProp _)
   )
 }

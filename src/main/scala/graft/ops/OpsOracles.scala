@@ -1432,6 +1432,29 @@ object OpsOracles {
          |  CAST(COALESCE(core.deg, 0) AS BIGINT) AS core_deg
          |FROM documents d LEFT JOIN core USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "graph_label_prop" -> {
+      val rounds = (1 to Graph.LpRounds).map { t =>
+        s"""vt$t AS (SELECT u.id_b AS v, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+           |         FROM und u JOIN l${t - 1} l ON u.id_a = l.v GROUP BY 1, 2),
+           |p$t AS (SELECT v, MIN(lab) AS lab FROM (
+           |          SELECT v, lab, c, MAX(c) OVER (PARTITION BY v) AS mc FROM vt$t)
+           |        WHERE c = mc GROUP BY v),
+           |l$t AS (SELECT l.v, COALESCE(p.lab, l.lab) AS lab
+           |        FROM l${t - 1} l LEFT JOIN p$t p ON l.v = p.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnCtes,
+         |ke AS (SELECT LEAST(vec_id, nbr_id) AS id_a, GREATEST(vec_id, nbr_id) AS id_b
+         |       FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
+         |und AS (SELECT id_a, id_b FROM ke
+         |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
+         |l0 AS (SELECT vec_id AS v, vec_id AS lab FROM embeddings),
+         |$rounds,
+         |sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS comm_size
+         |       FROM l${Graph.LpRounds} GROUP BY 1)
+         |SELECT l.v AS vec_id, l.lab AS label, sz.comm_size
+         |FROM l${Graph.LpRounds} l JOIN sz ON l.lab = sz.lab
+         |ORDER BY vec_id""".stripMargin
+    },
     "dedup_bloom" -> {
       val m = Dedup.BloomBits
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),

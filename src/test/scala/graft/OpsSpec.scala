@@ -2124,6 +2124,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._1 === 0L), "everything survived — peel untested")
   }
 
+  test("label propagation matches a Scala round-by-round re-derivation") {
+    import graft.ops.Graph
+    // edge base: the spec-pinned knn operator's own output — this test
+    // pins the NEW vote/argmax/tiebreak logic on top of it
+    val ke = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val und = (ke ++ ke.map(_.swap)).toSeq
+    val verts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    var lab: Map[Long, Long] = verts.map(v => v -> v).toMap
+    for (_ <- 1 to Graph.LpRounds) {
+      val votes = und.map { case (src, dst) => (dst, lab(src)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val picked = votes.groupBy(_._1._1).view.mapValues { vs =>
+        val mc = vs.map(_._2).max
+        vs.collect { case ((_, l), c) if c == mc => l }.min
+      }.toMap
+      lab = lab.map { case (v, l) => v -> picked.getOrElse(v, l) }
+    }
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.labelProp(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === verts)
+    verts.foreach { v =>
+      assert(got(v) === ((lab(v), sizes(lab(v)))), s"label/size of $v")
+    }
+    // non-vacuity: real communities formed (labels coarsened), and the
+    // deterministic min-tiebreak means every label is a community MEMBER's id
+    assert(lab.values.toSet.size < verts.size, "no vertex changed label")
+    assert(lab.values.toSet.subsetOf(verts), "label escaped the vertex set")
+    assert(sizes.values.exists(_ >= 3L), "no community of size >= 3 formed")
+  }
+
   test("scene detection matches a Scala nibble-L1 re-derivation") {
     import graft.ops.Multimodal
     val hexv = "0123456789abcdef"
