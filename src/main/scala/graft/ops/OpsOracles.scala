@@ -116,6 +116,30 @@ object OpsOracles {
     * count, so both engines select identical centroid/probe sets.
     * Exposes `c(cent_id, cvec)` and `p(probe_id, pvec)`.
     */
+  /** ±1 sparse-plane projection of table t, bit j, as exact-integer
+    * SQL (`Σ sign·⌊x·10⁶⌋`) — the same plan-time constants
+    * [[Similarity.lshPlane]] gives the engine. Shared by the
+    * sim_lsh_topk oracle and the sim_recall_eval LSH chain.
+    */
+  private def lshPlaneSql(t: Int, j: Int): String =
+    Similarity.lshPlane(t, j).map { case (d, s) =>
+      s"($s * CAST(FLOOR(CAST(embedding[$d] AS DOUBLE) * 1000000.0) AS BIGINT))"
+    }.mkString(" + ")
+
+  /** Full LshMaxBits-bit bucket of table t (bit j depends only on
+    * (t, j), so masking with the data-derived bit count == building
+    * nbits planes).
+    */
+  private def lshBucketSql(t: Int): String =
+    (0 until Similarity.LshMaxBits).map { j =>
+      s"CAST((${lshPlaneSql(t, j)}) > 0 AS BIGINT) * ${1L << j}"
+    }.mkString("\n     + ")
+
+  /** UNION ALL of the per-table full-bucket scans. */
+  private val lshTablesSql: String = (0 until Similarity.LshTables)
+    .map(t => s"SELECT vec_id, embedding, $t AS t,\n       ${lshBucketSql(t)} AS fullb FROM embeddings")
+    .mkString("\n  UNION ALL ")
+
   private val ivfModsCte: String =
     s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
        |cmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 32) r(g), nn
@@ -2218,21 +2242,8 @@ object OpsOracles {
       // constants Similarity.lshBuckets broadcasts (Similarity
       // .lshPlane); each bit is an exact-INTEGER sign test
       // Σ sign·⌊x·10⁶⌋ > 0, so the engines agree bit-for-bit with no
-      // fold-order contract. The oracle computes the full
-      // LshMaxBits-bit bucket and masks it with the bit count it
-      // derives itself from COUNT(*) (bit j depends only on (t, j),
-      // so masking == building nbits planes).
-      def planeOf(t: Int, j: Int): String =
-        Similarity.lshPlane(t, j).map { case (d, s) =>
-          s"($s * CAST(FLOOR(CAST(embedding[$d] AS DOUBLE) * 1000000.0) AS BIGINT))"
-        }.mkString(" + ")
-      def bucketOf(t: Int): String =
-        (0 until Similarity.LshMaxBits).map { j =>
-          s"CAST((${planeOf(t, j)}) > 0 AS BIGINT) * ${1L << j}"
-        }.mkString("\n     + ")
-      val tables = (0 until Similarity.LshTables)
-        .map(t => s"SELECT vec_id, embedding, $t AS t,\n       ${bucketOf(t)} AS fullb FROM embeddings")
-        .mkString("\n  UNION ALL ")
+      // fold-order contract ([[lshPlaneSql]]/[[lshBucketSql]]).
+      val tables = lshTablesSql
       s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
          |bmod AS (SELECT COALESCE(MIN(CAST(1 AS BIGINT) << g),
          |                CAST(1 AS BIGINT) << ${Similarity.LshMaxBits}) AS m
@@ -2254,6 +2265,68 @@ object OpsOracles {
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
+    // Ground truth, both index chains, and the recall join in ONE
+    // statement: gt = exact top-5 over the shared bounded probe set,
+    // l* = the sim_lsh_topk chain, i* = the sim_ivf_topk chain (both
+    // verbatim up to CTE prefixes), hits = membership joins.
+    "sim_recall_eval" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |xp AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |       FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
+         |xs AS (SELECT xp.probe_id, e.vec_id, ${cosU("xp.pvec", "e.embedding")} AS cos_u
+         |       FROM embeddings e, xp WHERE e.vec_id != xp.probe_id),
+         |gt AS (SELECT probe_id, vec_id FROM xs
+         |       QUALIFY row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cos_u DESC, vec_id) <= 5),
+         |lbmod AS (SELECT COALESCE(MIN(CAST(1 AS BIGINT) << g),
+         |                 CAST(1 AS BIGINT) << ${Similarity.LshMaxBits}) AS m
+         |          FROM range(${Similarity.LshMinBits}, ${Similarity.LshMaxBits + 1}) r(g), nn
+         |          WHERE (CAST(1 AS BIGINT) << g) * ${Similarity.LshPerBucket} >= nn.n),
+         |lbtf AS (
+         |  $lshTablesSql),
+         |lbt AS (SELECT vec_id, embedding, t, fullb % lbmod.m AS bucket FROM lbtf, lbmod),
+         |lp AS (SELECT t, bucket, vec_id AS probe_id, embedding AS pvec
+         |       FROM lbt, pmod WHERE vec_id % pmod.m = 0),
+         |lcand AS (
+         |  SELECT DISTINCT lp.probe_id, lp.pvec, e.vec_id, e.embedding
+         |  FROM lbt e JOIN lp ON e.t = lp.t AND e.bucket = lp.bucket
+         |  WHERE e.vec_id != lp.probe_id),
+         |ltop AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, ${cosU("pvec", "embedding")} AS cos_u FROM lcand)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) <= 5),
+         |cmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 32) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * (CAST(1 AS BIGINT) << g) >= nn.n),
+         |ic AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |       FROM embeddings, cmod WHERE vec_id % cmod.m = 0),
+         |iasg AS (SELECT e.vec_id, e.embedding, ic.cent_id,
+         |           ${cosU("e.embedding", "ic.cvec")} AS ccos
+         |         FROM embeddings e, ic),
+         |icell AS (SELECT vec_id, embedding, cent_id AS cell FROM iasg
+         |          QUALIFY row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY ccos DESC, cent_id) = 1),
+         |ipcell AS (SELECT probe_id, pvec, cent_id AS cell FROM (
+         |    SELECT xp.probe_id, xp.pvec, ic.cent_id,
+         |      ${cosU("xp.pvec", "ic.cvec")} AS pcos FROM xp, ic)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY pcos DESC, cent_id) <= 2),
+         |itop AS (SELECT probe_id, vec_id FROM (
+         |    SELECT pc.probe_id, a.vec_id, ${cosU("pc.pvec", "a.embedding")} AS cos_u
+         |    FROM icell a JOIN ipcell pc ON a.cell = pc.cell
+         |    WHERE a.vec_id != pc.probe_id)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) <= 5)
+         |SELECT gt.probe_id,
+         |  CAST(COUNT(lt.vec_id) AS BIGINT) AS hits_lsh,
+         |  CAST(COUNT(lt.vec_id) * 100 // 5 AS BIGINT) AS recall_lsh_pct,
+         |  CAST(COUNT(it.vec_id) AS BIGINT) AS hits_ivf,
+         |  CAST(COUNT(it.vec_id) * 100 // 5 AS BIGINT) AS recall_ivf_pct
+         |FROM gt
+         |LEFT JOIN ltop lt ON gt.probe_id = lt.probe_id AND gt.vec_id = lt.vec_id
+         |LEFT JOIN itop it ON gt.probe_id = it.probe_id AND gt.vec_id = it.vec_id
+         |GROUP BY gt.probe_id ORDER BY gt.probe_id""".stripMargin,
     // The oracle is the FULL REBUILD: every vector assigned from
     // scratch to the frozen base-derived centroids. The engine only
     // scores the new batch and unions the persisted base rows, so a

@@ -1850,7 +1850,55 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** sim_recall_eval — the ANN-index EVALUATION harness: per-probe
+    * recall@5 of BOTH approximate indexes ([[lshTopk]] multi-table
+    * sign-LSH and [[ivfTopk]] 2-probe IVF) against exact brute-force
+    * ground truth over the SHARED bounded probe set
+    * ([[ivfProbeMod]], ≤64 probes at any corpus size — the same
+    * probes both indexes serve, so hit sets join directly). Every
+    * production ANN deployment runs exactly this loop after each
+    * index build / parameter change; the measured recalls quoted in
+    * the [[lshTopk]]/[[ivfTopk]] scaladocs become a regression-gated
+    * artifact instead of prose.
+    *
+    * Scale shape: ground truth is ONE corpus scan × the ≤64-probe
+    * broadcast (O(n) at any corpus size, never all-pairs) with a
+    * WindowGroupLimit-pruned top-5; the two index runs are the
+    * operators under test unchanged; the recall join touches only
+    * 5-row-per-probe frames. Integer recall (hits·100 div 5) — no
+    * float crosses the engine boundary.
+    */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val p = emb(spark, dir).filter(col("vec_id") % ivfProbeMod(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        dot(col("embedding"), col("embedding")).as("pn2"))
+    val scored = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    val gt = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("probe_id", "vec_id")
+    val lsh = lshTopk(spark, dir).select(col("probe_id"), col("vec_id"))
+      .withColumn("hl", lit(1L))
+    val ivf = ivfTopk(spark, dir).select(col("probe_id"), col("vec_id"))
+      .withColumn("hi", lit(1L))
+    gt.join(lsh, Seq("probe_id", "vec_id"), "left")
+      .join(ivf, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("hl"), lit(0L))).as("hits_lsh"),
+        sum(coalesce(col("hi"), lit(0L))).as("hits_ivf"))
+      .select(col("probe_id"),
+        col("hits_lsh"), expr("hits_lsh * 100 div 5").as("recall_lsh_pct"),
+        col("hits_ivf"), expr("hits_ivf * 100 div 5").as("recall_ivf_pct"))
+      .orderBy("probe_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_eval" -> (recallEval _),
     "sim_index_refresh" -> (indexRefresh _),
     "stats_cov_matrix" -> (covMatrix _),
     "embed_pca_power" -> (pcaPower _),

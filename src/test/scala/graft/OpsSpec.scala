@@ -2158,6 +2158,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.values.exists(_ >= 3L), "no community of size >= 3 formed")
   }
 
+  test("ANN recall eval matches a Scala ground-truth re-derivation") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val pm = Similarity.ivfProbeMod(vecs.size.toLong)
+    val probes = vecs.keys.filter(_ % pm == 0).toSeq.sorted
+    // ground truth re-derived independently; hit sets from the two
+    // spec-pinned index operators — this pins the NEW gt/join/recall logic
+    val gt = probes.map { p =>
+      p -> vecs.keys.filter(_ != p).toSeq
+        .map(v => (v, cosU(vecs(p), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1).toSet
+    }.toMap
+    val lsh = Similarity.lshTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val got = Similarity.recallEval(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === probes.toSet)
+    probes.foreach { p =>
+      val hl = gt(p).count(v => lsh((p, v))).toLong
+      val hi = gt(p).count(v => ivf((p, v))).toLong
+      assert(got(p) === ((hl, hl * 100 / 5, hi, hi * 100 / 5)), s"recall of probe $p")
+    }
+    // non-vacuity: both indexes find something, neither is perfect
+    assert(got.values.exists(_._1 > 0L), "lsh found nothing")
+    assert(got.values.exists(_._3 > 0L), "ivf found nothing")
+    assert(got.values.exists(v => v._1 < 5L || v._3 < 5L),
+      "both indexes perfect everywhere — eval is vacuous")
+  }
+
   test("scene detection matches a Scala nibble-L1 re-derivation") {
     import graft.ops.Multimodal
     val hexv = "0123456789abcdef"
