@@ -890,6 +890,41 @@ object Dedup {
     "dedup_embed" -> (embed _),
     "dedup_semantic" -> (semantic _),
     "dedup_cluster" -> (cluster _),
-    "dedup_embed_cluster" -> (embedCluster _)
+    "dedup_embed_cluster" -> (embedCluster _),
+    "dedup_yield" -> (dedupYield _)
   )
+
+  /** dedup_yield — the per-source DEDUP ACCOUNTING a dataset card
+    * reports: raw document/token counts beside what survives
+    * cluster-canonical deduplication ([[cluster]]'s min-id
+    * representative rule), and the duplicate-document rate in ppm —
+    * "dedup removed X% of source Y" is the headline number of every
+    * corpus-curation report, and per-source yield is what decides
+    * which crawls are worth re-ingesting. Token estimate = chars div
+    * 4, the same BPE-rate convention [[Pipeline.card]] ships.
+    *
+    * Scale shape: the cluster labeling is [[cluster]] unchanged
+    * (O(log² n) contraction); on top of it ONE doc_id equi-join and
+    * ONE map-side-combined aggregation onto the bounded source
+    * domain — survivor-ness is the scan-side predicate
+    * `doc_id = cluster` (the min-id representative), never a second
+    * corpus pass or a per-cluster shuffle.
+    */
+  def dedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val cl = cluster(spark, dir).select(col("doc_id"), col("cluster"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(cl, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_raw"),
+        expr("sum(n_chars div 4)").as("n_tokens_raw"),
+        sum((col("doc_id") === col("cluster")).cast("long")).as("n_docs_unique"),
+        expr("sum(case when doc_id = cluster then n_chars div 4 else 0 end)")
+          .as("n_tokens_unique"))
+      .select(col("source"), col("n_docs_raw"), col("n_tokens_raw"),
+        col("n_docs_unique"), col("n_tokens_unique"),
+        expr("(n_docs_raw - n_docs_unique) * 1000000 div n_docs_raw")
+          .as("dup_docs_ppm"))
+      .orderBy("source")
+  }
 }

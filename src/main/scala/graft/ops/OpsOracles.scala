@@ -1549,6 +1549,31 @@ object OpsOracles {
          |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster)
          |SELECT mm.doc AS doc_id, mm.cluster, cs.cluster_size
          |FROM mm JOIN cs USING (cluster) ORDER BY doc_id""".stripMargin,
+    // Shares dedup_cluster's closure chain verbatim; survivor-ness is
+    // the min-id representative predicate doc_id = cluster.
+    "dedup_yield" ->
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |$bandCandCtes,
+         |$ngramHitsCtes,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jhits
+         |  UNION ALL SELECT doc_b, doc_a FROM jhits),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
+         |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc)
+         |SELECT d.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+         |  CAST(SUM(d.n_chars // 4) AS BIGINT) AS n_tokens_raw,
+         |  CAST(SUM(CASE WHEN mm.cluster = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_unique,
+         |  CAST(SUM(CASE WHEN mm.cluster = d.doc_id THEN d.n_chars // 4 ELSE 0 END)
+         |    AS BIGINT) AS n_tokens_unique,
+         |  CAST((COUNT(*) - SUM(CASE WHEN mm.cluster = d.doc_id THEN 1 ELSE 0 END))
+         |    * 1000000 // COUNT(*) AS BIGINT) AS dup_docs_ppm
+         |FROM documents d JOIN mm ON d.doc_id = mm.doc
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dedup_embed_cluster" ->
       s"""WITH RECURSIVE $bucketedDynCte,
          |${pairsCte(300000L)},

@@ -2158,6 +2158,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.values.exists(_ >= 3L), "no community of size >= 3 formed")
   }
 
+  test("dedup yield matches a Scala re-derivation over the cluster labeling") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // cluster labeling from the spec-pinned operator; this test pins
+    // the NEW survivor/accounting logic on top of it
+    val cl = Dedup.cluster(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val meta = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val expected = meta.groupBy(_._2).map { case (src, rows) =>
+      val raw = rows.length.toLong
+      val uniq = rows.count { case (id, _, _) => cl(id) == id }.toLong
+      src -> ((raw, rows.map(_._3 / 4).sum, uniq,
+        rows.collect { case (id, _, nc) if cl(id) == id => nc / 4 }.sum,
+        (raw - uniq) * 1000000L / raw))
+    }
+    val got = Dedup.dedupYield(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === expected)
+    // non-vacuity: dedup removed something somewhere, nothing vanished entirely
+    assert(got.values.exists(v => v._3 < v._1), "no source lost any docs — vacuous")
+    assert(got.values.forall(v => v._3 >= 1L), "a source lost every document")
+  }
+
   test("ANN recall eval matches a Scala ground-truth re-derivation") {
     import spark.implicits._
     import graft.ops.Similarity
