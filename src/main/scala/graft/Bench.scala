@@ -53,7 +53,7 @@ object Bench {
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
     "text_chunk", "text_cdc_chunks",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
-    "sample_curriculum", "sample_soft_dedup",
+    "sample_curriculum", "sample_soft_dedup", "sample_dsir",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_kmv_overlap",
     "embed_quantize", "embed_pca_power",
@@ -61,10 +61,10 @@ object Bench {
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
     "pipeline_export", "pipeline_incr", "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
-    "stats_ks_drift", "stats_exact_median", "stats_label_errors",
+    "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
     "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
-    "sim_hybrid_rrf", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
+    "sim_hybrid_rrf", "sim_bm25_topk", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
     "sim_mrl_topk", "sim_mmr_topk", "sim_ivfpq_topk", "sim_index_refresh",
     "sim_recall_eval",
     "mm_pack", "mm_meta_extract", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",

@@ -785,6 +785,42 @@ object OpsOracles {
     // shares the ONE oracle — the equality is additionally
     // spec-asserted engine-side
     "dedup_substring_hashed" -> substrOracle,
+    // DSIR importance weights: hashed-bigram add-1 models over the
+    // target source vs the whole corpus, nano-prob means, integer
+    // ratio — every division is // (div in Spark).
+    "sample_dsir" -> {
+      val B = Sampling.DsirBuckets
+      val tgt = Sampling.DsirTargetSource
+      val h = md5Int("('dsir:' || tok)")
+      s"""WITH tl AS (SELECT doc_id, source, $toks AS t FROM documents),
+         |tfq AS (SELECT doc_id, source, u.tok AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM tl, unnest(
+         |          CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |          ELSE CAST([] AS VARCHAR[]) END) u(tok)
+         |        GROUP BY 1, 2, 3),
+         |tbh AS (SELECT tok, $h % $B AS bucket FROM (SELECT DISTINCT tok FROM tfq)),
+         |feats AS (SELECT doc_id, source, bucket, CAST(SUM(tf) AS BIGINT) AS c
+         |          FROM tfq JOIN tbh USING (tok) GROUP BY 1, 2, 3),
+         |tm AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS ct FROM feats
+         |       WHERE source = '$tgt' GROUP BY 1),
+         |rm AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cr FROM feats GROUP BY 1),
+         |tot AS (SELECT (SELECT COALESCE(CAST(SUM(ct) AS BIGINT), 0) FROM tm) AS t_tot,
+         |               (SELECT CAST(SUM(cr) AS BIGINT) FROM rm) AS r_tot),
+         |model AS (SELECT rm.bucket,
+         |            (1000000000 * (COALESCE(tm.ct, 0) + 1)) // (tot.t_tot + $B) AS pt_n,
+         |            (1000000000 * (rm.cr + 1)) // (tot.r_tot + $B) AS pr_n
+         |          FROM rm LEFT JOIN tm USING (bucket), tot),
+         |sc AS (SELECT f.doc_id, f.source,
+         |         CAST(SUM(f.c * m.pt_n) // SUM(f.c) AS BIGINT) AS lm_t_n,
+         |         CAST(SUM(f.c * m.pr_n) // SUM(f.c) AS BIGINT) AS lm_r_n
+         |       FROM feats f JOIN model m USING (bucket)
+         |       WHERE f.source != '$tgt' GROUP BY 1, 2),
+         |wt AS (SELECT *, CAST((1000000 * lm_t_n) // GREATEST(lm_r_n, 1) AS BIGINT)
+         |         AS weight_u FROM sc)
+         |SELECT CAST(row_number() OVER (ORDER BY weight_u DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, source, weight_u, lm_t_n, lm_r_n
+         |FROM wt QUALIFY rank <= ${Sampling.DsirK} ORDER BY rank""".stripMargin
+    },
     "sample_mixture" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
@@ -1965,6 +2001,40 @@ object OpsOracles {
          |    ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, rrf_u, lex_u, cos_u, lex_rank, cos_rank
          |FROM f QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // Okapi BM25 with k1=1.2, b=0.75 as scaled-integer constants;
+    // shares sim_hybrid_rrf's probe set, bigram terms, rare filter,
+    // and integer-idf convention. All divisions integer (// here,
+    // div in Spark) so the scores are bit-exact cross-engine.
+    "sim_bm25_topk" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |tl AS (SELECT doc_id, $toks AS t FROM documents),
+         |tfq AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM tl, unnest(
+         |          CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |          ELSE CAST([] AS VARCHAR[]) END) u(tok)
+         |        GROUP BY 1, 2),
+         |dld AS (SELECT doc_id, tok, tf,
+         |          CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl FROM tfq),
+         |ad AS (SELECT GREATEST(CAST(1 AS BIGINT),
+         |          CAST(SUM(tf) AS BIGINT) // CAST(COUNT(DISTINCT doc_id) AS BIGINT))
+         |          AS avgdl FROM tfq),
+         |rare AS (SELECT tok, CAST(FLOOR(1000000.0 * nn.n / COUNT(*)) AS BIGINT) AS idf_u
+         |         FROM tfq, nn GROUP BY tok, nn.n HAVING COUNT(*) * 4 <= nn.n),
+         |pt AS (SELECT t.doc_id AS probe_id, t.tok, r.idf_u
+         |       FROM tfq t JOIN rare r USING (tok), pmod WHERE t.doc_id % pmod.m = 0),
+         |sc AS (SELECT pt.probe_id, d.doc_id,
+         |         CAST(SUM((pt.idf_u * d.tf * 2200)
+         |           // (d.tf * 1000 + (1200 * (250 + (750 * ((d.dl * 1000) // ad.avgdl)) // 1000)) // 1000))
+         |           AS BIGINT) AS bm25_u
+         |       FROM dld d JOIN pt USING (tok), ad
+         |       WHERE d.doc_id != pt.probe_id GROUP BY 1, 2)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY bm25_u DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, bm25_u
+         |FROM sc QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_mrl_topk" -> {
       val P = Similarity.MrlPrefix
       def dot16(a: String, b: String) =
@@ -2041,6 +2111,32 @@ object OpsOracles {
       s"""WITH $knnCtes
          |SELECT vec_id, rank, nbr_id, cos_u FROM r
          |WHERE rank <= ${Similarity.KnnK} ORDER BY vec_id, rank""".stripMargin,
+    // One row per val/test doc; the bucket join and cosine are the
+    // dedup_embed chain, the split hash is sample_split's.
+    "stats_split_leakage" -> {
+      val h = md5Int("('split:' || CAST(vec_id AS VARCHAR))")
+      s"""WITH $bucketedDynCte,
+         |sb AS (SELECT vec_id, embedding, bucket, $h % 100 AS pct FROM b),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS ve, bucket, pct
+         |       FROM sb WHERE pct >= ${Sampling.SplitTrainPct}),
+         |tr AS (SELECT vec_id AS train_id, embedding AS vt, bucket
+         |       FROM sb WHERE pct < ${Sampling.SplitTrainPct}),
+         |cand AS (SELECT ev.eval_id, tr.train_id,
+         |           ${cosU("ev.ve", "tr.vt")} AS cos_u
+         |         FROM ev JOIN tr USING (bucket)),
+         |best AS (SELECT eval_id, train_id, cos_u FROM cand
+         |         QUALIFY row_number() OVER (PARTITION BY eval_id
+         |           ORDER BY cos_u DESC, train_id) = 1),
+         |nc AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_cands
+         |       FROM cand GROUP BY 1)
+         |SELECT ev.eval_id,
+         |  CASE WHEN ev.pct < ${Sampling.SplitValPct} THEN 'val' ELSE 'test' END AS split,
+         |  COALESCE(nc.n_cands, 0) AS n_cands,
+         |  CAST(COALESCE(best.train_id, -1) AS BIGINT) AS best_train,
+         |  CAST(COALESCE(best.cos_u, -1000000) AS BIGINT) AS max_cos_u
+         |FROM ev LEFT JOIN best USING (eval_id) LEFT JOIN nc USING (eval_id)
+         |ORDER BY ev.eval_id""".stripMargin
+    },
     "stats_label_errors" ->
       s"""WITH $knnCtes,
          |kn AS (SELECT vec_id, nbr_id FROM r WHERE rank <= ${Similarity.KnnK}),

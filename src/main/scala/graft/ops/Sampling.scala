@@ -779,7 +779,85 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Hashed-feature bucket count, target domain, and selection size
+    * for [[dsir]].
+    */
+  val DsirBuckets = 1024L
+  val DsirTargetSource = "src0"
+  val DsirK = 200
+
+  /** sample_dsir — Data Selection via Importance Resampling (Xie et
+    * al. 2023, the DSIR recipe): score every raw-pool document by how
+    * much more TARGET-like than RAW-like its hashed n-gram features
+    * are, and keep the top [[DsirK]]. The target domain here is the
+    * [[DsirTargetSource]] source (the paper's target is
+    * Wikipedia+books; the registry fixes a source so the oracle is
+    * closed-form — production callers pass their own target frame).
+    * Features are token bigrams hashed into [[DsirBuckets]] buckets
+    * (the paper's hashed n-gram generative model), add-1 smoothed.
+    * Two deviations from the paper, both deterministic and
+    * documented: (a) a document scores by the RATIO OF MEAN feature
+    * probabilities `(10⁶·lm_t) div lm_r` (the [[graft.ops
+    * .TextAnalysis.charLm]] integer mean-micro-prob convention; the
+    * paper multiplies per-occurrence ratios, which has no exact
+    * fixed-point form) rather than the log-likelihood difference,
+    * and (b) selection is deterministic top-k by (weight, doc_id)
+    * rather than Gumbel resampling (the [[graft.ops.TextAnalysis
+    * .bpe]] determinism rule). Probabilities are NANO-scaled —
+    * micro units underflow to 0 once the raw pool passes ~10⁶
+    * bigram occurrences.
+    *
+    * Scale shape: ONE tokenize+explode feeds (doc,tok,tf); the
+    * feature hash is computed once per DISTINCT token and joined
+    * back (md5 never runs per occurrence); both models are bounded
+    * [[DsirBuckets]]-row aggregates that BROADCAST back onto the
+    * bucket-keyed frame; per-doc scores are one map-side-combined
+    * aggregation; the final top-k is TakeOrderedAndProject
+    * (distributed heap-k, never a global sort or single-partition
+    * window).
+    */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val tf = docs
+      .withColumn("t", expr(TextAnalysis.toksExpr))
+      .select(col("doc_id"), col("source"),
+        explode(expr(TextAnalysis.grams(2))).as("tok"))
+      .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+    val tokBucket = tf.select("tok").distinct()
+      .withColumn("bucket",
+        expr(s"graft_md5_prefix(concat('dsir:', tok)) % $DsirBuckets"))
+    val feats = tf.join(tokBucket, Seq("tok"))
+      .groupBy("doc_id", "source", "bucket").agg(sum(col("tf")).as("c"))
+    val targetModel = feats.filter(col("source") === DsirTargetSource)
+      .groupBy("bucket").agg(sum(col("c")).as("ct"))
+    val rawModel = feats.groupBy("bucket").agg(sum(col("c")).as("cr"))
+    // add-1 smoothed nano-probs over the bounded bucket domain; the
+    // totals are scalars of two bounded aggregates
+    val tTot = targetModel.agg(coalesce(sum(col("ct")), lit(0L))).head.getLong(0)
+    val rTot = rawModel.agg(coalesce(sum(col("cr")), lit(0L))).head.getLong(0)
+    val model = rawModel.join(targetModel, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr(s"(1000000000L * (coalesce(ct, 0L) + 1L)) div ${tTot + DsirBuckets}")
+          .as("pt_n"),
+        expr(s"(1000000000L * (cr + 1L)) div ${rTot + DsirBuckets}").as("pr_n"))
+    val scored = feats.filter(col("source") =!= DsirTargetSource)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(expr("sum(c * pt_n) div sum(c)").as("lm_t_n"),
+        expr("sum(c * pr_n) div sum(c)").as("lm_r_n"))
+      .withColumn("weight_u",
+        expr("(1000000L * lm_t_n) div greatest(lm_r_n, 1L)"))
+    val top = scored.orderBy(col("weight_u").desc, col("doc_id")).limit(DsirK)
+    val w = Window.orderBy(col("weight_u").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "source", "weight_u", "lm_t_n", "lm_r_n")
+      .orderBy("rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> (dsir _),
     "sample_soft_dedup" -> (softDedup _),
     "sample_negatives" -> (negatives _),
     "stats_source_drift" -> (sourceDrift _),

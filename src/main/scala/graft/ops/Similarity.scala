@@ -561,6 +561,123 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** sim_bm25_topk — Okapi BM25 lexical ranking (Robertson et al.,
+    * TREC-3; the default scoring function of every lexical search
+    * stack), distinct from [[hybridRrf]]'s Σ-idf recall arm in both
+    * ways that matter: term-frequency SATURATION (tf·(k1+1)∕(tf+k1·B)
+    * — a term repeated ten times is not ten times the evidence) and
+    * document-LENGTH normalization (B = 1−b+b·dl∕avgdl — long
+    * documents don't win by containing everything). k1 = 1.2,
+    * b = 0.75 (the universal defaults), carried as SCALED-INTEGER
+    * constants so the whole chain past the one idf float is integer
+    * division written identically in both engines:
+    * `B_u = 250 + (750·L_u) div 1000` with `L_u = (dl·1000) div
+    * avgdl` (B in milli-units), then
+    * `term_u = (idf_u·tf·2200) div (tf·1000 + (1200·B_u) div 1000)`
+    * — the exact-integer convention of [[hybridRrf]]'s RRF fusion.
+    * Terms are token bigrams with the df·4 ≤ n rare filter (the
+    * pruned-index contract shared with [[hybridRrf]]: phrase terms
+    * discriminate in this corpus, and the df prune is the stopphrase
+    * guard — production BM25 at scale prunes the posting lists the
+    * same way, WAND-style). Query term frequency is ignored (the
+    * k3 → 0 convention for short queries).
+    *
+    * Scale shape: ONE tokenize+explode feeds tf; dl rides a doc-keyed
+    * window over the tf frame (the [[graft.ops.TextAnalysis.tfidf]]
+    * shape — no second corpus scan, no corpus-sized join); avgdl is
+    * one bounded scalar aggregate. The probe side (≤64 probes ×
+    * their rare terms, [[ivfProbeMod]]) broadcasts; the posting join
+    * is token-keyed with a map-side-combined (probe,doc) sum — the
+    * shuffle carries per-partition partials, never the posting list.
+    * Top-5 per probe is the WindowGroupLimit-pruned row_number.
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val n = docs.count()
+    val pmod = ivfProbeMod(n)
+    val tf = docs
+      .withColumn("t", expr(graft.ops.TextAnalysis.toksExpr))
+      .select(col("doc_id"), explode(expr(graft.ops.TextAnalysis.grams(2))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+    // avgdl over docs that have ≥1 bigram term — one bounded scalar
+    val avgdl = math.max(1L,
+      tf.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+        .agg(expr("sum(dl) div count(1)")).head.getLong(0))
+    val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 4 <= n)
+      .select(col("tok"),
+        floor(lit(1000000.0) * lit(n) / col("df")).cast("long").as("idf_u"))
+    val pt = tf.filter(col("doc_id") % pmod === 0)
+      .join(rare, Seq("tok"))
+      .select(col("doc_id").as("probe_id"), col("tok"), col("idf_u"))
+    val scored = tf.join(broadcast(pt), Seq("tok"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("b_u", expr(s"250L + (750L * ((dl * 1000L) div $avgdl)) div 1000L"))
+      .withColumn("term_u",
+        expr("(idf_u * tf * 2200L) div (tf * 1000L + (1200L * b_u) div 1000L)"))
+      .groupBy("probe_id", "doc_id").agg(sum(col("term_u")).as("bm25_u"))
+    val w = Window.partitionBy("probe_id").orderBy(col("bm25_u").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "rank", "doc_id", "bm25_u")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** stats_split_leakage — train/eval SPLIT-CONTAMINATION report in
+    * embedding space: for EVERY val/test document ([[graft.ops
+    * .Sampling.split]]'s content-independent hash rule, so the split
+    * here is exactly the split the pipeline ships), its nearest
+    * train-split neighbor among LSH-bucket candidates — the eval a
+    * dataset card runs before trusting held-out numbers, because a
+    * val doc with a 0.95-cosine train twin is not held out. One row
+    * per eval doc always: isolated docs (no train doc in their
+    * bucket) report −1 — absence of evidence is reported as absence,
+    * never dropped, so the op is non-vacuous at every scale and the
+    * isolated path stays exercised.
+    *
+    * Scale shape: the eval side is a fixed 2 % of the corpus, the
+    * join is the [[bucketN]] bucket-keyed equi-join ([[lshBits]]
+    * sizes buckets to ≈64 at any n → bounded per-eval fan-out — the
+    * [[bucketedPairs]] contract), and best-neighbor + candidate
+    * count are one WindowGroupLimit row_number and one map-side-
+    * combined count on the eval-keyed frame. No thresholds: recall
+    * is the LSH bucket, exactly [[graft.ops.Dedup.embed]]'s.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nbits = lshBits(emb(spark, dir).count())
+    val base = embPar(spark, dir)
+      .withColumn("bucket", bucketN(col("embedding"), nbits))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+      .withColumn("pct",
+        expr("graft_md5_prefix(concat('split:', cast(vec_id as string))) % 100"))
+    val evals = base.filter(col("pct") >= Sampling.SplitTrainPct)
+      .select(col("bucket"), col("vec_id").as("eval_id"), col("embedding").as("ve"),
+        col("n2").as("n2_e"), col("pct"))
+    val trains = base.filter(col("pct") < Sampling.SplitTrainPct)
+      .select(col("bucket"), col("vec_id").as("train_id"),
+        col("embedding").as("vt"), col("n2").as("n2_t"))
+    val cand = evals.join(trains, Seq("bucket"))
+      .select(col("eval_id"), col("train_id"),
+        cosUPre(col("ve"), col("vt"), col("n2_e"), col("n2_t")).as("cos_u"))
+    val w = Window.partitionBy("eval_id").orderBy(col("cos_u").desc, col("train_id"))
+    val best = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id"), col("cos_u"))
+    val nc = cand.groupBy("eval_id").agg(count(lit(1)).as("n_cands"))
+    evals
+      .select(col("eval_id"),
+        when(col("pct") < Sampling.SplitValPct, "val").otherwise("test").as("split"))
+      .join(best, Seq("eval_id"), "left")
+      .join(nc, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("split"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("train_id"), lit(-1L)).as("best_train"),
+        coalesce(col("cos_u"), lit(-1000000L)).as("max_cos_u"))
+      .orderBy("eval_id")
+  }
+
   /** Prefix length / shortlist depth for [[mrlTopk]]. */
   val MrlPrefix = 16
   val MrlShortlist = 20
@@ -1904,6 +2021,8 @@ object Similarity {
     "embed_pca_power" -> (pcaPower _),
     "embed_project" -> (pcaProject _),
     "sim_hybrid_rrf" -> (hybridRrf _),
+    "sim_bm25_topk" -> (bm25Topk _),
+    "stats_split_leakage" -> (splitLeakage _),
     "sim_maxsim" -> (maxsim _),
     "sim_mrl_topk" -> (mrlTopk _),
     "sim_mmr_topk" -> (mmrTopk _),
