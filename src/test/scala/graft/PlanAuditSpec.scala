@@ -74,6 +74,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(formatted("sample_mixture").contains("WindowGroupLimit"))
   }
 
+  test("bm25 / split-leakage / dsir keep their scale contracts") {
+    // no pair operator may degenerate to a cross product
+    Seq("sim_bm25_topk", "stats_split_leakage", "sample_dsir").foreach { n =>
+      val p = formatted(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+    }
+    // bm25's bounded probe side must broadcast onto the posting join,
+    // and the per-probe top-5 must prune map-side
+    val bm = formatted("sim_bm25_topk")
+    assert(bm.contains("BroadcastHashJoin"), "bm25 probe side lost its broadcast")
+    assert(bm.contains("WindowGroupLimit"), "bm25 top-5 lost its map-side prune")
+    // split leakage's best-neighbor rank must prune map-side too
+    assert(formatted("stats_split_leakage").contains("WindowGroupLimit"),
+      "split leakage best-neighbor lost its map-side prune")
+    // dsir's selection must be distributed heap top-k, never a global
+    // sort; its bounded model must broadcast back onto the features
+    val ds = formatted("sample_dsir")
+    assert(ds.contains("TakeOrderedAndProject"), "dsir top-k became a global sort")
+    assert(ds.contains("BroadcastHashJoin"), "dsir model join lost its broadcast")
+  }
+
   test("pca rounds compose without cartesian products or extra corpus scans") {
     val p = formatted("embed_pca_power")
     assert(!p.contains("CartesianProduct"), "pca plans a CartesianProduct")
