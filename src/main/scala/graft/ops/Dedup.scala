@@ -891,8 +891,46 @@ object Dedup {
     "dedup_semantic" -> (semantic _),
     "dedup_cluster" -> (cluster _),
     "dedup_embed_cluster" -> (embedCluster _),
-    "dedup_yield" -> (dedupYield _)
+    "dedup_yield" -> (dedupYield _),
+    "dedup_overlap_matrix" -> (overlapMatrix _)
   )
+
+  /** dedup_overlap_matrix — the cross-source SYNDICATION matrix: for
+    * every unordered source pair, how many verified near-dup pairs
+    * span them and how similar those pairs are (mean/max Jaccard in
+    * milli) — the report that tells a curation team which crawls
+    * syndicate which (mirror sites, wire-service republication), i.e.
+    * which source subsets are worth deduplicating against each other
+    * and which new crawl adds nothing a cheaper one doesn't. The
+    * source-pair AGGREGATE view of the same verified pair graph
+    * [[dedupYield]] aggregates per-source and [[cluster]] walks.
+    *
+    * Scale shape: the pair frame is the shared [[verifiedCandidates]]
+    * chain unchanged (LSH band blocking — never a cross product); on
+    * top, two doc-keyed source-decorate joins (merge-hinted — the
+    * pair side scales with the corpus, so size-based broadcast
+    * planning must not see it: the r9 sf1.0 AQE-OOM rule) and ONE
+    * map-side-combined aggregation onto the bounded source² domain.
+    * All integer: j_milli = inter·1000 div uni.
+    */
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedCandidates(spark, dir)
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter * 1000 div uni").as("j_milli"))
+      .hint("merge")
+    val src = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("s_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("s_b")), Seq("doc_b"))
+      .select(least(col("s_a"), col("s_b")).as("src_a"),
+        greatest(col("s_a"), col("s_b")).as("src_b"), col("j_milli"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(j_milli) div count(1)").as("mean_j_milli"),
+        max(col("j_milli")).as("max_j_milli"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** dedup_yield — the per-source DEDUP ACCOUNTING a dataset card
     * reports: raw document/token counts beside what survives

@@ -1543,6 +1543,22 @@ object OpsOracles {
       """SELECT md5(text) AS key, COUNT(*) AS n_docs,
         |CAST(MIN(doc_id) AS BIGINT) AS canonical
         |FROM documents GROUP BY md5(text) ORDER BY canonical""".stripMargin,
+    // Source-pair aggregate over the same jhits chain; j_milli is
+    // integer (// here, div in Spark).
+    "dedup_overlap_matrix" ->
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |$ngramHitsCtes,
+         |jm AS (SELECT doc_a, doc_b,
+         |         (inter * 1000) // (nt_a + nt_b - inter) AS j_milli FROM jhits),
+         |tg AS (SELECT LEAST(da.source, db.source) AS src_a,
+         |         GREATEST(da.source, db.source) AS src_b, j_milli
+         |       FROM jm JOIN documents da ON jm.doc_a = da.doc_id
+         |               JOIN documents db ON jm.doc_b = db.doc_id)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(j_milli) // COUNT(*) AS BIGINT) AS mean_j_milli,
+         |  CAST(MAX(j_milli) AS BIGINT) AS max_j_milli
+         |FROM tg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashSigCtes,
          |$bandCandCtes,

@@ -2265,6 +2265,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"isolated=${got.count(_._3 == 0L)}")
   }
 
+  test("source overlap matrix matches a Scala re-derivation of the pair graph") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+      .as[(Long, String)].collect().toMap
+    // pair generation + verification are spec-pinned via ngramJaccard;
+    // this pins the NEW source tagging + aggregation on top
+    val pairs = Dedup.ngramJaccard(spark, dir).collect().map { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val jm = r.getAs[Long]("inter") * 1000L / r.getAs[Long]("uni")
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) (sa, sb) else (sb, sa), jm)
+    }
+    val expected = pairs.groupBy(_._1).map { case ((a, b), js) =>
+      val v = js.map(_._2)
+      (a, b, v.length.toLong, v.sum / v.length, v.max)
+    }.toSeq.sortBy(c => (c._1, c._2))
+    val got = Dedup.overlapMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // the syndication signal is real: at least one CROSS-source cell
+    assert(got.exists(c => c._1 != c._2), "no cross-source near-dup cell — vacuous")
+  }
+
   test("dsir importance weights match a Scala re-derivation") {
     import spark.implicits._
     import graft.ops.Sampling
