@@ -80,7 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.SecondMaxRewrite)
     // planner seam: bucket no-equi-key point-in-interval joins into
     // equi-joins so they never plan BNLJ (see RangeJoinRewrite)
-    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(s => graft.plans.RangeJoinRewrite(s))
     // whole-operator seam: the native as-of join physical operator
     // (logical AsOfJoin node -> one-pass sort-merge AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -1559,24 +1559,31 @@ object Similarity {
       expr(s"flatten(transform(array_sort(collect_list(struct(m, cb_idx, $vcol))), " +
         s"s -> s.$vcol))").as("cb_flat"))
 
-  /** The flattened codebook as ONE scalar-subquery struct column:
-    * computed once before the main query and embedded as a literal —
-    * a 1-row broadcast without ANY join node, so the
+  private val scalarViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Attach the flattened codebook to `df` as ONE scalar-subquery
+    * struct column: computed once before the main query and embedded
+    * as a literal — a 1-row broadcast without ANY join node, so the
     * no-cross-product plan audit stays intact (a
     * crossJoin(broadcast(1-row)) would plan a
     * BroadcastNestedLoopJoin). The temp view binds at ANALYSIS time
-    * (Dataset construction is eagerly analyzed), so sequential
-    * re-use of the name across Lloyd rounds is safe.
+    * (the withColumn below analyzes eagerly); the name is unique per
+    * call — two queries built CONCURRENTLY on one SparkSession must
+    * never race view replacement against analysis — and the view is
+    * dropped as soon as the consuming Dataset is constructed, so
+    * nothing leaks into the user's temp-view namespace.
     */
-  private def scalarStruct(one: DataFrame, f1: String, f2: String): Column = {
-    val view = "graft_scalar_cb"
+  private def withScalarStruct(df: DataFrame, one: DataFrame,
+      f1: String, f2: String, outCol: String): DataFrame = {
+    val view = s"graft_scalar_cb_${scalarViewSeq.incrementAndGet()}"
     // materialize the 1-row frame FIRST: the optimizer re-plans the
     // scalar subquery per field reference, so an un-checkpointed
     // codebook lineage (a corpus-scaled aggregation) would execute
     // once per referencing column — measured 3.3 → 5.5 s on
     // sim_ivfpq_topk at sf1.0 before this checkpoint
     one.localCheckpoint().createOrReplaceTempView(view)
-    expr(s"(select struct($f1, $f2) from $view)")
+    try df.withColumn(outCol, expr(s"(select struct($f1, $f2) from $view)"))
+    finally df.sparkSession.catalog.dropTempView(view)
   }
 
   /** KERNEL encode — [[graft.functions.PqArgmin]] against the
@@ -1606,7 +1613,7 @@ object Similarity {
     val flat = pqCbFlat(cb, vcol)
     val withCb =
       if (subquery)
-        vecs.withColumn("cbs", scalarStruct(flat, "cb_keys", "cb_flat"))
+        withScalarStruct(vecs, flat, "cb_keys", "cb_flat", "cbs")
           .withColumn("cb_keys", col("cbs.cb_keys"))
           .withColumn("cb_flat", col("cbs.cb_flat"))
       else vecs.crossJoin(broadcast(flat))

@@ -79,7 +79,9 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * silently matches NOTHING; never risk that).
   * `spark.graft.rangeJoin.enabled=false` switches the rule off.
   */
-object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+case class RangeJoinRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import RangeJoinRewrite.statsCache
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
@@ -93,19 +95,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def maxBucketsPerRow: Long =
     conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRow", "4096").toLong
 
-  /** Normalize a comparison operand to the shared Long bucket domain.
-    * Timestamps widen to epoch micros (exact: micros is the internal
-    * precision of both timestamp types). Anything else: not ours.
+  /** Normalize a comparison operand to the shared Long bucket domain;
+    * the Boolean reports whether an NTZ cast was involved. Timestamps
+    * widen to epoch micros (exact: micros is the internal precision
+    * of both timestamp types). Anything else: not ours.
     */
-  private def norm(e: Expression): Option[Expression] = e.dataType match {
-    case LongType => Some(e)
-    case TimestampType => Some(UnixMicros(e))
+  private def norm(e: Expression): Option[(Expression, Boolean)] = e.dataType match {
+    case LongType => Some((e, false))
+    case TimestampType => Some((UnixMicros(e), false))
     case TimestampNTZType =>
       // NTZ -> TZ at the session zone is monotone non-decreasing
       // (DST overlaps merge instants, never reorder them), which is
       // all bucket coverage needs; the retained original predicate
-      // compares the untouched NTZ values.
-      Some(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))))
+      // compares the untouched NTZ values. But the cast is NOT
+      // injective: a DST-GAP local time maps to the same instant as
+      // a later valid local time, so strict bounds must NOT tighten
+      // by -1 in the normalized domain (t < hi with norm(t) ==
+      // norm(hi) is possible) — callers check the flag.
+      Some((UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))), true))
     case _ => None
   }
 
@@ -118,19 +125,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * last div W is the final covered bucket.
     */
   private def rangePair(conjuncts: Seq[Expression]): Option[(Expression, Expression, Expression)] = {
-    def n2(a: Expression, b: Expression): Option[(Expression, Expression)] =
-      for (an <- norm(a); bn <- norm(b)) yield (an, bn)
+    def n2(a: Expression, b: Expression): Option[(Expression, Expression, Boolean)] =
+      for ((an, az) <- norm(a); (bn, bz) <- norm(b)) yield (an, bn, az || bz)
     val geq = conjuncts.flatMap {
       case GreaterThanOrEqual(t, lo) => n2(t, lo)
       case LessThanOrEqual(lo, t) => n2(t, lo)
       case _ => None
-    }
+    }.map { case (tn, ln, _) => (tn, ln) }
     def m1(e: Expression) = Subtract(e, Literal(1L, LongType))
+    // Strict upper bounds tighten to norm(hi)-1 ONLY when no NTZ cast
+    // is involved: the non-injective NTZ->TZ normalization admits
+    // t < hi with norm(t) == norm(hi) (DST gap), and -1 would then
+    // put the point's bucket one past the interval's covered range —
+    // one extra bucket per row is harmless, a dropped match is not.
     val upper = conjuncts.flatMap {
-      case LessThan(t, hi) => n2(t, hi).map { case (tn, hn) => (tn, m1(hn)) }
-      case GreaterThan(hi, t) => n2(t, hi).map { case (tn, hn) => (tn, m1(hn)) }
-      case LessThanOrEqual(t, hi) => n2(t, hi)
-      case GreaterThanOrEqual(hi, t) => n2(t, hi)
+      case LessThan(t, hi) => n2(t, hi).map { case (tn, hn, z) => (tn, if (z) hn else m1(hn)) }
+      case GreaterThan(hi, t) => n2(t, hi).map { case (tn, hn, z) => (tn, if (z) hn else m1(hn)) }
+      case LessThanOrEqual(t, hi) => n2(t, hi).map { case (tn, hn, _) => (tn, hn) }
+      case GreaterThanOrEqual(hi, t) => n2(t, hi).map { case (tn, hn, _) => (tn, hn) }
       case _ => None
     }
     (for {
@@ -165,9 +177,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(y, x) => Some((x, y, false))
       case _ => None
     }.flatMap { case (x, y, strict) =>
-      (for (xn <- norm(x); yn <- norm(y)) yield (xn, yn)) match {
-        case Some((xn, yn)) => (sideOf(xn, l, r), sideOf(yn, l, r)) match {
-          case (Some(xs), Some(ys)) if xs != ys => Some((xn, yn, strict, xs))
+      (for ((xn, xz) <- norm(x); (yn, yz) <- norm(y)) yield (xn, yn, xz || yz)) match {
+        // same NTZ rule as rangePair: strict bounds keep norm(hi)
+        // itself when an NTZ cast made the normalization non-injective
+        case Some((xn, yn, ntz)) => (sideOf(xn, l, r), sideOf(yn, l, r)) match {
+          case (Some(xs), Some(ys)) if xs != ys => Some((xn, yn, strict && !ntz, xs))
           case _ => None
         }
         case None => None
@@ -183,18 +197,6 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   // ---- plan-time span statistics (adaptive width + blowup guard) ----
-
-  /** (maxSpan, medianSpan) memo keyed by canonicalized (plan, lo,
-    * last) hashes. A hash collision can only mis-size W — W never
-    * affects correctness — and the map is tiny (LRU 64).
-    */
-  private val statsCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Int, Int, Int), (Long, Long)](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int, Int), (Long, Long)]): Boolean = size() > 64
-    })
-
-  private[graft] def clearStatsCache(): Unit = statsCache.clear()
 
   /** Runs the column-pruned global aggregate
     * `SELECT max(s), approx_percentile(s, 0.5) FROM iv` with
@@ -213,7 +215,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Alias(Max(span).toAggregateExpression(), "graft_mx")(),
       Alias(new ApproximatePercentile(span, Literal(0.5d)).toAggregateExpression(),
         "graft_med")()), ivPlan)
-    val row = GraftPlanBridge.ofRows(SparkSession.active, agg).collect().head
+    // the session this rule was INJECTED into, never SparkSession
+    // .active: on a thread where a different session is active the
+    // pre-pass must still run against the session owning the plan
+    val row = GraftPlanBridge.ofRows(session, agg).collect().head
     val res = if (row.isNullAt(0)) (-1L, -1L) else (row.getLong(0), row.getLong(1))
     statsCache.put(key, res)
     res
@@ -339,4 +344,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         pointForm.orElse(overlapForm).getOrElse(j)
     }
   }
+}
+
+object RangeJoinRewrite {
+  /** (maxSpan, medianSpan) memo keyed by canonicalized (plan, lo,
+    * last) hashes, shared across per-session rule instances. A hash
+    * collision can only mis-size W — W never affects correctness —
+    * and the map is tiny (LRU 64).
+    */
+  private val statsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, Int, Int), (Long, Long)](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, Int), (Long, Long)]): Boolean = size() > 64
+    })
+
+  private[graft] def clearStatsCache(): Unit = statsCache.clear()
 }

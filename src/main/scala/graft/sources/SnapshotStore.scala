@@ -31,7 +31,12 @@ object SnapshotStore {
         case _ => None
       }).toSeq.sorted
 
-  def latest(root: String): Int = versions(root).max
+  def latest(root: String): Int = {
+    val vs = versions(root)
+    require(vs.nonEmpty,
+      s"no committed snapshot version under '$root' (no manifest-v*.json)")
+    vs.max
+  }
 
   /** Every parquet data file currently on disk, root-relative, sorted
     * — what a writer passes to [[commit]] (minus a previous set, for
@@ -54,6 +59,13 @@ object SnapshotStore {
 
   private def commitTagged(root: String, files: Seq[String],
       batch: Option[Long]): Int = {
+    // the manifest is hand-serialized JSON whose array is split on
+    // ',': names containing ',' or '"' (or a newline) would corrupt
+    // it SILENTLY on read-back — reject them at the write seam
+    files.find(f => f.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      .foreach(f => throw new IllegalArgumentException(
+        s"snapshot data file name '$f' contains a character the manifest " +
+          "format cannot represent (one of , \" or a newline)"))
     val v = versions(root).lastOption.getOrElse(0) + 1
     val tag = batch.map(b => s""""batch":$b,""").getOrElse("")
     val json = s"""{"version":$v,$tag"files":[${

@@ -247,6 +247,40 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       === Seq((1L, 10L), (2L, 11L), (3L, 10L), (3L, 11L)))
   }
 
+  test("NTZ strict upper bounds survive a DST gap (non-injective normalization)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val zone = "America/Los_Angeles"
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", zone)
+    try {
+      // 2026-03-08 02:30 local is inside the spring-forward gap: the
+      // NTZ->TZ normalization shifts it onto the SAME instant as the
+      // valid local 03:30, so t < hi holds on the NTZ values while
+      // norm(t) == norm(hi). With bucket width == epochMicros(hi) the
+      // old norm(hi)-1 tightening put the interval's last covered
+      // bucket one BELOW the point's bucket and dropped the match.
+      val gapT = java.time.LocalDateTime.of(2026, 3, 8, 2, 30)
+      val hi = java.time.LocalDateTime.of(2026, 3, 8, 3, 30)
+      val lo = java.time.LocalDateTime.of(2026, 3, 8, 0, 0)
+      val hiMicros = hi.atZone(java.time.ZoneId.of(zone))
+        .toInstant.toEpochMilli * 1000L
+      spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "false")
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", hiMicros.toString)
+      val p = Seq((1L, gapT)).toDF("pid", "t")
+      val iv = Seq((10L, lo, hi)).toDF("iid", "lo", "hi")
+      val q = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_range_bk"), opt) // the rewrite DID fire
+      assert(q.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L)))
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevZone)
+      spark.conf.set("spark.graft.rangeJoin.adaptiveWidth", "true")
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "604800")
+    }
+  }
+
   test("a cross-side null-safe equality suppresses the rewrite (hash join exists)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -238,6 +238,24 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(voxels(v2) === expected)
   }
 
+  test("snapshot store: unrepresentable file names rejected, empty store errors") {
+    import graft.sources.SnapshotStore
+    val store = java.nio.file.Files.createTempDirectory("graft-snap-edge").toString
+    // latest() on a store with no committed version: a DESCRIPTIVE
+    // error, not an opaque empty-max UnsupportedOperationException
+    val e = intercept[IllegalArgumentException](SnapshotStore.latest(store))
+    assert(e.getMessage.contains(store))
+    // the hand-written manifest splits its array on ',': names the
+    // format cannot represent must be rejected AT COMMIT, never
+    // corrupt the manifest silently
+    for (bad <- Seq("a,b.parquet", "a\"b.parquet", "a\nb.parquet"))
+      intercept[IllegalArgumentException](SnapshotStore.commit(store, Seq(bad)))
+    assert(SnapshotStore.versions(store).isEmpty) // nothing half-committed
+    val v = SnapshotStore.commit(store, Seq("level=0/c=0/part-0.parquet"))
+    assert(SnapshotStore.latest(store) === v)
+    assert(SnapshotStore.files(store, v) === Seq("level=0/c=0/part-0.parquet"))
+  }
+
   test("physical n5 container round-trips: chunk bytes parse back to the exact arthur pyramid") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_n5_spec").toString
