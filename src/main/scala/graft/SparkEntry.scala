@@ -30,6 +30,9 @@ object SparkEntry {
     "q_skew_join" -> (Queries.qSkewJoin _),
     "q_asof" -> (Queries.qAsof _),
     "q_asof_native" -> (Queries.qAsofNative _),
+    "q_asof_fwd" -> (Queries.qAsofFwd _),
+    "q_gapfill" -> (Queries.qGapfill _),
+    "q_ohlc" -> (Queries.qOhlc _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "q_interval_join" -> (Queries.qIntervalJoin _),
     "q7_nations" -> (Queries.q7Nations _),
@@ -199,6 +202,46 @@ object SparkEntry {
          |FROM e JOIN d ON e.uid = d.uid
          |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_asof" -> asofOracle,
+    "q_asof_fwd" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+        |    788918400 + (event_id % 2400) * 86400 AS t,
+        |    0 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+        |  FROM events),
+        |ord AS (
+        |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+        |    epoch_us(o_orderdate) // 1000000 AS t,
+        |    1 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+        |  FROM orders),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+        |m AS (
+        |  SELECT *,
+        |    first_value(o_orderkey IGNORE NULLS) OVER w AS fwd_orderkey,
+        |    first_value(osec IGNORE NULLS) OVER w AS fwd_osec
+        |  FROM u WINDOW w AS (PARTITION BY key
+        |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, key,
+        |  CAST(COALESCE(fwd_orderkey, -1) AS BIGINT) AS fwd_orderkey,
+        |  CAST(COALESCE(fwd_osec, -1) AS BIGINT) AS fwd_osec
+        |FROM m WHERE kind = 0 ORDER BY event_id""".stripMargin,
+    "q_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value*100) AS BIGINT) END AS obs_c
+        |  FROM events),
+        |f AS (
+        |  SELECT *, last_value(obs_c IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_c
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events, COUNT(obs_c) AS n_obs,
+        |  CAST(SUM(CASE WHEN fill_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
+        |  CAST(COALESCE(SUM(CASE WHEN obs_c IS NULL THEN fill_c END), 0) AS BIGINT) AS carried_c
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ohlc" -> graft.relational.SharedOracles.ohlc,
     // the native physical operator certifies against the SAME oracle
     // as the union-and-window composition
     "q_asof_native" -> asofOracle,

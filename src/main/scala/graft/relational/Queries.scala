@@ -424,6 +424,94 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q_asof_fwd — FORWARD as-of: each event enriched with the
+    * EARLIEST order of the same key at-or-after the event time (ties
+    * at the same second: smallest orderkey). The mirror direction of
+    * [[qAsof]]: same union shape, the window frame flipped to
+    * [current, unbounded following] with `first(ignoreNulls)`, and
+    * the kind bits swapped so an order AT the event's second sorts
+    * after the event and is still covered (inclusive `osec >= t`).
+    * Scale: one shuffle on the key, zero joins — identical to the
+    * backward form's plan.
+    */
+  def qAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 100 + 1).cast("long").as("key"),
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"),
+      lit(0L).as("kind"), lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("long").as("osec"))
+    val ord = Tables(spark, dir, "orders").select(
+      lit(null).cast("long").as("event_id"),
+      col("o_custkey").cast("long").as("key"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("t"),
+      lit(1L).as("kind"), col("o_orderkey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("kind"), coalesce(col("o_orderkey"), col("event_id")))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.unionByName(ord)
+      .withColumn("fwd_orderkey", first(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("fwd_osec", first(col("osec"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("key"),
+        coalesce(col("fwd_orderkey"), lit(-1L)).as("fwd_orderkey"),
+        coalesce(col("fwd_osec"), lit(-1L)).as("fwd_osec"))
+      .orderBy("event_id")
+  }
+
+  /** q_gapfill — last-observation-carried-forward: only 'purchase'
+    * events OBSERVE a value; every other event inherits the user's
+    * most recent purchase value (the classic sparse-timeseries
+    * forward fill, without any grid explode — output is one row per
+    * user: events observed / carried / unfillable and the carried
+    * total). Scale: one window shuffle on user_id, frame state is a
+    * single running value.
+    */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), nsToSec(col("ts")).as("sec"),
+        when(col("event_type") === "purchase", cents(col("value"))).as("obs_c"))
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("fill_c", last(col("obs_c"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("obs_c")).as("n_obs"),
+        sum(when(col("fill_c").isNull, 1L).otherwise(0L)).as("n_unfilled"),
+        coalesce(sum(when(col("obs_c").isNull, col("fill_c"))), lit(0L)).as("carried_c"))
+      .orderBy("user_id")
+  }
+
+  /** q_ohlc — hourly OHLC bars per event type (the time-series
+    * resample every monitoring/market pipeline runs): open/close are
+    * the first/last value by (second, event_id) — picked via two
+    * row_number passes over ONE (bucket, type) shuffle-sort, the
+    * second window reuses the partitioning and only re-sorts —
+    * high/low/volume are plain aggregates. Output is bounded by
+    * hours × types, not by row count.
+    */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), nsToSec(col("ts")).as("sec"),
+        cents(col("value")).as("value_c"))
+      .withColumn("bucket_h", floor(col("sec") / lit(3600.0)).cast("long"))
+    val asc = Window.partitionBy(col("bucket_h"), col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    val desc = Window.partitionBy(col("bucket_h"), col("event_type"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("bucket_h"), col("event_type"))
+      .agg(max(when(col("rn_a") === 1, col("value_c"))).as("open_c"),
+        max(col("value_c")).as("high_c"),
+        min(col("value_c")).as("low_c"),
+        max(when(col("rn_d") === 1, col("value_c"))).as("close_c"),
+        count(lit(1)).as("n"),
+        sum(col("value_c")).as("vol_c"))
+      .orderBy(col("bucket_h"), col("event_type"))
+  }
+
   /** q4_priority — order-priority checking: count orders in a quarter
     * that had at least one line item shipped more than 90 days after
     * the order date (EXISTS decorrelated to a left-semi join whose

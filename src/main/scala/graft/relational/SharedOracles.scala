@@ -40,6 +40,31 @@ object SharedOracles {
       |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
       |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
 
+  /** q_ohlc / stream_ohlc — hourly OHLC resample, batch window-pass
+    * and live min_by/max_by aggregation against one SQL.
+    */
+  val ohlc: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CAST(FLOOR(value*100) AS BIGINT) AS value_c
+      |  FROM events),
+      |b AS (
+      |  SELECT *, CAST(FLOOR(sec / 3600.0) AS BIGINT) AS bucket_h,
+      |    row_number() OVER (PARTITION BY CAST(FLOOR(sec / 3600.0) AS BIGINT), event_type
+      |      ORDER BY sec, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY CAST(FLOOR(sec / 3600.0) AS BIGINT), event_type
+      |      ORDER BY sec DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT bucket_h, event_type,
+      |  CAST(MAX(CASE WHEN rn_a = 1 THEN value_c END) AS BIGINT) AS open_c,
+      |  MAX(value_c) AS high_c,
+      |  MIN(value_c) AS low_c,
+      |  CAST(MAX(CASE WHEN rn_d = 1 THEN value_c END) AS BIGINT) AS close_c,
+      |  COUNT(*) AS n, CAST(SUM(value_c) AS BIGINT) AS vol_c
+      |FROM b GROUP BY bucket_h, event_type
+      |ORDER BY bucket_h, event_type""".stripMargin
+
   /** q_range_join / stream_range_join — the bucketed no-equi-key
     * containment join, batch and live, against one SQL.
     */

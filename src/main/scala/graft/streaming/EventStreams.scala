@@ -128,6 +128,42 @@ object EventStreams {
     spark.table(sink).orderBy("bucket_h", "event_type")
   }
 
+  /** stream_ohlc — the hourly OHLC resample LIVE: open/close picked by
+    * `min_by`/`max_by` on the unique (sec, event_id) struct key inside
+    * ONE streaming aggregation — no window pass, no per-group sort;
+    * state per (hour, type) group is two champion rows plus the plain
+    * min/max/count/sum — certified against q_ohlc's oracle verbatim
+    * (the batch twin derives open/close via two row_number passes:
+    * two independent formulations, one SQL).
+    */
+  private[graft] def ohlcAgg(ds: DataFrame): DataFrame =
+    ds.withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value_c"), struct(col("sec"), col("event_id"))).as("open_c"),
+        max(col("value_c")).as("high_c"),
+        min(col("value_c")).as("low_c"),
+        max_by(col("value_c"), struct(col("sec"), col("event_id"))).as("close_c"),
+        count(lit(1)).as("n"),
+        sum(col("value_c")).as("vol_c"))
+      .select(floor(unix_timestamp(col("window.start")) / lit(3600.0)).cast("long").as("bucket_h"),
+        col("event_type"), col("open_c"), col("high_c"), col("low_c"),
+        col("close_c"), col("n"), col("vol_c"))
+
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val agg = ohlcAgg(input.toDF())
+    val sink = sinkName("stream_ohlc")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).orderBy("bucket_h", "event_type")
+  }
+
   /** stream_tumbling_file — the SAME tumbling aggregation driven from
     * a FILE SOURCE instead of MemoryStream: the events table is first
     * written as multiple parquet files (an executor-side write — the
@@ -1259,6 +1295,7 @@ object EventStreams {
     "stream_retention" -> (retention _),
     "stream_tumbling" -> (tumbling _),
     "stream_tumbling_file" -> (tumblingFile _),
+    "stream_ohlc" -> (ohlc _),
     "stream_session" -> (session _),
     "stream_session_native" -> (sessionNative _),
     "stream_session_file" -> (sessionFile _),
@@ -1378,6 +1415,8 @@ object EventStreams {
     "stream_dedup_wm" ->
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
         |FROM events ORDER BY user_id, event_type""".stripMargin,
+    // live OHLC drains to the same bars as the batch window pass
+    "stream_ohlc" -> graft.relational.SharedOracles.ohlc,
     // the file-source drive computes the identical aggregate, so it
     // shares the tumbling oracle verbatim (defined right below)
     "stream_tumbling_file" ->

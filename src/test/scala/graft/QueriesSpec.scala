@@ -269,6 +269,69 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got.toSet === naive.toSet)
   }
 
+  test("q_asof_fwd matches a Scala forward-scan re-derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), (col("user_id") % 100 + 1).cast("long"))
+      .as[(Long, Long)].collect()
+      .map { case (eid, key) => (eid, key, 788918400L + (eid % 2400) * 86400L) }
+    val ords = Tables(spark, dir, "orders")
+      .selectExpr("cast(o_custkey as long)", "o_orderkey",
+        "(unix_micros(cast(o_orderdate as timestamp)) div 1000000)")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(o => (o._3, o._2)).sorted).toMap
+    val expected = evs.map { case (eid, key, t) =>
+      val m = ords.getOrElse(key, Array.empty[(Long, Long)])
+        .find(_._1 >= t) // sorted by (osec, orderkey): first = earliest, min key
+      (eid, key, m.map(_._2).getOrElse(-1L), m.map(_._1).getOrElse(-1L))
+    }.sortBy(_._1).toSeq
+    val got = Queries.qAsofFwd(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("q_gapfill carries only purchase values forward, per user in time order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), Queries.nsToSec(col("ts")),
+        Queries.cents(col("value")), col("event_type"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    val expected = evs.groupBy(_._2).map { case (uid, rows) =>
+      var fill: Option[Long] = None
+      var nObs = 0L; var nUnfilled = 0L; var carried = 0L
+      for ((eid, _, sec, vc, typ) <- rows.sortBy(r => (r._3, r._1))) {
+        if (typ == "purchase") { fill = Some(vc); nObs += 1 }
+        else fill match {
+          case Some(v) => carried += v
+          case None => nUnfilled += 1
+        }
+      }
+      (uid, rows.length.toLong, nObs, nUnfilled, carried)
+    }.toSeq.sortBy(_._1)
+    val got = Queries.qGapfill(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("q_ohlc bars agree with a Scala group-and-sort re-derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), Queries.nsToSec(col("ts")),
+        Queries.cents(col("value")))
+      .as[(Long, String, Long, Long)].collect()
+    val expected = evs.groupBy(e => (e._3 / 3600L, e._2)).map { case ((h, typ), rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      (h, typ, sorted.head._4, rows.map(_._4).max, rows.map(_._4).min,
+        sorted.last._4, rows.length.toLong, rows.map(_._4).sum)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = Queries.qOhlc(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("q1 aggregates to the 6 flag/status groups with exact cents") {
     val rows = Queries.q1Agg(spark, dir).collect()
     assert(rows.length === 6)

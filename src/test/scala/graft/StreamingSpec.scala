@@ -165,6 +165,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("stream_ohlc champions merge across triggers to the batch bars") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three time-ordered waves: min_by/max_by state must keep the
+    // first wave's open champion while later waves move close/high
+    val evs = allEvents.sortBy(e => (e.sec, e.event_id))
+    val waves = evs.grouped((evs.size + 2) / 3).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Ev]
+    val q = EventStreams.ohlcAgg(input.toDF())
+      .writeStream.format("memory").queryName("ohlc_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    q.stop()
+    val streamed = rows(spark.table("ohlc_trigger_spec"),
+      "bucket_h", "event_type", "open_c", "high_c", "low_c", "close_c", "n", "vol_c")
+    val batch = rows(Queries.qOhlc(spark, dir),
+      "bucket_h", "event_type", "open_c", "high_c", "low_c", "close_c", "n", "vol_c")
+    assert(streamed === batch)
+  }
+
   test("stream_kmv sketch merges across triggers to the batch sketch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
