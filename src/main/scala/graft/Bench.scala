@@ -45,7 +45,7 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_curve", "dedup_cluster", "dedup_embed", "dedup_edit",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
     "dedup_band_cap", "dedup_semantic", "dedup_incremental", "dedup_keep_best",
-    "dedup_yield", "dedup_overlap_matrix",
+    "dedup_yield", "dedup_overlap_matrix", "dedup_containment",
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "graph_common_neighbors", "graph_kcore", "graph_label_prop",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",

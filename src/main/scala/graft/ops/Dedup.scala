@@ -233,6 +233,74 @@ object Dedup {
   def bandCap(spark: SparkSession, dir: String): DataFrame =
     bandCandidatesCapped(signatures(spark, dir)).orderBy("doc_a", "doc_b")
 
+  /** dedup_containment thresholds: shingle document-frequency cap for
+    * the postings join (a shingle in more than DfCap docs is
+    * boilerplate and carries no containment evidence — and capping it
+    * bounds the pair fan-out per shingle at DfCap², keeping the
+    * candidate join LINEAR in corpus size); minimum shared rare
+    * shingles before a pair is worth exact verification; containment
+    * percentage cut.
+    */
+  val ContainDfCap = 16L
+  val ContainMinShared = 2L
+  val ContainTauPct = 80L
+
+  /** dedup_containment — ASYMMETRIC near-containment (quote/excerpt
+    * inclusion): directed pairs where ≥ [[ContainTauPct]]% of the
+    * smaller document's shingle set appears in the larger's. The
+    * symmetric minhash bands CANNOT find these (a short doc quoted
+    * inside a long one has low Jaccard), so candidates come from a
+    * rare-shingle postings self-join instead: shingles with document
+    * frequency ≤ [[ContainDfCap]] vote for the (sub, sup) pairs that
+    * share them, pairs with ≥ [[ContainMinShared]] votes get the
+    * exact shingle-set intersect verify. A fully-contained doc shares
+    * ALL its shingles — including its rare ones — so recall is missed
+    * only by docs whose every shingle is boilerplate (df > cap).
+    * All-integer thresholding; both joins carry merge hints because
+    * both sides scale with the corpus (AQE size estimates cannot know
+    * that — see the r9 broadcast-OOM sweep finding).
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    containmentOf(Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+  }
+
+  /** [[containment]]'s core over any (doc_id, text) frame — split out
+    * so specs can drive a synthetic excerpt corpus through the exact
+    * production plan.
+    */
+  private[graft] def containmentOf(documents: DataFrame): DataFrame = {
+    val base = documents
+      .withColumn("t", expr(toksExpr))
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      .localCheckpoint() // reused by postings AND both verify arms
+    val se = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfq = se.groupBy("s").agg(count(lit(1)).as("df"))
+    val rare = se.join(dfq.filter(col("df") <= ContainDfCap).hint("merge"), "s")
+      .select(col("doc_id"), col("s"))
+    val cand = rare.as("a")
+      .join(rare.as("b").hint("merge"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= ContainMinShared)
+    val ns = base.select(col("doc_id"), col("sh"),
+      size(col("sh")).cast("long").as("ns"))
+    cand
+      .join(ns.select(col("doc_id").as("doc_sub"), col("sh").as("sh_a"),
+        col("ns").as("ns_sub")), "doc_sub")
+      .join(ns.select(col("doc_id").as("doc_sup"), col("sh").as("sh_b"),
+        col("ns").as("ns_sup")), "doc_sup")
+      .select(col("doc_sub"), col("doc_sup"),
+        expr("cast(size(array_intersect(sh_a, sh_b)) as bigint)").as("inter"),
+        col("ns_sub"), col("ns_sup"))
+      .filter(col("ns_sub") > 0 &&
+        col("inter") * 100 >= lit(ContainTauPct) * col("ns_sub"))
+      .withColumn("cont_pct", expr("inter * 100 div ns_sub"))
+      .orderBy("doc_sub", "doc_sup")
+  }
+
   /** dedup_minhash — k=8 MinHash signature per document over word-3-gram
     * shingles (affine permutations of the shared md5-int hash). The
     * signature is the oracle-checked output; LSH banding over it feeds
@@ -892,7 +960,8 @@ object Dedup {
     "dedup_cluster" -> (cluster _),
     "dedup_embed_cluster" -> (embedCluster _),
     "dedup_yield" -> (dedupYield _),
-    "dedup_overlap_matrix" -> (overlapMatrix _)
+    "dedup_overlap_matrix" -> (overlapMatrix _),
+    "dedup_containment" -> (containment _)
   )
 
   /** dedup_overlap_matrix — the cross-source SYNDICATION matrix: for

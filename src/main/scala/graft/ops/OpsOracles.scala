@@ -1559,6 +1559,29 @@ object OpsOracles {
          |  CAST(SUM(j_milli) // COUNT(*) AS BIGINT) AS mean_j_milli,
          |  CAST(MAX(j_milli) AS BIGINT) AS max_j_milli
          |FROM tg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, $shingles AS s FROM d),
+         |se AS (SELECT doc_id, unnest(s) AS s FROM sh),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM se GROUP BY s),
+         |rare AS (
+         |  SELECT se.doc_id, se.s FROM se JOIN dfq USING (s)
+         |  WHERE dfq.df <= ${Dedup.ContainDfCap}),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, COUNT(*) AS shared
+         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${Dedup.ContainMinShared}),
+         |ns AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS ns FROM sh),
+         |ver AS (
+         |  SELECT c.doc_sub, c.doc_sup,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+         |    sa.ns AS ns_sub, sb.ns AS ns_sup
+         |  FROM cand c JOIN ns sa ON c.doc_sub = sa.doc_id
+         |              JOIN ns sb ON c.doc_sup = sb.doc_id)
+         |SELECT doc_sub, doc_sup, inter, ns_sub, ns_sup,
+         |  CAST(inter * 100 // ns_sub AS BIGINT) AS cont_pct
+         |FROM ver WHERE ns_sub > 0 AND inter * 100 >= ${Dedup.ContainTauPct} * ns_sub
+         |ORDER BY doc_sub, doc_sup""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashSigCtes,
          |$bandCandCtes,

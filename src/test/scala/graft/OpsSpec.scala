@@ -1548,6 +1548,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("dedup_containment matches an independent rare-shingle derivation") {
+    val texts = docs
+    def shingleSet(t: String): Set[String] = {
+      val tk = tokens(t)
+      if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String]
+    }
+    val sh = texts.view.mapValues(shingleSet).toMap
+    val df = sh.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rare = sh.view.mapValues(_.filter(s => df(s) <= ops.Dedup.ContainDfCap)).toMap
+    val want = (for {
+      (a, ra) <- rare.toSeq; (b, rb) <- rare.toSeq
+      if a != b
+      shared = ra.intersect(rb).size.toLong
+      if shared >= ops.Dedup.ContainMinShared
+      inter = sh(a).intersect(sh(b)).size.toLong
+      if sh(a).nonEmpty && inter * 100 >= ops.Dedup.ContainTauPct * sh(a).size
+    } yield (a, b) -> ((inter, sh(a).size.toLong, sh(b).size.toLong,
+      inter * 100 / sh(a).size))).toMap
+    val got = ops.Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getAs[Long]("inter"),
+        r.getAs[Long]("ns_sub"), r.getAs[Long]("ns_sup"),
+        r.getAs[Long]("cont_pct")))).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "corpus never exercised containment — thresholds too tight")
+  }
+
+  test("dedup_containment finds one-way excerpt inclusion (asymmetric by design)") {
+    import spark.implicits._
+    // doc 1 is a verbatim excerpt of doc 2; doc 3 is unrelated. The
+    // minhash bands would MISS (1,2): Jaccard ≈ 12/120 — this is the
+    // case the rare-shingle postings path exists for.
+    val quote = (0 until 15).map(i => s"alpha$i").mkString(" ")
+    val host = quote + " " + (0 until 120).map(i => s"beta$i").mkString(" ")
+    val other = (0 until 40).map(i => s"gamma$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, host), (3L, other)).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val got = ops.Dedup.containmentOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)), "exactly quote ⊑ host, never the reverse")
+  }
+
   test("text_vocab/text_encode match an independent rank-and-encode derivation") {
     val texts = docs
     val allToks = texts.values.toSeq.flatMap(tokens)
