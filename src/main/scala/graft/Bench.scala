@@ -52,7 +52,7 @@ object Bench {
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
-    "text_chunk", "text_cdc_chunks",
+    "text_chunk", "text_cdc_chunks", "text_nb_classify",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup", "sample_dsir",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile",

@@ -1074,6 +1074,43 @@ object OpsOracles {
          |FROM f GROUP BY doc_id, dim
          |HAVING SUM(sign) <> 0
          |ORDER BY doc_id, dim""".stripMargin,
+    "text_nb_classify" -> {
+      val h = md5Int("('nb:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $h % 100 < ${TextAnalysis.NbTrainPct} AS is_train,
+         |    $toks AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, source, is_train, unnest(t) AS tok FROM d),
+         |voc AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS cnt FROM tk WHERE is_train
+         |    GROUP BY tok ORDER BY cnt DESC, tok LIMIT ${TextAnalysis.NbVocabN})),
+         |cls AS (SELECT DISTINCT source AS cls FROM tk WHERE is_train),
+         |cc AS (
+         |  SELECT source AS cls, tok, COUNT(*) AS cnt
+         |  FROM tk JOIN voc USING (tok) WHERE is_train GROUP BY 1, 2),
+         |tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM cc GROUP BY cls),
+         |model AS (
+         |  SELECT g.tok, g.cls,
+         |    CAST((1000000 * (COALESCE(cc.cnt, 0) + 1))
+         |      // (t.tot + ${TextAnalysis.NbVocabN}) AS BIGINT) AS p_u
+         |  FROM (SELECT v.tok, c.cls FROM voc v CROSS JOIN cls c) g
+         |  LEFT JOIN cc ON g.tok = cc.tok AND g.cls = cc.cls
+         |  JOIN tot t ON g.cls = t.cls),
+         |sc AS (
+         |  SELECT tk.doc_id, m.cls, CAST(SUM(m.p_u) AS BIGINT) AS score_u,
+         |    COUNT(*) AS n_hits
+         |  FROM tk JOIN model m USING (tok) WHERE NOT is_train GROUP BY 1, 2),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_u DESC, cls) AS rn FROM sc)
+         |SELECT h.doc_id, h.source, COALESCE(b.cls, '') AS pred,
+         |  CAST(COALESCE(b.score_u, 0) AS BIGINT) AS score_u,
+         |  CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM (SELECT doc_id, source FROM d WHERE NOT is_train) h
+         |LEFT JOIN best b ON h.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY h.doc_id""".stripMargin
+    },
     "text_charlm" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(generate_series(1, length(text)-1)) AS i

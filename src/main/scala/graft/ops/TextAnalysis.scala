@@ -621,6 +621,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[nbClassify]] parameters: vocabulary cap (the model stays a
+    * bounded, broadcastable V×C frame no matter the corpus size) and
+    * the deterministic 80/20 train/heldout hash split.
+    */
+  val NbVocabN = 256
+  val NbTrainPct = 80L
+
+  /** text_nb_classify — multinomial Naive-Bayes-STYLE source
+    * classifier (the quality/domain tagger of data pipelines), kept
+    * exact-integer end-to-end with the same log-free surrogate as
+    * [[charLm]]: instead of summing log-probabilities the score sums
+    * add-one-smoothed conditional MICRO-probabilities
+    * `(10⁶·(cnt+1)) div (tot+V)` per token occurrence — a monotone
+    * per-token transform of the NB likelihood, deterministic on both
+    * engines because no float ever crosses the boundary. Train on the
+    * hash-80% split: top-[[NbVocabN]] vocabulary (count desc, token
+    * tiebreak), class-conditional counts ONLY over that vocab slice.
+    * Score the heldout 20%: explode tokens ⋈ the broadcast V×C model
+    * (OOV tokens drop — they carry no class evidence under a capped
+    * vocab), sum per (doc, class), argmax with class-name tiebreak.
+    *
+    * At 100 TB: the model is bounded (V×C rows) so the scoring join
+    * is always a broadcast; both corpus passes (vocab count, scoring)
+    * are map-side-combined aggregations; nothing scales quadratically.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("is_train",
+        expr(s"graft_md5_prefix(concat('nb:', cast(doc_id as string))) % 100 < $NbTrainPct"))
+    val toks = docs.select(col("doc_id"), col("source"), col("is_train"),
+      explode(expr(toksExpr)).as("tok"))
+    val trainToks = toks.filter(col("is_train"))
+    val vocab = trainToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(NbVocabN).select("tok")
+    val classes = trainToks.select(col("source").as("cls")).distinct()
+    val cc = trainToks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("source").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cc.groupBy("cls").agg(sum("cnt").as("tot"))
+    val model = broadcast(vocab).crossJoin(classes) // bounded V×C grid
+      .join(cc, Seq("tok", "cls"), "left")
+      .join(tot, Seq("cls"))
+      .select(col("tok"), col("cls"),
+        expr(s"(1000000 * (coalesce(cnt, 0) + 1)) div (tot + $NbVocabN)").as("p_u"))
+    val scores = toks.filter(!col("is_train"))
+      .join(broadcast(model), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("p_u")).as("score_u"), count(lit(1)).as("n_hits"))
+    val best = scores.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_u").desc, col("cls"))))
+      .filter(col("rn") === 1)
+    docs.filter(!col("is_train")).select(col("doc_id"), col("source"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cls"), lit("")).as("pred"),
+        coalesce(col("score_u"), lit(0L)).as("score_u"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Word-histogram size for [[bpe]] — the bounded training domain. */
   val BpeWords = 64
 
@@ -864,6 +925,7 @@ object TextAnalysis {
     "text_bpe" -> (bpe _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_charlm" -> (charLm _),
+    "text_nb_classify" -> (nbClassify _),
     "text_pack" -> (pack _),
     "text_tfidf" -> (tfidf _),
     "text_hash_embed" -> (hashEmbed _),

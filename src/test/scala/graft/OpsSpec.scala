@@ -1589,6 +1589,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L)), "exactly quote ⊑ host, never the reverse")
   }
 
+  test("text_nb_classify matches an independent train-and-score derivation") {
+    val texts = docs
+    val srcOf = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val isTrain = texts.keys.map(id =>
+      id -> (md5Int(s"nb:$id") % 100 < ops.TextAnalysis.NbTrainPct)).toMap
+    val trainTok = texts.toSeq.filter(d => isTrain(d._1))
+      .flatMap { case (id, t) => tokens(t).map(tok => (srcOf(id), tok)) }
+    val vocab = trainTok.map(_._2).groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (tok, cnt) => (-cnt, tok) }
+      .take(ops.TextAnalysis.NbVocabN).map(_._1).toSet
+    val classes = trainTok.map(_._1).distinct.sorted
+    val cc = trainTok.filter(p => vocab(p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = classes.map(c =>
+      c -> cc.collect { case ((cl, _), n) if cl == c => n }.sum).toMap
+    def pU(c: String, tok: String): Long =
+      (1000000L * (cc.getOrElse((c, tok), 0L) + 1)) /
+        (tot(c) + ops.TextAnalysis.NbVocabN)
+    val want = texts.toSeq.filter(d => !isTrain(d._1)).map { case (id, t) =>
+      val hits = tokens(t).filter(vocab)
+      if (hits.isEmpty) id -> (("", 0L, 0L))
+      else {
+        val best = classes.map(c => (c, hits.map(tok => pU(c, tok)).sum))
+          .sortBy { case (c, s) => (-s, c) }.head
+        id -> ((best._1, best._2, hits.size.toLong))
+      }
+    }.toMap
+    val got = ops.TextAnalysis.nbClassify(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("pred"),
+        r.getAs[Long]("score_u"), r.getAs[Long]("n_hits")))).toMap
+    assert(got === want)
+    assert(want.nonEmpty && want.values.exists(_._3 > 0))
+  }
+
   test("text_vocab/text_encode match an independent rank-and-encode derivation") {
     val texts = docs
     val allToks = texts.values.toSeq.flatMap(tokens)
