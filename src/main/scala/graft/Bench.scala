@@ -68,7 +68,7 @@ object Bench {
     "sim_hybrid_rrf", "sim_bm25_topk", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
     "sim_mrl_topk", "sim_mmr_topk", "sim_ivfpq_topk", "sim_index_refresh",
     "sim_recall_eval",
-    "mm_pack", "mm_meta_extract", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
+    "mm_pack", "mm_meta_extract", "mm_phash", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
     "mm_audio_feats",
     "mm_frame_sample",
     "mm_resize", "mm_patchify", "mm_scene_detect",

@@ -131,6 +131,84 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
   }
 
+  /** Hamming cut for [[phash]] — ≤ 3 differing bits over 4 16-bit
+    * bands means a matching pair ALWAYS shares at least one band
+    * (pigeonhole), so unlike the LSH S-curve families the banding here
+    * is EXACT: the op returns every pair at or under the cut, no
+    * recall caveat.
+    */
+  val PhashHamMax = 3L
+
+  /** mm_phash — perceptual image near-duplication: the average-hash
+    * (aHash) fingerprint over each document's decoded grayscale image
+    * (bit i set iff pixel i is above the image mean — `p·64 > sum`,
+    * integer, no division), then all pairs within [[PhashHamMax]]
+    * Hamming bits via the same 4×16-bit band blocking [[graft.ops
+    * .Dedup.simhash]] uses. The hash is computed from the raster AFTER
+    * a real PNG encode→decode round trip (the codec seam), while the
+    * oracle predicts it from the text alone — a green row certifies
+    * the codec identity AND the fingerprint arithmetic. The 64-bit
+    * fingerprint is carried as two 32-bit halves so neither engine
+    * touches the sign bit of a BIGINT shift.
+    *
+    * At 100 TB: band buckets track duplicate-image families, not
+    * corpus size; the verify join touches candidates only.
+    */
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edge = PngEdge
+    val hashes = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val img = new java.awt.image.BufferedImage(
+            edge, edge, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          for (y <- 0 until edge; x <- 0 until edge) {
+            val i = y * edge + x
+            img.getRaster.setSample(x, y, 0, if (i < cps.length) cps(i) % 256 else 0)
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          val px = new Array[Long](edge * edge)
+          var sum = 0L
+          for (y <- 0 until edge; x <- 0 until edge) {
+            px(y * edge + x) = back.getRaster.getSample(x, y, 0).toLong
+            sum += px(y * edge + x)
+          }
+          var lo = 0L; var hi = 0L
+          for (i <- 0 until edge * edge)
+            if (px(i) * (edge * edge) > sum) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+          (id, lo, hi)
+        }
+      }.toDF("doc_id", "ph_lo", "ph_hi")
+      .localCheckpoint() // the codec pass feeds banding AND both verify arms
+    val bands = hashes.select(col("doc_id"), posexplode(array(
+        expr("ph_lo % 65536"), expr("ph_lo div 65536"),
+        expr("ph_hi % 65536"), expr("ph_hi div 65536")))
+      .as(Seq("band_i", "band_v")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_i") === col("b.band_i") &&
+        col("a.band_v") === col("b.band_v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("ph_lo").as("lo_a"),
+        col("ph_hi").as("hi_a")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("ph_lo").as("lo_b"),
+        col("ph_hi").as("hi_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)")
+          .as("hamming"))
+      .filter(col("hamming") <= PhashHamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Features decoded from a real WAV payload. */
   case class DecodedWav(doc_id: Long, n_samples: Long, sample_rate: Long,
                         sum_s: Long, s_checksum: Long, peak: Long)
@@ -434,6 +512,7 @@ object Multimodal {
     "mm_frame_sample" -> (frameSample _),
     "mm_resize" -> (resize _),
     "mm_decode_png" -> (decodePng _),
+    "mm_phash" -> (phash _),
     "mm_decode_wav" -> (decodeWav _),
     "mm_audio_feats" -> (audioFeats _),
     "mm_decode_jp2" -> (decodeJp2 _)

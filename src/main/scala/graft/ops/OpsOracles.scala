@@ -2649,6 +2649,40 @@ object OpsOracles {
          |FROM (SELECT doc_id, i + 1 AS r_i_plus_1, p FROM px)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "mm_phash" -> {
+      val n = Multimodal.PngEdge * Multimodal.PngEdge
+      s"""WITH px AS (
+         |  SELECT doc_id, r.i,
+         |    CASE WHEN length(text) > r.i
+         |         THEN ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256
+         |         ELSE 0 END AS p
+         |  FROM documents, range(0, $n) r(i)),
+         |st AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS s FROM px GROUP BY doc_id),
+         |ph AS (
+         |  SELECT px.doc_id,
+         |    CAST(SUM(CASE WHEN px.p * $n > st.s AND px.i < 32
+         |      THEN (CAST(1 AS BIGINT) << CAST(px.i AS INT)) ELSE 0 END) AS BIGINT) AS ph_lo,
+         |    CAST(SUM(CASE WHEN px.p * $n > st.s AND px.i >= 32
+         |      THEN (CAST(1 AS BIGINT) << CAST(px.i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ph_hi
+         |  FROM px JOIN st USING (doc_id) GROUP BY px.doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, ph_lo % 65536 AS band_v FROM ph
+         |  UNION ALL SELECT doc_id, 1, ph_lo // 65536 FROM ph
+         |  UNION ALL SELECT doc_id, 2, ph_hi % 65536 FROM ph
+         |  UNION ALL SELECT doc_id, 3, ph_hi // 65536 FROM ph),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(bit_count(xor(pa.ph_lo, pb.ph_lo))
+         |     + bit_count(xor(pa.ph_hi, pb.ph_hi)) AS BIGINT) AS hamming
+         |FROM cand c JOIN ph pa ON c.doc_a = pa.doc_id
+         |            JOIN ph pb ON c.doc_b = pb.doc_id
+         |WHERE bit_count(xor(pa.ph_lo, pb.ph_lo))
+         |    + bit_count(xor(pa.ph_hi, pb.ph_hi)) <= ${Multimodal.PhashHamMax}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "mm_decode_wav" -> {
       val n = Multimodal.WavSamples
       s"""WITH smp AS (

@@ -1589,6 +1589,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L)), "exactly quote ⊑ host, never the reverse")
   }
 
+  test("mm_phash equals the brute-force aHash Hamming scan (banding exact at <=3)") {
+    val texts = docs
+    def hash(t: String): (Long, Long) = {
+      val cps = t.codePoints().toArray
+      val px = (0 until 64).map(i => if (i < cps.length) (cps(i) % 256).toLong else 0L)
+      val sum = px.sum
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 64) if (px(i) * 64 > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      (lo, hi)
+    }
+    val hs = texts.view.mapValues(hash).toMap
+    // brute force over ALL pairs — the pigeonhole claim is that the
+    // banded op misses NOTHING at the <=3 cut
+    val want = (for {
+      a <- hs.keys; b <- hs.keys; if a < b
+      h = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if h <= ops.Multimodal.PhashHamMax
+    } yield (a, b) -> h.toLong).toMap
+    val got = ops.Multimodal.phash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "corpus has no near-dup images — the cut is untested")
+  }
+
   test("text_nb_classify matches an independent train-and-score derivation") {
     val texts = docs
     val srcOf = Tables(spark, dir, "documents")
