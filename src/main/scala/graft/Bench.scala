@@ -47,7 +47,7 @@ object Bench {
     "dedup_band_cap", "dedup_semantic", "dedup_incremental", "dedup_keep_best",
     "dedup_yield", "dedup_overlap_matrix", "dedup_containment",
     "graph_pagerank", "graph_bfs", "graph_triangles",
-    "graph_common_neighbors", "graph_kcore", "graph_label_prop",
+    "graph_common_neighbors", "graph_kcore", "graph_label_prop", "graph_jaccard_links",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
@@ -55,7 +55,7 @@ object Bench {
     "text_chunk", "text_cdc_chunks", "text_nb_classify",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup", "sample_dsir",
-    "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile",
+    "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_kmv_overlap",
     "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",

@@ -186,7 +186,14 @@ object Graph {
     * (a, c), one anti-join against the existing edge set. Everything
     * equi-joins; no driver collect.
     */
-  def commonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame =
+    cnCore(spark, dir)._1.orderBy("id_a", "id_b")
+
+  /** The non-adjacent common-neighbor pair frame (id_a, id_b, cn,
+    * ra_u) plus the degree table — shared by [[commonNeighbors]] and
+    * [[jaccardLinks]].
+    */
+  private def cnCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ke = Similarity.knnGraph(spark, dir)
       .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
         greatest(col("vec_id"), col("nbr_id")).as("id_b"))
@@ -203,11 +210,38 @@ object Graph {
         col("s1.b") === col("s2.b") && col("s1.spoke") < col("s2.spoke"))
       .select(col("s1.spoke").as("id_a"), col("s2.spoke").as("id_b"),
         expr(s"$CnRaU div s1.deg").as("ra"))
-    wedges
+    val cn = wedges
       .join(und, Seq("id_a", "id_b"), "left_anti")
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("cn"), sum(col("ra")).as("ra_u"))
-      .orderBy("id_a", "id_b")
+    (cn, deg)
+  }
+
+  /** Result size for [[jaccardLinks]] — the top edge suggestions. */
+  val JlTopK = 100
+
+  /** graph_jaccard_links — Jaccard-coefficient link prediction over
+    * the k-NN similarity graph: for every NON-adjacent pair with at
+    * least one common neighbor (the shared [[cnCore]] wedge frame),
+    * score `|Γa ∩ Γb| / |Γa ∪ Γb|` as an exact micro-int
+    * `(10⁶·cn) div (deg_a + deg_b − cn)` and emit the global
+    * top-[[JlTopK]] (score desc, pair tiebreak) — the "edges the
+    * graph is missing" report that drives ANN-index densification
+    * and candidate recall audits. Degree joins carry merge hints:
+    * the degree table scales with the corpus, so size-based planning
+    * must never broadcast it (r9 sweep rule).
+    */
+  def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    val (cn, deg) = cnCore(spark, dir)
+    cn
+      .join(deg.select(col("v").as("id_a"), col("deg").as("deg_a")).hint("merge"),
+        Seq("id_a"))
+      .join(deg.select(col("v").as("id_b"), col("deg").as("deg_b")).hint("merge"),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cn"), col("deg_a"), col("deg_b"),
+        expr("(1000000 * cn) div (deg_a + deg_b - cn)").as("j_u"))
+      .orderBy(col("j_u").desc, col("id_a"), col("id_b"))
+      .limit(JlTopK)
   }
 
   /** Core threshold and bounded peel rounds for [[kcore]]. */
@@ -311,6 +345,7 @@ object Graph {
     "graph_triangles" -> (triangles _),
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_kcore" -> (kcore _),
-    "graph_label_prop" -> (labelProp _)
+    "graph_label_prop" -> (labelProp _),
+    "graph_jaccard_links" -> (jaccardLinks _)
   )
 }

@@ -712,6 +712,35 @@ object OpsOracles {
          |SELECT sc.doc_id, sc.score_u, CAST($ph AS BIGINT) AS phase
          |FROM sc, t ORDER BY sc.doc_id""".stripMargin
     },
+    "stats_mad_outliers" -> {
+      def medCte(src: String, out: String): String =
+        s"""(SELECT source, (v1 + v2) // 2 AS $out FROM (
+           |  SELECT source,
+           |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS v1,
+           |    MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS v2
+           |  FROM (SELECT source, v,
+           |      SUM(c) OVER (PARTITION BY source ORDER BY v
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |      SUM(c) OVER (PARTITION BY source) AS n
+           |    FROM (SELECT source, v, COUNT(*) AS c FROM $src GROUP BY 1, 2))
+           |  GROUP BY source))""".stripMargin
+      s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         |med AS ${medCte("(SELECT source, n_chars AS v FROM d)", "med")},
+         |dv AS (
+         |  SELECT d.doc_id, d.source, abs(d.n_chars - med.med) AS dev, med.med
+         |  FROM d JOIN med USING (source)),
+         |mad AS ${medCte("(SELECT source, dev AS v FROM dv)", "mad")},
+         |j AS (SELECT dv.*, mad.mad,
+         |        dv.dev > ${Sampling.MadK} * greatest(mad.mad, 1) AS is_out
+         |      FROM dv JOIN mad USING (source))
+         |SELECT source, COUNT(*) AS n,
+         |  CAST(MAX(med) AS BIGINT) AS median_nc,
+         |  CAST(MAX(mad) AS BIGINT) AS mad_nc,
+         |  CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(COALESCE(MIN(CASE WHEN is_out THEN doc_id END), -1) AS BIGINT) AS min_out_doc,
+         |  CAST(COALESCE(SUM(CASE WHEN is_out THEN doc_id END), 0) AS BIGINT) AS sum_out_doc
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
     "stats_exact_median" ->
       """WITH e AS (SELECT event_type,
         |  CAST(FLOOR((value)*100) AS BIGINT) AS v FROM events),
@@ -1508,6 +1537,24 @@ object OpsOracles {
          |  CAST(SUM(ra) AS BIGINT) AS ra_u
          |FROM wgc ANTI JOIN und ON wgc.id_a = und.id_a AND wgc.id_b = und.id_b
          |GROUP BY wgc.id_a, wgc.id_b ORDER BY id_a, id_b""".stripMargin,
+    "graph_jaccard_links" ->
+      s"""WITH $knnCtes,
+         |ke AS (SELECT LEAST(vec_id, nbr_id) AS id_a, GREATEST(vec_id, nbr_id) AS id_b
+         |       FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
+         |und AS (SELECT id_a, id_b FROM ke
+         |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
+         |dgc AS (SELECT id_a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |spc AS (SELECT u.id_a AS b, u.id_b AS spoke
+         |        FROM und u JOIN dgc ON u.id_a = dgc.v WHERE dgc.deg <= ${Graph.CnMidCap}),
+         |wgc AS (SELECT s1.spoke AS id_a, s2.spoke AS id_b
+         |        FROM spc s1 JOIN spc s2 ON s1.b = s2.b AND s1.spoke < s2.spoke),
+         |cnp AS (SELECT wgc.id_a, wgc.id_b, CAST(COUNT(*) AS BIGINT) AS cn
+         |        FROM wgc ANTI JOIN und ON wgc.id_a = und.id_a AND wgc.id_b = und.id_b
+         |        GROUP BY wgc.id_a, wgc.id_b)
+         |SELECT c.id_a, c.id_b, c.cn, da.deg AS deg_a, db.deg AS deg_b,
+         |  CAST((1000000 * c.cn) // (da.deg + db.deg - c.cn) AS BIGINT) AS j_u
+         |FROM cnp c JOIN dgc da ON c.id_a = da.v JOIN dgc db ON c.id_b = db.v
+         |ORDER BY j_u DESC, c.id_a, c.id_b LIMIT ${Graph.JlTopK}""".stripMargin,
     "graph_kcore" -> {
       val k = Graph.KcoreK
       val rounds = (1 to Graph.KcoreRounds).map { t =>

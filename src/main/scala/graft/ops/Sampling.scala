@@ -877,6 +877,7 @@ object Sampling {
     "agg_cms_topk" -> (cmsTopk _),
     "stats_length_deciles" -> (lengthDeciles _),
     "stats_exact_median" -> (exactMedian _),
+    "stats_mad_outliers" -> (madOutliers _),
     "sample_curriculum" -> (curriculum _)
   )
 
@@ -917,6 +918,60 @@ object Sampling {
     scored.crossJoin(broadcast(thresholds))
       .select(col("doc_id"), col("score_u"), phase.as("phase"))
       .orderBy("doc_id")
+  }
+
+  /** MAD multiplier for [[madOutliers]] (the classic k = 3 robust
+    * cut; the 1.4826 normal-consistency constant is deliberately
+    * dropped to stay all-integer).
+    */
+  val MadK = 3L
+
+  /** stats_mad_outliers — robust per-source length-outlier report:
+    * median and MAD (median absolute deviation) of n_chars per
+    * source, then the docs with |x − med| > [[MadK]]·max(MAD, 1)
+    * counted and checksummed. Median/MAD are EXACT via the same
+    * bounded-histogram trick as [[exactMedian]] — n_chars has a
+    * bounded domain, so both rank statistics cost one map-side-
+    * combined groupBy each and the read stage runs on the tiny
+    * (source × distinct length) grid; the med/MAD frames are bounded
+    * by the source count, so their joins back to the corpus are
+    * always broadcasts. Mean/stddev outlier rules break down exactly
+    * when outliers are present (the outliers inflate the stddev);
+    * MAD has a 50% breakdown point — this is the data-audit screen a
+    * 100 TB ingest runs per source.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def medianOf(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("source").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("v1"),
+          min(when(col("cum") >= expr("(n + 2) div 2"), col("v"))).as("v2"))
+        .select(col("source"), expr("(v1 + v2) div 2").as(out))
+    val med = medianOf(d.select(col("source"), col("n_chars").as("v")), "med")
+    val dev = d.join(broadcast(med), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        abs(col("n_chars") - col("med")).as("dev"), col("med"))
+    val mad = medianOf(dev.select(col("source"), col("dev").as("v")), "mad")
+    val cut = col("dev") > lit(MadK) * greatest(col("mad"), lit(1L))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("median_nc"),
+        max(col("mad")).as("mad_nc"),
+        sum(when(cut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(cut, col("doc_id"))).as("min_out_doc"),
+        sum(when(cut, col("doc_id"))).as("sum_out_doc"))
+      .select(col("source"), col("n"), col("median_nc"), col("mad_nc"),
+        col("n_outliers"),
+        coalesce(col("min_out_doc"), lit(-1L)).as("min_out_doc"),
+        coalesce(col("sum_out_doc"), lit(0L)).as("sum_out_doc"))
+      .orderBy("source")
   }
 
   /** stats_exact_median — EXACT per-group median without a per-group

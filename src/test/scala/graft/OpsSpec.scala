@@ -1589,6 +1589,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L)), "exactly quote ⊑ host, never the reverse")
   }
 
+  test("stats_mad_outliers matches a Scala sort-based median/MAD derivation") {
+    val rows = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def med(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val v1 = s((xs.size + 1) / 2 - 1); val v2 = s((xs.size + 2) / 2 - 1)
+      (v1 + v2) / 2
+    }
+    val want = rows.groupBy(_._2).map { case (src, rs) =>
+      val m = med(rs.map(_._3).toSeq)
+      val devs = rs.map(r => (r._1, math.abs(r._3 - m)))
+      val mad = med(devs.map(_._2).toSeq)
+      val out = devs.filter(_._2 > ops.Sampling.MadK * math.max(mad, 1L))
+      (src, (rs.length.toLong, m, mad, out.length.toLong,
+        if (out.isEmpty) -1L else out.map(_._1).min, out.map(_._1).sum))
+    }
+    val got = ops.Sampling.madOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === want)
+    assert(want.values.exists(_._4 > 0), "no source has outliers — cut untested")
+  }
+
   test("mm_phash equals the brute-force aHash Hamming scan (banding exact at <=3)") {
     val texts = docs
     def hash(t: String): (Long, Long) = {
@@ -2203,6 +2227,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!und.contains((a, c)), s"($a,$c) is an existing edge")
       assert(ra <= cn * Graph.CnRaU && ra >= cn, s"ra out of range for ($a,$c)")
     }
+  }
+
+  test("jaccard link prediction matches a Scala wedge-and-degree derivation") {
+    import graft.ops.Graph
+    val ke = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val und = ke ++ ke.map(_.swap)
+    val deg = und.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val byMid = und.toSeq.collect {
+      case (b, s) if deg(b) <= Graph.CnMidCap => (b, s)
+    }.groupBy(_._1)
+    val cn = byMid.toSeq.flatMap { case (_, sp) =>
+      val ss = sp.map(_._2).sorted
+      for (a <- ss; c <- ss if a < c && !und.contains((a, c))) yield (a, c)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cn.toSeq.map { case ((a, b), c) =>
+      (a, b, c, deg(a), deg(b), 1000000L * c / (deg(a) + deg(b) - c))
+    }.sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(Graph.JlTopK)
+    val got = Graph.jaccardLinks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.head._6 >= got.last._6)
   }
 
   test("bounded k-core peel matches a Scala round-by-round re-derivation") {
