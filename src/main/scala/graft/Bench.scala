@@ -73,6 +73,7 @@ object Bench {
     "mm_frame_sample",
     "mm_resize", "mm_patchify", "mm_scene_detect",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_volume_sink", "src_jsonl_scan",
+    "src_csv_scan", "src_orc_roundtrip",
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",
     "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",

@@ -466,6 +466,91 @@ object VolumeQueries {
     }
   }
 
+  /** src_csv_scan — RFC-4180 CSV ingest: the documents table staged
+    * to quoted CSV and read back losslessly. The corpus text is
+    * CSV-benign, so the op APPENDS an adversarial `,"⏎x` tail to
+    * every row before writing — the round trip then genuinely
+    * exercises quoting, quote-doubling escapes, and multi-line
+    * records (the three places CSV ingest silently corrupts). The
+    * read-back is verified per source by count, id sum, char sum and
+    * an md5-prefix content checksum the oracle predicts from parquet
+    * + the same concat — any mangled byte flips the hash.
+    */
+  def csvScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_csv_${ProcessHandle.current().pid()}"
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables(spark, dir, "documents")
+      .withColumn("text2", concat(col("text"), lit(",\"\nx")))
+      .select(col("doc_id"), col("source"), col("text2"))
+    try {
+      // the WRITER trims leading/trailing whitespace by default —
+      // silent corruption for text ending in spaces/newlines; both
+      // trims must be off for a lossless round trip (spec-pinned)
+      docs.write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("quote", "\"").option("escape", "\"").csv(tmp)
+      val agg = spark.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("quote", "\"").option("escape", "\"").csv(tmp)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(length(col("text2"))).as("sum_chars"),
+          sum(expr("graft_md5_prefix(text2)")).as("sum_text_h"))
+        .orderBy("source")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(agg.collect().toIndexedSeq, 1), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  /** src_orc_roundtrip — the ORC format arm: the lineitem fact slice
+    * staged to zlib ORC and read back, verified by the exact-cents
+    * flag aggregates plus a ship-date day checksum (timestamps are
+    * where columnar format round trips drift). Spark's ORC source is
+    * the same DSV2 pushdown machinery as parquet, so at 100 TB this
+    * arm inherits filter/column pruning for free.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_orc_${ProcessHandle.current().pid()}"
+    import graft.relational.Queries.cents
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+    try {
+      li.write.mode("overwrite").option("compression", "zlib").orc(tmp)
+      val agg = spark.read.schema(li.schema).orc(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_c"),
+          sum(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000"))
+            .as("sum_shipdays"))
+        .orderBy("l_returnflag")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(agg.collect().toIndexedSeq, 1), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** src_ingest_dispatch — the reference's multi-format ingest
     * dispatch (tiff2octree.py:1279-1311) as a catalog operator: stage
     * the same volume through every physical arm (N5 container, `.tif`
@@ -751,6 +836,8 @@ object VolumeQueries {
     "src_volume_compact" -> (volumeCompact _),
     "src_volume_snapshot" -> (volumeSnapshot _),
     "src_jsonl_scan" -> (jsonlScan _),
+    "src_csv_scan" -> (csvScan _),
+    "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_n5_bytes" -> (n5Bytes _),
     "src_n5_discover" -> (n5Discover _),
     "src_zarr_bytes" -> (zarrBytes _),
@@ -772,6 +859,26 @@ object VolumeQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // losslessness THROUGH the adversarial ,"⏎x tail: the checksum is
+    // predicted from parquet + the same concat, so any CSV quoting or
+    // multi-line mangling flips the hash
+    "src_csv_scan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text || ',"' || chr(10) || 'x' AS text2
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(SUM(length(text2)) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${graft.ops.OpsOracles.md5Int("text2")}) AS BIGINT) AS sum_text_h
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // the ORC round trip must reproduce the parquet fact aggregates,
+    // timestamps included (the day checksum)
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(SUM(epoch_us(l_shipdate) // 86400000000) AS BIGINT) AS sum_shipdays
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // TFRecord export: the oracle predicts the parsed-back per-shard
     // aggregates INCLUDING total bytes from the parquet table alone —
     // exact varint-size arithmetic over the hand-encoded Example

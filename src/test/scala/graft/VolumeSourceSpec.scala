@@ -238,6 +238,27 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(voxels(v2) === expected)
   }
 
+  test("CSV staging round-trips hostile text (quotes, commas, newlines) losslessly") {
+    import spark.implicits._
+    val rows = Seq((1L, "a,b,c"), (2L, "he said \"hi\" twice"),
+      (3L, "line1\nline2\r\nline3"), (4L, "trailing,\"\n"))
+    val df = rows.toDF("id", "t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-spec").toString
+    // without the two whitespace options the WRITER trims the trailing
+    // newline of row 4 inside its quotes — this spec pins the fix
+    df.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("quote", "\"").option("escape", "\"").csv(tmp)
+    val back = spark.read.schema(df.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("quote", "\"").option("escape", "\"").csv(tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(back === rows.sortBy(_._1))
+  }
+
   test("snapshot store: unrepresentable file names rejected, empty store errors") {
     import graft.sources.SnapshotStore
     val store = java.nio.file.Files.createTempDirectory("graft-snap-edge").toString
