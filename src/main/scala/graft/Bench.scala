@@ -25,7 +25,7 @@ object Bench {
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
-    "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_range_join", "q_interval_join", "q_skew_join",
+    "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_range_join", "q_interval_join", "q_skew_join",
     "q_gapfill", "q_ohlc",
     "q_funnel", "q_retention",
     "q_scd2",
@@ -55,7 +55,7 @@ object Bench {
     "text_chunk", "text_cdc_chunks", "text_nb_classify",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup", "sample_dsir",
-    "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers",
+    "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers", "stats_gini",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_kmv_overlap",
     "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",

@@ -31,6 +31,8 @@ object SparkEntry {
     "q_asof" -> (Queries.qAsof _),
     "q_asof_native" -> (Queries.qAsofNative _),
     "q_asof_fwd" -> (Queries.qAsofFwd _),
+    "q_asof_fwd_native" -> (Queries.qAsofFwdNative _),
+    "q_asof_nearest" -> (Queries.qAsofNearest _),
     "q_gapfill" -> (Queries.qGapfill _),
     "q_ohlc" -> (Queries.qOhlc _),
     "q_range_join" -> (Queries.qRangeJoin _),
@@ -102,6 +104,34 @@ object SparkEntry {
     * certifies against it too.
     */
   private val asofOracle: String = graft.relational.SharedOracles.asof
+
+  /** Shared by q_asof_fwd (union-and-window, reversed frame) and
+    * q_asof_fwd_native (the custom operator's forward direction) —
+    * one SQL, two independent implementations.
+    */
+  private val fwdAsofOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+      |    788918400 + (event_id % 2400) * 86400 AS t,
+      |    0 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+      |  FROM events),
+      |ord AS (
+      |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+      |    epoch_us(o_orderdate) // 1000000 AS t,
+      |    1 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+      |  FROM orders),
+      |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+      |m AS (
+      |  SELECT *,
+      |    first_value(o_orderkey IGNORE NULLS) OVER w AS fwd_orderkey,
+      |    first_value(osec IGNORE NULLS) OVER w AS fwd_osec
+      |  FROM u WINDOW w AS (PARTITION BY key
+      |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, key,
+      |  CAST(COALESCE(fwd_orderkey, -1) AS BIGINT) AS fwd_orderkey,
+      |  CAST(COALESCE(fwd_osec, -1) AS BIGINT) AS fwd_osec
+      |FROM m WHERE kind = 0 ORDER BY event_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -202,45 +232,44 @@ object SparkEntry {
          |FROM e JOIN d ON e.uid = d.uid
          |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_asof" -> asofOracle,
-    "q_asof_fwd" ->
+    "q_asof_fwd" -> fwdAsofOracle,
+    "q_asof_fwd_native" -> fwdAsofOracle,
+    "q_gapfill" -> graft.relational.SharedOracles.gapfill,
+    "q_asof_nearest" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
         |    788918400 + (event_id % 2400) * 86400 AS t,
-        |    0 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+        |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
         |  FROM events),
         |ord AS (
         |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
         |    epoch_us(o_orderdate) // 1000000 AS t,
-        |    1 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+        |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
         |  FROM orders),
         |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
         |m AS (
         |  SELECT *,
-        |    first_value(o_orderkey IGNORE NULLS) OVER w AS fwd_orderkey,
-        |    first_value(osec IGNORE NULLS) OVER w AS fwd_osec
-        |  FROM u WINDOW w AS (PARTITION BY key
-        |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
-        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |    last_value(o_orderkey IGNORE NULLS) OVER wb AS bk_key,
+        |    last_value(osec IGNORE NULLS) OVER wb AS bk_osec,
+        |    first_value(o_orderkey IGNORE NULLS) OVER wf AS fw_key,
+        |    first_value(osec IGNORE NULLS) OVER wf AS fw_osec
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY key ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY key ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |p AS (
+        |  SELECT *, CASE WHEN bk_osec IS NULL AND fw_osec IS NULL THEN -1
+        |    WHEN bk_osec IS NULL THEN 1 WHEN fw_osec IS NULL THEN 0
+        |    WHEN fw_osec - t < t - bk_osec THEN 1 ELSE 0 END AS side
+        |  FROM m WHERE kind = 1)
         |SELECT event_id, key,
-        |  CAST(COALESCE(fwd_orderkey, -1) AS BIGINT) AS fwd_orderkey,
-        |  CAST(COALESCE(fwd_osec, -1) AS BIGINT) AS fwd_osec
-        |FROM m WHERE kind = 0 ORDER BY event_id""".stripMargin,
-    "q_gapfill" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id,
-        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
-        |    CASE WHEN event_type = 'purchase'
-        |      THEN CAST(FLOOR(value*100) AS BIGINT) END AS obs_c
-        |  FROM events),
-        |f AS (
-        |  SELECT *, last_value(obs_c IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_c
-        |  FROM e)
-        |SELECT user_id, COUNT(*) AS n_events, COUNT(obs_c) AS n_obs,
-        |  CAST(SUM(CASE WHEN fill_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
-        |  CAST(COALESCE(SUM(CASE WHEN obs_c IS NULL THEN fill_c END), 0) AS BIGINT) AS carried_c
-        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |  CAST(CASE WHEN side = 1 THEN fw_key WHEN side = 0 THEN bk_key
+        |    ELSE -1 END AS BIGINT) AS near_orderkey,
+        |  CAST(CASE WHEN side = 1 THEN fw_osec WHEN side = 0 THEN bk_osec
+        |    ELSE -1 END AS BIGINT) AS near_osec,
+        |  CAST(side AS BIGINT) AS side
+        |FROM p ORDER BY event_id""".stripMargin,
     "q_ohlc" -> graft.relational.SharedOracles.ohlc,
     // the native physical operator certifies against the SAME oracle
     // as the union-and-window composition

@@ -712,6 +712,23 @@ object OpsOracles {
          |SELECT sc.doc_id, sc.score_u, CAST($ph AS BIGINT) AS phase
          |FROM sc, t ORDER BY sc.doc_id""".stripMargin
     },
+    "stats_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_x,
+        |    CAST(SUM(rk * n_chars) AS BIGINT) AS rank_mass
+        |  FROM r GROUP BY source)
+        |SELECT source, n, sum_x,
+        |  CAST(2 * rank_mass - (n + 1) * sum_x AS BIGINT) AS num,
+        |  CAST(n * sum_x AS BIGINT) AS den,
+        |  CAST((CAST(1000000 AS HUGEINT) * (2 * rank_mass - (n + 1) * sum_x))
+        |    // (n * sum_x) AS BIGINT) AS g_u
+        |FROM a ORDER BY source""".stripMargin,
     "stats_mad_outliers" -> {
       def medCte(src: String, out: String): String =
         s"""(SELECT source, (v1 + v2) // 2 AS $out FROM (

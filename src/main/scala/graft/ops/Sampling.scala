@@ -878,6 +878,7 @@ object Sampling {
     "stats_length_deciles" -> (lengthDeciles _),
     "stats_exact_median" -> (exactMedian _),
     "stats_mad_outliers" -> (madOutliers _),
+    "stats_gini" -> (gini _),
     "sample_curriculum" -> (curriculum _)
   )
 
@@ -918,6 +919,37 @@ object Sampling {
     scored.crossJoin(broadcast(thresholds))
       .select(col("doc_id"), col("score_u"), phase.as("phase"))
       .orderBy("doc_id")
+  }
+
+  /** stats_gini — Gini coefficient of document length per source (the
+    * length-inequality audit: G → 0 uniform lengths, → 1 a few huge
+    * docs dominate the token mass — which decides whether packing
+    * windows or per-doc caps drive throughput). Exact integer
+    * sorted-rank formula G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ
+    * ascending — the numerator/denominator pair stays BIGINT and the
+    * derived g_u = (10⁶·num) div den crosses engines exactly. Ties
+    * rank by (x, doc_id), but swapping equal x values never changes
+    * Σ i·xᵢ, so the tiebreak cannot leak into the result. One window
+    * shuffle per source + one aggregation.
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_x"),
+        sum(col("rk") * col("n_chars")).as("rank_mass"))
+      .select(col("source"), col("n"), col("sum_x"),
+        (lit(2L) * col("rank_mass") - (col("n") + 1L) * col("sum_x")).as("num"),
+        (col("n") * col("sum_x")).as("den"))
+      // DECIMAL(38,0) for the scaled quotient: 10⁶·num overflows Int64
+      // once n·Σx passes ~9·10¹² (a few billion rows per source) — the
+      // q_corr HUGEINT rule
+      .withColumn("g_u",
+        expr("cast((cast(1000000 as decimal(38,0)) * num) div den as bigint)"))
+      .orderBy("source")
   }
 
   /** MAD multiplier for [[madOutliers]] (the classic k = 3 robust

@@ -16,6 +16,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * with the same key and the greatest (rightTime, rightTie) such that
   * rightTime <= time; right columns are null when no such row exists
   * (a left outer as-of match, `q_asof`'s union-and-window semantics).
+  * With `forward = true` the direction flips: the right row with the
+  * SMALLEST (rightTime, rightTie) such that rightTime >= time —
+  * `q_asof_fwd`'s semantics (inclusive bound, min tie).
   *
   * Physical shape: both sides hash-cluster on their key and sort
   * within partitions ((key, t) left / (key, t, tie) right) — declared
@@ -32,7 +35,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -64,10 +68,11 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, tie) =>
+    case AsOfJoin(l, r, lk, lt, rk, rt, tie, fwd) =>
       AsOfJoinExec(planLater(l), planLater(r),
         typed(lk, "leftKey"), typed(lt, "leftTime"),
-        typed(rk, "rightKey"), typed(rt, "rightTime"), typed(tie, "rightTie")) :: Nil
+        typed(rk, "rightKey"), typed(rt, "rightTime"), typed(tie, "rightTie"),
+        fwd) :: Nil
     case _ => Nil
   }
 }
@@ -78,7 +83,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -144,18 +150,31 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val kv = lEval(l)
           val lk = kv.getLong(0); val lt = kv.getLong(1)
-          // consume right rows at or before (lk, lt); the last one with
-          // key == lk is the as-of match (right is sorted by tie within
-          // equal times, so "last" is the greatest (time, tie))
-          while (haveR && (rKey < lk || (rKey == lk && rTime <= lt))) {
-            if (rKey == lk) {
-              // copy: the sorter reuses its output row buffer
-              matchRow = rRow.copy(); matchKey = lk
+          if (forward) {
+            // discard right rows strictly before (lk, lt): left times
+            // ascend, so a passed row can never match a later left row
+            // either. The cursor then SITS on the first right row with
+            // rTime >= lt — the forward match (min (time, tie): the
+            // sort order) — and is NOT consumed: it may also be the
+            // match of the next left row. Zero buffered rows.
+            while (haveR && (rKey < lk || (rKey == lk && rTime < lt)))
+              haveR = advanceR()
+            if (haveR && rKey == lk) outProj(joined(l, rRow))
+            else outProj(joined(l, nullRight))
+          } else {
+            // consume right rows at or before (lk, lt); the last one with
+            // key == lk is the as-of match (right is sorted by tie within
+            // equal times, so "last" is the greatest (time, tie))
+            while (haveR && (rKey < lk || (rKey == lk && rTime <= lt))) {
+              if (rKey == lk) {
+                // copy: the sorter reuses its output row buffer
+                matchRow = rRow.copy(); matchKey = lk
+              }
+              haveR = advanceR()
             }
-            haveR = advanceR()
+            if (matchRow != null && matchKey == lk) outProj(joined(l, matchRow))
+            else outProj(joined(l, nullRight))
           }
-          if (matchRow != null && matchKey == lk) outProj(joined(l, matchRow))
-          else outProj(joined(l, nullRight))
         }
       }
     }

@@ -460,6 +460,55 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q_asof_nearest — NEAREST-neighbor as-of: each event matched to
+    * the closest order in time, either direction, ties to the
+    * backward side. Both directions come from ONE union shuffle-sort:
+    * the backward last-non-null and the forward first-non-null run as
+    * two frames over the same (key, t, kind, id) sort — one shuffle,
+    * one sort, zero joins. At equal time the order sorts before the
+    * event, so the backward arm captures it at dt = 0 and the
+    * tie-to-backward rule makes the (excluded-from-forward) boundary
+    * irrelevant; per-side tie rules inherit [[qAsof]]'s max-key and
+    * [[qAsofFwd]]'s min-key.
+    */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 100 + 1).cast("long").as("key"),
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"),
+      lit(1L).as("kind"), lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("long").as("osec"))
+    val ord = Tables(spark, dir, "orders").select(
+      lit(null).cast("long").as("event_id"),
+      col("o_custkey").cast("long").as("key"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("t"),
+      lit(0L).as("kind"), col("o_orderkey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"))
+    val ob = Window.partitionBy("key")
+      .orderBy(col("t"), col("kind"), coalesce(col("o_orderkey"), col("event_id")))
+    val wb = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ob.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.unionByName(ord)
+      .withColumn("bk_key", last(col("o_orderkey"), ignoreNulls = true).over(wb))
+      .withColumn("bk_osec", last(col("osec"), ignoreNulls = true).over(wb))
+      .withColumn("fw_key", first(col("o_orderkey"), ignoreNulls = true).over(wf))
+      .withColumn("fw_osec", first(col("osec"), ignoreNulls = true).over(wf))
+      .filter(col("kind") === 1)
+      .withColumn("side",
+        when(col("bk_osec").isNull && col("fw_osec").isNull, -1L)
+          .when(col("bk_osec").isNull, 1L)
+          .when(col("fw_osec").isNull, 0L)
+          .when(col("fw_osec") - col("t") < col("t") - col("bk_osec"), 1L)
+          .otherwise(0L))
+      .select(col("event_id"), col("key"),
+        when(col("side") === 1L, col("fw_key"))
+          .when(col("side") === 0L, col("bk_key")).otherwise(-1L).as("near_orderkey"),
+        when(col("side") === 1L, col("fw_osec"))
+          .when(col("side") === 0L, col("bk_osec")).otherwise(-1L).as("near_osec"),
+        col("side"))
+      .orderBy("event_id")
+  }
+
   /** q_gapfill — last-observation-carried-forward: only 'purchase'
     * events OBSERVE a value; every other event inherits the user's
     * most recent purchase value (the classic sparse-timeseries
@@ -1214,6 +1263,40 @@ object Queries {
     joined.select(col("event_id"), col("key"),
         coalesce(col("o_orderkey"), lit(-1L)).as("asof_orderkey"),
         coalesce(col("osec"), lit(-1L)).as("asof_osec"))
+      .orderBy("event_id")
+  }
+
+  /** q_asof_fwd_native — [[qAsofFwd]]'s EXACT semantics through the
+    * custom physical operator with `forward = true`: the cursor SITS
+    * on the first right row at-or-after each left time instead of
+    * buffering the last one before it — zero buffered rows, same
+    * declared distribution/ordering (bucketed inputs stay
+    * Exchange-free). Shares q_asof_fwd's oracle VERBATIM — one SQL
+    * certifies both directions' independent implementations.
+    */
+  def qAsofFwdNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 100 + 1).cast("long").as("key"),
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"))
+    val ord = Tables(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("okey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"),
+      col("o_orderkey"))
+    val evPlan = ev.queryExecution.analyzed
+    val ordPlan = ord.queryExecution.analyzed
+    val joined = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      AsOfJoin(evPlan, ordPlan,
+        evPlan.output(1), evPlan.output(2),
+        ordPlan.output(0), ordPlan.output(1), ordPlan.output(2),
+        forward = true))
+    joined.select(col("event_id"), col("key"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("fwd_orderkey"),
+        coalesce(col("osec"), lit(-1L)).as("fwd_osec"))
       .orderBy("event_id")
   }
 

@@ -40,6 +40,26 @@ object SharedOracles {
       |  CAST(COALESCE(asof_osec, -1) AS BIGINT) AS asof_osec
       |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin
 
+  /** q_gapfill / stream_gapfill — LOCF per-user accounting, batch
+    * window-pass and live mapGroupsWithState against one SQL.
+    */
+  val gapfill: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value*100) AS BIGINT) END AS obs_c
+      |  FROM events),
+      |f AS (
+      |  SELECT *, last_value(obs_c IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_c
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_events, COUNT(obs_c) AS n_obs,
+      |  CAST(SUM(CASE WHEN fill_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
+      |  CAST(COALESCE(SUM(CASE WHEN obs_c IS NULL THEN fill_c END), 0) AS BIGINT) AS carried_c
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q_ohlc / stream_ohlc — hourly OHLC resample, batch window-pass
     * and live min_by/max_by aggregation against one SQL.
     */

@@ -622,6 +622,69 @@ object EventStreams {
     * oracle verbatim. The classic daily-active dashboard fed from a
     * stream: heavy event flow in, O(users) state, tiny live table out.
     */
+  /** Per-user LOCF state: the latest observed purchase value plus the
+    * four monotone counters — O(1) per user regardless of stream
+    * length.
+    */
+  case class GapSt(has: Boolean, lastV: Long,
+                   n: Long, nObs: Long, nUnf: Long, carried: Long)
+
+  /** One-trigger LOCF transition (events sorted by event time within
+    * the trigger; cross-trigger order is the drain's responsibility,
+    * as with [[advanceSession]]).
+    */
+  def advanceGapfill(st: Option[GapSt], evs: Seq[Ev]): GapSt = {
+    var s = st.getOrElse(GapSt(has = false, 0L, 0L, 0L, 0L, 0L))
+    for (e <- evs.sortBy(x => (x.sec, x.event_id))) {
+      s = if (e.event_type == "purchase")
+        s.copy(has = true, lastV = e.value_c, n = s.n + 1, nObs = s.nObs + 1)
+      else if (s.has) s.copy(n = s.n + 1, carried = s.carried + s.lastV)
+      else s.copy(n = s.n + 1, nUnf = s.nUnf + 1)
+    }
+    s
+  }
+
+  /** stream_gapfill — last-observation-carried-forward LIVE: the
+    * per-user fill value and counters live in constant-size group
+    * state (`mapGroupsWithState`); each trigger emits the user's
+    * counter snapshot, and since every counter is MONOTONE
+    * nondecreasing the sink finalize is a plain per-user max. Shares
+    * q_gapfill's oracle verbatim — the batch window formulation and
+    * the stateful stream certify each other.
+    */
+  /** The per-trigger LOCF snapshot stream — split out so the
+    * multi-trigger spec can drive time-ordered waves through the
+    * exact production state machine.
+    */
+  private[graft] def gapfillSnaps(ds: Dataset[Ev]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[GapSt, (Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[GapSt]) =>
+          val st = advanceGapfill(state.getOption, it.toSeq)
+          state.update(st)
+          (uid, st.n, st.nObs, st.nUnf, st.carried)
+      }
+      .toDF("user_id", "n_events", "n_obs", "n_unfilled", "carried_c")
+  }
+
+  def gapfillStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val snaps = gapfillSnaps(input.toDS())
+    val sink = sinkName("stream_gapfill")
+    val q = snaps.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_obs").as("n_obs"),
+        max("n_unfilled").as("n_unfilled"), max("carried_c").as("carried_c"))
+      .orderBy("user_id")
+  }
+
   def retention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1296,6 +1359,7 @@ object EventStreams {
     "stream_tumbling" -> (tumbling _),
     "stream_tumbling_file" -> (tumblingFile _),
     "stream_ohlc" -> (ohlc _),
+    "stream_gapfill" -> (gapfillStream _),
     "stream_session" -> (session _),
     "stream_session_native" -> (sessionNative _),
     "stream_session_file" -> (sessionFile _),
@@ -1417,6 +1481,9 @@ object EventStreams {
         |FROM events ORDER BY user_id, event_type""".stripMargin,
     // live OHLC drains to the same bars as the batch window pass
     "stream_ohlc" -> graft.relational.SharedOracles.ohlc,
+    // the stateful LOCF drains to the same per-user accounting as the
+    // batch window formulation
+    "stream_gapfill" -> graft.relational.SharedOracles.gapfill,
     // the file-source drive computes the identical aggregate, so it
     // shares the tumbling oracle verbatim (defined right below)
     "stream_tumbling_file" ->

@@ -78,6 +78,35 @@ class AsOfJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }, 12)
   }
 
+  test("FORWARD as-of merge equals the in-memory reference on arbitrary data") {
+    import spark.implicits._
+    check(Prop.forAll(genCase) { case (left, right) =>
+      val l = left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "lkey", "lt").repartition(4, org.apache.spark.sql.functions.col("lkey"))
+      val r = right.zipWithIndex.map { case ((k, rt), i) => (i.toLong + 1000L, k, rt) }
+        .toDF("rid", "rkey", "rt")
+      val lp = l.queryExecution.analyzed
+      val rp = r.queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val j = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+        graft.plans.AsOfJoin(lp, rp, a(lp, "lkey"), a(lp, "lt"),
+          a(rp, "rkey"), a(rp, "rt"), a(rp, "rid"), forward = true))
+      val got = j.select("lid", "rid").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      val expect = left.zipWithIndex.map { case ((k, t), i) =>
+        val cands = right.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt >= t }
+        val best =
+          if (cands.isEmpty) -1L
+          else cands.minBy { case ((_, rt), ri) => (rt, ri) }._2.toLong + 1000L
+        i.toLong -> best
+      }.toMap
+      got == expect
+    }, 12)
+  }
+
   private def asofDf(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
       lk: String, lt: String, rk: String, rt: String, tie: String) = {
     val lp = l.queryExecution.analyzed

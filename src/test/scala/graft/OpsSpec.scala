@@ -1589,6 +1589,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L)), "exactly quote ⊑ host, never the reverse")
   }
 
+  test("stats_gini matches the Scala sorted-rank formula and stays in [0, 1e6)") {
+    val rows = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).map { case (src, rs) =>
+      val xs = rs.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = xs.length.toLong
+      val sumX = xs.sum
+      val rankMass = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val num = 2 * rankMass - (n + 1) * sumX
+      src -> ((n, sumX, num, n * sumX, 1000000L * num / (n * sumX)))
+    }
+    val got = ops.Sampling.gini(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+    got.values.foreach { case (_, _, _, _, g) => assert(g >= 0L && g < 1000000L) }
+    assert(got.values.exists(_._5 > 0L), "all sources perfectly uniform — vacuous")
+  }
+
   test("stats_mad_outliers matches a Scala sort-based median/MAD derivation") {
     val rows = Tables(spark, dir, "documents")
       .selectExpr("doc_id", "source", "n_chars").collect()

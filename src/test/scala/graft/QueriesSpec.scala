@@ -291,6 +291,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("q_asof_nearest picks the closer of the two directed matches, ties backward") {
+    import spark.implicits._
+    val back = Queries.qAsof(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    val fwd = Queries.qAsofFwd(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    val evT = Tables(spark, dir, "events")
+      .selectExpr("event_id", "788918400 + (event_id % 2400) * 86400").as[(Long, Long)]
+      .collect().toMap
+    val got = Queries.qAsofNearest(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    var fwdWins = 0
+    got.foreach { case (eid, _, nk, nt, side) =>
+      val t = evT(eid)
+      val (bk, bt) = back(eid); val (fk, ft) = fwd(eid)
+      val expect =
+        if (bt < 0 && ft < 0) (-1L, -1L, -1L)
+        else if (bt < 0) (fk, ft, 1L)
+        else if (ft < 0) (bk, bt, 0L)
+        else if (ft - t < t - bt) (fk, ft, 1L)
+        else (bk, bt, 0L) // ties (incl. dt = 0) go backward
+      if (side == 1L) fwdWins += 1
+      assert((nk, nt, side) === expect, s"event $eid")
+    }
+    assert(fwdWins > 0 && fwdWins < got.length,
+      "both directions must win somewhere or the pick logic is untested")
+  }
+
   test("q_gapfill carries only purchase values forward, per user in time order") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

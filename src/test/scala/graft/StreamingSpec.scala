@@ -186,6 +186,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("stream_gapfill carries the fill value across triggers to the batch accounting") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // time-ordered waves: a purchase in wave 1 must fill views in
+    // wave 3 — the carried value lives in group state between triggers
+    val evs = allEvents.sortBy(e => (e.sec, e.event_id))
+    val waves = evs.grouped((evs.size + 2) / 3).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Ev]
+    val q = EventStreams.gapfillSnaps(input.toDS())
+      .writeStream.format("memory").queryName("gapfill_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    q.stop()
+    val streamed = rows(spark.table("gapfill_trigger_spec")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_obs").as("n_obs"),
+        max("n_unfilled").as("n_unfilled"), max("carried_c").as("carried_c")),
+      "user_id", "n_events", "n_obs", "n_unfilled", "carried_c")
+    val batch = rows(Queries.qGapfill(spark, dir),
+      "user_id", "n_events", "n_obs", "n_unfilled", "carried_c")
+    assert(streamed === batch)
+  }
+
   test("stream_kmv sketch merges across triggers to the batch sketch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
