@@ -186,27 +186,47 @@ object Multimodal {
           (id, lo, hi)
         }
       }.toDF("doc_id", "ph_lo", "ph_hi")
-      .localCheckpoint() // the codec pass feeds banding AND both verify arms
-    val bands = hashes.select(col("doc_id"), posexplode(array(
+      .localCheckpoint() // the codec pass feeds banding AND both expansion arms
+    // Band-join on DISTINCT hashes, not docs: an identical-image
+    // family (boilerplate covers, the all-flat zero hash) collapses
+    // to ONE banding row, so a degenerate c-member family costs c
+    // here instead of c² (measured at 10× bench scale: a 10,386-doc
+    // band bucket → ~10⁸ doc-level candidates, 173 s; distinct-hash
+    // banding → 4.5M, and the only family-quadratic work left is the
+    // OUTPUT expansion — the true result size.
+    val uniq = hashes.select("ph_lo", "ph_hi").distinct()
+    val bands = uniq.select(col("ph_lo"), col("ph_hi"), posexplode(array(
         expr("ph_lo % 65536"), expr("ph_lo div 65536"),
         expr("ph_hi % 65536"), expr("ph_hi div 65536")))
       .as(Seq("band_i", "band_v")))
-    val cand = bands.as("a").join(bands.as("b"),
+    val hp = bands.as("a").join(bands.as("b"),
         col("a.band_i") === col("b.band_i") &&
         col("a.band_v") === col("b.band_v") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        (col("a.ph_lo") < col("b.ph_lo") ||
+          (col("a.ph_lo") === col("b.ph_lo") && col("a.ph_hi") < col("b.ph_hi"))))
+      .select(col("a.ph_lo").as("lo_a"), col("a.ph_hi").as("hi_a"),
+        col("b.ph_lo").as("lo_b"), col("b.ph_hi").as("hi_b"))
       .distinct()
-    cand
-      .join(hashes.select(col("doc_id").as("doc_a"), col("ph_lo").as("lo_a"),
-        col("ph_hi").as("hi_a")), "doc_a")
-      .join(hashes.select(col("doc_id").as("doc_b"), col("ph_lo").as("lo_b"),
-        col("ph_hi").as("hi_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)")
-          .as("hamming"))
+      .withColumn("hamming",
+        expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"))
       .filter(col("hamming") <= PhashHamMax)
-      .orderBy("doc_a", "doc_b")
+    // expansion to doc pairs: hashes are unique per doc, the hash pair
+    // is ordered, so each qualifying doc pair materializes exactly once
+    val cross = hp
+      .join(hashes.select(col("doc_id").as("da"), col("ph_lo").as("lo_a"),
+        col("ph_hi").as("hi_a")).hint("merge"), Seq("lo_a", "hi_a"))
+      .join(hashes.select(col("doc_id").as("db"), col("ph_lo").as("lo_b"),
+        col("ph_hi").as("hi_b")).hint("merge"), Seq("lo_b", "hi_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // identical-hash family pairs are hamming 0 by definition — no
+    // banding, no verify, just the within-family enumeration
+    val intra = hashes.as("x").join(hashes.as("y").hint("merge"),
+        col("x.ph_lo") === col("y.ph_lo") && col("x.ph_hi") === col("y.ph_hi") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   /** Features decoded from a real WAV payload. */

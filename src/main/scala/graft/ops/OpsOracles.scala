@@ -2729,22 +2729,34 @@ object OpsOracles {
          |    CAST(SUM(CASE WHEN px.p * $n > st.s AND px.i >= 32
          |      THEN (CAST(1 AS BIGINT) << CAST(px.i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ph_hi
          |  FROM px JOIN st USING (doc_id) GROUP BY px.doc_id),
+         |u AS (SELECT DISTINCT ph_lo, ph_hi FROM ph),
          |bands AS (
-         |  SELECT doc_id, 0 AS band_i, ph_lo % 65536 AS band_v FROM ph
-         |  UNION ALL SELECT doc_id, 1, ph_lo // 65536 FROM ph
-         |  UNION ALL SELECT doc_id, 2, ph_hi % 65536 FROM ph
-         |  UNION ALL SELECT doc_id, 3, ph_hi // 65536 FROM ph),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  SELECT ph_lo, ph_hi, 0 AS band_i, ph_lo % 65536 AS band_v FROM u
+         |  UNION ALL SELECT ph_lo, ph_hi, 1, ph_lo // 65536 FROM u
+         |  UNION ALL SELECT ph_lo, ph_hi, 2, ph_hi % 65536 FROM u
+         |  UNION ALL SELECT ph_lo, ph_hi, 3, ph_hi // 65536 FROM u),
+         |hp AS (
+         |  SELECT DISTINCT a.ph_lo AS lo_a, a.ph_hi AS hi_a,
+         |    b.ph_lo AS lo_b, b.ph_hi AS hi_b
          |  FROM bands a JOIN bands b
-         |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST(bit_count(xor(pa.ph_lo, pb.ph_lo))
-         |     + bit_count(xor(pa.ph_hi, pb.ph_hi)) AS BIGINT) AS hamming
-         |FROM cand c JOIN ph pa ON c.doc_a = pa.doc_id
-         |            JOIN ph pb ON c.doc_b = pb.doc_id
-         |WHERE bit_count(xor(pa.ph_lo, pb.ph_lo))
-         |    + bit_count(xor(pa.ph_hi, pb.ph_hi)) <= ${Multimodal.PhashHamMax}
+         |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+         |   AND (a.ph_lo < b.ph_lo OR (a.ph_lo = b.ph_lo AND a.ph_hi < b.ph_hi))),
+         |hpf AS (
+         |  SELECT *, CAST(bit_count(xor(lo_a, lo_b))
+         |    + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+         |  FROM hp WHERE bit_count(xor(lo_a, lo_b))
+         |    + bit_count(xor(hi_a, hi_b)) <= ${Multimodal.PhashHamMax}),
+         |crossp AS (
+         |  SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+         |    GREATEST(x.doc_id, y.doc_id) AS doc_b, hamming
+         |  FROM hpf JOIN ph x ON hpf.lo_a = x.ph_lo AND hpf.hi_a = x.ph_hi
+         |           JOIN ph y ON hpf.lo_b = y.ph_lo AND hpf.hi_b = y.ph_hi),
+         |intra AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+         |  FROM ph x JOIN ph y ON x.ph_lo = y.ph_lo AND x.ph_hi = y.ph_hi
+         |    AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM
+         |  (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "mm_decode_wav" -> {
