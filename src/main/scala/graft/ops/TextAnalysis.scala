@@ -661,7 +661,12 @@ object TextAnalysis {
       .groupBy(col("source").as("cls"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
     val tot = cc.groupBy("cls").agg(sum("cnt").as("tot"))
-    val model = broadcast(vocab).crossJoin(classes) // bounded V×C grid
+    // the V×C grid is a deliberate bounded cross (≤ NbVocabN × classes
+    // rows — Catalyst constant-folds any synthetic equi-key away, so
+    // it always plans as a broadcast nested loop; the plan audit
+    // allows exactly this one BNLJ and pins that both its inputs stay
+    // aggregate-bounded)
+    val model = broadcast(vocab).crossJoin(classes)
       .join(cc, Seq("tok", "cls"), "left")
       .join(tot, Seq("cls"))
       .select(col("tok"), col("cls"),

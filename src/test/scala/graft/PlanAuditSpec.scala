@@ -45,6 +45,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(formatted("sample_stratified").contains("WindowGroupLimit"))
   }
 
+  test("r10 pair operators: no cross products, corpus joins never broadcast") {
+    Seq("dedup_containment", "mm_phash", "graph_jaccard_links").foreach { n =>
+      val p = formatted(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+    }
+    // the merge hints must actually land: a corpus-scaled build side
+    // planned as broadcast is the r9 AQE-OOM failure class
+    Seq("dedup_containment", "mm_phash").foreach { n =>
+      assert(formatted(n).contains("SortMergeJoin"),
+        s"$n lost its merge-hinted corpus join")
+    }
+    // nb_classify's V×C grid is a DELIBERATE bounded cross (Catalyst
+    // constant-folds any synthetic key away): allow exactly one BNLJ
+    // and require both its inputs to be aggregate-bounded (the vocab
+    // top-k limit and the distinct classes), never a raw corpus scan
+    val nb = formatted("text_nb_classify")
+    assert(!nb.contains("CartesianProduct"))
+    // detail headers only — FormattedMode prints each node twice
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(nb).length === 1,
+      "the bounded V×C grid must be the ONLY nested-loop join")
+    assert(nb.contains("TakeOrderedAndProject") || nb.contains("Limit"),
+      "the vocab cap vanished — the grid side is no longer bounded")
+  }
+
+  test("q_ohlc's two window passes share one exchange (re-sort, no re-shuffle)") {
+    val p = formatted("q_ohlc")
+    // two Sort nodes (asc + desc pass) over ONE hash-partitioning
+    // exchange of the event rows plus the final orderBy's range
+    // exchange — a second hashpartitioning would mean the windows
+    // re-shuffled
+    val hashEx = """hashpartitioning""".r.findAllIn(p).length
+    assert(hashEx >= 1 && p.contains("Window"), p.take(400))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 3,
+      "q_ohlc grew an extra exchange between its window passes")
+  }
+
   test("blocking-join pair operators never plan a cross product") {
     Seq("dedup_minhash_pairs", "dedup_ngram_jaccard", "sim_pairs_thresh",
       "dedup_embed", "sim_lsh_topk", "dedup_decontaminate",
