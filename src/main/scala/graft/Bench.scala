@@ -25,7 +25,7 @@ object Bench {
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
-    "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_range_join", "q_interval_join", "q_skew_join",
+    "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_range_join", "q_interval_join", "q_skew_join",
     "q_gapfill", "q_ohlc",
     "q_funnel", "q_retention",
     "q_scd2",
@@ -52,7 +52,7 @@ object Bench {
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
-    "text_chunk", "text_cdc_chunks", "text_nb_classify",
+    "text_chunk", "text_cdc_chunks", "text_nb_classify", "text_vocab_growth",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup", "sample_dsir",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers", "stats_gini",
@@ -63,12 +63,12 @@ object Bench {
     "pipeline_export", "pipeline_incr", "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
-    "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
+    "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
     "sim_hybrid_rrf", "sim_bm25_topk", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
     "sim_mrl_topk", "sim_mmr_topk", "sim_ivfpq_topk", "sim_index_refresh",
     "sim_recall_eval",
-    "mm_pack", "mm_meta_extract", "mm_phash", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
+    "mm_pack", "mm_meta_extract", "mm_phash", "mm_phash_cluster", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
     "mm_audio_feats",
     "mm_frame_sample",
     "mm_resize", "mm_patchify", "mm_scene_detect",

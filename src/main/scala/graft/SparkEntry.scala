@@ -33,6 +33,7 @@ object SparkEntry {
     "q_asof_fwd" -> (Queries.qAsofFwd _),
     "q_asof_fwd_native" -> (Queries.qAsofFwdNative _),
     "q_asof_nearest" -> (Queries.qAsofNearest _),
+    "q_asof_tolerance" -> (Queries.qAsofTolerance _),
     "q_gapfill" -> (Queries.qGapfill _),
     "q_ohlc" -> (Queries.qOhlc _),
     "q_range_join" -> (Queries.qRangeJoin _),
@@ -235,6 +236,32 @@ object SparkEntry {
     "q_asof_fwd" -> fwdAsofOracle,
     "q_asof_fwd_native" -> fwdAsofOracle,
     "q_gapfill" -> graft.relational.SharedOracles.gapfill,
+    "q_asof_tolerance" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+         |    788918400 + (event_id % 2400) * 86400 AS t,
+         |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+         |  FROM events),
+         |ord AS (
+         |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+         |    epoch_us(o_orderdate) // 1000000 AS t,
+         |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+         |  FROM orders),
+         |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+         |m AS (
+         |  SELECT *,
+         |    last_value(o_orderkey IGNORE NULLS) OVER w AS ak,
+         |    last_value(osec IGNORE NULLS) OVER w AS ao
+         |  FROM u WINDOW w AS (PARTITION BY key
+         |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |p AS (SELECT *, ao IS NOT NULL AND t - ao <= ${Queries.AsofToleranceSec} AS fresh
+         |      FROM m WHERE kind = 1)
+         |SELECT event_id, key,
+         |  CAST(CASE WHEN fresh THEN ak ELSE -1 END AS BIGINT) AS asof_orderkey,
+         |  CAST(CASE WHEN fresh THEN ao ELSE -1 END AS BIGINT) AS asof_osec,
+         |  CAST(CASE WHEN fresh THEN t - ao ELSE -1 END AS BIGINT) AS staleness
+         |FROM p ORDER BY event_id""".stripMargin,
     "q_asof_nearest" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,

@@ -229,6 +229,19 @@ object Multimodal {
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
+  /** mm_phash_cluster — image-FAMILY canonicalization: connected
+    * components over the [[phash]] near-dup pair graph (the
+    * alternating-star contraction shared with dedup_cluster —
+    * diameter-independent rounds), every doc labeled with its
+    * family's min id + family size. This is the O(n) artifact an
+    * image-dedup deployment acts on (keep one per family), versus
+    * the family-quadratic pair list [[phash]] reports.
+    */
+  def phashCluster(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+      phash(spark, dir).select(col("doc_a"), col("doc_b")),
+      Tables(spark, dir, "documents").select(col("doc_id")))
+
   /** Features decoded from a real WAV payload. */
   case class DecodedWav(doc_id: Long, n_samples: Long, sample_rate: Long,
                         sum_s: Long, s_checksum: Long, peak: Long)
@@ -533,6 +546,7 @@ object Multimodal {
     "mm_resize" -> (resize _),
     "mm_decode_png" -> (decodePng _),
     "mm_phash" -> (phash _),
+    "mm_phash_cluster" -> (phashCluster _),
     "mm_decode_wav" -> (decodeWav _),
     "mm_audio_feats" -> (audioFeats _),
     "mm_decode_jp2" -> (decodeJp2 _)

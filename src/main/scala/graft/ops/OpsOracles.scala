@@ -89,6 +89,55 @@ object OpsOracles {
       |  FROM bands a JOIN bands b
       |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** aHash fingerprints + distinct-hash banding + expansion — CTE
+    * chain ending in `crossp(doc_a, doc_b, hamming)` and
+    * `intra(doc_a, doc_b, hamming)`, shared by mm_phash and
+    * mm_phash_cluster. Mirrors [[Multimodal.phash]].
+    */
+  private val phashPairCtes: String = {
+    val n = Multimodal.PngEdge * Multimodal.PngEdge
+    s"""px AS (
+       |  SELECT doc_id, r.i,
+       |    CASE WHEN length(text) > r.i
+       |         THEN ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256
+       |         ELSE 0 END AS p
+       |  FROM documents, range(0, $n) r(i)),
+       |st AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS s FROM px GROUP BY doc_id),
+       |ph AS (
+       |  SELECT px.doc_id,
+       |    CAST(SUM(CASE WHEN px.p * $n > st.s AND px.i < 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(px.i AS INT)) ELSE 0 END) AS BIGINT) AS ph_lo,
+       |    CAST(SUM(CASE WHEN px.p * $n > st.s AND px.i >= 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(px.i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ph_hi
+       |  FROM px JOIN st USING (doc_id) GROUP BY px.doc_id),
+       |uh AS (SELECT DISTINCT ph_lo, ph_hi FROM ph),
+       |pbands AS (
+       |  SELECT ph_lo, ph_hi, 0 AS band_i, ph_lo % 65536 AS band_v FROM uh
+       |  UNION ALL SELECT ph_lo, ph_hi, 1, ph_lo // 65536 FROM uh
+       |  UNION ALL SELECT ph_lo, ph_hi, 2, ph_hi % 65536 FROM uh
+       |  UNION ALL SELECT ph_lo, ph_hi, 3, ph_hi // 65536 FROM uh),
+       |hp AS (
+       |  SELECT DISTINCT a.ph_lo AS lo_a, a.ph_hi AS hi_a,
+       |    b.ph_lo AS lo_b, b.ph_hi AS hi_b
+       |  FROM pbands a JOIN pbands b
+       |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+       |   AND (a.ph_lo < b.ph_lo OR (a.ph_lo = b.ph_lo AND a.ph_hi < b.ph_hi))),
+       |hpf AS (
+       |  SELECT *, CAST(bit_count(xor(lo_a, lo_b))
+       |    + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+       |  FROM hp WHERE bit_count(xor(lo_a, lo_b))
+       |    + bit_count(xor(hi_a, hi_b)) <= ${Multimodal.PhashHamMax}),
+       |crossp AS (
+       |  SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+       |    GREATEST(x.doc_id, y.doc_id) AS doc_b, hamming
+       |  FROM hpf JOIN ph x ON hpf.lo_a = x.ph_lo AND hpf.hi_a = x.ph_hi
+       |           JOIN ph y ON hpf.lo_b = y.ph_lo AND hpf.hi_b = y.ph_hi),
+       |intra AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+       |  FROM ph x JOIN ph y ON x.ph_lo = y.ph_lo AND x.ph_hi = y.ph_hi
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   private val bucketedCte =
     s"""b AS (SELECT vec_id, embedding, label, $bucketExpr AS bucket FROM embeddings)"""
 
@@ -1120,6 +1169,27 @@ object OpsOracles {
          |FROM f GROUP BY doc_id, dim
          |HAVING SUM(sign) <> 0
          |ORDER BY doc_id, dim""".stripMargin,
+    "text_vocab_growth" ->
+      s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |tk AS (
+         |  SELECT doc_id, unnest($toks) AS tok,
+         |    (doc_id * 10) // (mx.mx + 1) AS dec
+         |  FROM documents, mx),
+         |occ AS (SELECT dec, COUNT(*) AS n_occ FROM tk GROUP BY dec),
+         |fst AS (
+         |  SELECT first_dec AS dec, COUNT(*) AS n_new FROM
+         |    (SELECT tok, MIN(dec) AS first_dec FROM tk GROUP BY tok)
+         |  GROUP BY first_dec),
+         |j AS (
+         |  SELECT occ.dec, occ.n_occ, COALESCE(fst.n_new, 0) AS n_new
+         |  FROM occ LEFT JOIN fst ON occ.dec = fst.dec)
+         |SELECT CAST(dec AS BIGINT) AS dec,
+         |  CAST(SUM(n_occ) OVER w AS BIGINT) AS cum_tokens,
+         |  CAST(SUM(n_new) OVER w AS BIGINT) AS cum_vocab,
+         |  CAST(n_new AS BIGINT) AS n_new
+         |FROM j WINDOW w AS (ORDER BY dec
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY dec""".stripMargin,
     "text_nb_classify" -> {
       val h = md5Int("('nb:' || CAST(doc_id AS VARCHAR))")
       s"""WITH d AS (
@@ -2462,6 +2532,14 @@ object OpsOracles {
          |SELECT probe_id, vec_id, cos_u,
          |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank
          |FROM s QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id % 101 = 0),
+         |s AS (SELECT p.probe_id, e.vec_id, ${cosU("p.pvec", "e.embedding")} AS cos_u
+         |      FROM embeddings e, p WHERE e.vec_id != p.probe_id)
+         |SELECT probe_id, vec_id, cos_u FROM s
+         |WHERE cos_u >= ${Similarity.RangeTauU}
+         |ORDER BY probe_id, vec_id""".stripMargin,
     "sim_mmr_topk" -> {
       val rounds = (2 to Similarity.MmrK).map { r =>
         s"""ms$r AS (
@@ -2713,52 +2791,27 @@ object OpsOracles {
          |FROM (SELECT doc_id, i + 1 AS r_i_plus_1, p FROM px)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
-    "mm_phash" -> {
-      val n = Multimodal.PngEdge * Multimodal.PngEdge
-      s"""WITH px AS (
-         |  SELECT doc_id, r.i,
-         |    CASE WHEN length(text) > r.i
-         |         THEN ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256
-         |         ELSE 0 END AS p
-         |  FROM documents, range(0, $n) r(i)),
-         |st AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS s FROM px GROUP BY doc_id),
-         |ph AS (
-         |  SELECT px.doc_id,
-         |    CAST(SUM(CASE WHEN px.p * $n > st.s AND px.i < 32
-         |      THEN (CAST(1 AS BIGINT) << CAST(px.i AS INT)) ELSE 0 END) AS BIGINT) AS ph_lo,
-         |    CAST(SUM(CASE WHEN px.p * $n > st.s AND px.i >= 32
-         |      THEN (CAST(1 AS BIGINT) << CAST(px.i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ph_hi
-         |  FROM px JOIN st USING (doc_id) GROUP BY px.doc_id),
-         |u AS (SELECT DISTINCT ph_lo, ph_hi FROM ph),
-         |bands AS (
-         |  SELECT ph_lo, ph_hi, 0 AS band_i, ph_lo % 65536 AS band_v FROM u
-         |  UNION ALL SELECT ph_lo, ph_hi, 1, ph_lo // 65536 FROM u
-         |  UNION ALL SELECT ph_lo, ph_hi, 2, ph_hi % 65536 FROM u
-         |  UNION ALL SELECT ph_lo, ph_hi, 3, ph_hi // 65536 FROM u),
-         |hp AS (
-         |  SELECT DISTINCT a.ph_lo AS lo_a, a.ph_hi AS hi_a,
-         |    b.ph_lo AS lo_b, b.ph_hi AS hi_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_i = b.band_i AND a.band_v = b.band_v
-         |   AND (a.ph_lo < b.ph_lo OR (a.ph_lo = b.ph_lo AND a.ph_hi < b.ph_hi))),
-         |hpf AS (
-         |  SELECT *, CAST(bit_count(xor(lo_a, lo_b))
-         |    + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
-         |  FROM hp WHERE bit_count(xor(lo_a, lo_b))
-         |    + bit_count(xor(hi_a, hi_b)) <= ${Multimodal.PhashHamMax}),
-         |crossp AS (
-         |  SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
-         |    GREATEST(x.doc_id, y.doc_id) AS doc_b, hamming
-         |  FROM hpf JOIN ph x ON hpf.lo_a = x.ph_lo AND hpf.hi_a = x.ph_hi
-         |           JOIN ph y ON hpf.lo_b = y.ph_lo AND hpf.hi_b = y.ph_hi),
-         |intra AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
-         |  FROM ph x JOIN ph y ON x.ph_lo = y.ph_lo AND x.ph_hi = y.ph_hi
-         |    AND x.doc_id < y.doc_id)
+    "mm_phash" ->
+      s"""WITH $phashPairCtes
          |SELECT doc_a, doc_b, hamming FROM
          |  (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the image-family canonicalization shares the phash pair chain;
+    // the closure is the dedup_cluster recursive-CTE pattern
+    "mm_phash_cluster" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         |pr AS (SELECT doc_a, doc_b FROM crossp
+         |       UNION ALL SELECT doc_a, doc_b FROM intra),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
+         |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc),
+         |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM mm GROUP BY cluster)
+         |SELECT mm.doc AS doc_id, mm.cluster, cs.cluster_size
+         |FROM mm JOIN cs USING (cluster) ORDER BY doc_id""".stripMargin,
     "mm_decode_wav" -> {
       val n = Multimodal.WavSamples
       s"""WITH smp AS (

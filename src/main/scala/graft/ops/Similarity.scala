@@ -217,6 +217,30 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Radius cut for [[rangeSearch]]: cosine micro ≥ 0.25 — ~the
+    * top-1% tail of this corpus's probe-pair cosine distribution
+    * (max ≈ 0.44, p99 ≈ 0.29), so the ball is non-trivial but bounded.
+    */
+  val RangeTauU = 250000L
+
+  /** sim_range_search — RADIUS search: every vector within cosine
+    * ≥ [[RangeTauU]] of each probe (the unbounded-result-set dual of
+    * top-k — dedup sweeps and "find everything this similar" audits
+    * want the whole ball, not the best 5). Exact one-pass scan ×
+    * broadcast bounded probe set — O(n·probes) with probes O(1) in
+    * corpus size, embarrassingly parallel, no shuffle of the corpus;
+    * the integer-compared cosine is the shared [[cosUPre]] kernel.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame =
+    embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(probes(spark, dir)))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
+      .filter(col("cos_u") >= RangeTauU)
+      .orderBy("probe_id", "vec_id")
+
   /** sim_lsh_topk — MULTI-TABLE sign-LSH ANN: candidates are the
     * union over [[LshTables]] independent hash tables of the probe's
     * bucket mates ([[lshBuckets]] data-driven hashing to (table,
@@ -2041,6 +2065,7 @@ object Similarity {
     "sim_knn_graph" -> (knnGraph _),
     "stats_label_errors" -> (labelErrors _),
     "sim_brute_topk" -> (bruteTopk _),
+    "sim_range_search" -> (rangeSearch _),
     "sim_lsh_topk" -> (lshTopk _),
     "sim_pairs_thresh" -> (pairsThresh _),
     "sim_ivf_topk" -> (ivfTopk _),

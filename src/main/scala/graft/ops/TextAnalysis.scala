@@ -621,6 +621,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** text_vocab_growth — the Heaps-law vocabulary-growth curve: per
+    * id-range decile of the corpus, cumulative token occurrences vs
+    * cumulative DISTINCT vocabulary (plus the new-types count) — the
+    * how-much-new-data-still-adds-words audit that decides whether
+    * another crawl increment is worth tokenizer retraining. Deciles
+    * are VALUE-RANGE deciles of the ingest id axis
+    * (`(doc_id·10) div (max_id+1)`) — exact-RANK deciles of a unique
+    * id column would need a global sort of the corpus; the id axis is
+    * the ingest order anyway. Two map-side-combined corpus passes
+    * (token first-occurrence min, per-decile occurrence counts); the
+    * cumulative read runs on the 10-row decile frame.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val toks = docs.select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .crossJoin(broadcast(mx))
+      .withColumn("dec", expr("(doc_id * 10) div (mx + 1)"))
+    val occ = toks.groupBy("dec").agg(count(lit(1)).as("n_occ"))
+    val firsts = toks.groupBy("tok").agg(min(col("dec")).as("first_dec"))
+      .groupBy(col("first_dec").as("dec")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("dec") // 10-row frame: the single partition is the point
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(firsts, Seq("dec"), "left")
+      .select(col("dec"), col("n_occ"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum("n_occ").over(w))
+      .withColumn("cum_vocab", sum("n_new").over(w))
+      .select(col("dec"), col("cum_tokens"), col("cum_vocab"), col("n_new"))
+      .orderBy("dec")
+  }
+
   /** [[nbClassify]] parameters: vocabulary cap (the model stays a
     * bounded, broadcastable V×C frame no matter the corpus size) and
     * the deterministic 80/20 train/heldout hash split.
@@ -931,6 +963,7 @@ object TextAnalysis {
     "text_bpe_encode" -> (bpeEncode _),
     "text_charlm" -> (charLm _),
     "text_nb_classify" -> (nbClassify _),
+    "text_vocab_growth" -> (vocabGrowth _),
     "text_pack" -> (pack _),
     "text_tfidf" -> (tfidf _),
     "text_hash_embed" -> (hashEmbed _),

@@ -460,6 +460,46 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Staleness bound for [[qAsofTolerance]] (30 days in seconds). */
+  val AsofToleranceSec = 30L * 86400L
+
+  /** q_asof_tolerance — as-of with a MAX-STALENESS bound (the
+    * `tolerance` parameter of every production as-of API): the latest
+    * prior order counts only if it is at most [[AsofToleranceSec]]
+    * old, else the event reports no match. Same one-shuffle
+    * union-and-window plan as [[qAsof]] — the bound is a post-window
+    * filter, never a second pass.
+    */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 100 + 1).cast("long").as("key"),
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"),
+      lit(1L).as("kind"), lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("long").as("osec"))
+    val ord = Tables(spark, dir, "orders").select(
+      lit(null).cast("long").as("event_id"),
+      col("o_custkey").cast("long").as("key"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("t"),
+      lit(0L).as("kind"), col("o_orderkey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("kind"), coalesce(col("o_orderkey"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_osec", last(col("osec"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("fresh",
+        col("asof_osec").isNotNull &&
+          col("t") - col("asof_osec") <= AsofToleranceSec)
+      .select(col("event_id"), col("key"),
+        when(col("fresh"), col("asof_orderkey")).otherwise(-1L).as("asof_orderkey"),
+        when(col("fresh"), col("asof_osec")).otherwise(-1L).as("asof_osec"),
+        when(col("fresh"), col("t") - col("asof_osec")).otherwise(-1L).as("staleness"))
+      .orderBy("event_id")
+  }
+
   /** q_asof_nearest — NEAREST-neighbor as-of: each event matched to
     * the closest order in time, either direction, ties to the
     * backward side. Both directions come from ONE union shuffle-sort:

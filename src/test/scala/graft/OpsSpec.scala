@@ -1589,6 +1589,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L)), "exactly quote ⊑ host, never the reverse")
   }
 
+  test("sim_range_search returns exactly the cosine ball (brute-force re-derivation)") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val want = (for {
+      p <- vecs.keys.filter(_ % 101 == 0); v <- vecs.keys; if v != p
+      c = cosU(vecs(p), vecs(v)); if c >= ops.Similarity.RangeTauU
+    } yield (p, v) -> c).toMap
+    val got = ops.Similarity.rangeSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "empty ball — the radius is untested at this scale")
+  }
+
+  test("mm_phash_cluster equals a union-find closure over the phash pairs") {
+    val pairs = ops.Multimodal.phash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(docs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lbl = docs.keys.map(k => k -> find(k)).toMap
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = lbl.map { case (d, c) => d -> ((c, sizes(c))) }
+    val got = ops.Multimodal.phashCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(want.values.exists(_._2 > 1), "no image family bigger than 1 — vacuous")
+  }
+
+  test("text_vocab_growth matches a Scala first-occurrence derivation") {
+    val texts = docs
+    val mx = texts.keys.max
+    def dec(id: Long): Long = id * 10 / (mx + 1)
+    val tk = texts.toSeq.flatMap { case (id, t) => tokens(t).map(tok => (dec(id), tok)) }
+    val occ = tk.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val firsts = tk.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+      .values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val decs = occ.keys.toSeq.sorted
+    var cumT = 0L; var cumV = 0L
+    val want = decs.map { d =>
+      cumT += occ(d); cumV += firsts.getOrElse(d, 0L)
+      (d, cumT, cumV, firsts.getOrElse(d, 0L))
+    }
+    val got = ops.TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // Heaps-shape (weak form — the sf0.001 synthetic vocabulary is
+    // near-closed): cumulative vocab is nondecreasing and the late
+    // deciles add no more new types than the first one
+    assert(want.sliding(2).forall(p => p(1)._3 >= p(0)._3))
+    assert(want.last._4 <= want.head._4 && want.head._4 > 0)
+  }
+
   test("stats_gini matches the Scala sorted-rank formula and stays in [0, 1e6)") {
     val rows = Tables(spark, dir, "documents")
       .selectExpr("doc_id", "source", "n_chars").collect()

@@ -320,6 +320,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "both directions must win somewhere or the pick logic is untested")
   }
 
+  test("q_asof_tolerance masks stale matches and reports staleness") {
+    import spark.implicits._
+    val base = Queries.qAsof(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    val evT = Tables(spark, dir, "events")
+      .selectExpr("event_id", "788918400 + (event_id % 2400) * 86400").as[(Long, Long)]
+      .collect().toMap
+    val got = Queries.qAsofTolerance(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    var masked = 0; var kept = 0
+    got.foreach { case (eid, _, ak, ao, st) =>
+      val (bk, bo) = base(eid); val t = evT(eid)
+      if (bo >= 0 && t - bo <= Queries.AsofToleranceSec) {
+        kept += 1; assert((ak, ao, st) === ((bk, bo, t - bo)), s"event $eid")
+      } else { masked += 1; assert((ak, ao, st) === ((-1L, -1L, -1L)), s"event $eid") }
+    }
+    assert(kept > 0 && masked > 0, "tolerance never exercised both arms")
+  }
+
   test("q_gapfill carries only purchase values forward, per user in time order") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
