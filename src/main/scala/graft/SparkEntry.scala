@@ -34,6 +34,7 @@ object SparkEntry {
     "q_asof_fwd_native" -> (Queries.qAsofFwdNative _),
     "q_asof_nearest" -> (Queries.qAsofNearest _),
     "q_asof_tolerance" -> (Queries.qAsofTolerance _),
+    "q_asof_tolerance_native" -> (Queries.qAsofToleranceNative _),
     "q_gapfill" -> (Queries.qGapfill _),
     "q_ohlc" -> (Queries.qOhlc _),
     "q_range_join" -> (Queries.qRangeJoin _),
@@ -133,6 +134,37 @@ object SparkEntry {
       |  CAST(COALESCE(fwd_orderkey, -1) AS BIGINT) AS fwd_orderkey,
       |  CAST(COALESCE(fwd_osec, -1) AS BIGINT) AS fwd_osec
       |FROM m WHERE kind = 0 ORDER BY event_id""".stripMargin
+
+  /** Shared by q_asof_tolerance (post-window filter) and
+    * q_asof_tolerance_native (the bound enforced inside the custom
+    * operator's merge loop) — one SQL, two implementations.
+    */
+  private val tolAsofOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
+       |    788918400 + (event_id % 2400) * 86400 AS t,
+       |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
+       |  FROM events),
+       |ord AS (
+       |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
+       |    epoch_us(o_orderdate) // 1000000 AS t,
+       |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
+       |  FROM orders),
+       |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+       |m AS (
+       |  SELECT *,
+       |    last_value(o_orderkey IGNORE NULLS) OVER w AS ak,
+       |    last_value(osec IGNORE NULLS) OVER w AS ao
+       |  FROM u WINDOW w AS (PARTITION BY key
+       |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |p AS (SELECT *, ao IS NOT NULL AND t - ao <= ${Queries.AsofToleranceSec} AS fresh
+       |      FROM m WHERE kind = 1)
+       |SELECT event_id, key,
+       |  CAST(CASE WHEN fresh THEN ak ELSE -1 END AS BIGINT) AS asof_orderkey,
+       |  CAST(CASE WHEN fresh THEN ao ELSE -1 END AS BIGINT) AS asof_osec,
+       |  CAST(CASE WHEN fresh THEN t - ao ELSE -1 END AS BIGINT) AS staleness
+       |FROM p ORDER BY event_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -236,32 +268,8 @@ object SparkEntry {
     "q_asof_fwd" -> fwdAsofOracle,
     "q_asof_fwd_native" -> fwdAsofOracle,
     "q_gapfill" -> graft.relational.SharedOracles.gapfill,
-    "q_asof_tolerance" ->
-      s"""WITH ev AS (
-         |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,
-         |    788918400 + (event_id % 2400) * 86400 AS t,
-         |    1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS osec
-         |  FROM events),
-         |ord AS (
-         |  SELECT CAST(NULL AS BIGINT) AS event_id, CAST(o_custkey AS BIGINT) AS key,
-         |    epoch_us(o_orderdate) // 1000000 AS t,
-         |    0 AS kind, o_orderkey, epoch_us(o_orderdate) // 1000000 AS osec
-         |  FROM orders),
-         |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
-         |m AS (
-         |  SELECT *,
-         |    last_value(o_orderkey IGNORE NULLS) OVER w AS ak,
-         |    last_value(osec IGNORE NULLS) OVER w AS ao
-         |  FROM u WINDOW w AS (PARTITION BY key
-         |    ORDER BY t, kind, COALESCE(o_orderkey, event_id)
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |p AS (SELECT *, ao IS NOT NULL AND t - ao <= ${Queries.AsofToleranceSec} AS fresh
-         |      FROM m WHERE kind = 1)
-         |SELECT event_id, key,
-         |  CAST(CASE WHEN fresh THEN ak ELSE -1 END AS BIGINT) AS asof_orderkey,
-         |  CAST(CASE WHEN fresh THEN ao ELSE -1 END AS BIGINT) AS asof_osec,
-         |  CAST(CASE WHEN fresh THEN t - ao ELSE -1 END AS BIGINT) AS staleness
-         |FROM p ORDER BY event_id""".stripMargin,
+    "q_asof_tolerance" -> tolAsofOracle,
+    "q_asof_tolerance_native" -> tolAsofOracle,
     "q_asof_nearest" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS key,

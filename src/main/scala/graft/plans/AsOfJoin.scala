@@ -19,6 +19,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * With `forward = true` the direction flips: the right row with the
   * SMALLEST (rightTime, rightTie) such that rightTime >= time —
   * `q_asof_fwd`'s semantics (inclusive bound, min tie).
+  * `tolerance >= 0` bounds the match's staleness (pandas
+  * merge_asof's `tolerance`): a directed match further than
+  * `tolerance` from the left time emits the null arm instead — the
+  * BEST match is bounded, never replaced by an older in-bound one.
   *
   * Physical shape: both sides hash-cluster on their key and sort
   * within partitions ((key, t) left / (key, t, tie) right) — declared
@@ -36,7 +40,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression,
-    forward: Boolean = false)
+    forward: Boolean = false, tolerance: Long = -1L)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -68,11 +72,11 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, tie, fwd) =>
+    case AsOfJoin(l, r, lk, lt, rk, rt, tie, fwd, tol) =>
       AsOfJoinExec(planLater(l), planLater(r),
         typed(lk, "leftKey"), typed(lt, "leftTime"),
         typed(rk, "rightKey"), typed(rt, "rightTime"), typed(tie, "rightTie"),
-        fwd) :: Nil
+        fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -84,7 +88,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression,
-    forward: Boolean = false)
+    forward: Boolean = false, tolerance: Long = -1L)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -134,6 +138,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         // the ONE buffered row: the best match seen for matchKey so far
         private var matchRow: InternalRow = _
         private var matchKey = 0L
+        private var matchTime = 0L
 
         private def advanceR(): Boolean = {
           if (rIter.hasNext) {
@@ -159,7 +164,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             // match of the next left row. Zero buffered rows.
             while (haveR && (rKey < lk || (rKey == lk && rTime < lt)))
               haveR = advanceR()
-            if (haveR && rKey == lk) outProj(joined(l, rRow))
+            if (haveR && rKey == lk &&
+                (tolerance < 0L || rTime - lt <= tolerance))
+              outProj(joined(l, rRow))
             else outProj(joined(l, nullRight))
           } else {
             // consume right rows at or before (lk, lt); the last one with
@@ -168,11 +175,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             while (haveR && (rKey < lk || (rKey == lk && rTime <= lt))) {
               if (rKey == lk) {
                 // copy: the sorter reuses its output row buffer
-                matchRow = rRow.copy(); matchKey = lk
+                matchRow = rRow.copy(); matchKey = lk; matchTime = rTime
               }
               haveR = advanceR()
             }
-            if (matchRow != null && matchKey == lk) outProj(joined(l, matchRow))
+            // the tolerance bounds the BEST (latest) match's staleness;
+            // a stale best is a null arm, never an older in-bound row
+            if (matchRow != null && matchKey == lk &&
+                (tolerance < 0L || lt - matchTime <= tolerance))
+              outProj(joined(l, matchRow))
             else outProj(joined(l, nullRight))
           }
         }

@@ -500,6 +500,39 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q_asof_tolerance_native — [[qAsofTolerance]]'s semantics through
+    * the custom operator's `tolerance` parameter: the staleness bound
+    * is enforced INSIDE the merge loop (a stale best match emits the
+    * null arm directly), so no post-window filter exists in the plan
+    * at all. Shares q_asof_tolerance's oracle VERBATIM.
+    */
+  def qAsofToleranceNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 100 + 1).cast("long").as("key"),
+      (lit(788918400L) + (col("event_id") % 2400) * 86400L).as("t"))
+    val ord = Tables(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("okey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("osec"),
+      col("o_orderkey"))
+    val evPlan = ev.queryExecution.analyzed
+    val ordPlan = ord.queryExecution.analyzed
+    val joined = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      AsOfJoin(evPlan, ordPlan,
+        evPlan.output(1), evPlan.output(2),
+        ordPlan.output(0), ordPlan.output(1), ordPlan.output(2),
+        forward = false, tolerance = AsofToleranceSec))
+    joined.select(col("event_id"), col("key"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(col("osec"), lit(-1L)).as("asof_osec"),
+        coalesce(col("t") - col("osec"), lit(-1L)).as("staleness"))
+      .orderBy("event_id")
+  }
+
   /** q_asof_nearest — NEAREST-neighbor as-of: each event matched to
     * the closest order in time, either direction, ties to the
     * backward side. Both directions come from ONE union shuffle-sort:

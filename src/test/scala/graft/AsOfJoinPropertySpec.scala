@@ -107,6 +107,45 @@ class AsOfJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }, 12)
   }
 
+  test("tolerance bounds the match staleness in BOTH directions (property)") {
+    import spark.implicits._
+    val genTol = for { c <- genCase; tol <- Gen.choose(0L, 30L) } yield (c, tol)
+    check(Prop.forAll(genTol) { case ((left, right), tol) =>
+      val l = left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "lkey", "lt").repartition(4, org.apache.spark.sql.functions.col("lkey"))
+      val r = right.zipWithIndex.map { case ((k, rt), i) => (i.toLong + 1000L, k, rt) }
+        .toDF("rid", "rkey", "rt")
+      val lp = l.queryExecution.analyzed
+      val rp = r.queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      Seq(false, true).forall { fwd =>
+        val j = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+          graft.plans.AsOfJoin(lp, rp, a(lp, "lkey"), a(lp, "lt"),
+            a(rp, "rkey"), a(rp, "rt"), a(rp, "rid"), forward = fwd, tolerance = tol))
+        val got = j.select("lid", "rid").collect()
+          .map(row => row.getLong(0) ->
+            (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+        val expect = left.zipWithIndex.map { case ((k, t), i) =>
+          // the directed BEST match, nulled when out of tolerance —
+          // never replaced by an older/further in-bound row
+          val cands = right.zipWithIndex.filter { case ((rk, rt), _) =>
+            rk == k && (if (fwd) rt >= t else rt <= t)
+          }
+          val best =
+            if (cands.isEmpty) None
+            else if (fwd) Some(cands.minBy { case ((_, rt), ri) => (rt, ri) })
+            else Some(cands.maxBy { case ((_, rt), ri) => (rt, ri) })
+          val ok = best.filter { case ((_, rt), _) =>
+            (if (fwd) rt - t else t - rt) <= tol
+          }
+          i.toLong -> ok.map(_._2.toLong + 1000L).getOrElse(-1L)
+        }.toMap
+        got == expect
+      }
+    }, 8)
+  }
+
   private def asofDf(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
       lk: String, lt: String, rk: String, rt: String, tie: String) = {
     val lp = l.queryExecution.analyzed
