@@ -47,7 +47,7 @@ object Bench {
     "dedup_band_cap", "dedup_semantic", "dedup_incremental", "dedup_keep_best",
     "dedup_yield", "dedup_overlap_matrix", "dedup_containment",
     "graph_pagerank", "graph_bfs", "graph_triangles",
-    "graph_common_neighbors", "graph_kcore", "graph_label_prop", "graph_jaccard_links",
+    "graph_common_neighbors", "graph_kcore", "graph_label_prop", "graph_jaccard_links", "graph_clustering_coeff",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
@@ -60,7 +60,7 @@ object Bench {
     "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
-    "pipeline_export", "pipeline_incr", "pipeline_octree", "pipeline_octree_audit",
+    "pipeline_export", "pipeline_incr", "pipeline_mm", "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
     "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",

@@ -119,7 +119,16 @@ object Graph {
     * them, one explode counts all three corners. Everything
     * equi-joins; no vertex enumerates its full neighborhood square.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(triCore(spark, dir)._1, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("doc_id")
+
+  /** The per-vertex triangle-count frame plus the degree table —
+    * shared by [[triangles]] and [[clusteringCoeff]].
+    */
+  private def triCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cand = Dedup.bandCandidates(Dedup.signatures(spark, dir))
       .select(col("doc_a"), col("doc_b"))
     val und = cand.union(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -143,9 +152,27 @@ object Graph {
     val perVertex = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    (perVertex, deg)
+  }
+
+  /** graph_clustering_coeff — local clustering coefficient per doc:
+    * cc = 2·Δ / (deg·(deg−1)) as an exact micro-int over the shared
+    * triangle/degree frames ([[triCore]]) — the density lens that
+    * separates clique-like boilerplate families (cc → 1) from hub
+    * chance collisions (cc → 0) doc by doc, where [[kcore]] answers
+    * it set-wise. Degree-join under a merge hint (corpus-scaled).
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val (pv, deg) = triCore(spark, dir)
     Tables(spark, dir, "documents").select(col("doc_id"))
-      .join(perVertex, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .join(pv, Seq("doc_id"), "left")
+      .join(deg.withColumnRenamed("v", "doc_id").hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("tri"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+      .withColumn("cc_u",
+        when(col("deg") >= 2, expr("(2000000 * tri) div (deg * (deg - 1))"))
+          .otherwise(0L))
       .orderBy("doc_id")
   }
 
@@ -346,6 +373,7 @@ object Graph {
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_kcore" -> (kcore _),
     "graph_label_prop" -> (labelProp _),
-    "graph_jaccard_links" -> (jaccardLinks _)
+    "graph_jaccard_links" -> (jaccardLinks _),
+    "graph_clustering_coeff" -> (clusteringCoeff _)
   )
 }

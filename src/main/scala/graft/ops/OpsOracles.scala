@@ -572,6 +572,25 @@ object OpsOracles {
          |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
          |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin
     },
+    // the multimodal dedup capstone rides the phash-cluster closure
+    "pipeline_mm" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         |pr AS (SELECT doc_a, doc_b FROM crossp
+         |       UNION ALL SELECT doc_a, doc_b FROM intra),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM reach r JOIN e ON r.doc = e.dst),
+         |mm AS (SELECT doc, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY doc)
+         |SELECT d.source, COUNT(*) AS n_images,
+         |  CAST(COUNT(DISTINCT m.cluster) AS BIGINT) AS n_families,
+         |  CAST(SUM(CASE WHEN d.doc_id = m.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
+         |  CAST(SUM(CASE WHEN d.doc_id <> m.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(COALESCE(SUM(CASE WHEN d.doc_id = m.cluster THEN d.n_chars END), 0) AS BIGINT) AS kept_chars
+         |FROM documents d JOIN mm m ON d.doc_id = m.doc
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipeline_card" -> {
       val h = md5Int("('split:' || CAST(d.doc_id AS VARCHAR))")
       s"""WITH $filterCtes,
@@ -1587,6 +1606,32 @@ object OpsOracles {
          |       GROUP BY 1)
          |SELECT d.doc_id, COALESCE(pv.n_triangles, 0) AS n_triangles
          |FROM documents d LEFT JOIN pv USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "graph_clustering_coeff" ->
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |und AS (SELECT doc_a, doc_b FROM cand
+         |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
+         |dg AS (SELECT doc_a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |ke AS (SELECT u.doc_a AS u, u.doc_b AS w
+         |       FROM und u JOIN dg a ON u.doc_a = a.v JOIN dg b ON u.doc_b = b.v
+         |       WHERE (a.deg, u.doc_a) < (b.deg, u.doc_b)),
+         |wg AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+         |       FROM ke e1 JOIN ke e2 ON e1.u = e2.u AND e1.w < e2.w),
+         |tr AS (SELECT wg.a, wg.b, wg.c FROM wg JOIN (
+         |         SELECT u AS b, w AS c FROM ke
+         |         UNION ALL SELECT w AS b, u AS c FROM ke) x
+         |       ON wg.b = x.b AND wg.c = x.c),
+         |pv AS (SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+         |         SELECT a AS v FROM tr UNION ALL SELECT b AS v FROM tr
+         |         UNION ALL SELECT c AS v FROM tr)
+         |       GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(pv.n_triangles, 0) AS tri,
+         |  COALESCE(dg.deg, 0) AS deg,
+         |  CAST(CASE WHEN COALESCE(dg.deg, 0) >= 2
+         |    THEN (2000000 * COALESCE(pv.n_triangles, 0)) // (dg.deg * (dg.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS cc_u
+         |FROM documents d LEFT JOIN pv USING (doc_id)
+         |LEFT JOIN dg ON d.doc_id = dg.v ORDER BY doc_id""".stripMargin,
     "graph_bfs" -> {
       val rounds = (1 to Graph.BfsRounds).map { t =>
         s"""d$t AS (

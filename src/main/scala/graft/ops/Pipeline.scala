@@ -380,7 +380,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pipeline_mm — the MULTIMODAL dedup pipeline end-to-end: decode →
+    * perceptual hash → image-family clustering → keep one
+    * representative per family (the family's min id), reported per
+    * source: images in, distinct families touched, representatives
+    * kept, near-dup images dropped, and the kept payload size — the
+    * image-side twin of pipeline_clean's text flow, riding the
+    * mm_phash_cluster chain unchanged (one composition, zero new
+    * corpus passes beyond it).
+    */
+  def mm(spark: SparkSession, dir: String): DataFrame = {
+    val fams = graft.ops.Multimodal.phashCluster(spark, dir)
+    Tables(spark, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      .join(fams.hint("merge"), Seq("doc_id")) // corpus-scaled: never broadcast
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        count_distinct(col("cluster")).as("n_families"),
+        sum(when(col("doc_id") === col("cluster"), 1L).otherwise(0L)).as("n_reps"),
+        sum(when(col("doc_id") =!= col("cluster"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("doc_id") === col("cluster"), col("n_chars"))), lit(0L))
+          .as("kept_chars"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mm" -> (mm _),
     "pipeline_incr" -> (incr _),
     "pipeline_validate" -> (validate _),
     "pipeline_clean" -> (clean _),

@@ -2310,6 +2310,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("clustering coefficients match a brute-force triangle/degree derivation") {
+    import graft.ops.Graph
+    val und = bandEdges.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = docs.keys.map { v =>
+      val nbrs = adj.getOrElse(v, Set.empty).toSeq // Seq: a Set would dedupe the counts
+      val deg = nbrs.size.toLong
+      val tri = (for (a <- nbrs; b <- nbrs if a < b && und((a, b))) yield 1).size.toLong
+      v -> ((tri, deg, if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L))
+    }.toMap
+    val got = Graph.clusteringCoeff(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // at sf0.001 the near-dup families are clique-complete, so every
+    // deg>=2 vertex sits at cc = 1: pin the range and that the dense
+    // branch is exercised (the zero branch is every pendant vertex)
+    assert(want.values.exists(_._3 > 0L), "no positive coefficient — vacuous")
+    want.values.foreach { case (_, _, cc) => assert(cc >= 0L && cc <= 1000000L) }
+  }
+
+  test("pipeline_mm accounting reconciles with the image-family clustering") {
+    val fams = ops.Multimodal.phashCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    val srcOf = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val want = fams.groupBy(f => srcOf(f._1)._1).map { case (src, fs) =>
+      src -> ((fs.length.toLong,
+        fs.map(_._2._1).distinct.length.toLong,
+        fs.count(f => f._1 == f._2._1).toLong,
+        fs.count(f => f._1 != f._2._1).toLong,
+        fs.filter(f => f._1 == f._2._1).map(f => srcOf(f._1)._2).sum))
+    }
+    val got = ops.Pipeline.mm(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+    assert(want.values.exists(_._4 > 0L), "nothing dropped — dedup untested")
+  }
+
   test("jaccard link prediction matches a Scala wedge-and-degree derivation") {
     import graft.ops.Graph
     val ke = Similarity.knnGraph(spark, dir).collect()
