@@ -95,6 +95,15 @@ case class RangeJoinRewrite(session: SparkSession)
   private def maxBucketsPerRow: Long =
     conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRow", "4096").toLong
 
+  /** `spark.graft.rangeJoin.prepass=false` suppresses the plan-time
+    * span aggregate entirely (adaptive width AND the blowup guard
+    * fall back to the configured width unguarded) — the escape hatch
+    * for latency-critical planning paths and explain()-only flows,
+    * where a driver-blocking pre-scan job is unwelcome.
+    */
+  private def prepassEnabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.prepass", "true").toBoolean
+
   /** Normalize a comparison operand to the shared Long bucket domain;
     * the Boolean reports whether an NTZ cast was involved. Timestamps
     * widen to epoch micros (exact: micros is the internal precision
@@ -231,6 +240,7 @@ case class RangeJoinRewrite(session: SparkSession)
   private def chooseWidth(ivSides: Seq[(LogicalPlan, Expression, Expression)]): Option[Long] = {
     val wConf = configuredWidth
     val cap = math.max(1L, maxBucketsPerRow)
+    if (!prepassEnabled) return Some(wConf)
     if (ivSides.exists(_._1.isStreaming)) return Some(wConf)
     val stats = ivSides.map { case (p, lo, last) =>
       try spanStats(p, lo, last) catch {

@@ -281,6 +281,25 @@ class RangeJoinPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("prepass=false still rewrites (configured width, no plan-time scan)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.conf.set("spark.graft.rangeJoin.prepass", "false")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    try {
+      val p = Seq((1L, 5L), (2L, 15L)).toDF("pid", "t")
+      val iv = Seq((10L, 0L, 10L), (11L, 9L, 20L)).toDF("iid", "lo", "hi")
+      val q = p.join(iv, col("t") >= col("lo") && col("t") < col("hi"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_range_bk"))
+      assert(q.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        === Seq((1L, 10L), (2L, 11L)))
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.prepass", "true")
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "604800")
+    }
+  }
+
   test("a cross-side null-safe equality suppresses the rewrite (hash join exists)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
