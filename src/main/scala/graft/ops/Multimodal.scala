@@ -154,7 +154,40 @@ object Multimodal {
     * At 100 TB: band buckets track duplicate-image families, not
     * corpus size; the verify join touches candidates only.
     */
-  def phash(spark: SparkSession, dir: String): DataFrame = {
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[phash]]'s pair frame WITHOUT the presentation sort — the
+    * clustering consumers ([[phashCluster]], pipeline_mm) re-shuffle
+    * immediately, so the global sort would be pure waste at their
+    * scale (832k pairs at the sf1.0 sweep).
+    */
+  private[graft] def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (hashes, hp) = phashFrames(spark, dir)
+    // expansion to doc pairs: hashes are unique per doc, the hash pair
+    // is ordered, so each qualifying doc pair materializes exactly once
+    val cross = hp
+      .join(hashes.select(col("doc_id").as("da"), col("ph_lo").as("lo_a"),
+        col("ph_hi").as("hi_a")).hint("merge"), Seq("lo_a", "hi_a"))
+      .join(hashes.select(col("doc_id").as("db"), col("ph_lo").as("lo_b"),
+        col("ph_hi").as("hi_b")).hint("merge"), Seq("lo_b", "hi_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // identical-hash family pairs are hamming 0 by definition — no
+    // banding, no verify, just the within-family enumeration
+    val intra = hashes.as("x").join(hashes.as("y").hint("merge"),
+        col("x.ph_lo") === col("y.ph_lo") && col("x.ph_hi") === col("y.ph_hi") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** The (doc_id, ph_lo, ph_hi) fingerprint frame and the qualifying
+    * DISTINCT-hash pair frame (lo_a, hi_a, lo_b, hi_b, hamming) —
+    * shared by the pair expansion and the hash-level clustering.
+    */
+  private def phashFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val edge = PngEdge
     val hashes = Tables(spark, dir, "documents")
@@ -210,37 +243,49 @@ object Multimodal {
       .withColumn("hamming",
         expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"))
       .filter(col("hamming") <= PhashHamMax)
-    // expansion to doc pairs: hashes are unique per doc, the hash pair
-    // is ordered, so each qualifying doc pair materializes exactly once
-    val cross = hp
-      .join(hashes.select(col("doc_id").as("da"), col("ph_lo").as("lo_a"),
-        col("ph_hi").as("hi_a")).hint("merge"), Seq("lo_a", "hi_a"))
-      .join(hashes.select(col("doc_id").as("db"), col("ph_lo").as("lo_b"),
-        col("ph_hi").as("hi_b")).hint("merge"), Seq("lo_b", "hi_b"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    // identical-hash family pairs are hamming 0 by definition — no
-    // banding, no verify, just the within-family enumeration
-    val intra = hashes.as("x").join(hashes.as("y").hint("merge"),
-        col("x.ph_lo") === col("y.ph_lo") && col("x.ph_hi") === col("y.ph_hi") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0L).as("hamming"))
-    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+    (hashes, hp)
   }
 
   /** mm_phash_cluster — image-FAMILY canonicalization: connected
-    * components over the [[phash]] near-dup pair graph (the
-    * alternating-star contraction shared with dedup_cluster —
-    * diameter-independent rounds), every doc labeled with its
-    * family's min id + family size. This is the O(n) artifact an
-    * image-dedup deployment acts on (keep one per family), versus
-    * the family-quadratic pair list [[phash]] reports.
+    * components over the phash near-dup graph, every doc labeled with
+    * its family's min id + family size — the O(n) artifact an
+    * image-dedup deployment acts on (keep one per family), versus the
+    * family-quadratic pair list [[phash]] reports.
+    *
+    * The contraction runs on the HASH-level graph, never the doc
+    * pairs: each identical-hash family collapses to its min doc id
+    * (its guaranteed component minimum), hash pairs map to edges
+    * between those representatives, and the alternating-star CC
+    * (shared with dedup_cluster) runs on ≤ distinct-hash nodes — at
+    * the sf1.0 sweep that is 9k nodes / ~50k edges instead of 50k
+    * docs / 832k pair edges. Docs then inherit their
+    * representative's component label in one merge-hinted join;
+    * family sizes are recounted at doc level. Output is provably
+    * identical to doc-level CC: every family member connects to its
+    * representative, and the component minimum over representatives
+    * IS the component's global min doc id.
     */
-  def phashCluster(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.connectedComponents(
-      phash(spark, dir).select(col("doc_a"), col("doc_b")),
-      Tables(spark, dir, "documents").select(col("doc_id")))
+  def phashCluster(spark: SparkSession, dir: String): DataFrame = {
+    val (hashes, hp) = phashFrames(spark, dir)
+    val fam = hashes.groupBy("ph_lo", "ph_hi").agg(min("doc_id").as("hmin"))
+    val he = hp
+      .join(fam.select(col("ph_lo").as("lo_a"), col("ph_hi").as("hi_a"),
+        col("hmin").as("doc_a")).hint("merge"), Seq("lo_a", "hi_a"))
+      .join(fam.select(col("ph_lo").as("lo_b"), col("ph_hi").as("hi_b"),
+        col("hmin").as("doc_b")).hint("merge"), Seq("lo_b", "hi_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cc = graft.ops.Dedup.connectedComponents(
+      he, fam.select(col("hmin").as("doc_id")))
+    val docLbl = hashes
+      .join(fam.hint("merge"), Seq("ph_lo", "ph_hi"))
+      .join(cc.select(col("doc_id").as("hmin"), col("cluster")).hint("merge"),
+        Seq("hmin"))
+      .select(col("doc_id"), col("cluster"))
+    val sizes = docLbl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    docLbl.join(sizes.hint("merge"), Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   /** Features decoded from a real WAV payload. */
   case class DecodedWav(doc_id: Long, n_samples: Long, sample_rate: Long,
