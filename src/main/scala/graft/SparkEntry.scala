@@ -37,6 +37,7 @@ object SparkEntry {
     "q_asof_tolerance_native" -> (Queries.qAsofToleranceNative _),
     "q_gapfill" -> (Queries.qGapfill _),
     "q_ohlc" -> (Queries.qOhlc _),
+    "q_ewma" -> (Queries.qEwma _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "q_interval_join" -> (Queries.qIntervalJoin _),
     "q7_nations" -> (Queries.q7Nations _),
@@ -268,6 +269,10 @@ object SparkEntry {
     "q_asof_fwd" -> fwdAsofOracle,
     "q_asof_fwd_native" -> fwdAsofOracle,
     "q_gapfill" -> graft.relational.SharedOracles.gapfill,
+    // the batch bounded-frame EWMA fold, the live bounded-queue state
+    // machine, and the oracle's rank-distance self-join are three
+    // independent formulations certified against one SQL
+    "q_ewma" -> graft.relational.SharedOracles.ewma,
     "q_asof_tolerance" -> tolAsofOracle,
     "q_asof_tolerance_native" -> tolAsofOracle,
     "q_asof_nearest" ->

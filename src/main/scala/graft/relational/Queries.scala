@@ -1432,4 +1432,59 @@ object Queries {
         sum("o_orderkey").as("sum_orderkey"))
       .orderBy("event_id")
   }
+
+  /** Depth cap of the [[qEwma]] dyadic decay window (rows, current
+    * included) — shared verbatim with the oracle and the streaming
+    * twin's bounded state queue.
+    */
+  val EwmaDepth = 32
+
+  /** q_ewma — exponentially-weighted moving average with spike
+    * detection per user (the monitoring primitive behind every
+    * anomaly-detection pipeline), in EXACT integer arithmetic: decay
+    * α = 1/2 makes every weight a power of two, so the weighted sum
+    * Σ vᵢ·2^i over the last [[EwmaDepth]] observations is an exact
+    * BIGINT numerator (≤ 49,002 cents · 2³² · 1000 < 2⁶³) and the
+    * EWMA is one integer division by the exact norm 2^len − 1 — no
+    * float recursion to drift on, and the depth cap loses < 2⁻³² of
+    * the mass, i.e. nothing after the milli floor. A row is a SPIKE
+    * when its value exceeds ~3× the pre-observation EWMA
+    * (|1000·v − ewma_prev| > 2·ewma_prev — pure integer compare).
+    *
+    * Scale shape: ONE window shuffle on user_id; the frame is a
+    * bounded 32-row list (state O(depth) per open frame, never the
+    * user's history), the fold is codegen'd HOF arithmetic, and the
+    * output is one row per user. The streaming twin [[graft.streaming.EventStreams]]
+    * `stream_ewma` keeps the same 32-value queue as O(1) group state
+    * and certifies against this oracle verbatim.
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), nsToSec(col("ts")).as("sec"),
+        cents(col("value")).as("v_c"))
+    val ord = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val frame = ord.rowsBetween(-(EwmaDepth - 1), Window.currentRow)
+    e.withColumn("l", collect_list(col("v_c")).over(frame))
+      // fold oldest→newest: weight doubles each step, so the NEWEST
+      // observation carries 2^(len-1) — the α=1/2 EWMA, exactly
+      .withColumn("e_num", expr(
+        """aggregate(l, named_struct('e', 0L, 'w', 1L),
+          |  (a, x) -> named_struct('e', a.e + x * a.w, 'w', a.w * 2L),
+          |  a -> a.e)""".stripMargin))
+      .withColumn("ewma_mc", expr("(1000L * e_num) div (shiftleft(1L, size(l)) - 1L)"))
+      .withColumn("prev_mc", lag(col("ewma_mc"), 1).over(ord))
+      .withColumn("dev_mc",
+        coalesce(abs(lit(1000L) * col("v_c") - col("prev_mc")), lit(0L)))
+      .withColumn("spike",
+        when(col("prev_mc").isNotNull && col("dev_mc") > lit(2L) * col("prev_mc"), 1L)
+          .otherwise(0L))
+      .withColumn("rn_d", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("sec").desc, col("event_id").desc)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn_d") === 1, col("ewma_mc"))).as("ewma_last_mc"),
+        max(col("dev_mc")).as("max_dev_mc"),
+        sum(col("spike")).as("n_spikes"))
+      .orderBy("user_id")
+  }
 }

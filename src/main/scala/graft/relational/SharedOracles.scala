@@ -100,4 +100,45 @@ object SharedOracles {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
       |FROM ev JOIN iv ON t >= lo AND t < hi
       |GROUP BY event_id ORDER BY event_id""".stripMargin
+
+  /** q_ewma / stream_ewma — exact dyadic-decay EWMA + spike counters
+    * per user; the batch bounded-frame window fold and the live
+    * bounded-queue state machine certify against this one SQL (which
+    * derives the same numerator through a THIRD formulation — a
+    * rank-distance self-join: weight 2^(len−1−dist) for each of the
+    * ≤ 32 preceding observations, norm 2^len − 1).
+    */
+  val ewma: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CAST(FLOOR(value*100) AS BIGINT) AS v_c
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id ORDER BY sec, event_id) AS rk FROM e),
+      |s AS (
+      |  SELECT a.user_id, a.rk, a.event_id, a.v_c,
+      |    CAST(SUM(b.v_c * (CAST(1 AS BIGINT) <<
+      |      CAST(LEAST(a.rk, 32) - 1 - (a.rk - b.rk) AS INTEGER))) AS BIGINT) AS e_num,
+      |    (CAST(1 AS BIGINT) << CAST(LEAST(a.rk, 32) AS INTEGER)) - 1 AS w_norm
+      |  FROM r a JOIN r b ON b.user_id = a.user_id
+      |    AND b.rk BETWEEN a.rk - 31 AND a.rk
+      |  GROUP BY a.user_id, a.rk, a.event_id, a.v_c),
+      |m AS (
+      |  SELECT user_id, rk, v_c, (1000 * e_num) // w_norm AS ewma_mc,
+      |    lag((1000 * e_num) // w_norm) OVER (
+      |      PARTITION BY user_id ORDER BY rk) AS prev_mc
+      |  FROM s),
+      |d AS (
+      |  SELECT user_id, rk, ewma_mc,
+      |    COALESCE(ABS(1000 * v_c - prev_mc), 0) AS dev_mc,
+      |    CASE WHEN prev_mc IS NOT NULL
+      |      AND ABS(1000 * v_c - prev_mc) > 2 * prev_mc THEN 1 ELSE 0 END AS spike,
+      |    MAX(rk) OVER (PARTITION BY user_id) AS max_rk
+      |  FROM m)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(MAX(CASE WHEN rk = max_rk THEN ewma_mc END) AS BIGINT) AS ewma_last_mc,
+      |  CAST(MAX(dev_mc) AS BIGINT) AS max_dev_mc,
+      |  CAST(SUM(spike) AS BIGINT) AS n_spikes
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -629,6 +629,85 @@ object EventStreams {
   case class GapSt(has: Boolean, lastV: Long,
                    n: Long, nObs: Long, nUnf: Long, carried: Long)
 
+  /** Per-user EWMA state: the last ≤ [[graft.relational.Queries.EwmaDepth]]
+    * observed cent values (the exact dyadic-decay window) plus three
+    * monotone counters and the current EWMA — O(depth) per user
+    * regardless of stream length.
+    */
+  case class EwSt(q: Seq[Long], n: Long, ewmaLast: Long,
+                  maxDev: Long, nSpikes: Long)
+
+  /** Exact α=1/2 EWMA of a bounded oldest→newest queue: numerator
+    * Σ qᵢ·2^i (newest weighted 2^(len−1)), norm 2^len − 1, one
+    * integer division to milli-cents — the same arithmetic as the
+    * batch window fold, value by value.
+    */
+  def ewmaOf(q: Seq[Long]): Long = {
+    var e = 0L; var w = 1L
+    q.foreach { v => e += v * w; w *= 2L }
+    (1000L * e) / (w - 1L)
+  }
+
+  /** One-trigger EWMA transition (events sorted by event time within
+    * the trigger; cross-trigger order is the drain's responsibility).
+    */
+  def advanceEwma(st: Option[EwSt], evs: Seq[Ev]): EwSt = {
+    var s = st.getOrElse(EwSt(Vector.empty, 0L, 0L, 0L, 0L))
+    for (ev <- evs.sortBy(x => (x.sec, x.event_id))) {
+      val dev = if (s.n == 0L) 0L else math.abs(1000L * ev.value_c - s.ewmaLast)
+      val spike = s.n > 0L && dev > 2L * s.ewmaLast
+      val q2 = (s.q :+ ev.value_c).takeRight(graft.relational.Queries.EwmaDepth)
+      s = EwSt(q2, s.n + 1L, ewmaOf(q2), math.max(s.maxDev, dev),
+        s.nSpikes + (if (spike) 1L else 0L))
+    }
+    s
+  }
+
+  /** The per-trigger EWMA snapshot stream — split out so the
+    * multi-trigger spec can drive time-ordered waves through the
+    * exact production state machine.
+    */
+  private[graft] def ewmaSnaps(ds: Dataset[Ev]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[EwSt, (Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[EwSt]) =>
+          val st = advanceEwma(state.getOption, it.toSeq)
+          state.update(st)
+          (uid, st.n, st.ewmaLast, st.maxDev, st.nSpikes)
+      }
+      .toDF("user_id", "n_events", "ewma_last_mc", "max_dev_mc", "n_spikes")
+  }
+
+  /** stream_ewma — exact dyadic-decay EWMA + spike detection LIVE:
+    * the bounded 32-value queue rides in `mapGroupsWithState` group
+    * state (O(depth)/user — never the user's history); each trigger
+    * emits a counter snapshot, and the sink finalize picks the LAST
+    * snapshot per user via `max_by` on the strictly-increasing event
+    * count (n is monotone; ewma itself is not, so max alone would be
+    * wrong). Shares q_ewma's oracle verbatim — three formulations
+    * (batch window fold, rank-distance self-join SQL, live queue),
+    * one certified answer.
+    */
+  def ewmaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(typedEvents(spark, dir).collect().toSeq)
+    val snaps = ewmaSnaps(input.toDS())
+    val sink = sinkName("stream_ewma")
+    val q = snaps.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(sink).groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max_by(col("ewma_last_mc"), col("n_events")).as("ewma_last_mc"),
+        max("max_dev_mc").as("max_dev_mc"),
+        max("n_spikes").as("n_spikes"))
+      .orderBy("user_id")
+  }
+
   /** One-trigger LOCF transition (events sorted by event time within
     * the trigger; cross-trigger order is the drain's responsibility,
     * as with [[advanceSession]]).
@@ -1359,6 +1438,7 @@ object EventStreams {
     "stream_tumbling" -> (tumbling _),
     "stream_tumbling_file" -> (tumblingFile _),
     "stream_ohlc" -> (ohlc _),
+    "stream_ewma" -> (ewmaStream _),
     "stream_gapfill" -> (gapfillStream _),
     "stream_session" -> (session _),
     "stream_session_native" -> (sessionNative _),
@@ -1484,6 +1564,9 @@ object EventStreams {
     // the stateful LOCF drains to the same per-user accounting as the
     // batch window formulation
     "stream_gapfill" -> graft.relational.SharedOracles.gapfill,
+    // the bounded-queue live EWMA drains to the same per-user report
+    // as the batch bounded-frame window fold
+    "stream_ewma" -> graft.relational.SharedOracles.ewma,
     // the file-source drive computes the identical aggregate, so it
     // shares the tumbling oracle verbatim (defined right below)
     "stream_tumbling_file" ->

@@ -363,6 +363,34 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("q_ewma agrees with a Scala bounded-queue re-derivation, spikes included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), Queries.nsToSec(col("ts")),
+        Queries.cents(col("value")))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = evs.groupBy(_._2).map { case (uid, rows) =>
+      var q = Vector.empty[Long]
+      var ewma = 0L; var maxDev = 0L; var nSpikes = 0L; var n = 0L
+      for ((_, _, _, vc) <- rows.sortBy(r => (r._3, r._1))) {
+        val dev = if (n == 0L) 0L else math.abs(1000L * vc - ewma)
+        if (n > 0L && dev > 2L * ewma) nSpikes += 1
+        maxDev = math.max(maxDev, dev)
+        q = (q :+ vc).takeRight(Queries.EwmaDepth)
+        var e = 0L; var w = 1L
+        q.foreach { v => e += v * w; w *= 2L }
+        ewma = (1000L * e) / (w - 1L)
+        n += 1
+      }
+      (uid, n, ewma, maxDev, nSpikes)
+    }.toSeq.sortBy(_._1)
+    val got = Queries.qEwma(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(expected.map(_._5).sum > 0, "spike arm never exercised")
+  }
+
   test("q_ohlc bars agree with a Scala group-and-sort re-derivation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

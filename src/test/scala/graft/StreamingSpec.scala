@@ -210,6 +210,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("stream_ewma bounded queue survives triggers to the batch window fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // time-ordered waves: the ≤32-value decay queue must carry across
+    // triggers — a wave boundary inside a user's window would shift
+    // every later EWMA if the state were per-trigger
+    val evs = allEvents.sortBy(e => (e.sec, e.event_id))
+    val waves = evs.grouped((evs.size + 2) / 3).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Ev]
+    val q = EventStreams.ewmaSnaps(input.toDS())
+      .writeStream.format("memory").queryName("ewma_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    q.stop()
+    val streamed = rows(spark.table("ewma_trigger_spec")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max_by(col("ewma_last_mc"), col("n_events")).as("ewma_last_mc"),
+        max("max_dev_mc").as("max_dev_mc"), max("n_spikes").as("n_spikes")),
+      "user_id", "n_events", "ewma_last_mc", "max_dev_mc", "n_spikes")
+    val batch = rows(Queries.qEwma(spark, dir),
+      "user_id", "n_events", "ewma_last_mc", "max_dev_mc", "n_spikes")
+    assert(streamed === batch)
+  }
+
   test("stream_kmv sketch merges across triggers to the batch sketch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
