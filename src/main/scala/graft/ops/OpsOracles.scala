@@ -893,6 +893,60 @@ object OpsOracles {
          |  exact_distinct
          |FROM est JOIN ex ON est.event_type = ex.event_type
          |ORDER BY est.event_type""".stripMargin,
+    // partial-then-merge must equal the one-pass sketch (register-wise
+    // max is the union), and the row carries the equality flag
+    "agg_hll_merge" ->
+      s"""WITH du AS (SELECT DISTINCT event_type,
+         |         (epoch_ns(ts) // 1000000000) // 86400 AS day, user_id FROM events),
+         |hh AS (SELECT event_type, day, user_id,
+         |         ${md5Int("CAST(user_id AS VARCHAR)")} AS h FROM du),
+         |vv AS (SELECT event_type, day, h % ${Sampling.HllM} AS bucket,
+         |         h // ${Sampling.HllM} AS v FROM hh),
+         |rr AS (SELECT event_type, day, bucket,
+         |         CASE WHEN v = 0 THEN CAST(27 AS BIGINT)
+         |              ELSE CAST(log2(v & (-v)) AS BIGINT) + 1 END AS rho
+         |       FROM vv),
+         |dregs AS (SELECT event_type, day, bucket, MAX(rho) AS m_rho
+         |          FROM rr GROUP BY 1, 2, 3),
+         |dd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+         |       FROM dregs GROUP BY 1),
+         |mregs AS (SELECT event_type, bucket, MAX(m_rho) AS m_rho
+         |          FROM dregs GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_used,
+         |    CAST(SUM((bucket + 1) * m_rho) AS BIGINT) AS rho_chk,
+         |    SUM(power(2.0, -CAST(m_rho AS DOUBLE))) AS sum_inv
+         |  FROM mregs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, m_used, rho_chk,
+         |    CAST(FLOOR(1000.0 * CASE
+         |      WHEN ${0.709 * Sampling.HllM * Sampling.HllM} /
+         |          (sum_inv + (${Sampling.HllM} - m_used)) <= ${2.5 * Sampling.HllM}
+         |        AND m_used < ${Sampling.HllM}
+         |      THEN ${Sampling.HllM}.0 * ln(${Sampling.HllM}.0 / CAST(${Sampling.HllM} - m_used AS DOUBLE))
+         |      ELSE ${0.709 * Sampling.HllM * Sampling.HllM} /
+         |          (sum_inv + (${Sampling.HllM} - m_used)) END) AS BIGINT) AS est_u
+         |  FROM agg),
+         |dregs2 AS (SELECT event_type, bucket, MAX(rho) AS m_rho
+         |           FROM rr GROUP BY 1, 2),
+         |agg2 AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_used,
+         |    SUM(power(2.0, -CAST(m_rho AS DOUBLE))) AS sum_inv
+         |  FROM dregs2 GROUP BY 1),
+         |direct AS (
+         |  SELECT event_type, CAST(FLOOR(1000.0 * CASE
+         |      WHEN ${0.709 * Sampling.HllM * Sampling.HllM} /
+         |          (sum_inv + (${Sampling.HllM} - m_used)) <= ${2.5 * Sampling.HllM}
+         |        AND m_used < ${Sampling.HllM}
+         |      THEN ${Sampling.HllM}.0 * ln(${Sampling.HllM}.0 / CAST(${Sampling.HllM} - m_used AS DOUBLE))
+         |      ELSE ${0.709 * Sampling.HllM * Sampling.HllM} /
+         |          (sum_inv + (${Sampling.HllM} - m_used)) END) AS BIGINT) AS direct_u
+         |  FROM agg2)
+         |SELECT est.event_type, n_days, m_used, rho_chk, est_u, direct_u,
+         |  est_u = direct_u AS merge_exact
+         |FROM est JOIN dd ON est.event_type = dd.event_type
+         |JOIN direct ON est.event_type = direct.event_type
+         |ORDER BY est.event_type""".stripMargin,
     "dedup_substring" -> substrOracle,
     // the hash-first variant is semantics-identical by construction
     // (equal strings hash equal; collisions are text-verified), so it

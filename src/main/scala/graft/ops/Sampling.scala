@@ -502,6 +502,83 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** agg_hll_merge — the sketch-REAGGREGATION face of the HLL family:
+    * per-(event_type, day) PARTIAL register sets are materialized to
+    * parquet (the pre-aggregated-cube pattern — at 100 TB a daily job
+    * persists m-register sketches per cell instead of raw ids), read
+    * back, and merged per event_type with one more `max` per register
+    * — HLL union is register-wise max, so merging yesterday's
+    * sketches is exactly as accurate as resketching the raw corpus,
+    * and the row PROVES it: the merged estimate is emitted beside the
+    * direct estimate from [[hllDistinct]]'s one-pass formulation with
+    * an integer equality flag. A user active on k days lands in k
+    * day-partials, but union semantics absorb the duplicates (same
+    * id → same register/ρ → max unchanged) — the reason sketch cubes
+    * tolerate overlapping rollups that COUNT(DISTINCT) cubes cannot.
+    *
+    * Scale shape: the partial frame is bounded by cells × m registers
+    * (never by event count — map-side combine collapses each day's
+    * ids before shuffle); the merge pass reads ONLY the sketch
+    * column, 8 bytes a register, no raw-id rescan.
+    */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base0 = new java.io.File("/dev/shm")
+    val root = if (base0.isDirectory && base0.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_hllcube_${ProcessHandle.current().pid()}"
+    try {
+      val pairs = Tables(spark, dir, "events")
+        .withColumn("sec", graft.relational.Queries.nsToSec(col("ts")))
+        .select(col("event_type"), expr("sec div 86400L").as("day"),
+          col("user_id"))
+        .distinct()
+        .withColumn("h", expr("graft_md5_prefix(cast(user_id as string))"))
+        .select(col("event_type"), col("day"),
+          (col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("v"))
+        .withColumn("rho",
+          expr("case when v = 0 then 27L else cast(log2(v & -v) as bigint) + 1L end"))
+      pairs.groupBy("event_type", "day", "bucket")
+        .agg(max(col("rho")).as("m_rho"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val partials = spark.read.option("basePath", tmp).parquet(tmp)
+      val days = partials.groupBy("event_type")
+        .agg(count_distinct(col("day")).as("n_days"))
+      val merged = partials.groupBy("event_type", "bucket")
+        .agg(max(col("m_rho")).as("m_rho"))
+      val raw = lit(0.709 * HllM * HllM) /
+        (col("sum_inv") + (lit(HllM) - col("m_used")))
+      val linCount = lit(HllM.toDouble) *
+        log(lit(HllM.toDouble) / (lit(HllM) - col("m_used")).cast("double"))
+      val est = merged.groupBy("event_type")
+        .agg(count(lit(1)).as("m_used"),
+          sum((col("bucket") + 1) * col("m_rho")).as("rho_chk"),
+          sum(expr("power(2.0, -cast(m_rho as double))")).as("sum_inv"))
+        .select(col("event_type"), col("m_used"), col("rho_chk"),
+          floor(lit(1000.0) *
+            when(raw <= 2.5 * HllM && col("m_used") < HllM, linCount).otherwise(raw))
+            .cast("long").as("est_u"))
+      val direct = hllDistinct(spark, dir)
+        .select(col("event_type").as("et"), col("est_u").as("direct_u"))
+      val out = est.join(days, "event_type")
+        .join(direct, est("event_type") === direct("et"))
+        .select(col("event_type"), col("n_days"), col("m_used"), col("rho_chk"),
+          col("est_u"), col("direct_u"),
+          (col("est_u") === col("direct_u")).as("merge_exact"))
+        .orderBy("event_type")
+      // the partial files are consumed above; materialize before the
+      // finally block reclaims the tmpfs staging dir
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** Per-source report depth for [[sourceDrift]]. */
   val DriftTopK = 5
 
@@ -867,6 +944,7 @@ object Sampling {
     "sample_coreset" -> (coreset _),
     "stats_approx_quantile" -> (approxQuantile _),
     "agg_hll_distinct" -> (hllDistinct _),
+    "agg_hll_merge" -> (hllMerge _),
     "stats_token_hist" -> (tokenHist _),
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),

@@ -656,6 +656,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hll day-partials merge to EXACTLY the one-pass sketch, across real days") {
+    val rows = graft.ops.Sampling.hllMerge(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // register-wise max IS the union: the merged estimate must equal
+      // the direct estimate bit-for-bit, not just approximately
+      assert(r.getAs[Boolean]("merge_exact"),
+        s"${r.getString(0)}: merged ${r.getAs[Long]("est_u")} != " +
+          s"direct ${r.getAs[Long]("direct_u")}")
+      // and the merge must actually span multiple day-partials —
+      // otherwise the test proves nothing about re-aggregation
+      assert(r.getAs[Long]("n_days") > 1L,
+        s"${r.getString(0)}: only ${r.getAs[Long]("n_days")} day partial(s)")
+    }
+  }
+
   test("hll estimate lands within the m=64 error envelope") {
     val rows = graft.ops.Sampling.hllDistinct(spark, dir).collect()
     assert(rows.nonEmpty)
