@@ -47,6 +47,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
       .orderBy("canonical")
 
+  /** dedup_normalized — normalization-exact dedup (the C4/CCNet first
+    * pass): case-fold, collapse every non-alphanumeric run to one
+    * space, trim, THEN hash — so "Hello, World!" and "hello world"
+    * collapse to one group that byte-exact dedup misses, while
+    * genuinely different texts never merge (normalization is
+    * deterministic, not fuzzy). Each group carries `n_variants`, the
+    * count of distinct RAW texts it absorbed — the measure of what
+    * this pass catches beyond [[exact]]. Same one-shuffle shape as
+    * exact dedup: the normalization is scan-side codegen'd string
+    * work, the group-by key is still a 128-bit hash.
+    */
+  def normalizedDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")).as("key"),
+        md5(col("text")).as("ek"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ek")).as("n_variants"),
+        min("doc_id").as("canonical"))
+      .orderBy("canonical")
+
+  def normalized(spark: SparkSession, dir: String): DataFrame =
+    normalizedDf(Tables(spark, dir, "documents"))
+
   /** dedup_ngram_jaccard — token-set Jaccard near-dup pairs, τ = 0.5
     * tested exactly as `2*|∩| >= |∪|` (pure integer compare, no float
     * threshold). Candidate generation routes through the MinHash LSH
@@ -947,6 +972,7 @@ object Dedup {
     "dedup_substring" -> (substring _),
     "dedup_substring_hashed" -> (substringHashed _),
     "dedup_exact" -> (exact _),
+    "dedup_normalized" -> (normalized _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_bloom" -> (bloomDecontaminate _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),

@@ -1813,6 +1813,48 @@ object OpsOracles {
       """SELECT md5(text) AS key, COUNT(*) AS n_docs,
         |CAST(MIN(doc_id) AS BIGINT) AS canonical
         |FROM documents GROUP BY md5(text) ORDER BY canonical""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS key,
+        |COUNT(*) AS n_docs,
+        |CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_variants,
+        |CAST(MIN(doc_id) AS BIGINT) AS canonical
+        |FROM documents GROUP BY 1 ORDER BY canonical""".stripMargin,
+    // rightmost-min selection re-derived window-by-window: each window
+    // start j ranks its w hashes by (h, p DESC); rank 1 is the print
+    "text_winnow" -> {
+      val k = TextAnalysis.WinnowK
+      val w = TextAnalysis.WinnowW
+      s"""WITH bs AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |b2 AS (SELECT doc_id, nt, CAST(length(nt) - ${k - 1} AS BIGINT) AS nh
+         |       FROM bs WHERE length(nt) >= ${k + w - 1}),
+         |hp AS (
+         |  SELECT doc_id, nh, CAST(kk - 1 AS BIGINT) AS p,
+         |    CAST(${md5Int(s"substr(nt, CAST(kk AS INT), $k)")} AS BIGINT) AS h
+         |  FROM (SELECT doc_id, nt, nh,
+         |          unnest(range(1, CAST(nh + 1 AS BIGINT))) AS kk FROM b2)),
+         |wi AS (
+         |  SELECT doc_id, p, h, unnest(range(GREATEST(0, p - ${w - 1}),
+         |    LEAST(p, nh - $w) + 1)) AS j
+         |  FROM hp),
+         |rk AS (
+         |  SELECT doc_id, j, h, p, row_number() OVER (
+         |    PARTITION BY doc_id, j ORDER BY h, p DESC) AS r
+         |  FROM wi),
+         |sel AS (SELECT DISTINCT doc_id, h, p FROM rk WHERE r = 1),
+         |sh AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+         |       FROM sel GROUP BY 1),
+         |ag AS (
+         |  SELECT sel.doc_id, COUNT(*) AS n_prints,
+         |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |    CAST(SUM((p + 1) * (h % 1000000007)) AS BIGINT) AS print_chk
+         |  FROM sel JOIN sh USING (h) GROUP BY 1)
+         |SELECT b2.doc_id AS doc_id, b2.nh AS n_hashes, n_prints, n_shared, print_chk
+         |FROM ag JOIN b2 ON ag.doc_id = b2.doc_id
+         |ORDER BY b2.doc_id""".stripMargin
+    },
     // Source-pair aggregate over the same jhits chain; j_milli is
     // integer (// here, div in Spark).
     "dedup_overlap_matrix" ->

@@ -956,7 +956,73 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** k-gram length / window width of [[winnow]] — guarantee threshold
+    * t = k + w − 1 = 11 chars: any shared normalized substring of ≥ t
+    * chars yields at least one shared fingerprint.
+    */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** text_winnow — winnowing document fingerprints (Schleimer–
+    * Wilkerson–Aiken, the MOSS algorithm): hash every [[WinnowK]]-char
+    * window of the case/punctuation-normalized text, then in each run
+    * of [[WinnowW]] consecutive hashes select the RIGHTMOST MINIMUM —
+    * the selected (position, hash) set is a ~2/(w+1)-density
+    * fingerprint with the local guarantee exact-hash sampling (every
+    * w-th, mod-0) lacks: two docs sharing any normalized substring of
+    * ≥ k+w−1 chars MUST share a fingerprint, and no fingerprint gap
+    * exceeds w positions. Per doc: window count, selected-print
+    * count, prints appearing in ≥ 2 docs (the plagiarism/copy signal
+    * on this corpus's real near-dup families), and an exact
+    * positional checksum.
+    *
+    * The rightmost-min selection is declarative, not stateful: each
+    * position explodes into the ≤ w windows containing it (a bounded
+    * w× frame, not a quadratic one), each window takes
+    * `min(struct(h, −p))` — ties break to the larger p, exactly the
+    * robust-winnowing rule — and DISTINCT collapses the overlap.
+    * Scale shape: one `graft_char_windows` kernel pass per doc, two
+    * doc-keyed aggregations, one hash-keyed shared count; everything
+    * map-side-combines, nothing is all-pairs.
+    */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    winnowOf(Tables(spark, dir, "documents"))
+  }
+
+  def winnowOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))").as("nt"))
+      .filter(length(col("nt")) >= WinnowK + WinnowW - 1)
+    val hp = base
+      .select(col("doc_id"),
+        (length(col("nt")) - (WinnowK - 1)).cast("long").as("nh"),
+        posexplode(expr(s"graft_char_windows(nt, $WinnowK)")).as(Seq("p0", "w")))
+      .select(col("doc_id"), col("nh"), col("p0").cast("long").as("p"),
+        expr("graft_md5_prefix(w)").as("h"))
+    val win = hp.select(col("doc_id"), col("p"), col("h"),
+      explode(expr(s"sequence(greatest(0L, p - ${WinnowW - 1}L), " +
+        s"least(p, nh - ${WinnowW}L))")).as("j"))
+    val sel = win.groupBy("doc_id", "j")
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("s"))
+      .select(col("doc_id"), col("s.h").as("h"), (-col("s.np")).as("p"))
+      .distinct()
+    val shared = sel.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    sel.join(shared, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_prints"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        sum(expr("(p + 1L) * (h % 1000000007L)")).as("print_chk"))
+      .join(base.select(col("doc_id"),
+        (length(col("nt")) - (WinnowK - 1)).cast("long").as("n_hashes")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_hashes"), col("n_prints"),
+        col("n_shared"), col("print_chk"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (winnow _),
     "text_chunk" -> (chunk _),
     "text_cdc_chunks" -> (cdcChunks _),
     "text_bpe" -> (bpe _),

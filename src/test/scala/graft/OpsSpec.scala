@@ -1590,6 +1590,72 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "corpus never exercised containment — thresholds too tight")
   }
 
+  test("dedup_normalized merges case/punctuation variants byte-exact dedup misses") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO -- WORLD"),
+      (4L, "something else entirely")).toDF("doc_id", "text")
+    val got = ops.Dedup.normalizedDf(df).collect()
+      .map(r => (r.getAs[Long]("canonical"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_variants"))).toSet
+    // three raw variants → ONE normalized group carrying n_variants=3
+    assert(got === Set((1L, 3L, 3L), (4L, 1L, 1L)))
+  }
+
+  test("text_winnow matches a brute-force window-by-window re-derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val k = ops.TextAnalysis.WinnowK
+    val w = ops.TextAnalysis.WinnowW
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().take(25)
+    def prints(text: String): Set[(Long, Long)] = {
+      val nt = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      if (nt.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to nt.length - k).map(p => md5Int(nt.substring(p, p + k)))
+        // every window start j: rightmost minimum of hs[j .. j+w-1]
+        (0 to hs.length - w).map { j =>
+          val win = (j until j + w).map(p => (hs(p), p))
+          val m = win.map(_._1).min
+          val p = win.filter(_._1 == m).map(_._2).max
+          (m, p.toLong)
+        }.toSet
+      }
+    }
+    val expected = docs.map { case (id, t) => id -> prints(t) }.toMap
+    graft.functions.GraftFunctions.register(spark)
+    val ids = docs.map(_._1).toSet
+    val got = ops.TextAnalysis.winnow(spark, dir).collect()
+      .filter(r => ids(r.getAs[Long]("doc_id")))
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val exp = expected(id)
+      assert(r.getAs[Long]("n_prints") === exp.size.toLong, s"doc $id print count")
+      val chk = exp.toSeq.map { case (h, p) => (p + 1) * (h % 1000000007L) }.sum
+      assert(r.getAs[Long]("print_chk") === chk, s"doc $id positional checksum")
+    }
+    assert(got.length === expected.count(_._2.nonEmpty))
+  }
+
+  test("text_winnow guarantee: a shared >= k+w-1 char substring shares a print") {
+    import spark.implicits._
+    // two otherwise-unrelated docs sharing one >= 11-char normalized
+    // run ("quartz zebra", 12 chars — the hyphen and the space both
+    // normalize to ' ') MUST share a fingerprint — the winnowing
+    // local guarantee; a third disjoint doc must share nothing
+    val df = Seq(
+      (1L, "aaa bbb ccc QUARTZ-ZEBRA ddd eee fff"),
+      (2L, "mm nn oo pp quartz zebra qq rr ss tt uu vv"),
+      (3L, "totally disjoint content here with no overlap at all")
+    ).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val rows = ops.TextAnalysis.winnowOf(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(rows(1L) > 0 && rows(2L) > 0, "the guaranteed shared print is missing")
+    assert(rows(3L) === 0L, "disjoint doc shares a print")
+  }
+
   test("dedup_containment finds one-way excerpt inclusion (asymmetric by design)") {
     import spark.implicits._
     // doc 1 is a verbatim excerpt of doc 2; doc 3 is unrelated. The
