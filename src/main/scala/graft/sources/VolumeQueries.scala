@@ -835,6 +835,7 @@ object VolumeQueries {
     "src_volume_sink" -> (volumeSink _),
     "src_volume_compact" -> (volumeCompact _),
     "src_volume_snapshot" -> (volumeSnapshot _),
+    "src_snapshot_merge" -> (TableMerge.snapshotMerge _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -942,6 +943,30 @@ object VolumeQueries {
     // the v1 time-travel read AFTER the compaction rewrite must still
     // be exactly the pyramid: rewrite isolation, certified by hash
     "src_volume_snapshot" -> graft.octree.OctreeOracles.all("oct_pyramid"),
+    // MERGE as copy-on-write: the oracle states the post-merge table
+    // in closed form (delete/update/insert key-residue rules), so a
+    // lost delete, double update, or untouched-partition corruption
+    // all hash-mismatch
+    "src_snapshot_merge" -> {
+      val ys = TableMerge.MergeYears.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c,
+         |    CAST(year(o_orderdate) AS BIGINT) AS p
+         |  FROM orders),
+         |merged AS (
+         |  SELECT k,
+         |    total_c + CASE WHEN p IN ($ys) AND k % 97 = 0 AND k % 101 <> 0
+         |      THEN 100 ELSE 0 END AS total_c, p
+         |  FROM base WHERE NOT (p IN ($ys) AND k % 101 = 0)
+         |  UNION ALL
+         |  SELECT k + ${TableMerge.InsOffset}, total_c + 50, p
+         |  FROM base WHERE p IN ($ys) AND k % 103 = 0)
+         |SELECT p, COUNT(*) AS n_rows,
+         |  CAST(SUM(total_c) AS BIGINT) AS sum_total_c,
+         |  CAST(SUM(k) AS BIGINT) AS sum_key
+         |FROM merged GROUP BY p ORDER BY p""".stripMargin
+    },
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor

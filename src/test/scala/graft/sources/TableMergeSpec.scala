@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** File-level contract of the copy-on-write MERGE: only the touched
+  * partitions are rewritten (untouched partitions keep byte-identical
+  * file lists across versions), time travel to the pre-merge version
+  * still reads the original table, and the merge's row arithmetic
+  * (deletes out, updates replaced, inserts in) reconciles exactly.
+  */
+class TableMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+  }
+
+  test("merge rewrites ONLY touched partitions; v1 time travel intact") {
+    val store = s"/tmp/graft_tmerge_spec_${ProcessHandle.current().pid()}"
+    rm(new java.io.File(store))
+    try {
+      val (v1, v2, touched) = TableMerge.runMerge(spark, dir, store)
+      // at smoke scale not every target year necessarily receives a
+      // changeset hit — but touched must be a nonempty subset, and
+      // everything else must stay untouched
+      assert(touched.nonEmpty &&
+        touched.forall(TableMerge.MergeYears.map(_.toLong).contains),
+        s"touched $touched outside the target years")
+      val f1 = SnapshotStore.files(store, v1).toSet
+      val f2 = SnapshotStore.files(store, v2).toSet
+      def part(f: String): String = f.takeWhile(_ != '/')
+      val touchedDirs = touched.map(p => s"p=$p").toSet
+      // untouched partitions: identical file lists, by name
+      assert(f1.filterNot(f => touchedDirs(part(f))) ===
+        f2.filterNot(f => touchedDirs(part(f))),
+        "an untouched partition's files changed across the merge")
+      // touched partitions: fully rewritten (no v1 file survives)
+      assert(f2.filter(f => touchedDirs(part(f)))
+        .forall(f => !f1.contains(f)),
+        "a touched partition still references a pre-merge file")
+
+      // v1 still reads the ORIGINAL table (snapshot isolation)
+      val base = graft.Tables(spark, dir, "orders")
+        .agg(count(lit(1)), sum(floor(col("o_totalprice") * 100).cast("long")),
+          sum(col("o_orderkey"))).collect()(0)
+      val back1 = SnapshotStore.read(spark, store, v1)
+        .agg(count(lit(1)), sum(col("total_c")), sum(col("k"))).collect()(0)
+      assert(back1 === base, "time travel to v1 no longer reads the base table")
+
+      // row arithmetic reconciles: |v2| = |v1| - deletes + inserts
+      val cs = TableMerge.changeset(
+        graft.Tables(spark, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            floor(col("o_totalprice") * 100).cast("long").as("total_c"),
+            year(col("o_orderdate")).cast("long").as("p")))
+        .groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cs.getOrElse("D", 0L) > 0 && cs.getOrElse("U", 0L) > 0 &&
+        cs.getOrElse("I", 0L) > 0, "every changeset arm must be exercised")
+      val n1 = SnapshotStore.read(spark, store, v1).count()
+      val n2 = SnapshotStore.read(spark, store, v2).count()
+      assert(n2 === n1 - cs("D") + cs("I"))
+
+      // and expire(v2) reclaims the superseded touched-partition files
+      // without disturbing the retained version's read
+      val s2 = SnapshotStore.read(spark, store, v2)
+        .agg(sum(col("total_c")), sum(col("k"))).collect()(0)
+      val dead = SnapshotStore.expire(store, v2)
+      assert(dead.nonEmpty, "expire reclaimed nothing")
+      val s2b = SnapshotStore.read(spark, store, v2)
+        .agg(sum(col("total_c")), sum(col("k"))).collect()(0)
+      assert(s2b === s2, "v2 read changed after expire")
+    } finally rm(new java.io.File(store))
+  }
+}
