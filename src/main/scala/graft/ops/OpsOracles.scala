@@ -1456,6 +1456,27 @@ object OpsOracles {
          |        ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM d)
          |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    // the splice (published output for unchanged days + pruned
+    // recompute for changed days) must equal the closed-form full
+    // recompute, changed-day flags included
+    "pipeline_backfill" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type,
+         |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+         |    CAST(FLOOR(value*100) AS BIGINT) AS value_c
+         |  FROM events),
+         |corr AS (
+         |  SELECT event_id, event_type, day,
+         |    value_c + CASE WHEN event_id % ${Pipeline.BackfillMod} = 0
+         |      AND day % 7 = 3 THEN 7 ELSE 0 END AS value_c
+         |  FROM e),
+         |cd AS (SELECT DISTINCT day FROM e
+         |       WHERE event_id % ${Pipeline.BackfillMod} = 0 AND day % 7 = 3)
+         |SELECT day, event_type, COUNT(*) AS n,
+         |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+         |  day IN (SELECT day FROM cd) AS recomputed
+         |FROM corr GROUP BY day, event_type
+         |ORDER BY day, event_type""".stripMargin,
     "pipeline_incr" ->
       s"""WITH $filterCtes,
          |$minhashSigCtes,

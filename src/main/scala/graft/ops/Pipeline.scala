@@ -403,7 +403,71 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Late-correction key residue for [[backfill]] — events with
+    * event_id ≡ 0 (mod 89) arrive corrected (+7 cents).
+    */
+  val BackfillMod = 89L
+
+  /** pipeline_backfill — partition-pruned incremental recompute: a
+    * day-partitioned aggregate was published yesterday; today a batch
+    * of LATE CORRECTIONS lands (here the deterministic residue rule
+    * event_id ≡ 0 mod [[BackfillMod]], value +7 cents). Instead of
+    * recomputing the world, the backfill (1) derives the CHANGED-DAY
+    * set from the correction batch, (2) recomputes the aggregate for
+    * only those days — the day predicate is partition pruning at
+    * scale: a 100 TB events table partitioned by day reads just the
+    * touched partitions — and (3) splices the recomputed groups over
+    * the published output, which is read back from its materialized
+    * parquet, never recomputed. Each output row carries `recomputed`,
+    * so the oracle (a closed-form full recompute over the corrected
+    * table) certifies BOTH that the splice equals the full recompute
+    * and that precisely the changed days were touched — a stale
+    * splice, a missed day, or an over-eager full rescan all
+    * hash-mismatch.
+    */
+  def backfill(spark: SparkSession, dir: String): DataFrame = {
+    val base0 = new java.io.File("/dev/shm")
+    val root = if (base0.isDirectory && base0.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_backfill_${ProcessHandle.current().pid()}"
+    try {
+      val ev = Tables(spark, dir, "events")
+        .withColumn("sec", graft.relational.Queries.nsToSec(col("ts")))
+        .select(col("event_id"), col("event_type"),
+          expr("(sec div 86400L)").as("day"),
+          floor(col("value") * 100).cast("long").as("value_c"))
+      // yesterday's published output: the full aggregate, materialized
+      ev.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val published = spark.read.option("basePath", tmp).parquet(tmp)
+        .select(col("day").cast("long").as("day"), col("event_type"),
+          col("n"), col("sum_value_c"))
+      // the correction batch + the changed-day set it implies
+      val isCorr = col("event_id") % BackfillMod === 0 && col("day") % 7 === 3
+      val corrected = ev.withColumn("value_c",
+        when(isCorr, col("value_c") + 7L).otherwise(col("value_c")))
+      val changedDays = ev.filter(isCorr).select("day").distinct()
+      // pruned recompute: ONLY the changed days' rows are re-read
+      val redone = corrected.join(broadcast(changedDays), Seq("day"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+      val spliced = published.join(broadcast(changedDays), Seq("day"), "left_anti")
+        .withColumn("recomputed", lit(false))
+        .unionByName(redone.withColumn("recomputed", lit(true)))
+        .orderBy("day", "event_type")
+      val rows = spliced.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), spliced.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_backfill" -> (backfill _),
     "pipeline_mm" -> (mm _),
     "pipeline_incr" -> (incr _),
     "pipeline_validate" -> (validate _),

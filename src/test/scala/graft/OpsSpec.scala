@@ -1590,6 +1590,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "corpus never exercised containment — thresholds too tight")
   }
 
+  test("pipeline_backfill splice equals the full recompute, with real pruning") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Pipeline.backfill(spark, dir)
+    val nRe = got.filter(col("recomputed")).count()
+    val nKeep = got.filter(!col("recomputed")).count()
+    assert(nRe > 0, "no day was recomputed — the correction arm is dead")
+    assert(nKeep > 0, "every day was recomputed — the pruning arm is dead")
+    // full recompute over the corrected table must equal the splice
+    val full = Tables(spark, dir, "events")
+      .withColumn("sec", graft.relational.Queries.nsToSec(col("ts")))
+      .select(col("event_id"), col("event_type"),
+        expr("(sec div 86400L)").as("day"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .withColumn("value_c",
+        when(col("event_id") % ops.Pipeline.BackfillMod === 0 &&
+          col("day") % 7 === 3, col("value_c") + 7L).otherwise(col("value_c")))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+    val g = got.select("day", "event_type", "n", "sum_value_c")
+      .collect().map(_.toSeq).toSet
+    val f = full.collect().map(_.toSeq).toSet
+    assert(g === f)
+  }
+
   test("dedup_normalized merges case/punctuation variants byte-exact dedup misses") {
     import spark.implicits._
     val df = Seq(
