@@ -38,6 +38,7 @@ object SparkEntry {
     "q_gapfill" -> (Queries.qGapfill _),
     "q_ohlc" -> (Queries.qOhlc _),
     "q_ewma" -> (Queries.qEwma _),
+    "q_zorder_skip" -> (Queries.qZorderSkip _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "q_interval_join" -> (Queries.qIntervalJoin _),
     "q7_nations" -> (Queries.q7Nations _),
@@ -273,6 +274,52 @@ object SparkEntry {
     // machine, and the oracle's rank-distance self-join are three
     // independent formulations certified against one SQL
     "q_ewma" -> graft.relational.SharedOracles.ewma,
+    // the full data-skipping arithmetic (Z-value assignment, min/max
+    // envelopes, overlap planning, matched-row cross-check) re-stated
+    // in closed form over the same interleave expression
+    "q_zorder_skip" -> {
+      val F = Queries.ZFiles
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+         |             l_suppkey AS sk FROM lineitem),
+         |mx AS (SELECT MAX(ok) AS mok, MAX(pk) AS mpk, MAX(sk) AS msk FROM li),
+         |wf AS (SELECT ok, pk, sk, mok, mpk, msk,
+         |         (pk * ${1L << Queries.ZBits}) // (mpk + 1) AS pkn,
+         |         (sk * ${1L << Queries.ZBits}) // (msk + 1) AS skn
+         |       FROM li, mx),
+         |wf2 AS (SELECT *, ${Queries.zInterleaveSql("pkn", "skn")} AS z FROM wf),
+         |a AS (
+         |  SELECT 'linear' AS layout, (ok * $F) // (mok + 1) AS fid,
+         |    pk, sk, mpk, msk FROM wf2
+         |  UNION ALL SELECT 'sorted', (pk * $F) // (mpk + 1), pk, sk, mpk, msk FROM wf2
+         |  UNION ALL SELECT 'zorder', z // ${1L << (2 * Queries.ZBits - 6)},
+         |    pk, sk, mpk, msk FROM wf2),
+         |st AS (SELECT layout, fid, MIN(pk) AS lo_pk, MAX(pk) AS hi_pk,
+         |         MIN(sk) AS lo_sk, MAX(sk) AS hi_sk, COUNT(*) AS n_rows,
+         |         MAX(mpk) AS mpk, MAX(msk) AS msk
+         |       FROM a GROUP BY 1, 2),
+         |pp AS (
+         |  SELECT layout, 'box2d' AS pred, fid, n_rows,
+         |    (hi_pk >= (30*mpk)//100 AND lo_pk <= (35*mpk)//100 AND
+         |     hi_sk >= (30*msk)//100 AND lo_sk <= (35*msk)//100) AS scanned
+         |  FROM st
+         |  UNION ALL
+         |  SELECT layout, 'sk_band', fid, n_rows,
+         |    (hi_sk >= (60*msk)//100 AND lo_sk <= (65*msk)//100)
+         |  FROM st),
+         |rep AS (SELECT layout, pred, COUNT(*) AS files_total,
+         |          CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |          CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |        FROM pp GROUP BY 1, 2),
+         |m AS (SELECT
+         |  CAST(SUM(CASE WHEN pk BETWEEN (30*mpk)//100 AND (35*mpk)//100
+         |    AND sk BETWEEN (30*msk)//100 AND (35*msk)//100 THEN 1 ELSE 0 END) AS BIGINT) AS m_box2d,
+         |  CAST(SUM(CASE WHEN sk BETWEEN (60*msk)//100 AND (65*msk)//100
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS m_sk_band
+         |  FROM wf)
+         |SELECT layout, pred, files_total, files_scanned, rows_scanned,
+         |  CASE WHEN pred = 'box2d' THEN m_box2d ELSE m_sk_band END AS rows_matched
+         |FROM rep, m ORDER BY layout, pred""".stripMargin
+    },
     "q_asof_tolerance" -> tolAsofOracle,
     "q_asof_tolerance_native" -> tolAsofOracle,
     "q_asof_nearest" ->

@@ -1433,6 +1433,129 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Files per layout / interleave bit width of [[qZorderSkip]]. */
+  val ZFiles = 64L
+  val ZBits = 20
+
+  /** Spark-SQL bit-interleave of the low [[ZBits]] bits of two BIGINT
+    * columns (a → odd bit positions, b → even) — the Morton/Z-value
+    * as one codegen'd integer expression, no UDF.
+    */
+  def zInterleaveExpr(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"shiftleft(shiftright($a, $i) & 1L, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright($b, $i) & 1L, ${2 * i})"
+    }.mkString("(", " + ", ")")
+
+  /** The DuckDB form of [[zInterleaveExpr]] (operator syntax). */
+  def zInterleaveSql(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " + ", ")")
+
+  /** q_zorder_skip — WHY a 100 TB table is laid out on a space-filling
+    * curve, measured: lineitem rows are assigned to [[ZFiles]] files
+    * under three layouts — `linear` (ingestion order ~ l_orderkey),
+    * `sorted` (one-dimensional, by l_partkey), and `zorder` (the
+    * Morton interleave of (l_partkey, l_suppkey)) — and each file
+    * keeps the min/max pruning stats a parquet footer would. Two
+    * predicates then plan against the stats exactly as a data-skipping
+    * reader does (a file is scanned iff its [min,max] envelope
+    * overlaps the predicate on EVERY constrained dimension): a 2-D
+    * box on (partkey, suppkey) and a 1-D band on suppkey alone. The
+    * report rows carry files_scanned / rows_scanned / rows_matched
+    * per (layout, predicate) — the measured claim being that the
+    * one-dimensional sort wins only on its own column and collapses
+    * to a full scan on the other, while the Z-order layout prunes on
+    * BOTH, the reason Delta/Iceberg Z-ORDER exists.
+    *
+    * Scale shape: file assignment is pure scan-side integer
+    * arithmetic against broadcast per-column maxima (value-range
+    * buckets — the degenerate-but-deterministic cousin of the sampled
+    * range partitioning a real writer uses; no global sort, no
+    * single-partition window), stats are one (layout, file) groupBy
+    * of 3·[[ZFiles]] cells, and the report is arithmetic over that
+    * bounded frame.
+    */
+  def qZorderSkip(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+    val mx = li.agg(max("ok").as("mok"), max("pk").as("mpk"),
+      max("sk").as("msk"))
+    // each column is min-max NORMALIZED to ZBits bits before the
+    // interleave (the deterministic cousin of the per-column range
+    // ranks Delta's OPTIMIZE ZORDER uses) — without it a wide column
+    // monopolizes the curve's high bits and the narrow column never
+    // prunes; zorder files are then the top 6 z bits: curve-aligned
+    // quadrant unions with tight (pk, sk) envelopes, how a real
+    // Z-ORDER writer cuts files
+    val withF = li.crossJoin(broadcast(mx))
+      .withColumn("pkn", expr(s"(pk * ${1L << ZBits}) div (mpk + 1L)"))
+      .withColumn("skn", expr(s"(sk * ${1L << ZBits}) div (msk + 1L)"))
+      .withColumn("z", expr(zInterleaveExpr("pkn", "skn")))
+    val assigned = withF.select(
+      explode(array(
+        struct(lit("linear").as("layout"),
+          expr(s"(ok * $ZFiles) div (mok + 1L)").as("fid")),
+        struct(lit("sorted").as("layout"),
+          expr(s"(pk * $ZFiles) div (mpk + 1L)").as("fid")),
+        struct(lit("zorder").as("layout"),
+          expr(s"z div ${1L << (2 * ZBits - 6)}").as("fid")))).as("a"),
+      col("pk"), col("sk"), col("mpk"), col("msk"))
+      .select(col("a.layout").as("layout"), col("a.fid").as("fid"),
+        col("pk"), col("sk"), col("mpk"), col("msk"))
+    val stats = assigned.groupBy("layout", "fid")
+      .agg(min("pk").as("lo_pk"), max("pk").as("hi_pk"),
+        min("sk").as("lo_sk"), max("sk").as("hi_sk"),
+        count(lit(1)).as("n_rows"),
+        max("mpk").as("mpk"), max("msk").as("msk"))
+    // predicate bounds as exact integer fractions of the maxima
+    val p = stats
+      .withColumn("b_pk_lo", expr("(30L * mpk) div 100L"))
+      .withColumn("b_pk_hi", expr("(35L * mpk) div 100L"))
+      .withColumn("b_sk_lo", expr("(30L * msk) div 100L"))
+      .withColumn("b_sk_hi", expr("(35L * msk) div 100L"))
+      .withColumn("s_sk_lo", expr("(60L * msk) div 100L"))
+      .withColumn("s_sk_hi", expr("(65L * msk) div 100L"))
+    val perPred = p.select(col("layout"), col("fid"), col("n_rows"),
+      explode(array(
+        struct(lit("box2d").as("pred"),
+          (col("hi_pk") >= col("b_pk_lo") && col("lo_pk") <= col("b_pk_hi") &&
+            col("hi_sk") >= col("b_sk_lo") && col("lo_sk") <= col("b_sk_hi"))
+            .as("scanned")),
+        struct(lit("sk_band").as("pred"),
+          (col("hi_sk") >= col("s_sk_lo") && col("lo_sk") <= col("s_sk_hi"))
+            .as("scanned")))).as("q"))
+      .select(col("layout"), col("q.pred").as("pred"), col("fid"),
+        col("n_rows"), col("q.scanned").as("scanned"))
+    val report = perPred.groupBy("layout", "pred")
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+    // exact matching rows per predicate — layout-independent, the
+    // cross-check that no skipped file could have contained a match
+    val matched = withF.select(col("pk"), col("sk"),
+      expr("(30L * mpk) div 100L").as("b_pk_lo"),
+      expr("(35L * mpk) div 100L").as("b_pk_hi"),
+      expr("(30L * msk) div 100L").as("b_sk_lo"),
+      expr("(35L * msk) div 100L").as("b_sk_hi"),
+      expr("(60L * msk) div 100L").as("s_sk_lo"),
+      expr("(65L * msk) div 100L").as("s_sk_hi"))
+      .agg(
+        sum(when(col("pk") >= col("b_pk_lo") && col("pk") <= col("b_pk_hi") &&
+          col("sk") >= col("b_sk_lo") && col("sk") <= col("b_sk_hi"), 1L)
+          .otherwise(0L)).as("m_box2d"),
+        sum(when(col("sk") >= col("s_sk_lo") && col("sk") <= col("s_sk_hi"), 1L)
+          .otherwise(0L)).as("m_sk_band"))
+    report.crossJoin(broadcast(matched))
+      .select(col("layout"), col("pred"), col("files_total"),
+        col("files_scanned"), col("rows_scanned"),
+        when(col("pred") === "box2d", col("m_box2d"))
+          .otherwise(col("m_sk_band")).as("rows_matched"))
+      .orderBy("layout", "pred")
+  }
+
   /** Depth cap of the [[qEwma]] dyadic decay window (rows, current
     * included) — shared verbatim with the oracle and the streaming
     * twin's bounded state queue.

@@ -363,6 +363,26 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("q_zorder_skip: z-order dominates on both dims, 1-D sort only on its own") {
+    val r = Queries.qZorderSkip(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    def f(l: String, p: String) = r((l, p))._2 // files_scanned
+    // matched rows are layout-independent (no skipped file hid a match)
+    for (p <- Seq("box2d", "sk_band"))
+      assert(Seq("linear", "sorted", "zorder").map(l => r((l, p))._4).distinct.size === 1)
+    // linear prunes nothing on either predicate
+    assert(f("linear", "box2d") === r(("linear", "box2d"))._1)
+    assert(f("linear", "sk_band") === r(("linear", "sk_band"))._1)
+    // the pk-sort prunes the 2-D box but collapses on the sk band
+    assert(f("sorted", "box2d") < f("linear", "box2d"))
+    assert(f("sorted", "sk_band") === r(("sorted", "sk_band"))._1)
+    // z-order prunes BOTH: at least as well as the sort on the box,
+    // and strictly better than a full scan on the off-column band
+    assert(f("zorder", "box2d") <= f("sorted", "box2d"))
+    assert(f("zorder", "sk_band") < r(("zorder", "sk_band"))._1)
+  }
+
   test("q_ewma agrees with a Scala bounded-queue re-derivation, spikes included") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
