@@ -103,6 +103,17 @@ object SnapshotStore {
       Some(commitTagged(root, (prev ++ newFiles).distinct, Some(batchId)))
     }
 
+  /** Exactly-once streaming commit with REPLACEMENT semantics: the
+    * manifest is exactly `files` (not the previous list extended) —
+    * what a streaming MERGE needs, where a micro-batch supersedes
+    * touched-partition files instead of appending. Replays of an
+    * already-committed batch are a no-op.
+    */
+  def commitBatchReplacing(root: String, batchId: Long,
+      files: Seq[String]): Option[Int] =
+    if (hasBatch(root, batchId)) None
+    else Some(commitTagged(root, files, Some(batchId)))
+
   /** The file list of a committed version. */
   def files(root: String, v: Int): Seq[String] = {
     val txt = new String(

@@ -67,27 +67,41 @@ object TableMerge {
     del.unionByName(upd).unionByName(ins)
   }
 
-  /** Run the copy-on-write merge inside `store`; returns
-    * (v1, v2, touched partition values). Exposed for the spec.
-    */
-  private[sources] def runMerge(spark: SparkSession, dir: String,
-      store: String): (Int, Int, Seq[Long]) = {
-    val base = baseTable(spark, dir)
-    base.write.mode(SaveMode.Overwrite).partitionBy("p").parquet(store)
+  /** Stage the base table into `store` and commit it as v1. */
+  private[sources] def stageBase(spark: SparkSession, dir: String,
+      store: String): Int = {
+    baseTable(spark, dir).write.mode(SaveMode.Overwrite)
+      .partitionBy("p").parquet(store)
     // drop Spark's _SUCCESS marker etc.: the manifest lists data files
-    val v1 = SnapshotStore.commit(store, SnapshotStore.listDataFiles(store))
-    val cs = changeset(base).localCheckpoint()
+    SnapshotStore.commit(store, SnapshotStore.listDataFiles(store))
+  }
+
+  /** Apply ONE changeset to the latest committed version as a
+    * copy-on-write partition rewrite; commit and return the new
+    * version (tagged for exactly-once replay skip when `batch` is
+    * set). Returns the touched partition values alongside.
+    */
+  private[sources] def applyChangeset(spark: SparkSession, store: String,
+      cs0: DataFrame, batch: Option[Long] = None): (Int, Seq[Long]) = {
+    val cs = cs0.localCheckpoint()
     // the touched-partition list is bounded by the table's partition
     // count (a CDC batch touches a handful of dates) — a legitimate
     // driver-side plan input, like any partition-pruning predicate
     val touched = cs.select("p").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val v1 = SnapshotStore.latest(store)
     val v1Files = SnapshotStore.files(store, v1)
     val touchedFiles = v1Files.filter(f =>
       touched.exists(p => f.startsWith(s"p=$p/")))
     val untouched = v1Files.filterNot(touchedFiles.toSet)
-    val cur = spark.read.option("basePath", store)
-      .parquet(touchedFiles.map(f => s"$store/$f"): _*)
-      .select(col("k"), col("ck"), col("total_c"), col("p").cast("long").as("p"))
+    val cur =
+      if (touchedFiles.isEmpty)
+        spark.emptyDataFrame
+          .withColumn("k", lit(0L)).withColumn("ck", lit(0L))
+          .withColumn("total_c", lit(0L)).withColumn("p", lit(0L))
+          .limit(0)
+      else spark.read.option("basePath", store)
+        .parquet(touchedFiles.map(f => s"$store/$f"): _*)
+        .select(col("k"), col("ck"), col("total_c"), col("p").cast("long").as("p"))
     // MERGE semantics: D/U keys leave, U/I rows enter — one key-keyed
     // anti join over ONLY the touched partitions' rows
     val gone = cs.filter(col("op").isin("D", "U")).select(col("k"))
@@ -99,9 +113,98 @@ object TableMerge {
       .repartition(col("p"))
       .write.mode(SaveMode.Append).partitionBy("p").parquet(store)
     val newFiles = SnapshotStore.listDataFiles(store).filterNot(before)
-    val v2 = SnapshotStore.commit(store, untouched ++ newFiles)
+    val files = untouched ++ newFiles
+    val v2 = batch match {
+      case Some(b) =>
+        SnapshotStore.commitBatchReplacing(store, b, files)
+          .getOrElse(SnapshotStore.latest(store))
+      case None => SnapshotStore.commit(store, files)
+    }
+    (v2, touched)
+  }
+
+  /** Run the one-shot copy-on-write merge inside `store`; returns
+    * (v1, v2, touched partition values). Exposed for the spec.
+    */
+  private[sources] def runMerge(spark: SparkSession, dir: String,
+      store: String): (Int, Int, Seq[Long]) = {
+    val v1 = stageBase(spark, dir, store)
+    val (v2, touched) = applyChangeset(spark, store,
+      changeset(baseTable(spark, dir)))
     (v1, v2, touched)
   }
+
+  /** Shared oracle of src_snapshot_merge AND stream_cdc_apply (the
+    * one-shot merge and the exactly-once micro-batch CDC stream drain
+    * to the same table, so one SQL certifies both): the post-merge
+    * table stated in closed form from `orders`.
+    */
+  val mergeOracle: String = {
+    val ys = MergeYears.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k,
+       |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c,
+       |    CAST(year(o_orderdate) AS BIGINT) AS p
+       |  FROM orders),
+       |merged AS (
+       |  SELECT k,
+       |    total_c + CASE WHEN p IN ($ys) AND k % 97 = 0 AND k % 101 <> 0
+       |      THEN 100 ELSE 0 END AS total_c, p
+       |  FROM base WHERE NOT (p IN ($ys) AND k % 101 = 0)
+       |  UNION ALL
+       |  SELECT k + $InsOffset, total_c + 50, p
+       |  FROM base WHERE p IN ($ys) AND k % 103 = 0)
+       |SELECT p, COUNT(*) AS n_rows,
+       |  CAST(SUM(total_c) AS BIGINT) AS sum_total_c,
+       |  CAST(SUM(k) AS BIGINT) AS sum_key
+       |FROM merged GROUP BY p ORDER BY p""".stripMargin
+  }
+
+  /** The per-partition post-merge report read from the store's latest
+    * version — shared by the batch and streaming rows.
+    */
+  private[graft] def mergeReport(spark: SparkSession, store: String): DataFrame = {
+    val out = SnapshotStore.read(spark, store, SnapshotStore.latest(store))
+      .select(col("k"), col("total_c"), col("p").cast("long").as("p"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("sum_total_c"),
+        sum(col("k")).as("sum_key"))
+      .orderBy("p")
+    val rows = out.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** The changeset as collected rows for the streaming twin's
+    * MemoryStream feed: (k, ck, total_c, p, op).
+    */
+  private[graft] def changesetRows(spark: SparkSession,
+      dir: String): Seq[(Long, Long, Long, Long, String)] =
+    changeset(baseTable(spark, dir)).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+  /** Stage the base and return the store path — streaming-twin entry. */
+  private[graft] def stageStore(spark: SparkSession, dir: String,
+      tag: String): String = {
+    val store = s"$tmpfsRoot/graft_${tag}_${ProcessHandle.current().pid()}"
+    rm(new java.io.File(store))
+    stageBase(spark, dir, store): Unit
+    store
+  }
+
+  private[graft] def dropStore(store: String): Unit =
+    rm(new java.io.File(store))
+
+  /** Exactly-once streaming CDC application — the foreachBatch body:
+    * skip a replayed batch entirely (its previous attempt committed),
+    * otherwise run the copy-on-write merge and commit the manifest
+    * under the batch tag. A crash between write and commit leaves
+    * only orphan files no manifest references.
+    */
+  private[graft] def cdcBatch(store: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    if (!SnapshotStore.hasBatch(store, batchId))
+      applyChangeset(batch.sparkSession, store, batch, Some(batchId)): Unit
 
   /** src_snapshot_merge — the oracle row: run the merge, read v2
     * through its manifest, report per-partition row counts and exact
@@ -113,15 +216,8 @@ object TableMerge {
     val store = s"$tmpfsRoot/graft_tmerge_${ProcessHandle.current().pid()}"
     rm(new java.io.File(store))
     try {
-      val (_, v2, _) = runMerge(spark, dir, store)
-      val out = SnapshotStore.read(spark, store, v2)
-        .select(col("k"), col("total_c"), col("p").cast("long").as("p"))
-        .groupBy("p")
-        .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("sum_total_c"),
-          sum(col("k")).as("sum_key"))
-        .orderBy("p")
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      runMerge(spark, dir, store): Unit
+      mergeReport(spark, store)
     } finally rm(new java.io.File(store))
   }
 }

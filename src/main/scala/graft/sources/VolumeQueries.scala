@@ -947,26 +947,7 @@ object VolumeQueries {
     // in closed form (delete/update/insert key-residue rules), so a
     // lost delete, double update, or untouched-partition corruption
     // all hash-mismatch
-    "src_snapshot_merge" -> {
-      val ys = TableMerge.MergeYears.mkString(", ")
-      s"""WITH base AS (
-         |  SELECT o_orderkey AS k,
-         |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c,
-         |    CAST(year(o_orderdate) AS BIGINT) AS p
-         |  FROM orders),
-         |merged AS (
-         |  SELECT k,
-         |    total_c + CASE WHEN p IN ($ys) AND k % 97 = 0 AND k % 101 <> 0
-         |      THEN 100 ELSE 0 END AS total_c, p
-         |  FROM base WHERE NOT (p IN ($ys) AND k % 101 = 0)
-         |  UNION ALL
-         |  SELECT k + ${TableMerge.InsOffset}, total_c + 50, p
-         |  FROM base WHERE p IN ($ys) AND k % 103 = 0)
-         |SELECT p, COUNT(*) AS n_rows,
-         |  CAST(SUM(total_c) AS BIGINT) AS sum_total_c,
-         |  CAST(SUM(k) AS BIGINT) AS sum_key
-         |FROM merged GROUP BY p ORDER BY p""".stripMargin
-    },
+    "src_snapshot_merge" -> TableMerge.mergeOracle,
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor

@@ -622,6 +622,46 @@ object EventStreams {
     * oracle verbatim. The classic daily-active dashboard fed from a
     * stream: heavy event flow in, O(users) state, tiny live table out.
     */
+  /** One CDC row for [[cdcApply]]'s MemoryStream feed. */
+  case class Cdc(k: Long, ck: Long, total_c: Long, p: Long, op: String)
+
+  /** stream_cdc_apply — the copy-on-write MERGE driven as a STREAM of
+    * change batches: the deterministic changeset arrives over three
+    * micro-batches, each applied by `foreachBatch` through the same
+    * [[graft.sources.TableMerge]] partition-rewrite path the one-shot
+    * merge uses, with EXACTLY-ONCE manifest commits (a replayed batch
+    * id is skipped; a crash between data write and manifest commit
+    * leaves only unreferenced orphan files). The drained store's
+    * latest version must equal the one-shot merge's table — both rows
+    * share [[graft.sources.TableMerge.mergeOracle]] verbatim. This is
+    * the production CDC-ingest shape at 100 TB: per-batch work is
+    * O(touched partitions), never a table rewrite, and readers plan
+    * from manifests so a mid-stream reader never sees a torn table.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TableMerge
+    val store = TableMerge.stageStore(spark, dir, "cdcstream")
+    try {
+      val rows = TableMerge.changesetRows(spark, dir)
+        .map { case (k, ck, t, p, op) => Cdc(k, ck, t, p, op) }
+      // three batches keyed on the change key: the changeset's D/U/I
+      // keys are pairwise disjoint, so batch order cannot matter —
+      // what must hold is that EVERY batch lands exactly once
+      val waves = (0 until 3).map(w => rows.filter(_.k % 3 == w))
+      val input = MemoryStream[Cdc]
+      val q = input.toDF()
+        .writeStream
+        .foreachBatch(TableMerge.cdcBatch(store) _)
+        .option("checkpointLocation", s"$store/_stream_ckpt")
+        .start()
+      waves.foreach { w => input.addData(w); q.processAllAvailable() }
+      q.stop()
+      TableMerge.mergeReport(spark, store)
+    } finally TableMerge.dropStore(store)
+  }
+
   /** Per-user LOCF state: the latest observed purchase value plus the
     * four monotone counters — O(1) per user regardless of stream
     * length.
@@ -1439,6 +1479,7 @@ object EventStreams {
     "stream_tumbling_file" -> (tumblingFile _),
     "stream_ohlc" -> (ohlc _),
     "stream_ewma" -> (ewmaStream _),
+    "stream_cdc_apply" -> (cdcApply _),
     "stream_gapfill" -> (gapfillStream _),
     "stream_session" -> (session _),
     "stream_session_native" -> (sessionNative _),
@@ -1567,6 +1608,9 @@ object EventStreams {
     // the bounded-queue live EWMA drains to the same per-user report
     // as the batch bounded-frame window fold
     "stream_ewma" -> graft.relational.SharedOracles.ewma,
+    // the exactly-once micro-batch CDC stream drains to the same
+    // post-merge table as the one-shot copy-on-write merge
+    "stream_cdc_apply" -> graft.sources.TableMerge.mergeOracle,
     // the file-source drive computes the identical aggregate, so it
     // shares the tumbling oracle verbatim (defined right below)
     "stream_tumbling_file" ->

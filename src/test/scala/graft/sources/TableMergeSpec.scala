@@ -85,4 +85,34 @@ class TableMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s2b === s2, "v2 read changed after expire")
     } finally rm(new java.io.File(store))
   }
+
+  test("cdc batches apply exactly once: replay is a no-op, batches compose to the one-shot merge") {
+    import org.apache.spark.sql.functions._
+    val s1 = s"/tmp/graft_cdc_spec1_${ProcessHandle.current().pid()}"
+    val s2 = s"/tmp/graft_cdc_spec2_${ProcessHandle.current().pid()}"
+    rm(new java.io.File(s1)); rm(new java.io.File(s2))
+    try {
+      // one-shot reference
+      TableMerge.runMerge(spark, dir, s1)
+      val ref = TableMerge.mergeReport(spark, s1).collect().map(_.toSeq).toSet
+
+      // batched: 3 waves through the exactly-once foreachBatch body,
+      // with wave 1 REPLAYED under its original batch id mid-stream
+      TableMerge.stageBase(spark, dir, s2)
+      val rows = TableMerge.changesetRows(spark, dir)
+      val waves = (0 until 3).map(w => rows.filter(_._1 % 3 == w))
+      import spark.implicits._
+      def df(w: Seq[(Long, Long, Long, Long, String)]) =
+        w.toDF("k", "ck", "total_c", "p", "op")
+      TableMerge.cdcBatch(s2)(df(waves(0)), 0L)
+      val afterB0 = SnapshotStore.latest(s2)
+      TableMerge.cdcBatch(s2)(df(waves(0)), 0L) // replay
+      assert(SnapshotStore.latest(s2) === afterB0,
+        "a replayed batch id committed a new version")
+      TableMerge.cdcBatch(s2)(df(waves(1)), 1L)
+      TableMerge.cdcBatch(s2)(df(waves(2)), 2L)
+      val got = TableMerge.mergeReport(spark, s2).collect().map(_.toSeq).toSet
+      assert(got === ref, "batched CDC diverged from the one-shot merge")
+    } finally { rm(new java.io.File(s1)); rm(new java.io.File(s2)) }
+  }
 }
