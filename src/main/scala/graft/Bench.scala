@@ -26,7 +26,7 @@ object Bench {
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
     "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_asof_tolerance_native", "q_range_join", "q_interval_join", "q_skew_join",
-    "q_gapfill", "q_ohlc",
+    "q_gapfill", "q_ohlc", "q_ewma", "q_zorder_skip",
     "q_funnel", "q_retention",
     "q_scd2",
     "q_pivot", "q_corr", "q_json_extract",
@@ -40,7 +40,7 @@ object Bench {
     "oct_block_geom_aniso",
     "oct_stats", "oct_ktx_name", "oct_ktx_header", "oct_ktx_parse",
     "oct_ktx_bytes", "oct_tiff_bytes", "oct_retile_bytes",
-    "dedup_exact", "dedup_substring", "dedup_substring_hashed",
+    "dedup_exact", "dedup_normalized", "dedup_substring", "dedup_substring_hashed",
     "dedup_minhash", "dedup_simhash", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_curve", "dedup_cluster", "dedup_embed", "dedup_edit",
     "dedup_embed_cluster", "dedup_decontaminate", "dedup_bloom",
@@ -48,19 +48,23 @@ object Bench {
     "dedup_yield", "dedup_overlap_matrix", "dedup_containment",
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "graph_common_neighbors", "graph_kcore", "graph_label_prop", "graph_jaccard_links", "graph_clustering_coeff",
+    "graph_modularity",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
     "text_chunk", "text_cdc_chunks", "text_nb_classify", "text_vocab_growth",
+    "text_winnow",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup", "sample_dsir",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers", "stats_gini",
-    "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_kmv_overlap",
+    "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_hll_merge",
+    "agg_kmv_overlap",
     "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
-    "pipeline_export", "pipeline_incr", "pipeline_mm", "pipeline_octree", "pipeline_octree_audit",
+    "pipeline_export", "pipeline_incr", "pipeline_mm", "pipeline_backfill",
+    "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
     "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
@@ -77,7 +81,7 @@ object Bench {
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",
     "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",
-    "src_volume_snapshot")
+    "src_volume_snapshot", "src_snapshot_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -339,11 +339,16 @@ object Graph {
     * whole vote set. Isolated vertices (edge-free in both LSH
     * tables) keep their own label through the left join.
     */
-  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+  /** The label-propagation core shared by [[labelProp]] and
+    * [[modularity]]: (canonical k-NN edge set, per-node labels after
+    * [[LpRounds]] rounds) — ke is checkpointed once, labels ride it.
+    */
+  private[ops] def lpCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ke = Similarity.knnGraph(spark, dir)
       .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
         greatest(col("vec_id"), col("nbr_id")).as("id_b"))
       .distinct()
+      .localCheckpoint()
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
     var lab = Tables(spark, dir, "embeddings")
@@ -360,10 +365,54 @@ object Graph {
         .select(col("v"), coalesce(col("plab"), col("lab")).as("lab"))
         .localCheckpoint()
     }
+    (ke, lab)
+  }
+
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val (_, lab) = lpCore(spark, dir)
     val sizes = lab.groupBy("lab").agg(count(lit(1)).as("comm_size"))
     lab.join(sizes, Seq("lab"))
       .select(col("v").as("vec_id"), col("lab").as("label"), col("comm_size"))
       .orderBy("vec_id")
+  }
+
+  /** graph_modularity — the Newman–Girvan quality of the label-prop
+    * partition, in EXACT integer arithmetic: per community c the row
+    * carries internal-edge count L_c, degree mass d_c, node count,
+    * and the contribution NUMERATOR 4m·L_c − d_c² over the implicit
+    * shared denominator 4m² — Q = Σ num_c ∕ 4m², but no division is
+    * ever performed, so there is no float (or negative-floor) seam
+    * between engines. The audit behind "did the clustering find real
+    * structure": Σ num_c ≫ 0 means the partition beats the random
+    * null model.
+    *
+    * Scale shape: rides the SAME checkpointed edge frame as
+    * label_prop (one k-NN graph build, not two); L_c is one
+    * both-endpoint label join over edges, d_c one degree aggregation
+    * — all map-side-combined, output bounded by community count.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val (ke, lab) = lpCore(spark, dir)
+    val m = ke.agg(count(lit(1)).as("m"))
+    val la = lab.select(col("v").as("id_a"), col("lab").as("lab_a"))
+    val lb = lab.select(col("v").as("id_b"), col("lab").as("lab_b"))
+    val lin = ke.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+      .filter(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("lab"))
+      .agg(count(lit(1)).as("l_in"))
+    val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
+    val dsum = lab.join(deg, Seq("v"), "left")
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+    dsum.join(lin, Seq("lab"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("lab").as("label"), col("n_nodes"),
+        coalesce(col("l_in"), lit(0L)).as("l_in"), col("d_sum"),
+        (lit(4L) * col("m") * coalesce(col("l_in"), lit(0L)) -
+          col("d_sum") * col("d_sum")).as("num_c"))
+      .orderBy("label")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -373,6 +422,7 @@ object Graph {
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_kcore" -> (kcore _),
     "graph_label_prop" -> (labelProp _),
+    "graph_modularity" -> (modularity _),
     "graph_jaccard_links" -> (jaccardLinks _),
     "graph_clustering_coeff" -> (clusteringCoeff _)
   )

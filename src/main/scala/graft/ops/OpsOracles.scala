@@ -290,6 +290,30 @@ object OpsOracles {
        |  FROM e)""".stripMargin
   }
 
+  /** The label-propagation CTE chain (k-NN edges → undirected frame →
+    * [[Graph.LpRounds]] rounds ending in `l{R}(v, lab)`) — shared by
+    * the graph_label_prop and graph_modularity oracles so the two
+    * cannot drift.
+    */
+  private lazy val lpChainCtes: String = {
+    val rounds = (1 to Graph.LpRounds).map { t =>
+      s"""vt$t AS (SELECT u.id_b AS v, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+         |         FROM und u JOIN l${t - 1} l ON u.id_a = l.v GROUP BY 1, 2),
+         |p$t AS (SELECT v, MIN(lab) AS lab FROM (
+         |          SELECT v, lab, c, MAX(c) OVER (PARTITION BY v) AS mc FROM vt$t)
+         |        WHERE c = mc GROUP BY v),
+         |l$t AS (SELECT l.v, COALESCE(p.lab, l.lab) AS lab
+         |        FROM l${t - 1} l LEFT JOIN p$t p ON l.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCtes,
+       |ke AS (SELECT LEAST(vec_id, nbr_id) AS id_a, GREATEST(vec_id, nbr_id) AS id_b
+       |       FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
+       |und AS (SELECT id_a, id_b FROM ke
+       |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
+       |l0 AS (SELECT vec_id AS v, vec_id AS lab FROM embeddings),
+       |$rounds""".stripMargin
+  }
+
   /** Shared PII regexes / filter thresholds (see [[TextAnalysis]]). */
   private val ePat = TextAnalysis.emailPat
   private val iPat = TextAnalysis.ipPat
@@ -1783,29 +1807,34 @@ object OpsOracles {
          |  CAST(COALESCE(core.deg, 0) AS BIGINT) AS core_deg
          |FROM documents d LEFT JOIN core USING (doc_id) ORDER BY doc_id""".stripMargin
     },
-    "graph_label_prop" -> {
-      val rounds = (1 to Graph.LpRounds).map { t =>
-        s"""vt$t AS (SELECT u.id_b AS v, l.lab, CAST(COUNT(*) AS BIGINT) AS c
-           |         FROM und u JOIN l${t - 1} l ON u.id_a = l.v GROUP BY 1, 2),
-           |p$t AS (SELECT v, MIN(lab) AS lab FROM (
-           |          SELECT v, lab, c, MAX(c) OVER (PARTITION BY v) AS mc FROM vt$t)
-           |        WHERE c = mc GROUP BY v),
-           |l$t AS (SELECT l.v, COALESCE(p.lab, l.lab) AS lab
-           |        FROM l${t - 1} l LEFT JOIN p$t p ON l.v = p.v)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $knnCtes,
-         |ke AS (SELECT LEAST(vec_id, nbr_id) AS id_a, GREATEST(vec_id, nbr_id) AS id_b
-         |       FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
-         |und AS (SELECT id_a, id_b FROM ke
-         |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
-         |l0 AS (SELECT vec_id AS v, vec_id AS lab FROM embeddings),
-         |$rounds,
+    "graph_label_prop" ->
+      s"""WITH $lpChainCtes,
          |sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS comm_size
          |       FROM l${Graph.LpRounds} GROUP BY 1)
          |SELECT l.v AS vec_id, l.lab AS label, sz.comm_size
          |FROM l${Graph.LpRounds} l JOIN sz ON l.lab = sz.lab
-         |ORDER BY vec_id""".stripMargin
-    },
+         |ORDER BY vec_id""".stripMargin,
+    // the Newman–Girvan per-community contribution numerators over
+    // the SAME chain: 4m·L_c − d_c², never divided (no float seam)
+    "graph_modularity" ->
+      s"""WITH $lpChainCtes,
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ke),
+         |dg AS (SELECT id_a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM und GROUP BY 1),
+         |lfin AS (SELECT v, lab FROM l${Graph.LpRounds}),
+         |lin AS (SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS l_in
+         |        FROM ke JOIN lfin la ON ke.id_a = la.v
+         |        JOIN lfin lb ON ke.id_b = lb.v AND la.lab = lb.lab
+         |        GROUP BY 1),
+         |ds AS (SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(COALESCE(dg.deg, 0)) AS BIGINT) AS d_sum
+         |       FROM lfin la LEFT JOIN dg ON la.v = dg.v GROUP BY 1)
+         |SELECT ds.lab AS label, ds.n_nodes,
+         |  CAST(COALESCE(lin.l_in, 0) AS BIGINT) AS l_in, ds.d_sum,
+         |  CAST(4 * mm.m * COALESCE(lin.l_in, 0) - ds.d_sum * ds.d_sum
+         |    AS BIGINT) AS num_c
+         |FROM ds LEFT JOIN lin ON ds.lab = lin.lab CROSS JOIN mm
+         |ORDER BY label""".stripMargin,
     "dedup_bloom" -> {
       val m = Dedup.BloomBits
       s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),

@@ -1590,6 +1590,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "corpus never exercised containment — thresholds too tight")
   }
 
+  test("graph_modularity: exact identities hold and the partition beats the null model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = ops.Graph.modularity(spark, dir).collect()
+    val m = ops.Similarity.knnGraph(spark, dir)
+      .select(org.apache.spark.sql.functions.least(col("vec_id"), col("nbr_id")),
+        org.apache.spark.sql.functions.greatest(col("vec_id"), col("nbr_id")))
+      .distinct().count()
+    // Σ d_c = 2m (every edge contributes two degree endpoints)
+    assert(rows.map(_.getAs[Long]("d_sum")).sum === 2L * m)
+    // internal edges can never exceed the edge count
+    val lIn = rows.map(_.getAs[Long]("l_in")).sum
+    assert(lIn <= m && lIn > 0)
+    // per-row numerator identity against the emitted columns
+    rows.foreach { r =>
+      assert(r.getAs[Long]("num_c") ===
+        4L * m * r.getAs[Long]("l_in") -
+          r.getAs[Long]("d_sum") * r.getAs[Long]("d_sum"))
+    }
+    // Q = Σ num_c / 4m² must be positive: the LP communities capture
+    // real k-NN structure, not the random-graph null
+    assert(rows.map(_.getAs[Long]("num_c")).sum > 0L)
+    // node accounting: every embedding lands in exactly one community
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum ===
+      Tables(spark, dir, "embeddings").count())
+  }
+
   test("pipeline_backfill splice equals the full recompute, with real pruning") {
     import org.apache.spark.sql.functions._
     val got = ops.Pipeline.backfill(spark, dir)
