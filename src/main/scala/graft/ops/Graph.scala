@@ -349,8 +349,9 @@ object Graph {
         greatest(col("vec_id"), col("nbr_id")).as("id_b"))
       .distinct()
       .localCheckpoint()
+    // und is a cheap projection of the checkpointed edge frame — a
+    // second checkpoint would just re-materialize the same bytes
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
     var lab = Tables(spark, dir, "embeddings")
       .select(col("vec_id").as("v")).withColumn("lab", col("v"))
     for (_ <- 1 to LpRounds) {
