@@ -59,7 +59,7 @@ object Bench {
     "sample_curriculum", "sample_soft_dedup", "sample_dsir",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers", "stats_gini",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_hll_merge",
-    "agg_kmv_overlap",
+    "agg_kmv_overlap", "stats_diversity",
     "embed_quantize", "embed_pca_power",
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
@@ -81,7 +81,7 @@ object Bench {
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",
     "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",
-    "src_volume_snapshot", "src_snapshot_merge")
+    "src_volume_snapshot", "src_snapshot_merge", "src_stats_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

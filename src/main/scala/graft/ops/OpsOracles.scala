@@ -917,6 +917,23 @@ object OpsOracles {
          |  exact_distinct
          |FROM est JOIN ex ON est.event_type = ex.event_type
          |ORDER BY est.event_type""".stripMargin,
+    // exact-rational Simpson concentration: HUGEINT products on the
+    // DuckDB side mirror Spark's DECIMAL(38,0) chain
+    "stats_diversity" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest($toks) AS t FROM documents),
+         |ct AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM tk GROUP BY 1, 2),
+         |ag AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS vocab,
+         |         CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+         |         CAST(MAX(c) AS BIGINT) AS max_c
+         |       FROM ct GROUP BY 1)
+         |SELECT source, n_tokens, vocab, sum_c2,
+         |  CAST((1000000::HUGEINT * sum_c2) //
+         |    (n_tokens::HUGEINT * n_tokens) AS BIGINT) AS conc_ppm,
+         |  CAST((1000000::HUGEINT * max_c) // n_tokens AS BIGINT) AS top_ppm
+         |FROM ag ORDER BY source""".stripMargin,
     // partial-then-merge must equal the one-pass sketch (register-wise
     // max is the union), and the row carries the equality flag
     "agg_hll_merge" ->

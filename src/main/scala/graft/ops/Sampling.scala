@@ -579,6 +579,40 @@ object Sampling {
     }
   }
 
+  /** stats_diversity — per-source vocabulary-concentration audit in
+    * EXACT rational arithmetic: token count N, vocabulary V, the
+    * Simpson/Herfindahl concentration λ = Σc²∕N² and the top-token
+    * share, both as ppm via integer division of exact products (the
+    * entropy-style Σ−p·log p is order-dependent float and is exactly
+    * what this op avoids — λ ranks the same "is this source
+    * boilerplate-dominated" signal with zero float seam). A source
+    * whose λ spikes is repeating itself; the audit every mixture
+    * re-weighting consults.
+    *
+    * Scale shape: one tokenize+explode pass into a map-side-combined
+    * (source, token) count, then a bounded per-source aggregation;
+    * products ride DECIMAL(38,0) (Σc² ≤ N² overflows BIGINT·10⁶ past
+    * ~3M tokens/source), integral division at the end.
+    */
+  def diversity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), explode(expr(TextAnalysis.toksExpr)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    tok.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        max(col("c")).as("max_c"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("sum_c2"),
+        expr("""cast((cast(1000000 as decimal(38,0)) * sum_c2) div
+               |  (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)"""
+          .stripMargin).as("conc_ppm"),
+        expr("cast((cast(1000000 as decimal(38,0)) * max_c) div n_tokens as bigint)")
+          .as("top_ppm"))
+      .orderBy("source")
+  }
+
   /** Per-source report depth for [[sourceDrift]]. */
   val DriftTopK = 5
 
@@ -945,6 +979,7 @@ object Sampling {
     "stats_approx_quantile" -> (approxQuantile _),
     "agg_hll_distinct" -> (hllDistinct _),
     "agg_hll_merge" -> (hllMerge _),
+    "stats_diversity" -> (diversity _),
     "stats_token_hist" -> (tokenHist _),
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),

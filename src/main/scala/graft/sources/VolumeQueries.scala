@@ -836,6 +836,7 @@ object VolumeQueries {
     "src_volume_compact" -> (volumeCompact _),
     "src_volume_snapshot" -> (volumeSnapshot _),
     "src_snapshot_merge" -> (TableMerge.snapshotMerge _),
+    "src_stats_prune" -> (StatsPrune.statsPrune _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -948,6 +949,9 @@ object VolumeQueries {
     // lost delete, double update, or untouched-partition corruption
     // all hash-mismatch
     "src_snapshot_merge" -> TableMerge.mergeOracle,
+    // the pruned read must hash-match both the plan arithmetic
+    // (files_read) and the exact matched-row aggregate
+    "src_stats_prune" -> StatsPrune.pruneOracle,
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor

@@ -1590,6 +1590,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "corpus never exercised containment — thresholds too tight")
   }
 
+  test("stats_diversity: exact concentration bounds hold per source") {
+    val rows = ops.Sampling.diversity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, c2, conc, top) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("vocab"), r.getAs[Long]("sum_c2"),
+        r.getAs[Long]("conc_ppm"), r.getAs[Long]("top_ppm"))
+      // Cauchy–Schwarz floor: Σc² ≥ N²/V; ceiling: Σc² ≤ max_c·N ≤ N²
+      assert(v * c2 >= n * n, s"${r.getString(0)}: Σc² below the uniform floor")
+      assert(c2 <= n * n)
+      assert(conc >= 1000000L / v - 1 && conc <= 1000000L)
+      assert(top >= 1000000L / v - 1 && top <= 1000000L)
+      // concentration is at least the top token's squared share
+      assert(conc * 1000000L >= top * top - 2 * top,
+        s"${r.getString(0)}: λ below top²")
+    }
+  }
+
+  test("src_stats_prune: the stats-planned read prunes files yet loses no match") {
+    import org.apache.spark.sql.functions._
+    val r = graft.sources.StatsPrune.statsPrune(spark, dir).collect()(0)
+    assert(r.getAs[Long]("files_read") < r.getAs[Long]("files_total"),
+      "no file was pruned — the stats plan is a full scan")
+    assert(r.getAs[Long]("n_match") <= r.getAs[Long]("rows_read"))
+    // full-scan truth computed independently
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_c"))
+    val mk = o.agg(max("k")).collect()(0).getLong(0)
+    val (lo, hi) = ((30L * mk) / 100L, (35L * mk) / 100L)
+    val full = o.filter(col("k") >= lo && col("k") <= hi)
+      .agg(count(lit(1)), sum("total_c"), sum("k")).collect()(0)
+    assert(r.getAs[Long]("n_match") === full.getLong(0))
+    assert(r.getAs[Long]("sum_total_c") === full.getLong(1))
+    assert(r.getAs[Long]("sum_key") === full.getLong(2))
+  }
+
   test("graph_modularity: exact identities hold and the partition beats the null model") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
