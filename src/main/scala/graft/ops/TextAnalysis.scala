@@ -993,12 +993,18 @@ object TextAnalysis {
     winnowOf(Tables(spark, dir, "documents"))
   }
 
-  def winnowOf(docs: DataFrame): DataFrame = {
-    val base = docs
+  /** Normalized docs with ≥ one full window. */
+  private def winnowBase(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))").as("nt"))
       .filter(length(col("nt")) >= WinnowK + WinnowW - 1)
-    val hp = base
+
+  /** The selected print set (doc_id, h, p) BEFORE materialization —
+    * split out so the plan audit can pin "exactly one window pass".
+    */
+  private[graft] def winnowSel(docs: DataFrame): DataFrame = {
+    val hp = winnowBase(docs)
       .select(col("doc_id"),
         (length(col("nt")) - (WinnowK - 1)).cast("long").as("nh"),
         posexplode(expr(s"graft_char_windows(nt, $WinnowK)")).as(Seq("p0", "w")))
@@ -1006,12 +1012,20 @@ object TextAnalysis {
         expr("graft_md5_prefix(w)").as("h"))
     val frame = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(-(WinnowW - 1), Window.currentRow)
-    val sel = hp
+    hp
       .withColumn("s", min(struct(col("h"), (-col("p")).as("np"))).over(frame))
       // only frames that are FULL windows select (classic winnowing)
       .filter(col("p") >= WinnowW - 1)
       .select(col("doc_id"), col("s.h").as("h"), (-col("s.np")).as("p"))
       .distinct()
+  }
+
+  def winnowOf(docs: DataFrame): DataFrame = {
+    val base = winnowBase(docs)
+    // both the shared count and the per-doc report consume the print
+    // set — materialize it once or the whole selection (scan +
+    // window + distinct) replans per consumer
+    val sel = winnowSel(docs).localCheckpoint()
     val shared = sel.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
     sel.join(shared, Seq("h"))
       .groupBy("doc_id")

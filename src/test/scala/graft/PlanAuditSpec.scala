@@ -312,4 +312,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("r10b operators keep their scale contracts") {
+    // text_winnow: the selection is ONE doc-keyed window pass — a
+    // second Window node would mean the explode+regroup crept back
+    // (the full op checkpoints the print set, so audit the selection
+    // subplan directly)
+    graft.functions.GraftFunctions.register(spark)
+    val tw = graft.ops.TextAnalysis.winnowSel(Tables(spark, dir, "documents"))
+      .queryExecution.explainString(FormattedMode)
+    assert("""\(\d+\) Window""".r.findAllIn(tw).length === 1,
+      "text_winnow selection is no longer a single window pass")
+    assert(scans(tw) === 1, "the selection re-scans the corpus")
+    assert(!tw.contains("CartesianProduct") &&
+      !tw.contains("BroadcastNestedLoopJoin"))
+    // q_ewma: both window passes (frame fold + desc rank) ride ONE
+    // user_id exchange; a second hashpartitioning of the event rows
+    // means the windows re-shuffled
+    val qe = formatted("q_ewma")
+    assert(qe.contains("Window"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(qe).length <= 3,
+      "q_ewma grew an extra exchange between its window passes")
+    // q_zorder_skip: file assignment must stay scan-side arithmetic —
+    // NO Window (a global rank would single-partition the table); the
+    // only nested-loop joins are the broadcast one-row maxima frames
+    val zo = formatted("q_zorder_skip")
+    assert(!zo.contains("Window"),
+      "q_zorder_skip acquired a global-rank window")
+    assert(!zo.contains("CartesianProduct"))
+    // dedup_normalized / stats_diversity: still single corpus scans
+    Seq("dedup_normalized", "stats_diversity").foreach { n =>
+      assert(scans(formatted(n)) === 1, s"$n grew extra scans")
+    }
+  }
 }
