@@ -54,7 +54,7 @@ object Bench {
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
     "text_chunk", "text_cdc_chunks", "text_nb_classify", "text_vocab_growth",
-    "text_winnow",
+    "text_winnow", "text_ccnet_buckets",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup", "sample_dsir",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers", "stats_gini",

@@ -290,6 +290,28 @@ object OpsOracles {
        |  FROM e)""".stripMargin
   }
 
+  /** The char-bigram LM scoring chain ending in
+    * `lmdoc(doc_id, source, n_bigrams, lm_u)` (zero-bigram docs
+    * default-filled) — shared by text_charlm and text_ccnet_buckets.
+    */
+  private val charLmCtes: String =
+    """pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text)-1)) AS i
+      |  FROM documents),
+      |bg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg FROM pos),
+      |c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+      |c1 AS (SELECT substr(bg, 1, 1) AS p, CAST(SUM(c2) AS BIGINT) AS c1
+      |       FROM c2 GROUP BY 1),
+      |pr AS (SELECT bg, CAST((1000000 * c2) // c1 AS BIGINT) AS p_u
+      |       FROM c2 JOIN c1 ON substr(bg, 1, 1) = c1.p),
+      |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(p_u) // COUNT(*) AS BIGINT) AS lm_u
+      |       FROM bg JOIN pr USING (bg) GROUP BY 1),
+      |lmdoc AS (SELECT d.doc_id, d.source,
+      |            COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      |            COALESCE(sc.lm_u, 0) AS lm_u
+      |          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
+
   /** The label-propagation CTE chain (k-NN edges → undirected frame →
     * [[Graph.LpRounds]] rounds ending in `l{R}(v, lab)`) — shared by
     * the graph_label_prop and graph_modularity oracles so the two
@@ -1342,22 +1364,28 @@ object OpsOracles {
          |ORDER BY h.doc_id""".stripMargin
     },
     "text_charlm" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, unnest(generate_series(1, length(text)-1)) AS i
-        |  FROM documents),
-        |bg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg FROM pos),
-        |c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
-        |c1 AS (SELECT substr(bg, 1, 1) AS p, CAST(SUM(c2) AS BIGINT) AS c1
-        |       FROM c2 GROUP BY 1),
-        |pr AS (SELECT bg, CAST((1000000 * c2) // c1 AS BIGINT) AS p_u
-        |       FROM c2 JOIN c1 ON substr(bg, 1, 1) = c1.p),
-        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |         CAST(SUM(p_u) // COUNT(*) AS BIGINT) AS lm_u
-        |       FROM bg JOIN pr USING (bg) GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(sc.lm_u, 0) AS lm_u
-        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $charLmCtes
+        |SELECT doc_id, n_bigrams, lm_u FROM lmdoc
+        |ORDER BY doc_id""".stripMargin,
+    // CCNet head/middle/tail over the SAME scoring chain: per-source
+    // rank, pure-integer boundaries, doc_id tiebreak
+    "text_ccnet_buckets" ->
+      s"""WITH $charLmCtes,
+        |rk AS (SELECT doc_id, source, lm_u,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY lm_u DESC, doc_id) AS BIGINT) AS rk,
+        |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |       FROM lmdoc),
+        |bk AS (SELECT source, doc_id, lm_u,
+        |         CASE WHEN rk * 10 <= n THEN 'head'
+        |              WHEN rk * 2 <= n THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |       FROM rk)
+        |SELECT source, bucket, COUNT(*) AS n_docs,
+        |  CAST(MIN(lm_u) AS BIGINT) AS min_lm_u,
+        |  CAST(MAX(lm_u) AS BIGINT) AS max_lm_u,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_chk
+        |FROM bk GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
     "text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),

@@ -600,7 +600,11 @@ object TextAnalysis {
     * the worst ratio in the §6.0 growth table (10.1×, exactly-linear)
     * into a 2.8× fixed-cost-dominated one.
     */
-  def charLm(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc char-bigram LM scores with zero-bigram defaults — the
+    * shared front of [[charLm]] (the score report) and
+    * [[ccnetBuckets]] (the CCNet head/middle/tail split).
+    */
+  private[ops] def charLmScores(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(expr("graft_char_bigrams(text)")).as("bg"))
@@ -613,12 +617,46 @@ object TextAnalysis {
     val scored = docs.join(broadcast(model), Seq("bg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), expr("sum(p_u) div count(1)").as("lm_u"))
-    Tables(spark, dir, "documents").select("doc_id")
+    Tables(spark, dir, "documents").select("doc_id", "source")
       .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_u"), lit(0L)).as("lm_u"))
+  }
+
+  def charLm(spark: SparkSession, dir: String): DataFrame =
+    charLmScores(spark, dir)
+      .select("doc_id", "n_bigrams", "lm_u")
       .orderBy("doc_id")
+
+  /** text_ccnet_buckets — the CCNet move: rank every document WITHIN
+    * its source by LM score and split head (top 10%) / middle (next
+    * 40%) / tail — the quality-tiering that lets a pipeline keep
+    * head+middle and drop (or downweight) the tail without a learned
+    * classifier. Boundaries are pure integer comparisons on the
+    * per-source rank (10·rk ≤ n → head, 2·rk ≤ n → middle), ties
+    * broken by doc_id, so the split is exact and reproducible.
+    *
+    * Scale shape: scoring is the shared charLm chain (corpus bigram
+    * pass ⋈ broadcast bounded model); the ranking is one
+    * source-partitioned window sort — exactly CCNet's per-language
+    * shard sort — and the report aggregates to (source, bucket).
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val s = charLmScores(spark, dir)
+    val w = Window.partitionBy("source").orderBy(col("lm_u").desc, col("doc_id"))
+    val n = Window.partitionBy("source")
+    s.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("bucket",
+        when(col("rk") * 10 <= col("n"), "head")
+          .when(col("rk") * 2 <= col("n"), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("lm_u").as("min_lm_u"), max("lm_u").as("max_lm_u"),
+        sum("doc_id").as("id_chk"))
+      .orderBy("source", "bucket")
   }
 
   /** text_vocab_growth — the Heaps-law vocabulary-growth curve: per
@@ -1041,6 +1079,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow" -> (winnow _),
+    "text_ccnet_buckets" -> (ccnetBuckets _),
     "text_chunk" -> (chunk _),
     "text_cdc_chunks" -> (cdcChunks _),
     "text_bpe" -> (bpe _),

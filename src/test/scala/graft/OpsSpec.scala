@@ -1590,6 +1590,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "corpus never exercised containment — thresholds too tight")
   }
 
+  test("text_ccnet_buckets: exact 10/40/50 split, scores ordered across buckets") {
+    import org.apache.spark.sql.functions.col
+    val rows = ops.TextAnalysis.ccnetBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_lm_u"),
+          r.getAs[Long]("max_lm_u"))).toMap
+    val perSource = Tables(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      def g(b: String) = rows.get((src, b)).map(_._1).getOrElse(0L)
+      assert(g("head") === n / 10, s"$src head size")
+      assert(g("middle") === n / 2 - n / 10, s"$src middle size")
+      assert(g("head") + g("middle") + g("tail") === n, s"$src accounting")
+      // quality ordering: every head score >= every middle score, etc.
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail")))
+        (rows.get((src, hi)), rows.get((src, lo))) match {
+          case (Some(h), Some(l)) => assert(h._2 >= l._3, s"$src $hi/$lo order")
+          case _ =>
+        }
+    }
+  }
+
   test("stats_diversity: exact concentration bounds hold per source") {
     val rows = ops.Sampling.diversity(spark, dir).collect()
     assert(rows.nonEmpty)
