@@ -594,12 +594,13 @@ object Sampling {
     * products ride DECIMAL(38,0) (Σc² ≤ N² overflows BIGINT·10⁶ past
     * ~3M tokens/source), integral division at the end.
     */
-  def diversity(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val tok = Tables(spark, dir, "documents")
-      .select(col("source"), explode(expr(TextAnalysis.toksExpr)).as("t"))
-      .groupBy("source", "t").agg(count(lit(1)).as("c"))
-    tok.groupBy("source")
+  /** The per-source concentration report over a (source, t, c) token
+    * cell frame — shared by [[diversity]] and the live twin
+    * (stream_diversity finalizes its drained cell state through this
+    * exact code, so batch and stream cannot drift).
+    */
+  private[graft] def diversityReport(cells: DataFrame): DataFrame =
+    cells.groupBy("source")
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("vocab"),
         sum(col("c") * col("c")).as("sum_c2"),
@@ -611,6 +612,12 @@ object Sampling {
         expr("cast((cast(1000000 as decimal(38,0)) * max_c) div n_tokens as bigint)")
           .as("top_ppm"))
       .orderBy("source")
+
+  def diversity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    diversityReport(Tables(spark, dir, "documents")
+      .select(col("source"), explode(expr(TextAnalysis.toksExpr)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c")))
   }
 
   /** Per-source report depth for [[sourceDrift]]. */

@@ -1297,6 +1297,35 @@ object EventStreams {
 
   case class Doc(doc_id: Long, text: String, source: String)
 
+  /** stream_diversity — the per-source concentration audit LIVE: the
+    * streaming aggregation holds the (source, token) count cell frame
+    * (vocab-bounded, the stream_drift state shape) in Complete mode;
+    * the finalize runs the drained cells through EXACTLY
+    * [[graft.ops.Sampling.diversityReport]] — one code path for batch
+    * and stream — and certifies against the stats_diversity oracle
+    * verbatim. The live "is a source suddenly repeating itself"
+    * monitor.
+    */
+  def diversityStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[Doc].collect().toSeq
+    val input = MemoryStream[Doc]
+    input.addData(docs)
+    val cells = input.toDF()
+      .select(col("source"),
+        explode(expr(graft.ops.TextAnalysis.toksExpr)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val sink = sinkName("stream_diversity")
+    val q = cells.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.ops.Sampling.diversityReport(spark.table(sink))
+  }
+
   /** stream_clean — the corpus-cleaning stages of
     * [[graft.ops.Pipeline.clean]] running UNCHANGED on a document
     * stream: the rule-flag and mask projections are stateless
@@ -1480,6 +1509,7 @@ object EventStreams {
     "stream_ohlc" -> (ohlc _),
     "stream_ewma" -> (ewmaStream _),
     "stream_cdc_apply" -> (cdcApply _),
+    "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
     "stream_session" -> (session _),
     "stream_session_native" -> (sessionNative _),
@@ -1611,6 +1641,9 @@ object EventStreams {
     // the exactly-once micro-batch CDC stream drains to the same
     // post-merge table as the one-shot copy-on-write merge
     "stream_cdc_apply" -> graft.sources.TableMerge.mergeOracle,
+    // the live (source, token) cell state finalizes to the same
+    // concentration report as the batch pass
+    "stream_diversity" -> graft.ops.OpsOracles.all("stats_diversity"),
     // the file-source drive computes the identical aggregate, so it
     // shares the tumbling oracle verbatim (defined right below)
     "stream_tumbling_file" ->

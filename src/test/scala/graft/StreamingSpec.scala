@@ -236,6 +236,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("stream_diversity cell state accumulates across triggers to the batch report") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[EventStreams.Doc].collect().toSeq
+    val waves = docs.grouped((docs.size + 2) / 3).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Doc]
+    val q = input.toDF()
+      .select(col("source"), explode(expr(graft.ops.TextAnalysis.toksExpr)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName("diversity_trigger_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    q.stop()
+    val streamed = rows(graft.ops.Sampling.diversityReport(
+      spark.table("diversity_trigger_spec")),
+      "source", "n_tokens", "vocab", "sum_c2", "conc_ppm", "top_ppm")
+    val batch = rows(graft.ops.Sampling.diversity(spark, dir),
+      "source", "n_tokens", "vocab", "sum_c2", "conc_ppm", "top_ppm")
+    assert(streamed === batch)
+  }
+
   test("stream_kmv sketch merges across triggers to the batch sketch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
