@@ -56,7 +56,7 @@ object Bench {
     "text_chunk", "text_cdc_chunks", "text_nb_classify", "text_vocab_growth",
     "text_winnow", "text_ccnet_buckets",
     "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
-    "sample_curriculum", "sample_soft_dedup", "sample_dsir",
+    "sample_curriculum", "sample_soft_dedup", "sample_dsir", "sample_class_balance",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers", "stats_gini",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_hll_merge",
     "agg_kmv_overlap", "stats_diversity",

@@ -939,6 +939,23 @@ object OpsOracles {
          |  exact_distinct
          |FROM est JOIN ex ON est.event_type = ex.event_type
          |ORDER BY est.event_type""".stripMargin,
+    // deterministic fractional upsampling: same hash draw both engines
+    "sample_class_balance" ->
+      s"""WITH v AS (SELECT vec_id, label FROM embeddings),
+         |ct AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         |mx AS (SELECT MAX(n) AS max_n FROM ct),
+         |w AS (SELECT v.vec_id, v.label, ct.n,
+         |        (1000000 * mx.max_n) // ct.n AS weight_ppm
+         |      FROM v JOIN ct USING (label), mx),
+         |r AS (SELECT label, n, weight_ppm,
+         |        weight_ppm // 1000000 +
+         |        (CASE WHEN ${md5Int("('bal:' || CAST(vec_id AS VARCHAR))")}
+         |           % 1000000 < weight_ppm % 1000000 THEN 1 ELSE 0 END) AS reps
+         |      FROM w)
+         |SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(MAX(weight_ppm) AS BIGINT) AS weight_ppm,
+         |  CAST(SUM(reps) AS BIGINT) AS n_upsampled
+         |FROM r GROUP BY label ORDER BY label""".stripMargin,
     // exact-rational Simpson concentration: HUGEINT products on the
     // DuckDB side mirror Spark's DECIMAL(38,0) chain
     "stats_diversity" ->

@@ -620,6 +620,40 @@ object Sampling {
       .groupBy("source", "t").agg(count(lit(1)).as("c")))
   }
 
+  /** sample_class_balance — deterministic fractional upsampling to
+    * label balance: every label's weight is maxN∕n as an exact ppm
+    * ratio; each vector replicates ⌊weight⌋ times plus one more iff
+    * its hash draw falls under the fractional part — so the
+    * upsampled class sizes land within n·(hash noise) of maxN with
+    * ZERO randomness (same corpus → same replicas, the property a
+    * resumable training pipeline needs). The per-label report carries
+    * n, weight_ppm, and the exact replicate total.
+    *
+    * Scale shape: one label count (bounded frame, broadcast back),
+    * one scan-side hash draw per vector, one map-side-combined
+    * per-label sum — no shuffle of replicated rows (the report counts
+    * replicas; a materializing trainer would explode lazily
+    * downstream).
+    */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = Tables(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val counts = v.groupBy("label").agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max(col("n")).as("max_n"))
+    v.join(broadcast(counts), Seq("label"))
+      .crossJoin(broadcast(mx))
+      .withColumn("weight_ppm", expr("(1000000L * max_n) div n"))
+      .withColumn("reps",
+        expr("""weight_ppm div 1000000L +
+               |  (case when graft_md5_prefix(concat('bal:', cast(vec_id as string)))
+               |     % 1000000L < weight_ppm % 1000000L then 1L else 0L end)"""
+          .stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), max(col("weight_ppm")).as("weight_ppm"),
+        sum(col("reps")).as("n_upsampled"))
+      .orderBy("label")
+  }
+
   /** Per-source report depth for [[sourceDrift]]. */
   val DriftTopK = 5
 
@@ -987,6 +1021,7 @@ object Sampling {
     "agg_hll_distinct" -> (hllDistinct _),
     "agg_hll_merge" -> (hllMerge _),
     "stats_diversity" -> (diversity _),
+    "sample_class_balance" -> (classBalance _),
     "stats_token_hist" -> (tokenHist _),
     "sample_stratified" -> (stratified _),
     "sample_priority" -> (prioritySample _),

@@ -1590,6 +1590,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "corpus never exercised containment — thresholds too tight")
   }
 
+  test("sample_class_balance: deterministic fractional replication re-derived") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect()
+    val counts = labels.groupBy(_._2).map { case (l, v) => l -> v.length.toLong }
+    val maxN = counts.values.max
+    val expected = labels.groupBy(_._2).map { case (l, vs) =>
+      val w = 1000000L * maxN / counts(l)
+      val reps = vs.map { case (id, _) =>
+        w / 1000000L + (if (md5Int(s"bal:$id") % 1000000L < w % 1000000L) 1L else 0L)
+      }.sum
+      (l, counts(l), w, reps)
+    }.toSeq.sortBy(_._1)
+    val got = ops.Sampling.classBalance(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // every class is upsampled to within one-per-vector of the target
+    got.foreach { case (_, n, w, up) =>
+      assert(up >= n && up >= n * (w / 1000000L) && up <= n * (w / 1000000L + 1))
+    }
+    assert(got.exists(_._3 === 1000000L), "the majority class must keep weight 1")
+  }
+
   test("text_ccnet_buckets: exact 10/40/50 split, scores ordered across buckets") {
     import org.apache.spark.sql.functions.col
     val rows = ops.TextAnalysis.ccnetBuckets(spark, dir).collect()
