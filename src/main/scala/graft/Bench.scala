@@ -68,7 +68,7 @@ object Bench {
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
     "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
-    "sim_pairs_thresh", "sim_pq_topk", "sim_pq_kmeans", "sim_knn_graph",
+    "sim_pairs_thresh", "sim_pq_topk", "sim_pq_refine", "sim_pq_kmeans", "sim_knn_graph",
     "sim_hybrid_rrf", "sim_bm25_topk", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
     "sim_mrl_topk", "sim_mmr_topk", "sim_ivfpq_topk", "sim_index_refresh",
     "sim_recall_eval",
@@ -81,7 +81,8 @@ object Bench {
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",
     "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",
-    "src_volume_snapshot", "src_snapshot_merge", "src_stats_prune")
+    "src_volume_snapshot", "src_snapshot_merge", "src_stats_prune",
+    "src_zorder_store", "src_schema_evolve", "src_volume_zonemap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

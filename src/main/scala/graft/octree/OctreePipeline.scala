@@ -243,7 +243,7 @@ object OctreePipeline {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    s"$root/graft_octp_${ProcessHandle.current().pid()}"
+    s"$root/graft_octp_${graft.Staging.token()}"
   }
 
   private def rm(f: java.io.File): Unit = {

@@ -270,7 +270,7 @@ object OctreeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_ktx_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_ktx_${graft.Staging.token()}"
     try {
       // write INSIDE the try so a failure mid-write still reclaims the
       // pid-keyed staging dir (tmpfs doubles as the shuffle dir)
@@ -303,7 +303,7 @@ object OctreeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_tiff_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_tiff_${graft.Staging.token()}"
     try {
       // write INSIDE the try (mid-write failures must not leak tmpfs
       // staging); eager localCheckpoint keeps the corpus-sized voxel
@@ -334,7 +334,7 @@ object OctreeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val pid = ProcessHandle.current().pid()
+    val pid = graft.Staging.token()
     val strip = s"$root/graft_rt_strip_$pid"
     val tiled = s"$root/graft_rt_tiled_$pid"
     try {

@@ -2777,6 +2777,83 @@ object OpsOracles {
          |JOIN prn ON t.probe_id = prn.probe_id
          |ORDER BY t.probe_id, t.rank""".stripMargin
     },
+    // the ADC stage verbatim from sim_pq_topk, then the refine tail:
+    // exact cosine on the ADC top-L shortlist, real top-5 of that
+    "sim_pq_refine" -> {
+      val d = Similarity.PqD
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  [(CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))
+           |   * (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) for i in range(1, ${d + 1})]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      def dotSubD(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  [CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) for i in range(1, ${d + 1})]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      def selfSubD(a: String) = dotSubD(a, a)
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |cbm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |        WHERE (CAST(1 AS BIGINT) << g) * ${Similarity.PqKs} >= nn.n),
+         |pmod AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |         WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn.n),
+         |seeds AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cb_idx
+         |  FROM embeddings, cbm WHERE vec_id % cbm.m = 0),
+         |cb AS (
+         |  SELECT CAST(mm.m AS BIGINT) AS m, s.cb_idx,
+         |    s.embedding[mm.m*$d+1 : mm.m*$d+$d] AS cvec
+         |  FROM seeds s, range(0, ${Similarity.PqM}) mm(m)),
+         |cbn AS (SELECT m, cb_idx, cvec, ${selfSubD("cvec")} AS cn2 FROM cb),
+         |subs AS (
+         |  SELECT vec_id, CAST(mm.m AS BIGINT) AS m,
+         |    embedding[mm.m*$d+1 : mm.m*$d+$d] AS svec
+         |  FROM embeddings, range(0, ${Similarity.PqM}) mm(m)),
+         |dists AS (
+         |  SELECT vec_id, s.m, cb_idx,
+         |    CAST(FLOOR(${l2("svec", "cvec")} * 1000000.0) AS BIGINT) AS du
+         |  FROM subs s JOIN cbn ON s.m = cbn.m),
+         |codes AS (
+         |  SELECT vec_id, m, CAST(MIN(du * ${Similarity.PqKs} + cb_idx) % ${Similarity.PqKs} AS BIGINT) AS cb_idx
+         |  FROM dists GROUP BY 1, 2),
+         |prn AS (
+         |  SELECT vec_id AS probe_id, embedding AS pvec,
+         |    ${dotD("embedding", "embedding")} AS pn2
+         |  FROM embeddings, pmod WHERE vec_id % pmod.m = 0),
+         |lut AS (
+         |  SELECT probe_id, pn2, cbn.m, cbn.cb_idx,
+         |    CAST(FLOOR(${dotSubD(s"pvec[cbn.m*$d+1 : cbn.m*$d+$d]", "cvec")} * 1000000000.0) AS BIGINT) AS pdot_su,
+         |    CAST(FLOOR(cn2 * 1000000000.0) AS BIGINT) AS cn2_su
+         |  FROM prn, cbn),
+         |adc AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(SUM(pdot_su) AS BIGINT) AS adc_su,
+         |    CAST(SUM(cn2_su) AS BIGINT) AS vhat_su,
+         |    MAX(pn2) AS pn2
+         |  FROM codes JOIN lut USING (m, cb_idx) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(CASE WHEN vhat_su > 0 THEN
+         |      FLOOR(CAST(adc_su AS DOUBLE) / 1000000000.0
+         |        / (sqrt(pn2) * sqrt(CAST(vhat_su AS DOUBLE) / 1000000000.0))
+         |        * 1000000.0) ELSE 0 END AS BIGINT) AS adc_u
+         |  FROM adc WHERE vec_id <> probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adc_u DESC, vec_id) AS BIGINT) AS adc_rank FROM sc
+         |  QUALIFY adc_rank <= ${Similarity.PqRefineL}),
+         |ex AS (
+         |  SELECT s.probe_id, s.vec_id, s.adc_rank,
+         |    ${cosU("prn.pvec", "e.embedding")} AS cos_u
+         |  FROM short s JOIN embeddings e ON s.vec_id = e.vec_id
+         |  JOIN prn ON s.probe_id = prn.probe_id)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, adc_rank, cos_u
+         |FROM ex QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "sim_brute_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id % 101 = 0),

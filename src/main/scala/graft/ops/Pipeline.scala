@@ -132,7 +132,7 @@ object Pipeline {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_export_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_export_${graft.Staging.token()}"
     try {
       new java.io.File(tmp).mkdirs()
       import graft.sources.TfRecordBinary
@@ -429,7 +429,7 @@ object Pipeline {
     val base0 = new java.io.File("/dev/shm")
     val root = if (base0.isDirectory && base0.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_backfill_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_backfill_${graft.Staging.token()}"
     try {
       val ev = Tables(spark, dir, "events")
         .withColumn("sec", graft.relational.Queries.nsToSec(col("ts")))

@@ -526,7 +526,7 @@ object Sampling {
     val base0 = new java.io.File("/dev/shm")
     val root = if (base0.isDirectory && base0.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_hllcube_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_hllcube_${graft.Staging.token()}"
     try {
       val pairs = Tables(spark, dir, "events")
         .withColumn("sec", graft.relational.Queries.nsToSec(col("ts")))

@@ -108,8 +108,9 @@ object SharedOracles {
     * rank-distance self-join: weight 2^(len−1−dist) for each of the
     * ≤ 32 preceding observations, norm 2^len − 1).
     */
-  val ewma: String =
-    """WITH e AS (
+  val ewma: String = {
+    val d = graft.relational.Queries.EwmaDepth
+    s"""WITH e AS (
       |  SELECT event_id, user_id,
       |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
       |    CAST(FLOOR(value*100) AS BIGINT) AS v_c
@@ -119,10 +120,10 @@ object SharedOracles {
       |s AS (
       |  SELECT a.user_id, a.rk, a.event_id, a.v_c,
       |    CAST(SUM(b.v_c * (CAST(1 AS BIGINT) <<
-      |      CAST(LEAST(a.rk, 32) - 1 - (a.rk - b.rk) AS INTEGER))) AS BIGINT) AS e_num,
-      |    (CAST(1 AS BIGINT) << CAST(LEAST(a.rk, 32) AS INTEGER)) - 1 AS w_norm
+      |      CAST(LEAST(a.rk, $d) - 1 - (a.rk - b.rk) AS INTEGER))) AS BIGINT) AS e_num,
+      |    (CAST(1 AS BIGINT) << CAST(LEAST(a.rk, $d) AS INTEGER)) - 1 AS w_norm
       |  FROM r a JOIN r b ON b.user_id = a.user_id
-      |    AND b.rk BETWEEN a.rk - 31 AND a.rk
+      |    AND b.rk BETWEEN a.rk - ${d - 1} AND a.rk
       |  GROUP BY a.user_id, a.rk, a.event_id, a.v_c),
       |m AS (
       |  SELECT user_id, rk, v_c, (1000 * e_num) // w_norm AS ewma_mc,
@@ -141,4 +142,5 @@ object SharedOracles {
       |  CAST(MAX(dev_mc) AS BIGINT) AS max_dev_mc,
       |  CAST(SUM(spike) AS BIGINT) AS n_spikes
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
 }

@@ -44,8 +44,14 @@ object SnapshotStore {
     */
   def listDataFiles(root: String): Seq[String] = {
     val base = new java.io.File(root)
+    // underscore-prefixed directories (checkpoints, _manifests) are
+    // metadata by convention, never data — even a stray .parquet
+    // inside one must not be absorbed into a committed manifest
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filterNot(c => c.isDirectory && c.getName.startsWith("_"))
+          .flatMap(walk)
       else Seq(f)
     walk(base).filter(_.getName.endsWith(".parquet"))
       .map(_.getPath.stripPrefix(base.getPath).stripPrefix("/")).sorted

@@ -33,58 +33,90 @@ object StatsPrune {
     Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
   }
 
+  /** Staged store handle shared by the batch op and its streaming
+    * twin: root, stats-cell count, and the key maximum the bands are
+    * fractions of.
+    */
+  private[graft] final case class PStore(store: String, filesTotal: Long,
+      mk: Long) {
+    def drop(): Unit = rm(new java.io.File(store))
+  }
+
+  /** Write orders as (year, orderkey-range) files with the per-file
+    * min/max/count stats table beside them.
+    */
+  private[graft] def stage(spark: SparkSession, dir: String): PStore = {
+    val store = s"$tmpfsRoot/graft_sprune_${graft.Staging.token()}"
+    rm(new java.io.File(store))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_c"),
+        year(col("o_orderdate")).cast("long").as("p"))
+    val mx = o.agg(max("k").as("mk"))
+    val base = o.crossJoin(broadcast(mx))
+      .withColumn("fid", expr(s"(k * $PruneFiles) div (mk + 1L)"))
+    base.select(col("k"), col("total_c"), col("p"), col("fid"))
+      .repartition(col("p"), col("fid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p", "fid")
+      .parquet(s"$store/data")
+    // the "manifest": per-file min/max/count stats, persisted beside
+    // the data exactly like Iceberg manifest entries
+    base.groupBy("p", "fid")
+      .agg(min("k").as("lo_k"), max("k").as("hi_k"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$store/stats")
+    val filesTotal = spark.read.parquet(s"$store/stats").count()
+    PStore(store, filesTotal, mx.collect()(0).getLong(0))
+  }
+
+  /** Serve ONE key-band query [loB, hiB] from the staged store: plan
+    * the file list from the stats (bounded driver-side metadata, the
+    * same order Iceberg manifests hand a planner), read only the
+    * overlapping files, return the certified aggregate row
+    * (files_read, rows_read, n_match, sum_total_c, sum_key).
+    */
+  private[graft] def servePlanned(spark: SparkSession, st: PStore,
+      loB: Long, hiB: Long): (Long, Long, Long, Long, Long) = {
+    val stats = spark.read.parquet(s"${st.store}/stats")
+    val hit = stats.filter(col("hi_k") >= loB && col("lo_k") <= hiB)
+      .select("p", "fid").collect()
+      .map(r => s"${st.store}/data/p=${r.getLong(0)}/fid=${r.getLong(1)}")
+    // empty plan arm: spark.read.parquet() with zero paths throws
+    // ("unable to infer schema"), so a predicate overlapping no stats
+    // cell must emit the zero-row aggregate directly
+    val pruned =
+      if (hit.isEmpty)
+        spark.range(0).select(lit(0L).as("k"), lit(0L).as("total_c"))
+      else spark.read.option("basePath", s"${st.store}/data")
+        .parquet(hit.toIndexedSeq: _*)
+    val a = pruned
+      .agg(count(lit(1)).as("rows_read"),
+        sum(when(col("k") >= loB && col("k") <= hiB, 1L).otherwise(0L))
+          .as("n_match"),
+        coalesce(sum(when(col("k") >= loB && col("k") <= hiB,
+          col("total_c"))), lit(0L)).as("sum_total_c"),
+        coalesce(sum(when(col("k") >= loB && col("k") <= hiB, col("k"))),
+          lit(0L)).as("sum_key"))
+      .collect()(0)
+    (hit.length.toLong, a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3))
+  }
+
   /** src_stats_prune — write orders as (year, orderkey-range) files
     * with a per-file stats table, then serve a key-range query by
     * reading ONLY the stats-overlapping files.
     */
   def statsPrune(spark: SparkSession, dir: String): DataFrame = {
-    val store = s"$tmpfsRoot/graft_sprune_${ProcessHandle.current().pid()}"
-    rm(new java.io.File(store))
+    val st = stage(spark, dir)
     try {
-      val o = Tables(spark, dir, "orders")
-        .select(col("o_orderkey").as("k"),
-          floor(col("o_totalprice") * 100).cast("long").as("total_c"),
-          year(col("o_orderdate")).cast("long").as("p"))
-      val mx = o.agg(max("k").as("mk"))
-      val base = o.crossJoin(broadcast(mx))
-        .withColumn("fid", expr(s"(k * $PruneFiles) div (mk + 1L)"))
-      base.select(col("k"), col("total_c"), col("p"), col("fid"))
-        .repartition(col("p"), col("fid"))
-        .write.mode(SaveMode.Overwrite).partitionBy("p", "fid")
-        .parquet(s"$store/data")
-      // the "manifest": per-file min/max/count stats, persisted beside
-      // the data exactly like Iceberg manifest entries
-      base.groupBy("p", "fid")
-        .agg(min("k").as("lo_k"), max("k").as("hi_k"),
-          count(lit(1)).as("n_rows"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$store/stats")
-
-      val stats = spark.read.parquet(s"$store/stats")
-      val bounds = mx.select(expr("(30L * mk) div 100L").as("lo_b"),
-        expr("(35L * mk) div 100L").as("hi_b")).collect()(0)
-      val (loB, hiB) = (bounds.getLong(0), bounds.getLong(1))
-      // plan the file list FROM THE STATS — bounded driver-side list,
-      // the same order of metadata Iceberg manifests hand a planner
-      val hit = stats.filter(col("hi_k") >= loB && col("lo_k") <= hiB)
-        .select("p", "fid").collect()
-        .map(r => s"$store/data/p=${r.getLong(0)}/fid=${r.getLong(1)}")
-      val filesTotal = stats.count()
-      val pruned = spark.read.option("basePath", s"$store/data")
-        .parquet(hit.toIndexedSeq: _*)
-      val agg = pruned
-        .agg(count(lit(1)).as("rows_read"),
-          sum(when(col("k") >= loB && col("k") <= hiB, 1L).otherwise(0L))
-            .as("n_match"),
-          coalesce(sum(when(col("k") >= loB && col("k") <= hiB,
-            col("total_c"))), lit(0L)).as("sum_total_c"),
-          coalesce(sum(when(col("k") >= loB && col("k") <= hiB, col("k"))),
-            lit(0L)).as("sum_key"))
-        .select(lit(filesTotal).as("files_total"),
-          lit(hit.length.toLong).as("files_read"),
-          col("rows_read"), col("n_match"), col("sum_total_c"), col("sum_key"))
-      val rows = agg.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
-    } finally rm(new java.io.File(store))
+      val (loB, hiB) = ((30L * st.mk) / 100L, (35L * st.mk) / 100L)
+      val (fr, rr, nm, stc, sk) = servePlanned(spark, st, loB, hiB)
+      val out = spark.range(1).select(
+        lit(st.filesTotal).as("files_total"), lit(fr).as("files_read"),
+        lit(rr).as("rows_read"), lit(nm).as("n_match"),
+        lit(stc).as("sum_total_c"), lit(sk).as("sum_key"))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally st.drop()
   }
 
   /** Closed-form oracle: the same stats arithmetic from `orders`. */

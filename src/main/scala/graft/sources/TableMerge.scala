@@ -186,7 +186,7 @@ object TableMerge {
   /** Stage the base and return the store path — streaming-twin entry. */
   private[graft] def stageStore(spark: SparkSession, dir: String,
       tag: String): String = {
-    val store = s"$tmpfsRoot/graft_${tag}_${ProcessHandle.current().pid()}"
+    val store = s"$tmpfsRoot/graft_${tag}_${graft.Staging.token()}"
     rm(new java.io.File(store))
     stageBase(spark, dir, store): Unit
     store
@@ -213,7 +213,7 @@ object TableMerge {
     * leaked untouched-partition rewrite all hash-mismatch.
     */
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
-    val store = s"$tmpfsRoot/graft_tmerge_${ProcessHandle.current().pid()}"
+    val store = s"$tmpfsRoot/graft_tmerge_${graft.Staging.token()}"
     rm(new java.io.File(store))
     try {
       runMerge(spark, dir, store): Unit

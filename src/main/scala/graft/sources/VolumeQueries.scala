@@ -38,6 +38,48 @@ object VolumeQueries {
   def volumeLevels(spark: SparkSession, dir: String): DataFrame =
     VolumeSource.discoverLevels(spark).orderBy("level", "c")
 
+  /** src_volume_zonemap — per-block VALUE zonemaps inside the DSV2
+    * source: a write-time stats pass records each block's [vmin, vmax]
+    * envelope, and an intensity-threshold query (the oct_empty_prune
+    * class — `v >= 65000`, the bright-voxel tail) hands the map to the
+    * reader, whose planner drops every block whose envelope cannot
+    * match BEFORE any task launches. Until now the source pruned on
+    * block-key (c/z/y/x) predicates only — a v-threshold query
+    * enumerated every block. The emitted row carries blocks_total /
+    * blocks_planned (MEASURED off the planned scan's RDD — one
+    * InputPartition per surviving block) plus the exact aggregate of
+    * the matching voxels; the oracle recomputes envelope arithmetic
+    * and aggregate from the shared hash fill, so an under-pruned plan
+    * mismatches blocks_planned and an over-pruned one loses voxels.
+    *
+    * Scale shape: the zonemap build is one map-side-combined groupBy
+    * over the source (write-time work); the manifest is one line per
+    * non-empty block — bounded metadata, the snapshot-manifest
+    * argument; the pruned read launches O(selectivity) tasks of a
+    * 100 TB volume instead of all of them.
+    */
+  def volumeZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val path = s"$root/graft_zonemap_${graft.Staging.token()}.csv"
+    try {
+      VolumeSource.buildZonemap(spark, path): Unit
+      val df = spark.read.format("graft.sources.VolumeSource")
+        .option("zonemap", path).load()
+        .filter(col("v") >= 65000L)
+      // one InputPartition per planned block — the measured plan size
+      val planned = df.rdd.getNumPartitions.toLong
+      val agg = df.agg(count(lit(1)).as("n_vox"), sum("v").as("sum_v"),
+          min("v").as("min_v"))
+        .select(lit(128L).as("blocks_total"),
+          lit(planned).as("blocks_planned"),
+          col("n_vox"), col("sum_v"), col("min_v"))
+      val rows = agg.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally { new java.io.File(path).delete(): Unit }
+  }
+
   /** Pyramid sink: the octree write path — parquet partitioned by
     * (level, c) so per-level / per-channel readers (the viewer's
     * resolution switching) are partition-pruned scans. The Spark-first
@@ -181,8 +223,8 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val frag = s"$root/graft_vcmp_frag_${ProcessHandle.current().pid()}"
-    val comp = s"$root/graft_vcmp_${ProcessHandle.current().pid()}"
+    val frag = s"$root/graft_vcmp_frag_${graft.Staging.token()}"
+    val comp = s"$root/graft_vcmp_${graft.Staging.token()}"
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
@@ -214,7 +256,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val store = s"$root/graft_vsnap_${ProcessHandle.current().pid()}"
+    val store = s"$root/graft_vsnap_${graft.Staging.token()}"
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
@@ -244,7 +286,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_pyr_sink_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_pyr_sink_${graft.Staging.token()}"
     writePyramid(graft.octree.Pyramid(graft.VoxelGrid(spark, dir)), tmp)
     spark.read.parquet(tmp)
       .select(col("level").cast("long").as("level"),
@@ -268,7 +310,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_vsink_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_vsink_${graft.Staging.token()}"
     graft.octree.Addressing.blockify(
         graft.octree.Pyramid(graft.VoxelGrid(spark, dir)))
       .select("level", "c", "bz", "by", "bx", "lz", "ly", "lx", "v")
@@ -295,7 +337,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_n5_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_n5_${graft.Staging.token()}"
     try {
       N5Binary.writeContainer(spark, dir, out)
       N5Binary.parseVoxels(spark, out).localCheckpoint(true)
@@ -319,7 +361,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_n5d_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_n5d_${graft.Staging.token()}"
     try {
       N5Binary.writeContainer(spark, dir, out)
       N5Binary.discoverLevels(spark, out).localCheckpoint(true)
@@ -346,7 +388,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_zarr_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_zarr_${graft.Staging.token()}"
     try {
       ZarrBinary.writeContainer(spark, dir, out)
       ZarrBinary.parseVoxels(spark, out).localCheckpoint(true)
@@ -368,7 +410,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_zarrd_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_zarrd_${graft.Staging.token()}"
     try {
       ZarrBinary.writeContainer(spark, dir, out)
       ZarrBinary.discoverLevels(spark, out).localCheckpoint(true)
@@ -391,7 +433,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_zarr3_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_zarr3_${graft.Staging.token()}"
     try {
       Zarr3Binary.writeContainer(spark, dir, out)
       Zarr3Binary.parseVoxels(spark, out).localCheckpoint(true)
@@ -412,7 +454,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_zarr3d_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_zarr3d_${graft.Staging.token()}"
     try {
       Zarr3Binary.writeContainer(spark, dir, out)
       Zarr3Binary.discoverLevels(spark, out).localCheckpoint(true)
@@ -439,7 +481,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_jsonl_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_jsonl_${graft.Staging.token()}"
     val docs = graft.Tables(spark, dir, "documents")
     try {
       // write INSIDE the try: a mid-write failure must not leak the
@@ -480,7 +522,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_csv_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_csv_${graft.Staging.token()}"
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.Tables(spark, dir, "documents")
       .withColumn("text2", concat(col("text"), lit(",\"\nx")))
@@ -525,7 +567,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_orc_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_orc_${graft.Staging.token()}"
     import graft.relational.Queries.cents
     val li = graft.Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
@@ -566,7 +608,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_ingest_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_ingest_${graft.Staging.token()}"
     try {
       IngestDispatch.stageAll(spark, dir, out)
       IngestDispatch.discover(spark, out).localCheckpoint(true)
@@ -591,7 +633,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_slices_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_slices_${graft.Staging.token()}"
     try {
       IngestDispatch.stageSlices(spark, dir, out)
       IngestDispatch.parseSliceVoxels(spark, out).localCheckpoint(true)
@@ -616,7 +658,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_jp2_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_jp2_${graft.Staging.token()}"
     try {
       IngestDispatch.stageSlices(spark, dir, out)
       IngestDispatch.parseJp2Voxels(spark, out).localCheckpoint(true)
@@ -641,7 +683,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val out = s"$root/graft_stack_${ProcessHandle.current().pid()}"
+    val out = s"$root/graft_stack_${graft.Staging.token()}"
     try {
       IngestDispatch.stageStacks(spark, dir, out)
       IngestDispatch.parseStackVoxels(spark, out).localCheckpoint(true)
@@ -686,7 +728,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_tfrec_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_tfrec_${graft.Staging.token()}"
     try {
       new java.io.File(tmp).mkdirs()
       val nShards = TfShards
@@ -764,7 +806,7 @@ object VolumeQueries {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_wds_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_wds_${graft.Staging.token()}"
     try {
       new java.io.File(tmp).mkdirs()
       val nShards = TfShards
@@ -831,12 +873,15 @@ object VolumeQueries {
     "src_volume_scan" -> (volumeScan _),
     "src_volume_scan_l1" -> (volumeScanL1 _),
     "src_volume_levels" -> (volumeLevels _),
+    "src_volume_zonemap" -> (volumeZonemap _),
     "src_pyramid_sink" -> (pyramidSink _),
     "src_volume_sink" -> (volumeSink _),
     "src_volume_compact" -> (volumeCompact _),
     "src_volume_snapshot" -> (volumeSnapshot _),
     "src_snapshot_merge" -> (TableMerge.snapshotMerge _),
     "src_stats_prune" -> (StatsPrune.statsPrune _),
+    "src_zorder_store" -> (ZOrderStore.zorderStore _),
+    "src_schema_evolve" -> (SchemaEvolve.schemaEvolve _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -952,6 +997,33 @@ object VolumeQueries {
     // the pruned read must hash-match both the plan arithmetic
     // (files_read) and the exact matched-row aggregate
     "src_stats_prune" -> StatsPrune.pruneOracle,
+    // the PHYSICAL z-order layout: the stats-planned pruned read must
+    // hash-match both the plan arithmetic (files_read) and the exact
+    // matched-row aggregates recomputed from the full table
+    "src_zorder_store" -> ZOrderStore.zorderOracle,
+    // field-id schema evolution: the id-mapped read across three
+    // schema generations must reproduce the closed-form generation
+    // rules — leaked shadowed columns or unmapped renames mismatch
+    "src_schema_evolve" -> SchemaEvolve.evolveOracle,
+    // zonemap pruning: the measured plan size (one InputPartition per
+    // surviving block) AND the exact bright-voxel aggregate must both
+    // match the envelope arithmetic recomputed from the shared fill
+    "src_volume_zonemap" ->
+      """WITH g AS (
+        |  SELECT cc.c, zz.z, yy.y, xx.x,
+        |    xor(xor(xor(zz.z * 73856093, yy.y * 19349663),
+        |      xx.x * 83492791), cc.c * 2654435761) AS h
+        |  FROM range(0, 2) cc(c), range(0, 16) zz(z),
+        |       range(0, 16) yy(y), range(0, 16) xx(x)),
+        |v AS (SELECT c, z, y, x, h % 65535 + 1 AS v FROM g WHERE h % 10 < 7),
+        |b AS (SELECT c, z // 4 AS bz, y // 4 AS by, x // 4 AS bx,
+        |    MAX(v) AS vmax FROM v GROUP BY 1, 2, 3, 4),
+        |pl AS (SELECT COUNT(*) AS blocks_planned FROM b WHERE vmax >= 65000),
+        |m AS (SELECT COUNT(*) AS n_vox, CAST(SUM(v) AS BIGINT) AS sum_v,
+        |    MIN(v) AS min_v FROM v WHERE v >= 65000)
+        |SELECT CAST(128 AS BIGINT) AS blocks_total,
+        |  CAST(pl.blocks_planned AS BIGINT) AS blocks_planned,
+        |  m.n_vox, m.sum_v, m.min_v FROM pl, m""".stripMargin,
     // N5 bytes → voxels must reproduce the arthur pyramid exactly
     "src_n5_bytes" -> graft.octree.OctreeOracles.all("oct_pyramid"),
     // same losslessness bar for the plain-Zarr container flavor

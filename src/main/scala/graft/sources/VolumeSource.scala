@@ -50,7 +50,8 @@ class VolumeSource extends TableProvider {
       properties.getOrDefault("grid", "16").toInt,
       properties.getOrDefault("channels", "2").toInt,
       properties.getOrDefault("leaf", "4").toInt,
-      properties.getOrDefault("level", "0").toInt)
+      properties.getOrDefault("level", "0").toInt,
+      Option(properties.get("zonemap")).filter(_.nonEmpty))
 }
 
 object VolumeSource {
@@ -93,9 +94,50 @@ object VolumeSource {
     }
     rows.toDF("level", "c", "edge", "n_blocks")
   }
+
+  /** Build the per-block VALUE zonemap (c, bz, by, bx → vmin, vmax) in
+    * ONE distributed pass over the source and persist it as a
+    * line-oriented manifest — the write-time stats a real store keeps
+    * per chunk. A reader handed the path via `.option("zonemap", …)`
+    * then prunes blocks whose value envelope cannot match a pushed
+    * v-range predicate (the oct_empty_prune class of intensity
+    * queries) at PLAN time, before any reader task launches. The
+    * manifest is bounded metadata: one line per non-empty block —
+    * at 100 TB, the same few-MB order as the snapshot manifests.
+    * Returns the number of non-empty blocks recorded.
+    */
+  def buildZonemap(spark: org.apache.spark.sql.SparkSession, path: String,
+      grid: Int = 16, channels: Int = 2, leaf: Int = 4,
+      level: Int = 0): Long = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.VolumeSource")
+      .option("grid", grid).option("channels", channels)
+      .option("leaf", leaf).option("level", level).load()
+    val rows = df.groupBy(col("c"), expr(s"z div $leaf").as("bz"),
+        expr(s"y div $leaf").as("by"), expr(s"x div $leaf").as("bx"))
+      .agg(min("v").as("vmin"), max("v").as("vmax"))
+      .collect()
+    val lines = rows.map(r => s"${r.getLong(0)},${r.getLong(1)}," +
+        s"${r.getLong(2)},${r.getLong(3)},${r.getLong(4)},${r.getLong(5)}")
+      .sorted.mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.getBytes("UTF-8"))
+    rows.length.toLong
+  }
+
+  /** Load a persisted zonemap: (c, bz, by, bx) → (vmin, vmax). */
+  def loadZonemap(path: String): Map[(Long, Int, Int, Int), (Long, Long)] =
+    new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      .split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val a = line.split(',')
+        (a(0).toLong, a(1).toInt, a(2).toInt, a(3).toInt) ->
+          (a(4).toLong, a(5).toLong)
+      }.toMap
 }
 
-class VolumeTable(grid: Int, channels: Int, leaf: Int, level: Int)
+class VolumeTable(grid: Int, channels: Int, leaf: Int, level: Int,
+                  zonemap: Option[String] = None)
   extends Table with SupportsRead {
   require((grid >> level) >= leaf, s"level $level leaves no whole leaf block")
   override def name(): String =
@@ -104,10 +146,11 @@ class VolumeTable(grid: Int, channels: Int, leaf: Int, level: Int)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VolumeScanBuilder(grid >> level, channels, leaf, level)
+    new VolumeScanBuilder(grid >> level, channels, leaf, level, zonemap)
 }
 
-class VolumeScanBuilder(grid: Int, channels: Int, leaf: Int, level: Int)
+class VolumeScanBuilder(grid: Int, channels: Int, leaf: Int, level: Int,
+                        zonemap: Option[String] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = VolumeSource.schema
@@ -131,11 +174,13 @@ class VolumeScanBuilder(grid: Int, channels: Int, leaf: Int, level: Int)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new VolumeScan(grid, channels, leaf, level, required, pushed)
+  override def build(): Scan =
+    new VolumeScan(grid, channels, leaf, level, required, pushed, zonemap)
 }
 
 class VolumeScan(grid: Int, channels: Int, leaf: Int, level: Int,
-                 required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+                 required: StructType, pushed: Array[Filter],
+                 zonemap: Option[String] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -161,9 +206,20 @@ class VolumeScan(grid: Int, channels: Int, leaf: Int, level: Int,
     val bnum = grid / leaf
     def blockRange(lo: Long, hi: Long): Seq[Int] =
       (0 until bnum).filter(b => b.toLong * leaf <= hi && (b + 1L) * leaf - 1 >= lo)
+    // value-zonemap pruning: when a v-range predicate is pushed and a
+    // write-time zonemap was handed over, a block is planned only if
+    // its persisted [vmin, vmax] envelope overlaps the predicate (a
+    // block with no zonemap line is empty — pruned unconditionally);
+    // v in [1, 65535], so an unconstrained query never loads the map
+    val (vLo, vHi) = bounds("v", 65535L)
+    val zm: Option[Map[(Long, Int, Int, Int), (Long, Long)]] =
+      zonemap.filter(_ => vLo > 1L || vHi < 65535L)
+        .map(VolumeSource.loadZonemap)
     val parts = for {
       c <- cLo to math.min(cHi, channels - 1L)
       bz <- blockRange(zLo, zHi); by <- blockRange(yLo, yHi); bx <- blockRange(xLo, xHi)
+      if zm.forall(_.get((c, bz, by, bx))
+        .exists { case (lo, hi) => hi >= vLo && lo <= vHi })
     } yield VolumeBlockPartition(c, bz, by, bx, leaf, level,
       (zLo, zHi), (yLo, yHi), (xLo, xHi)): InputPartition
     parts.toArray

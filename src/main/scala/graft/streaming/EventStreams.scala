@@ -179,7 +179,7 @@ object EventStreams {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_stream_files_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_stream_files_${graft.Staging.token()}"
     val ev = typedEvents(spark, dir).toDF()
     try {
       // write INSIDE the try: a mid-write failure must not leak the
@@ -347,7 +347,7 @@ object EventStreams {
     val base = new java.io.File("/dev/shm")
     val tmproot = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val store = s"$tmproot/graft_vsing_${ProcessHandle.current().pid()}"
+    val store = s"$tmproot/graft_vsing_${graft.Staging.token()}"
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
@@ -651,15 +651,73 @@ object EventStreams {
       // what must hold is that EVERY batch lands exactly once
       val waves = (0 until 3).map(w => rows.filter(_.k % 3 == w))
       val input = MemoryStream[Cdc]
+      // checkpoint lives OUTSIDE the store root: manifest commits must
+      // never be able to absorb engine state files as data, regardless
+      // of their names
       val q = input.toDF()
         .writeStream
         .foreachBatch(TableMerge.cdcBatch(store) _)
-        .option("checkpointLocation", s"$store/_stream_ckpt")
+        .option("checkpointLocation", s"${store}_ckpt")
         .start()
       waves.foreach { w => input.addData(w); q.processAllAvailable() }
       q.stop()
       TableMerge.mergeReport(spark, store)
-    } finally TableMerge.dropStore(store)
+    } finally {
+      TableMerge.dropStore(store)
+      TableMerge.dropStore(s"${store}_ckpt")
+    }
+  }
+
+  /** A key-band range-query descriptor: bounds as integer percent
+    * fractions of the stored table's key maximum.
+    */
+  case class RQ(qid: Long, loPct: Long, hiPct: Long)
+
+  /** stream_stats_prune — [[graft.sources.StatsPrune]]'s streaming
+    * twin: a stream of range-QUERY descriptors served per micro-batch
+    * by stats-PLANNED pruned reads of the big static store. Each
+    * batch's queries plan their file lists from the manifest stats
+    * table and open only the overlapping files — the production
+    * "interactive range queries against a 100 TB table" loop, where
+    * per-query cost is O(selectivity), never a table scan. There is
+    * deliberately no watermark: queries are SERVED, not aggregated
+    * over event time, so the only state is the bounded in-flight
+    * batch. The oracle recomputes every query's plan arithmetic AND
+    * exact matched aggregate from `orders` — an under-pruned plan
+    * mismatches files_read, an over-pruned one loses matches.
+    */
+  def streamStatsPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.StatsPrune
+    val st = StatsPrune.stage(spark, dir)
+    try {
+      val results = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long, Long)]
+      val input = MemoryStream[RQ]
+      val q = input.toDS().writeStream
+        .foreachBatch { (batch: Dataset[RQ], _: Long) =>
+          // a micro-batch carries a BOUNDED set of query descriptors;
+          // each plans from the stats — never a full scan
+          batch.collect().sortBy(_.qid).foreach { rq =>
+            val loB = rq.loPct * st.mk / 100L
+            val hiB = rq.hiPct * st.mk / 100L
+            val (fr, rr, nm, stc, sk) =
+              StatsPrune.servePlanned(spark, st, loB, hiB)
+            results.synchronized {
+              results += ((rq.qid, st.filesTotal, fr, rr, nm, stc, sk)): Unit
+            }
+          }
+        }
+        .start()
+      (0 until 3).foreach { w =>
+        input.addData(RQ(w.toLong, 10L + 20L * w, 15L + 20L * w))
+        q.processAllAvailable()
+      }
+      q.stop()
+      results.toSeq.sortBy(_._1).toDF("qid", "files_total", "files_read",
+        "rows_read", "n_match", "sum_total_c", "sum_key")
+    } finally st.drop()
   }
 
   /** Per-user LOCF state: the latest observed purchase value plus the
@@ -1129,7 +1187,7 @@ object EventStreams {
     val base = new java.io.File("/dev/shm")
     val root = if (base.isDirectory && base.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val tmp = s"$root/graft_stream_sess_${ProcessHandle.current().pid()}"
+    val tmp = s"$root/graft_stream_sess_${graft.Staging.token()}"
     val ev = typedEvents(spark, dir)
     try {
       // bounded driver work: two scalars for the slice bounds
@@ -1509,6 +1567,7 @@ object EventStreams {
     "stream_ohlc" -> (ohlc _),
     "stream_ewma" -> (ewmaStream _),
     "stream_cdc_apply" -> (cdcApply _),
+    "stream_stats_prune" -> (streamStatsPrune _),
     "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
     "stream_session" -> (session _),
@@ -1641,6 +1700,39 @@ object EventStreams {
     // the exactly-once micro-batch CDC stream drains to the same
     // post-merge table as the one-shot copy-on-write merge
     "stream_cdc_apply" -> graft.sources.TableMerge.mergeOracle,
+    // every served query's plan arithmetic + exact matched aggregate,
+    // recomputed in closed form per band
+    "stream_stats_prune" -> s"""WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c,
+      |    CAST(year(o_orderdate) AS BIGINT) AS p
+      |  FROM orders),
+      |mx AS (SELECT MAX(k) AS mk FROM o),
+      |qs AS (SELECT * FROM (VALUES (0, 10, 15), (1, 30, 35), (2, 50, 55))
+      |       t(qid, lop, hip)),
+      |b AS (SELECT o.*,
+      |    (k * ${graft.sources.StatsPrune.PruneFiles}) // (mk + 1) AS fid
+      |  FROM o, mx),
+      |st AS (SELECT p, fid, MIN(k) AS lo_k, MAX(k) AS hi_k,
+      |    COUNT(*) AS n_rows FROM b GROUP BY 1, 2),
+      |qb AS (SELECT qid, (lop * mk) // 100 AS lo_b, (hip * mk) // 100 AS hi_b
+      |  FROM qs, mx),
+      |hit AS (SELECT qb.qid, st.n_rows FROM qb JOIN st
+      |  ON st.hi_k >= qb.lo_b AND st.lo_k <= qb.hi_b),
+      |pl AS (SELECT qid, COUNT(*) AS files_read, SUM(n_rows) AS rows_read
+      |  FROM hit GROUP BY 1),
+      |m AS (SELECT qb.qid, COUNT(b.k) AS n_match,
+      |    COALESCE(SUM(b.total_c), 0) AS sum_total_c,
+      |    COALESCE(SUM(b.k), 0) AS sum_key
+      |  FROM qb LEFT JOIN b ON b.k BETWEEN qb.lo_b AND qb.hi_b GROUP BY 1)
+      |SELECT CAST(qs.qid AS BIGINT) AS qid,
+      |  (SELECT COUNT(*) FROM st) AS files_total,
+      |  CAST(COALESCE(pl.files_read, 0) AS BIGINT) AS files_read,
+      |  CAST(COALESCE(pl.rows_read, 0) AS BIGINT) AS rows_read,
+      |  CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+      |  CAST(COALESCE(m.sum_total_c, 0) AS BIGINT) AS sum_total_c,
+      |  CAST(COALESCE(m.sum_key, 0) AS BIGINT) AS sum_key
+      |FROM qs LEFT JOIN pl ON pl.qid = qs.qid
+      |LEFT JOIN m ON m.qid = qs.qid ORDER BY 1""".stripMargin,
     // the live (source, token) cell state finalizes to the same
     // concentration report as the batch pass
     "stream_diversity" -> graft.ops.OpsOracles.all("stats_diversity"),

@@ -993,6 +993,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.45, f"hamming rerank recall collapsed: $recall%.3f")
   }
 
+  test("pq refine beats raw pq recall on the same probes and keeps exact cosines") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def recallOf(rows: Seq[(Long, Long)]): Double = {
+      val mine = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      mine.keys.toSeq.map { p =>
+        val exact = vecs.keys.filter(_ != p).toSeq
+          .sortBy(v => (-cos(vecs(p), vecs(v)), v)).take(5).toSet
+        exact.intersect(mine(p)).size.toDouble / 5
+      }.sum / mine.size
+    }
+    val refined = Similarity.pqRefine(spark, dir).collect()
+    val rRef = recallOf(refined.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSeq)
+    val rRaw = recallOf(Similarity.pqTopk(spark, dir).collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSeq)
+    info(f"pq refine recall@5: $rRef%.3f vs raw adc $rRaw%.3f")
+    assert(rRef >= rRaw, f"the exact re-rank lost recall: $rRef%.3f < $rRaw%.3f")
+    assert(rRef >= 0.6, f"refine recall collapsed: $rRef%.3f")
+    // the ride-along cosine is the exact one, and the emitted order is
+    // the exact-cosine order (not the ADC order)
+    refined.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val cosines = sorted.map(_.getAs[Long]("cos_u"))
+      assert(cosines === cosines.sortBy(-_), s"probe $p not cosine-ordered")
+      sorted.foreach { r =>
+        val expected = math.floor(
+          cos(vecs(p), vecs(r.getAs[Long]("vec_id"))) * 1e6).toLong
+        assert(math.abs(r.getAs[Long]("cos_u") - expected) <= 1,
+          s"probe $p vec ${r.getAs[Long]("vec_id")} cosine drifted")
+      }
+    }
+  }
+
   test("filtered ANN returns only the probe's label with dense ranks") {
     import spark.implicits._
     val labels = Tables(spark, dir, "embeddings").select("vec_id", "label")
@@ -1672,6 +1711,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_match") === full.getLong(0))
     assert(r.getAs[Long]("sum_total_c") === full.getLong(1))
     assert(r.getAs[Long]("sum_key") === full.getLong(2))
+  }
+
+  test("src_zorder_store: the z-clustered layout prunes the 2-D box yet loses no match") {
+    import org.apache.spark.sql.functions._
+    val r = graft.sources.ZOrderStore.zorderStore(spark, dir).collect()(0)
+    assert(r.getAs[Long]("files_read") < r.getAs[Long]("files_total"),
+      "no file was pruned — the z layout did not skip on the 2-D box")
+    assert(r.getAs[Long]("n_match") <= r.getAs[Long]("rows_read"))
+    // full-scan truth computed independently
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    val m = li.agg(max("pk"), max("sk")).collect()(0)
+    val (mpk, msk) = (m.getLong(0), m.getLong(1))
+    val full = li.filter(col("pk") >= (30L * mpk) / 100L &&
+        col("pk") <= (35L * mpk) / 100L &&
+        col("sk") >= (30L * msk) / 100L && col("sk") <= (35L * msk) / 100L)
+      .agg(count(lit(1)), sum("price_c"), sum("pk")).collect()(0)
+    assert(r.getAs[Long]("n_match") === full.getLong(0))
+    assert(r.getAs[Long]("sum_price_c") === full.getLong(1))
+    assert(r.getAs[Long]("sum_pk") === full.getLong(2))
   }
 
   test("graph_modularity: exact identities hold and the partition beats the null model") {

@@ -345,4 +345,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(scans(formatted(n)) === 1, s"$n grew extra scans")
     }
   }
+
+  test("src_zorder_store read-back: the catalog scan opens ONLY the stats-planned files and pushes the box") {
+    import org.apache.spark.sql.functions._
+    val st = graft.sources.ZOrderStore.stage(spark, dir)
+    try {
+      assert(st.hitFids.nonEmpty && st.hitFids.length < st.filesTotal,
+        "the stats plan did not prune (or pruned everything)")
+      // the read a manifest-planning engine issues: the fid list from
+      // the stats becomes a partition predicate, the box rides along
+      // for parquet row-group pruning
+      val df = spark.read.parquet(s"${st.store}/data")
+        .filter(col("fid").isin(st.hitFids: _*) &&
+          col("pk") >= st.pkLo && col("pk") <= st.pkHi &&
+          col("sk") >= st.skLo && col("sk") <= st.skHi)
+        .agg(count(lit(1)).as("n"), sum("price_c").as("s"))
+      df.collect()
+      // AQE nests the executed plan inside AdaptiveSparkPlanExec /
+      // QueryStageExec leaves — recurse through both to reach the scan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case o => o.children.flatMap(allNodes)
+      })
+      val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec in the read-back plan"))
+      // one z-sorted file per fid: files opened == stats-planned fids,
+      // Exchange-free on the scan side (partition pruning at plan time)
+      assert(scan.metrics("numFiles").value === st.hitFids.length.toLong,
+        "the scan opened files outside the stats plan")
+      val plan = df.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("PartitionFilters") && plan.contains("fid"),
+        "fid did not become a partition filter")
+      assert("""PushedFilters: \[[^\]]*pk""".r.findFirstIn(plan).isDefined,
+        "the box predicate was not pushed into the parquet scan")
+    } finally st.drop()
+  }
 }

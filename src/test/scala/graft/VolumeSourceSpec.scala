@@ -47,6 +47,39 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.getLong(1) === expected.sum)
   }
 
+  test("value zonemap prunes blocks at plan time and loses no matching voxel") {
+    val path = s"/tmp/graft_zm_spec_${graft.Staging.token()}.csv"
+    try {
+      val n = VolumeSource.buildZonemap(spark, path)
+      assert(n <= 128L && n > 0L)
+      val zm = VolumeSource.loadZonemap(path)
+      val thr = 65000L
+      val expectedPlanned = zm.count { case (_, (_, vmax)) => vmax >= thr }
+      val prunedDf = spark.read.format("graft.sources.VolumeSource")
+        .option("zonemap", path).load().filter(col("v") >= thr)
+      // plan size == envelope arithmetic, strictly fewer than all blocks
+      assert(prunedDf.rdd.getNumPartitions === expectedPlanned)
+      assert(expectedPlanned < 128)
+      // no matching voxel was lost: pruned read == unmapped full read
+      val full = scan.filter(col("v") >= thr)
+        .agg(count(lit(1)), sum("v")).collect()(0)
+      val pr = prunedDf.agg(count(lit(1)), sum("v")).collect()(0)
+      assert(pr.getLong(0) === full.getLong(0))
+      assert(pr.getLong(1) === full.getLong(1))
+      // an unconstrained query ignores the map (plans every block)
+      val unconstrained = spark.read.format("graft.sources.VolumeSource")
+        .option("zonemap", path).load()
+      assert(unconstrained.rdd.getNumPartitions === 128)
+      // zonemap composes with block-key pruning: both prunes apply
+      val both = spark.read.format("graft.sources.VolumeSource")
+        .option("zonemap", path).load()
+        .filter(col("c") === 0 && col("v") >= thr)
+      val expectBoth = zm.count { case ((c, _, _, _), (_, vmax)) =>
+        c == 0L && vmax >= thr }
+      assert(both.rdd.getNumPartitions === expectBoth)
+    } finally { new java.io.File(path).delete(): Unit }
+  }
+
   test("level option selects the pyramid scale and still prunes blocks") {
     val l1 = spark.read.format("graft.sources.VolumeSource").option("level", 1).load()
     assert(l1.rdd.getNumPartitions === 2 * 2 * 2 * 2) // grid 8: 2 blocks/axis
