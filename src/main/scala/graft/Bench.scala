@@ -82,7 +82,8 @@ object Bench {
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",
     "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",
     "src_volume_snapshot", "src_snapshot_merge", "src_stats_prune",
-    "src_zorder_store", "src_schema_evolve", "src_volume_zonemap")
+    "src_zorder_store", "src_schema_evolve", "src_volume_zonemap",
+    "src_snapshot_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level DELETE on the snapshot store WITHOUT rewriting data files
+  * — the Iceberg-v2 equality-delete idea, completing the table-format
+  * layer's mutation story: [[TableMerge]] rewrites touched partitions
+  * (copy-on-write, right for wide updates); this path commits a tiny
+  * DELETE FILE of keys instead (merge-on-read, right for scattered
+  * deletions across a 100 TB table where rewriting every touched file
+  * would dwarf the change). Readers of a version apply its delete
+  * vectors as a broadcast anti-join; every older snapshot still reads
+  * the un-deleted table — time travel and row deletion compose.
+  *
+  * src_snapshot_delete stages orders as v1, commits two successive
+  * equality-delete versions (k ≡ 3 (mod 10), then additionally
+  * k ≡ 7 (mod 10)) and emits the certified per-version aggregate: a
+  * deleted key visible at head, a lost key at the PRIOR snapshot, or
+  * a data-file rewrite would each hash-mismatch (the spec pins the
+  * file lists byte-identical across all three versions).
+  */
+object SnapshotDelete {
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+  }
+
+  /** Stage orders as v1 and commit the two delete versions; returns
+    * the store root (v1 = full table, v2 = minus k%10==3, v3 = minus
+    * k%10∈{3,7}; all three share the SAME data files).
+    */
+  private[sources] def stage(spark: SparkSession, dir: String): String = {
+    val store = TableMerge.stageStore(spark, dir, "sdel")
+    val dataFiles = SnapshotStore.files(store, 1)
+    val base = SnapshotStore.read(spark, store, 1)
+    // equality-delete vectors: just the keys, written as tiny parquet
+    // "files" under the _deletes metadata dir
+    base.filter(col("k") % 10 === 3).select("k").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$store/_deletes/d1")
+    base.filter(col("k") % 10 === 7).select("k").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$store/_deletes/d2")
+    SnapshotStore.commitWithDeletes(store, dataFiles,
+      Seq("_deletes/d1")): Unit
+    SnapshotStore.commitWithDeletes(store, dataFiles,
+      Seq("_deletes/d1", "_deletes/d2")): Unit
+    store
+  }
+
+  /** src_snapshot_delete — per-version visibility report across the
+    * delete history.
+    */
+  def snapshotDelete(spark: SparkSession, dir: String): DataFrame = {
+    val store = stage(spark, dir)
+    try {
+      val agg = (1 to 3).map { v =>
+        SnapshotStore.readWithDeletes(spark, store, v, "k")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("k").as("sum_key"), sum("total_c").as("sum_total_c"),
+            sum(when(col("k") % 10 === 3, 1L).otherwise(0L)).as("present_d1"),
+            sum(when(col("k") % 10 === 7, 1L).otherwise(0L)).as("present_d2"))
+          .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_key"),
+            col("sum_total_c"), col("present_d1"), col("present_d2"))
+      }.reduce(_ unionByName _).orderBy("version")
+      val rows = agg.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally rm(new java.io.File(store))
+  }
+
+  /** Closed-form oracle: per-version key-residue visibility rules over
+    * `orders` — the staged table is exactly orders' (k, total_c).
+    */
+  val deleteOracle: String =
+    """WITH b AS (SELECT o_orderkey AS k,
+      |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c FROM orders),
+      |v AS (SELECT * FROM (VALUES (1), (2), (3)) t(version)),
+      |vis AS (SELECT v.version, b.k, b.total_c FROM v JOIN b ON
+      |  (v.version = 1) OR
+      |  (v.version = 2 AND b.k % 10 <> 3) OR
+      |  (v.version = 3 AND b.k % 10 <> 3 AND b.k % 10 <> 7))
+      |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS sum_key,
+      |  CAST(SUM(total_c) AS BIGINT) AS sum_total_c,
+      |  CAST(SUM(CASE WHEN k % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS present_d1,
+      |  CAST(SUM(CASE WHEN k % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS present_d2
+      |FROM vis GROUP BY 1 ORDER BY 1""".stripMargin
+}

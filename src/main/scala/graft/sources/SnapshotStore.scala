@@ -120,6 +120,62 @@ object SnapshotStore {
     if (hasBatch(root, batchId)) None
     else Some(commitTagged(root, files, Some(batchId)))
 
+  /** Commit a version carrying EQUALITY-DELETE files (the Iceberg-v2
+    * idea): `deletes` are root-relative parquet paths of deleted KEYS
+    * that readers apply ON TOP of `files` — no data file is rewritten.
+    * Delete files live under an underscore dir (`_deletes/…`), so
+    * [[listDataFiles]] never absorbs them as data and [[expire]]
+    * never reclaims them as unreferenced.
+    */
+  def commitWithDeletes(root: String, files: Seq[String],
+      deletes: Seq[String]): Int = {
+    (files ++ deletes).find(f =>
+        f.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      .foreach(f => throw new IllegalArgumentException(
+        s"snapshot file name '$f' contains a character the manifest " +
+          "format cannot represent (one of , \" or a newline)"))
+    val v = versions(root).lastOption.getOrElse(0) + 1
+    val dtag =
+      if (deletes.isEmpty) ""
+      else s""""dfiles":[${deletes.sorted.map(f => "\"" + f + "\"").mkString(",")}],"""
+    val json = s"""{"version":$v,$dtag"files":[${
+      files.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(mfile(root, v).toPath, json.getBytes("UTF-8"))
+    v
+  }
+
+  /** The delete-file list of a committed version (empty for manifests
+    * written before delete support — the format is additive).
+    */
+  def deletesOf(root: String, v: Int): Seq[String] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(mfile(root, v).toPath), "UTF-8")
+    """"dfiles":\[([^\]]*)\]""".r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse("")
+      .split(',').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
+
+  /** Time-travel read with row-level deletes applied: version `v`'s
+    * data files anti-joined against the union of its delete files on
+    * `keyCol`. The delete vectors of a commit are bounded (a day's
+    * deletions, not the table), so the anti-join build side is a
+    * broadcast; a compaction that rewrites data files absorbs the
+    * deletes and commits with an empty dfiles list.
+    */
+  def readWithDeletes(spark: SparkSession, root: String, v: Int,
+      keyCol: String): DataFrame = {
+    val df = read(spark, root, v)
+    val dels = deletesOf(root, v)
+    if (dels.isEmpty) df
+    else {
+      val dk = spark.read.parquet(dels.map(f => s"$root/$f"): _*)
+        .select(keyCol).distinct()
+      df.join(org.apache.spark.sql.functions.broadcast(dk),
+        Seq(keyCol), "left_anti")
+    }
+  }
+
   /** The file list of a committed version. */
   def files(root: String, v: Int): Seq[String] = {
     val txt = new String(

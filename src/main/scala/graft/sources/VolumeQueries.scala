@@ -882,6 +882,7 @@ object VolumeQueries {
     "src_stats_prune" -> (StatsPrune.statsPrune _),
     "src_zorder_store" -> (ZOrderStore.zorderStore _),
     "src_schema_evolve" -> (SchemaEvolve.schemaEvolve _),
+    "src_snapshot_delete" -> (SnapshotDelete.snapshotDelete _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1005,6 +1006,9 @@ object VolumeQueries {
     // schema generations must reproduce the closed-form generation
     // rules — leaked shadowed columns or unmapped renames mismatch
     "src_schema_evolve" -> SchemaEvolve.evolveOracle,
+    // equality deletes: per-version visibility (deleted keys absent at
+    // head, present at the prior snapshot) in closed form
+    "src_snapshot_delete" -> SnapshotDelete.deleteOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill

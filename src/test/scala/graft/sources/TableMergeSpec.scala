@@ -115,4 +115,38 @@ class TableMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === ref, "batched CDC diverged from the one-shot merge")
     } finally { rm(new java.io.File(s1)); rm(new java.io.File(s2)) }
   }
+
+  test("equality deletes: no data file rewritten, head hides keys, time travel keeps them") {
+    import org.apache.spark.sql.functions._
+    val store = SnapshotDelete.stage(spark, dir)
+    try {
+      // merge-on-read laziness: all three versions reference the SAME
+      // immutable data files — a delete commits only a delete vector
+      val f1 = SnapshotStore.files(store, 1)
+      assert(SnapshotStore.files(store, 2) === f1)
+      assert(SnapshotStore.files(store, 3) === f1)
+      assert(SnapshotStore.deletesOf(store, 1) === Seq.empty)
+      assert(SnapshotStore.deletesOf(store, 2) === Seq("_deletes/d1"))
+      assert(SnapshotStore.deletesOf(store, 3) ===
+        Seq("_deletes/d1", "_deletes/d2"))
+      // head hides exactly the deleted residues…
+      val head = SnapshotStore.readWithDeletes(spark, store, 3, "k")
+      assert(head.filter(col("k") % 10 === 3 || col("k") % 10 === 7)
+        .count() === 0L)
+      // …the prior snapshots still read them, count-consistently
+      val v1n = SnapshotStore.readWithDeletes(spark, store, 1, "k").count()
+      val v2 = SnapshotStore.readWithDeletes(spark, store, 2, "k")
+      assert(v2.filter(col("k") % 10 === 3).count() === 0L)
+      val d1n = SnapshotStore.read(spark, store, 1)
+        .filter(col("k") % 10 === 3).count()
+      assert(v2.count() === v1n - d1n)
+      // vacuum to head keeps the delete vectors (metadata dir) and the
+      // shared data files — the head read is identical after expire
+      val before = head.agg(sum("k")).collect()(0).getLong(0)
+      SnapshotStore.expire(store, 3): Unit
+      val after = SnapshotStore.readWithDeletes(spark, store, 3, "k")
+        .agg(sum("k")).collect()(0).getLong(0)
+      assert(after === before, "expire broke the delete-applied head read")
+    } finally rm(new java.io.File(store))
+  }
 }
