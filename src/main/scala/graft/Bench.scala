@@ -26,7 +26,7 @@ object Bench {
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
     "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_asof_tolerance_native", "q_range_join", "q_interval_join", "q_skew_join",
-    "q_gapfill", "q_ohlc", "q_ewma", "q_zorder_skip",
+    "q_gapfill", "q_ohlc", "q_ewma", "q_zorder_skip", "q_dpp",
     "q_funnel", "q_retention",
     "q_scd2",
     "q_pivot", "q_corr", "q_json_extract",
@@ -64,6 +64,7 @@ object Bench {
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
     "pipeline_export", "pipeline_incr", "pipeline_mm", "pipeline_backfill",
+    "pipeline_ivm",
     "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
@@ -83,7 +84,8 @@ object Bench {
     "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",
     "src_volume_snapshot", "src_snapshot_merge", "src_stats_prune",
     "src_zorder_store", "src_schema_evolve", "src_volume_zonemap",
-    "src_snapshot_delete")
+    "src_snapshot_delete", "src_delete_compact", "src_snapshot_diff",
+    "src_partition_evolve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_ohlc" -> (Queries.qOhlc _),
     "q_ewma" -> (Queries.qEwma _),
     "q_zorder_skip" -> (Queries.qZorderSkip _),
+    "q_dpp" -> (Queries.qDpp _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "q_interval_join" -> (Queries.qIntervalJoin _),
     "q7_nations" -> (Queries.q7Nations _),
@@ -277,6 +278,21 @@ object SparkEntry {
     // the full data-skipping arithmetic (Z-value assignment, min/max
     // envelopes, overlap planning, matched-row cross-check) re-stated
     // in closed form over the same interleave expression
+    // plain-join semantics (DPP is transparent to results — the plan
+    // audit pins the dynamicpruning subquery in the fact scan)
+    "q_dpp" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c,
+        |    CAST(year(o_orderdate) AS BIGINT) AS p,
+        |    o_orderpriority AS prio
+        |  FROM orders),
+        |dim AS (SELECT p, COUNT(*) AS n_urgent FROM o
+        |  WHERE prio = '1-URGENT' AND p % 2 = 0
+        |  GROUP BY 1 HAVING COUNT(*) > 20)
+        |SELECT o.p, COUNT(*) AS n_rows,
+        |  CAST(SUM(o.total_c) AS BIGINT) AS sum_total_c,
+        |  CAST(MAX(dim.n_urgent) AS BIGINT) AS n_urgent
+        |FROM o JOIN dim ON o.p = dim.p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zorder_skip" -> {
       val F = Queries.ZFiles
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk,

@@ -1542,6 +1542,9 @@ object OpsOracles {
          |        ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM d)
          |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    // delta maintenance must land on the SAME table as the one-shot
+    // merge and the CDC stream — the third formulation on one SQL
+    "pipeline_ivm" -> graft.sources.TableMerge.mergeOracle,
     // the splice (published output for unchanged days + pruned
     // recompute for changed days) must equal the closed-form full
     // recompute, changed-day flags included

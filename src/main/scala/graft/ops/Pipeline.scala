@@ -466,8 +466,80 @@ object Pipeline {
     }
   }
 
+  /** pipeline_ivm — INCREMENTAL VIEW MAINTENANCE: a materialized
+    * per-partition aggregate (the MV a 100 TB table publishes daily)
+    * is brought up to date under a CDC changeset by applying SIGNED
+    * DELTAS — deletes subtract their pre-image, inserts add, updates
+    * contribute their value difference — never by rescanning the
+    * table. The pre-images updates need come from an O(batch) probe
+    * into ONLY the touched partitions (deletes carry theirs in the
+    * feed, as a real CDC stream does). The maintained MV certifies
+    * against [[graft.sources.TableMerge.mergeOracle]] VERBATIM — the
+    * THIRD formulation against that one SQL (one-shot merge,
+    * exactly-once CDC stream, now delta maintenance): a double-applied
+    * update, a lost delete, or a stale group all hash-mismatch.
+    *
+    * Scale shape: the MV is read back from its parquet artifact (never
+    * recomputed); delta work is O(changeset) + one partition-pruned
+    * probe; the splice joins run on the bounded (partition) frame.
+    */
+  def ivm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.{SnapshotStore, TableMerge}
+    val store = TableMerge.stageStore(spark, dir, "ivm")
+    try {
+      val v1 = SnapshotStore.read(spark, store, 1)
+        .select(col("k"), col("total_c"), col("p").cast("long").as("p"))
+      // yesterday's published MV, materialized beside the table
+      v1.groupBy("p")
+        .agg(count(lit(1)).as("n_rows"), sum("total_c").as("sum_total_c"),
+          sum("k").as("sum_key"))
+        .write.mode("overwrite").parquet(s"$store/_mv/v1")
+      val mv0 = spark.read.parquet(s"$store/_mv/v1")
+      val cs = TableMerge.changesetRows(spark, dir)
+        .toDF("k", "ck", "total_c", "p", "op")
+      // pre-images for the U keys: an O(batch) probe into ONLY the
+      // touched partitions of the stored table
+      val touched = cs.select("p").distinct().as[Long].collect().toSeq
+      val uPre = v1.filter(col("p").isin(touched: _*))
+        .join(broadcast(cs.filter(col("op") === "U").select("k")), Seq("k"))
+        .select(col("p"), col("total_c").as("tc_pre"), col("k"))
+      // signed delta stream: D subtracts its pre-image (carried by the
+      // feed), I adds, U contributes its value difference
+      val deltas = cs.filter(col("op") === "D")
+        .select(col("p"), lit(-1L).as("dn"), (-col("total_c")).as("dtc"),
+          (-col("k")).as("dk"))
+        .unionByName(cs.filter(col("op") === "I")
+          .select(col("p"), lit(1L).as("dn"), col("total_c").as("dtc"),
+            col("k").as("dk")))
+        .unionByName(cs.filter(col("op") === "U")
+          .join(uPre.select(col("k"), col("tc_pre")), Seq("k"))
+          .select(col("p"), lit(0L).as("dn"),
+            (col("total_c") - col("tc_pre")).as("dtc"), lit(0L).as("dk")))
+        .groupBy("p")
+        .agg(sum("dn").as("dn"), sum("dtc").as("dtc"), sum("dk").as("dk"))
+      val mv1 = mv0.join(deltas, Seq("p"), "full_outer")
+        .select(col("p"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("sum_total_c"), lit(0L)) + coalesce(col("dtc"), lit(0L)))
+            .as("sum_total_c"),
+          (coalesce(col("sum_key"), lit(0L)) + coalesce(col("dk"), lit(0L)))
+            .as("sum_key"))
+        .orderBy("p")
+      val rows = mv1.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mv1.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_backfill" -> (backfill _),
+    "pipeline_ivm" -> (ivm _),
     "pipeline_mm" -> (mm _),
     "pipeline_incr" -> (incr _),
     "pipeline_validate" -> (validate _),

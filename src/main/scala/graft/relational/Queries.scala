@@ -1556,6 +1556,65 @@ object Queries {
       .orderBy("layout", "pred")
   }
 
+  /** q_dpp — DYNAMIC PARTITION PRUNING, measured: the fact side is a
+    * year-partitioned parquet store; the dim side is a runtime-derived
+    * year list (urgent-heavy even years) no static planner can fold
+    * into a partition predicate. Catalyst's DPP rule turns the
+    * broadcast dim into a `dynamicpruning#` subquery INSIDE the fact
+    * scan's PartitionFilters, so at execution only the surviving
+    * years' files are opened — on a 100 TB date-partitioned fact this
+    * is the difference between scanning the table and scanning the
+    * dim's date span, and it needs no manifest layer: it is the
+    * engine-native runtime twin of [[graft.sources.StatsPrune]].
+    * PlanAuditSpec pins the `dynamicpruning` expression in the scan.
+    *
+    * Semantics are a plain join, so the oracle is closed-form; the op
+    * stages the fact store on tmpfs (the partitioned layout IS the
+    * operator) and reclaims it after materializing.
+    */
+  def qDpp(spark: SparkSession, dir: String): DataFrame = {
+    val (df, store) = dppPlan(spark, dir)
+    try {
+      val rows = df.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
+  /** The staged plan behind [[qDpp]] — exposed so the plan audit can
+    * inspect the scan before the store is reclaimed.
+    */
+  private[graft] def dppPlan(spark: SparkSession,
+      dir: String): (DataFrame, String) = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val store = s"$root/graft_dpp_${graft.Staging.token()}"
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_c"),
+        year(col("o_orderdate")).cast("long").as("p"),
+        col("o_orderpriority").as("prio"))
+    o.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("p").parquet(store)
+    val fact = spark.read.parquet(store)
+    // runtime-only dim: even years with > 100 urgent orders — derived
+    // from data, so no static rule can pre-prune the fact partitions
+    val dim = o.filter(col("prio") === "1-URGENT" && col("p") % 2 === 0)
+      .groupBy("p").agg(count(lit(1)).as("n_urgent"))
+      .filter(col("n_urgent") > 20L)
+    val out = fact.join(broadcast(dim), Seq("p"))
+      .groupBy(col("p").cast("long").as("p"))
+      .agg(count(lit(1)).as("n_rows"), sum("total_c").as("sum_total_c"),
+        max("n_urgent").as("n_urgent"))
+      .orderBy("p")
+    (out, store)
+  }
+
   /** Depth cap of the [[qEwma]] dyadic decay window (rows, current
     * included) — shared verbatim with the oracle and the streaming
     * twin's bounded state queue.

@@ -67,6 +67,62 @@ object SnapshotDelete {
     } finally rm(new java.io.File(store))
   }
 
+  /** src_delete_compact — COMPACTION absorbs the delete vectors: the
+    * merge-on-read debt ([[SnapshotStore.readWithDeletes]]'s per-read
+    * anti-join) is paid off by ONE rewrite that applies the deletes
+    * and commits v4 with an EMPTY dfiles list — after which readers
+    * scan plain data files again. The op emits the v3 (deletes
+    * applied) and v4 (compacted, read WITHOUT any delete application)
+    * aggregates side by side; the oracle states both rows from the
+    * same visibility rules, so a compaction that resurrected a
+    * deleted key, lost a live row, or left delete debt behind
+    * (n_delete_files ≠ 0) hash-mismatches. v3 stays readable until
+    * expire — rewrite isolation as everywhere else in the store.
+    */
+  def deleteCompact(spark: SparkSession, dir: String): DataFrame = {
+    val store = stage(spark, dir)
+    try {
+      val head = SnapshotStore.readWithDeletes(spark, store, 3, "k")
+        .select(col("k"), col("ck"), col("total_c"), col("p").cast("long").as("p"))
+      val before = SnapshotStore.listDataFiles(store).toSet
+      head.repartition(col("p"))
+        .write.mode(SaveMode.Append).partitionBy("p").parquet(store)
+      val newFiles = SnapshotStore.listDataFiles(store).filterNot(before)
+      val v4 = SnapshotStore.commitWithDeletes(store, newFiles, Seq.empty)
+      def report(df: DataFrame, v: Int, nDel: Long): DataFrame = df
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("sum_key"),
+          sum("total_c").as("sum_total_c"),
+          sum(when(col("k") % 10 === 3 || col("k") % 10 === 7, 1L)
+            .otherwise(0L)).as("present_deleted"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_key"),
+          col("sum_total_c"), col("present_deleted"),
+          lit(nDel).as("n_delete_files"))
+      val agg = report(SnapshotStore.readWithDeletes(spark, store, 3, "k"), 3,
+          SnapshotStore.deletesOf(store, 3).length.toLong)
+        .unionByName(report(SnapshotStore.read(spark, store, v4), 4,
+          SnapshotStore.deletesOf(store, v4).length.toLong))
+        .orderBy("version")
+      val rows = agg.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally rm(new java.io.File(store))
+  }
+
+  /** Closed-form oracle of [[deleteCompact]]: the post-delete table
+    * stated once, emitted for v3 and v4 (delete debt zero at v4).
+    */
+  val compactOracle: String =
+    """WITH b AS (SELECT o_orderkey AS k,
+      |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c FROM orders
+      |  WHERE o_orderkey % 10 <> 3 AND o_orderkey % 10 <> 7),
+      |v AS (SELECT * FROM (VALUES (3, 2), (4, 0)) t(version, n_delete_files))
+      |SELECT CAST(version AS BIGINT) AS version,
+      |  (SELECT COUNT(*) FROM b) AS n_rows,
+      |  CAST((SELECT SUM(k) FROM b) AS BIGINT) AS sum_key,
+      |  CAST((SELECT SUM(total_c) FROM b) AS BIGINT) AS sum_total_c,
+      |  CAST(0 AS BIGINT) AS present_deleted,
+      |  CAST(n_delete_files AS BIGINT) AS n_delete_files
+      |FROM v ORDER BY 1""".stripMargin
+
   /** Closed-form oracle: per-version key-residue visibility rules over
     * `orders` — the staged table is exactly orders' (k, total_c).
     */

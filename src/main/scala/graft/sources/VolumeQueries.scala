@@ -883,6 +883,9 @@ object VolumeQueries {
     "src_zorder_store" -> (ZOrderStore.zorderStore _),
     "src_schema_evolve" -> (SchemaEvolve.schemaEvolve _),
     "src_snapshot_delete" -> (SnapshotDelete.snapshotDelete _),
+    "src_delete_compact" -> (SnapshotDelete.deleteCompact _),
+    "src_snapshot_diff" -> (SnapshotDiff.snapshotDiff _),
+    "src_partition_evolve" -> (PartitionEvolve.partitionEvolve _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1009,6 +1012,15 @@ object VolumeQueries {
     // equality deletes: per-version visibility (deleted keys absent at
     // head, present at the prior snapshot) in closed form
     "src_snapshot_delete" -> SnapshotDelete.deleteOracle,
+    // compaction absorbs the delete vectors: v4's PLAIN read must
+    // equal v3's delete-applied read, with zero delete debt left
+    "src_delete_compact" -> SnapshotDelete.compactOracle,
+    // the manifest-planned change feed: per-op aggregates restated
+    // from the changeset rules in closed form
+    "src_snapshot_diff" -> SnapshotDiff.diffOracle,
+    // per-spec pruning arithmetic + the full-table truth: old-spec
+    // files prune at year granularity, new-spec at month
+    "src_partition_evolve" -> PartitionEvolve.evolveOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill

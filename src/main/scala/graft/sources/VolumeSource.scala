@@ -41,6 +41,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.read.format("graft.sources.VolumeSource")
   *   .option("grid", 16).option("channels", 2).option("leaf", 4)
   *   .option("level", 1).load()`
+  *
+  * `.option("zonemap", path)` additionally hands the reader a
+  * write-time per-block [vmin, vmax] manifest
+  * ([[VolumeSource.buildZonemap]]); pushed v-range predicates then
+  * prune blocks at PLAN time, the file-level value skipping the
+  * oct_empty_prune class of intensity queries needs.
   */
 class VolumeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = VolumeSource.schema

@@ -346,6 +346,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_dpp: the fact scan carries a dynamicpruning partition filter and prunes at runtime") {
+    val (df, store) = graft.relational.Queries.dppPlan(spark, dir)
+    try {
+      val plan = df.queryExecution.explainString(FormattedMode)
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        "no dynamicpruning subquery reached the fact scan")
+      assert(df.collect().nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
   test("src_zorder_store read-back: the catalog scan opens ONLY the stats-planned files and pushes the box") {
     import org.apache.spark.sql.functions._
     val st = graft.sources.ZOrderStore.stage(spark, dir)

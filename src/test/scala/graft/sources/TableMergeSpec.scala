@@ -149,4 +149,89 @@ class TableMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(after === before, "expire broke the delete-applied head read")
     } finally rm(new java.io.File(store))
   }
+
+  test("snapshot diff stays within churned files and reconciles v1 -> v2") {
+    import org.apache.spark.sql.functions._
+    val store = s"/tmp/graft_sdiff_spec_${graft.Staging.token()}"
+    rm(new java.io.File(store))
+    try {
+      val (v1, v2, touched) = TableMerge.runMerge(spark, dir, store)
+      // the churn set is manifest arithmetic and only touched partitions
+      val f1 = SnapshotStore.files(store, v1).toSet
+      val f2 = SnapshotStore.files(store, v2).toSet
+      val churn = (f1 -- f2) ++ (f2 -- f1)
+      assert(churn.nonEmpty)
+      churn.foreach(f => assert(touched.exists(p => f.startsWith(s"p=$p/")),
+        s"diff would read untouched file $f"))
+      val d = SnapshotDiff.diff(spark, store, v1, v2).localCheckpoint(true)
+      val byOp = d.groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // count reconciliation: |v2| = |v1| − D + I
+      val n1 = SnapshotStore.read(spark, store, v1).count()
+      val n2 = SnapshotStore.read(spark, store, v2).count()
+      assert(n2 === n1 - byOp.getOrElse("D", 0L) + byOp.getOrElse("I", 0L))
+      // membership: D keys gone from v2, I keys absent from v1
+      val v2keys = SnapshotStore.read(spark, store, v2)
+        .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      val v1keys = SnapshotStore.read(spark, store, v1)
+        .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      d.collect().foreach { r =>
+        val (k, op) = (r.getAs[Long]("k"), r.getAs[String]("op"))
+        op match {
+          case "D" => assert(!v2keys(k) && v1keys(k), s"D key $k")
+          case "I" => assert(v2keys(k) && !v1keys(k), s"I key $k")
+          case _ => assert(v2keys(k) && v1keys(k), s"$op key $k")
+        }
+      }
+    } finally rm(new java.io.File(store))
+  }
+
+  test("delete compaction: v4 plain read equals v3 delete-applied read, v3 stays readable") {
+    import org.apache.spark.sql.functions._
+    val r = SnapshotDelete.deleteCompact(spark, dir).collect()
+    assert(r.length === 2)
+    val (v3, v4) = (r(0), r(1))
+    assert(v3.getAs[Long]("version") === 3L && v4.getAs[Long]("version") === 4L)
+    Seq("n_rows", "sum_key", "sum_total_c", "present_deleted").foreach { c =>
+      assert(v3.getAs[Long](c) === v4.getAs[Long](c), s"$c diverged")
+    }
+    assert(v3.getAs[Long]("n_delete_files") === 2L)
+    assert(v4.getAs[Long]("n_delete_files") === 0L)
+    assert(v3.getAs[Long]("present_deleted") === 0L)
+  }
+
+  test("ivm delta maintenance lands on the actual merged table") {
+    val store = s"/tmp/graft_ivm_spec_${graft.Staging.token()}"
+    rm(new java.io.File(store))
+    try {
+      TableMerge.runMerge(spark, dir, store)
+      val merged = TableMerge.mergeReport(spark, store).collect()
+        .map(_.toSeq).toSet
+      val maintained = graft.ops.Pipeline.ivm(spark, dir).collect()
+        .map(_.toSeq).toSet
+      assert(maintained === merged,
+        "delta-maintained MV diverged from the merged table")
+    } finally rm(new java.io.File(store))
+  }
+
+  test("partition evolution: old-spec files over-read at year granularity, new-spec prune to months") {
+    val r = PartitionEvolve.partitionEvolve(spark, dir).collect()(0)
+    assert(r.getAs[Long]("files_total") >
+      r.getAs[Long]("s1_files_read") + r.getAs[Long]("s2_files_read"),
+      "the evolved plan did not prune")
+    // the year-granularity cost is visible: more rows read than match
+    assert(r.getAs[Long]("rows_read") > r.getAs[Long]("n_match"))
+    // nothing pruned away: matched rows == full-scan truth
+    import org.apache.spark.sql.functions._
+    val truth = graft.Tables(spark, dir, "orders")
+      .select(floor(col("o_totalprice") * 100).cast("long").as("total_c"),
+        (year(col("o_orderdate")).cast("long") * 100 +
+          month(col("o_orderdate")).cast("long")).as("ym"))
+      .filter(col("ym") >= PartitionEvolve.QLo && col("ym") <= PartitionEvolve.QHi)
+      .agg(count(lit(1)), sum("total_c")).collect()(0)
+    assert(r.getAs[Long]("n_match") === truth.getLong(0))
+    assert(r.getAs[Long]("sum_total_c") === truth.getLong(1))
+  }
 }
