@@ -8,6 +8,84 @@ package graft.ops
   * thresholds on floor(cos·10⁶).
   */
 object OpsOracles {
+  /** The IVF-ADC oracle stage shared by sim_ivfpq_topk and
+    * sim_ivfpq_refine — `tail` consumes the `adc` CTE.
+    */
+  private def ivfpqOracleWith(tail: String): String = {
+      val d = Similarity.PqD
+      def l2i(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  [(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]) for i in range(1, ${d + 1})]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      def residL(v: String, c: String) =
+        s"""[CAST(FLOOR((CAST(($v)[i] AS DOUBLE) - CAST(($c)[i] AS DOUBLE))
+           | * CAST(1000000.0 AS DOUBLE)) AS BIGINT) for i in range(1, 65)]""".stripMargin
+      def microL(v: String) =
+        s"""[CAST(FLOOR(CAST(($v)[i] AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+           | for i in range(1, 65)]""".stripMargin
+      def l2i64(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  [(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]) for i in range(1, 65)]),
+           |  (acc, v) -> acc + v)""".stripMargin
+      s"""WITH $ivfModsCte,
+         |cbm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
+         |        WHERE (CAST(1 AS BIGINT) << g) * ${Similarity.PqKs} >= nn.n),
+         |vqs AS (SELECT vec_id, embedding, ${microL("embedding")} AS vq FROM embeddings),
+         |cqs AS (SELECT cent_id, cvec, ${microL("cvec")} AS cq FROM c),
+         |asg AS (SELECT e.vec_id, e.embedding, q.cent_id,
+         |          ${l2i64("e.vq", "q.cq")} AS cdist
+         |        FROM vqs e, cqs q),
+         |cell AS (SELECT vec_id, embedding, cent_id AS cell FROM asg
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cent_id) = 1),
+         |rq AS (SELECT cell.vec_id, cell.cell,
+         |         ${residL("cell.embedding", "c2.cvec")} AS rvec
+         |       FROM cell JOIN c c2 ON cell.cell = c2.cent_id),
+         |seeds AS (SELECT rq.*,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cb_idx
+         |  FROM rq, cbm WHERE vec_id % cbm.m = 0),
+         |cb0 AS (SELECT CAST(mm.m AS BIGINT) AS m, cb_idx,
+         |         rvec[mm.m*$d+1 : mm.m*$d+$d] AS cwvec
+         |       FROM seeds, range(0, ${Similarity.PqM}) mm(m)),
+         |subs AS (SELECT vec_id, cell, CAST(mm.m AS BIGINT) AS m,
+         |           rvec[mm.m*$d+1 : mm.m*$d+$d] AS rsub
+         |         FROM rq, range(0, ${Similarity.PqM}) mm(m)),
+         |cd0 AS (
+         |  SELECT vec_id, cell, s.m,
+         |    CAST(MIN(${l2i("rsub", "cwvec")} * ${Similarity.PqKs} + cb_idx)
+         |      % ${Similarity.PqKs} AS BIGINT) AS cb_idx
+         |  FROM subs s JOIN cb0 ON s.m = cb0.m GROUP BY 1, 2, 3),
+         |se AS (SELECT vec_id, m, u.pos, rsub[u.pos] AS x
+         |       FROM subs, range(1, ${d + 1}) u(pos)),
+         |cbd AS (
+         |  SELECT se.m, c.cb_idx, se.pos, CAST(SUM(se.x) // COUNT(*) AS BIGINT) AS cw
+         |  FROM se JOIN cd0 c ON se.vec_id = c.vec_id AND se.m = c.m
+         |  GROUP BY 1, 2, 3),
+         |cb AS (SELECT m, cb_idx, list(cw ORDER BY pos) AS cwvec FROM cbd GROUP BY 1, 2),
+         |codes AS (
+         |  SELECT vec_id, cell, s.m,
+         |    CAST(MIN(${l2i("rsub", "cwvec")} * ${Similarity.PqKs} + cb_idx)
+         |      % ${Similarity.PqKs} AS BIGINT) AS cb_idx
+         |  FROM subs s JOIN cb ON s.m = cb.m GROUP BY 1, 2, 3),
+         |pc AS (
+         |  SELECT p.probe_id, p.pvec, q.cent_id AS cell,
+         |    ${l2i64(s"${microL("p.pvec")}", "q.cq")} AS pdist
+         |  FROM p, cqs q
+         |  QUALIFY row_number() OVER (PARTITION BY p.probe_id
+         |    ORDER BY pdist, q.cent_id) <= 4),
+         |prq AS (SELECT pc.probe_id, pc.cell,
+         |          ${residL("pc.pvec", "c2.cvec")} AS prvec
+         |        FROM pc JOIN c c2 ON pc.cell = c2.cent_id),
+         |lut AS (
+         |  SELECT probe_id, cell, cb.m, cb.cb_idx,
+         |    CAST(${l2i(s"prvec[cb.m*$d+1 : cb.m*$d+$d]", "cwvec")} AS BIGINT) AS dd
+         |  FROM prq, cb),
+         |adc AS (
+         |  SELECT probe_id, vec_id, CAST(SUM(dd) AS BIGINT) AS adc_d,
+         |    COUNT(*) AS nm
+         |  FROM codes JOIN lut USING (cell, m, cb_idx) GROUP BY 1, 2),
+         |$tail""".stripMargin
+  }
+
 
   private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -2627,79 +2705,8 @@ object OpsOracles {
          |LEFT JOIN mj ON emb.vec_id = mj.vec_id
          |LEFT JOIN agr ON emb.vec_id = agr.vec_id
          |ORDER BY emb.vec_id""".stripMargin,
-    "sim_ivfpq_topk" -> {
-      val d = Similarity.PqD
-      def l2i(a: String, b: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  [(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]) for i in range(1, ${d + 1})]),
-           |  (acc, v) -> acc + v)""".stripMargin
-      def residL(v: String, c: String) =
-        s"""[CAST(FLOOR((CAST(($v)[i] AS DOUBLE) - CAST(($c)[i] AS DOUBLE))
-           | * CAST(1000000.0 AS DOUBLE)) AS BIGINT) for i in range(1, 65)]""".stripMargin
-      def microL(v: String) =
-        s"""[CAST(FLOOR(CAST(($v)[i] AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
-           | for i in range(1, 65)]""".stripMargin
-      def l2i64(a: String, b: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  [(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]) for i in range(1, 65)]),
-           |  (acc, v) -> acc + v)""".stripMargin
-      s"""WITH $ivfModsCte,
-         |cbm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn
-         |        WHERE (CAST(1 AS BIGINT) << g) * ${Similarity.PqKs} >= nn.n),
-         |vqs AS (SELECT vec_id, embedding, ${microL("embedding")} AS vq FROM embeddings),
-         |cqs AS (SELECT cent_id, cvec, ${microL("cvec")} AS cq FROM c),
-         |asg AS (SELECT e.vec_id, e.embedding, q.cent_id,
-         |          ${l2i64("e.vq", "q.cq")} AS cdist
-         |        FROM vqs e, cqs q),
-         |cell AS (SELECT vec_id, embedding, cent_id AS cell FROM asg
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cent_id) = 1),
-         |rq AS (SELECT cell.vec_id, cell.cell,
-         |         ${residL("cell.embedding", "c2.cvec")} AS rvec
-         |       FROM cell JOIN c c2 ON cell.cell = c2.cent_id),
-         |seeds AS (SELECT rq.*,
-         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cb_idx
-         |  FROM rq, cbm WHERE vec_id % cbm.m = 0),
-         |cb0 AS (SELECT CAST(mm.m AS BIGINT) AS m, cb_idx,
-         |         rvec[mm.m*$d+1 : mm.m*$d+$d] AS cwvec
-         |       FROM seeds, range(0, ${Similarity.PqM}) mm(m)),
-         |subs AS (SELECT vec_id, cell, CAST(mm.m AS BIGINT) AS m,
-         |           rvec[mm.m*$d+1 : mm.m*$d+$d] AS rsub
-         |         FROM rq, range(0, ${Similarity.PqM}) mm(m)),
-         |cd0 AS (
-         |  SELECT vec_id, cell, s.m,
-         |    CAST(MIN(${l2i("rsub", "cwvec")} * ${Similarity.PqKs} + cb_idx)
-         |      % ${Similarity.PqKs} AS BIGINT) AS cb_idx
-         |  FROM subs s JOIN cb0 ON s.m = cb0.m GROUP BY 1, 2, 3),
-         |se AS (SELECT vec_id, m, u.pos, rsub[u.pos] AS x
-         |       FROM subs, range(1, ${d + 1}) u(pos)),
-         |cbd AS (
-         |  SELECT se.m, c.cb_idx, se.pos, CAST(SUM(se.x) // COUNT(*) AS BIGINT) AS cw
-         |  FROM se JOIN cd0 c ON se.vec_id = c.vec_id AND se.m = c.m
-         |  GROUP BY 1, 2, 3),
-         |cb AS (SELECT m, cb_idx, list(cw ORDER BY pos) AS cwvec FROM cbd GROUP BY 1, 2),
-         |codes AS (
-         |  SELECT vec_id, cell, s.m,
-         |    CAST(MIN(${l2i("rsub", "cwvec")} * ${Similarity.PqKs} + cb_idx)
-         |      % ${Similarity.PqKs} AS BIGINT) AS cb_idx
-         |  FROM subs s JOIN cb ON s.m = cb.m GROUP BY 1, 2, 3),
-         |pc AS (
-         |  SELECT p.probe_id, p.pvec, q.cent_id AS cell,
-         |    ${l2i64(s"${microL("p.pvec")}", "q.cq")} AS pdist
-         |  FROM p, cqs q
-         |  QUALIFY row_number() OVER (PARTITION BY p.probe_id
-         |    ORDER BY pdist, q.cent_id) <= 4),
-         |prq AS (SELECT pc.probe_id, pc.cell,
-         |          ${residL("pc.pvec", "c2.cvec")} AS prvec
-         |        FROM pc JOIN c c2 ON pc.cell = c2.cent_id),
-         |lut AS (
-         |  SELECT probe_id, cell, cb.m, cb.cb_idx,
-         |    CAST(${l2i(s"prvec[cb.m*$d+1 : cb.m*$d+$d]", "cwvec")} AS BIGINT) AS dd
-         |  FROM prq, cb),
-         |adc AS (
-         |  SELECT probe_id, vec_id, CAST(SUM(dd) AS BIGINT) AS adc_d,
-         |    COUNT(*) AS nm
-         |  FROM codes JOIN lut USING (cell, m, cb_idx) GROUP BY 1, 2),
-         |top AS (
+    "sim_ivfpq_topk" -> ivfpqOracleWith(
+      s"""top AS (
          |  SELECT probe_id, vec_id, adc_d,
          |    CAST(row_number() OVER (PARTITION BY probe_id
          |      ORDER BY adc_d, vec_id) AS BIGINT) AS rank
@@ -2709,8 +2716,26 @@ object OpsOracles {
          |  ${cosU("p2.pvec", "e.embedding")} AS cos_u
          |FROM top t JOIN embeddings e ON t.vec_id = e.vec_id
          |JOIN p p2 ON t.probe_id = p2.probe_id
-         |ORDER BY t.probe_id, t.rank""".stripMargin
-    },
+         |ORDER BY t.probe_id, t.rank""".stripMargin),
+    // the IVF-ADC stage verbatim, then the refine tail: exact cosine
+    // on the ADC top-L shortlist, real top-5 of that
+    "sim_ivfpq_refine" -> ivfpqOracleWith(
+      s"""short AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adc_d, vec_id) AS BIGINT) AS adc_rank
+         |  FROM adc WHERE vec_id <> probe_id AND nm = ${Similarity.PqM}
+         |  QUALIFY adc_rank <= ${Similarity.PqRefineL}),
+         |ex AS (
+         |  SELECT s.probe_id, s.vec_id, s.adc_rank,
+         |    ${cosU("p2.pvec", "e.embedding")} AS cos_u
+         |  FROM short s JOIN embeddings e ON s.vec_id = e.vec_id
+         |  JOIN p p2 ON s.probe_id = p2.probe_id)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, adc_rank, cos_u
+         |FROM ex QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin),
     "sim_pq_topk" -> {
       val d = Similarity.PqD
       def l2(a: String, b: String) =

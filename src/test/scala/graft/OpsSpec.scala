@@ -1017,6 +1017,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"pq refine recall@5: $rRef%.3f vs raw adc $rRaw%.3f")
     assert(rRef >= rRaw, f"the exact re-rank lost recall: $rRef%.3f < $rRaw%.3f")
     assert(rRef >= 0.6, f"refine recall collapsed: $rRef%.3f")
+    // the composed IVF-ADC index gains the same way on ITS probe set
+    // (recall here is vs the probed-cells candidate ceiling)
+    val rIvfRef = recallOf(Similarity.ivfpqRefine(spark, dir).collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSeq)
+    val rIvfRaw = recallOf(Similarity.ivfpqTopk(spark, dir).collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSeq)
+    info(f"ivfpq refine recall@5: $rIvfRef%.3f vs raw adc $rIvfRaw%.3f")
+    assert(rIvfRef >= rIvfRaw,
+      f"ivfpq re-rank lost recall: $rIvfRef%.3f < $rIvfRaw%.3f")
     // the ride-along cosine is the exact one, and the emitted order is
     // the exact-cosine order (not the ADC order)
     refined.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
