@@ -483,6 +483,49 @@ object Pipeline {
     * recomputed); delta work is O(changeset) + one partition-pruned
     * probe; the splice joins run on the bounded (partition) frame.
     */
+  /** The signed per-partition delta a changeset implies, with the U
+    * pre-images probed from `v1` (partition-pruned to the touched
+    * partitions) — shared by the batch op and the streaming twin.
+    */
+  private[graft] def ivmDelta(spark: SparkSession, v1: DataFrame,
+      cs0: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cs = cs0.localCheckpoint()
+    // pre-images for the U keys: an O(batch) probe into ONLY the
+    // touched partitions of the stored table
+    val touched = cs.select("p").distinct().as[Long].collect().toSeq
+    val uPre = v1.filter(col("p").isin(touched: _*))
+      .join(broadcast(cs.filter(col("op") === "U").select("k")), Seq("k"))
+      .select(col("p"), col("total_c").as("tc_pre"), col("k"))
+    // signed delta stream: D subtracts its pre-image (carried by the
+    // feed), I adds, U contributes its value difference
+    cs.filter(col("op") === "D")
+      .select(col("p"), lit(-1L).as("dn"), (-col("total_c")).as("dtc"),
+        (-col("k")).as("dk"))
+      .unionByName(cs.filter(col("op") === "I")
+        .select(col("p"), lit(1L).as("dn"), col("total_c").as("dtc"),
+          col("k").as("dk")))
+      .unionByName(cs.filter(col("op") === "U")
+        .join(uPre.select(col("k"), col("tc_pre")), Seq("k"))
+        .select(col("p"), lit(0L).as("dn"),
+          (col("total_c") - col("tc_pre")).as("dtc"), lit(0L).as("dk")))
+      .groupBy("p")
+      .agg(sum("dn").as("dn"), sum("dtc").as("dtc"), sum("dk").as("dk"))
+  }
+
+  /** Apply a signed delta to the MV frame (a full-outer splice on the
+    * bounded partition domain).
+    */
+  private[graft] def ivmApply(mv: DataFrame, delta: DataFrame): DataFrame =
+    mv.join(delta, Seq("p"), "full_outer")
+      .select(col("p"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_total_c"), lit(0L)) + coalesce(col("dtc"), lit(0L)))
+          .as("sum_total_c"),
+        (coalesce(col("sum_key"), lit(0L)) + coalesce(col("dk"), lit(0L)))
+          .as("sum_key"))
+
   def ivm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.sources.{SnapshotStore, TableMerge}
@@ -498,35 +541,7 @@ object Pipeline {
       val mv0 = spark.read.parquet(s"$store/_mv/v1")
       val cs = TableMerge.changesetRows(spark, dir)
         .toDF("k", "ck", "total_c", "p", "op")
-      // pre-images for the U keys: an O(batch) probe into ONLY the
-      // touched partitions of the stored table
-      val touched = cs.select("p").distinct().as[Long].collect().toSeq
-      val uPre = v1.filter(col("p").isin(touched: _*))
-        .join(broadcast(cs.filter(col("op") === "U").select("k")), Seq("k"))
-        .select(col("p"), col("total_c").as("tc_pre"), col("k"))
-      // signed delta stream: D subtracts its pre-image (carried by the
-      // feed), I adds, U contributes its value difference
-      val deltas = cs.filter(col("op") === "D")
-        .select(col("p"), lit(-1L).as("dn"), (-col("total_c")).as("dtc"),
-          (-col("k")).as("dk"))
-        .unionByName(cs.filter(col("op") === "I")
-          .select(col("p"), lit(1L).as("dn"), col("total_c").as("dtc"),
-            col("k").as("dk")))
-        .unionByName(cs.filter(col("op") === "U")
-          .join(uPre.select(col("k"), col("tc_pre")), Seq("k"))
-          .select(col("p"), lit(0L).as("dn"),
-            (col("total_c") - col("tc_pre")).as("dtc"), lit(0L).as("dk")))
-        .groupBy("p")
-        .agg(sum("dn").as("dn"), sum("dtc").as("dtc"), sum("dk").as("dk"))
-      val mv1 = mv0.join(deltas, Seq("p"), "full_outer")
-        .select(col("p"),
-          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-            .as("n_rows"),
-          (coalesce(col("sum_total_c"), lit(0L)) + coalesce(col("dtc"), lit(0L)))
-            .as("sum_total_c"),
-          (coalesce(col("sum_key"), lit(0L)) + coalesce(col("dk"), lit(0L)))
-            .as("sum_key"))
-        .orderBy("p")
+      val mv1 = ivmApply(mv0, ivmDelta(spark, v1, cs)).orderBy("p")
       val rows = mv1.collect().toIndexedSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mv1.schema)
     } finally {

@@ -216,6 +216,46 @@ class TableMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rm(new java.io.File(store))
   }
 
+  test("live ivm: replayed batch is a no-op, drained MV equals the merged table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val store = TableMerge.stageStore(spark, dir, "sivm_spec")
+    val mvStore = s"${store}_mv"
+    val ref = s"/tmp/graft_ivm_ref_${graft.Staging.token()}"
+    rm(new java.io.File(ref))
+    try {
+      val v1 = SnapshotStore.read(spark, store, 1)
+        .select(col("k"), col("total_c"), col("p").cast("long").as("p"))
+      v1.groupBy("p")
+        .agg(count(lit(1)).as("n_rows"), sum("total_c").as("sum_total_c"),
+          sum("k").as("sum_key"))
+        .coalesce(1).write.parquet(s"$mvStore/mv-init")
+      SnapshotStore.commit(mvStore, SnapshotStore.listDataFiles(mvStore)): Unit
+      val rows = TableMerge.changesetRows(spark, dir)
+      val waves = (0 until 3).map(w => rows.filter(_._1 % 3 == w))
+      def df(w: Seq[(Long, Long, Long, Long, String)]) =
+        w.toDF("k", "ck", "total_c", "p", "op")
+      graft.streaming.EventStreams.ivmBatch(store, mvStore)(df(waves(0)), 0L)
+      val after0 = SnapshotStore.latest(mvStore)
+      // mid-stream replay under the original batch id: no new version
+      graft.streaming.EventStreams.ivmBatch(store, mvStore)(df(waves(0)), 0L)
+      assert(SnapshotStore.latest(mvStore) === after0,
+        "a replayed ivm batch committed a new MV version")
+      graft.streaming.EventStreams.ivmBatch(store, mvStore)(df(waves(1)), 1L)
+      graft.streaming.EventStreams.ivmBatch(store, mvStore)(df(waves(2)), 2L)
+      val got = SnapshotStore
+        .read(spark, mvStore, SnapshotStore.latest(mvStore))
+        .select("p", "n_rows", "sum_total_c", "sum_key")
+        .collect().map(_.toSeq).toSet
+      TableMerge.runMerge(spark, dir, ref)
+      val want = TableMerge.mergeReport(spark, ref).collect().map(_.toSeq).toSet
+      assert(got === want, "live-maintained MV diverged from the merged table")
+    } finally {
+      rm(new java.io.File(store)); rm(new java.io.File(mvStore))
+      rm(new java.io.File(ref))
+    }
+  }
+
   test("partition evolution: old-spec files over-read at year granularity, new-spec prune to months") {
     val r = PartitionEvolve.partitionEvolve(spark, dir).collect()(0)
     assert(r.getAs[Long]("files_total") >
