@@ -30,7 +30,7 @@ object Bench {
     "q_funnel", "q_retention",
     "q_scd2",
     "q_pivot", "q_corr", "q_json_extract",
-    "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_topk_orders",
+    "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
     "oct_down_linear", "oct_down_aa", "oct_down_spline3",
@@ -67,6 +67,7 @@ object Bench {
     "pipeline_ivm",
     "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
+    "stats_moments", "stats_heavy_changers",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
     "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_refine", "sim_pq_kmeans", "sim_knn_graph",

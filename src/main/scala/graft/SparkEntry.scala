@@ -27,6 +27,7 @@ object SparkEntry {
     "q_topk_orders" -> (Queries.qTopkOrders _),
     "q_semijoin" -> (Queries.qSemijoin _),
     "q_rollup" -> (Queries.qRollup _),
+    "q_grouping_sets" -> (Queries.qGroupingSets _),
     "q_skew_join" -> (Queries.qSkewJoin _),
     "q_asof" -> (Queries.qAsof _),
     "q_asof_native" -> (Queries.qAsofNative _),
@@ -245,6 +246,21 @@ object SparkEntry {
          |  a.sum_acctbal_c
          |FROM a LEFT JOIN w ON a.nationkey = w.nationkey
          |ORDER BY a.nationkey""".stripMargin,
+    // the general grouping-sets shape (rollup/cube's parent): same
+    // exact-cents arithmetic, gid = grouping(r)*2 + grouping(seg)
+    "q_grouping_sets" ->
+      """SELECT COALESCE(r_name, '(all)') AS region,
+        |  COALESCE(c_mktsegment, '(all)') AS segment,
+        |  CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_acctbal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name),
+        |  (c_mktsegment))
+        |ORDER BY gid, region, segment""".stripMargin,
     "q_rollup" ->
       s"""SELECT COALESCE(r_name, '(all)') AS region, COALESCE(n_name, '(all)') AS nation,
          |CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS BIGINT) AS gid,

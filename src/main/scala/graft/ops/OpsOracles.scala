@@ -876,6 +876,29 @@ object OpsOracles {
          |SELECT source, CAST(row_number() OVER (PARTITION BY source
          |    ORDER BY drift_u DESC, tok) AS BIGINT) AS rank, tok, o, drift_u
          |FROM r QUALIFY rank <= ${Sampling.DriftTopK} ORDER BY source, rank""".stripMargin,
+    // mergeable raw power sums (DuckDB SUM(BIGINT) widens to HUGEINT —
+    // cast every sum back so the schemas agree)
+    "stats_moments" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value) AS BIGINT) AS v FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS s1,
+        |  CAST(SUM(v*v) AS BIGINT) AS s2,
+        |  CAST(SUM(v*v*v) AS BIGINT) AS s3,
+        |  CAST(SUM(v*v*v*v) AS BIGINT) AS s4
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // day-parity period split, top movers by absolute count delta
+    "stats_heavy_changers" ->
+      s"""WITH e AS (SELECT event_type,
+         |    ((epoch_ns(ts) // 1000000000) // 86400) % 2 AS par FROM events),
+         |c AS (SELECT event_type,
+         |    CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         |    CAST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, cnt_a, cnt_b,
+         |  cnt_b - cnt_a AS delta, ABS(cnt_b - cnt_a) AS abs_delta
+         |FROM c ORDER BY abs_delta DESC, event_type
+         |LIMIT ${graft.ops.Sampling.ChangersK}""".stripMargin,
     "stats_value_hist" -> {
       val w = Sampling.HistWidthC
       s"""WITH e AS (SELECT event_type,

@@ -268,6 +268,52 @@ object Sampling {
       .orderBy("event_type", "bucket")
   }
 
+  /** stats_moments — MERGEABLE raw power sums per event type: n and
+    * Σv, Σv², Σv³, Σv⁴ over whole-unit values, all exact integers.
+    * Power sums are the canonical mergeable moment sketch — partials
+    * from any partitioning (days, shards, snapshots) re-merge by
+    * addition, exactly like [[graft.ops.Sampling]]'s HLL/KMV partials
+    * — and skewness/kurtosis derive downstream from the five sums
+    * without touching the data again. Whole units keep v⁴ sums under
+    * 2⁶³ at gate scales (500⁴·2·10⁴ ≈ 1.25·10¹⁵); a 100 TB deployment
+    * promotes the two high-power columns to decimal(38) — the
+    * mergeability argument is unchanged.
+    */
+  def moments(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      .orderBy("event_type")
+
+  /** Result size of [[heavyChangers]]. */
+  val ChangersK = 10
+
+  /** stats_heavy_changers — top movers between two periods: event
+    * types ranked by |count(late half) − count(early half)|, the
+    * drift triage that answers "what changed in yesterday's feed"
+    * before a χ² test ([[sourceDrift]]) quantifies it. One scan, one
+    * map-side-combined aggregate onto the bounded event-type domain,
+    * then arithmetic on that tiny frame; the period split is day
+    * parity — deterministic and partition-prunable on a day-keyed
+    * 100 TB table.
+    */
+  def heavyChangers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("sec", graft.relational.Queries.nsToSec(col("ts")))
+      .select(col("event_type"), (expr("sec div 86400L") % 2).as("par"))
+      .groupBy("event_type")
+      .agg(sum(when(col("par") === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("par") === 1, 1L).otherwise(0L)).as("cnt_b"))
+      .withColumn("delta", col("cnt_b") - col("cnt_a"))
+      .withColumn("abs_delta", abs(col("delta")))
+      .orderBy(col("abs_delta").desc, col("event_type"))
+      .limit(ChangersK)
+      .select("event_type", "cnt_a", "cnt_b", "delta", "abs_delta")
+
   /** Quantile targets (percent) for [[approxQuantile]]. */
   val QuantPs = Seq(50L, 90L, 99L)
 
@@ -1009,6 +1055,8 @@ object Sampling {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_moments" -> (moments _),
+    "stats_heavy_changers" -> (heavyChangers _),
     "sample_dsir" -> (dsir _),
     "sample_soft_dedup" -> (softDedup _),
     "sample_negatives" -> (negatives _),

@@ -1281,6 +1281,35 @@ object Queries {
       .orderBy(col("gid"), col("region"), col("nation"))
   }
 
+  /** q_grouping_sets — the GENERAL multi-aggregation shape rollup and
+    * cube are special cases of: one pass computes exactly the grouping
+    * combinations a report needs — (region, segment), (region),
+    * (segment) — skipping cube's (region, nation)-style cells nobody
+    * asked for. At 100 TB this is one Expand + one shuffle for N
+    * report tables instead of N scans; the gid disambiguates which
+    * set each row belongs to (NULL-valued keys vs NULL-from-grouping
+    * cannot be confused).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .createOrReplaceTempView("graft_gs_cust")
+    spark.sql(
+      """SELECT COALESCE(r_name, '(all)') AS region,
+        |  COALESCE(c_mktsegment, '(all)') AS segment,
+        |  CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_acctbal_c
+        |FROM graft_gs_cust
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name),
+        |  (c_mktsegment))
+        |ORDER BY gid, region, segment""".stripMargin)
+  }
+
   /** q_range_join — interval-containment join with NO equi-key,
     * re-expressed as a bucketed equi-join.
     *

@@ -993,6 +993,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.45, f"hamming rerank recall collapsed: $recall%.3f")
   }
 
+  test("moment power sums merge by addition and satisfy Cauchy-Schwarz") {
+    import org.apache.spark.sql.functions._
+    val whole = ops.Sampling.moments(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    whole.foreach { case (t, (n, s1, s2)) =>
+      assert(n * s2 >= s1 * s1, s"$t: E[v²] < E[v]² — impossible")
+    }
+    // partials over a day-parity split re-merge to the whole by
+    // addition — the mergeability contract, re-derived independently
+    val ev = Tables(spark, dir, "events")
+      .withColumn("sec", graft.relational.Queries.nsToSec(col("ts")))
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"),
+        (expr("sec div 86400L") % 2).as("par"))
+    val parts = ev.groupBy("event_type", "par")
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(parts === whole, "power-sum partials did not re-merge")
+  }
+
   test("pq refine beats raw pq recall on the same probes and keeps exact cosines") {
     import spark.implicits._
     val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
