@@ -886,6 +886,7 @@ object VolumeQueries {
     "src_delete_compact" -> (SnapshotDelete.deleteCompact _),
     "src_snapshot_diff" -> (SnapshotDiff.snapshotDiff _),
     "src_partition_evolve" -> (PartitionEvolve.partitionEvolve _),
+    "src_bloom_index" -> (BloomIndex.bloomIndex _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1021,6 +1022,10 @@ object VolumeQueries {
     // per-spec pruning arithmetic + the full-table truth: old-spec
     // files prune at year granularity, new-spec at month
     "src_partition_evolve" -> PartitionEvolve.evolveOracle,
+    // the point-lookup index: per-probe bloom plan (files_hit) AND the
+    // looked-up rows from the pruned read — a false negative breaks
+    // n_match/sum, an over/under-probing plan breaks files_hit
+    "src_bloom_index" -> BloomIndex.bloomOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill
