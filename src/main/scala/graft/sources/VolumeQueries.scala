@@ -887,6 +887,8 @@ object VolumeQueries {
     "src_snapshot_diff" -> (SnapshotDiff.snapshotDiff _),
     "src_partition_evolve" -> (PartitionEvolve.partitionEvolve _),
     "src_bloom_index" -> (BloomIndex.bloomIndex _),
+    "src_branch_tag" -> (TableRefs.branchTag _),
+    "src_wap" -> (TableRefs.wap _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1026,6 +1028,13 @@ object VolumeQueries {
     // looked-up rows from the pruned read — a false negative breaks
     // n_match/sum, an over/under-probing plan breaks files_hit
     "src_bloom_index" -> BloomIndex.bloomOracle,
+    // per-ref reads: tag frozen at v1, branches diverge without
+    // copying data — each ref's (version, files, rows, sum) restated
+    // from the year subsets in closed form
+    "src_branch_tag" -> TableRefs.branchTagOracle,
+    // write-audit-publish: the failed batch is never visible at head,
+    // the audit counts restate the injected corruption classes
+    "src_wap" -> TableRefs.wapOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill
