@@ -86,7 +86,8 @@ object Bench {
     "src_volume_snapshot", "src_snapshot_merge", "src_stats_prune",
     "src_zorder_store", "src_schema_evolve", "src_volume_zonemap",
     "src_snapshot_delete", "src_delete_compact", "src_snapshot_diff",
-    "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap")
+    "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap",
+    "src_log_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

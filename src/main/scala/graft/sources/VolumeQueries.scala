@@ -889,6 +889,7 @@ object VolumeQueries {
     "src_bloom_index" -> (BloomIndex.bloomIndex _),
     "src_branch_tag" -> (TableRefs.branchTag _),
     "src_wap" -> (TableRefs.wap _),
+    "src_log_compact" -> (LogStore.logCompact _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1035,6 +1036,9 @@ object VolumeQueries {
     // write-audit-publish: the failed batch is never visible at head,
     // the audit counts restate the injected corruption classes
     "src_wap" -> TableRefs.wapOracle,
+    // delta log + checkpoints: both reads' aggregates AND the
+    // planner-cost arithmetic (metadata reads per plan) in closed form
+    "src_log_compact" -> LogStore.logOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill
