@@ -99,6 +99,61 @@ object LogStore {
     spark.read.option("basePath", root)
       .parquet(stateAt(root, v)._1.map(f => s"$root/$f"): _*)
 
+  /** The files a commit ADDED — what a streaming tail consumes. */
+  def addsOf(root: String, v: Int): Seq[String] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(lfile(root, v).toPath), "UTF-8")
+    field(txt, "adds")
+  }
+
+  /** The files a commit REMOVED — non-empty marks a CHANGE commit
+    * (compaction/drop), which an append-tail consumer must skip
+    * (Delta's skipChangeCommits semantics): its adds carry no new
+    * rows, only rewritten ones.
+    */
+  def removesOf(root: String, v: Int): Seq[String] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(lfile(root, v).toPath), "UTF-8")
+    field(txt, "removes")
+  }
+
+  /** Stage the shared 9-commit history (7 one-year appends, a 3→1
+    * compaction, a partition drop) under a fresh root; shared by
+    * [[logCompact]] and the streaming tail.
+    */
+  private[graft] def stageHistory(spark: SparkSession, dir: String): String = {
+    val root = s"$tmpfsRoot/graft_log_${graft.Staging.token()}"
+    rm(new java.io.File(root))
+    val o = Tables(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("pc"))
+    val y0 = o.agg(min("y")).collect()(0).getLong(0)
+
+    def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+      val before = SnapshotStore.listDataFiles(root).toSet
+      df.write.mode(SaveMode.Append).parquet(s"$root/data/$sub")
+      SnapshotStore.listDataFiles(root).filterNot(before)
+    }
+
+    // commits 1..7: one year per delta commit (the streaming-append shape)
+    val yearFiles = (0L to 6L).map { d =>
+      val fs = writeFiles(
+        o.filter(col("y") === y0 + d).coalesce(1), s"y${y0 + d}")
+      commitDelta(root, fs, Nil)
+      fs
+    }
+    // commit 8: compaction — merge the first three years into one file
+    val merged = writeFiles(
+      o.filter(col("y") <= y0 + 2).coalesce(1), "merged")
+    commitDelta(root, merged, yearFiles.take(3).flatten)
+    // commit 9: drop the newest year's partition
+    commitDelta(root, Nil, yearFiles(6))
+    root
+  }
+
+  private[graft] def dropRoot(root: String): Unit = rm(new java.io.File(root))
+
   // ------------------------------------------------------------------
   //  src_log_compact — the op
   // ------------------------------------------------------------------
@@ -123,35 +178,8 @@ object LogStore {
     * restated from `orders` in closed form.
     */
   def logCompact(spark: SparkSession, dir: String): DataFrame = {
-    val root = s"$tmpfsRoot/graft_log_${graft.Staging.token()}"
-    rm(new java.io.File(root))
+    val root = stageHistory(spark, dir)
     try {
-      val o = Tables(spark, dir, "orders")
-        .select(year(col("o_orderdate")).cast("long").as("y"),
-          col("o_orderkey").as("k"),
-          floor(col("o_totalprice") * 100).cast("long").as("pc"))
-      val y0 = o.agg(min("y")).collect()(0).getLong(0)
-
-      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
-        val before = SnapshotStore.listDataFiles(root).toSet
-        df.write.mode(SaveMode.Append).parquet(s"$root/data/$sub")
-        SnapshotStore.listDataFiles(root).filterNot(before)
-      }
-
-      // commits 1..7: one year per delta commit (the streaming-append shape)
-      val yearFiles = (0L to 6L).map { d =>
-        val fs = writeFiles(
-          o.filter(col("y") === y0 + d).coalesce(1), s"y${y0 + d}")
-        commitDelta(root, fs, Nil)
-        fs
-      }
-      // commit 8: compaction — merge the first three years into one file
-      val merged = writeFiles(
-        o.filter(col("y") <= y0 + 2).coalesce(1), "merged")
-      commitDelta(root, merged, yearFiles.take(3).flatten)
-      // commit 9: drop the newest year's partition
-      commitDelta(root, Nil, yearFiles(6))
-
       val (headFiles, headMeta) = stateAt(root, 9)
       val head = read(spark, root, 9)
         .agg(count(lit(1)).as("n"), sum("pc").as("s")).collect()(0)

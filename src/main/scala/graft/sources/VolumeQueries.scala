@@ -890,6 +890,9 @@ object VolumeQueries {
     "src_branch_tag" -> (TableRefs.branchTag _),
     "src_wap" -> (TableRefs.wap _),
     "src_log_compact" -> (LogStore.logCompact _),
+    "src_hidden_partition" -> (HiddenPartition.hiddenPartition _),
+    "src_pos_delete" -> (PosDelete.posDelete _),
+    "src_binpack_compact" -> (BinPack.binpackCompact _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1039,6 +1042,9 @@ object VolumeQueries {
     // delta log + checkpoints: both reads' aggregates AND the
     // planner-cost arithmetic (metadata reads per plan) in closed form
     "src_log_compact" -> LogStore.logOracle,
+    "src_hidden_partition" -> HiddenPartition.hiddenOracle,
+    "src_pos_delete" -> PosDelete.posDeleteOracle,
+    "src_binpack_compact" -> BinPack.binpackOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill

@@ -792,6 +792,68 @@ object EventStreams {
     } finally st.drop()
   }
 
+  /** stream_log_tail — the delta log as a STREAMING SOURCE (the
+    * Delta-Lake structured-streaming idea): a consumer tails
+    * [[graft.sources.LogStore]] commit notifications and each
+    * micro-batch reads ONLY the files the new commits ADDED —
+    * incremental consumption whose per-batch cost is O(new data),
+    * never a re-read of the table. Change commits (non-empty removes:
+    * the compaction and the partition drop) are SKIPPED — Delta's
+    * `skipChangeCommits` semantics — because their adds carry only
+    * rewritten rows an append-tail already consumed; the cumulative
+    * aggregate must stay flat across them, which the oracle pins. A
+    * replayed notification (v3 re-delivered in the second trigger) is
+    * an exactly-once no-op via the consumer's version cursor. At
+    * 100 TB this is the ingestion fan-out loop: downstream consumers
+    * ride the commit log, touching each data file exactly once.
+    */
+  def streamLogTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.LogStore
+    val root = LogStore.stageHistory(spark, dir)
+    try {
+      val results = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      var consumed = 0L // exactly-once cursor: highest version applied
+      var cumRows = 0L; var cumKey = 0L; var cumPc = 0L
+      val input = MemoryStream[Long]
+      val q = input.toDS().writeStream
+        .foreachBatch { (batch: Dataset[Long], _: Long) =>
+          batch.collect().sorted.foreach { v =>
+            if (v > consumed) {
+              if (LogStore.removesOf(root, v.toInt).nonEmpty) {
+                // change commit: skip — no new rows, cumulative flat
+                results.synchronized {
+                  results += ((v, 0L, cumRows, cumKey, cumPc)): Unit
+                }
+              } else {
+                val adds = LogStore.addsOf(root, v.toInt)
+                val a = spark.read
+                  .parquet(adds.map(f => s"$root/$f"): _*)
+                  .agg(count(lit(1)), sum("k"), sum("pc")).collect()(0)
+                cumRows += a.getLong(0); cumKey += a.getLong(1)
+                cumPc += a.getLong(2)
+                results.synchronized {
+                  results += ((v, adds.length.toLong, cumRows, cumKey,
+                    cumPc)): Unit
+                }
+              }
+              consumed = v
+            }
+          }
+        }
+        .start()
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      // v3 re-delivered: the cursor makes the replay a no-op
+      input.addData(3L, 4L, 5L, 6L, 7L); q.processAllAvailable()
+      input.addData(8L, 9L); q.processAllAvailable()
+      q.stop()
+      results.toSeq.sortBy(_._1).toDF("version", "files_read", "cum_rows",
+        "cum_sum_key", "cum_sum_pc")
+    } finally LogStore.dropRoot(root)
+  }
+
   /** Per-user LOCF state: the latest observed purchase value plus the
     * four monotone counters — O(1) per user regardless of stream
     * length.
@@ -1640,6 +1702,7 @@ object EventStreams {
     "stream_ewma" -> (ewmaStream _),
     "stream_cdc_apply" -> (cdcApply _),
     "stream_stats_prune" -> (streamStatsPrune _),
+    "stream_log_tail" -> (streamLogTail _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
@@ -1809,6 +1872,25 @@ object EventStreams {
       |  CAST(COALESCE(m.sum_key, 0) AS BIGINT) AS sum_key
       |FROM qs LEFT JOIN pl ON pl.qid = qs.qid
       |LEFT JOIN m ON m.qid = qs.qid ORDER BY 1""".stripMargin,
+    // the tail's cumulative state after each commit, restated from the
+    // year-append history: one year file per commit 1..7, change
+    // commits 8 (compaction) and 9 (drop) skipped — flat cumulative
+    "stream_log_tail" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS pc FROM orders),
+        |y0 AS (SELECT MIN(y) AS y0 FROM o),
+        |v AS (SELECT range AS version FROM range(1, 10))
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(CASE WHEN version <= 7 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS files_read,
+        |  (SELECT COUNT(*) FROM o, y0
+        |   WHERE y <= y0 + LEAST(version, 7) - 1) AS cum_rows,
+        |  CAST((SELECT SUM(k) FROM o, y0
+        |   WHERE y <= y0 + LEAST(version, 7) - 1) AS BIGINT) AS cum_sum_key,
+        |  CAST((SELECT SUM(pc) FROM o, y0
+        |   WHERE y <= y0 + LEAST(version, 7) - 1) AS BIGINT) AS cum_sum_pc
+        |FROM v ORDER BY 1""".stripMargin,
     // the live (source, token) cell state finalizes to the same
     // concentration report as the batch pass
     "stream_diversity" -> graft.ops.OpsOracles.all("stats_diversity"),
