@@ -416,7 +416,114 @@ object Graph {
       .orderBy("label")
   }
 
+  /** The bounded directed TRADE-FLOW graph: supplier-nation →
+    * customer-nation edges whose lineitem flow count is strictly
+    * above the median flow. The contraction (the multi-join +
+    * nation-pair aggregate over lineitem) is the 100 TB work — both
+    * dims broadcast, the count map-side combined onto a ≤ 25×25
+    * domain; the median is exact arithmetic on that bounded frame.
+    */
+  private[ops] def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val e0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val cnts = e0.select("cnt").collect().map(_.getLong(0)).sorted
+    val m = cnts((cnts.length - 1) / 2) // exact lower median
+    e0.filter(col("cnt") > m).select("src", "dst")
+  }
+
+  /** Distributed SCC by COLORING (the parallel FW-BW/ColorSCC
+    * algorithm): per outer round, (1) forward min-label propagation
+    * to fixpoint — f(u) = min over {u} ∪ ancestors within the
+    * remaining graph; every color's pivot is the color value itself
+    * (f(c) = c by minimality); (2) backward reachability of each
+    * pivot WITHIN its color class — safe because any node on a
+    * u→…→c path with u ∈ SCC(c) is itself in SCC(c) and therefore
+    * carries color c; (3) settle all classes' SCCs at once and peel.
+    * Every step is one edge join + one vertex aggregate with
+    * `localCheckpoint` lineage truncation — the
+    * [[Dedup.connectedComponents]] shape, directed.
+    */
+  private[ops] def sccOf(spark: SparkSession, edges0: DataFrame): DataFrame = {
+    val edges = edges0.filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var remaining = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val settledParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (remaining.count() > 0) {
+      val re = edges
+        .join(remaining.withColumnRenamed("node", "src"), Seq("src"))
+        .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select("src", "dst").localCheckpoint()
+      // forward min-label propagation to fixpoint
+      var f = remaining.withColumn("f", col("node")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val inc = re
+          .join(f.select(col("node").as("src"), col("f").as("fs")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min("fs").as("fin"))
+        val f2 = f.join(inc, Seq("node"), "left")
+          .select(col("node"),
+            least(col("f"), coalesce(col("fin"), col("f"))).as("f"))
+          .localCheckpoint()
+        changed = f2.join(f.withColumnRenamed("f", "f0"), Seq("node"))
+          .filter(col("f") =!= col("f0")).count()
+        f = f2
+      }
+      // backward reachability of pivots within their color class
+      var r = f.filter(col("f") === col("node")).select("node")
+        .localCheckpoint()
+      var grew = 1L
+      while (grew > 0) {
+        val cand = re
+          .join(f.select(col("node").as("src"), col("f").as("fu")), Seq("src"))
+          .join(f.select(col("node").as("dst"), col("f").as("fw")), Seq("dst"))
+          .filter(col("fu") === col("fw"))
+          .join(r.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node")).distinct()
+        val r2 = r.union(cand).distinct().localCheckpoint()
+        grew = r2.count() - r.count()
+        r = r2
+      }
+      val settled = f.join(r, Seq("node"))
+        .select(col("node"), col("f").as("scc_id")).localCheckpoint()
+      settledParts += settled
+      remaining = remaining
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+    }
+    val scc = settledParts.reduce(_ unionByName _)
+    val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, Seq("scc_id")).select("node", "scc_id", "scc_size")
+      .orderBy("node")
+  }
+
+  /** graph_scc — STRONGLY connected components of the directed
+    * trade-flow graph: which nations form mutually-trading blocs once
+    * only above-median flows count. The one classic graph primitive
+    * the (undirected) CC/label-prop family cannot express: direction
+    * matters — A shipping heavily to B does not mean B ships back.
+    * SCC id = min member nation; the DuckDB oracle restates the whole
+    * thing from first principles (recursive-CTE transitive closure +
+    * mutual-reachability minima), so a wrong peel, a color leak, or a
+    * missed back-edge all hash-mismatch.
+    */
+  def scc(spark: SparkSession, dir: String): DataFrame = {
+    val out = sccOf(spark, tradeEdges(spark, dir))
+    val rows = out.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_scc" -> (scc _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),

@@ -1982,6 +1982,38 @@ object OpsOracles {
          |ORDER BY vec_id""".stripMargin,
     // the Newman–Girvan per-community contribution numerators over
     // the SAME chain: 4m·L_c − d_c², never divided (no float seam)
+    // SCC from first principles: recursive-CTE transitive closure of
+    // the above-median trade graph, scc id = min mutual-reach partner
+    "graph_scc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS src,
+        |    CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS cnt
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey
+        |  GROUP BY 1, 2),
+        |med AS (SELECT cnt AS m FROM (
+        |    SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+        |      COUNT(*) OVER () AS n FROM e0)
+        |  WHERE rn = (n + 1) // 2),
+        |e AS (SELECT src, dst FROM e0, med WHERE cnt > m),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |reach AS (SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |scc AS (SELECT n.node,
+        |    LEAST(n.node, COALESCE((SELECT MIN(a.dst) FROM reach a
+        |      JOIN reach b ON a.src = b.dst AND a.dst = b.src
+        |      WHERE a.src = n.node), n.node)) AS scc_id
+        |  FROM nodes n),
+        |sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(scc_id AS BIGINT) AS scc_id,
+        |  CAST(scc_size AS BIGINT) AS scc_size
+        |FROM scc JOIN sz USING (scc_id) ORDER BY node""".stripMargin,
     "graph_modularity" ->
       s"""WITH $lpChainCtes,
          |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ke),
