@@ -893,6 +893,7 @@ object VolumeQueries {
     "src_hidden_partition" -> (HiddenPartition.hiddenPartition _),
     "src_pos_delete" -> (PosDelete.posDelete _),
     "src_binpack_compact" -> (BinPack.binpackCompact _),
+    "src_commit_conflict" -> (CommitConflict.commitConflict _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1045,6 +1046,7 @@ object VolumeQueries {
     "src_hidden_partition" -> HiddenPartition.hiddenOracle,
     "src_pos_delete" -> PosDelete.posDeleteOracle,
     "src_binpack_compact" -> BinPack.binpackOracle,
+    "src_commit_conflict" -> CommitConflict.conflictOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill

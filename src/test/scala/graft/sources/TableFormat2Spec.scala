@@ -138,6 +138,53 @@ class TableFormat2Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.drop()
   }
 
+  test("optimistic commits: isolation, conflict arithmetic, orphan reclaim") {
+    import CommitConflict._
+    val store = CommitConflict.stage(spark, dir)
+    try {
+      val v1Rows = SnapshotStore.read(spark, store, 1)
+        .agg(count(lit(1)), sum("total_c")).collect()(0)
+      val fA = stageRewrite(spark, store, 1, YearA, DeltaA)
+      val vA = attemptCommit(store, 1, Set(YearA), fA)
+      assert(vA.contains(2))
+      val fB = stageRewrite(spark, store, 1, YearB, DeltaB)
+      val vB = attemptCommit(store, 1, Set(YearB), fB)
+      assert(vB.contains(3), "disjoint writer based on v1 must retry-commit")
+      val fC = stageRewrite(spark, store, 1, YearA, DeltaC)
+      assert(attemptCommit(store, 1, Set(YearA), fC).isEmpty,
+        "same-partition racer must abort")
+
+      // validation arithmetic is exactly the partition diff
+      assert(changedPartitions(store, 1, 2) == Set(YearA))
+      assert(changedPartitions(store, 1, 3) == Set(YearA, YearB))
+      assert(changedPartitions(store, 2, 3) == Set(YearB))
+
+      // snapshot isolation: v1 reads unchanged after both commits
+      val v1After = SnapshotStore.read(spark, store, 1)
+        .agg(count(lit(1)), sum("total_c")).collect()(0)
+      assert(v1After.getLong(0) == v1Rows.getLong(0) &&
+        v1After.getLong(1) == v1Rows.getLong(1))
+
+      // C's orphan on disk but unreferenced; expire reclaims it and
+      // the head read is identical before and after
+      val before = SnapshotStore.read(spark, store, 3)
+        .agg(count(lit(1)), sum("total_c")).collect()(0)
+      assert(fC.forall(f => new java.io.File(s"$store/$f").isFile))
+      val reclaimed = SnapshotStore.expire(store, 3)
+      assert(fC.toSet.subsetOf(reclaimed.toSet))
+      assert(fC.forall(f => !new java.io.File(s"$store/$f").isFile))
+      val after = SnapshotStore.read(spark, store, 3)
+        .agg(count(lit(1)), sum("total_c")).collect()(0)
+      assert(after.getLong(0) == before.getLong(0) &&
+        after.getLong(1) == before.getLong(1))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
   test("log tail: the change-commit skip is load-bearing") {
     val root = LogStore.stageHistory(spark, dir)
     try {
