@@ -72,7 +72,7 @@ object Bench {
     "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_refine", "sim_pq_kmeans", "sim_knn_graph",
     "sim_hybrid_rrf", "sim_bm25_topk", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
-    "sim_mrl_topk", "sim_mmr_topk", "sim_ivfpq_topk", "sim_ivfpq_refine", "sim_index_refresh",
+    "sim_mrl_topk", "sim_mmr_topk", "sim_sq_topk", "sim_ivfpq_topk", "sim_ivfpq_refine", "sim_index_refresh",
     "sim_recall_eval",
     "mm_pack", "mm_meta_extract", "mm_phash", "mm_phash_cluster", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
     "mm_audio_feats",

@@ -2937,6 +2937,35 @@ object OpsOracles {
          |  vec_id, adc_rank, cos_u
          |FROM ex QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
+    // unit-scale int8 quantization, integer-dot shortlist, exact
+    // cosine refine — the float chain (x·127/sqrt(n2)+0.5) shared
+    // left-associated with the engine's sqVec
+    "sim_sq_topk" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |    ${dotD("embedding", "embedding")} AS n2 FROM embeddings),
+         |qv AS (SELECT vec_id, embedding, n2,
+         |    CASE WHEN n2 > 0 THEN
+         |      [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0 / sqrt(n2)
+         |        + 0.5) AS BIGINT) for i in range(1, 65)]
+         |    ELSE [CAST(0 AS BIGINT) for i in range(1, 65)] END AS q
+         |  FROM n),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec, q AS pq
+         |      FROM qv WHERE vec_id % 101 = 0),
+         |sc AS (SELECT p.probe_id, e.vec_id, e.embedding, p.pvec,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [e.q[i] * p.pq[i] for i in range(1, 65)]),
+         |      (a, v) -> a + v) AS sq_dot
+         |  FROM qv e, p WHERE e.vec_id != p.probe_id),
+         |short AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY sq_dot DESC, vec_id) AS BIGINT) AS sq_rank FROM sc
+         |  QUALIFY sq_rank <= ${Similarity.SqL}),
+         |ex AS (SELECT probe_id, vec_id, sq_rank,
+         |    ${cosU("pvec", "embedding")} AS cos_u FROM short)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, sq_rank, cos_u
+         |FROM ex QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_brute_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id % 101 = 0),

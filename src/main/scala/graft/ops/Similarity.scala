@@ -1603,6 +1603,63 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Scalar-quantization shortlist length (the [[PqRefineL]] class). */
+  val SqL = 32
+
+  /** Unit-scale symmetric int8 quantization: qᵢ = floor(xᵢ·127/‖x‖ +
+    * 0.5) ∈ [−127, 127] — the fixed shared scale is what makes the
+    * integer dot a scale-invariant cosine surrogate ACROSS vectors
+    * (the per-vector amax scale of [[quantize]] is right for storage
+    * round-trips but biases cross-vector ranking by 1/amax).
+    */
+  private def sqVec(v: Column, n2: Column): Column =
+    transform(v, x => when(n2 > 0.0,
+      floor(x.cast("double") * lit(127.0) / sqrt(n2) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L)))
+
+  /** sim_sq_topk — SCALAR-QUANTIZATION ANN, the remaining member of
+    * the quantized-index family (PQ codes 0.75 bits/dim, binary
+    * Hamming 1 bit/dim, MRL prefix dims — this is the int8 8-bits/dim
+    * point every production vector store ships): the corpus is stored
+    * as unit-scale int8 vectors (4× smaller than float32, and the
+    * integer dot engages SIMD), the shortlist is the top-[[SqL]] by
+    * EXACT INTEGER dot of the quantized vectors (deterministic — no
+    * float tie seam), and the final top-5 is exact cosine on that
+    * bounded shortlist, the [[pqRefine]] refine pattern.
+    *
+    * Scale shape: one corpus scan × broadcast bounded probe set, the
+    * shortlist window per probe, exact re-rank on probes × [[SqL]]
+    * rows — corpus-size-independent refine cost, no corpus shuffle.
+    */
+  def sqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("vn2"),
+        sqVec(col("embedding"), col("vn2")).as("qvec"))
+    val p = probes(spark, dir)
+      .select(col("probe_id"), col("pvec"), col("pn2"),
+        sqVec(col("pvec"), col("pn2")).as("pq"))
+    val scored = corpus.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("vn2"),
+        col("pvec"), col("pn2"),
+        call_function("graft_ldot", col("qvec"), col("pq")).as("sq_dot"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sq_dot").desc, col("vec_id"))
+    val short = scored.withColumn("sq_rank", row_number().over(w).cast("long"))
+      .filter(col("sq_rank") <= SqL)
+    val w2 = Window.partitionBy("probe_id")
+      .orderBy(col("cos_u").desc, col("vec_id"))
+    short.select(col("probe_id"), col("vec_id"), col("sq_rank"),
+        cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2"))
+          .as("cos_u"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("sq_rank"),
+        col("cos_u"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Shared PQ stage: per-(vector, subspace) slices of the corpus. */
   private def pqSubs(spark: SparkSession, dir: String): DataFrame =
     embPar(spark, dir)
@@ -2151,6 +2208,7 @@ object Similarity {
     "sim_hamming_topk" -> (hammingTopk _),
     "sim_pq_topk" -> (pqTopk _),
     "sim_pq_refine" -> (pqRefine _),
+    "sim_sq_topk" -> (sqTopk _),
     "sim_ivfpq_refine" -> (ivfpqRefine _),
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),

@@ -1017,6 +1017,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts === whole, "power-sum partials did not re-merge")
   }
 
+  test("sq topk: int8 bound, high recall, exact-cosine order") {
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // the quantization respects the int8 envelope on every vector
+    vecs.values.foreach { v =>
+      val n = math.sqrt(dot(v, v))
+      v.foreach { x =>
+        val q = math.floor(x.toDouble * 127.0 / n + 0.5)
+        assert(q >= -127 && q <= 127, s"quantized value $q outside int8")
+      }
+    }
+    val rows = Similarity.sqTopk(spark, dir).collect()
+    val mine = rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = mine.keys.toSeq.map { p =>
+      val exact = vecs.keys.filter(_ != p).toSeq
+        .sortBy(v => (-cos(vecs(p), vecs(v)), v)).take(5).toSet
+      exact.intersect(mine(p)).size.toDouble / 5
+    }.sum / mine.size
+    info(f"sq shortlist-rerank recall@5 (${mine.size} probes): $recall%.3f")
+    // int8 at 8 bits/dim should land near-exact — well above the
+    // hamming (1 bit/dim, floor 0.45) and pq (0.75 bits/dim) siblings
+    assert(recall >= 0.85, f"sq recall collapsed: $recall%.3f")
+    // emitted order is the exact-cosine order
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      val cosines = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cos_u"))
+      assert(cosines === cosines.sortBy(-_), s"probe $p not cosine-ordered")
+    }
+  }
+
   test("pq refine beats raw pq recall on the same probes and keeps exact cosines") {
     import spark.implicits._
     val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
