@@ -29,6 +29,7 @@ object SparkEntry {
     "q_rollup" -> (Queries.qRollup _),
     "q_grouping_sets" -> (Queries.qGroupingSets _),
     "q_skew_join" -> (Queries.qSkewJoin _),
+    "q_bucket_join" -> (Queries.qBucketJoin _),
     "q_asof" -> (Queries.qAsof _),
     "q_asof_native" -> (Queries.qAsofNative _),
     "q_asof_fwd" -> (Queries.qAsofFwd _),
@@ -269,6 +270,12 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY gid, region, nation""".stripMargin,
+    // the bucketed layout must be invisible to semantics: plain join SQL
+    "q_bucket_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_li,
+         |${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_join" ->
       s"""WITH e AS (
          |  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS uid,

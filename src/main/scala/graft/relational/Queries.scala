@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1697,5 +1697,94 @@ object Queries {
         max(col("dev_mc")).as("max_dev_mc"),
         sum(col("spike")).as("n_spikes"))
       .orderBy("user_id")
+  }
+
+  /** Bucket count for [[qBucketJoin]] — matched on both sides, which
+    * is what makes the join co-located.
+    */
+  val JoinBuckets = 16
+
+  private def bjTmpfs: String = {
+    val base = new java.io.File("/dev/shm")
+    if (base.isDirectory && base.canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+  }
+
+  private def bjRm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(bjRm)); f.delete(): Unit
+  }
+
+  /** Write a frame as a bucketed+sorted catalog table (external, on
+    * tmpfs) with exactly one file per bucket — the layout under which
+    * later joins and aggregations on the bucket key plan with no
+    * Exchange and no Sort.
+    */
+  private[graft] def writeBucketed(df: DataFrame, key: String,
+      table: String, path: String): Unit =
+    df.repartition(JoinBuckets, col(key))
+      .write.bucketBy(JoinBuckets, key).sortBy(key)
+      .option("path", path)
+      .mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** The co-located join frame of [[qBucketJoin]], exposed for the
+    * plan audit: both inputs read from bucketed tables, join on the
+    * bucket key — the executed plan must contain NO Exchange and NO
+    * Sort (one file per bucket makes the write-time sortBy usable).
+    */
+  private[graft] def bucketJoined(spark: SparkSession, tl: String,
+      to: String): DataFrame =
+    // merge-hinted: at 100 TB BOTH sides are fact-scaled (broadcast
+    // would OOM — the deliberate-merge policy every corpus-scaled
+    // build side in this engine follows), and the sort-merge form is
+    // what the bucket layout makes Exchange-free
+    spark.table(tl).hint("merge").join(spark.table(to).hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+
+  /** q_bucket_join — BUCKETING FOR CO-LOCATED JOINS, the storage-side
+    * answer to the fact⋈fact shuffle: lineitem and orders are both
+    * written `bucketBy(16, orderkey)` + sortBy with one file per
+    * bucket (one write-time shuffle each), after which the join plans
+    * as a zero-Exchange, zero-Sort sort-merge over co-located buckets
+    * — the layout a 100 TB warehouse pays for ONCE and amortizes over
+    * every subsequent orderkey join and aggregation. The reported
+    * per-priority revenue is oracle-certified (bucketing must be
+    * invisible to semantics); PlanAuditSpec pins the Exchange-free,
+    * Sort-free join plan — the part a results-only check cannot see.
+    */
+  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = graft.Staging.token()
+    val tl = s"li_bkt_$tag"; val to = s"ord_bkt_$tag"
+    val root = s"$bjTmpfs/graft_bktjoin_$tag"
+    // the write-time sortBy is only USED by the planner when bucketed
+    // scans report their ordering — off by default since SPARK-28595
+    // (checking one-file-per-bucket costs a listing); this layout
+    // guarantees one file per bucket, so the check is safe here
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.getOption(orderingConf)
+    spark.conf.set(orderingConf, "true")
+    try {
+      writeBucketed(Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "l_orderkey", tl, s"$root/l")
+      writeBucketed(Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", to, s"$root/o")
+      val out = bucketJoined(spark, tl, to)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_li"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("revenue_c"))
+        .orderBy("o_orderpriority")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(orderingConf, v)
+        case None => spark.conf.unset(orderingConf)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      bjRm(new java.io.File(root))
+    }
   }
 }

@@ -399,4 +399,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the box predicate was not pushed into the parquet scan")
     } finally st.drop()
   }
+
+  test("q_bucket_join: co-located bucketed tables join with no Exchange, no Sort") {
+    import graft.relational.Queries
+    val tag = graft.Staging.token()
+    val tl = s"li_bkt_audit_$tag"; val to = s"ord_bkt_audit_$tag"
+    val root = s"/dev/shm/graft_bktjoin_audit_$tag"
+    try {
+      Queries.writeBucketed(Tables(spark, dir, "lineitem")
+        .select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_extendedprice")),
+        "l_orderkey", tl, s"$root/l")
+      Queries.writeBucketed(Tables(spark, dir, "orders")
+        .select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_orderpriority")),
+        "o_orderkey", to, s"$root/o")
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val j = Queries.bucketJoined(spark, tl, to)
+      j.count(): Unit // finalize any adaptive plan
+      val plan = j.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin"),
+        "bucketed join did not plan as a sort-merge join")
+      assert(!plan.contains("Exchange"),
+        "co-located bucketed join still shuffles:\n" + plan)
+      assert(!"""\(\d+\) Sort\b""".r.findFirstIn(plan).isDefined,
+        "one-file-per-bucket sortBy layout did not eliminate the Sort:\n" + plan)
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
