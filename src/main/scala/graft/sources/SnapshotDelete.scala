@@ -107,6 +107,105 @@ object SnapshotDelete {
     } finally rm(new java.io.File(store))
   }
 
+  /** src_erasure_proof — the RIGHT-TO-BE-FORGOTTEN flow certified at
+    * the PHYSICAL level, which is where compliance actually lives:
+    * an equality-delete commit makes the subject invisible (v2), but
+    * merge-on-read is a promise, not an erasure — the subject's rows
+    * still sit in the immutable v1 files on disk (the honest GDPR
+    * trap: manifests hide, they do not destroy). Only the compaction
+    * rewrite (v3) plus expire produce physical absence. The op walks
+    * all three states and emits row counts OF THE SUBJECT measured
+    * three ways: visible at the delete-applied read (0 — the logical
+    * promise), physically present across every parquet file on disk
+    * BEFORE expire (> 0 — the trap made visible), and physically
+    * present across every file on disk AFTER expire (0 — compliance).
+    * The final live aggregate certifies nothing else was harmed.
+    *
+    * Subject selection is deterministic (smallest custkey ≥ half the
+    * max — a customer with orders scattered across partitions), so the
+    * DuckDB oracle restates every count in closed form. Scale shape:
+    * the deletes are one broadcast anti-join; the compaction rewrites
+    * only once; the physical audits are plain scans of the store's
+    * file census — the check a compliance job runs anyway.
+    */
+  def erasureProof(spark: SparkSession, dir: String): DataFrame = {
+    val store = TableMerge.stageStore(spark, dir, "erase")
+    try {
+      val v1 = SnapshotStore.read(spark, store, 1)
+      val mk = v1.agg(max("ck")).collect()(0).getLong(0)
+      val subj = v1.filter(col("ck") >= (mk + 1L) / 2L)
+        .agg(min("ck")).collect()(0).getLong(0)
+      val nSubj = v1.filter(col("ck") === subj).count()
+
+      // v2: equality-delete the subject's KEYS (merge-on-read promise)
+      v1.filter(col("ck") === subj).select("k").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$store/_deletes/erase")
+      val dataFiles = SnapshotStore.files(store, 1)
+      val v2 = SnapshotStore.commitWithDeletes(store, dataFiles,
+        Seq("_deletes/erase"))
+      val visibleAfterDelete = SnapshotStore
+        .readWithDeletes(spark, store, v2, "k")
+        .filter(col("ck") === subj).count()
+
+      // physical census BEFORE compaction+expire: the subject is still
+      // on disk in the v1 files the manifest merely hides
+      def physicalCount(): Long = {
+        val fs = SnapshotStore.listDataFiles(store)
+        spark.read.option("basePath", store)
+          .parquet(fs.map(f => s"$store/$f"): _*)
+          .filter(col("ck") === subj).count()
+      }
+      val physicalBefore = physicalCount()
+
+      // v3: compaction applies the deletes in one rewrite; expire then
+      // destroys every file v3 does not reference
+      val head = SnapshotStore.readWithDeletes(spark, store, v2, "k")
+        .select(col("k"), col("ck"), col("total_c"),
+          col("p").cast("long").as("p"))
+      val before = SnapshotStore.listDataFiles(store).toSet
+      head.repartition(col("p"))
+        .write.mode(SaveMode.Append).partitionBy("p").parquet(store)
+      val v3 = SnapshotStore.commitWithDeletes(store,
+        SnapshotStore.listDataFiles(store).filterNot(before), Seq.empty)
+      SnapshotStore.expire(store, v3): Unit
+      val physicalAfter = physicalCount()
+
+      val live = SnapshotStore.read(spark, store, v3)
+        .agg(count(lit(1)).as("n"), sum("total_c").as("s")).collect()(0)
+      val out = spark.range(1).select(
+        lit(subj).as("subject_ck"),
+        lit(nSubj).as("n_subject_rows"),
+        lit(visibleAfterDelete).as("visible_after_delete"),
+        lit(physicalBefore).as("physical_before_expire"),
+        lit(physicalAfter).as("physical_after_expire"),
+        lit(live.getLong(0)).as("n_live_rows"),
+        lit(live.getLong(1)).as("sum_live_total_c"))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally rm(new java.io.File(store))
+  }
+
+  /** Closed-form oracle of [[erasureProof]]: subject pick, all three
+    * censuses, and the surviving table restated from `orders`.
+    */
+  val erasureOracle: String =
+    """WITH b AS (SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c FROM orders),
+      |mx AS (SELECT MAX(ck) AS mk FROM b),
+      |s AS (SELECT MIN(ck) AS subj FROM b, mx WHERE ck >= (mk + 1) // 2),
+      |n AS (SELECT COUNT(*) AS n_subj FROM b, s WHERE ck = subj),
+      |l AS (SELECT COUNT(*) AS n_live,
+      |        CAST(SUM(total_c) AS BIGINT) AS sum_live
+      |      FROM b, s WHERE ck <> subj)
+      |SELECT CAST(s.subj AS BIGINT) AS subject_ck,
+      |  CAST(n.n_subj AS BIGINT) AS n_subject_rows,
+      |  CAST(0 AS BIGINT) AS visible_after_delete,
+      |  CAST(n.n_subj AS BIGINT) AS physical_before_expire,
+      |  CAST(0 AS BIGINT) AS physical_after_expire,
+      |  CAST(l.n_live AS BIGINT) AS n_live_rows,
+      |  CAST(l.sum_live AS BIGINT) AS sum_live_total_c
+      |FROM s, n, l""".stripMargin
+
   /** Closed-form oracle of [[deleteCompact]]: the post-delete table
     * stated once, emitted for v3 and v4 (delete debt zero at v4).
     */
