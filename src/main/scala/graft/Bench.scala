@@ -88,7 +88,8 @@ object Bench {
     "src_snapshot_delete", "src_delete_compact", "src_snapshot_diff",
     "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap",
     "src_log_compact", "src_hidden_partition", "src_pos_delete",
-    "src_binpack_compact", "src_commit_conflict", "src_erasure_proof")
+    "src_binpack_compact", "src_commit_conflict", "src_erasure_proof",
+    "src_manifest_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
