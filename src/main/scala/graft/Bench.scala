@@ -25,7 +25,7 @@ object Bench {
     "q14_promo", "q16_suppcnt", "q18_large", "q19_disjunct",
     "q15_topsupp", "q22_global", "q12_shipmode", "q2_mincost",
     "q11_impstock", "q20_excess", "q21_waiting",
-    "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_asof_tolerance_native", "q_range_join", "q_interval_join", "q_skew_join", "q_bucket_join",
+    "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_asof_tolerance_native", "q_range_join", "q_interval_join", "q_skew_join", "q_bucket_join", "q_runtime_filter",
     "q_gapfill", "q_ohlc", "q_ewma", "q_zorder_skip", "q_dpp",
     "q_funnel", "q_retention",
     "q_scd2",

@@ -30,6 +30,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Queries.qGroupingSets _),
     "q_skew_join" -> (Queries.qSkewJoin _),
     "q_bucket_join" -> (Queries.qBucketJoin _),
+    "q_runtime_filter" -> (Queries.qRuntimeFilter _),
     "q_asof" -> (Queries.qAsof _),
     "q_asof_native" -> (Queries.qAsofNative _),
     "q_asof_fwd" -> (Queries.qAsofFwd _),
@@ -275,6 +276,14 @@ object SparkEntry {
       s"""SELECT o_orderpriority, COUNT(*) AS n_li,
          |${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the injected bloom filter must be invisible to semantics
+    "q_runtime_filter" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_li,
+         |${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |  AND year(o_orderdate) = 1996
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_join" ->
       s"""WITH e AS (

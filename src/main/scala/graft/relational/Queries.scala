@@ -1699,6 +1699,65 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** The runtime-filtered join frame of [[qRuntimeFilter]], exposed
+    * for the plan audit (the injected bloom filter is a plan
+    * property a results-only check cannot see).
+    */
+  private[graft] def runtimeFiltered(spark: SparkSession,
+      dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+      .select("o_orderkey")
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+    // no hints: with broadcast disabled (the realistic fact⋈fact
+    // condition — InjectRuntimeFilter skips joins it can broadcast,
+    // where the filter would be pointless) this plans as the shuffled
+    // sort-merge join the bloom filter exists to prune
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** q_runtime_filter — RUNTIME BLOOM-FILTER JOIN PRUNING (Catalyst's
+    * InjectRuntimeFilter), the row-level sibling of q_dpp's partition
+    * pruning: the dim side's selective predicate (urgent 1996 orders,
+    * ~3 % of orders) is turned at optimization time into a bloom
+    * filter AGGREGATE on the dim and a `might_contain` FILTER on the
+    * fact side — so the shuffled sort-merge join shuffles ~3 % of
+    * lineitem instead of all of it. On a partitioned-by-something-else
+    * 100 TB fact table this is the mechanism that saves the shuffle
+    * when DPP cannot (the predicate column is not the partition
+    * column). The injection thresholds are sized for 10 GB+ scans;
+    * the op lowers the application-side threshold scoped (the
+    * mechanism, not the threshold, is what's demonstrated) and
+    * PlanAuditSpec pins `bloom_filter` in the executed plan.
+    */
+  def qRuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // at gate scale the dim would broadcast and the rule (correctly)
+      // declines to inject; at 100 TB neither side broadcasts — model
+      // that condition, scoped
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = runtimeFiltered(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_li"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("revenue_c"))
+        .orderBy("l_returnflag")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Bucket count for [[qBucketJoin]] — matched on both sides, which
     * is what makes the join co-located.
     */

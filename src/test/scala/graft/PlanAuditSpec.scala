@@ -400,6 +400,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.drop()
   }
 
+  test("q_runtime_filter: the fact side carries an injected bloom filter") {
+    import graft.relational.Queries
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = Queries.runtimeFiltered(spark, dir)
+      j.count(): Unit
+      val plan = j.queryExecution.explainString(FormattedMode)
+      assert(plan.toLowerCase.contains("bloom_filter") ||
+        plan.toLowerCase.contains("mightcontain"),
+        "no runtime bloom filter was injected:\n" + plan)
+    } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("q_bucket_join: co-located bucketed tables join with no Exchange, no Sort") {
     import graft.relational.Queries
     val tag = graft.Staging.token()
