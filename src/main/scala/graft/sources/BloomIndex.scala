@@ -99,16 +99,23 @@ object BloomIndex {
     BStore(store, fm.count(), mk)
   }
 
+  /** The default 20-probe batch. */
+  private[graft] def defaultProbes(spark: SparkSession, st: BStore): DataFrame =
+    spark.range(1, Probes + 1)
+      .select(((col("id") * st.mk) / 16L).cast("long").as("pk"))
+
   /** Plan the probe batch from the persisted index: bloom-hit
     * (probe, file) pairs. A probe hits a file iff EVERY one of its
     * distinct positions has its bit set — a missing word is a zero
     * word (sparse = dense semantics).
     */
-  private[graft] def planProbes(spark: SparkSession, st: BStore): DataFrame = {
+  private[graft] def planProbes(spark: SparkSession, st: BStore): DataFrame =
+    planProbeFrame(spark, st, defaultProbes(spark, st))
+
+  private[graft] def planProbeFrame(spark: SparkSession, st: BStore,
+      probes: DataFrame): DataFrame = {
     val fm = spark.read.parquet(s"${st.store}/fm")
     val index = spark.read.parquet(s"${st.store}/index")
-    val probes = spark.range(1, Probes + 1)
-      .select(((col("id") * st.mk) / 16L).cast("long").as("pk"))
     val pb = probes.crossJoin(broadcast(fm))
       .select(col("pk"), col("p"), explode(array((0 until BloomK).map(i =>
         expr(posExpr(i, "pk", "m"))): _*)).as("pos"))
@@ -136,11 +143,22 @@ object BloomIndex {
   def bloomIndex(spark: SparkSession, dir: String): DataFrame = {
     val st = stage(spark, dir)
     try {
-      val hits = planProbes(spark, st).cache()
+      val out = servePerProbe(spark, st, defaultProbes(spark, st))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        out.schema).orderBy("probe_key")
+    } finally st.drop()
+  }
+
+  /** Serve ONE probe batch: plan from the index, read only bloom-hit
+    * files, return the certified per-probe rows — the seam the batch
+    * op and the streaming lookup loop share.
+    */
+  private[graft] def servePerProbe(spark: SparkSession, st: BStore,
+      probes: DataFrame): DataFrame = {
+      val hits = planProbeFrame(spark, st, probes).cache()
       val hitFiles = hits.select("p").distinct()
         .collect().map(_.getLong(0)).sorted
-      val probes = spark.range(1, Probes + 1)
-        .select(((col("id") * st.mk) / 16L).cast("long").as("pk"))
       // the pruned read: only bloom-hit partitions are opened; the
       // per-probe file restriction is the broadcast hits join
       val matched =
@@ -167,8 +185,7 @@ object BloomIndex {
       val rows = perProbe.collect().toIndexedSeq
       hits.unpersist()
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-        perProbe.schema).orderBy("probe_key")
-    } finally st.drop()
+        perProbe.schema)
   }
 
   /** Closed-form oracle: the identical index + probe arithmetic from

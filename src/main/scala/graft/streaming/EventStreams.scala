@@ -854,6 +854,51 @@ object EventStreams {
     } finally LogStore.dropRoot(root)
   }
 
+  /** stream_bloom_lookup — [[graft.sources.BloomIndex]]'s streaming
+    * twin: a stream of point-lookup KEYS served per micro-batch by
+    * bloom-planned pruned reads of the big static store — the
+    * production key-value serving loop over a 100 TB table, where
+    * min/max stats cannot prune (every file's key envelope overlaps)
+    * and the bloom index opens ~1 of 7 files per probe. Per-batch
+    * cost is O(probes), never a table scan; no watermark by design
+    * (lookups are SERVED, not aggregated over event time). The
+    * drained per-probe rows reassemble the batch op's exact output,
+    * so the oracle is SHARED VERBATIM with src_bloom_index.
+    */
+  def streamBloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.BloomIndex
+    val st = BloomIndex.stage(spark, dir)
+    try {
+      val results = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      val input = MemoryStream[Long]
+      val q = input.toDS().writeStream
+        .foreachBatch { (batch: Dataset[Long], _: Long) =>
+          val keys = batch.collect().sorted
+          if (keys.nonEmpty) {
+            val probes = keys.toSeq.toDF("pk")
+            val rows = BloomIndex.servePerProbe(spark, st, probes)
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                r.getLong(3), r.getLong(4)))
+            results.synchronized { results ++= rows: Unit }
+          }
+        }
+        .start()
+      // the default 20-probe key set, served across three triggers
+      val keys = (1L to BloomIndex.Probes)
+        .map(i => (i * st.mk) / 16L)
+      input.addData(keys.slice(0, 7)); q.processAllAvailable()
+      input.addData(keys.slice(7, 14)); q.processAllAvailable()
+      input.addData(keys.slice(14, keys.length.toInt)); q.processAllAvailable()
+      q.stop()
+      results.toSeq.sortBy(_._1).toDF("probe_key", "files_total",
+        "files_hit", "n_match", "sum_price_c")
+    } finally st.drop()
+  }
+
   /** Per-user LOCF state: the latest observed purchase value plus the
     * four monotone counters — O(1) per user regardless of stream
     * length.
@@ -1703,6 +1748,7 @@ object EventStreams {
     "stream_cdc_apply" -> (cdcApply _),
     "stream_stats_prune" -> (streamStatsPrune _),
     "stream_log_tail" -> (streamLogTail _),
+    "stream_bloom_lookup" -> (streamBloomLookup _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
@@ -1872,6 +1918,9 @@ object EventStreams {
       |  CAST(COALESCE(m.sum_key, 0) AS BIGINT) AS sum_key
       |FROM qs LEFT JOIN pl ON pl.qid = qs.qid
       |LEFT JOIN m ON m.qid = qs.qid ORDER BY 1""".stripMargin,
+    // the streaming lookup loop drains to the batch op's exact
+    // per-probe rows — one SQL certifies both
+    "stream_bloom_lookup" -> graft.sources.BloomIndex.bloomOracle,
     // the tail's cumulative state after each commit, restated from the
     // year-append history: one year file per commit 1..7, change
     // commits 8 (compaction) and 9 (drop) skipped — flat cumulative
