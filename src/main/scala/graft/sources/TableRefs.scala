@@ -209,6 +209,119 @@ object TableRefs {
     batch.agg(sum(when(col("pc") <= 0L || col("y") =!= col("yd"), 1L)
       .otherwise(0L))).collect()(0).getLong(0)
 
+  /** stream_wap — the WAP protocol driven as a STREAM of ingest
+    * batches: every micro-batch stages on the `audit` ref, runs the
+    * DQ audit against the STAGED read, and either fast-forwards
+    * `main` (one atomic pointer swap) or abandons the batch. The new
+    * content over the batch op is CONTINUATION: a poisoned batch
+    * (year y0+5, the same deterministic corruptions) is quarantined
+    * without wedging the stream — the NEXT good batch (y0+6)
+    * publishes on top of the last GOOD version, so the head ends at
+    * years [y0, y0+4] ∪ {y0+6} with the bad year forever absent.
+    * A replayed batch offset is an exactly-once no-op via the
+    * consumer's cursor; the abandoned batch's files are reclaimed by
+    * the ref-aware vacuum inside the loop (refs pin everything live).
+    *
+    * Emitted per batch: violations, published flag, and the head
+    * aggregate AFTER the batch — all restated by the closed-form
+    * oracle, so a quarantine that leaked rows, a publish that lost
+    * them, or a wedged stream all hash-mismatch.
+    */
+  def streamWap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = s"$tmpfsRoot/graft_swap_${graft.Staging.token()}"
+    rm(new java.io.File(root))
+    try {
+      val o = ordersYkp(spark, dir).withColumn("yd", col("y"))
+      val (y0, _) = yearBounds(spark, dir)
+      val base = writeYears(spark, root,
+        o.select("y", "k", "pc", "yd"), y0, y0 + 3)
+      Refs.set(root, "main", SnapshotStore.commit(root, base))
+
+      val results = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      val done = scala.collection.mutable.Set.empty[Long]
+      val input = MemoryStream[Long]
+      val q = input.toDS().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+          b.collect().sorted.foreach { d =>
+            if (!done.contains(d)) {
+              val y = y0 + d
+              val batch =
+                if (d == 5L)
+                  o.filter(col("y") === y).select(col("y"), col("k"),
+                    when(col("k") % 7 === 3, -col("pc")).otherwise(col("pc"))
+                      .as("pc"),
+                    when(col("k") % 7 === 5, col("y") + 1).otherwise(col("y"))
+                      .as("yd"))
+                else o.filter(col("y") === y).select("y", "k", "pc", "yd")
+              val mainV = Refs.get(root, "main").get
+              val add = writeYears(spark, root, batch, y, y)
+              val staged = SnapshotStore.commit(root,
+                SnapshotStore.files(root, mainV) ++ add)
+              Refs.set(root, "audit", staged)
+              val viol = auditViolations(
+                Refs.read(spark, root, "audit").filter(col("y") === y))
+              val published = if (viol == 0L) { // one atomic swap
+                Refs.set(root, "main", staged); 1L
+              } else 0L
+              Refs.drop(root, "audit")
+              Refs.expireToRefs(root): Unit // reclaim abandoned files
+              val head = Refs.read(spark, root, "main")
+                .agg(count(lit(1)).as("n"), sum("pc").as("s"),
+                  max(col("y").cast("long")).as("my")).collect()(0)
+              results.synchronized {
+                results += ((d, viol, published, head.getLong(0),
+                  head.getLong(1), head.getLong(2))): Unit
+              }
+              done += d: Unit
+            }
+          }
+        }
+        .start()
+      input.addData(4L); q.processAllAvailable()
+      // 4 re-delivered: the cursor makes the replay a no-op
+      input.addData(5L, 4L); q.processAllAvailable()
+      input.addData(6L); q.processAllAvailable()
+      q.stop()
+      results.toSeq.sortBy(_._1).toDF("batch_year_off", "violations",
+        "published", "head_rows", "head_sum_pc", "head_max_y")
+    } finally rm(new java.io.File(root))
+  }
+
+  /** Closed-form oracle for [[streamWap]]: per-batch protocol outcomes
+    * restated from `orders` — batch 4 publishes, 5 is quarantined
+    * (violations = the injected corruption classes k%7∈{3,5}), 6
+    * publishes on top of 4's head.
+    */
+  val streamWapOracle: String =
+    """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    o_orderkey AS k,
+      |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS pc
+      |  FROM orders),
+      |y0 AS (SELECT MIN(y) AS y0 FROM o),
+      |b AS (SELECT * FROM (VALUES (4), (5), (6)) t(d)),
+      |r AS (SELECT b.d,
+      |  CASE WHEN b.d = 5 THEN
+      |    (SELECT COUNT(*) FROM o, y0 WHERE y = y0 + 5 AND k % 7 IN (3, 5))
+      |  ELSE 0 END AS violations,
+      |  CASE WHEN b.d = 5 THEN 0 ELSE 1 END AS published
+      |  FROM b),
+      |h AS (SELECT r.d, o.y, o.pc FROM r JOIN o ON
+      |    (o.y <= (SELECT y0 FROM y0) + LEAST(r.d, 4)) OR
+      |    (r.d = 6 AND o.y = (SELECT y0 FROM y0) + 6))
+      |SELECT CAST(r.d AS BIGINT) AS batch_year_off,
+      |  CAST(r.violations AS BIGINT) AS violations,
+      |  CAST(r.published AS BIGINT) AS published,
+      |  (SELECT COUNT(*) FROM h WHERE h.d = r.d) AS head_rows,
+      |  CAST((SELECT SUM(pc) FROM h WHERE h.d = r.d) AS BIGINT)
+      |    AS head_sum_pc,
+      |  CAST((SELECT MAX(y) FROM h WHERE h.d = r.d) AS BIGINT)
+      |    AS head_max_y
+      |FROM r ORDER BY 1""".stripMargin
+
   /** src_wap — WRITE-AUDIT-PUBLISH on the refs seam: the good batch
     * (year y0+5) lands on the `audit` staging ref, passes the DQ
     * audit, and is PUBLISHED by fast-forwarding `main`; the bad batch

@@ -1749,6 +1749,7 @@ object EventStreams {
     "stream_stats_prune" -> (streamStatsPrune _),
     "stream_log_tail" -> (streamLogTail _),
     "stream_bloom_lookup" -> (streamBloomLookup _),
+    "stream_wap" -> (graft.sources.TableRefs.streamWap _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
@@ -1921,6 +1922,8 @@ object EventStreams {
     // the streaming lookup loop drains to the batch op's exact
     // per-probe rows — one SQL certifies both
     "stream_bloom_lookup" -> graft.sources.BloomIndex.bloomOracle,
+    // per-batch WAP outcomes: publish, quarantine, continue
+    "stream_wap" -> graft.sources.TableRefs.streamWapOracle,
     // the tail's cumulative state after each commit, restated from the
     // year-append history: one year file per commit 1..7, change
     // commits 8 (compaction) and 9 (drop) skipped — flat cumulative
