@@ -50,6 +50,7 @@ object SparkEntry {
     "q10_returns" -> (Queries.q10Returns _),
     "q_json_extract" -> (Queries.qJsonExtract _),
     "q_pivot" -> (Queries.qPivot _),
+    "q_unpivot" -> (Queries.qUnpivot _),
     "q_corr" -> (Queries.qCorr _),
     "q4_priority" -> (Queries.q4Priority _),
     "q6_revenue" -> (Queries.q6Revenue _),
@@ -449,6 +450,21 @@ object SparkEntry {
          |$cols
          |FROM e GROUP BY bucket_h ORDER BY bucket_h""".stripMargin
     },
+    // the pivot round-tripped back to long form: groupBy over the
+    // (bucket × full type domain) grid, zero-filled like the pivot
+    "q_unpivot" ->
+      s"""WITH e AS (
+         |  SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000)/3600.0) AS BIGINT) AS bucket_h,
+         |    event_type, ${C("value")} AS value_c
+         |  FROM events),
+         |g AS (SELECT DISTINCT bucket_h FROM e),
+         |t AS (SELECT UNNEST(['click','error','purchase','signup','view'])
+         |        AS event_type)
+         |SELECT g.bucket_h, t.event_type,
+         |  CAST(COALESCE((SELECT SUM(value_c) FROM e
+         |    WHERE e.bucket_h = g.bucket_h
+         |      AND e.event_type = t.event_type), 0) AS BIGINT) AS sum_c
+         |FROM g, t ORDER BY 1, 2""".stripMargin,
     "q_corr" ->
       s"""WITH e AS (
          |  SELECT event_type, ${C("value")} AS x,

@@ -181,6 +181,25 @@ object Queries {
       .orderBy("bucket_h")
   }
 
+  /** q_unpivot — the INVERSE reshape of [[qPivot]], through Spark's
+    * native `unpivot` (melt) operator: the hour×type wide matrix goes
+    * back to long (bucket_h, event_type, sum_c) rows, including the
+    * zero-filled cells the pivot materialized — the round trip that
+    * certifies pivot/unpivot as inverses. Unpivot is a projection
+    * (an Expand of one row per value column) — no shuffle beyond the
+    * pivot's own aggregate, and the reshape cost is O(rows × types)
+    * regardless of table size.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .unpivot(Array(col("bucket_h")),
+        EventTypes.map(t => col(s"sum_${t}_c")).toArray,
+        "metric", "sum_c")
+      .select(col("bucket_h"),
+        expr("substring(metric, 5, length(metric) - 6)").as("event_type"),
+        col("sum_c"))
+      .orderBy("bucket_h", "event_type")
+
   /** q_corr — Pearson correlation of the event value (cents) against
     * the JSON `k` field, per event_type, via EXACT integer moments:
     * every Σx, Σy, Σx², Σy², Σxy is a bigint sum of integer
