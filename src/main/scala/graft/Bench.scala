@@ -89,7 +89,7 @@ object Bench {
     "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap",
     "src_log_compact", "src_hidden_partition", "src_pos_delete",
     "src_binpack_compact", "src_commit_conflict", "src_erasure_proof",
-    "src_manifest_prune")
+    "src_manifest_prune", "src_row_lineage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

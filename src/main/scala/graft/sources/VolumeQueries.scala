@@ -896,6 +896,7 @@ object VolumeQueries {
     "src_commit_conflict" -> (CommitConflict.commitConflict _),
     "src_erasure_proof" -> (SnapshotDelete.erasureProof _),
     "src_manifest_prune" -> (ManifestPrune.manifestPrune _),
+    "src_row_lineage" -> (RowLineage.rowLineage _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1051,6 +1052,7 @@ object VolumeQueries {
     "src_commit_conflict" -> CommitConflict.conflictOracle,
     "src_erasure_proof" -> SnapshotDelete.erasureOracle,
     "src_manifest_prune" -> ManifestPrune.manifestOracle,
+    "src_row_lineage" -> RowLineage.lineageOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill
