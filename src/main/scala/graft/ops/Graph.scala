@@ -416,6 +416,52 @@ object Graph {
       .orderBy("label")
   }
 
+  /** graph_ppr — PERSONALIZED PageRank: the teleport mass returns to
+    * a SEED set (the three smallest node ids in the near-dup graph —
+    * deterministic), not uniformly to every vertex, so the converged
+    * score is proximity TO THE SEEDS — the "related items for THIS
+    * document" recsys primitive global PageRank cannot express. Same
+    * exact-integer recurrence as [[pagerank]] (seed·base + damp·Σ
+    * contributions, every step integer division), same unrolled
+    * closed-form oracle; output restricted to reached vertices
+    * (ppr_u > 0 — the ≤[[PrRounds]]-hop seed neighborhood), which is
+    * what bounds the result at any corpus size.
+    *
+    * Scale shape per round: identical to [[pagerank]] — one edge⋈rank
+    * equi-join + one dst-keyed map-side-combined sum, lineage
+    * truncated per round; the seed frame is O(1).
+    */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.bandCandidates(Dedup.signatures(spark, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seeds = edges.select(col("src").as("doc_id")).distinct()
+      .orderBy("doc_id").limit(3)
+      .withColumn("seed", lit(1L)).localCheckpoint()
+    val verts = Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(seeds, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("seed"), lit(0L)).as("seed"))
+    var rank = verts.withColumn("r", col("seed") * PrInitU)
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges
+        .join(rank.select(col("doc_id").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      rank = verts
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("seed"),
+          (col("seed") * PrBaseU +
+            expr(s"($PrDampPct * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.filter(col("r") > 0L)
+      .select(col("doc_id"), col("r").as("ppr_u"))
+      .orderBy("doc_id")
+  }
+
   /** The bounded directed TRADE-FLOW graph: supplier-nation →
     * customer-nation edges whose lineitem flow count is strictly
     * above the median flow. The contraction (the multi-join +
@@ -524,6 +570,7 @@ object Graph {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_scc" -> (scc _),
+    "graph_ppr" -> (ppr _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),

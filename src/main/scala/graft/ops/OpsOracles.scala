@@ -1761,6 +1761,35 @@ object OpsOracles {
          |LEFT JOIN dg ON v.doc_id = dg.doc_id
          |ORDER BY v.doc_id""".stripMargin
     },
+    // personalized PageRank: teleport mass returns to the seed set
+    // only; same unrolled exact-integer recurrence as graph_pagerank
+    "graph_ppr" -> {
+      val rounds = (1 to Graph.PrRounds).map { t =>
+        s"""r$t AS (
+           |  SELECT v.doc_id, v.seed,
+           |    CAST(v.seed * ${Graph.PrBaseU} +
+           |      (${Graph.PrDampPct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM r0 v LEFT JOIN (
+           |    SELECT e.dst AS doc_id, CAST(SUM(p.r // dg.deg) AS BIGINT) AS s
+           |    FROM ed e JOIN r${t - 1} p ON e.src = p.doc_id
+           |    JOIN dg ON e.src = dg.doc_id
+           |    GROUP BY e.dst) s ON v.doc_id = s.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashSigCtes,
+         |$bandCandCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |dg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+         |sd AS (SELECT DISTINCT src AS doc_id FROM ed ORDER BY 1 LIMIT 3),
+         |r0 AS (SELECT v.doc_id,
+         |    CAST(CASE WHEN sd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS seed,
+         |    CAST(CASE WHEN sd.doc_id IS NOT NULL THEN ${Graph.PrInitU}
+         |         ELSE 0 END AS BIGINT) AS r
+         |  FROM documents v LEFT JOIN sd ON v.doc_id = sd.doc_id),
+         |$rounds
+         |SELECT doc_id, r AS ppr_u FROM r${Graph.PrRounds}
+         |WHERE r > 0 ORDER BY doc_id""".stripMargin
+    },
     "dedup_band_cap" ->
       s"""WITH $minhashSigCtes,
          |bands AS (
