@@ -116,8 +116,12 @@ object BinPack {
       val (loB, hiB) = ((30L * mk) / 100L, (35L * mk) / 100L)
       val hitBefore = stats.filter(s => s._3 >= loB && s._2 <= hiB)
       val hitAfter = binStats.filter(s => s._3 >= loB && s._2 <= hiB)
-      val prunedAfter = spark.read.option("basePath", s"$store/data2")
-        .parquet(hitAfter.map(s => s"$store/data2/bin=${s._1}"): _*)
+      // empty-plan arm: a band overlapping no bin emits the zero row
+      val prunedAfter =
+        if (hitAfter.isEmpty)
+          spark.range(0).select(lit(0L).as("k"), lit(0L).as("total_c"))
+        else spark.read.option("basePath", s"$store/data2")
+          .parquet(hitAfter.map(s => s"$store/data2/bin=${s._1}"): _*)
       val m = prunedAfter
         .agg(sum(when(col("k").between(loB, hiB), 1L).otherwise(0L))
             .as("n_match"),

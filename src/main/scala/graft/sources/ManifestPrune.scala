@@ -71,17 +71,23 @@ object ManifestPrune {
       val (loB, hiB) = ((30L * mk) / 100L, (35L * mk) / 100L)
       // level 1: one metadata read (the list), drop whole manifests
       val mHit = mlist.filter(m => m._3 >= loB && m._2 <= hiB).map(_._1)
-      // level 2: read ONLY the surviving manifests' entries
-      val entries = spark.read
-        .option("basePath", s"$store/_meta/manifests")
-        .parquet(mHit.map(m => s"$store/_meta/manifests/mid=$m")
-          .toIndexedSeq: _*)
-      val fHit = entries.filter(col("hi_k") >= loB && col("lo_k") <= hiB)
-        .select("fid", "n_rows").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      // level 2: read ONLY the surviving manifests' entries (empty-plan
+      // arm: a band overlapping no manifest reads no metadata at all)
+      val fHit =
+        if (mHit.isEmpty) Array.empty[(Long, Long)]
+        else spark.read
+          .option("basePath", s"$store/_meta/manifests")
+          .parquet(mHit.map(m => s"$store/_meta/manifests/mid=$m")
+            .toIndexedSeq: _*)
+          .filter(col("hi_k") >= loB && col("lo_k") <= hiB)
+          .select("fid", "n_rows").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
       // level 3: open only the surviving data files
-      val pruned = spark.read.option("basePath", s"$store/data")
-        .parquet(fHit.map(f => s"$store/data/fid=${f._1}").toIndexedSeq: _*)
+      val pruned =
+        if (fHit.isEmpty)
+          spark.range(0).select(lit(0L).as("k"), lit(0L).as("total_c"))
+        else spark.read.option("basePath", s"$store/data")
+          .parquet(fHit.map(f => s"$store/data/fid=${f._1}").toIndexedSeq: _*)
       val a = pruned.agg(
         sum(when(col("k").between(loB, hiB), 1L).otherwise(0L)).as("n_match"),
         coalesce(sum(when(col("k").between(loB, hiB), col("total_c"))),
