@@ -2014,7 +2014,7 @@ object OpsOracles {
     // SCC from first principles: recursive-CTE transitive closure of
     // the above-median trade graph, scc id = min mutual-reach partner
     "graph_scc" ->
-      """WITH RECURSIVE e0 AS (
+      """WITH RECURSIVE e0 AS MATERIALIZED (
         |  SELECT CAST(s_nationkey AS BIGINT) AS src,
         |    CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS cnt
         |  FROM lineitem
@@ -2027,7 +2027,7 @@ object OpsOracles {
         |    SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
         |      COUNT(*) OVER () AS n FROM e0)
         |  WHERE rn = (n + 1) // 2),
-        |e AS (SELECT src, dst FROM e0, med WHERE cnt > m),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0, med WHERE cnt > m),
         |nodes AS (SELECT DISTINCT node FROM (
         |  SELECT src AS node FROM e UNION SELECT dst FROM e)),
         |reach AS (SELECT src, dst FROM e
