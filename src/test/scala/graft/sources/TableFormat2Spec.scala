@@ -185,6 +185,42 @@ class TableFormat2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("row lineage: per-row ids and seqs survive the copy-on-write") {
+    // replicate the op's store flow but inspect PER ROW, which the
+    // aggregate-cohort oracle cannot: every surviving key's lineage
+    // must match the closed-form rule exactly
+    val out = RowLineage.rowLineage(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val base = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_c"),
+        year(col("o_orderdate")).cast("long").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val my = TableMerge.MergeYears.map(_.toLong).toSet
+    def del(k: Long, p: Long) = my(p) && k % 101 == 0
+    def upd(k: Long, p: Long) = my(p) && k % 97 == 0 && k % 101 != 0
+    def ins(k: Long, p: Long) = my(p) && k % 103 == 0
+    val keep = base.filter { case (k, _, p) => !del(k, p) && !upd(k, p) }
+    val updN = base.count { case (k, _, p) => upd(k, p) }
+    val insN = base.count { case (k, _, p) => ins(k, p) }
+    // carried rows: (1,1) cohort counts/sums match the untouched set
+    val (n11, s11, t11) = (out.get((1L, 1L)).map(_._1).getOrElse(0L),
+      out.get((1L, 1L)).map(_._2).getOrElse(0L),
+      out.get((1L, 1L)).map(_._3).getOrElse(0L))
+    assert(n11 == keep.length.toLong, "carried cohort size drifted")
+    assert(s11 == keep.map(_._1).sum, "carried row_ids not preserved")
+    assert(t11 == keep.map(_._2).sum, "carried values changed")
+    // updated rows kept their ids (sum of row_ids == sum of keys)
+    assert(out((1L, 2L))._1 == updN.toLong)
+    assert(out((1L, 2L))._2 ==
+      base.filter { case (k, _, p) => upd(k, p) }.map(_._1).sum,
+      "an update re-keyed its row_id")
+    // inserts minted fresh ids at the offset
+    assert(out((2L, 2L))._1 == insN.toLong)
+    assert(updN > 0 && insN > 0, "degenerate fixture")
+  }
+
   test("log tail: the change-commit skip is load-bearing") {
     val root = LogStore.stageHistory(spark, dir)
     try {
