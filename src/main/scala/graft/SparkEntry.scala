@@ -52,6 +52,7 @@ object SparkEntry {
     "q_pivot" -> (Queries.qPivot _),
     "q_unpivot" -> (Queries.qUnpivot _),
     "q_corr" -> (Queries.qCorr _),
+    "q_autocorr" -> (Queries.qAutocorr _),
     "q4_priority" -> (Queries.q4Priority _),
     "q6_revenue" -> (Queries.q6Revenue _),
     "q8_mktshare" -> (Queries.q8Mktshare _),
@@ -278,6 +279,35 @@ object SparkEntry {
          |${SUMC("l_extendedprice*(1.0-l_discount)")} AS revenue_c
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lag-1 Pearson over (prev, current) pairs — the qCorr moment
+    // chain with HUGEINT widening, pairs from one event-time lag
+    "q_autocorr" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+         |    event_id, ${C("value")} AS v
+         |  FROM events),
+         |p AS (SELECT event_type,
+         |    lag(v) OVER (PARTITION BY event_type ORDER BY sec, event_id)
+         |      AS x, v AS y
+         |  FROM e),
+         |q AS (SELECT * FROM p WHERE x IS NOT NULL),
+         |m AS (SELECT event_type, COUNT(*) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+         |    SUM(y*y) AS syy, SUM(x*y) AS sxy
+         |  FROM q GROUP BY 1),
+         |w AS (SELECT *,
+         |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+         |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+         |  FROM m)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+         |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+         |  CAST(CASE WHEN dx > 0 AND dy > 0
+         |    THEN FLOOR(CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE))
+         |               / sqrt(CAST(dy AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+         |    ELSE 0 END AS BIGINT) AS corr_u
+         |FROM w ORDER BY event_type""".stripMargin,
     // the injected bloom filter must be invisible to semantics
     "q_runtime_filter" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_li,

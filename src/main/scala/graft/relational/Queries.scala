@@ -239,6 +239,50 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** q_autocorr — lag-1 AUTOcorrelation of each event type's value
+    * series (ordered by event time): the time-series diagnostic —
+    * does the last observation predict the next — expressed as
+    * [[qCorr]]'s exact-integer-moment Pearson over (previous, current)
+    * pairs from one window lag. All six moments are order-independent
+    * bigint sums; the n·Σ−Σ·Σ combination widens to decimal(38) and
+    * only the final two sqrts/divisions are float, a closed chain the
+    * oracle writes identically (HUGEINT on its side). Zero-variance
+    * series emit corr_u = 0.
+    *
+    * Scale shape: one window lag (the per-type sort a time-series
+    * table already clusters by) + one map-side-combined moment
+    * aggregate onto the bounded type domain.
+    */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"), nsToSec(col("ts")).as("sec"),
+        col("event_id"), cents(col("value")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    val pairs = e.withColumn("x", lag(col("v"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("event_type"), col("x"), col("v").as("y"))
+    def wide(c: Column): Column = c.cast("decimal(38,0)")
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", wide(col("n_pairs")) * wide(col("sxy")) -
+        wide(col("sx")) * wide(col("sy")))
+      .withColumn("dx", wide(col("n_pairs")) * wide(col("sxx")) -
+        wide(col("sx")) * wide(col("sx")))
+      .withColumn("dy", wide(col("n_pairs")) * wide(col("syy")) -
+        wide(col("sy")) * wide(col("sy")))
+      .withColumn("corr_u",
+        when(col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double")
+            / sqrt(col("dx").cast("double"))
+            / sqrt(col("dy").cast("double")) * lit(1000000.0)).cast("long"))
+          .otherwise(0L))
+      .select("event_type", "n_pairs", "sx", "sy", "corr_u")
+      .orderBy("event_type")
+  }
+
   /** q_window — per-user running row_number + exact running value sum. */
   def qWindow(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
