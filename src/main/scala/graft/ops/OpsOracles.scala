@@ -2009,8 +2009,6 @@ object OpsOracles {
          |SELECT l.v AS vec_id, l.lab AS label, sz.comm_size
          |FROM l${Graph.LpRounds} l JOIN sz ON l.lab = sz.lab
          |ORDER BY vec_id""".stripMargin,
-    // the Newman–Girvan per-community contribution numerators over
-    // the SAME chain: 4m·L_c − d_c², never divided (no float seam)
     // SCC from first principles: recursive-CTE transitive closure of
     // the above-median trade graph, scc id = min mutual-reach partner
     "graph_scc" ->
@@ -2043,6 +2041,8 @@ object OpsOracles {
         |  CAST(scc_id AS BIGINT) AS scc_id,
         |  CAST(scc_size AS BIGINT) AS scc_size
         |FROM scc JOIN sz USING (scc_id) ORDER BY node""".stripMargin,
+    // the Newman–Girvan per-community contribution numerators over
+    // the SAME chain: 4m·L_c − d_c², never divided (no float seam)
     "graph_modularity" ->
       s"""WITH $lpChainCtes,
          |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ke),
@@ -2739,6 +2739,38 @@ object OpsOracles {
       s"""WITH $knnCtes
          |SELECT vec_id, rank, nbr_id, cos_u FROM r
          |WHERE rank <= ${Similarity.KnnK} ORDER BY vec_id, rank""".stripMargin,
+    // NN-descent over the SAME knn chain: per round, undirected
+    // neighbor sets → two-hop candidates → exact rescore → keep-k.
+    // Each g_t is referenced three times by round t+1, so the rounds
+    // MATERIALIZE (the graph frames are n·k rows — free), keeping the
+    // plan linear instead of 3^rounds re-expansions.
+    "sim_nndescent" -> {
+      val rounds = (1 to Similarity.NdRounds).map { t =>
+        s"""u${t - 1} AS (SELECT vec_id AS v, nbr_id AS u FROM g${t - 1}
+           |  UNION ALL SELECT nbr_id AS v, vec_id AS u FROM g${t - 1}),
+           |c$t AS (SELECT DISTINCT a.v AS vec_id, b.u AS nbr_id
+           |  FROM u${t - 1} a JOIN u${t - 1} b ON a.u = b.v WHERE a.v != b.u),
+           |s$t AS (SELECT c.vec_id, c.nbr_id,
+           |    ${cosU("ea.embedding", "eb.embedding")} AS cos_u
+           |  FROM c$t c JOIN embeddings ea ON c.vec_id = ea.vec_id
+           |             JOIN embeddings eb ON c.nbr_id = eb.vec_id),
+           |g$t AS MATERIALIZED (
+           |  SELECT vec_id, nbr_id, cos_u FROM (
+           |    SELECT DISTINCT vec_id, nbr_id, cos_u FROM
+           |      (SELECT * FROM g${t - 1} UNION ALL SELECT * FROM s$t))
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cos_u DESC, nbr_id) <= ${Similarity.KnnK})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnCtes,
+         |g0 AS MATERIALIZED (SELECT vec_id, nbr_id, cos_u FROM r
+         |  WHERE rank <= ${Similarity.KnnK}),
+         |$rounds
+         |SELECT vec_id,
+         |  CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_u DESC, nbr_id) AS BIGINT) AS rank,
+         |  nbr_id, cos_u
+         |FROM g${Similarity.NdRounds} ORDER BY vec_id, rank""".stripMargin
+    },
     // One row per val/test doc; the bucket join and cosine are the
     // dedup_embed chain, the split hash is sample_split's.
     "stats_split_leakage" -> {
@@ -3011,36 +3043,49 @@ object OpsOracles {
          |SELECT probe_id, vec_id, cos_u FROM s
          |WHERE cos_u >= ${Similarity.RangeTauU}
          |ORDER BY probe_id, vec_id""".stripMargin,
+    // sf1.0-survivable restatement (the graph_scc lesson): the ONE
+    // corpus-scale stage — the probes × n relevance scan — emits a
+    // NARROW (probe_id, vec_id, rel_u) frame (the r11 form carried
+    // the 64-float embedding array through it: ~13 GB at sf1.0, and
+    // the unmaterialized cand/sel chain re-expanded it per round →
+    // 80+GB DuckDB spill). Embeddings re-join only onto the bounded
+    // shortlist (probes × MmrShortlist rows), and every per-round CTE
+    // MATERIALIZEs so the greedy chain is computed once, linearly.
     "sim_mmr_topk" -> {
       val rounds = (2 to Similarity.MmrK).map { r =>
-        s"""ms$r AS (
+        s"""ms$r AS MATERIALIZED (
            |  SELECT c.probe_id, c.vec_id, MAX(${cosU("c.embedding", "s.embedding")}) AS maxsim_u
            |  FROM cand${r - 1} c JOIN sel${r - 1} s ON c.probe_id = s.probe_id
            |  GROUP BY 1, 2),
-           |pick$r AS (
+           |pick$r AS MATERIALIZED (
            |  SELECT c.probe_id, c.vec_id, c.embedding, c.rel_u,
            |    c.rel_u - m.maxsim_u AS mmr_u, CAST($r AS BIGINT) AS pick
            |  FROM cand${r - 1} c JOIN ms$r m ON c.probe_id = m.probe_id AND c.vec_id = m.vec_id
            |  QUALIFY row_number() OVER (PARTITION BY c.probe_id ORDER BY mmr_u DESC, c.vec_id) = 1),
-           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r),
-           |cand$r AS (
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r),
+           |cand$r AS MATERIALIZED (
            |  SELECT c.* FROM cand${r - 1} c
            |  WHERE NOT EXISTS (SELECT 1 FROM pick$r p
            |                    WHERE p.probe_id = c.probe_id AND p.vec_id = c.vec_id))""".stripMargin
       }.mkString(",\n")
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id % 101 = 0),
-         |sc AS (SELECT p.probe_id, e.vec_id, e.embedding,
-         |        ${cosU("p.pvec", "e.embedding")} AS rel_u
-         |      FROM embeddings e, p WHERE e.vec_id != p.probe_id),
-         |short AS (SELECT * FROM sc
+         |sn AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, rel_u FROM (
+         |    SELECT p.probe_id, e.vec_id,
+         |      ${cosU("p.pvec", "e.embedding")} AS rel_u
+         |    FROM embeddings e, p WHERE e.vec_id != p.probe_id)
          |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rel_u DESC, vec_id)
          |    <= ${Similarity.MmrShortlist}),
-         |sel1 AS (SELECT probe_id, vec_id, embedding, rel_u, rel_u AS mmr_u,
+         |short AS MATERIALIZED (
+         |  SELECT sn.probe_id, sn.vec_id, e.embedding, sn.rel_u
+         |  FROM sn JOIN embeddings e USING (vec_id)),
+         |sel1 AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, embedding, rel_u, rel_u AS mmr_u,
          |    CAST(1 AS BIGINT) AS pick
          |  FROM short
          |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rel_u DESC, vec_id) = 1),
-         |cand1 AS (SELECT s.* FROM short s
+         |cand1 AS MATERIALIZED (SELECT s.* FROM short s
          |  WHERE NOT EXISTS (SELECT 1 FROM sel1 p
          |                    WHERE p.probe_id = s.probe_id AND p.vec_id = s.vec_id)),
          |$rounds

@@ -398,6 +398,71 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Refinement rounds for [[nnDescent]] — two rounds close most of
+    * the LSH build's recall gap on this corpus (measured in
+    * OpsSpec's recall-floor test); production tunes by convergence
+    * (new-edge count per round), here the count is FIXED so the
+    * DuckDB oracle states the identical unrolled chain.
+    */
+  val NdRounds = 2
+
+  /** sim_nndescent — GRAPH-BASED ANN index refinement (NN-descent,
+    * Dong et al. WWW'11): start from the LSH-blocked [[knnGraph]]
+    * and iteratively improve it through the graph itself — a
+    * neighbor of my neighbor is likely my neighbor. Each of the
+    * [[NdRounds]] rounds generalizes the digraph to its undirected
+    * neighbor sets (out ∪ in — reverse edges are how NN-descent
+    * propagates information against edge direction), joins it with
+    * itself to produce the two-hop candidate set, scores candidates
+    * with the exact shared integer-micro cosine, and keeps each
+    * vertex's [[KnnK]] best among old ∪ new (ties by nbr_id). This
+    * is the HNSW/NN-descent family's core loop — the one production
+    * index family the LSH/IVF/PQ rows don't cover — and it repairs
+    * exactly the LSH failure mode: a true neighbor pair split by
+    * every hash table is still found through a shared intermediate.
+    *
+    * Scale shape: per round the undirected frame is 2·n·[[KnnK]]
+    * narrow rows, the two-hop self-join (equi-join on the shared
+    * endpoint) emits ≤ n·(2[[KnnK]])² candidates — O(n·k²), never
+    * all-pairs — and scoring joins the embeddings table twice on its
+    * key. One top-k window shuffle per round (WindowGroupLimit
+    * map-side prune); rounds are lineage-truncated (the mmr lesson:
+    * each round references the previous graph three times, so lazy
+    * lineage re-expands 3^r subtrees without the checkpoint; the
+    * frame is n·[[KnnK]] rows — the checkpoint is free). A cross-
+    * round duplicate edge carries an identical exact-integer payload,
+    * so keep-any dedup is exact in both engines.
+    */
+  def nnDescent(spark: SparkSession, dir: String): DataFrame = {
+    val base = embPar(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("n2"))
+    val ea = base.select(col("vec_id"), col("embedding").as("va"), col("n2").as("n2a"))
+    val eb = base.select(col("vec_id").as("nbr_id"), col("embedding").as("vb"),
+      col("n2").as("n2b"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("nbr_id"))
+    var g = knnGraph(spark, dir).select("vec_id", "nbr_id", "cos_u").localCheckpoint()
+    for (_ <- 1 to NdRounds) {
+      val und = g.select(col("vec_id").as("v"), col("nbr_id").as("u"))
+        .union(g.select(col("nbr_id").as("v"), col("vec_id").as("u")))
+      val cand = und.join(und.select(col("v").as("u"), col("u").as("nbr2")), Seq("u"))
+        .filter(col("v") =!= col("nbr2"))
+        .select(col("v").as("vec_id"), col("nbr2").as("nbr_id"))
+        .dropDuplicates("vec_id", "nbr_id")
+      val scored = cand.join(ea, Seq("vec_id")).join(eb, Seq("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          cosUPre(col("va"), col("vb"), col("n2a"), col("n2b")).as("cos_u"))
+      g = g.unionByName(scored)
+        .dropDuplicates("vec_id", "nbr_id")
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= KnnK)
+        .select("vec_id", "nbr_id", "cos_u")
+        .localCheckpoint()
+    }
+    g.withColumn("rank", row_number().over(w).cast("long"))
+      .select("vec_id", "rank", "nbr_id", "cos_u")
+      .orderBy("vec_id", "rank")
+  }
+
   /** stats_label_errors — k-NN label-error screening (the
     * cleanlab-style data-quality gate): a vector whose neighborhood
     * votes for a DIFFERENT label than its own is a likely annotation
@@ -2212,6 +2277,7 @@ object Similarity {
     "sim_ivfpq_refine" -> (ivfpqRefine _),
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),
+    "sim_nndescent" -> (nnDescent _),
     "stats_label_errors" -> (labelErrors _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_range_search" -> (rangeSearch _),

@@ -123,8 +123,8 @@ object BinPack {
         else spark.read.option("basePath", s"$store/data2")
           .parquet(hitAfter.map(s => s"$store/data2/bin=${s._1}"): _*)
       val m = prunedAfter
-        .agg(sum(when(col("k").between(loB, hiB), 1L).otherwise(0L))
-            .as("n_match"),
+        .agg(coalesce(sum(when(col("k").between(loB, hiB), 1L).otherwise(0L)),
+            lit(0L)).as("n_match"),
           coalesce(sum(when(col("k").between(loB, hiB), col("total_c"))),
             lit(0L)).as("sum_total_c")).collect()(0)
       // rewrite losslessness: the compacted version's full aggregate

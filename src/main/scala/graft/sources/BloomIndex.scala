@@ -142,12 +142,11 @@ object BloomIndex {
     */
   def bloomIndex(spark: SparkSession, dir: String): DataFrame = {
     val st = stage(spark, dir)
-    try {
-      val out = servePerProbe(spark, st, defaultProbes(spark, st))
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-        out.schema).orderBy("probe_key")
-    } finally st.drop()
+    // servePerProbe already materializes the bounded per-probe frame
+    // (single partition, probe_key-ordered); re-sorting is a no-op
+    // narrow pass, NOT a second driver round-trip.
+    try servePerProbe(spark, st, defaultProbes(spark, st)).orderBy("probe_key")
+    finally st.drop()
   }
 
   /** Serve ONE probe batch: plan from the index, read only bloom-hit

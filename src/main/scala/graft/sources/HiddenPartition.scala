@@ -37,10 +37,11 @@ import graft.Tables
   * manifest; the read is one pruned scan; no shuffle until the final
   * scalar aggregate.
   *
-  * Reference surface: the reference walks date-named directory trees
-  * it must know the layout of (import path conventions,
-  * src/main/java/org/janelia/importer — layout knowledge baked into
-  * every reader); hidden partitioning is the table-format answer.
+  * Reference surface: the reference walks octant-named directory
+  * trees it must know the layout of (tiff2octree.py:272-381 —
+  * os.path.join(relpath, octant_path) / "default.{ch}.tif" naming
+  * baked into every reader); hidden partitioning is the table-format
+  * answer to layout knowledge leaking into readers.
   */
 object HiddenPartition {
 
@@ -135,7 +136,7 @@ object HiddenPartition {
         col("d") <= lit(DHi).cast("timestamp")
       val a = pruned.agg(
         count(lit(1)).as("rows_read"),
-        sum(when(isMatch, 1L).otherwise(0L)).as("n_match"),
+        coalesce(sum(when(isMatch, 1L).otherwise(0L)), lit(0L)).as("n_match"),
         coalesce(sum(when(isMatch, col("total_c"))), lit(0L))
           .as("sum_total_c")).collect()(0)
 

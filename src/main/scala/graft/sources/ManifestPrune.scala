@@ -89,7 +89,8 @@ object ManifestPrune {
         else spark.read.option("basePath", s"$store/data")
           .parquet(fHit.map(f => s"$store/data/fid=${f._1}").toIndexedSeq: _*)
       val a = pruned.agg(
-        sum(when(col("k").between(loB, hiB), 1L).otherwise(0L)).as("n_match"),
+        coalesce(sum(when(col("k").between(loB, hiB), 1L).otherwise(0L)),
+          lit(0L)).as("n_match"),
         coalesce(sum(when(col("k").between(loB, hiB), col("total_c"))),
           lit(0L)).as("sum_total_c")).collect()(0)
 

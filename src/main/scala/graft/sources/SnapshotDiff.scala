@@ -82,6 +82,131 @@ object SnapshotDiff {
     } finally rm(new java.io.File(store))
   }
 
+  /** stream_snapshot_tail — the CHANGELOG STREAMING SOURCE, the read
+    * twin of stream_cdc_apply: a downstream consumer tails the
+    * snapshot log itself (the way Delta's streaming source tails
+    * _delta_log / Iceberg's changelog scan walks snapshot history) and
+    * replays [[diff]]'s delta semantics per newly discovered commit —
+    * never re-reading the table, never reading a commit twice. The
+    * writer applies the deterministic changeset over three
+    * copy-on-write commits (waves split by k mod 3, the
+    * stream_cdc_apply batching); between commits the tailer's
+    * micro-batch polls the manifest log for versions beyond its
+    * high-water mark, computes each new commit's per-op change
+    * aggregate from the manifest file-set difference, and lands it
+    * under an idempotent per-version output dir — a replayed
+    * micro-batch (or two ticks racing the same commit) skips versions
+    * whose output already exists, the same exactly-once shape as the
+    * write twins. The drained result is the full per-(version, op)
+    * change feed; the oracle restates all three commits' deltas in
+    * closed form — including the copy-on-write N rows, whose touched-
+    * partition sets are data-driven per wave — so a missed commit, a
+    * double-applied replay, or a diff that read untouched partitions
+    * all hash-mismatch.
+    *
+    * Scale shape: discovery is manifest-log metadata (no listing of
+    * data dirs); each micro-batch reads ONLY the commit's added and
+    * removed files — O(churn per commit), never O(table).
+    */
+  def snapshotTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = TableMerge.stageStore(spark, dir, "stail")
+    val outRoot = s"${store}_tail"
+    try {
+      val cs = TableMerge.changeset(TableMerge.baseTable(spark, dir))
+        .localCheckpoint()
+      def tailBatch(batch: DataFrame, batchId: Long): Unit = {
+        val sp = batch.sparkSession
+        SnapshotStore.versions(store).filter(_ > 1).foreach { v =>
+          // idempotent per-version output: the exactly-once guard for
+          // replays and for two ticks discovering the same commit
+          if (!new java.io.File(s"$outRoot/diff-v$v").exists()) {
+            diff(sp, store, v - 1, v)
+              .groupBy("op")
+              .agg(count(lit(1)).as("n_keys"), sum("k").as("sum_key"),
+                sum("total_c").as("sum_total_c"))
+              .withColumn("version", lit(v.toLong))
+              .coalesce(1)
+              .write.parquet(s"$outRoot/diff-v$v")
+          }
+        }
+      }
+      val input = MemoryStream[Long]
+      val q = input.toDF().writeStream
+        .foreachBatch(tailBatch _)
+        .option("checkpointLocation", s"${store}_ckpt")
+        .start()
+      // writer and tailer interleave: commit a wave, tick the tailer
+      for (w <- 0L until 3L) {
+        TableMerge.applyChangeset(spark, store,
+          cs.filter(col("k") % 3 === w)): Unit
+        input.addData(w); q.processAllAvailable()
+      }
+      q.stop()
+      val agg = spark.read.parquet(s"$outRoot/diff-v*")
+        .select("version", "op", "n_keys", "sum_key", "sum_total_c")
+        .orderBy("version", "op")
+      val rows = agg.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      rm(new java.io.File(store)); rm(new java.io.File(outRoot))
+      rm(new java.io.File(s"${store}_ckpt"))
+    }
+  }
+
+  /** Closed-form oracle for [[snapshotTail]]: the three commits'
+    * per-op deltas. Wave membership is k mod 3 on the CHANGE key
+    * (inserts use their offset key — the stream_cdc_apply split);
+    * state evolution applies D/U/I cumulatively; N rows are the
+    * copy-on-write amplification over each wave's own (data-driven)
+    * touched-partition set.
+    */
+  val tailOracle: String = {
+    val ys = TableMerge.MergeYears.mkString(", ")
+    val off = TableMerge.InsOffset
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k,
+       |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c,
+       |    CAST(year(o_orderdate) AS BIGINT) AS p
+       |  FROM orders),
+       |t AS (SELECT * FROM base WHERE p IN ($ys)),
+       |cs AS (
+       |  SELECT k, p, k % 3 AS wave, 'D' AS op, total_c AS tc
+       |  FROM t WHERE k % 101 = 0
+       |  UNION ALL
+       |  SELECT k, p, k % 3, 'U', total_c + 100
+       |  FROM t WHERE k % 97 = 0 AND k % 101 <> 0
+       |  UNION ALL
+       |  SELECT k + $off, p, (k + $off) % 3, 'I', total_c + 50
+       |  FROM t WHERE k % 103 = 0),
+       |w AS (SELECT * FROM (VALUES (0), (1), (2)) v(wave)),
+       |touched AS (SELECT DISTINCT wave, p FROM cs),
+       |st AS (
+       |  SELECT w.wave, b.k, b.p,
+       |    CASE WHEN b.p IN ($ys) AND b.k % 97 = 0 AND b.k % 101 <> 0
+       |           AND b.k % 3 <= w.wave
+       |         THEN b.total_c + 100 ELSE b.total_c END AS tc
+       |  FROM w, base b
+       |  WHERE NOT (b.p IN ($ys) AND b.k % 101 = 0 AND b.k % 3 <= w.wave)
+       |  UNION ALL
+       |  SELECT w.wave, t.k + $off, t.p, t.total_c + 50
+       |  FROM w, t WHERE t.k % 103 = 0 AND (t.k + $off) % 3 <= w.wave),
+       |n AS (
+       |  SELECT s.wave, 'N' AS op, s.k, s.tc
+       |  FROM st s JOIN touched tt ON s.wave = tt.wave AND s.p = tt.p
+       |  WHERE NOT EXISTS (SELECT 1 FROM cs c
+       |    WHERE c.wave = s.wave AND c.k = s.k AND c.op IN ('U', 'I'))),
+       |d AS (
+       |  SELECT wave, op, k, tc FROM cs
+       |  UNION ALL SELECT wave, op, k, tc FROM n)
+       |SELECT CAST(wave + 2 AS BIGINT) AS version, op,
+       |  COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS sum_key,
+       |  CAST(SUM(tc) AS BIGINT) AS sum_total_c
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Closed-form oracle: the changeset rules per op. D carries the
     * pre-image value, U the +100 post-image, I the +50 clone at
     * k+offset, N the untouched rows of the touched partitions.

@@ -176,6 +176,46 @@ object SnapshotStore {
     }
   }
 
+  /** Time-travel read with SEQUENCE-NUMBER delete semantics — the
+    * full Iceberg-v2 equality-delete rule that [[readWithDeletes]]
+    * (which applies a version's deletes to ALL its files) cannot
+    * express: an equality delete applies only to data files whose
+    * data sequence number is STRICTLY LOWER than the delete's, so a
+    * key re-INSERTED after its delete survives while the pre-delete
+    * rows stay masked. Sequence numbers are derived from the manifest
+    * history itself — a file's sequence is the first version whose
+    * manifest references it (manifests are append-only metadata, so
+    * this is exact and needs no format change). The scan groups data
+    * files by sequence (a handful of groups — one per commit that
+    * added files) and anti-joins each group against only the delete
+    * files sequenced after it; delete vectors are bounded, so every
+    * anti-join build side broadcasts.
+    */
+  def readWithSeqDeletes(spark: SparkSession, root: String, v: Int,
+      keyCol: String): DataFrame = {
+    val vs = versions(root).filter(_ <= v)
+    def firstSeen(of: Int => Seq[String]): Map[String, Int] =
+      vs.foldLeft(Map.empty[String, Int]) { (m, ver) =>
+        of(ver).foldLeft(m)((mm, f) =>
+          if (mm.contains(f)) mm else mm.updated(f, ver))
+      }
+    val dataSeq = firstSeen(files(root, _))
+    val delSeq = firstSeen(deletesOf(root, _))
+    val dels = deletesOf(root, v)
+    files(root, v).groupBy(dataSeq).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      val df = spark.read.option("basePath", root)
+        .parquet(fs.map(f => s"$root/$f"): _*)
+      val applicable = dels.filter(d => delSeq(d) > seq)
+      if (applicable.isEmpty) df
+      else {
+        val dk = spark.read.parquet(applicable.map(d => s"$root/$d"): _*)
+          .select(keyCol).distinct()
+        df.join(org.apache.spark.sql.functions.broadcast(dk),
+          Seq(keyCol), "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
+
   /** The file list of a committed version. */
   def files(root: String, v: Int): Seq[String] = {
     val txt = new String(
@@ -194,6 +234,30 @@ object SnapshotStore {
   def read(spark: SparkSession, root: String, v: Int): DataFrame =
     spark.read.option("basePath", root)
       .parquet(files(root, v).map(f => s"$root/$f"): _*)
+
+  /** Orphan-file GC (the Iceberg remove_orphan_files idea) — the
+    * OTHER reclaim axis from [[expire]]: expire retires files a KEPT
+    * version no longer references (version history cleanup); orphan
+    * GC reclaims files NO committed manifest has ever referenced —
+    * the debris of failed or abandoned write attempts, which on an
+    * object store accumulates forever because nothing points at it.
+    * Age-gated: a file younger than `cutoffMillis` is spared even if
+    * unreferenced, because it may belong to an IN-FLIGHT write whose
+    * commit simply hasn't landed yet (the race every orphan scanner
+    * must survive; Iceberg defaults this gate to 3 days). Every file
+    * in ANY committed manifest is live — including audit-branch (WAP
+    * quarantine) commits, which are manifests like any other — so age
+    * alone never reclaims committed data. Returns
+    * (reclaimed, keptYoung).
+    */
+  def orphanGc(root: String, cutoffMillis: Long): (Seq[String], Seq[String]) = {
+    val live = versions(root).flatMap(files(root, _)).toSet
+    val orphans = listDataFiles(root).filterNot(live)
+    val (old, young) = orphans.partition(f =>
+      new java.io.File(s"$root/$f").lastModified() < cutoffMillis)
+    old.foreach(f => new java.io.File(s"$root/$f").delete(): Unit)
+    (old, young)
+  }
 
   /** Vacuum: delete every data file not referenced by version `keep`
     * and every older manifest. Returns the deleted data files. Safe

@@ -29,8 +29,15 @@ object TableMerge {
   /** Partitions (order years) the synthetic changeset touches. */
   val MergeYears: Seq[Int] = Seq(1994, 1996)
 
-  /** Insert-key offset — far above any base o_orderkey. */
-  val InsOffset = 10000000L
+  /** Insert-key offset — far above any base o_orderkey at every data
+    * scale this engine stages, INCLUDING the synthetic fact scale-ups
+    * (scripts/gen_sf1_facts.py shifts cloned orderkeys to ~60M at 10×
+    * facts; 10¹² clears even a 100,000× clone sweep), so cloned
+    * insert keys can never collide with real keys. Shared verbatim by
+    * the DuckDB oracles (interpolated into their SQL), so engine and
+    * oracle stay in lock-step by construction.
+    */
+  val InsOffset = 1000000000000L
 
   private def tmpfsRoot: String = {
     val base = new java.io.File("/dev/shm")
@@ -43,7 +50,7 @@ object TableMerge {
   }
 
   /** The base table: one row per order, partitioned by order year. */
-  private def baseTable(spark: SparkSession, dir: String): DataFrame =
+  private[sources] def baseTable(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
         floor(col("o_totalprice") * 100).cast("long").as("total_c"),

@@ -91,18 +91,18 @@ object Refs {
 /** The src_branch_tag / src_wap operator pair. */
 object TableRefs {
 
-  private def tmpfsRoot: String = {
+  private[sources] def tmpfsRoot: String = {
     val base = new java.io.File("/dev/shm")
     if (base.isDirectory && base.canWrite) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
   }
 
-  private def rm(f: java.io.File): Unit = {
+  private[sources] def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
   }
 
   /** orders as (y, k, pc) — the shared staging projection. */
-  private def ordersYkp(spark: SparkSession, dir: String): DataFrame =
+  private[sources] def ordersYkp(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .select(year(col("o_orderdate")).cast("long").as("y"),
         col("o_orderkey").as("k"),
@@ -112,7 +112,7 @@ object TableRefs {
     * root-relative files (one per year — the batch is repartitioned
     * by year before the partitioned write).
     */
-  private def writeYears(spark: SparkSession, root: String, df: DataFrame,
+  private[sources] def writeYears(spark: SparkSession, root: String, df: DataFrame,
       yLo: Long, yHi: Long): Seq[String] = {
     val before = SnapshotStore.listDataFiles(root).toSet
     df.filter(col("y") >= yLo && col("y") <= yHi)
@@ -125,7 +125,7 @@ object TableRefs {
   /** Year bounds of the staged store (orders spans 7 years; the flows
     * below split them base / main-adds / branch-adds).
     */
-  private def yearBounds(spark: SparkSession, dir: String): (Long, Long) = {
+  private[sources] def yearBounds(spark: SparkSession, dir: String): (Long, Long) = {
     val r = ordersYkp(spark, dir).agg(min("y"), max("y")).collect()(0)
     (r.getLong(0), r.getLong(1))
   }

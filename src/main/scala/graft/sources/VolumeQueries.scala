@@ -897,6 +897,9 @@ object VolumeQueries {
     "src_erasure_proof" -> (SnapshotDelete.erasureProof _),
     "src_manifest_prune" -> (ManifestPrune.manifestPrune _),
     "src_row_lineage" -> (RowLineage.rowLineage _),
+    "src_orphan_gc" -> (OrphanGc.orphanGc _),
+    "src_eq_delete" -> (EqDelete.eqDelete _),
+    "src_hidden_zorder" -> (HiddenZOrder.hiddenZorder _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1053,6 +1056,15 @@ object VolumeQueries {
     "src_erasure_proof" -> SnapshotDelete.erasureOracle,
     "src_manifest_prune" -> ManifestPrune.manifestOracle,
     "src_row_lineage" -> RowLineage.lineageOracle,
+    // orphan GC: layout arithmetic (exactly the two old uncommitted
+    // files reclaimed, the fresh one age-spared) + both refs' reads
+    "src_orphan_gc" -> OrphanGc.orphanGcOracle,
+    // sequence-numbered equality deletes: a reinserted key survives
+    // its OLDER delete; the four visibility states in closed form
+    "src_eq_delete" -> EqDelete.eqDeleteOracle,
+    // two-level pruning: files_after_quarter pins level 1 alone,
+    // files_read both layers, n_match/sum the no-false-negative proof
+    "src_hidden_zorder" -> HiddenZOrder.hiddenZorderOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill

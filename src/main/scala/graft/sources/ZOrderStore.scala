@@ -71,9 +71,14 @@ object ZOrderStore {
     // one shuffle keyed by fid colocates each file's rows, so
     // partitionBy writes exactly ONE z-sorted file per fid — tight
     // row-group envelopes inside tight file envelopes
+    // the sort leads with fid so the partitioned write's required
+    // ordering is already satisfied — otherwise the writer re-sorts by
+    // fid alone (non-stable) and the z order inside each file is
+    // destroyed (caught by the hidden+zorder composition spec, which
+    // asserts physical z-sortedness; the same write shape lives here)
     withZ.select("pk", "sk", "price_c", "z", "fid")
       .repartition(col("fid"))
-      .sortWithinPartitions("z")
+      .sortWithinPartitions("fid", "z")
       .write.mode(SaveMode.Overwrite).partitionBy("fid")
       .parquet(s"$store/data")
     // the "manifest": per-file min/max envelopes on BOTH clustered

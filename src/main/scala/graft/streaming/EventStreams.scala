@@ -1750,6 +1750,7 @@ object EventStreams {
     "stream_log_tail" -> (streamLogTail _),
     "stream_bloom_lookup" -> (streamBloomLookup _),
     "stream_wap" -> (graft.sources.TableRefs.streamWap _),
+    "stream_snapshot_tail" -> (graft.sources.SnapshotDiff.snapshotTail _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
@@ -1924,6 +1925,9 @@ object EventStreams {
     "stream_bloom_lookup" -> graft.sources.BloomIndex.bloomOracle,
     // per-batch WAP outcomes: publish, quarantine, continue
     "stream_wap" -> graft.sources.TableRefs.streamWapOracle,
+    // the changelog tail: per-(version, op) deltas of the three
+    // copy-on-write commits, N rows over data-driven touched sets
+    "stream_snapshot_tail" -> graft.sources.SnapshotDiff.tailOracle,
     // the tail's cumulative state after each commit, restated from the
     // year-append history: one year file per commit 1..7, change
     // commits 8 (compaction) and 9 (drop) skipped — flat cumulative

@@ -589,6 +589,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "degree-guarantee union is vacuous: no vector isolated in table 1 found a peer in table 2")
   }
 
+  test("nn-descent refines knn-graph recall and keeps the exact-cosine contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val k = Similarity.KnnK
+    // exact (brute-force) k-NN ground truth — corpus is tiny at spec scale
+    val exact = vecs.keys.map { v =>
+      v -> vecs.keys.filter(_ != v).toSeq
+        .sortBy(u => (-cosU(vecs(v), vecs(u)), u)).take(k).toSet
+    }.toMap
+    def edgesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("vec_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(e: Map[Long, Set[Long]]): Double =
+      vecs.keys.toSeq.map { v =>
+        exact(v).intersect(e.getOrElse(v, Set.empty)).size.toDouble / k
+      }.sum / vecs.size
+    val rows = Similarity.nnDescent(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact-cosine + ranking contract: every emitted score is the shared
+    // integer-micro cosine, ranks are contiguous from 1 per vertex, and
+    // cos_u is non-increasing in rank
+    rows.foreach { case (v, _, u, c) =>
+      assert(c === cosU(vecs(v), vecs(u)), s"cos_u of ($v,$u)")
+    }
+    rows.groupBy(_._1).foreach { case (v, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"ranks of $v")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"order at $v")
+        case _ =>
+      }
+      assert(rs.length <= k)
+    }
+    // an isolated vector (no bucket peer in either LSH table) has no
+    // two-hop path either: nn-descent must not invent edges for it
+    val g0 = edgesOf(Similarity.knnGraph(spark, dir))
+    val gN = rows.map(t => (t._1, t._3)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(gN.keySet === g0.keySet,
+      "nn-descent changed the reachable vertex set")
+    // the refinement floor: descent recall must be >= the LSH build it
+    // refines (measured: it strictly improves on this corpus)
+    val (r0, rN) = (recallOf(g0), recallOf(gN))
+    info(f"knn-graph recall@$k: $r0%.3f -> nn-descent: $rN%.3f (${vecs.size} vectors)")
+    assert(rN >= r0, f"nn-descent lost recall: $rN%.3f < $r0%.3f")
+  }
+
   test("k-center coreset matches a Scala greedy re-derivation") {
     import spark.implicits._
     import graft.ops.Sampling
