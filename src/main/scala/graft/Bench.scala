@@ -64,14 +64,14 @@ object Bench {
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
     "pipeline_export", "pipeline_incr", "pipeline_mm", "pipeline_backfill",
-    "pipeline_ivm",
+    "pipeline_ivm", "pipeline_ivm_join",
     "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_moments", "stats_heavy_changers",
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
     "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_refine", "sim_pq_kmeans", "sim_knn_graph",
-    "sim_nndescent",
+    "sim_nndescent", "sim_graph_topk",
     "sim_hybrid_rrf", "sim_bm25_topk", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
     "sim_mrl_topk", "sim_mmr_topk", "sim_sq_topk", "sim_ivfpq_topk", "sim_ivfpq_refine", "sim_index_refresh",
     "sim_recall_eval",
@@ -90,7 +90,7 @@ object Bench {
     "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap",
     "src_log_compact", "src_hidden_partition", "src_pos_delete",
     "src_binpack_compact", "src_commit_conflict", "src_erasure_proof",
-    "src_manifest_prune", "src_row_lineage", "src_orphan_gc", "src_eq_delete", "src_hidden_zorder")
+    "src_manifest_prune", "src_row_lineage", "src_orphan_gc", "src_eq_delete", "src_hidden_zorder", "src_rollback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -368,6 +368,35 @@ object OpsOracles {
        |  FROM e)""".stripMargin
   }
 
+  /** The NN-descent refinement chain over [[knnCtes]], ending in
+    * `g{NdRounds}(vec_id, nbr_id, cos_u)` — shared by sim_nndescent
+    * and sim_graph_topk so index build and serving cannot drift.
+    * Every g_t MATERIALIZEs: round t+1 references it three times,
+    * and the graph frames are n·k rows.
+    */
+  private lazy val ndChainCtes: String = {
+    val rounds = (1 to Similarity.NdRounds).map { t =>
+      s"""u${t - 1} AS (SELECT vec_id AS v, nbr_id AS u FROM g${t - 1}
+         |  UNION ALL SELECT nbr_id AS v, vec_id AS u FROM g${t - 1}),
+         |c$t AS (SELECT DISTINCT a.v AS vec_id, b.u AS nbr_id
+         |  FROM u${t - 1} a JOIN u${t - 1} b ON a.u = b.v WHERE a.v != b.u),
+         |s$t AS (SELECT c.vec_id, c.nbr_id,
+         |    ${cosU("ea.embedding", "eb.embedding")} AS cos_u
+         |  FROM c$t c JOIN embeddings ea ON c.vec_id = ea.vec_id
+         |             JOIN embeddings eb ON c.nbr_id = eb.vec_id),
+         |g$t AS MATERIALIZED (
+         |  SELECT vec_id, nbr_id, cos_u FROM (
+         |    SELECT DISTINCT vec_id, nbr_id, cos_u FROM
+         |      (SELECT * FROM g${t - 1} UNION ALL SELECT * FROM s$t))
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_u DESC, nbr_id) <= ${Similarity.KnnK})""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCtes,
+       |g0 AS MATERIALIZED (SELECT vec_id, nbr_id, cos_u FROM r
+       |  WHERE rank <= ${Similarity.KnnK}),
+       |$rounds""".stripMargin
+  }
+
   /** The char-bigram LM scoring chain ending in
     * `lmdoc(doc_id, source, n_bigrams, lm_u)` (zero-bigram docs
     * default-filled) — shared by text_charlm and text_ccnet_buckets.
@@ -1646,6 +1675,29 @@ object OpsOracles {
     // delta maintenance must land on the SAME table as the one-shot
     // merge and the CDC stream — the third formulation on one SQL
     "pipeline_ivm" -> graft.sources.TableMerge.mergeOracle,
+    // the join view recomputed from the post-merge table: the delta
+    // path must land pointwise on this (empty groups dropped)
+    "pipeline_ivm_join" -> {
+      val ys = graft.sources.TableMerge.MergeYears.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, o_custkey AS ck,
+         |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c,
+         |    CAST(year(o_orderdate) AS BIGINT) AS p
+         |  FROM orders),
+         |merged AS (
+         |  SELECT k, ck,
+         |    total_c + CASE WHEN p IN ($ys) AND k % 97 = 0 AND k % 101 <> 0
+         |      THEN 100 ELSE 0 END AS total_c
+         |  FROM base WHERE NOT (p IN ($ys) AND k % 101 = 0)
+         |  UNION ALL
+         |  SELECT k + ${graft.sources.TableMerge.InsOffset}, ck, total_c + 50
+         |  FROM base WHERE p IN ($ys) AND k % 103 = 0)
+         |SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(m.total_c) AS BIGINT) AS sum_total_c
+         |FROM merged m JOIN customer c ON m.ck = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the splice (published output for unchanged days + pruned
     // recompute for changed days) must equal the closed-form full
     // recompute, changed-day flags included
@@ -2744,32 +2796,59 @@ object OpsOracles {
     // Each g_t is referenced three times by round t+1, so the rounds
     // MATERIALIZE (the graph frames are n·k rows — free), keeping the
     // plan linear instead of 3^rounds re-expansions.
-    "sim_nndescent" -> {
-      val rounds = (1 to Similarity.NdRounds).map { t =>
-        s"""u${t - 1} AS (SELECT vec_id AS v, nbr_id AS u FROM g${t - 1}
-           |  UNION ALL SELECT nbr_id AS v, vec_id AS u FROM g${t - 1}),
-           |c$t AS (SELECT DISTINCT a.v AS vec_id, b.u AS nbr_id
-           |  FROM u${t - 1} a JOIN u${t - 1} b ON a.u = b.v WHERE a.v != b.u),
-           |s$t AS (SELECT c.vec_id, c.nbr_id,
-           |    ${cosU("ea.embedding", "eb.embedding")} AS cos_u
-           |  FROM c$t c JOIN embeddings ea ON c.vec_id = ea.vec_id
-           |             JOIN embeddings eb ON c.nbr_id = eb.vec_id),
-           |g$t AS MATERIALIZED (
-           |  SELECT vec_id, nbr_id, cos_u FROM (
-           |    SELECT DISTINCT vec_id, nbr_id, cos_u FROM
-           |      (SELECT * FROM g${t - 1} UNION ALL SELECT * FROM s$t))
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY cos_u DESC, nbr_id) <= ${Similarity.KnnK})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $knnCtes,
-         |g0 AS MATERIALIZED (SELECT vec_id, nbr_id, cos_u FROM r
-         |  WHERE rank <= ${Similarity.KnnK}),
-         |$rounds
+    "sim_nndescent" ->
+      s"""WITH $ndChainCtes
          |SELECT vec_id,
          |  CAST(row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos_u DESC, nbr_id) AS BIGINT) AS rank,
          |  nbr_id, cos_u
-         |FROM g${Similarity.NdRounds} ORDER BY vec_id, rank""".stripMargin
+         |FROM g${Similarity.NdRounds} ORDER BY vec_id, rank""".stripMargin,
+    // graph-ANN SERVING over the same descent chain: bounded seeds →
+    // BeamB keep → BeamHops unrolled expand/rescore/keep rounds over
+    // the undirected graph; per-hop CTEs MATERIALIZE (each beam is
+    // referenced three times by the next hop).
+    "sim_graph_topk" -> {
+      val hops = (1 to Similarity.BeamHops).map { t =>
+        s"""bc$t AS (SELECT DISTINCT b.probe_id, u.u AS vec_id
+           |  FROM bb${t - 1} b JOIN undg u ON b.vec_id = u.v),
+           |bs$t AS (SELECT c.probe_id, c.vec_id,
+           |    ${cosU("bp.pvec", "e.embedding")} AS cos_u
+           |  FROM bc$t c JOIN bp ON c.probe_id = bp.probe_id
+           |             JOIN embeddings e ON c.vec_id = e.vec_id
+           |  WHERE c.vec_id != c.probe_id),
+           |bb$t AS MATERIALIZED (
+           |  SELECT probe_id, vec_id, cos_u FROM (
+           |    SELECT DISTINCT probe_id, vec_id, cos_u FROM
+           |      (SELECT * FROM bb${t - 1} UNION ALL SELECT * FROM bs$t))
+           |  QUALIFY row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cos_u DESC, vec_id) <= ${Similarity.BeamB})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ndChainCtes,
+         |undg AS MATERIALIZED (
+         |  SELECT vec_id AS v, nbr_id AS u FROM g${Similarity.NdRounds}
+         |  UNION
+         |  SELECT nbr_id AS v, vec_id AS u FROM g${Similarity.NdRounds}),
+         |nn2 AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn2
+         |       WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn2.n),
+         |bp AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |       FROM embeddings, pm WHERE vec_id % pm.m = 0),
+         |bsd AS (SELECT vec_id, embedding FROM embeddings, pm
+         |        WHERE vec_id % pm.m = 1),
+         |bb0 AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, cos_u FROM (
+         |    SELECT bp.probe_id, bsd.vec_id,
+         |      ${cosU("bp.pvec", "bsd.embedding")} AS cos_u
+         |    FROM bp, bsd WHERE bsd.vec_id != bp.probe_id)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) <= ${Similarity.BeamB}),
+         |$hops
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, cos_u
+         |FROM bb${Similarity.BeamHops}
+         |QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
     // One row per val/test doc; the bucket join and cosine are the
     // dedup_embed chain, the split hash is sample_split's.

@@ -552,9 +552,81 @@ object Pipeline {
     }
   }
 
+  /** pipeline_ivm_join — incremental maintenance of a JOIN view, the
+    * delta-rule term ([[ivm]]'s per-partition aggregate never leaves
+    * the fact table's own key space): the maintained view is
+    * orders ⋈ customer rolled up per NATION — a group key that lives
+    * on the DIMENSION side, so every signed fact delta must pass
+    * THROUGH the join before it can be applied (ΔV = γ(Δfact ⋈ dim),
+    * the classic ΔA⋈B rule with a static dimension). Deletes subtract
+    * their pre-image, inserts add, updates contribute their value
+    * difference with pre-images probed from ONLY the touched
+    * partitions — the fact table is never rescanned, and the
+    * dimension is a broadcast.
+    *
+    * A maintained group that empties is dropped (matching the
+    * recompute semantics a GROUP BY defines), so the spliced view is
+    * pointwise identical to a full recompute — which is exactly what
+    * the oracle states in closed form from the post-merge table.
+    *
+    * Scale shape: MV read back from its parquet artifact; delta work
+    * is O(changeset) + one partition-pruned probe; the join is a
+    * broadcast of the dimension onto the O(changeset) signed rows;
+    * the splice runs on the bounded nation domain.
+    */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotStore, TableMerge}
+    val store = TableMerge.stageStore(spark, dir, "ivmj")
+    try {
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("nation"))
+      val v1 = SnapshotStore.read(spark, store, 1)
+        .select(col("k"), col("ck"), col("total_c"),
+          col("p").cast("long").as("p"))
+      // yesterday's published join view, materialized beside the table
+      v1.join(broadcast(cust), Seq("ck"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_orders"), sum("total_c").as("sum_total_c"))
+        .write.mode("overwrite").parquet(s"$store/_mv/vjoin")
+      val mv0 = spark.read.parquet(s"$store/_mv/vjoin")
+
+      import spark.implicits._
+      val csDf = TableMerge.changesetRows(spark, dir)
+        .toDF("k", "ck", "total_c", "p", "op").localCheckpoint()
+      val touched = csDf.select("p").distinct().as[Long].collect().toSeq
+      val uPre = v1.filter(col("p").isin(touched: _*))
+        .join(broadcast(csDf.filter(col("op") === "U").select("k")), Seq("k"))
+        .select(col("k"), col("total_c").as("tc_pre"))
+      // signed fact deltas, then THROUGH the dimension join
+      val signed = csDf.filter(col("op") === "D")
+        .select(col("ck"), lit(-1L).as("dn"), (-col("total_c")).as("dtc"))
+        .unionByName(csDf.filter(col("op") === "I")
+          .select(col("ck"), lit(1L).as("dn"), col("total_c").as("dtc")))
+        .unionByName(csDf.filter(col("op") === "U")
+          .join(uPre, Seq("k"))
+          .select(col("ck"), lit(0L).as("dn"),
+            (col("total_c") - col("tc_pre")).as("dtc")))
+      val delta = signed.join(broadcast(cust), Seq("ck"))
+        .groupBy("nation")
+        .agg(sum("dn").as("dn"), sum("dtc").as("dtc"))
+      val mv1 = mv0.join(delta, Seq("nation"), "full_outer")
+        .select(col("nation"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("sum_total_c"), lit(0L)) + coalesce(col("dtc"), lit(0L)))
+            .as("sum_total_c"))
+        .filter(col("n_orders") > 0)
+        .orderBy("nation")
+      val rows = mv1.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mv1.schema)
+    } finally TableMerge.dropStore(store)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_backfill" -> (backfill _),
     "pipeline_ivm" -> (ivm _),
+    "pipeline_ivm_join" -> (ivmJoin _),
     "pipeline_mm" -> (mm _),
     "pipeline_incr" -> (incr _),
     "pipeline_validate" -> (validate _),

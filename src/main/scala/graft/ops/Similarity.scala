@@ -463,6 +463,76 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Beam width / hop count for [[graphTopk]] — B=8 beams over H=3
+    * hops close most of the seed-scan recall gap on this corpus
+    * (spec-measured); production tunes both by recall target. Fixed
+    * so the oracle states the identical unrolled walk.
+    */
+  val BeamB = 8
+  val BeamHops = 3
+
+  /** sim_graph_topk — graph-ANN SERVING, the read path of the index
+    * [[nnDescent]] builds (the DiskANN/HNSW-layer-0 query shape):
+    * each probe greedily walks the neighborhood graph — score a
+    * bounded seed set, keep the [[BeamB]] best, then for [[BeamHops]]
+    * hops expand the beam's graph neighbors (both edge directions,
+    * for reach), rescore exactly, and keep the best [[BeamB]] of old
+    * ∪ new. The emitted rows are each probe's final top-5. This is
+    * what makes a graph index USEFUL: the build cost amortizes over
+    * the query stream, and each query touches O(B·k·H) vectors — not
+    * the corpus, not even the LSH candidate union.
+    *
+    * Scale shape: probes AND seeds are bounded ([[ivfProbeMod]]-style
+    * moduli — ≤64 each at any corpus size, so the seed scan is a
+    * broadcast cross of two bounded frames); per hop the candidate
+    * frame is ≤ probes × [[BeamB]] × 2·[[KnnK]] rows and the exact
+    * rescoring joins the embeddings table on its key; hops are
+    * lineage-truncated (the mmr lesson). A re-proposed candidate
+    * rescores to the identical exact-integer cosine, so keep-any
+    * dedup is exact in both engines.
+    */
+  def graphTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val pmod = ivfProbeMod(n)
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val pr = base.filter(col("vec_id") % pmod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("vn2").as("pn2"))
+    val eb = base.select(col("vec_id"), col("embedding"), col("vn2"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(eb, Seq("vec_id"))
+        .join(broadcast(pr), Seq("probe_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
+    val und = {
+      val g = nnDescent(spark, dir)
+      g.select(col("vec_id").as("v"), col("nbr_id").as("u"))
+        .union(g.select(col("nbr_id").as("v"), col("vec_id").as("u")))
+        .distinct().localCheckpoint()
+    }
+    val wB = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
+    val seeds = base.filter(col("vec_id") % pmod === 1).select("vec_id")
+    var beam = score(pr.select("probe_id").crossJoin(seeds))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= BeamB)
+      .drop("rn").localCheckpoint()
+    for (_ <- 1 to BeamHops) {
+      val nbrs = beam.select(col("probe_id"), col("vec_id").as("v"))
+        .join(und, Seq("v"))
+        .select(col("probe_id"), col("u").as("vec_id"))
+        .dropDuplicates("probe_id", "vec_id")
+      beam = beam.unionByName(score(nbrs))
+        .dropDuplicates("probe_id", "vec_id")
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") <= BeamB)
+        .drop("rn").localCheckpoint()
+    }
+    beam.withColumn("rank", row_number().over(wB).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "rank", "vec_id", "cos_u")
+      .orderBy("probe_id", "rank")
+  }
+
   /** stats_label_errors — k-NN label-error screening (the
     * cleanlab-style data-quality gate): a vector whose neighborhood
     * votes for a DIFFERENT label than its own is a likely annotation
@@ -2278,6 +2348,7 @@ object Similarity {
     "sim_pq_kmeans" -> (pqKmeans _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_nndescent" -> (nnDescent _),
+    "sim_graph_topk" -> (graphTopk _),
     "stats_label_errors" -> (labelErrors _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_range_search" -> (rangeSearch _),

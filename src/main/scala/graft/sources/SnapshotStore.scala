@@ -235,6 +235,19 @@ object SnapshotStore {
     spark.read.option("basePath", root)
       .parquet(files(root, v).map(f => s"$root/$f"): _*)
 
+  /** Metadata-only ROLLBACK (Iceberg rollback_to_snapshot / Delta
+    * RESTORE): commit a NEW version whose file list is exactly
+    * version `v`'s — zero data movement, and the rolled-back
+    * version(s) stay readable until [[expire]]. Delete files are
+    * carried too, so a head with merge-on-read debt restores
+    * faithfully.
+    */
+  def rollback(root: String, v: Int): Int = {
+    val dels = deletesOf(root, v)
+    if (dels.isEmpty) commit(root, files(root, v))
+    else commitWithDeletes(root, files(root, v), dels)
+  }
+
   /** Orphan-file GC (the Iceberg remove_orphan_files idea) — the
     * OTHER reclaim axis from [[expire]]: expire retires files a KEPT
     * version no longer references (version history cleanup); orphan

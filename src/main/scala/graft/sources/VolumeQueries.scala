@@ -900,6 +900,7 @@ object VolumeQueries {
     "src_orphan_gc" -> (OrphanGc.orphanGc _),
     "src_eq_delete" -> (EqDelete.eqDelete _),
     "src_hidden_zorder" -> (HiddenZOrder.hiddenZorder _),
+    "src_rollback" -> (Rollback.rollback _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -1065,6 +1066,9 @@ object VolumeQueries {
     // two-level pruning: files_after_quarter pins level 1 alone,
     // files_read both layers, n_match/sum the no-false-negative proof
     "src_hidden_zorder" -> HiddenZOrder.hiddenZorderOracle,
+    // rollback: v3 reads exactly v1, v2 stays readable, v4 carries
+    // ONLY the post-rollback changeset — all four states closed-form
+    "src_rollback" -> Rollback.rollbackOracle,
     // zonemap pruning: the measured plan size (one InputPartition per
     // surviving block) AND the exact bright-voxel aggregate must both
     // match the envelope arithmetic recomputed from the shared fill

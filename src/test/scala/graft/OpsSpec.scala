@@ -643,6 +643,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rN >= r0, f"nn-descent lost recall: $rN%.3f < $r0%.3f")
   }
 
+  test("graph-ANN beam search matches a Scala walk re-derivation and beats the seed scan") {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val und = Similarity.nnDescent(spark, dir).collect()
+      .flatMap { r =>
+        val (v, u) = (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))
+        Seq(v -> u, u -> v)
+      }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pmod = Similarity.ivfProbeMod(vecs.size.toLong)
+    val probes = vecs.keys.filter(_ % pmod == 0).toSeq.sorted
+    val seeds = vecs.keys.filter(_ % pmod == 1).toSeq
+    assert(probes.nonEmpty && seeds.nonEmpty)
+    def topB(p: Long, cands: Set[Long], b: Int): Seq[Long] =
+      (cands - p).toSeq.sortBy(v => (-cosU(vecs(p), vecs(v)), v)).take(b)
+    // the full walk re-derived: seed beam, then expand/rescore/keep
+    val expected = probes.flatMap { p =>
+      var beam = topB(p, seeds.toSet, Similarity.BeamB)
+      for (_ <- 1 to Similarity.BeamHops) {
+        val cands = beam.toSet ++ beam.flatMap(v => und.getOrElse(v, Set.empty))
+        beam = topB(p, cands, Similarity.BeamB)
+      }
+      beam.take(5).zipWithIndex.map { case (v, i) =>
+        (p, (i + 1).toLong, v, cosU(vecs(p), vecs(v)))
+      }
+    }
+    val got = Similarity.graphTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected, "beam walk diverged from the Scala re-derivation")
+    // the graph walk must add recall over scanning the seeds alone
+    def recallOf(res: Map[Long, Set[Long]]): Double =
+      probes.map { p =>
+        val exact = topB(p, vecs.keySet, 5).toSet
+        exact.intersect(res.getOrElse(p, Set.empty)).size.toDouble / 5
+      }.sum / probes.size
+    val beamR = recallOf(got.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap)
+    val seedR = recallOf(probes.map(p =>
+      p -> topB(p, seeds.toSet, 5).toSet).toMap)
+    info(f"graph beam recall@5: $beamR%.3f vs seed-scan $seedR%.3f (${probes.size} probes)")
+    assert(beamR >= seedR, f"the walk lost recall: $beamR%.3f < $seedR%.3f")
+  }
+
   test("k-center coreset matches a Scala greedy re-derivation") {
     import spark.implicits._
     import graft.ops.Sampling

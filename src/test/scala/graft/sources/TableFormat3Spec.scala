@@ -167,6 +167,67 @@ class TableFormat3Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.drop()
   }
 
+  test("rollback: metadata-only restore, history preserved, expire reclaims the dead branch") {
+    val store = TableMerge.stageStore(spark, dir, "rb_spec")
+    try {
+      val base = TableMerge.baseTable(spark, dir)
+      def aggOf(v: Int) = SnapshotStore.read(spark, store, v)
+        .agg(count(lit(1)), sum("k"), sum("total_c")).collect()(0)
+      val a1 = aggOf(1)
+      TableMerge.applyChangeset(spark, store, TableMerge.changeset(base)): Unit
+      val v1files = SnapshotStore.files(store, 1)
+      val v2files = SnapshotStore.files(store, 2)
+      val a2 = aggOf(2)
+      assert(a2 !== a1, "the bad commit changed nothing — the spec is vacuous")
+      // the rollback commit: v1's file list VERBATIM, no data moved
+      val v3 = SnapshotStore.rollback(store, 1)
+      assert(SnapshotStore.files(store, v3) === v1files,
+        "rollback did not restore the exact file list")
+      assert(aggOf(v3) === a1, "rollback changed the table")
+      // history preserved: the bad version still reads
+      assert(aggOf(2) === a2, "the rolled-back version became unreadable")
+      // work continues on the RESTORED lineage
+      val ys = TableMerge.MergeYears.map(_.toLong)
+      TableMerge.applyChangeset(spark, store,
+        base.filter(col("p").isin(ys: _*) && col("k") % Rollback.UMod2 === 0)
+          .select(col("k"), col("ck"), (col("total_c") + 9L).as("total_c"),
+            col("p"), lit("U").as("op"))): Unit
+      val a4 = aggOf(4)
+      assert(a4.getLong(0) === a1.getLong(0),
+        "the update-only changeset changed the row count")
+      // expire to head reclaims the dead branch's files (v2's rewrites)
+      // without disturbing the surviving lineage
+      val dead = SnapshotStore.expire(store, 4).toSet
+      assert((v2files.toSet -- v1files).subsetOf(dead),
+        "a dead-branch file survived expire")
+      assert(aggOf(4) === a4, "head read changed across expire")
+    } finally TableMerge.dropStore(store)
+  }
+
+  test("join-view delta maintenance lands pointwise on a Spark full recompute") {
+    // independent formulation: recompute the post-merge join view with
+    // Spark (not DuckDB), compare against the delta-maintained one
+    val got = graft.ops.Pipeline.ivmJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val store = TableMerge.stageStore(spark, dir, "ivmj_spec")
+    try {
+      TableMerge.applyChangeset(spark, store,
+        TableMerge.changeset(TableMerge.baseTable(spark, dir))): Unit
+      val cust = graft.Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("nation"))
+      val expected = SnapshotStore.read(spark, store, 2)
+        .join(cust, Seq("ck"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_orders"), sum("total_c").as("sum_total_c"))
+        .orderBy("nation").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === expected,
+        "the delta-maintained join view diverged from the recompute")
+      assert(got.nonEmpty)
+    } finally TableMerge.dropStore(store)
+  }
+
   test("changelog tail: the streamed feed equals a batch replay of the same commit range") {
     // batch replay: stage, apply the three waves, diff each pair
     val store = TableMerge.stageStore(spark, dir, "stail_spec")
