@@ -27,7 +27,7 @@ object Bench {
     "q11_impstock", "q20_excess", "q21_waiting",
     "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_asof_tolerance_native", "q_range_join", "q_interval_join", "q_skew_join", "q_bucket_join", "q_runtime_filter",
     "q_gapfill", "q_ohlc", "q_ewma", "q_zorder_skip", "q_dpp",
-    "q_funnel", "q_retention",
+    "q_funnel", "q_retention", "q_match_recognize",
     "q_scd2",
     "q_pivot", "q_unpivot", "q_corr", "q_autocorr", "q_json_extract",
     "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",

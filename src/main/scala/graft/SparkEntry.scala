@@ -71,6 +71,7 @@ object SparkEntry {
     "q20_excess" -> (Queries.q20Excess _),
     "q21_waiting" -> (Queries.q21Waiting _),
     "q_funnel" -> (Queries.qFunnel _),
+    "q_match_recognize" -> (Queries.qMatchRecognize _),
     "q_retention" -> (Queries.qRetention _),
     "q_scd2" -> (Queries.qScd2 _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
@@ -622,6 +623,7 @@ object SparkEntry {
         |FROM nw JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q_funnel" -> Queries.funnelOracleSql,
+    "q_match_recognize" -> Queries.matchRecognizeOracleSql,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

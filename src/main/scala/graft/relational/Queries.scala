@@ -1171,6 +1171,74 @@ object Queries {
           coalesce(sum(col("t3") - col("t2b")), lit(0L)).as("sum_purchase_delay_s")))
   }
 
+  /** q_match_recognize — MATCH_RECOGNIZE-style event-PATTERN matching
+    * (the SQL:2016 row-pattern clause Flink CEP / Trino / Snowflake
+    * ship and Spark lacks): per user, over the (ts, event_id)-ordered
+    * event stream, find the non-overlapping greedy matches of the
+    * pattern `view click* purchase` — a view, any number of
+    * consecutive clicks, then a purchase, with no other event type
+    * intervening (the contiguity that separates row-pattern matching
+    * from q_funnel's any-gap stage funnel). Matching follows the
+    * standard AFTER MATCH SKIP PAST LAST ROW + greedy-quantifier
+    * semantics, which over an encoded event-type string is EXACTLY
+    * leftmost non-overlapping regex matching — so the operator
+    * compiles to: one shuffle to assemble each user's ordered
+    * type-sequence string (deterministic struct sort), then a
+    * codegen'd regexp_extract_all. Both engines run the same regex
+    * class (`vc*p` is unambiguous — backtracking and leftmost-longest
+    * semantics agree), so the match sets are identical by
+    * construction. Time-window constraints compose upstream (bound
+    * the sequence via q_sessionize-style session cuts) — noted, not
+    * folded in, to keep the pattern semantics pure.
+    *
+    * Scale shape: one map-side-combined groupBy(user) carrying
+    * single-char codes (the sequence is bytes-per-event, not rows),
+    * per-user state bounded by events-per-user — the same bound any
+    * MATCH_RECOGNIZE engine holds; the regex pass is per-user-string,
+    * embarrassingly parallel, inside whole-stage codegen.
+    */
+  def qMatchRecognize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), nsToSec(col("ts")).as("sec"), col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("x").as("ch"))
+    val seqs = e.groupBy("user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("sec"), col("event_id"), col("ch")))),
+        x => x.getField("ch"))).as("seq"))
+    seqs.select(col("user_id"),
+        regexp_extract_all(col("seq"), lit("vc*p"), lit(0)).as("ms"),
+        length(col("seq")).cast("long").as("seq_len"))
+      .filter(size(col("ms")) > 0)
+      .select(col("user_id"),
+        size(col("ms")).cast("long").as("n_matches"),
+        aggregate(col("ms"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        col("seq_len"))
+      .orderBy("user_id")
+  }
+
+  /** The q_match_recognize DuckDB oracle. */
+  val matchRecognizeOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |      WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch
+      |  FROM events),
+      |s AS (SELECT user_id,
+      |        string_agg(ch, '' ORDER BY sec, event_id) AS seq
+      |      FROM e GROUP BY 1),
+      |m AS (SELECT user_id, regexp_extract_all(seq, 'vc*p') AS ms,
+      |        CAST(length(seq) AS BIGINT) AS seq_len
+      |      FROM s)
+      |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+      |  CAST(COALESCE(list_sum(list_transform(ms, x -> length(x))), 0) AS BIGINT)
+      |    AS sum_len,
+      |  seq_len
+      |FROM m WHERE len(ms) > 0 ORDER BY user_id""".stripMargin
+
   /** The q_funnel DuckDB oracle — a val here (not in SparkEntry) so
     * the streaming twin's oracle map can share it without a circular
     * object initialization (SparkEntry.oracleSql already merges

@@ -1122,6 +1122,87 @@ object EventStreams {
             coalesce(sum(col("t3") - col("t2")), lit(0L)).as("sum_purchase_delay_s")))
   }
 
+  /** Per-user DFA state for [[matchRecognizeStream]]: `active` is
+    * true after an un-broken `view [click*]` prefix whose length is
+    * `curLen`; n/sumLen/seqLen are the monotone emitted measures.
+    * O(1) per user — the whole point of running CEP as streaming
+    * state instead of buffering sequences.
+    */
+  case class MrSt(active: Boolean, curLen: Long, n: Long,
+      sumLen: Long, seqLen: Long)
+
+  /** Advance the `view click* purchase` DFA over in-order events —
+    * exactly q_match_recognize's leftmost non-overlapping greedy
+    * semantics (a fresh `view` while active restarts the match start;
+    * any other type breaks the prefix; a `purchase` completes and
+    * skips past the last row).
+    */
+  def advanceMr(st: MrSt, evs: Seq[Ev]): MrSt = {
+    var s = st
+    for (e <- evs.sortBy(x => (x.sec, x.event_id))) {
+      val t = e.event_type
+      s = s.copy(seqLen = s.seqLen + 1)
+      if (s.active) {
+        t match {
+          case "click" => s = s.copy(curLen = s.curLen + 1)
+          case "purchase" => s = s.copy(active = false,
+            n = s.n + 1, sumLen = s.sumLen + s.curLen + 1)
+          case "view" => s = s.copy(curLen = 1L)
+          case _ => s = s.copy(active = false)
+        }
+      } else if (t == "view") s = s.copy(active = true, curLen = 1L)
+    }
+    s
+  }
+
+  /** stream_match_recognize — q_match_recognize LIVE (the Flink-CEP
+    * signature shape on Structured Streaming): per-user row-pattern
+    * matching of `view click* purchase` with constant-size group
+    * state ([[MrSt]] — a DFA state + match counters, never a buffered
+    * sequence), advanced by `mapGroupsWithState` across THREE
+    * time-ordered micro-batches so the automaton genuinely carries a
+    * half-open match across batch boundaries. Each trigger emits the
+    * user's monotone snapshot; the finalize is a plain max per user,
+    * and the drained table shares q_match_recognize's oracle
+    * VERBATIM — batch regex matching and streamed DFA state are two
+    * formulations of one SQL. The production CEP economics at scale:
+    * heavy event flow in, O(users) state, exact pattern measures out.
+    */
+  def matchRecognizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = typedEvents(spark, dir).collect().toSeq
+      .sortBy(e => (e.sec, e.event_id))
+    val input = MemoryStream[Ev]
+    val snapshots = input.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[MrSt, (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[MrSt]) =>
+          val st = advanceMr(
+            state.getOption.getOrElse(MrSt(false, 0L, 0L, 0L, 0L)), it.toSeq)
+          state.update(st)
+          (uid, st.n, st.sumLen, st.seqLen)
+      }
+      .toDF("user_id", "n_matches", "sum_len", "seq_len")
+    val sink = sinkName("stream_match_recognize")
+    val q = snapshots.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    // three TIME-ordered waves: cross-batch state continuation is the
+    // content here — a match opened in one batch completes in the next
+    val third = (evs.length + 2) / 3
+    evs.grouped(math.max(third, 1)).foreach { w =>
+      input.addData(w); q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(sink)
+      .groupBy("user_id")
+      .agg(max("n_matches").as("n_matches"), max("sum_len").as("sum_len"),
+        max("seq_len").as("seq_len"))
+      .filter(col("n_matches") > 0)
+      .orderBy("user_id")
+  }
+
   /** stream_quantile — approximate p50/p90/p99 over a LIVE stream:
     * the state is [[graft.ops.Sampling.quantHist]]'s mergeable
     * equi-width histogram (bounded (type, bucket) rows; counts/maxes
@@ -1751,6 +1832,7 @@ object EventStreams {
     "stream_bloom_lookup" -> (streamBloomLookup _),
     "stream_wap" -> (graft.sources.TableRefs.streamWap _),
     "stream_snapshot_tail" -> (graft.sources.SnapshotDiff.snapshotTail _),
+    "stream_match_recognize" -> (matchRecognizeStream _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
@@ -1928,6 +2010,9 @@ object EventStreams {
     // the changelog tail: per-(version, op) deltas of the three
     // copy-on-write commits, N rows over data-driven touched sets
     "stream_snapshot_tail" -> graft.sources.SnapshotDiff.tailOracle,
+    // shared VERBATIM with the batch row-pattern op: regex matching
+    // and streamed DFA state are two formulations of one SQL
+    "stream_match_recognize" -> graft.relational.Queries.matchRecognizeOracleSql,
     // the tail's cumulative state after each commit, restated from the
     // year-append history: one year file per commit 1..7, change
     // commits 8 (compaction) and 9 (drop) skipped — flat cumulative

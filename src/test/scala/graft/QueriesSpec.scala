@@ -19,6 +19,45 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("match_recognize equals a hand-rolled leftmost pattern scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // independent matcher: an explicit automaton scan for `v c* p`
+    // with AFTER MATCH SKIP PAST LAST ROW — no regex library involved
+    def scan(seq: String): Seq[Int] = {
+      val lens = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < seq.length) {
+        if (seq(i) == 'v') {
+          var j = i + 1
+          while (j < seq.length && seq(j) == 'c') j += 1
+          if (j < seq.length && seq(j) == 'p') { lens += (j - i + 1); i = j + 1 }
+          else i += 1
+        } else i += 1
+      }
+      lens.toSeq
+    }
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val seq = rows.sortBy(r => (r._2 / 1000000000L, r._3)).map(_._4 match {
+        case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'
+        case _ => 'x'
+      }).mkString
+      val ms = scan(seq)
+      if (ms.isEmpty) None
+      else Some((u, ms.length.toLong, ms.map(_.toLong).sum, seq.length.toLong))
+    }.toSeq.sortBy(_._1)
+    val got = Queries.qMatchRecognize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected, "regex matching diverged from the automaton scan")
+    assert(got.nonEmpty)
+    // non-trivial: at least one multi-click (len > 2) and one
+    // multi-match user occur at spec scale
+    assert(expected.exists(_._2 >= 2), "no multi-match user at spec scale")
+  }
+
   test("funnel and retention match Scala re-derivations") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -39,6 +39,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[EventStreams.Ev].collect().toSeq
   }
 
+  test("match-recognize DFA composes across any batch split; boundary matches count once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val init = EventStreams.MrSt(false, 0L, 0L, 0L, 0L)
+    def ev(id: Long, sec: Long, t: String) =
+      EventStreams.Ev(id, 1L, sec, 0L, t)
+    // hand case: the match OPENS in batch 1 and COMPLETES in batch 2
+    val b1 = Seq(ev(1, 10, "view"), ev(2, 11, "click"))
+    val b2 = Seq(ev(3, 12, "click"), ev(4, 13, "purchase"))
+    val crossed = EventStreams.advanceMr(EventStreams.advanceMr(init, b1), b2)
+    assert(crossed.n === 1L && crossed.sumLen === 4L && crossed.seqLen === 4L,
+      s"boundary-spanning match miscounted: $crossed")
+    // composition property over REAL per-user sequences: every split
+    // point yields the same final state as the unsplit fold
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Queries.nsToSec(col("ts")).as("sec"),
+        Queries.cents(col("value")).as("value_c"), col("event_type"))
+      .as[EventStreams.Ev].collect()
+    val byUser = evs.groupBy(_.user_id).values.toSeq
+      .sortBy(_.head.user_id).take(20)
+      .map(_.sortBy(e => (e.sec, e.event_id)).toSeq)
+    byUser.foreach { s =>
+      val whole = EventStreams.advanceMr(init, s)
+      (0 to s.length by math.max(s.length / 5, 1)).foreach { k =>
+        val split = EventStreams.advanceMr(
+          EventStreams.advanceMr(init, s.take(k)), s.drop(k))
+        assert(split === whole, s"split at $k diverged for user ${s.head.user_id}")
+      }
+    }
+  }
+
   test("stream_session equals per-user batch sessionization") {
     val streamed = rows(EventStreams.session(spark, dir),
       "user_id", "session_start", "n_events", "dur_sec", "sum_value_c")
