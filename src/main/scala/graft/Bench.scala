@@ -177,7 +177,12 @@ object Bench {
     // Also persist to disk: the driver's stdout capture has truncated
     // the leading total + ~half the per-query numbers before (r4) —
     // the on-disk copy is the complete, committable artifact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    // a SUBSET run (BENCH_ONLY) must never clobber the committed
+    // full-sweep artifact: default it to a separate file
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_subset.json"
+      else "bench_last.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()

@@ -506,11 +506,14 @@ object Similarity {
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
           cosUPre(col("pvec"), col("embedding"), col("pn2"), col("vn2")).as("cos_u"))
+    // no distinct on the edge frame: a duplicate (v,u) only duplicates
+    // a candidate proposal, and the per-hop dropDuplicates dedups
+    // before scoring — the distinct would cost a shuffle for nothing
     val und = {
       val g = nnDescent(spark, dir)
       g.select(col("vec_id").as("v"), col("nbr_id").as("u"))
         .union(g.select(col("nbr_id").as("v"), col("vec_id").as("u")))
-        .distinct().localCheckpoint()
+        .localCheckpoint()
     }
     val wB = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
     val seeds = base.filter(col("vec_id") % pmod === 1).select("vec_id")
