@@ -70,6 +70,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the vocab cap vanished — the grid side is no longer bounded")
   }
 
+  test("q_match_recognize: one scan, one hash exchange, native regex projection") {
+    val p = formatted("q_match_recognize")
+    assert(scans(p) === 1, "pattern matching grew extra scans")
+    // exactly ONE hash exchange (the groupBy user assembling the
+    // sequences) plus the final orderBy's range exchange — a second
+    // hashpartitioning would mean the match stage re-shuffled
+    assert("""hashpartitioning""".r.findAllIn(p).length === 1,
+      "the match stage re-shuffled beyond the sequence assembly")
+    // the regex evaluation is a native Project expression over the
+    // assembled per-user strings (not a UDF), and the sequence
+    // assembly is one partial+final ObjectHashAggregate pair
+    assert(p.contains("regexp_extract_all") && !p.contains("BatchEvalPython"),
+      p.take(400))
+    assert("""partial_collect_list""".r.findAllIn(p).nonEmpty,
+      "the sequence assembly lost its map-side partial aggregate")
+  }
+
   test("q_ohlc's two window passes share one exchange (re-sort, no re-shuffle)") {
     val p = formatted("q_ohlc")
     // two Sort nodes (asc + desc pass) over ONE hash-partitioning
