@@ -81,6 +81,85 @@ object EqDelete {
     } finally TableMerge.dropStore(store)
   }
 
+  /** stream_eq_delete — the delete/reinsert/delete history driven as
+    * a STREAM of mutation batches (the CDC-deletion ingest shape:
+    * scattered deletions arrive continuously and each lands as a tiny
+    * merge-on-read commit, never a rewrite): three micro-batches
+    * apply the eq1 delete, the +7¢ reinsert, and the eq2 delete, each
+    * guarded idempotently by the version it targets — a replayed
+    * batch sees its commit already landed and is a no-op, and a crash
+    * between data write and manifest commit leaves only orphans
+    * [[SnapshotStore.orphanGc]] reclaims. The drained per-version
+    * report (sequence-number reads of all four states) shares
+    * [[eqDeleteOracle]] VERBATIM — batch staging and exactly-once
+    * stream ingestion are two formulations of one SQL.
+    */
+  def streamEqDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = TableMerge.stageStore(spark, dir, "seqdel")
+    try {
+      val v1files = SnapshotStore.files(store, 1)
+      val base = SnapshotStore.read(spark, store, 1)
+      var reins: Seq[String] = Seq.empty
+      def applyWave(w: Long): Unit = {
+        val sp = base.sparkSession
+        // idempotence: each wave targets exactly one version — a
+        // replay sees it committed and does nothing
+        if (SnapshotStore.latest(store) <= w) w match {
+          case 1L =>
+            base.filter(col("k") % 10 === 3).select("k").coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(s"$store/_deletes/eq1")
+            SnapshotStore.commitWithDeletes(store, v1files,
+              Seq("_deletes/eq1")): Unit
+          case 2L =>
+            val before = SnapshotStore.listDataFiles(store).toSet
+            base.filter(col("k") % 20 === 3)
+              .select(col("k"), col("ck"), (col("total_c") + 7L).as("total_c"),
+                col("p").cast("long").as("p"))
+              .repartition(col("p"))
+              .write.mode(SaveMode.Append).partitionBy("p").parquet(store)
+            reins = SnapshotStore.listDataFiles(store).filterNot(before)
+            SnapshotStore.commitWithDeletes(store, v1files ++ reins,
+              Seq("_deletes/eq1")): Unit
+          case _ =>
+            base.filter(col("k") % 40 === 3).select("k").coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(s"$store/_deletes/eq2")
+            SnapshotStore.commitWithDeletes(store, v1files ++ reins,
+              Seq("_deletes/eq1", "_deletes/eq2")): Unit
+        }
+        val _ = sp
+      }
+      val input = MemoryStream[Long]
+      val q = input.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("value").collect().map(_.getLong(0)).sorted.foreach(applyWave)
+        }
+        .option("checkpointLocation", s"${store}_ckpt")
+        .start()
+      for (w <- 1L to 3L) { input.addData(w); q.processAllAvailable() }
+      // replay of an already-applied wave must be a no-op
+      input.addData(3L); q.processAllAvailable()
+      q.stop()
+      require(SnapshotStore.latest(store) == 4,
+        s"exactly-once ingest drifted: head=${SnapshotStore.latest(store)}")
+      val agg = (1 to 4).map { v =>
+        SnapshotStore.readWithSeqDeletes(spark, store, v, "k")
+          .agg(count(lit(1)).as("n_rows"), sum("k").as("sum_key"),
+            sum("total_c").as("sum_total_c"),
+            sum(when(col("k") % 10 === 3, 1L).otherwise(0L)).as("n_res3"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_key"), col("sum_total_c"), col("n_res3"))
+      }.reduce(_ unionByName _).orderBy("version")
+      val rows = agg.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      TableMerge.dropStore(store)
+      TableMerge.dropStore(s"${store}_ckpt")
+    }
+  }
+
   /** Closed-form oracle: the four visibility states restated from
     * `orders` — v3's n_res3 > 0 IS the reinsert-survives-its-older-
     * delete certificate, and v3/v4's +7-cent sums prove the surviving

@@ -1833,6 +1833,7 @@ object EventStreams {
     "stream_wap" -> (graft.sources.TableRefs.streamWap _),
     "stream_snapshot_tail" -> (graft.sources.SnapshotDiff.snapshotTail _),
     "stream_match_recognize" -> (matchRecognizeStream _),
+    "stream_eq_delete" -> (graft.sources.EqDelete.streamEqDelete _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
     "stream_gapfill" -> (gapfillStream _),
@@ -2013,6 +2014,9 @@ object EventStreams {
     // shared VERBATIM with the batch row-pattern op: regex matching
     // and streamed DFA state are two formulations of one SQL
     "stream_match_recognize" -> graft.relational.Queries.matchRecognizeOracleSql,
+    // shared VERBATIM with src_eq_delete: batch staging and
+    // exactly-once stream ingestion are two formulations of one SQL
+    "stream_eq_delete" -> graft.sources.EqDelete.eqDeleteOracle,
     // the tail's cumulative state after each commit, restated from the
     // year-append history: one year file per commit 1..7, change
     // commits 8 (compaction) and 9 (drop) skipped — flat cumulative
