@@ -416,6 +416,73 @@ object Graph {
       .orderBy("label")
   }
 
+  /** Synchronous-move rounds for [[louvain]]. */
+  val LvRounds = 3
+
+  /** graph_louvain — MODULARITY-OPTIMIZING community detection (the
+    * Louvain local-move phase, Blondel et al. 2008), the classic the
+    * graph family measured ([[modularity]]) but never optimized:
+    * every node starts as its own community and, per round, moves to
+    * the NEIGHBOR community with the best modularity gain. Moves are
+    * SYNCHRONOUS (all nodes evaluate against the same current
+    * assignment and move together — the parallel-Louvain variant,
+    * since sequential Louvain's answer depends on visit order, which
+    * no distributed engine can promise), [[LvRounds]] rounds, and
+    * every gain comparison is EXACT integer arithmetic: candidate C
+    * scores 4m·e_{i,C} − 2·deg_i·Σtot'(C) over the shared 4m²
+    * denominator (Σtot'(C) excludes i's own degree when C is i's
+    * community — the standard remove-first rule), ties to the
+    * smaller community id. No division, no float — both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape: rides the SAME checkpointed k-NN edge frame as
+    * label_prop/modularity (one graph build); per round the
+    * neighbor-community frame is |und| rows, candidate scores ≤
+    * n·(k+1) rows, and Σtot is one community-keyed aggregation — all
+    * map-side-combined; rounds lineage-truncated. Output is the
+    * final assignment with community sizes.
+    */
+  def louvain(spark: SparkSession, dir: String): DataFrame = {
+    val (ke, _) = lpCore(spark, dir)
+    val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val m = ke.count()
+    val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
+    var asn = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("v")).withColumn("comm", col("v"))
+      .localCheckpoint()
+    for (_ <- 1 to LvRounds) {
+      val nbrComm = und
+        .join(asn.select(col("v").as("id_a"), col("comm")), Seq("id_a"))
+        .groupBy(col("id_b").as("v"), col("comm"))
+        .agg(count(lit(1)).as("e"))
+      // own community enters with its true e when a neighbor shares
+      // it (max folds the 0-baseline away), else e = 0
+      val cand = nbrComm
+        .unionByName(asn.select(col("v"), col("comm"), lit(0L).as("e")))
+        .groupBy("v", "comm").agg(max("e").as("e"))
+      val stot = asn.join(deg, Seq("v"), "left")
+        .groupBy("comm")
+        .agg(sum(coalesce(col("deg"), lit(0L))).as("stot"))
+      val scored = cand
+        .join(asn.select(col("v"), col("comm").as("mycomm")), Seq("v"))
+        .join(deg, Seq("v"), "left")
+        .join(stot, Seq("comm"))
+        .select(col("v"), col("comm"),
+          (lit(4L * m) * col("e") - lit(2L) * coalesce(col("deg"), lit(0L)) *
+            (col("stot") - when(col("comm") === col("mycomm"),
+              coalesce(col("deg"), lit(0L))).otherwise(0L))).as("score"))
+      asn = scored
+        .groupBy("v")
+        .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"))
+        .select(col("v"), (-col("m.nc")).as("comm"))
+        .localCheckpoint()
+    }
+    val sizes = asn.groupBy("comm").agg(count(lit(1)).as("comm_size"))
+    asn.join(sizes, Seq("comm"))
+      .select(col("v").as("vec_id"), col("comm"), col("comm_size"))
+      .orderBy("vec_id")
+  }
+
   /** graph_ppr — PERSONALIZED PageRank: the teleport mass returns to
     * a SEED set (the three smallest node ids in the near-dup graph —
     * deterministic), not uniformly to every vertex, so the converged
@@ -571,6 +638,7 @@ object Graph {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_scc" -> (scc _),
     "graph_ppr" -> (ppr _),
+    "graph_louvain" -> (louvain _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),

@@ -2061,6 +2061,48 @@ object OpsOracles {
          |SELECT l.v AS vec_id, l.lab AS label, sz.comm_size
          |FROM l${Graph.LpRounds} l JOIN sz ON l.lab = sz.lab
          |ORDER BY vec_id""".stripMargin,
+    // synchronous Louvain local moves over the SAME knn chain: per
+    // round, per-(node, candidate-community) exact-integer gain
+    // numerators 4m·e − 2·deg·Σtot', argmax with smaller-comm ties;
+    // every a_t MATERIALIZEs (referenced four times by round t+1)
+    "graph_louvain" -> {
+      val rounds = (1 to Graph.LvRounds).map { t =>
+        s"""nb$t AS (SELECT u.id_b AS v, a.comm, CAST(COUNT(*) AS BIGINT) AS e
+           |  FROM und u JOIN a${t - 1} a ON u.id_a = a.v GROUP BY 1, 2),
+           |cd$t AS (SELECT v, comm, MAX(e) AS e FROM (
+           |    SELECT v, comm, e FROM nb$t
+           |    UNION ALL SELECT v, comm, CAST(0 AS BIGINT) FROM a${t - 1})
+           |  GROUP BY 1, 2),
+           |st$t AS (SELECT a.comm, CAST(SUM(COALESCE(dg.deg, 0)) AS BIGINT) AS stot
+           |  FROM a${t - 1} a LEFT JOIN dg ON a.v = dg.v GROUP BY 1),
+           |sc$t AS (SELECT c.v, c.comm,
+           |    4 * mm.m * c.e - 2 * COALESCE(d.deg, 0) *
+           |      (s.stot - CASE WHEN c.comm = a.comm
+           |        THEN COALESCE(d.deg, 0) ELSE 0 END) AS score
+           |  FROM cd$t c JOIN a${t - 1} a ON c.v = a.v
+           |    LEFT JOIN dg d ON c.v = d.v
+           |    JOIN st$t s ON c.comm = s.comm, mm),
+           |a$t AS MATERIALIZED (SELECT v, comm FROM sc$t
+           |  QUALIFY row_number() OVER (PARTITION BY v
+           |    ORDER BY score DESC, comm) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnCtes,
+         |ke AS MATERIALIZED (SELECT LEAST(vec_id, nbr_id) AS id_a,
+         |    GREATEST(vec_id, nbr_id) AS id_b
+         |  FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
+         |und AS (SELECT id_a, id_b FROM ke
+         |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ke),
+         |dg AS (SELECT id_a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM und GROUP BY 1),
+         |a0 AS (SELECT vec_id AS v, vec_id AS comm FROM embeddings),
+         |$rounds,
+         |sz AS (SELECT comm, COUNT(*) AS comm_size
+         |       FROM a${Graph.LvRounds} GROUP BY 1)
+         |SELECT a.v AS vec_id, CAST(a.comm AS BIGINT) AS comm, sz.comm_size
+         |FROM a${Graph.LvRounds} a JOIN sz USING (comm)
+         |ORDER BY vec_id""".stripMargin
+    },
     // SCC from first principles: recursive-CTE transitive closure of
     // the above-median trade graph, scc id = min mutual-reach partner
     "graph_scc" ->

@@ -126,7 +126,9 @@ object EqDelete {
           case _ =>
             base.filter(col("k") % 40 === 3).select("k").coalesce(1)
               .write.mode(SaveMode.Overwrite).parquet(s"$store/_deletes/eq2")
-            SnapshotStore.commitWithDeletes(store, v1files ++ reins,
+            // the file set comes from v3's MANIFEST, not driver state —
+            // a restarted stream (empty `reins`) commits identically
+            SnapshotStore.commitWithDeletes(store, SnapshotStore.files(store, 3),
               Seq("_deletes/eq1", "_deletes/eq2")): Unit
         }
         val _ = sp

@@ -690,6 +690,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(beamR >= seedR, f"the walk lost recall: $beamR%.3f < $seedR%.3f")
   }
 
+  test("louvain synchronous moves match a Scala re-derivation and beat singletons") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val verts = Tables(spark, dir, "embeddings").select("vec_id")
+      .as[Long].collect().toSeq.sorted
+    val ke = Similarity.knnGraph(spark, dir).collect()
+      .map { r =>
+        val (a, b) = (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))
+        (math.min(a, b), math.max(a, b))
+      }.distinct.toSeq
+    val m = ke.size.toLong
+    val und = ke.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    var asn = verts.map(v => v -> v).toMap
+    for (_ <- 1 to Graph.LvRounds) {
+      // .keys is a Set — map BEFORE summing would dedup equal degrees
+      val stot = asn.groupBy(_._2).view
+        .mapValues(_.keys.toSeq.map(v => deg.getOrElse(v, 0L)).sum).toMap
+      asn = verts.map { v =>
+        val own = asn(v)
+        val e = nbrs.getOrElse(v, Seq.empty).groupBy(asn).view
+          .mapValues(_.size.toLong).toMap
+        val cands = (e.keySet + own).toSeq
+        val dv = deg.getOrElse(v, 0L)
+        val best = cands.minBy { c =>
+          val sc = 4L * m * e.getOrElse(c, 0L) -
+            2L * dv * (stot(c) - (if (c == own) dv else 0L))
+          (-sc, c)
+        }
+        v -> best
+      }.toMap
+    }
+    val sizes = asn.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = verts.map(v => (v, asn(v), sizes(asn(v))))
+    val got = graft.ops.Graph.louvain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected, "louvain diverged from the Scala re-derivation")
+    // the optimized partition must beat the singleton null partition
+    // on the exact integer modularity numerator Σ(4m·L_c − d_c²)
+    def modNum(a: Map[Long, Long]): Long = {
+      val lIn = ke.count { case (x, y) => a(x) == a(y) }.toLong
+      // Σ_c d_c² — the penalty term; singletons: Σ_v deg_v²
+      val dsq = a.groupBy(_._2).values
+        .map(g => { val d = g.keys.toSeq.map(v => deg.getOrElse(v, 0L)).sum; d * d }).sum
+      4L * m * lIn - dsq
+    }
+    val (q0, qF) = (modNum(verts.map(v => v -> v).toMap), modNum(asn))
+    info(s"modularity numerator: singleton $q0 -> louvain $qF " +
+      s"(communities ${sizes.size}, edges $m)")
+    assert(qF > q0, "louvain did not improve on the singleton partition")
+  }
+
   test("k-center coreset matches a Scala greedy re-derivation") {
     import spark.implicits._
     import graft.ops.Sampling
