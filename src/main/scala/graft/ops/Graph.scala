@@ -442,7 +442,12 @@ object Graph {
     * map-side-combined; rounds lineage-truncated. Output is the
     * final assignment with community sizes.
     */
-  def louvain(spark: SparkSession, dir: String): DataFrame = {
+  /** Phase-1 core shared by [[louvain]] and [[louvain2]]: the edge
+    * frame, degree table, edge count, and the assignment after
+    * [[LvRounds]] synchronous local-move rounds.
+    */
+  private[ops] def lvCore(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long, DataFrame) = {
     val (ke, _) = lpCore(spark, dir)
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val m = ke.count()
@@ -477,9 +482,93 @@ object Graph {
         .select(col("v"), (-col("m.nc")).as("comm"))
         .localCheckpoint()
     }
+    (ke, deg, m, asn)
+  }
+
+  def louvain(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, asn) = lvCore(spark, dir)
     val sizes = asn.groupBy("comm").agg(count(lit(1)).as("comm_size"))
     asn.join(sizes, Seq("comm"))
       .select(col("v").as("vec_id"), col("comm"), col("comm_size"))
+      .orderBy("vec_id")
+  }
+
+  /** Weighted-move rounds on the contracted graph for [[louvain2]]. */
+  val LvRounds2 = 2
+
+  /** graph_louvain2 — the FULL MULTI-LEVEL Louvain loop ([[louvain]]
+    * is the local-move phase; the published method's power comes from
+    * what follows): CONTRACT each phase-1 community into a super-node
+    * — inter-community edge weights are the edge counts they absorb,
+    * and a super-node's weighted degree Σ_v∈C deg(v) carries the
+    * intra-community mass as self-loop weight implicitly — then run
+    * [[LvRounds2]] synchronous WEIGHTED local-move rounds on the
+    * contracted graph (gain numerators 4m·w(S,C) − 2·K_S·Σtot'(C),
+    * same exact-integer rule with weights in place of counts; m, the
+    * total original edge weight, is unchanged by contraction), and
+    * project the coarse assignment back to vertices. This is how
+    * Louvain escapes the local optimum the move phase plateaus at:
+    * whole communities relocate at once, which no single-vertex move
+    * can express.
+    *
+    * Scale shape: the contracted graph is |communities| nodes —
+    * typically 1-2 orders smaller — so the phase-2 frames are tiny;
+    * contraction itself is two assignment joins over the checkpointed
+    * edge frame + one weighted aggregation. Everything stays
+    * map-side-combined exact integers; ties to the smaller super-node
+    * id, bit-identical in the unrolled oracle.
+    */
+  def louvain2(spark: SparkSession, dir: String): DataFrame = {
+    val (ke, deg, m, asn) = lvCore(spark, dir)
+    // contraction: per-edge community pair → weighted undirected edges
+    val ce = ke
+      .join(asn.select(col("v").as("id_a"), col("comm").as("ca")), Seq("id_a"))
+      .join(asn.select(col("v").as("id_b"), col("comm").as("cb")), Seq("id_b"))
+      .select(col("ca"), col("cb"))
+    val wund = ce.filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("s"), col("cb").as("d"))
+      .union(ce.filter(col("ca") =!= col("cb"))
+        .select(col("cb").as("s"), col("ca").as("d")))
+      .groupBy("s", "d").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    // weighted super-node degree = Σ member degrees (carries the
+    // intra-community self-loop mass; Σ K = 2m is conserved)
+    val kw = asn.join(deg, Seq("v"), "left")
+      .groupBy(col("comm").as("s"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("kw"))
+      .localCheckpoint()
+    var asn2 = kw.select(col("s").as("v2")).withColumn("comm2", col("v2"))
+      .localCheckpoint()
+    for (_ <- 1 to LvRounds2) {
+      val nbrComm = wund
+        .join(asn2.select(col("v2").as("d"), col("comm2")), Seq("d"))
+        .groupBy(col("s").as("v2"), col("comm2"))
+        .agg(sum("w").as("e"))
+      val cand = nbrComm
+        .unionByName(asn2.select(col("v2"), col("comm2"), lit(0L).as("e")))
+        .groupBy("v2", "comm2").agg(max("e").as("e"))
+      val stot = asn2.join(kw.select(col("s").as("v2"), col("kw")), Seq("v2"))
+        .groupBy("comm2").agg(sum("kw").as("stot"))
+      val scored = cand
+        .join(asn2.select(col("v2"), col("comm2").as("mycomm")), Seq("v2"))
+        .join(kw.select(col("s").as("v2"), col("kw")), Seq("v2"))
+        .join(stot, Seq("comm2"))
+        .select(col("v2"), col("comm2"),
+          (lit(4L * m) * col("e") - lit(2L) * col("kw") *
+            (col("stot") - when(col("comm2") === col("mycomm"), col("kw"))
+              .otherwise(0L))).as("score"))
+      asn2 = scored
+        .groupBy("v2")
+        .agg(max(struct(col("score"), (-col("comm2")).as("nc"))).as("m"))
+        .select(col("v2"), (-col("m.nc")).as("comm2"))
+        .localCheckpoint()
+    }
+    // project the coarse assignment back to vertices
+    val proj = asn.join(asn2.select(col("v2").as("comm"), col("comm2")), Seq("comm"))
+      .select(col("v").as("vec_id"), col("comm2").as("comm"))
+    val sizes = proj.groupBy("comm").agg(count(lit(1)).as("comm_size"))
+    proj.join(sizes, Seq("comm"))
+      .select(col("vec_id"), col("comm"), col("comm_size"))
       .orderBy("vec_id")
   }
 
@@ -639,6 +728,7 @@ object Graph {
     "graph_scc" -> (scc _),
     "graph_ppr" -> (ppr _),
     "graph_louvain" -> (louvain _),
+    "graph_louvain2" -> (louvain2 _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),

@@ -397,6 +397,45 @@ object OpsOracles {
        |$rounds""".stripMargin
   }
 
+  /** The synchronous-Louvain phase-1 chain over [[knnCtes]], ending
+    * in `a{LvRounds}(v, comm)` plus the shared `ke/und/mm/dg` frames —
+    * shared by graph_louvain and graph_louvain2 so the move phase and
+    * the multi-level loop cannot drift.
+    */
+  private lazy val lvChainCtes: String = {
+    val rounds = (1 to Graph.LvRounds).map { t =>
+      s"""nb$t AS (SELECT u.id_b AS v, a.comm, CAST(COUNT(*) AS BIGINT) AS e
+         |  FROM und u JOIN a${t - 1} a ON u.id_a = a.v GROUP BY 1, 2),
+         |cd$t AS (SELECT v, comm, MAX(e) AS e FROM (
+         |    SELECT v, comm, e FROM nb$t
+         |    UNION ALL SELECT v, comm, CAST(0 AS BIGINT) FROM a${t - 1})
+         |  GROUP BY 1, 2),
+         |st$t AS (SELECT a.comm, CAST(SUM(COALESCE(dg.deg, 0)) AS BIGINT) AS stot
+         |  FROM a${t - 1} a LEFT JOIN dg ON a.v = dg.v GROUP BY 1),
+         |sc$t AS (SELECT c.v, c.comm,
+         |    4 * mm.m * c.e - 2 * COALESCE(d.deg, 0) *
+         |      (s.stot - CASE WHEN c.comm = a.comm
+         |        THEN COALESCE(d.deg, 0) ELSE 0 END) AS score
+         |  FROM cd$t c JOIN a${t - 1} a ON c.v = a.v
+         |    LEFT JOIN dg d ON c.v = d.v
+         |    JOIN st$t s ON c.comm = s.comm, mm),
+         |a$t AS MATERIALIZED (SELECT v, comm FROM sc$t
+         |  QUALIFY row_number() OVER (PARTITION BY v
+         |    ORDER BY score DESC, comm) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCtes,
+       |ke AS MATERIALIZED (SELECT LEAST(vec_id, nbr_id) AS id_a,
+       |    GREATEST(vec_id, nbr_id) AS id_b
+       |  FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
+       |und AS (SELECT id_a, id_b FROM ke
+       |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ke),
+       |dg AS (SELECT id_a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+       |       FROM und GROUP BY 1),
+       |a0 AS (SELECT vec_id AS v, vec_id AS comm FROM embeddings),
+       |$rounds""".stripMargin
+  }
+
   /** The char-bigram LM scoring chain ending in
     * `lmdoc(doc_id, source, n_bigrams, lm_u)` (zero-bigram docs
     * default-filled) — shared by text_charlm and text_ccnet_buckets.
@@ -2065,43 +2104,55 @@ object OpsOracles {
     // round, per-(node, candidate-community) exact-integer gain
     // numerators 4m·e − 2·deg·Σtot', argmax with smaller-comm ties;
     // every a_t MATERIALIZEs (referenced four times by round t+1)
-    "graph_louvain" -> {
-      val rounds = (1 to Graph.LvRounds).map { t =>
-        s"""nb$t AS (SELECT u.id_b AS v, a.comm, CAST(COUNT(*) AS BIGINT) AS e
-           |  FROM und u JOIN a${t - 1} a ON u.id_a = a.v GROUP BY 1, 2),
-           |cd$t AS (SELECT v, comm, MAX(e) AS e FROM (
-           |    SELECT v, comm, e FROM nb$t
-           |    UNION ALL SELECT v, comm, CAST(0 AS BIGINT) FROM a${t - 1})
-           |  GROUP BY 1, 2),
-           |st$t AS (SELECT a.comm, CAST(SUM(COALESCE(dg.deg, 0)) AS BIGINT) AS stot
-           |  FROM a${t - 1} a LEFT JOIN dg ON a.v = dg.v GROUP BY 1),
-           |sc$t AS (SELECT c.v, c.comm,
-           |    4 * mm.m * c.e - 2 * COALESCE(d.deg, 0) *
-           |      (s.stot - CASE WHEN c.comm = a.comm
-           |        THEN COALESCE(d.deg, 0) ELSE 0 END) AS score
-           |  FROM cd$t c JOIN a${t - 1} a ON c.v = a.v
-           |    LEFT JOIN dg d ON c.v = d.v
-           |    JOIN st$t s ON c.comm = s.comm, mm),
-           |a$t AS MATERIALIZED (SELECT v, comm FROM sc$t
-           |  QUALIFY row_number() OVER (PARTITION BY v
-           |    ORDER BY score DESC, comm) = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $knnCtes,
-         |ke AS MATERIALIZED (SELECT LEAST(vec_id, nbr_id) AS id_a,
-         |    GREATEST(vec_id, nbr_id) AS id_b
-         |  FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
-         |und AS (SELECT id_a, id_b FROM ke
-         |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
-         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ke),
-         |dg AS (SELECT id_a AS v, CAST(COUNT(*) AS BIGINT) AS deg
-         |       FROM und GROUP BY 1),
-         |a0 AS (SELECT vec_id AS v, vec_id AS comm FROM embeddings),
-         |$rounds,
+    "graph_louvain" ->
+      s"""WITH $lvChainCtes,
          |sz AS (SELECT comm, COUNT(*) AS comm_size
          |       FROM a${Graph.LvRounds} GROUP BY 1)
          |SELECT a.v AS vec_id, CAST(a.comm AS BIGINT) AS comm, sz.comm_size
          |FROM a${Graph.LvRounds} a JOIN sz USING (comm)
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+    // the full multi-level loop: contract phase-1 communities into a
+    // weighted super-graph (weighted degree = member degree sum —
+    // the self-loop mass), run weighted synchronous rounds, project
+    "graph_louvain2" -> {
+      val aN = s"a${Graph.LvRounds}"
+      val rounds = (1 to Graph.LvRounds2).map { t =>
+        s"""wn$t AS (SELECT u.s AS v2, lb.comm2, CAST(SUM(u.w) AS BIGINT) AS e
+           |  FROM wund u JOIN lb${t - 1} lb ON u.d = lb.v2 GROUP BY 1, 2),
+           |wc$t AS (SELECT v2, comm2, MAX(e) AS e FROM (
+           |    SELECT v2, comm2, e FROM wn$t
+           |    UNION ALL SELECT v2, comm2, CAST(0 AS BIGINT) FROM lb${t - 1})
+           |  GROUP BY 1, 2),
+           |ws$t AS (SELECT lb.comm2, CAST(SUM(kk.kw) AS BIGINT) AS stot
+           |  FROM lb${t - 1} lb JOIN kk ON lb.v2 = kk.s GROUP BY 1),
+           |wg$t AS (SELECT c.v2, c.comm2,
+           |    4 * mm.m * c.e - 2 * k.kw *
+           |      (s.stot - CASE WHEN c.comm2 = lb.comm2
+           |        THEN k.kw ELSE 0 END) AS score
+           |  FROM wc$t c JOIN lb${t - 1} lb ON c.v2 = lb.v2
+           |    JOIN kk k ON c.v2 = k.s
+           |    JOIN ws$t s ON c.comm2 = s.comm2, mm),
+           |lb$t AS MATERIALIZED (SELECT v2, comm2 FROM wg$t
+           |  QUALIFY row_number() OVER (PARTITION BY v2
+           |    ORDER BY score DESC, comm2) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lvChainCtes,
+         |ce AS (SELECT x.comm AS ca, y.comm AS cb
+         |  FROM ke JOIN $aN x ON ke.id_a = x.v JOIN $aN y ON ke.id_b = y.v),
+         |wund AS MATERIALIZED (SELECT s, d, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         |    SELECT ca AS s, cb AS d FROM ce WHERE ca <> cb
+         |    UNION ALL SELECT cb AS s, ca AS d FROM ce WHERE ca <> cb)
+         |  GROUP BY 1, 2),
+         |kk AS MATERIALIZED (SELECT a.comm AS s,
+         |    CAST(SUM(COALESCE(dg.deg, 0)) AS BIGINT) AS kw
+         |  FROM $aN a LEFT JOIN dg ON a.v = dg.v GROUP BY 1),
+         |lb0 AS (SELECT s AS v2, s AS comm2 FROM kk),
+         |$rounds,
+         |proj AS (SELECT a.v, lb.comm2 AS comm
+         |  FROM $aN a JOIN lb${Graph.LvRounds2} lb ON a.comm = lb.v2),
+         |sz AS (SELECT comm, COUNT(*) AS comm_size FROM proj GROUP BY 1)
+         |SELECT p.v AS vec_id, CAST(p.comm AS BIGINT) AS comm, sz.comm_size
+         |FROM proj p JOIN sz USING (comm) ORDER BY vec_id""".stripMargin
     },
     // SCC from first principles: recursive-CTE transitive closure of
     // the above-median trade graph, scc id = min mutual-reach partner

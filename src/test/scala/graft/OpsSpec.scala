@@ -690,7 +690,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(beamR >= seedR, f"the walk lost recall: $beamR%.3f < $seedR%.3f")
   }
 
-  test("louvain synchronous moves match a Scala re-derivation and beat singletons") {
+  /** Scala phase-1 Louvain re-derivation shared by the two louvain
+    * specs: returns (verts, ke, m, deg, nbrs, final assignment).
+    */
+  private def louvainPhase1(): (Seq[Long], Seq[(Long, Long)], Long,
+      Map[Long, Long], Map[Long, Seq[Long]], Map[Long, Long]) = {
     import spark.implicits._
     import graft.ops.Graph
     val verts = Tables(spark, dir, "embeddings").select("vec_id")
@@ -723,6 +727,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         v -> best
       }.toMap
     }
+    (verts, ke, m, deg, nbrs, asn)
+  }
+
+  test("louvain synchronous moves match a Scala re-derivation and beat singletons") {
+    val (verts, ke, m, deg, _, asn) = louvainPhase1()
     val sizes = asn.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val expected = verts.map(v => (v, asn(v), sizes(asn(v))))
     val got = graft.ops.Graph.louvain(spark, dir).collect()
@@ -741,6 +750,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"modularity numerator: singleton $q0 -> louvain $qF " +
       s"(communities ${sizes.size}, edges $m)")
     assert(qF > q0, "louvain did not improve on the singleton partition")
+  }
+
+  test("multi-level louvain matches a Scala re-derivation of contraction + weighted moves") {
+    import graft.ops.Graph
+    val (verts, ke, m, deg, _, asn1) = louvainPhase1()
+    // contraction: weighted inter-community edges + weighted degrees
+    val inter = ke.map { case (a, b) => (asn1(a), asn1(b)) }
+      .filter { case (ca, cb) => ca != cb }
+    val wund = inter.flatMap { case (ca, cb) => Seq((ca, cb), (cb, ca)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap // (s,d) -> w
+    val supers = asn1.values.toSeq.distinct.sorted
+    val kw = supers.map { c =>
+      c -> asn1.collect { case (v, cc) if cc == c => deg.getOrElse(v, 0L) }.sum
+    }.toMap
+    val wnbrs = wund.keys.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var asn2 = supers.map(s => s -> s).toMap
+    for (_ <- 1 to Graph.LvRounds2) {
+      val stot = asn2.groupBy(_._2).view
+        .mapValues(_.keys.toSeq.map(kw).sum).toMap
+      asn2 = supers.map { s =>
+        val own = asn2(s)
+        val e = wnbrs.getOrElse(s, Seq.empty).groupBy(asn2).view
+          .mapValues(_.map(d => wund((s, d))).sum).toMap
+        val cands = (e.keySet + own).toSeq
+        val ks = kw(s)
+        val best = cands.minBy { c =>
+          val sc = 4L * m * e.getOrElse(c, 0L) -
+            2L * ks * (stot(c) - (if (c == own) ks else 0L))
+          (-sc, c)
+        }
+        s -> best
+      }.toMap
+    }
+    val proj = verts.map(v => v -> asn2(asn1(v))).toMap
+    val sizes = proj.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = verts.map(v => (v, proj(v), sizes(proj(v))))
+    val got = Graph.louvain2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected,
+      "multi-level louvain diverged from the Scala re-derivation")
+    // coarse moves must merge something phase 1 could not
+    def modNum(a: Map[Long, Long]): Long = {
+      val lIn = ke.count { case (x, y) => a(x) == a(y) }.toLong
+      val dsq = a.groupBy(_._2).values
+        .map(g => { val d = g.keys.toSeq.map(v => deg.getOrElse(v, 0L)).sum; d * d }).sum
+      4L * m * lIn - dsq
+    }
+    val (q1, q2) = (modNum(asn1), modNum(proj))
+    info(s"modularity numerator: phase-1 $q1 -> multi-level $q2 " +
+      s"(communities ${asn1.values.toSet.size} -> ${sizes.size})")
+    assert(sizes.size < asn1.values.toSet.size,
+      "the coarse phase merged nothing at spec scale")
   }
 
   test("k-center coreset matches a Scala greedy re-derivation") {
