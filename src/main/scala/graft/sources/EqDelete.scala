@@ -105,9 +105,11 @@ object EqDelete {
       var reins: Seq[String] = Seq.empty
       def applyWave(w: Long): Unit = {
         val sp = base.sparkSession
-        // idempotence: each wave targets exactly one version — a
-        // replay sees it committed and does nothing
-        if (SnapshotStore.latest(store) <= w) w match {
+        // idempotence: each wave targets exactly one predecessor
+        // version — a replay sees it committed and does nothing, and
+        // an out-of-order wave (predecessor not yet applied) is also
+        // a no-op instead of reading a nonexistent manifest
+        if (SnapshotStore.latest(store) == w) w match {
           case 1L =>
             base.filter(col("k") % 10 === 3).select("k").coalesce(1)
               .write.mode(SaveMode.Overwrite).parquet(s"$store/_deletes/eq1")

@@ -51,15 +51,11 @@ object HiddenZOrder {
   /** Files per quarter cell: top [[FidBits]] bits of the z value. */
   val FidBits = 3
 
-  private def tmpfsRoot: String = {
-    val base = new java.io.File("/dev/shm")
-    if (base.isDirectory && base.canWrite) "/dev/shm"
-    else System.getProperty("java.io.tmpdir")
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-  }
+  // staging helpers shared with the rest of the sources package —
+  // single definition in TableRefs so capacity/behavior tweaks can't
+  // silently diverge between ops
+  private def tmpfsRoot: String = TableRefs.tmpfsRoot
+  private def rm(f: java.io.File): Unit = TableRefs.rm(f)
 
   /** Orders with the quarter transform and the z assignment applied:
     * (c, total_c, d, pq, z, fid).

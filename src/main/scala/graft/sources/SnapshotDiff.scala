@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** INCREMENTAL CHANGELOG SCAN between two snapshot versions — the
@@ -28,15 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  private def tmpfsRoot: String = {
-    val base = new java.io.File("/dev/shm")
-    if (base.isDirectory && base.canWrite) "/dev/shm"
-    else System.getProperty("java.io.tmpdir")
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-  }
+  // staging helpers shared with the rest of the sources package —
+  // single definition in TableRefs so capacity/behavior tweaks can't
+  // silently diverge between ops
+  private def tmpfsRoot: String = TableRefs.tmpfsRoot
+  private def rm(f: java.io.File): Unit = TableRefs.rm(f)
 
   /** The diff frame between two committed versions: (k, op, total_c)
     * where total_c is the post-image for I/U/N and the pre-image for D.
@@ -121,15 +117,23 @@ object SnapshotDiff {
         val sp = batch.sparkSession
         SnapshotStore.versions(store).filter(_ > 1).foreach { v =>
           // idempotent per-version output: the exactly-once guard for
-          // replays and for two ticks discovering the same commit
+          // replays and for two ticks discovering the same commit.
+          // Publication is write-to-temp + atomic rename: a crash
+          // mid-write leaves only `_tmp-diff-v$v` (retried with
+          // Overwrite next tick), never a partial `diff-v$v` that a
+          // later tick would mistake for committed
           if (!new java.io.File(s"$outRoot/diff-v$v").exists()) {
+            val tmp = s"$outRoot/_tmp-diff-v$v"
             diff(sp, store, v - 1, v)
               .groupBy("op")
               .agg(count(lit(1)).as("n_keys"), sum("k").as("sum_key"),
                 sum("total_c").as("sum_total_c"))
               .withColumn("version", lit(v.toLong))
               .coalesce(1)
-              .write.parquet(s"$outRoot/diff-v$v")
+              .write.mode(SaveMode.Overwrite).parquet(tmp)
+            require(new java.io.File(tmp)
+              .renameTo(new java.io.File(s"$outRoot/diff-v$v")),
+              s"atomic publish of diff-v$v failed")
           }
         }
       }

@@ -264,8 +264,16 @@ object SnapshotStore {
     * (reclaimed, keptYoung).
     */
   def orphanGc(root: String, cutoffMillis: Long): (Seq[String], Seq[String]) = {
+    // delete files are live too: today they sit under `_deletes/` which
+    // listDataFiles skips, but the live set must not depend on that
+    // placement convention — a delete file committed outside an
+    // underscore dir stays protected here. Manifests reference delete
+    // DIRECTORIES, so membership is a prefix test against the census's
+    // individual file paths.
     val live = versions(root).flatMap(files(root, _)).toSet
-    val orphans = listDataFiles(root).filterNot(live)
+    val delDirs = versions(root).flatMap(deletesOf(root, _)).toSet
+    val orphans = listDataFiles(root).filterNot(f =>
+      live(f) || delDirs.exists(d => f == d || f.startsWith(d + "/")))
     val (old, young) = orphans.partition(f =>
       new java.io.File(s"$root/$f").lastModified() < cutoffMillis)
     old.foreach(f => new java.io.File(s"$root/$f").delete(): Unit)

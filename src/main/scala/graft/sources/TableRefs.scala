@@ -91,13 +91,16 @@ object Refs {
 /** The src_branch_tag / src_wap operator pair. */
 object TableRefs {
 
-  private[sources] def tmpfsRoot: String = {
+  // `private[graft]` (not [sources]): the ops package stages the
+  // persisted graph-ANN index through the same helpers — one
+  // definition, no drift
+  private[graft] def tmpfsRoot: String = {
     val base = new java.io.File("/dev/shm")
     if (base.isDirectory && base.canWrite) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
   }
 
-  private[sources] def rm(f: java.io.File): Unit = {
+  private[graft] def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
   }
 

@@ -898,6 +898,7 @@ object VolumeQueries {
     "src_manifest_prune" -> (ManifestPrune.manifestPrune _),
     "src_row_lineage" -> (RowLineage.rowLineage _),
     "src_orphan_gc" -> (OrphanGc.orphanGc _),
+    "src_orphan_census" -> (OrphanCensus.orphanCensus _),
     "src_eq_delete" -> (EqDelete.eqDelete _),
     "src_hidden_zorder" -> (HiddenZOrder.hiddenZorder _),
     "src_rollback" -> (Rollback.rollback _),
@@ -1060,6 +1061,9 @@ object VolumeQueries {
     // orphan GC: layout arithmetic (exactly the two old uncommitted
     // files reclaimed, the fresh one age-spared) + both refs' reads
     "src_orphan_gc" -> OrphanGc.orphanGcOracle,
+    // distributed census: per-year physical/live/orphan-age counts in
+    // closed form over the staged 7-year layout
+    "src_orphan_census" -> OrphanCensus.orphanCensusOracle,
     // sequence-numbered equality deletes: a reinserted key survives
     // its OLDER delete; the four visibility states in closed form
     "src_eq_delete" -> EqDelete.eqDeleteOracle,

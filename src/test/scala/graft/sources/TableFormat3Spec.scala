@@ -128,6 +128,49 @@ class TableFormat3Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rm(new java.io.File(root))
   }
 
+  test("distributed orphan census matches the staged layout closed-form") {
+    val (y0, _) = TableRefs.yearBounds(spark, dir)
+    val got = OrphanCensus.orphanCensus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // 7 staged years: d ≤ 4 committed (1 live file each), d = 5 one
+    // old + one young orphan, d = 6 one old orphan
+    val expected = (0 to 6).map { d =>
+      (y0 + d, if (d == 5) 2L else 1L, if (d <= 4) 1L else 0L,
+        if (d >= 5) 1L else 0L, if (d == 5) 1L else 0L)
+    }
+    assert(got === expected, "census diverged from the staged layout")
+  }
+
+  test("orphan gc live set protects committed delete files wherever they live") {
+    val root = s"/tmp/graft_ogcdel_spec_${ProcessHandle.current().pid()}"
+    rm(new java.io.File(root))
+    try {
+      val o = TableRefs.ordersYkp(spark, dir)
+      val (y0, _) = TableRefs.yearBounds(spark, dir)
+      val base = TableRefs.writeYears(spark, root, o, y0, y0)
+      SnapshotStore.commit(root, base)
+      // a delete file committed OUTSIDE the `_deletes/` underscore
+      // convention: the live set must protect it via the manifest's
+      // dfiles reference, not via the listing's underscore skip
+      o.filter(col("y") === y0).select(col("k")).limit(5).coalesce(1)
+        .write.parquet(s"$root/deletes_x/eq1")
+      val delFiles = SnapshotStore.listDataFiles(root)
+        .filter(_.startsWith("deletes_x/"))
+      assert(delFiles.nonEmpty, "staging produced no visible delete file")
+      SnapshotStore.commitWithDeletes(root, base, Seq("deletes_x/eq1"))
+      val weekAgo = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+      SnapshotStore.listDataFiles(root).foreach(f =>
+        new java.io.File(s"$root/$f").setLastModified(weekAgo): Unit)
+      val (reclaimed, _) =
+        SnapshotStore.orphanGc(root, System.currentTimeMillis() - 1000)
+      assert(reclaimed.isEmpty,
+        s"gc reclaimed manifest-referenced files: $reclaimed")
+      assert(delFiles.forall(f => new java.io.File(s"$root/$f").exists()),
+        "a committed delete file vanished")
+    } finally rm(new java.io.File(root))
+  }
+
   test("hidden+zorder composition: both prune layers active, no false negatives, files z-sorted") {
     val st = HiddenZOrder.stage(spark, dir)
     try {
