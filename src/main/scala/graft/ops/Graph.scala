@@ -448,6 +448,33 @@ object Graph {
     */
   private[ops] def lvCore(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, Long, DataFrame) = {
+    val (ke, deg, m, asn, _) = lvCoreN(spark, dir, LvRounds, earlyExit = false)
+    (ke, deg, m, asn)
+  }
+
+  /** The local-move loop itself, parametrized: up to `maxRounds`
+    * synchronous rounds; with `earlyExit` the loop stops at
+    * CONVERGENCE — either the assignment FIXPOINT (a_t = a_{t-1}: a
+    * round that moved nobody, the real Louvain phase-1 termination
+    * rule) or the synchronous variant's known failure mode, a
+    * PERIOD-2 OSCILLATION (a_t = a_{t-2}: two cliques of vertices
+    * swapping communities forever — synchronous label updates are
+    * bipartite-unstable, so on real graphs this, not the fixpoint, is
+    * what usually ends the loop). Returns the rounds consumed as the
+    * 5th element: the first t satisfying either test, or `maxRounds`.
+    *
+    * Both exits stay EXACTLY equal to a full `maxRounds` unroll —
+    * which is what lets a fixed-depth SQL oracle verify a convergence
+    * loop: a fixpoint is idempotent (the move rule is a pure function
+    * of the previous assignment), and a detected 2-cycle makes the
+    * tail periodic, so the unroll's a_max is whichever of
+    * (a_t, a_{t-1}) has maxRounds' parity — one branch, zero extra
+    * rounds. Each test is one `limit(1).count()` over a self-join of
+    * two n-row checkpointed frames — O(n) per round, negligible
+    * against the round itself.
+    */
+  private[ops] def lvCoreN(spark: SparkSession, dir: String, maxRounds: Int,
+      earlyExit: Boolean): (DataFrame, DataFrame, Long, DataFrame, Long) = {
     val (ke, _) = lpCore(spark, dir)
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val m = ke.count()
@@ -455,7 +482,12 @@ object Graph {
     var asn = Tables(spark, dir, "embeddings")
       .select(col("vec_id").as("v")).withColumn("comm", col("v"))
       .localCheckpoint()
-    for (_ <- 1 to LvRounds) {
+    var prev: DataFrame = null // a_{t-2} once t ≥ 2
+    var t = 0
+    var nRounds = maxRounds.toLong
+    var converged = false
+    while (t < maxRounds && !converged) {
+      t += 1
       val nbrComm = und
         .join(asn.select(col("v").as("id_a"), col("comm")), Seq("id_a"))
         .groupBy(col("id_b").as("v"), col("comm"))
@@ -476,13 +508,28 @@ object Graph {
           (lit(4L * m) * col("e") - lit(2L) * coalesce(col("deg"), lit(0L)) *
             (col("stot") - when(col("comm") === col("mycomm"),
               coalesce(col("deg"), lit(0L))).otherwise(0L))).as("score"))
-      asn = scored
+      val next = scored
         .groupBy("v")
         .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"))
         .select(col("v"), (-col("m.nc")).as("comm"))
         .localCheckpoint()
+      if (earlyExit) {
+        def sameAs(ref: DataFrame): Boolean =
+          next.join(ref.withColumnRenamed("comm", "pc"), Seq("v"))
+            .filter(col("comm") =!= col("pc")).limit(1).count() == 0L
+        if (sameAs(asn)) {
+          // fixpoint: every later round is a no-op — a_max = a_t
+          converged = true; nRounds = t.toLong; asn = next
+        } else if (prev != null && sameAs(prev)) {
+          // 2-cycle: the tail alternates a_{t-1}, a_t, a_{t-1}, … —
+          // a_max is whichever frame shares maxRounds' parity
+          converged = true; nRounds = t.toLong
+          if ((maxRounds - t) % 2 == 0) asn = next // else keep a_{t-1}
+        }
+      }
+      if (!converged) { prev = asn; asn = next }
     }
-    (ke, deg, m, asn)
+    (ke, deg, m, asn, nRounds)
   }
 
   def louvain(spark: SparkSession, dir: String): DataFrame = {
@@ -490,6 +537,43 @@ object Graph {
     val sizes = asn.groupBy("comm").agg(count(lit(1)).as("comm_size"))
     asn.join(sizes, Seq("comm"))
       .select(col("v").as("vec_id"), col("comm"), col("comm_size"))
+      .orderBy("vec_id")
+  }
+
+  /** Round cap for [[louvainConv]] — the bound that keeps the
+    * unrolled oracle finite; the loop normally exits earlier at a
+    * stability point (measured: the 2-cycle arrives at round 14 on
+    * the sf0.001 corpus, round 9 at sf0.01 — the cap must sit above
+    * the settling round for the early exit to demonstrate itself).
+    */
+  val LvConvMax = 16
+
+  /** graph_louvain_conv — the local-move phase run TO CONVERGENCE
+    * (the published algorithm's actual phase-1 termination: iterate
+    * until no vertex improves its community), capped at [[LvConvMax]]
+    * rounds. Convergence here is the synchronous variant's full
+    * stability test: fixpoint (a_t = a_{t-1}) OR period-2 oscillation
+    * (a_t = a_{t-2} — synchronous moves are bipartite-unstable, so on
+    * real graphs the 2-cycle, not the fixpoint, is the usual
+    * terminator; this corpus oscillates from round 9 at sf0.01). The
+    * emitted
+    * `n_rounds` column is the first round passing either test (or the
+    * cap) — and the ORACLE computes the same number from its unrolled
+    * chain's per-round move/oscillation counts, so the convergence
+    * behavior itself is hash-verified, not just the final assignment.
+    *
+    * Scale shape: identical per-round frames to [[louvain]]; the two
+    * stability probes add O(n) narrow self-joins per round. The early
+    * exit is pure savings at scale — a converged 100 TB graph stops
+    * paying for rounds the fixed-depth variant would still run.
+    */
+  def louvainConv(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, asn, nRounds) =
+      lvCoreN(spark, dir, LvConvMax, earlyExit = true)
+    val sizes = asn.groupBy("comm").agg(count(lit(1)).as("comm_size"))
+    asn.join(sizes, Seq("comm"))
+      .select(col("v").as("vec_id"), col("comm"), col("comm_size"))
+      .withColumn("n_rounds", lit(nRounds))
       .orderBy("vec_id")
   }
 
@@ -521,14 +605,17 @@ object Graph {
   def louvain2(spark: SparkSession, dir: String): DataFrame = {
     val (ke, deg, m, asn) = lvCore(spark, dir)
     // contraction: per-edge community pair → weighted undirected edges
+    // checkpointed: the undirected union below references ce twice,
+    // and each lazy reference would re-run BOTH assignment joins —
+    // the frame is ≤|E| narrow rows, the checkpoint is free
     val ce = ke
       .join(asn.select(col("v").as("id_a"), col("comm").as("ca")), Seq("id_a"))
       .join(asn.select(col("v").as("id_b"), col("comm").as("cb")), Seq("id_b"))
       .select(col("ca"), col("cb"))
-    val wund = ce.filter(col("ca") =!= col("cb"))
-      .select(col("ca").as("s"), col("cb").as("d"))
-      .union(ce.filter(col("ca") =!= col("cb"))
-        .select(col("cb").as("s"), col("ca").as("d")))
+      .filter(col("ca") =!= col("cb"))
+      .localCheckpoint()
+    val wund = ce.select(col("ca").as("s"), col("cb").as("d"))
+      .union(ce.select(col("cb").as("s"), col("ca").as("d")))
       .groupBy("s", "d").agg(count(lit(1)).as("w"))
       .localCheckpoint()
     // weighted super-node degree = Σ member degrees (carries the
@@ -729,6 +816,7 @@ object Graph {
     "graph_ppr" -> (ppr _),
     "graph_louvain" -> (louvain _),
     "graph_louvain2" -> (louvain2 _),
+    "graph_louvain_conv" -> (louvainConv _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),

@@ -397,13 +397,73 @@ object OpsOracles {
        |$rounds""".stripMargin
   }
 
+  /** graph-ANN SERVING over the descent chain, parametrized by the
+    * probe cohort's residue mod the [[Similarity.ivfProbeMod]]-style
+    * modulus: bounded seeds → BeamB keep → BeamHops unrolled
+    * expand/rescore/keep rounds over the undirected graph; per-hop
+    * CTEs MATERIALIZE (each beam is referenced three times by the
+    * next hop). Shared by sim_graph_topk (residue 0) and
+    * sim_graph_topk2 (residue 2) — both oracles restate the SAME
+    * index, exactly as both Spark serves read the same persisted one.
+    */
+  private def graphServeOracle(probeRes: Int): String = {
+    val hops = (1 to Similarity.BeamHops).map { t =>
+      s"""bc$t AS (SELECT DISTINCT b.probe_id, u.u AS vec_id
+         |  FROM bb${t - 1} b JOIN undg u ON b.vec_id = u.v),
+         |bs$t AS (SELECT c.probe_id, c.vec_id,
+         |    ${cosU("bp.pvec", "e.embedding")} AS cos_u
+         |  FROM bc$t c JOIN bp ON c.probe_id = bp.probe_id
+         |             JOIN embeddings e ON c.vec_id = e.vec_id
+         |  WHERE c.vec_id != c.probe_id),
+         |bb$t AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, cos_u FROM (
+         |    SELECT DISTINCT probe_id, vec_id, cos_u FROM
+         |      (SELECT * FROM bb${t - 1} UNION ALL SELECT * FROM bs$t))
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_u DESC, vec_id) <= ${Similarity.BeamB})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ndChainCtes,
+       |undg AS MATERIALIZED (
+       |  SELECT vec_id AS v, nbr_id AS u FROM g${Similarity.NdRounds}
+       |  UNION
+       |  SELECT nbr_id AS v, vec_id AS u FROM g${Similarity.NdRounds}),
+       |nn2 AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn2
+       |       WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn2.n),
+       |bp AS (SELECT vec_id AS probe_id, embedding AS pvec
+       |       FROM embeddings, pm WHERE vec_id % pm.m = $probeRes),
+       |bsd AS (SELECT vec_id, embedding FROM embeddings, pm
+       |        WHERE vec_id % pm.m = 1),
+       |bb0 AS MATERIALIZED (
+       |  SELECT probe_id, vec_id, cos_u FROM (
+       |    SELECT bp.probe_id, bsd.vec_id,
+       |      ${cosU("bp.pvec", "bsd.embedding")} AS cos_u
+       |    FROM bp, bsd WHERE bsd.vec_id != bp.probe_id)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_u DESC, vec_id) <= ${Similarity.BeamB}),
+       |$hops
+       |SELECT probe_id,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
+       |  vec_id, cos_u
+       |FROM bb${Similarity.BeamHops}
+       |QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** The synchronous-Louvain phase-1 chain over [[knnCtes]], ending
     * in `a{LvRounds}(v, comm)` plus the shared `ke/und/mm/dg` frames —
     * shared by graph_louvain and graph_louvain2 so the move phase and
     * the multi-level loop cannot drift.
     */
-  private lazy val lvChainCtes: String = {
-    val rounds = (1 to Graph.LvRounds).map { t =>
+  private lazy val lvChainCtes: String = lvChain(Graph.LvRounds)
+
+  /** The chain generator itself, parametrized by round count —
+    * graph_louvain/louvain2 use [[Graph.LvRounds]]; the convergence
+    * row unrolls to [[Graph.LvConvMax]] (idempotence at the fixpoint
+    * makes the full unroll equal to the early-exiting loop).
+    */
+  private def lvChain(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { t =>
       s"""nb$t AS (SELECT u.id_b AS v, a.comm, CAST(COUNT(*) AS BIGINT) AS e
          |  FROM und u JOIN a${t - 1} a ON u.id_a = a.v GROUP BY 1, 2),
          |cd$t AS (SELECT v, comm, MAX(e) AS e FROM (
@@ -2111,6 +2171,38 @@ object OpsOracles {
          |SELECT a.v AS vec_id, CAST(a.comm AS BIGINT) AS comm, sz.comm_size
          |FROM a${Graph.LvRounds} a JOIN sz USING (comm)
          |ORDER BY vec_id""".stripMargin,
+    // convergence loop: the deep chain plus per-round convergence
+    // probes — n_rounds = first round whose assignment equals the
+    // previous one (fixpoint) OR the one before that (the synchronous
+    // variant's 2-cycle oscillation), else the cap. The SAME number
+    // the Spark loop's early exit reports, so the termination
+    // behavior is verified along with the assignment (which equals
+    // the full unroll either way: fixpoints are idempotent, and a
+    // periodic tail lands on the parity the Spark side picks).
+    "graph_louvain_conv" -> {
+      val mx = Graph.LvConvMax
+      val mvs = ((1 to mx).map(t =>
+        s"""mv$t AS (SELECT CAST($t AS BIGINT) AS t, COUNT(*) AS c
+           |  FROM a$t x JOIN a${t - 1} y ON x.v = y.v
+           |  WHERE x.comm <> y.comm)""".stripMargin) ++
+        (2 to mx).map(t =>
+          s"""os$t AS (SELECT CAST($t AS BIGINT) AS t, COUNT(*) AS c
+             |  FROM a$t x JOIN a${t - 2} y ON x.v = y.v
+             |  WHERE x.comm <> y.comm)""".stripMargin)).mkString(",\n")
+      val mvAll = ((1 to mx).map(t => s"SELECT t, c FROM mv$t") ++
+        (2 to mx).map(t => s"SELECT t, c FROM os$t"))
+        .mkString(" UNION ALL ")
+      s"""WITH ${lvChain(mx)},
+         |$mvs,
+         |nr AS (SELECT COALESCE(MIN(t), CAST($mx AS BIGINT)) AS n_rounds
+         |       FROM ($mvAll) WHERE c = 0),
+         |sz AS (SELECT comm, COUNT(*) AS comm_size
+         |       FROM a$mx GROUP BY 1)
+         |SELECT a.v AS vec_id, CAST(a.comm AS BIGINT) AS comm, sz.comm_size,
+         |  nr.n_rounds
+         |FROM a$mx a JOIN sz USING (comm), nr
+         |ORDER BY vec_id""".stripMargin
+    },
     // the full multi-level loop: contract phase-1 communities into a
     // weighted super-graph (weighted degree = member degree sum —
     // the self-loop mass), run weighted synchronous rounds, project
@@ -2900,49 +2992,11 @@ object OpsOracles {
     // BeamB keep → BeamHops unrolled expand/rescore/keep rounds over
     // the undirected graph; per-hop CTEs MATERIALIZE (each beam is
     // referenced three times by the next hop).
-    "sim_graph_topk" -> {
-      val hops = (1 to Similarity.BeamHops).map { t =>
-        s"""bc$t AS (SELECT DISTINCT b.probe_id, u.u AS vec_id
-           |  FROM bb${t - 1} b JOIN undg u ON b.vec_id = u.v),
-           |bs$t AS (SELECT c.probe_id, c.vec_id,
-           |    ${cosU("bp.pvec", "e.embedding")} AS cos_u
-           |  FROM bc$t c JOIN bp ON c.probe_id = bp.probe_id
-           |             JOIN embeddings e ON c.vec_id = e.vec_id
-           |  WHERE c.vec_id != c.probe_id),
-           |bb$t AS MATERIALIZED (
-           |  SELECT probe_id, vec_id, cos_u FROM (
-           |    SELECT DISTINCT probe_id, vec_id, cos_u FROM
-           |      (SELECT * FROM bb${t - 1} UNION ALL SELECT * FROM bs$t))
-           |  QUALIFY row_number() OVER (PARTITION BY probe_id
-           |    ORDER BY cos_u DESC, vec_id) <= ${Similarity.BeamB})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $ndChainCtes,
-         |undg AS MATERIALIZED (
-         |  SELECT vec_id AS v, nbr_id AS u FROM g${Similarity.NdRounds}
-         |  UNION
-         |  SELECT nbr_id AS v, vec_id AS u FROM g${Similarity.NdRounds}),
-         |nn2 AS (SELECT COUNT(*) AS n FROM embeddings),
-         |pm AS (SELECT MIN(CAST(1 AS BIGINT) << g) AS m FROM range(0, 57) r(g), nn2
-         |       WHERE (CAST(1 AS BIGINT) << g) * 64 >= nn2.n),
-         |bp AS (SELECT vec_id AS probe_id, embedding AS pvec
-         |       FROM embeddings, pm WHERE vec_id % pm.m = 0),
-         |bsd AS (SELECT vec_id, embedding FROM embeddings, pm
-         |        WHERE vec_id % pm.m = 1),
-         |bb0 AS MATERIALIZED (
-         |  SELECT probe_id, vec_id, cos_u FROM (
-         |    SELECT bp.probe_id, bsd.vec_id,
-         |      ${cosU("bp.pvec", "bsd.embedding")} AS cos_u
-         |    FROM bp, bsd WHERE bsd.vec_id != bp.probe_id)
-         |  QUALIFY row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_u DESC, vec_id) <= ${Similarity.BeamB}),
-         |$hops
-         |SELECT probe_id,
-         |  CAST(row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_u DESC, vec_id) AS BIGINT) AS rank,
-         |  vec_id, cos_u
-         |FROM bb${Similarity.BeamHops}
-         |QUALIFY rank <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
+    "sim_graph_topk" -> graphServeOracle(0),
+    // a second probe cohort over the SAME descent chain — the Spark
+    // side serves both rows from one persisted index, so a drifted
+    // (stale or mutated) index hash-mismatches here
+    "sim_graph_topk2" -> graphServeOracle(2),
     // One row per val/test doc; the bucket join and cosine are the
     // dedup_embed chain, the split hash is sample_split's.
     "stats_split_leakage" -> {

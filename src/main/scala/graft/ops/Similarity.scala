@@ -471,16 +471,44 @@ object Similarity {
   val BeamB = 8
   val BeamHops = 3
 
-  /** sim_graph_topk — graph-ANN SERVING, the read path of the index
-    * [[nnDescent]] builds (the DiskANN/HNSW-layer-0 query shape):
-    * each probe greedily walks the neighborhood graph — score a
-    * bounded seed set, keep the [[BeamB]] best, then for [[BeamHops]]
-    * hops expand the beam's graph neighbors (both edge directions,
-    * for reach), rescore exactly, and keep the best [[BeamB]] of old
-    * ∪ new. The emitted rows are each probe's final top-5. This is
-    * what makes a graph index USEFUL: the build cost amortizes over
-    * the query stream, and each query touches O(B·k·H) vectors — not
-    * the corpus, not even the LSH candidate union.
+  /** The PERSISTED graph index — the build half of the build/serve
+    * split: [[nnDescent]]'s edge frame is written to parquet ONCE per
+    * (JVM, corpus dir) and every serve call reads the parquet instead
+    * of re-running the build inside its own query plan. This is the
+    * DiskANN/HNSW deployment economics: the O(n·k²·rounds) build
+    * amortizes over the query stream, and a serve call's plan starts
+    * at a narrow 3-column scan of n·[[KnnK]] rows. At cluster scale
+    * the staging write is a table-format commit (the
+    * graft.sources snapshot store); here it is a tmpfs dir held for
+    * process lifetime — keyed by corpus dir so distinct SFs never
+    * share an index.
+    */
+  private val gidxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def graphIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = gidxCache.computeIfAbsent(dir, _ => {
+      val root =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_gidx_${graft.Staging.token()}"
+      nnDescent(spark, dir).write.parquet(root)
+      root
+    })
+    spark.read.parquet(path)
+  }
+
+  /** sim_graph_topk / sim_graph_topk2 — graph-ANN SERVING, the read
+    * path of the index [[nnDescent]] builds and [[graphIndex]]
+    * persists (the DiskANN/HNSW-layer-0 query shape): each probe
+    * greedily walks the neighborhood graph — score a bounded seed
+    * set, keep the [[BeamB]] best, then for [[BeamHops]] hops expand
+    * the beam's graph neighbors (both edge directions, for reach),
+    * rescore exactly, and keep the best [[BeamB]] of old ∪ new. The
+    * emitted rows are each probe's final top-5. This is what makes a
+    * graph index USEFUL: the build cost amortizes over the query
+    * stream — the two serve rows share ONE persisted index (verified
+    * by a spec: the second serve call must not re-run the build) —
+    * and each query touches O(B·k·H) vectors, not the corpus, not
+    * even the LSH candidate union.
     *
     * Scale shape: probes AND seeds are bounded ([[ivfProbeMod]]-style
     * moduli — ≤64 each at any corpus size, so the seed scan is a
@@ -491,12 +519,24 @@ object Similarity {
     * rescores to the identical exact-integer cosine, so keep-any
     * dedup is exact in both engines.
     */
-  def graphTopk(spark: SparkSession, dir: String): DataFrame = {
+  def graphTopk(spark: SparkSession, dir: String): DataFrame =
+    graphServe(spark, dir, 0L)
+
+  /** A second probe cohort served from the SAME persisted index —
+    * the row that certifies amortization (and, with it, that serving
+    * is a pure read path: no state of the first serve leaks into the
+    * second).
+    */
+  def graphTopk2(spark: SparkSession, dir: String): DataFrame =
+    graphServe(spark, dir, 2L)
+
+  private def graphServe(spark: SparkSession, dir: String,
+      probeRes: Long): DataFrame = {
     val n = emb(spark, dir).count()
     val pmod = ivfProbeMod(n)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
-    val pr = base.filter(col("vec_id") % pmod === 0)
+    val pr = base.filter(col("vec_id") % pmod === probeRes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
         col("vn2").as("pn2"))
     val eb = base.select(col("vec_id"), col("embedding"), col("vn2"))
@@ -510,7 +550,7 @@ object Similarity {
     // a candidate proposal, and the per-hop dropDuplicates dedups
     // before scoring — the distinct would cost a shuffle for nothing
     val und = {
-      val g = nnDescent(spark, dir)
+      val g = graphIndex(spark, dir)
       g.select(col("vec_id").as("v"), col("nbr_id").as("u"))
         .union(g.select(col("nbr_id").as("v"), col("vec_id").as("u")))
         .localCheckpoint()
@@ -2352,6 +2392,7 @@ object Similarity {
     "sim_knn_graph" -> (knnGraph _),
     "sim_nndescent" -> (nnDescent _),
     "sim_graph_topk" -> (graphTopk _),
+    "sim_graph_topk2" -> (graphTopk2 _),
     "stats_label_errors" -> (labelErrors _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_range_search" -> (rangeSearch _),

@@ -690,6 +690,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(beamR >= seedR, f"the walk lost recall: $beamR%.3f < $seedR%.3f")
   }
 
+  test("graph-ANN serve split: one persisted index serves both probe cohorts") {
+    import spark.implicits._
+    // the staged index is memoized per corpus dir: two reads resolve
+    // to the SAME parquet files (a rebuild would stage a fresh dir)
+    val f1 = Similarity.graphIndex(spark, dir).inputFiles.toSeq.sorted
+    val f2 = Similarity.graphIndex(spark, dir).inputFiles.toSeq.sorted
+    assert(f1.nonEmpty && f1 === f2, "index was rebuilt instead of reused")
+    // the persisted edges are exactly the build op's edges
+    val idx = Similarity.graphIndex(spark, dir)
+      .select("vec_id", "nbr_id", "cos_u").as[(Long, Long, Long)]
+      .collect().toSet
+    val built = Similarity.nnDescent(spark, dir)
+      .select("vec_id", "nbr_id", "cos_u").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(idx === built, "persisted index drifted from the build")
+    // the second cohort's walk, re-derived: same graph, probes at
+    // residue 2 — serving is a pure read path over the shared index
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1000000.0).toLong
+    val und = idx.toSeq.flatMap { case (v, u, _) => Seq(v -> u, u -> v) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pmod = Similarity.ivfProbeMod(vecs.size.toLong)
+    val probes = vecs.keys.filter(_ % pmod == 2).toSeq.sorted
+    val seeds = vecs.keys.filter(_ % pmod == 1).toSeq
+    assert(probes.nonEmpty && seeds.nonEmpty)
+    def topB(p: Long, cands: Set[Long], b: Int): Seq[Long] =
+      (cands - p).toSeq.sortBy(v => (-cosU(vecs(p), vecs(v)), v)).take(b)
+    val expected = probes.flatMap { p =>
+      var beam = topB(p, seeds.toSet, Similarity.BeamB)
+      for (_ <- 1 to Similarity.BeamHops) {
+        val cands = beam.toSet ++ beam.flatMap(v => und.getOrElse(v, Set.empty))
+        beam = topB(p, cands, Similarity.BeamB)
+      }
+      beam.take(5).zipWithIndex.map { case (v, i) =>
+        (p, (i + 1).toLong, v, cosU(vecs(p), vecs(v)))
+      }
+    }
+    val got = Similarity.graphTopk2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected,
+      "second-cohort walk diverged from the Scala re-derivation")
+  }
+
   /** Scala phase-1 Louvain re-derivation shared by the two louvain
     * specs: returns (verts, ke, m, deg, nbrs, final assignment).
     */
@@ -709,25 +756,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val deg = nbrs.view.mapValues(_.size.toLong).toMap
     var asn = verts.map(v => v -> v).toMap
-    for (_ <- 1 to Graph.LvRounds) {
-      // .keys is a Set — map BEFORE summing would dedup equal degrees
-      val stot = asn.groupBy(_._2).view
-        .mapValues(_.keys.toSeq.map(v => deg.getOrElse(v, 0L)).sum).toMap
-      asn = verts.map { v =>
-        val own = asn(v)
-        val e = nbrs.getOrElse(v, Seq.empty).groupBy(asn).view
-          .mapValues(_.size.toLong).toMap
-        val cands = (e.keySet + own).toSeq
-        val dv = deg.getOrElse(v, 0L)
-        val best = cands.minBy { c =>
-          val sc = 4L * m * e.getOrElse(c, 0L) -
-            2L * dv * (stot(c) - (if (c == own) dv else 0L))
-          (-sc, c)
-        }
-        v -> best
-      }.toMap
-    }
+    for (_ <- 1 to Graph.LvRounds)
+      asn = lvMoveRound(verts, nbrs, deg, m, asn)
     (verts, ke, m, deg, nbrs, asn)
+  }
+
+  /** One synchronous local-move round — the shared rule of the three
+    * louvain specs.
+    */
+  private def lvMoveRound(verts: Seq[Long], nbrs: Map[Long, Seq[Long]],
+      deg: Map[Long, Long], m: Long,
+      asn: Map[Long, Long]): Map[Long, Long] = {
+    // .keys is a Set — map BEFORE summing would dedup equal degrees
+    val stot = asn.groupBy(_._2).view
+      .mapValues(_.keys.toSeq.map(v => deg.getOrElse(v, 0L)).sum).toMap
+    verts.map { v =>
+      val own = asn(v)
+      val e = nbrs.getOrElse(v, Seq.empty).groupBy(asn).view
+        .mapValues(_.size.toLong).toMap
+      val cands = (e.keySet + own).toSeq
+      val dv = deg.getOrElse(v, 0L)
+      val best = cands.minBy { c =>
+        val sc = 4L * m * e.getOrElse(c, 0L) -
+          2L * dv * (stot(c) - (if (c == own) dv else 0L))
+        (-sc, c)
+      }
+      v -> best
+    }.toMap
   }
 
   test("louvain synchronous moves match a Scala re-derivation and beat singletons") {
@@ -750,6 +805,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"modularity numerator: singleton $q0 -> louvain $qF " +
       s"(communities ${sizes.size}, edges $m)")
     assert(qF > q0, "louvain did not improve on the singleton partition")
+  }
+
+  test("louvain convergence loop: stability round count and assignment match the re-derivation") {
+    import graft.ops.Graph
+    val (verts, _, m, deg, nbrs, _) = louvainPhase1()
+    val mx = Graph.LvConvMax
+    // re-derivation mirrors the operator's rule: stop at fixpoint
+    // (a_t = a_{t-1}) or 2-cycle (a_t = a_{t-2}); on a 2-cycle emit
+    // the frame with the cap's parity — the full unroll's a_max
+    var asn = verts.map(v => v -> v).toMap
+    var prev: Map[Long, Long] = null
+    var t = 0
+    var nRounds = mx.toLong
+    var converged = false
+    var viaCycle = false
+    while (t < mx && !converged) {
+      t += 1
+      val next = lvMoveRound(verts, nbrs, deg, m, asn)
+      if (next == asn) { converged = true; nRounds = t.toLong; asn = next }
+      else if (prev != null && next == prev) {
+        converged = true; viaCycle = true; nRounds = t.toLong
+        if ((mx - t) % 2 == 0) asn = next // else keep a_{t-1}
+      }
+      if (!converged) { prev = asn; asn = next }
+    }
+    val sizes = asn.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = verts.map(v => (v, asn(v), sizes(asn(v)), nRounds))
+    val got = Graph.louvainConv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected,
+      "convergence loop diverged from the Scala re-derivation")
+    info(s"${if (viaCycle) "2-cycle" else "fixpoint"} after $nRounds/$mx " +
+      s"rounds (${sizes.size} communities)")
+    // periodicity — the property that makes the early exit equal to
+    // the oracle's full unroll: one more round must land back on a
+    // frame of the detected cycle (period 1 or 2)
+    if (converged) {
+      val again = lvMoveRound(verts, nbrs, deg, m, asn)
+      assert(again == asn ||
+        lvMoveRound(verts, nbrs, deg, m, again) == asn,
+        "detected cycle was not periodic")
+    }
+    // the early exit must actually engage on this corpus — otherwise
+    // the row silently degrades to the fixed-depth variant
+    assert(converged, s"no stability detected within $mx rounds")
   }
 
   test("multi-level louvain matches a Scala re-derivation of contraction + weighted moves") {
