@@ -72,6 +72,7 @@ object SparkEntry {
     "q21_waiting" -> (Queries.q21Waiting _),
     "q_funnel" -> (Queries.qFunnel _),
     "q_match_recognize" -> (Queries.qMatchRecognize _),
+    "q_match_recognize_win" -> (Queries.qMatchRecognizeWin _),
     "q_retention" -> (Queries.qRetention _),
     "q_scd2" -> (Queries.qScd2 _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
@@ -624,6 +625,7 @@ object SparkEntry {
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q_funnel" -> Queries.funnelOracleSql,
     "q_match_recognize" -> Queries.matchRecognizeOracleSql,
+    "q_match_recognize_win" -> Queries.matchRecognizeWinOracleSql,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -1219,6 +1219,72 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_match_recognize_win — MATCH_RECOGNIZE with the two clauses the
+    * plain row (q_match_recognize) lacks: a WINDOW bound (Flink CEP's
+    * WITHIN / SQL's per-window PARTITION — here tumbling UTC days, so
+    * a match can never span a window boundary) and ALTERNATION in the
+    * pattern (`v(c|x)*p`: view, then any interleaving of clicks and
+    * OTHER events, then purchase — the plain row's `vc*p` breaks on
+    * an interloping event; the alternation is what tolerates noise
+    * between anchor and completion). Matching stays leftmost
+    * non-overlapping greedy; measures per (user, window): match
+    * count, total matched length, window sequence length.
+    *
+    * Scale shape: identical to q_match_recognize with the window key
+    * widening the groupBy — per-group state is one day of one user's
+    * events (bounded by activity density, not history), so the
+    * collect_list that is unboundable per-user on an infinite
+    * timeline becomes bounded per-window; one shuffle on the
+    * composite key, count/sum measures map-side combinable after the
+    * regex. The alternation costs nothing: the NFA is the same size.
+    */
+  def qMatchRecognizeWin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), nsToSec(col("ts")).as("sec"), col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("x").as("ch"))
+      .withColumn("day", floor(col("sec") / lit(86400.0)).cast("long"))
+    val seqs = e.groupBy("user_id", "day")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("sec"), col("event_id"), col("ch")))),
+        x => x.getField("ch"))).as("seq"))
+    seqs.select(col("user_id"), col("day"),
+        regexp_extract_all(col("seq"), lit("v(c|x)*p"), lit(0)).as("ms"),
+        length(col("seq")).cast("long").as("seq_len"))
+      .filter(size(col("ms")) > 0)
+      .select(col("user_id"), col("day"),
+        size(col("ms")).cast("long").as("n_matches"),
+        aggregate(col("ms"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        col("seq_len"))
+      .orderBy("user_id", "day")
+  }
+
+  /** The q_match_recognize_win DuckDB oracle (shared by the streaming
+    * twin).
+    */
+  val matchRecognizeWinOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |      WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch
+      |  FROM events),
+      |ed AS (SELECT user_id, event_id, sec, ch,
+      |         CAST(sec // 86400 AS BIGINT) AS day FROM e),
+      |s AS (SELECT user_id, day,
+      |        string_agg(ch, '' ORDER BY sec, event_id) AS seq
+      |      FROM ed GROUP BY 1, 2),
+      |m AS (SELECT user_id, day, regexp_extract_all(seq, 'v(c|x)*p') AS ms,
+      |        CAST(length(seq) AS BIGINT) AS seq_len
+      |      FROM s)
+      |SELECT user_id, day, CAST(len(ms) AS BIGINT) AS n_matches,
+      |  CAST(COALESCE(list_sum(list_transform(ms, x -> length(x))), 0) AS BIGINT)
+      |    AS sum_len,
+      |  seq_len
+      |FROM m WHERE len(ms) > 0 ORDER BY user_id, day""".stripMargin
+
   /** The q_match_recognize DuckDB oracle. */
   val matchRecognizeOracleSql: String =
     """WITH e AS (

@@ -128,6 +128,98 @@ object EventStreams {
     spark.table(sink).orderBy("bucket_h", "event_type")
   }
 
+  /** stream_late_drop — WATERMARK LATE-DATA ACCOUNTING, the Append-mode
+    * contract every other watermarked row here only declares (they
+    * drain bounded sinks in Complete mode, where nothing is ever
+    * dropped): a 1-hour watermark over 1-hour tumbling windows, fed
+    * out of ARRIVAL order — every third event (id % 3 = 0) is held
+    * back a full trigger, so the stragglers span the whole timeline.
+    * The first wave fixes the watermark at max(on-time event time) −
+    * 1 h; the straggler wave then splits exactly as production late
+    * data does: rows whose window the watermark already expired are
+    * DROPPED (counted, not silently lost — the emitted
+    * `n_late_dropped` column is read back from the query's
+    * numRowsDroppedByWatermark metric; the metric sits at the
+    * post-shuffle state operator, so it counts PARTIAL-AGGREGATE
+    * rows: one per expired (window, type) group, not one per input
+    * row — measured and pinned by the oracle as the distinct-group
+    * count), rows inside the lateness allowance MERGE into their
+    * still-open windows. Two synthetic far-future flush events then
+    * advance the watermark past every real window (watermark updates
+    * at batch END; Spark's no-data trigger then emits — the flushes
+    * also make the drain independent of that trigger's timing).
+    *
+    * Scale shape: state is one row per open (window, type) group —
+    * bounded by the lateness allowance, never by history (the whole
+    * point of the watermark: Complete-mode state grows forever, Append
+    * state is a sliding frontier); the drop metric is free (it is the
+    * state operator's own counter). The oracle restates the
+    * drop/merge split closed-form from the arrival schedule.
+    */
+  def lateDrop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = typedEvents(spark, dir).collect().toSeq
+    val onTime = evs.filter(_.event_id % 3 != 0)
+    val late = evs.filter(_.event_id % 3 == 0)
+    val maxSec = evs.map(_.sec).max
+    val input = MemoryStream[Ev]
+    val agg = input.toDS()
+      .withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value_c")).as("sum_value_c"))
+      .select(floor(unix_timestamp(col("window.start")) / lit(3600.0))
+        .cast("long").as("bucket_h"),
+        col("event_type"), col("cnt"), col("sum_value_c"))
+    val sink = sinkName("stream_late_drop")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    input.addData(onTime); q.processAllAvailable()
+    input.addData(late); q.processAllAvailable()
+    input.addData(Seq(Ev(-1L, -1L, maxSec + 10800, 0L, "flush")))
+    q.processAllAvailable()
+    input.addData(Seq(Ev(-2L, -1L, maxSec + 14400, 0L, "flush")))
+    q.processAllAvailable()
+    val dropped = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    spark.table(sink)
+      .filter(col("event_type") =!= "flush")
+      .withColumn("n_late_dropped", lit(dropped))
+      .orderBy("bucket_h", "event_type")
+  }
+
+  /** The stream_late_drop oracle: the drop/merge split in closed form.
+    * The watermark after the on-time wave is max(on-time sec) − 3600;
+    * a straggler is dropped iff its window already CLOSED under that
+    * watermark (window end ≤ watermark), merged otherwise. The drop
+    * METRIC counts one row per expired (window, type) group (the
+    * state operator sees post-shuffle partial aggregates), hence the
+    * DISTINCT in drp.
+    */
+  val lateDropOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+      |  FROM events),
+      |wm AS (SELECT MAX(sec) - 3600 AS wm FROM e WHERE event_id % 3 <> 0),
+      |keep AS (
+      |  SELECT event_type, sec, value_c FROM e WHERE event_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT event_type, sec, value_c FROM e, wm
+      |  WHERE event_id % 3 = 0 AND (sec // 3600) * 3600 + 3600 > wm.wm),
+      |drp AS (SELECT COUNT(*) AS n FROM (
+      |  SELECT DISTINCT sec // 3600 AS h, event_type FROM e, wm
+      |  WHERE event_id % 3 = 0 AND (sec // 3600) * 3600 + 3600 <= wm.wm))
+      |SELECT sec // 3600 AS bucket_h, event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+      |  drp.n AS n_late_dropped
+      |FROM keep, drp GROUP BY 1, 2, drp.n
+      |ORDER BY 1, 2""".stripMargin
+
   /** stream_ohlc — the hourly OHLC resample LIVE: open/close picked by
     * `min_by`/`max_by` on the unique (sec, event_id) struct key inside
     * ONE streaming aggregation — no window pass, no per-group sort;
@@ -1203,6 +1295,75 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Advance the windowed-alternation `view (click|other)* purchase`
+    * DFA — the alternation means only a fresh `view` restarts the
+    * match start and only `purchase` completes; every OTHER type
+    * extends an active match instead of breaking it (exactly
+    * q_match_recognize_win's `v(c|x)*p` leftmost greedy semantics:
+    * the greedy star stops at the first non-(c|x) char, so the first
+    * purchase completes).
+    */
+  def advanceMrWin(st: MrSt, evs: Seq[Ev]): MrSt = {
+    var s = st
+    for (e <- evs.sortBy(x => (x.sec, x.event_id))) {
+      val t = e.event_type
+      s = s.copy(seqLen = s.seqLen + 1)
+      if (s.active) {
+        t match {
+          case "purchase" => s = s.copy(active = false,
+            n = s.n + 1, sumLen = s.sumLen + s.curLen + 1)
+          case "view" => s = s.copy(curLen = 1L)
+          case _ => s = s.copy(curLen = s.curLen + 1)
+        }
+      } else if (t == "view") s = s.copy(active = true, curLen = 1L)
+    }
+    s
+  }
+
+  /** stream_match_recognize_win — q_match_recognize_win LIVE: the
+    * windowed+alternation CEP pattern as streaming state, keyed by
+    * (user, tumbling UTC day) so a match can never span a window
+    * boundary BY KEY CONSTRUCTION — the window clause becomes part of
+    * the state key, which is also what makes the state EVICTABLE in
+    * production (a day whose watermark has passed can never match
+    * again; here eviction is off because the drain is finite). Same
+    * three time-ordered micro-batches as the plain twin, so windows
+    * genuinely straddle batch boundaries; the drained table shares
+    * q_match_recognize_win's oracle VERBATIM.
+    */
+  def matchRecognizeWinStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = typedEvents(spark, dir).collect().toSeq
+      .sortBy(e => (e.sec, e.event_id))
+    val input = MemoryStream[Ev]
+    val snapshots = input.toDS()
+      .groupByKey(e => (e.user_id, e.sec / 86400L))
+      .mapGroupsWithState[MrSt, (Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), it: Iterator[Ev], state: GroupState[MrSt]) =>
+          val st = advanceMrWin(
+            state.getOption.getOrElse(MrSt(false, 0L, 0L, 0L, 0L)), it.toSeq)
+          state.update(st)
+          (key._1, key._2, st.n, st.sumLen, st.seqLen)
+      }
+      .toDF("user_id", "day", "n_matches", "sum_len", "seq_len")
+    val sink = sinkName("stream_match_recognize_win")
+    val q = snapshots.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    val third = (evs.length + 2) / 3
+    evs.grouped(math.max(third, 1)).foreach { w =>
+      input.addData(w); q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(sink)
+      .groupBy("user_id", "day")
+      .agg(max("n_matches").as("n_matches"), max("sum_len").as("sum_len"),
+        max("seq_len").as("seq_len"))
+      .filter(col("n_matches") > 0)
+      .orderBy("user_id", "day")
+  }
+
   /** stream_quantile — approximate p50/p90/p99 over a LIVE stream:
     * the state is [[graft.ops.Sampling.quantHist]]'s mergeable
     * equi-width histogram (bounded (type, bucket) rows; counts/maxes
@@ -1833,6 +1994,8 @@ object EventStreams {
     "stream_wap" -> (graft.sources.TableRefs.streamWap _),
     "stream_snapshot_tail" -> (graft.sources.SnapshotDiff.snapshotTail _),
     "stream_match_recognize" -> (matchRecognizeStream _),
+    "stream_match_recognize_win" -> (matchRecognizeWinStream _),
+    "stream_late_drop" -> (lateDrop _),
     "stream_eq_delete" -> (graft.sources.EqDelete.streamEqDelete _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
@@ -2014,6 +2177,9 @@ object EventStreams {
     // shared VERBATIM with the batch row-pattern op: regex matching
     // and streamed DFA state are two formulations of one SQL
     "stream_match_recognize" -> graft.relational.Queries.matchRecognizeOracleSql,
+    "stream_match_recognize_win" ->
+      graft.relational.Queries.matchRecognizeWinOracleSql,
+    "stream_late_drop" -> lateDropOracleSql,
     // shared VERBATIM with src_eq_delete: batch staging and
     // exactly-once stream ingestion are two formulations of one SQL
     "stream_eq_delete" -> graft.sources.EqDelete.eqDeleteOracle,

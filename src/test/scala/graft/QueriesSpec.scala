@@ -58,6 +58,61 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.exists(_._2 >= 2), "no multi-match user at spec scale")
   }
 
+  test("windowed match_recognize: alternation automaton per tumbling day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // explicit automaton for `v (c|x)* p`: the greedy star stops at
+    // the first char outside {c,x}; the match completes iff that char
+    // is p (AFTER MATCH SKIP PAST LAST ROW) — no regex library
+    def scan(seq: String): Seq[Int] = {
+      val lens = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < seq.length) {
+        if (seq(i) == 'v') {
+          var j = i + 1
+          while (j < seq.length && (seq(j) == 'c' || seq(j) == 'x')) j += 1
+          if (j < seq.length && seq(j) == 'p') { lens += (j - i + 1); i = j + 1 }
+          else i += 1
+        } else i += 1
+      }
+      lens.toSeq
+    }
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expected = evs
+      .groupBy(r => (r._1, (r._2 / 1000000000L) / 86400L))
+      .flatMap { case ((u, d), rows) =>
+        val seq = rows.sortBy(r => (r._2 / 1000000000L, r._3)).map(_._4 match {
+          case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'
+          case _ => 'x'
+        }).mkString
+        val ms = scan(seq)
+        if (ms.isEmpty) None
+        else Some((u, d, ms.length.toLong, ms.map(_.toLong).sum, seq.length.toLong))
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Queries.qMatchRecognizeWin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected,
+      "windowed alternation matching diverged from the automaton scan")
+    assert(got.nonEmpty)
+    // the alternation must matter at spec scale: some window matches
+    // v(c|x)*p that plain vc*p would miss (an x inside the star)
+    val plain = evs
+      .groupBy(r => (r._1, (r._2 / 1000000000L) / 86400L))
+      .map { case ((u, d), rows) =>
+        val seq = rows.sortBy(r => (r._2 / 1000000000L, r._3)).map(_._4 match {
+          case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'
+          case _ => 'x'
+        }).mkString
+        ((u, d), "vc*p".r.findAllIn(seq).size.toLong)
+      }
+    val withAlt = expected.map(t => ((t._1, t._2), t._3)).toMap
+    assert(withAlt.exists { case (k, n) => n > plain.getOrElse(k, 0L) },
+      "no window where the alternation changed the match set")
+  }
+
   test("funnel and retention match Scala re-derivations") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -71,6 +71,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("windowed match-recognize DFA: alternation, split composition, batch equality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val init = EventStreams.MrSt(false, 0L, 0L, 0L, 0L)
+    def ev(id: Long, sec: Long, t: String) =
+      EventStreams.Ev(id, 1L, sec, 0L, t)
+    // the alternation case: an OTHER-typed interloper between anchor
+    // and purchase EXTENDS the windowed match; the plain DFA breaks
+    val b1 = Seq(ev(1, 10, "view"), ev(2, 11, "add_cart"))
+    val b2 = Seq(ev(3, 12, "click"), ev(4, 13, "purchase"))
+    val crossed =
+      EventStreams.advanceMrWin(EventStreams.advanceMrWin(init, b1), b2)
+    assert(crossed.n === 1L && crossed.sumLen === 4L && crossed.seqLen === 4L,
+      s"alternation match miscounted: $crossed")
+    val plain = EventStreams.advanceMr(EventStreams.advanceMr(init, b1), b2)
+    assert(plain.n === 0L, "plain DFA should break on the interloper")
+    // composition property over REAL per-(user, day) sequences
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Queries.nsToSec(col("ts")).as("sec"),
+        Queries.cents(col("value")).as("value_c"), col("event_type"))
+      .as[EventStreams.Ev].collect()
+    val byKey = evs.groupBy(e => (e.user_id, e.sec / 86400L)).values.toSeq
+      .sortBy(s => (s.head.user_id, s.head.sec / 86400L)).take(20)
+      .map(_.sortBy(e => (e.sec, e.event_id)).toSeq)
+    byKey.foreach { s =>
+      val whole = EventStreams.advanceMrWin(init, s)
+      (0 to s.length by math.max(s.length / 5, 1)).foreach { k =>
+        val split = EventStreams.advanceMrWin(
+          EventStreams.advanceMrWin(init, s.take(k)), s.drop(k))
+        assert(split === whole, s"split at $k diverged for key " +
+          s"(${s.head.user_id}, ${s.head.sec / 86400L})")
+      }
+    }
+    // end-to-end: the drained stream equals the batch operator
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows(EventStreams.matchRecognizeWinStream(spark, dir)) ===
+      rows(Queries.qMatchRecognizeWin(spark, dir)),
+      "streamed windowed CEP diverged from the batch query")
+  }
+
+  test("stream_late_drop: append-mode drop/merge split matches the closed form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Queries.nsToSec(col("ts")).as("sec"),
+        Queries.cents(col("value")).as("value_c"), col("event_type"))
+      .as[EventStreams.Ev].collect().toSeq
+    val wm = evs.filter(_.event_id % 3 != 0).map(_.sec).max - 3600L
+    val (dropped, merged) = evs.filter(_.event_id % 3 == 0)
+      .partition(e => (e.sec / 3600L) * 3600L + 3600L <= wm)
+    // the split must be non-trivial at spec scale: stragglers on both
+    // sides of the watermark, or the row proves nothing
+    assert(dropped.nonEmpty && merged.nonEmpty,
+      s"degenerate split: ${dropped.length} dropped / ${merged.length} merged")
+    val keep = evs.filter(_.event_id % 3 != 0) ++ merged
+    // the metric counts expired GROUPS (post-shuffle partial rows),
+    // not input rows — pinned here and in the oracle
+    val nDropGroups = dropped.map(e => (e.sec / 3600L, e.event_type))
+      .distinct.length.toLong
+    val expected = keep.groupBy(e => (e.sec / 3600L, e.event_type)).toSeq
+      .map { case ((h, t), rs) =>
+        (h, t, rs.length.toLong, rs.map(_.value_c).sum, nDropGroups)
+      }.sortBy(r => (r._1, r._2))
+    val got = EventStreams.lateDrop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected,
+      "append-mode late handling diverged from the closed form")
+    info(s"${dropped.length} dropped / ${merged.length} merged of " +
+      s"${dropped.length + merged.length} stragglers")
+  }
+
   test("stream_session equals per-user batch sessionization") {
     val streamed = rows(EventStreams.session(spark, dir),
       "user_id", "session_start", "n_events", "dur_sec", "sum_value_c")
