@@ -27,7 +27,7 @@ object Bench {
     "q11_impstock", "q20_excess", "q21_waiting",
     "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_asof_tolerance_native", "q_range_join", "q_interval_join", "q_skew_join", "q_bucket_join", "q_runtime_filter",
     "q_gapfill", "q_ohlc", "q_ewma", "q_zorder_skip", "q_dpp",
-    "q_funnel", "q_retention", "q_match_recognize",
+    "q_funnel", "q_retention", "q_match_recognize", "q_match_recognize_win",
     "q_scd2",
     "q_pivot", "q_unpivot", "q_corr", "q_autocorr", "q_json_extract",
     "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
@@ -49,6 +49,7 @@ object Bench {
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "graph_common_neighbors", "graph_kcore", "graph_label_prop", "graph_jaccard_links", "graph_clustering_coeff",
     "graph_modularity", "graph_scc", "graph_ppr", "graph_louvain", "graph_louvain2",
+    "graph_louvain_conv",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",
@@ -71,7 +72,7 @@ object Bench {
     "stats_ks_drift", "stats_exact_median", "stats_label_errors", "stats_split_leakage",
     "sim_brute_topk", "sim_range_search", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans",
     "sim_pairs_thresh", "sim_pq_topk", "sim_pq_refine", "sim_pq_kmeans", "sim_knn_graph",
-    "sim_nndescent", "sim_graph_topk",
+    "sim_nndescent", "sim_graph_topk", "sim_graph_topk2",
     "sim_hybrid_rrf", "sim_bm25_topk", "sim_filtered_topk", "sim_hamming_topk", "sim_maxsim",
     "sim_mrl_topk", "sim_mmr_topk", "sim_sq_topk", "sim_ivfpq_topk", "sim_ivfpq_refine", "sim_index_refresh",
     "sim_recall_eval",
@@ -90,7 +91,7 @@ object Bench {
     "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap",
     "src_log_compact", "src_hidden_partition", "src_pos_delete",
     "src_binpack_compact", "src_commit_conflict", "src_erasure_proof",
-    "src_manifest_prune", "src_row_lineage", "src_orphan_gc", "src_eq_delete", "src_hidden_zorder", "src_rollback")
+    "src_manifest_prune", "src_row_lineage", "src_orphan_gc", "src_orphan_census", "src_eq_delete", "src_hidden_zorder", "src_rollback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
