@@ -30,7 +30,7 @@ object Bench {
     "q_funnel", "q_retention", "q_match_recognize", "q_match_recognize_win",
     "q_scd2",
     "q_pivot", "q_unpivot", "q_corr", "q_autocorr", "q_json_extract",
-    "q_distinct", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
+    "q_distinct", "q_table_profile", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
     "oct_down_linear", "oct_down_aa", "oct_down_spline3",
@@ -65,7 +65,7 @@ object Bench {
     "embed_project", "pipeline_clean",
     "pipeline_train", "pipeline_shard", "pipeline_card", "pipeline_validate",
     "pipeline_export", "pipeline_incr", "pipeline_mm", "pipeline_backfill",
-    "pipeline_ivm", "pipeline_ivm_join",
+    "pipeline_ivm", "pipeline_ivm_join", "pipeline_lineage",
     "pipeline_octree", "pipeline_octree_audit",
     "stats_value_hist", "stats_token_hist", "stats_cov_matrix", "stats_source_drift",
     "stats_moments", "stats_heavy_changers",
@@ -91,7 +91,7 @@ object Bench {
     "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap",
     "src_log_compact", "src_hidden_partition", "src_pos_delete",
     "src_binpack_compact", "src_commit_conflict", "src_erasure_proof",
-    "src_manifest_prune", "src_row_lineage", "src_orphan_gc", "src_orphan_census", "src_eq_delete", "src_hidden_zorder", "src_rollback")
+    "src_manifest_prune", "src_row_lineage", "src_orphan_gc", "src_orphan_census", "src_meta_tables", "src_eq_delete", "src_hidden_zorder", "src_rollback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1776,6 +1776,7 @@ object OpsOracles {
     "pipeline_ivm" -> graft.sources.TableMerge.mergeOracle,
     // the join view recomputed from the post-merge table: the delta
     // path must land pointwise on this (empty groups dropped)
+    "pipeline_lineage" -> Pipeline.lineageOracle,
     "pipeline_ivm_join" -> {
       val ys = graft.sources.TableMerge.MergeYears.mkString(", ")
       s"""WITH base AS (

@@ -1219,6 +1219,64 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_table_profile — the ANALYZE TABLE / CBO-statistics shape: one
+    * row per column of the fact table with row count, null count,
+    * EXACT distinct count, and min/max rendered canonically (numerics
+    * via native min/max then cast — never lexicographic; the money
+    * column through exact cents; the timestamp through DATE so both
+    * engines print one format). This is the statistics collection
+    * every cost-based optimizer runs before join reordering; the
+    * exact-NDV variant is the oracle-able one (the production scale
+    * path swaps in HLL, which the agg_hll_distinct row covers).
+    *
+    * Scale shape: ONE pass over the table — the multi-column
+    * COUNT(DISTINCT) compiles to Spark's Expand (rows × #distinct
+    * aggs, all map-side partial), min/max/counts ride the same
+    * aggregation; the profile output is #columns rows. At 100 TB the
+    * same plan runs per partition for incremental stats maintenance.
+    */
+  def qTableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val cols: Seq[(String, Column)] = Seq(
+      ("o_custkey", col("o_custkey")),
+      ("o_orderdate", col("o_orderdate").cast("date")),
+      ("o_orderkey", col("o_orderkey")),
+      ("o_orderpriority", col("o_orderpriority")),
+      ("o_orderstatus", col("o_orderstatus")),
+      ("o_totalprice_c", cents(col("o_totalprice"))))
+    val aggs = cols.flatMap { case (n, c) =>
+      Seq(sum(c.isNull.cast("long")).as(s"nn_$n"),
+        count_distinct(c).as(s"ndv_$n"),
+        min(c).cast("string").as(s"mn_$n"),
+        max(c).cast("string").as(s"mx_$n"))
+    }
+    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    cols.map { case (n, _) =>
+      one.select(lit(n).as("col_name"), col("n_rows"),
+        col(s"nn_$n").as("n_null"), col(s"ndv_$n").as("ndv"),
+        col(s"mn_$n").as("min_repr"), col(s"mx_$n").as("max_repr"))
+    }.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
+  /** The q_table_profile DuckDB oracle. */
+  val tableProfileOracleSql: String = {
+    val cols = Seq(
+      ("o_custkey", "o_custkey"),
+      ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+      ("o_orderkey", "o_orderkey"),
+      ("o_orderpriority", "o_orderpriority"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_totalprice_c", "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+    cols.map { case (n, e) =>
+      s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS ndv,
+         |  CAST(MIN($e) AS VARCHAR) AS min_repr,
+         |  CAST(MAX($e) AS VARCHAR) AS max_repr
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** q_match_recognize_win — MATCH_RECOGNIZE with the two clauses the
     * plain row (q_match_recognize) lacks: a WINDOW bound (Flink CEP's
     * WITHIN / SQL's per-window PARTITION — here tumbling UTC days, so

@@ -899,6 +899,7 @@ object VolumeQueries {
     "src_row_lineage" -> (RowLineage.rowLineage _),
     "src_orphan_gc" -> (OrphanGc.orphanGc _),
     "src_orphan_census" -> (OrphanCensus.orphanCensus _),
+    "src_meta_tables" -> (MetaTables.metaTables _),
     "src_eq_delete" -> (EqDelete.eqDelete _),
     "src_hidden_zorder" -> (HiddenZOrder.hiddenZorder _),
     "src_rollback" -> (Rollback.rollback _),
@@ -1064,6 +1065,9 @@ object VolumeQueries {
     // distributed census: per-year physical/live/orphan-age counts in
     // closed form over the staged 7-year layout
     "src_orphan_census" -> OrphanCensus.orphanCensusOracle,
+    // metadata tables: the (version, year) file census + refs, closed
+    // form over the staged tag/branch layout
+    "src_meta_tables" -> MetaTables.metaTablesOracle,
     // sequence-numbered equality deletes: a reinserted key survives
     // its OLDER delete; the four visibility states in closed form
     "src_eq_delete" -> EqDelete.eqDeleteOracle,

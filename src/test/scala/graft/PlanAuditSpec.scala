@@ -41,6 +41,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline_lineage: every leaf table attributed, predicates separated from projections") {
+    val rows = graft.ops.Pipeline.lineage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // the resolver must never fall through to the unknown-table mark
+    assert(!rows.values.exists(_.contains("?")), s"unattributed leaf: $rows")
+    // projection lineage crosses the alias chain down to leaf columns
+    assert(rows("revenue") ===
+      "lineitem.l_discount,lineitem.l_extendedprice")
+    assert(rows("n_name") === "nation.n_name")
+    // predicate lineage includes the filter column that appears in NO
+    // projection — the impact-analysis case projection lineage misses
+    assert(rows("_predicates").contains("orders.o_orderdate"))
+    assert(!rows("revenue").contains("o_orderdate"))
+  }
+
   test("stratified sampling prunes top-k map-side via WindowGroupLimit") {
     assert(formatted("sample_stratified").contains("WindowGroupLimit"))
   }

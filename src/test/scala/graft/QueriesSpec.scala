@@ -113,6 +113,36 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no window where the alternation changed the match set")
   }
 
+  test("table profile matches a driver-side column scan (exact ndv, typed min/max)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        Queries.cents(col("o_totalprice")).as("tc"),
+        col("o_orderdate").cast("date").cast("string").as("od"),
+        col("o_orderpriority"))
+      .as[(Long, Long, String, Long, String, String)].collect()
+    def prof[T: Ordering](name: String, vs: Seq[T]): (String, Long, Long, Long, String, String) =
+      (name, rows.length.toLong, 0L, vs.distinct.length.toLong,
+        vs.min.toString, vs.max.toString)
+    val expected = Seq(
+      prof("o_custkey", rows.map(_._2).toSeq),
+      prof("o_orderdate", rows.map(_._5).toSeq),
+      prof("o_orderkey", rows.map(_._1).toSeq),
+      prof("o_orderpriority", rows.map(_._6).toSeq),
+      prof("o_orderstatus", rows.map(_._3).toSeq),
+      prof("o_totalprice_c", rows.map(_._4).toSeq))
+    val got = Queries.qTableProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    assert(got === expected, "profile diverged from the driver-side scan")
+    // min/max must be typed, not lexicographic: the key column's max
+    // as a NUMBER must equal the emitted repr
+    val keyRow = got.find(_._1 == "o_orderkey").get
+    assert(keyRow._5.toLong == rows.map(_._1).min &&
+      keyRow._6.toLong == rows.map(_._1).max)
+  }
+
   test("funnel and retention match Scala re-derivations") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

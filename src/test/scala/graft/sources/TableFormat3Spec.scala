@@ -142,6 +142,21 @@ class TableFormat3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected, "census diverged from the staged layout")
   }
 
+  test("metadata tables: per-snapshot partition census + refs, no data IO") {
+    val (y0, _) = TableRefs.yearBounds(spark, dir)
+    val got = MetaTables.metaTables(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val expected =
+      (0 to 2).map(d => (1L, y0 + d, 1L, "rel")) ++
+      (0 to 3).map(d => (2L, y0 + d, 1L, "main")) ++
+      ((0 to 2).map(d => (3L, y0 + d, 1L, "audit")) :+ (3L, y0 + 4, 1L, "audit"))
+    assert(got === expected, "metadata census diverged from the staged layout")
+    // v3 (the audit branch) must NOT see main's y0+3 advance
+    assert(!got.exists(r => r._1 == 3L && r._2 == y0 + 3),
+      "branch isolation leaked across the metadata census")
+  }
+
   test("orphan gc live set protects committed delete files wherever they live") {
     val root = s"/tmp/graft_ogcdel_spec_${ProcessHandle.current().pid()}"
     rm(new java.io.File(root))
