@@ -30,7 +30,7 @@ object Bench {
     "q_funnel", "q_retention", "q_match_recognize", "q_match_recognize_win",
     "q_scd2",
     "q_pivot", "q_unpivot", "q_corr", "q_autocorr", "q_json_extract",
-    "q_distinct", "q_table_profile", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
+    "q_distinct", "q_table_profile", "q_rank_family", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
     "oct_down_linear", "oct_down_aa", "oct_down_spline3",
@@ -81,12 +81,12 @@ object Bench {
     "mm_frame_sample",
     "mm_resize", "mm_patchify", "mm_scene_detect",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_volume_sink", "src_jsonl_scan",
-    "src_csv_scan", "src_orc_roundtrip",
+    "src_csv_scan", "src_csv_badrecords", "src_orc_roundtrip",
     "src_n5_bytes", "src_zarr_bytes", "src_ingest_dispatch", "src_slice_ingest",
     "src_tfrecord_sink", "src_wds_sink", "src_zarr3_bytes",
     "src_jp2_ingest", "src_stack_ingest", "src_volume_compact",
     "src_volume_snapshot", "src_snapshot_merge", "src_stats_prune",
-    "src_zorder_store", "src_schema_evolve", "src_volume_zonemap",
+    "src_zorder_store", "src_hilbert_store", "src_schema_evolve", "src_volume_zonemap",
     "src_snapshot_delete", "src_delete_compact", "src_snapshot_diff",
     "src_partition_evolve", "src_bloom_index", "src_branch_tag", "src_wap",
     "src_log_compact", "src_hidden_partition", "src_pos_delete",

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_match_recognize" -> (Queries.qMatchRecognize _),
     "q_match_recognize_win" -> (Queries.qMatchRecognizeWin _),
     "q_table_profile" -> (Queries.qTableProfile _),
+    "q_rank_family" -> (Queries.qRankFamily _),
     "q_retention" -> (Queries.qRetention _),
     "q_scd2" -> (Queries.qScd2 _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
@@ -628,6 +629,7 @@ object SparkEntry {
     "q_match_recognize" -> Queries.matchRecognizeOracleSql,
     "q_match_recognize_win" -> Queries.matchRecognizeWinOracleSql,
     "q_table_profile" -> Queries.tableProfileOracleSql,
+    "q_rank_family" -> Queries.rankFamilyOracleSql,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -1219,6 +1219,46 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_rank_family — the ranking-function surface in one row: ntile,
+    * percent_rank, and cume_dist over orders partitioned by order
+    * year, ordered by exact cents with the unique key as tiebreak (a
+    * non-deterministic ordering would make every downstream value
+    * engine-dependent). The fractional ranks are pinned to integers
+    * (⌊·10⁶⌋) — both engines compute (rank−1)/(n−1) and rank/n on the
+    * same IEEE operands, so the floor agrees bit-for-bit.
+    *
+    * Scale shape: one window shuffle on the year partition; all three
+    * functions ride the SAME sort (one exchange, one sort, three
+    * O(1)-state window functions) — the plan every warehouse
+    * leaderboard compiles to.
+    */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("y").orderBy(col("pc"), col("k"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        cents(col("o_totalprice")).as("pc"))
+      .select(col("k"), col("y"),
+        ntile(4).over(w).cast("long").as("nt"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("prank_u"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cume_u"))
+      .orderBy("k")
+  }
+
+  /** The q_rank_family DuckDB oracle. */
+  val rankFamilyOracleSql: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders)
+      |SELECT k, y,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS nt,
+      |  CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_u,
+      |  CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_u
+      |FROM o
+      |WINDOW w AS (PARTITION BY y ORDER BY pc, k)
+      |ORDER BY k""".stripMargin
+
   /** q_table_profile — the ANALYZE TABLE / CBO-statistics shape: one
     * row per column of the fact table with row count, null count,
     * EXACT distinct count, and min/max rendered canonically (numerics

@@ -556,6 +556,90 @@ object VolumeQueries {
     }
   }
 
+  /** src_csv_badrecords — the CORRUPT-RECORD CHANNEL every production
+    * ingest needs: a CSV feed where a deterministic subset of rows is
+    * malformed (a non-numeric orderkey field — upstream systems
+    * really do this), read under PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`, so bad rows are neither silently
+    * dropped (DROPMALFORMED's failure mode: data loss you can't
+    * audit) nor fatal (FAILFAST): they land in a rejects column,
+    * counted and checksummed alongside the good rows. The emitted row
+    * certifies the three-way accounting — total = good + corrupt,
+    * good-row aggregates exact, corrupt count exact — which is the
+    * contract a dead-letter queue is built on.
+    *
+    * The corruption is injected DISTRIBUTED: each orders row renders
+    * its own CSV line (every 37th key emits a broken numeric field),
+    * written as a text file, never a driver loop. PERMISSIVE parsing
+    * nulls every typed field of a bad line and preserves the raw line
+    * in the corrupt column; the aggregation references data columns
+    * alongside the corrupt column (Spark disallows queries over the
+    * corrupt column ALONE on raw file frames).
+    *
+    * Scale shape: render + write + parse are all scan-side row-local
+    * work; the accounting is one aggregation. At 100 TB the rejects
+    * column is routed to its own sink and the good rows proceed —
+    * same plan, two writers.
+    */
+  def csvBadRecords(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File("/dev/shm")
+    val root = if (base.isDirectory && base.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val tmp = s"$root/graft_badcsv_${graft.Staging.token()}"
+    val o = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("pc"))
+    try {
+      // distributed render: every 37th key writes a malformed numeric
+      o.select(when(col("k") % 37 === 0,
+          concat(lit("BAD_"), col("k").cast("string"), lit(","),
+            col("pc").cast("string")))
+        .otherwise(concat(col("k").cast("string"), lit(","),
+          col("pc").cast("string"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(tmp)
+      val agg = parsed.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        coalesce(sum(when(col("_bad").isNull, col("k"))), lit(0L))
+          .as("sum_good_key"),
+        coalesce(sum(when(col("_bad").isNull, col("pc"))), lit(0L))
+          .as("sum_good_pc"))
+      val rows = agg.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  /** The src_csv_badrecords closed-form oracle. */
+  val csvBadRecordsOracle: String =
+    """SELECT COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN o_orderkey % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_good,
+      |  CAST(SUM(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderkey % 37 <> 0
+      |    THEN o_orderkey END), 0) AS BIGINT) AS sum_good_key,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderkey % 37 <> 0
+      |    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT)
+      |    AS sum_good_pc
+      |FROM orders""".stripMargin
+
   /** src_orc_roundtrip — the ORC format arm: the lineitem fact slice
     * staged to zlib ORC and read back, verified by the exact-cents
     * flag aggregates plus a ship-date day checksum (timestamps are
@@ -881,6 +965,7 @@ object VolumeQueries {
     "src_snapshot_merge" -> (TableMerge.snapshotMerge _),
     "src_stats_prune" -> (StatsPrune.statsPrune _),
     "src_zorder_store" -> (ZOrderStore.zorderStore _),
+    "src_hilbert_store" -> (HilbertStore.hilbertStore _),
     "src_schema_evolve" -> (SchemaEvolve.schemaEvolve _),
     "src_snapshot_delete" -> (SnapshotDelete.snapshotDelete _),
     "src_delete_compact" -> (SnapshotDelete.deleteCompact _),
@@ -905,6 +990,7 @@ object VolumeQueries {
     "src_rollback" -> (Rollback.rollback _),
     "src_jsonl_scan" -> (jsonlScan _),
     "src_csv_scan" -> (csvScan _),
+    "src_csv_badrecords" -> (csvBadRecords _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_n5_bytes" -> (n5Bytes _),
     "src_n5_discover" -> (n5Discover _),
@@ -939,6 +1025,8 @@ object VolumeQueries {
          |  CAST(SUM(length(text2)) AS BIGINT) AS sum_chars,
          |  CAST(SUM(${graft.ops.OpsOracles.md5Int("text2")}) AS BIGINT) AS sum_text_h
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // the corrupt-record channel: three-way accounting in closed form
+    "src_csv_badrecords" -> csvBadRecordsOracle,
     // the ORC round trip must reproduce the parquet fact aggregates,
     // timestamps included (the day checksum)
     "src_orc_roundtrip" ->
@@ -1022,6 +1110,9 @@ object VolumeQueries {
     // hash-match both the plan arithmetic (files_read) and the exact
     // matched-row aggregates recomputed from the full table
     "src_zorder_store" -> ZOrderStore.zorderOracle,
+    // hilbert clustering: same layout+plan arithmetic, per-level curve
+    // chain emitted by the same generator as the Spark side
+    "src_hilbert_store" -> HilbertStore.hilbertOracle,
     // field-id schema evolution: the id-mapped read across three
     // schema generations must reproduce the closed-form generation
     // rules — leaked shadowed columns or unmapped renames mismatch

@@ -113,6 +113,33 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no window where the alternation changed the match set")
   }
 
+  test("rank family matches a driver-side sort re-derivation, ties keyed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), org.apache.spark.sql.functions.year(col("o_orderdate")).cast("long"),
+        Queries.cents(col("o_totalprice")))
+      .as[(Long, Long, Long)].collect()
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (y, g) =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case ((k, _, _), i) =>
+        // ntile(4): first (n mod 4) buckets get ceil(n/4)
+        val bsz = n / 4; val extra = n % 4
+        val nt = if (i < (bsz + 1) * extra) i / (bsz + 1) + 1
+          else extra + (i - (bsz + 1) * extra) / bsz + 1
+        val prank = if (n == 1) 0L
+          else math.floor(i.toDouble / (n - 1) * 1000000).toLong
+        val cume = math.floor((i + 1).toDouble / n * 1000000).toLong
+        (k, y, nt.toLong, prank, cume)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Queries.qRankFamily(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "rank family diverged from the re-derivation")
+  }
+
   test("table profile matches a driver-side column scan (exact ndv, typed min/max)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -19,6 +19,24 @@ class VolumeSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def scan = spark.read.format("graft.sources.VolumeSource").load()
 
+  test("csv bad-record channel: three-way accounting exact, no silent loss") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.sources.VolumeQueries.csvBadRecords(spark, sf).collect()(0)
+    val o = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        org.apache.spark.sql.functions.floor(col("o_totalprice") * 100)
+          .cast("long").as("pc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (bad, good) = o.partition(_._1 % 37 == 0)
+    assert(bad.nonEmpty, "no corrupt rows staged — the channel is untested")
+    assert(got.getLong(0) === o.length.toLong, "rows lost in the round trip")
+    assert(got.getLong(1) === good.length.toLong)
+    assert(got.getLong(2) === bad.length.toLong)
+    assert(got.getLong(3) === good.map(_._1).sum)
+    assert(got.getLong(4) === good.map(_._2).sum)
+  }
+
   test("full scan matches the Scala-side fill enumeration") {
     val expected = (for {
       c <- 0L until 2L; z <- 0L until 16L; y <- 0L until 16L; x <- 0L until 16L
