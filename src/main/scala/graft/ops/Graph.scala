@@ -548,6 +548,66 @@ object Graph {
     */
   val LvConvMax = 16
 
+  /** Truss order and peel-round cap for [[ktruss]]. */
+  val TrussK = 4
+  val TrussMax = 8
+
+  /** graph_ktruss — k-TRUSS decomposition, the EDGE analog of k-core
+    * (Cohen 2008) and the standard "cohesive subgraph" upgrade: an
+    * edge survives iff it participates in ≥ k−2 triangles WITHIN the
+    * surviving subgraph, peeled to fixpoint. Where k-core keeps
+    * well-connected VERTICES (a star hub passes), the truss demands
+    * the connections reinforce each other — a hub with no
+    * triangle-closing neighbors peels away — which is why community
+    * cores are trussed, not cored. Peeling is monotone (edges only
+    * leave), so the fixpoint is guaranteed and EARLY EXIT equals the
+    * fixed-depth unroll (the louvainConv trick, simpler: no
+    * oscillation is possible); `n_rounds` — the first round that
+    * removed nothing, or the cap — is hash-verified via the oracle's
+    * per-round edge counts. Output: the surviving edges with their
+    * final-graph triangle support.
+    *
+    * Scale shape: per round ONE wedge join (edges ⋈ adjacency on the
+    * shared endpoint, then the closing-edge probe — O(Σ_e deg), the
+    * triangle-enumeration bound, never all-pairs) + one count; rounds
+    * lineage-truncated; the monotone shrink means later rounds cost
+    * less, and the convergence exit stops paying at stability.
+    */
+  def ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val (ke0, _) = lpCore(spark, dir)
+    def support(edges: DataFrame): DataFrame = {
+      val und = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+      edges
+        .join(und.select(col("a").as("id_a"), col("b").as("w")), Seq("id_a"))
+        .join(und.select(col("a").as("id_b"), col("b").as("w")),
+          Seq("id_b", "w"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("sup"))
+    }
+    var e = ke0.select("id_a", "id_b")
+    var prevN = e.count()
+    var t = 0
+    var nRounds = TrussMax.toLong
+    var converged = false
+    while (t < TrussMax && !converged) {
+      t += 1
+      val next = e.join(support(e), Seq("id_a", "id_b"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= TrussK - 2)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      val n = next.count()
+      // monotone peel: equal count ⟺ equal set ⟺ fixpoint
+      if (n == prevN) { converged = true; nRounds = t.toLong }
+      prevN = n
+      e = next
+    }
+    e.join(support(e), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+      .withColumn("n_rounds", lit(nRounds))
+      .orderBy("id_a", "id_b")
+  }
+
   /** graph_louvain_conv — the local-move phase run TO CONVERGENCE
     * (the published algorithm's actual phase-1 termination: iterate
     * until no vertex improves its community), capped at [[LvConvMax]]
@@ -817,6 +877,7 @@ object Graph {
     "graph_louvain" -> (louvain _),
     "graph_louvain2" -> (louvain2 _),
     "graph_louvain_conv" -> (louvainConv _),
+    "graph_ktruss" -> (ktruss _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),

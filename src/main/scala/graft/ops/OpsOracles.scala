@@ -483,10 +483,7 @@ object OpsOracles {
          |  QUALIFY row_number() OVER (PARTITION BY v
          |    ORDER BY score DESC, comm) = 1)""".stripMargin
     }.mkString(",\n")
-    s"""$knnCtes,
-       |ke AS MATERIALIZED (SELECT LEAST(vec_id, nbr_id) AS id_a,
-       |    GREATEST(vec_id, nbr_id) AS id_b
-       |  FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2),
+    s"""$kePreamble,
        |und AS (SELECT id_a, id_b FROM ke
        |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM ke),
        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ke),
@@ -495,6 +492,16 @@ object OpsOracles {
        |a0 AS (SELECT vec_id AS v, vec_id AS comm FROM embeddings),
        |$rounds""".stripMargin
   }
+
+  /** The k-NN edge frame (unique undirected pairs) over [[knnCtes]] —
+    * shared by the Louvain chains and the k-truss peel so the graphs
+    * cannot drift.
+    */
+  private lazy val kePreamble: String =
+    s"""$knnCtes,
+       |ke AS MATERIALIZED (SELECT LEAST(vec_id, nbr_id) AS id_a,
+       |    GREATEST(vec_id, nbr_id) AS id_b
+       |  FROM r WHERE rank <= ${Similarity.KnnK} GROUP BY 1, 2)""".stripMargin
 
   /** The char-bigram LM scoring chain ending in
     * `lmdoc(doc_id, source, n_bigrams, lm_u)` (zero-bigram docs
@@ -2153,6 +2160,46 @@ object OpsOracles {
          |  CAST(CASE WHEN core.deg IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,
          |  CAST(COALESCE(core.deg, 0) AS BIGINT) AS core_deg
          |FROM documents d LEFT JOIN core USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // k-truss peel over the SAME ke frame: unrolled wedge-join rounds
+    // with per-round edge counts; n_rounds = first no-removal round
+    // (monotone peel → count equality is set equality) or the cap
+    "graph_ktruss" -> {
+      val (k, mx) = (Graph.TrussK, Graph.TrussMax)
+      val rounds = (1 to mx).map { t =>
+        s"""w$t AS (SELECT e.id_a, e.id_b, CAST(COUNT(*) AS BIGINT) AS sup
+           |  FROM e${t - 1} e
+           |  JOIN u${t - 1} x ON x.a = e.id_a
+           |  JOIN u${t - 1} y ON y.a = e.id_b AND y.b = x.b
+           |  GROUP BY 1, 2),
+           |e$t AS MATERIALIZED (
+           |  SELECT e.id_a, e.id_b FROM e${t - 1} e
+           |  JOIN w$t w ON e.id_a = w.id_a AND e.id_b = w.id_b
+           |  WHERE w.sup >= ${k - 2}),
+           |u$t AS (SELECT id_a AS a, id_b AS b FROM e$t
+           |        UNION ALL SELECT id_b, id_a FROM e$t),
+           |c$t AS (SELECT CAST($t AS BIGINT) AS t,
+           |  (SELECT COUNT(*) FROM e$t) AS n,
+           |  (SELECT COUNT(*) FROM e${t - 1}) AS pn)""".stripMargin
+      }.mkString(",\n")
+      val cAll = (1 to mx).map(t => s"SELECT t, n, pn FROM c$t")
+        .mkString(" UNION ALL ")
+      s"""WITH $kePreamble,
+         |e0 AS (SELECT id_a, id_b FROM ke),
+         |u0 AS (SELECT id_a AS a, id_b AS b FROM e0
+         |       UNION ALL SELECT id_b, id_a FROM e0),
+         |$rounds,
+         |nr AS (SELECT COALESCE(MIN(t), CAST($mx AS BIGINT)) AS n_rounds
+         |       FROM ($cAll) WHERE n = pn),
+         |wf AS (SELECT e.id_a, e.id_b, CAST(COUNT(*) AS BIGINT) AS sup
+         |  FROM e$mx e
+         |  JOIN u$mx x ON x.a = e.id_a
+         |  JOIN u$mx y ON y.a = e.id_b AND y.b = x.b
+         |  GROUP BY 1, 2)
+         |SELECT e.id_a, e.id_b, COALESCE(wf.sup, 0) AS sup, nr.n_rounds
+         |FROM e$mx e LEFT JOIN wf ON e.id_a = wf.id_a AND e.id_b = wf.id_b,
+         |  nr
+         |ORDER BY e.id_a, e.id_b""".stripMargin
     },
     "graph_label_prop" ->
       s"""WITH $lpChainCtes,

@@ -852,6 +852,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(converged, s"no stability detected within $mx rounds")
   }
 
+  test("k-truss peel matches a Scala re-derivation; truss is strictly inside the graph") {
+    import graft.ops.Graph
+    val (_, ke, _, _, _, _) = louvainPhase1()
+    var edges = ke.toSet
+    var t = 0
+    var nRounds = Graph.TrussMax.toLong
+    var converged = false
+    def sup(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.toSeq.map { case (a, b) =>
+        (a, b) -> adj.getOrElse(a, Set.empty)
+          .intersect(adj.getOrElse(b, Set.empty)).size.toLong
+      }.toMap
+    }
+    while (t < Graph.TrussMax && !converged) {
+      t += 1
+      val s = sup(edges)
+      val next = edges.filter(e => s(e) >= Graph.TrussK - 2)
+      if (next.size == edges.size) { converged = true; nRounds = t.toLong }
+      edges = next
+    }
+    val fs = sup(edges)
+    val expected = edges.toSeq.sorted
+      .map { case (a, b) => (a, b, fs((a, b)), nRounds) }
+    val got = Graph.ktruss(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected, "k-truss peel diverged from the re-derivation")
+    assert(converged, s"peel did not converge within ${Graph.TrussMax} rounds")
+    // the truss is a strict refinement: nonempty, and smaller than the
+    // graph (otherwise the peel proved nothing on this corpus)
+    assert(edges.nonEmpty && edges.size < ke.size,
+      s"degenerate truss: ${edges.size} of ${ke.size} edges")
+    info(s"truss ${edges.size}/${ke.size} edges after $nRounds rounds")
+  }
+
   test("multi-level louvain matches a Scala re-derivation of contraction + weighted moves") {
     import graft.ops.Graph
     val (verts, ke, m, deg, _, asn1) = louvainPhase1()
