@@ -75,6 +75,9 @@ object SparkEntry {
     "q_match_recognize_win" -> (Queries.qMatchRecognizeWin _),
     "q_table_profile" -> (Queries.qTableProfile _),
     "q_rank_family" -> (Queries.qRankFamily _),
+    "q_variant" -> (Queries.qVariant _),
+    "q_lateral" -> (Queries.qLateral _),
+    "q_range_frame" -> (Queries.qRangeFrame _),
     "q_retention" -> (Queries.qRetention _),
     "q_scd2" -> (Queries.qScd2 _)
   ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
@@ -630,6 +633,9 @@ object SparkEntry {
     "q_match_recognize_win" -> Queries.matchRecognizeWinOracleSql,
     "q_table_profile" -> Queries.tableProfileOracleSql,
     "q_rank_family" -> Queries.rankFamilyOracleSql,
+    "q_variant" -> Queries.variantOracleSql,
+    "q_lateral" -> Queries.lateralOracleSql,
+    "q_range_frame" -> Queries.rangeFrameOracleSql,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -1219,6 +1219,131 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_lateral — correlated LATERAL subquery with ORDER BY + LIMIT
+    * (SQL:1999 LATERAL, the "top-n per outer row" idiom every
+    * warehouse user writes): for each nation, its two highest-value
+    * orders. Catalyst DECORRELATES the limited subquery into a
+    * window-ranked join — the hand-written row_number() plan — rather
+    * than executing the subquery per outer row; the row certifies the
+    * decorrelation is semantics-preserving (per-group limit, exact
+    * tie order) against an engine that runs LATERAL natively.
+    *
+    * Scale shape: after decorrelation there is no per-outer-row
+    * execution — one join + one partitioned window, the same cost as
+    * the explicit top-n plan; the 25-row nation side never drives
+    * 25 query executions.
+    */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("g_nation")
+    Tables(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    spark.sql(
+      """SELECT n.n_name, t.o_orderkey, t.pc
+        |FROM g_nation n,
+        |LATERAL (
+        |  SELECT o.o_orderkey,
+        |         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY pc DESC, o.o_orderkey LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.pc DESC, t.o_orderkey""".stripMargin)
+  }
+
+  /** The q_lateral DuckDB oracle — the SAME LATERAL text (DuckDB runs
+    * it natively; Spark decorrelates — two execution strategies, one
+    * semantics).
+    */
+  val lateralOracleSql: String =
+    """SELECT n.n_name, t.o_orderkey, t.pc
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT o.o_orderkey,
+      |         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY pc DESC, o.o_orderkey LIMIT 2
+      |) t
+      |ORDER BY n.n_name, t.pc DESC, t.o_orderkey""".stripMargin
+
+  /** q_variant — the VARIANT semi-structured type (Spark 4's answer
+    * to schema-on-read JSON: parse once into a typed binary encoding,
+    * extract paths WITHOUT declaring a schema — where q_json_extract
+    * must state `k BIGINT` up front, variant_get discovers it): the
+    * events payload parsed with parse_json, the present path
+    * extracted typed, a MISSING path probed with try_variant_get
+    * (null, never an error — the production contract for ragged
+    * payloads), aggregated per event type.
+    *
+    * Scale shape: the variant encoding is columnar-shredding-friendly
+    * binary (one parse per row, path gets are offset lookups, not
+    * re-parses — the whole point over repeated get_json_object
+    * calls); everything downstream is one map-side-combined
+    * aggregation.
+    */
+  def qVariant(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+          .as("miss"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        count_distinct(col("k")).as("distinct_k"),
+        sum(col("miss").isNull.cast("long")).as("n_missing"))
+      .orderBy("event_type")
+  }
+
+  /** The q_variant DuckDB oracle (JSON path extraction — the missing
+    * path is null for every row, so n_missing = cnt).
+    */
+  val variantOracleSql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+      |    AS distinct_k,
+      |  COUNT(*) AS n_missing
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q_range_frame — a RANGE window frame over event TIME (not row
+    * position): each event's trailing 7-day count/sum for its user —
+    * `RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW` ordered by the
+    * epoch second. ROWS frames (q_window/q_ewma) count physical rows;
+    * the RANGE frame is VALUE-addressed, so same-second peers enter
+    * together regardless of tie order — which is also what makes it
+    * deterministic without a unique tiebreak.
+    *
+    * Scale shape: one user-keyed window shuffle; the frame is a
+    * sliding-bound scan within each sorted partition (Spark keeps two
+    * moving frame pointers — O(n) per partition, not O(n·frame)).
+    */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-604800L, 0L)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), nsToSec(col("ts")).as("sec"),
+        cents(col("value")).as("value_c"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("value_c")).over(w).as("sum_7d"))
+      .orderBy("event_id")
+  }
+
+  /** The q_range_frame DuckDB oracle. */
+  val rangeFrameOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+      |  FROM events)
+      |SELECT event_id, user_id, sec,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(value_c) OVER w AS BIGINT) AS sum_7d
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** q_rank_family — the ranking-function surface in one row: ntile,
     * percent_rank, and cume_dist over orders partitioned by order
     * year, ordered by exact cents with the unique key as tiebreak (a

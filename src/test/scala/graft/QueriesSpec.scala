@@ -113,6 +113,85 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no window where the alternation changed the match set")
   }
 
+  test("variant path extraction equals the schema-declared parse; missing paths are null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaVariant = Queries.qVariant(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // independent arm: the schema-declared from_json path
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_type"), col("props")).as[(String, String)].collect()
+    val expected = evs.groupBy(_._1).toSeq.map { case (t, g) =>
+      val ks = g.map(r => """"k":\s*(\d+)""".r.findFirstMatchIn(r._2).get
+        .group(1).toLong)
+      (t, g.length.toLong, ks.sum, ks.distinct.length.toLong, g.length.toLong)
+    }.sortBy(_._1)
+    assert(viaVariant === expected,
+      "variant extraction diverged from the regex re-derivation")
+    // n_missing = cnt on every row: try_variant_get never threw
+    assert(viaVariant.forall(r => r._5 == r._2))
+  }
+
+  test("lateral top-n per outer row decorrelates to the window plan, same rows") {
+    import org.apache.spark.sql.functions.col
+    val got = Queries.qLateral(spark, dir)
+    // no per-outer-row execution: the plan must be a decorrelated
+    // join, not 25 subquery invocations — certified by the absence of
+    // any remaining correlated subquery expression in the optimized plan
+    val opt = got.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("lateral-subquery"),
+      "LATERAL survived optimization undecorrelated")
+    // semantics: per nation exactly ≤2 rows, ordered by value
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (n, g) =>
+      assert(g.length <= 2, s"$n emitted ${g.length} rows")
+      assert(g.map(_._3).sorted.reverse.toSeq === g.map(_._3).toSeq)
+    }
+    // cross-check against the explicit window-ranked derivation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_nationkey").orderBy(col("pc").desc, col("o_orderkey"))
+    val expected = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_nationkey"), col("o_orderkey"),
+        Queries.cents(col("o_totalprice")).as("pc"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy(col("n_name"), col("pc").desc, col("o_orderkey"))
+      .select("n_name", "o_orderkey", "pc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === expected.toSeq,
+      "lateral diverged from the explicit window top-n")
+  }
+
+  test("range frame is value-addressed: trailing 7-day sums match a two-pointer scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Queries.nsToSec(col("ts")).as("sec"), Queries.cents(col("value")))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = evs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      sorted.map { r =>
+        val in = sorted.filter(x => x._3 >= r._3 - 604800L && x._3 <= r._3)
+        (r._1, r._2, r._3, in.length.toLong, in.map(_._4).sum)
+      }
+    }.sortBy(_._1)
+    val got = Queries.qRangeFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "range frame diverged from the value scan")
+    // peers: any same-second pair must carry identical frame results
+    got.groupBy(r => (r._2, r._3)).values.filter(_.size > 1).foreach { g =>
+      assert(g.map(x => (x._4, x._5)).toSet.size === 1,
+        s"same-second peers disagreed: $g")
+    }
+  }
+
   test("rank family matches a driver-side sort re-derivation, ties keyed") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
