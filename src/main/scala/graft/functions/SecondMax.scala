@@ -112,6 +112,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_ldot", exprs => LongDot(exprs(0), exprs(1)), "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("graft_hilbert"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_hilbert",
+        exprs => HilbertIndex(exprs(0), exprs(1), exprs(2)), "built-in")
+    }
     if (!registry.functionExists(FunctionIdentifier("graft_fdotq"))) {
       registry.createOrReplaceTempFunction(
         "graft_fdotq", exprs => FloatDotQuant(exprs(0), exprs(1)), "built-in")

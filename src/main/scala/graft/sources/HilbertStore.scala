@@ -43,8 +43,21 @@ object HilbertStore {
     "CASE WHEN rx = 1 AND ry = 1 THEN 2 WHEN rx = 1 THEN 3 " +
       "WHEN ry = 1 THEN 1 ELSE 0 END"
 
-  /** The Spark-side chain: adds hd (the Hilbert position of (xCol,
-    * yCol), both already normalized to [0, 2^bits)) to `df`.
+  /** The Spark-side position: ONE native codegen'd expression
+    * ([[graft.functions.HilbertIndex]]) — the unrolled column chain
+    * below is kept for the spec's independent cross-check, but the
+    * hot path must not pay its plan-size blowup (the rotation makes
+    * each level reference the previous one several times; measured:
+    * 15 s → z-order parity after the swap).
+    */
+  private[graft] def hilbertExprCol(df: DataFrame, xCol: String,
+      yCol: String, bits: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("hd", expr(s"graft_hilbert($xCol, $yCol, $bits)"))
+  }
+
+  /** The unrolled column chain — the spec's second, plan-level
+    * formulation of the same walk (adds hd to `df`).
     */
   private[graft] def hilbertCol(df: DataFrame, xCol: String, yCol: String,
       bits: Int): DataFrame = {
@@ -103,7 +116,7 @@ object HilbertStore {
     val norm = li.crossJoin(broadcast(mx))
       .withColumn("pkn", expr(s"(pk * ${1L << Queries.ZBits}) div (mpk + 1L)"))
       .withColumn("skn", expr(s"(sk * ${1L << Queries.ZBits}) div (msk + 1L)"))
-    val withH = hilbertCol(norm, "pkn", "skn", Queries.ZBits)
+    val withH = hilbertExprCol(norm, "pkn", "skn", Queries.ZBits)
       .withColumn("fid", expr(s"hd div ${1L << (2 * Queries.ZBits - 6)}"))
     withH.select("pk", "sk", "price_c", "hd", "fid")
       .repartition(col("fid"))

@@ -53,6 +53,12 @@ class HilbertSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (x, y, d) =>
       assert(d === xy2d(bits, x, y), s"hd of ($x,$y)")
     }
+    // the hot path's native expression is a THIRD formulation — it
+    // must agree with the chain cell-for-cell
+    val viaExpr = HilbertStore.hilbertExprCol(grid, "gx", "gy", bits)
+      .select("gx", "gy", "hd").as[(Long, Long, Long)].collect().toSet
+    assert(viaExpr === got.toSet,
+      "native expression diverged from the unrolled chain")
     // the defining property Morton LACKS: consecutive curve positions
     // are always grid neighbors — a bijection with unit steps
     val byD = got.sortBy(_._3)
