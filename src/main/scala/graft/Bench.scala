@@ -77,7 +77,7 @@ object Bench {
     "sim_mrl_topk", "sim_mmr_topk", "sim_sq_topk", "sim_ivfpq_topk", "sim_ivfpq_refine", "sim_index_refresh",
     "sim_recall_eval",
     "mm_pack", "mm_meta_extract", "mm_phash", "mm_phash_cluster", "mm_decode_png", "mm_decode_wav", "mm_decode_jp2",
-    "mm_audio_feats",
+    "mm_audio_feats", "mm_vad",
     "mm_frame_sample",
     "mm_resize", "mm_patchify", "mm_scene_detect",
     "src_volume_scan", "src_volume_scan_l1", "src_pyramid_sink", "src_volume_sink", "src_jsonl_scan",

@@ -424,6 +424,45 @@ object Multimodal {
       }.toDF().orderBy("doc_id", "frame_id")
   }
 
+  /** mm_vad — ACTIVITY SEGMENTATION over the decoded audio frames
+    * (the step after [[audioFeats]] in a speech pipeline: collapse
+    * frame features into voiced/active SEGMENTS the trainer crops
+    * to). A frame is active iff its energy exceeds the clip's mean
+    * frame energy — compared in EXACT integers (energy·n_frames >
+    * Σenergy: no division, so both engines agree bit-for-bit on every
+    * boundary) — and consecutive active frames collapse into one
+    * segment via the lag→change-flag→island machinery, emitting
+    * (segment ordinal, start frame, length, energy mass) per clip.
+    *
+    * Scale shape: rides [[audioFeats]]'s map-only frame extraction;
+    * the segmentation adds one doc-keyed window pass and one bounded
+    * aggregation — state per clip is its frame count, never samples.
+    */
+  def vad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = audioFeats(spark, dir).select("doc_id", "frame_id", "energy")
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    val tot = Window.partitionBy("doc_id")
+    fr
+      .withColumn("active",
+        (col("energy") * count(lit(1)).over(tot) >
+          sum(col("energy")).over(tot)).cast("long"))
+      .withColumn("changed",
+        (lag(col("active"), 1).over(w).isNull ||
+          lag(col("active"), 1).over(w) =!= col("active")).cast("long"))
+      .withColumn("island", sum(col("changed")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("active") === 1)
+      .groupBy("doc_id", "island")
+      .agg(min("frame_id").as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("sum_energy"))
+      .withColumn("seg_id", row_number().over(
+        Window.partitionBy("doc_id").orderBy("start_frame")).cast("long"))
+      .select("doc_id", "seg_id", "start_frame", "n_frames", "sum_energy")
+      .orderBy("doc_id", "seg_id")
+  }
+
   /** Features decoded from a real JPEG2000 payload. */
   case class DecodedJp2(doc_id: Long, width: Long, height: Long,
                         sum_p: Long, p_checksum: Long, peak: Long)
@@ -594,6 +633,7 @@ object Multimodal {
     "mm_phash_cluster" -> (phashCluster _),
     "mm_decode_wav" -> (decodeWav _),
     "mm_audio_feats" -> (audioFeats _),
+    "mm_vad" -> (vad _),
     "mm_decode_jp2" -> (decodeJp2 _)
   )
 }

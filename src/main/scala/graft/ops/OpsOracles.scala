@@ -3637,6 +3637,45 @@ object OpsOracles {
          |  CAST(SUM(s) AS BIGINT) AS sum_s
          |FROM f GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id""".stripMargin
     },
+    // activity segmentation over the same frame chain: exact-integer
+    // mean comparison (energy·n > Σ) + lag/island run collapse
+    "mm_vad" -> {
+      val n = Multimodal.WavSamples
+      val fl = Multimodal.WavFrameLen
+      s"""WITH smp AS (
+         |  SELECT doc_id, r.i,
+         |    CASE WHEN length(text) > r.i
+         |         THEN (ascii(substr(text, CAST(r.i + 1 AS INT), 1)) % 256) * 257 - 32768
+         |         ELSE 0 END AS s
+         |  FROM documents, range(0, $n) r(i)),
+         |f AS (
+         |  SELECT doc_id, CAST(i // $fl AS BIGINT) AS frame_id,
+         |    CAST(SUM(s * s) AS BIGINT) AS energy
+         |  FROM smp GROUP BY 1, 2),
+         |a AS (
+         |  SELECT *, CAST(CASE WHEN energy * COUNT(*) OVER (PARTITION BY doc_id)
+         |      > SUM(energy) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS BIGINT)
+         |    AS active
+         |  FROM f),
+         |c AS (
+         |  SELECT *, CASE WHEN lag(active) OVER w IS NULL
+         |      OR lag(active) OVER w <> active THEN 1 ELSE 0 END AS changed
+         |  FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)),
+         |isl AS (
+         |  SELECT *, CAST(SUM(changed) OVER (PARTITION BY doc_id ORDER BY frame_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+         |  FROM c),
+         |seg AS (
+         |  SELECT doc_id, island, MIN(frame_id) AS start_frame,
+         |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |    CAST(SUM(energy) AS BIGINT) AS sum_energy
+         |  FROM isl WHERE active = 1 GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+         |    AS BIGINT) AS seg_id,
+         |  start_frame, n_frames, sum_energy
+         |FROM seg ORDER BY doc_id, seg_id""".stripMargin
+    },
     "mm_decode_jp2" -> {
       val n = Multimodal.Jp2Edge * Multimodal.Jp2Edge
       s"""WITH px AS (

@@ -690,6 +690,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(beamR >= seedR, f"the walk lost recall: $beamR%.3f < $seedR%.3f")
   }
 
+  test("vad segments match a Scala re-derivation; multi-segment clips exist") {
+    import graft.ops.Multimodal
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val samples = Array.tabulate(Multimodal.WavSamples)(i =>
+        if (i < cps.length) ((cps(i) % 256) * 257 - 32768).toLong else 0L)
+      val energies = samples.grouped(Multimodal.WavFrameLen)
+        .map(fr => fr.map(s => s * s).sum).toArray
+      val n = energies.length.toLong
+      val tot = energies.sum
+      val active = energies.map(e => e * n > tot)
+      // islands of consecutive active frames
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < active.length) {
+        if (active(i)) {
+          val start = i
+          var sumE = 0L
+          while (i < active.length && active(i)) { sumE += energies(i); i += 1 }
+          segs += ((start.toLong, (i - start).toLong, sumE))
+        } else i += 1
+      }
+      segs.zipWithIndex.map { case ((st, nf, se), k) =>
+        (id, (k + 1).toLong, st, nf, se)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Multimodal.vad(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "vad diverged from the Scala re-derivation")
+    // the island machinery must be exercised: some clip has >1 segment
+    assert(expected.exists(_._2 >= 2), "no multi-segment clip at spec scale")
+  }
+
   test("graph-ANN serve split: one persisted index serves both probe cohorts") {
     import spark.implicits._
     // the staged index is memoized per corpus dir: two reads resolve
