@@ -49,7 +49,7 @@ object Bench {
     "graph_pagerank", "graph_bfs", "graph_triangles",
     "graph_common_neighbors", "graph_kcore", "graph_label_prop", "graph_jaccard_links", "graph_clustering_coeff",
     "graph_modularity", "graph_scc", "graph_ppr", "graph_louvain", "graph_louvain2",
-    "graph_louvain_conv", "graph_ktruss",
+    "graph_louvain_conv", "graph_ktruss", "graph_conductance",
     "text_quality", "text_fingerprint", "text_ngrams", "text_langid",
     "text_tokens", "text_filter", "text_pii_mask", "text_rep_ngram",
     "text_line_dedup", "text_vocab", "text_encode", "text_pack", "text_tfidf",

@@ -532,6 +532,51 @@ object Graph {
     (ke, deg, m, asn, nRounds)
   }
 
+  /** graph_conductance — community QUALITY EVALUATION over the final
+    * [[louvain]] assignment (the report a clustering pipeline ships
+    * with its partition: modularity says how good the whole split is;
+    * conductance says which individual communities are well-separated
+    * and which leak): per community, node count, internal edge count,
+    * cut edge count, volume (Σ degree), and the conductance
+    * cut/min(vol, 2m−vol) pinned to ⌊·10⁶⌋ by pure integer division.
+    * Singleton-degree-0 communities emit −1 (undefined, not a crash).
+    *
+    * Scale shape: two assignment joins over the checkpointed edge
+    * frame classify every edge internal/cut in one pass; the rest is
+    * one community-keyed aggregation — map-side combinable, bounded
+    * by the community count. Rides the SAME phase-1 chain as the
+    * louvain rows (shared oracle CTEs — assignment and evaluation
+    * cannot drift).
+    */
+  def conductance(spark: SparkSession, dir: String): DataFrame = {
+    val (ke, deg, m, asn) = lvCore(spark, dir)
+    val edges = ke
+      .join(asn.select(col("v").as("id_a"), col("comm").as("ca")), Seq("id_a"))
+      .join(asn.select(col("v").as("id_b"), col("comm").as("cb")), Seq("id_b"))
+    val internal = edges.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("n_internal"))
+    val cut = edges.filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("comm"))
+      .union(edges.filter(col("ca") =!= col("cb")).select(col("cb").as("comm")))
+      .groupBy("comm").agg(count(lit(1)).as("n_cut"))
+    val vol = asn.join(deg, Seq("v"), "left")
+      .groupBy("comm")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("vol"))
+    vol
+      .join(internal, Seq("comm"), "left")
+      .join(cut, Seq("comm"), "left")
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        col("vol"))
+      .withColumn("cond_u",
+        when(least(col("vol"), lit(2L * m) - col("vol")) > 0,
+          expr(s"(1000000L * n_cut) div least(vol, ${2 * m}L - vol)"))
+          .otherwise(lit(-1L)))
+      .orderBy("comm")
+  }
+
   def louvain(spark: SparkSession, dir: String): DataFrame = {
     val (_, _, _, asn) = lvCore(spark, dir)
     val sizes = asn.groupBy("comm").agg(count(lit(1)).as("comm_size"))
@@ -878,6 +923,7 @@ object Graph {
     "graph_louvain2" -> (louvain2 _),
     "graph_louvain_conv" -> (louvainConv _),
     "graph_ktruss" -> (ktruss _),
+    "graph_conductance" -> (conductance _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfs _),
     "graph_triangles" -> (triangles _),

@@ -2161,6 +2161,32 @@ object OpsOracles {
          |  CAST(COALESCE(core.deg, 0) AS BIGINT) AS core_deg
          |FROM documents d LEFT JOIN core USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    // community quality over the SAME louvain chain: per-community
+    // internal/cut/volume classification + integer-division conductance
+    "graph_conductance" -> {
+      val r = Graph.LvRounds
+      s"""WITH $lvChainCtes,
+         |ec AS (SELECT k.id_a, k.id_b, a1.comm AS ca, a2.comm AS cb
+         |  FROM ke k JOIN a$r a1 ON k.id_a = a1.v
+         |            JOIN a$r a2 ON k.id_b = a2.v),
+         |intn AS (SELECT ca AS comm, CAST(COUNT(*) AS BIGINT) AS n_internal
+         |  FROM ec WHERE ca = cb GROUP BY 1),
+         |cut AS (SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_cut FROM (
+         |    SELECT ca AS comm FROM ec WHERE ca <> cb
+         |    UNION ALL SELECT cb FROM ec WHERE ca <> cb) GROUP BY 1),
+         |vol AS (SELECT a.comm, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(COALESCE(dg.deg, 0)) AS BIGINT) AS vol
+         |  FROM a$r a LEFT JOIN dg ON a.v = dg.v GROUP BY 1)
+         |SELECT vol.comm, vol.n_nodes,
+         |  COALESCE(intn.n_internal, 0) AS n_internal,
+         |  COALESCE(cut.n_cut, 0) AS n_cut, vol.vol,
+         |  CAST(CASE WHEN LEAST(vol.vol, 2 * mm.m - vol.vol) > 0
+         |    THEN (1000000 * COALESCE(cut.n_cut, 0))
+         |      // LEAST(vol.vol, 2 * mm.m - vol.vol)
+         |    ELSE -1 END AS BIGINT) AS cond_u
+         |FROM vol LEFT JOIN intn USING (comm) LEFT JOIN cut USING (comm), mm
+         |ORDER BY comm""".stripMargin
+    },
     // k-truss peel over the SAME ke frame: unrolled wedge-join rounds
     // with per-round edge counts; n_rounds = first no-removal round
     // (monotone peel → count equality is set equality) or the cap

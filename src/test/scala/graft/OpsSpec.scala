@@ -886,6 +886,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(converged, s"no stability detected within $mx rounds")
   }
 
+  test("community conductance matches a Scala edge-classification re-derivation") {
+    import graft.ops.Graph
+    val (verts, ke, m, deg, _, asn) = louvainPhase1()
+    val byComm = verts.groupBy(asn)
+    val expected = byComm.toSeq.map { case (c, vs) =>
+      val internal = ke.count { case (a, b) => asn(a) == c && asn(b) == c }
+      val cutE = ke.count { case (a, b) =>
+        (asn(a) == c) != (asn(b) == c)
+      }
+      val vol = vs.map(v => deg.getOrElse(v, 0L)).sum
+      val denom = math.min(vol, 2 * m - vol)
+      val cond = if (denom > 0) 1000000L * cutE / denom else -1L
+      (c, vs.length.toLong, internal.toLong, cutE.toLong, vol, cond)
+    }.sortBy(_._1)
+    val got = Graph.conductance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "conductance diverged from the re-derivation")
+    // the report must discriminate: separated AND leaky communities
+    val conds = expected.map(_._6).filter(_ >= 0)
+    assert(conds.exists(_ < 500000) && conds.exists(_ > 500000),
+      "conductance report is degenerate at spec scale")
+  }
+
   test("k-truss peel matches a Scala re-derivation; truss is strictly inside the graph") {
     import graft.ops.Graph
     val (_, ke, _, _, _, _) = louvainPhase1()
