@@ -1416,11 +1416,15 @@ object Queries {
         max(c).cast("string").as(s"mx_$n"))
     }
     val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    cols.map { case (n, _) =>
-      one.select(lit(n).as("col_name"), col("n_rows"),
-        col(s"nn_$n").as("n_null"), col(s"ndv_$n").as("ndv"),
-        col(s"mn_$n").as("min_repr"), col(s"mx_$n").as("max_repr"))
-    }.reduce(_.unionByName(_)).orderBy("col_name")
+    // unpivot via ONE stack generate — a union of per-column selects
+    // would re-evaluate the whole aggregation once per column (caught
+    // by the plan audit: 6 scans instead of 1)
+    val branches = cols.map { case (n, _) =>
+      s"'$n', n_rows, nn_$n, ndv_$n, mn_$n, mx_$n"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $branches) AS " +
+        "(col_name, n_rows, n_null, ndv, min_repr, max_repr)")
+      .orderBy("col_name")
   }
 
   /** The q_table_profile DuckDB oracle. */

@@ -41,6 +41,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r13 operators keep their scale contracts") {
+    // the profile's multi-column COUNT(DISTINCT) compiles to ONE scan
+    // fanned through Expand — per-column jobs would multiply the scan
+    val prof = formatted("q_table_profile")
+    assert(scans(prof) === 1, "q_table_profile grew extra scans")
+    assert(prof.contains("Expand"),
+      "multi-distinct lost the single-pass Expand strategy")
+    // all three ranking functions ride ONE Window node (one exchange,
+    // one sort) — a per-function window would triple the shuffle
+    val rank = formatted("q_rank_family")
+    assert("""\(\d+\) Window\b""".r.findAllIn(rank).length === 1,
+      "rank family split across Window nodes")
+    // the RANGE frame is likewise one Window pass
+    val rf = formatted("q_range_frame")
+    assert("""\(\d+\) Window\b""".r.findAllIn(rf).length === 1,
+      "range frame split across Window nodes")
+    assert(scans(rf) === 1)
+    // variant extraction is scan-side: one scan, one aggregate — the
+    // parse must not force a pre-shuffle materialization
+    val varp = formatted("q_variant")
+    assert(scans(varp) === 1, "q_variant grew extra scans")
+    assert(varp.contains("variant_get") || varp.contains("parse_json"),
+      "variant path extraction vanished from the plan")
+    // the windowed CEP row stays one scan + one hash exchange, like
+    // its unwindowed twin (the day key rides the same shuffle)
+    val mrw = formatted("q_match_recognize_win")
+    assert(scans(mrw) === 1, "q_match_recognize_win grew extra scans")
+  }
+
   test("pipeline_lineage: every leaf table attributed, predicates separated from projections") {
     val rows = graft.ops.Pipeline.lineage(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
