@@ -221,10 +221,7 @@ object Graph {
     * [[jaccardLinks]].
     */
   private def cnCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val ke = Similarity.knnGraph(spark, dir)
-      .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
-        greatest(col("vec_id"), col("nbr_id")).as("id_b"))
-      .distinct()
+    val ke = keFrame(spark, dir)
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
     val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
@@ -343,12 +340,32 @@ object Graph {
     * [[modularity]]: (canonical k-NN edge set, per-node labels after
     * [[LpRounds]] rounds) — ke is checkpointed once, labels ride it.
     */
+  /** The canonical k-NN edge frame, PERSISTED once per (JVM, corpus
+    * dir) — the graph family's shared index artifact: nine operators
+    * ride the same edge set, and before this cache each one rebuilt
+    * the LSH k-NN graph inside its own plan (the graphIndex lesson
+    * applied to the graph family). The first caller pays the build;
+    * every later op starts at a narrow 2-column scan.
+    */
+  private val keCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[ops] def keFrame(spark: SparkSession, dir: String): DataFrame = {
+    val path = keCache.computeIfAbsent(dir, _ => {
+      val root =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_ke_${graft.Staging.token()}"
+      Similarity.knnGraph(spark, dir)
+        .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+          greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+        .distinct()
+        .write.parquet(root)
+      root
+    })
+    spark.read.parquet(path).localCheckpoint()
+  }
+
   private[ops] def lpCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val ke = Similarity.knnGraph(spark, dir)
-      .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
-        greatest(col("vec_id"), col("nbr_id")).as("id_b"))
-      .distinct()
-      .localCheckpoint()
+    val ke = keFrame(spark, dir)
     // und is a cheap projection of the checkpointed edge frame — a
     // second checkpoint would just re-materialize the same bytes
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -475,7 +492,9 @@ object Graph {
     */
   private[ops] def lvCoreN(spark: SparkSession, dir: String, maxRounds: Int,
       earlyExit: Boolean): (DataFrame, DataFrame, Long, DataFrame, Long) = {
-    val (ke, _) = lpCore(spark, dir)
+    // ke only — going through lpCore would eagerly pay the
+    // label-propagation rounds this family never reads
+    val ke = keFrame(spark, dir)
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val m = ke.count()
     val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
@@ -619,7 +638,7 @@ object Graph {
     * less, and the convergence exit stops paying at stability.
     */
   def ktruss(spark: SparkSession, dir: String): DataFrame = {
-    val (ke0, _) = lpCore(spark, dir)
+    val ke0 = keFrame(spark, dir)
     def support(edges: DataFrame): DataFrame = {
       val und = edges.select(col("id_a").as("a"), col("id_b").as("b"))
         .union(edges.select(col("id_b").as("a"), col("id_a").as("b")))
