@@ -168,6 +168,24 @@ object Dedup {
     * shuffle carries only partial minima (map-side combine).
     */
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame = {
+    // PERSISTED once per (JVM, corpus): eleven operators (plus the
+    // doc-graph family) consume the same minhash signature table, and
+    // each was re-running the shingle-explode-hash build inside its
+    // own plan — the shared-index pattern (graphIndex / keFrame)
+    // applied to the dedup family
+    val path = sigCache.computeIfAbsent(dir, _ => {
+      val root =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_sig_${graft.Staging.token()}"
+      signaturesBuild(spark, dir).write.parquet(root)
+      root
+    })
+    spark.read.parquet(path)
+  }
+
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def signaturesBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sigAggs = (0 until MinhashK).map { j =>
       val (aj, bj) = perm(j)
