@@ -74,6 +74,7 @@ object SparkEntry {
     "q_match_recognize" -> (Queries.qMatchRecognize _),
     "q_match_recognize_win" -> (Queries.qMatchRecognizeWin _),
     "q_table_profile" -> (Queries.qTableProfile _),
+    "q_setops" -> (Queries.qSetops _),
     "q_rank_family" -> (Queries.qRankFamily _),
     "q_variant" -> (Queries.qVariant _),
     "q_lateral" -> (Queries.qLateral _),
@@ -632,6 +633,7 @@ object SparkEntry {
     "q_match_recognize" -> Queries.matchRecognizeOracleSql,
     "q_match_recognize_win" -> Queries.matchRecognizeWinOracleSql,
     "q_table_profile" -> Queries.tableProfileOracleSql,
+    "q_setops" -> Queries.setopsOracleSql,
     "q_rank_family" -> Queries.rankFamilyOracleSql,
     "q_variant" -> Queries.variantOracleSql,
     "q_lateral" -> Queries.lateralOracleSql,

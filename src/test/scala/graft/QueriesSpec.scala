@@ -113,6 +113,30 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no window where the alternation changed the match set")
   }
 
+  test("setops: INTERSECT/EXCEPT ALL equal the multiset count identities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, year}
+    def counts(y: Int): Map[Long, Long] =
+      Tables(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === y)
+        .select($"o_custkey".cast("long")).as[Long]
+        .collect().groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c94 = counts(1994)
+    val c95 = counts(1995)
+    val expect =
+      c94.flatMap { case (k, n) =>
+        val m = math.min(n, c95.getOrElse(k, 0L))
+        if (m > 0) Some(("intersect_all", k) -> m) else None
+      } ++
+      c94.flatMap { case (k, n) =>
+        val m = n - c95.getOrElse(k, 0L)
+        if (m > 0) Some(("except_all", k) -> m) else None
+      }
+    val got = Queries.qSetops(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
+
   test("variant path extraction equals the schema-declared parse; missing paths are null") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
