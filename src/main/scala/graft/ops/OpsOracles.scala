@@ -1337,6 +1337,25 @@ object OpsOracles {
          |SELECT t.source, t.decile, t.n, t.target_rn, r.len AS len_at
          |FROM t JOIN r ON t.source = r.source AND t.target_rn = r.rn
          |ORDER BY t.source, t.decile""".stripMargin,
+    // The naive restatement of sample_budget's selection rule: one
+    // global window cumsum over (quality desc, doc_id). The Spark side
+    // never builds this order — it derives the same prefix through the
+    // bounded score-bucket threshold — so agreement pins the
+    // two-level decomposition, not just the arithmetic.
+    "sample_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok,
+         |    CAST(CASE WHEN len($toks) > 0
+         |      THEN len(list_distinct($toks)) * 1000000 // len($toks)
+         |      ELSE 0 END AS BIGINT) AS q_u
+         |  FROM documents),
+         |b AS (SELECT CAST(SUM(n_tok) // ${Sampling.BudgetDiv} AS BIGINT)
+         |        AS budget FROM d),
+         |r AS (SELECT *, SUM(n_tok) OVER (ORDER BY q_u DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d)
+         |SELECT doc_id, q_u, n_tok FROM r, b WHERE cum <= budget
+         |ORDER BY doc_id""".stripMargin,
     "sample_priority" ->
       s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
          |CAST(${md5Int("('p:' || CAST(doc_id AS VARCHAR))")} AS BIGINT) AS h,

@@ -1054,7 +1054,71 @@ object Sampling {
       .orderBy("rank")
   }
 
+  /** Budget divisor for [[budget]]: the selected prefix carries at
+    * most total_tokens / BudgetDiv tokens.
+    */
+  val BudgetDiv = 10
+
+  /** sample_budget — greedy token-budget curation: order the corpus
+    * by quality (type-token ratio in exact integer micros, doc_id
+    * breaking ties) and keep documents while the running token total
+    * stays within budget = corpus_tokens / [[BudgetDiv]] — the "best
+    * documents up to N tokens" selection a pretraining pipeline runs
+    * once the quality scores exist. The SELECTION RULE is the global
+    * greedy prefix; the IMPLEMENTATION never sorts the corpus
+    * globally: a per-score bucket aggregate (≤10⁶+1 rows — bounded by
+    * the score RESOLUTION, not the corpus, since q_u is integer
+    * micros) locates the boundary score with one tiny window; whole
+    * buckets above the boundary pass with a broadcast join, and only
+    * the single boundary bucket runs a within-bucket prefix sum. The
+    * DuckDB oracle restates the rule as the naive global window
+    * cumsum — equivalent by construction, two formulations.
+    *
+    * At 100 TB: one corpus pass for (q_u, n_tok) (checkpointed — four
+    * consumers), one map-side-combinable bucket aggregation, a
+    * single-partition window over the BOUNDED bucket frame, a
+    * broadcast threshold join, and a window over ONE score bucket.
+    * Skew note: a degenerate corpus where most docs share one score
+    * turns the boundary window into a large single partition —
+    * production would salt that bucket by doc_id range and merge
+    * prefix sums.
+    */
+  def budget(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = graft.ops.TextAnalysis.toksExpr
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"cast(size($toks) as bigint)").as("n_tok"),
+        expr(s"cast(size(array_distinct($toks)) as bigint)").as("n_dis"))
+      .withColumn("q_u", when(col("n_tok") > 0,
+        expr("n_dis * 1000000L div n_tok")).otherwise(lit(0L)))
+      .select("doc_id", "q_u", "n_tok")
+      .localCheckpoint()
+    val budgetTok =
+      d.agg(expr(s"sum(n_tok) div $BudgetDiv")).head().getLong(0)
+    val buckets = d.groupBy("q_u").agg(sum("n_tok").cast("long").as("b_tok"))
+    // exclusive prefix over the bounded bucket frame (score buckets,
+    // not docs — the single-partition window is safe by cardinality)
+    val wb = Window.orderBy(col("q_u").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = buckets
+      .withColumn("cum_hi", coalesce(sum("b_tok").over(wb), lit(0L)).cast("long"))
+    val joined = d.join(broadcast(marked), Seq("q_u"))
+    val full = joined.filter(col("cum_hi") + col("b_tok") <= budgetTok)
+      .select("doc_id", "q_u", "n_tok")
+    val wd = Window.partitionBy("q_u").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = joined
+      .filter(col("cum_hi") < budgetTok &&
+        col("cum_hi") + col("b_tok") > budgetTok)
+      .withColumn("pfx", sum("n_tok").over(wd).cast("long"))
+      .filter(col("cum_hi") + col("pfx") <= budgetTok)
+      .select("doc_id", "q_u", "n_tok")
+    full.unionByName(boundary).orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_budget" -> (budget _),
     "stats_moments" -> (moments _),
     "stats_heavy_changers" -> (heavyChangers _),
     "sample_dsir" -> (dsir _),

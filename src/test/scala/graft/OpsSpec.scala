@@ -1624,6 +1624,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (13L, 13L, 1L)))
   }
 
+  test("sample_budget: bucket-threshold selection equals the global greedy prefix") {
+    val byDoc = docs.map { case (id, text) =>
+      val ts = tokens(text)
+      val nTok = ts.length.toLong
+      val qU = if (nTok > 0) ts.distinct.length.toLong * 1000000L / nTok else 0L
+      (id, qU, nTok)
+    }.toSeq
+    val budget = byDoc.map(_._3).sum / graft.ops.Sampling.BudgetDiv
+    // the naive rule: global (quality desc, doc_id) order, inclusive
+    // cumulative tokens within budget
+    val ordered = byDoc.sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expect = ordered.takeWhile { case (_, _, n) => cum += n; cum <= budget }
+      .map { case (id, q, n) => id -> ((q, n)) }.toMap
+    val got = graft.ops.Sampling.budget(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < byDoc.size,
+      "budget selection should be a strict non-empty subset")
+  }
+
   test("sample_curriculum phases match a sort-based decile re-derivation") {
     val rows = graft.ops.Sampling.curriculum(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
