@@ -1384,8 +1384,8 @@ object Queries {
       |WINDOW w AS (PARTITION BY y ORDER BY pc, k)
       |ORDER BY k""".stripMargin
 
-  /** q_setops — the multiset set-operation surface: a customer's 1994
-    * order bag vs their 1995 one through INTERSECT ALL (min
+  /** q_setops — the multiset set-operation surface: a customer's 1996
+    * order bag vs their 1997 one through INTERSECT ALL (min
     * multiplicity) and EXCEPT ALL (positive multiplicity difference),
     * re-aggregated to (op, custkey, n) so the output is deterministic.
     * Spark's `intersectAll`/`exceptAll` compile to a single-shuffle
@@ -1402,8 +1402,8 @@ object Queries {
     val o = Tables(spark, dir, "orders")
     def side(y: Int) =
       o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
-    val a = side(1994)
-    val b = side(1995)
+    val a = side(1996)
+    val b = side(1997)
     val ia = a.intersectAll(b).groupBy("o_custkey")
       .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
     val ea = a.exceptAll(b).groupBy("o_custkey")
@@ -1414,8 +1414,8 @@ object Queries {
 
   /** The q_setops DuckDB oracle. */
   val setopsOracleSql: String =
-    """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
-      |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+    """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
       |ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
       |ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
       |SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n

@@ -121,20 +121,23 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(year(col("o_orderdate")) === y)
         .select($"o_custkey".cast("long")).as[Long]
         .collect().groupBy(identity).map { case (k, v) => k -> v.length.toLong }
-    val c94 = counts(1994)
-    val c95 = counts(1995)
+    val cA = counts(1996)
+    val cB = counts(1997)
     val expect =
-      c94.flatMap { case (k, n) =>
-        val m = math.min(n, c95.getOrElse(k, 0L))
+      cA.flatMap { case (k, n) =>
+        val m = math.min(n, cB.getOrElse(k, 0L))
         if (m > 0) Some(("intersect_all", k) -> m) else None
       } ++
-      c94.flatMap { case (k, n) =>
-        val m = n - c95.getOrElse(k, 0L)
+      cA.flatMap { case (k, n) =>
+        val m = n - cB.getOrElse(k, 0L)
         if (m > 0) Some(("except_all", k) -> m) else None
       }
     val got = Queries.qSetops(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === expect)
+    assert(got.keys.exists(_._1 == "intersect_all") &&
+      got.keys.exists(_._1 == "except_all"),
+      "both multiset branches must be non-trivially populated")
   }
 
   test("variant path extraction equals the schema-declared parse; missing paths are null") {
