@@ -30,7 +30,7 @@ object Bench {
     "q_funnel", "q_retention", "q_match_recognize", "q_match_recognize_win",
     "q_scd2",
     "q_pivot", "q_unpivot", "q_variant", "q_lateral", "q_range_frame", "q_corr", "q_autocorr", "q_json_extract",
-    "q_distinct", "q_table_profile", "q_rank_family", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
+    "q_distinct", "q_table_profile", "q_rank_family", "q_setops", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
     "oct_down_linear", "oct_down_aa", "oct_down_spline3",
@@ -56,7 +56,7 @@ object Bench {
     "text_hash_embed", "text_pmi", "text_charlm", "text_bpe", "text_bpe_encode",
     "text_chunk", "text_cdc_chunks", "text_nb_classify", "text_vocab_growth",
     "text_winnow", "text_ccnet_buckets",
-    "sample_stratified", "sample_priority", "sample_mixture", "sample_split", "sample_negatives",
+    "sample_stratified", "sample_priority", "sample_budget", "sample_mixture", "sample_split", "sample_negatives",
     "sample_curriculum", "sample_soft_dedup", "sample_dsir", "sample_class_balance",
     "sample_diverse", "sample_coreset", "stats_length_deciles", "stats_approx_quantile", "stats_mad_outliers", "stats_gini",
     "agg_kmv_distinct", "agg_cms_topk", "agg_hll_distinct", "agg_hll_merge",
