@@ -469,6 +469,36 @@ object Graph {
     (ke, deg, m, asn)
   }
 
+  /** The phase-1 Louvain assignment, PERSISTED once per (JVM, corpus
+    * dir) — the [[keFrame]] lesson applied one level up: louvain,
+    * louvain2, and conductance all ride the same [[LvRounds]]-round
+    * local-move result, and each used to re-run the three synchronous
+    * rounds inside its own plan. The assignment is a pure function of
+    * the corpus (the move rule is deterministic, ties broken on
+    * community id), so the persisted frame is bit-identical to an
+    * inline recompute — the first caller pays the rounds; every later
+    * op starts at a narrow 2-column scan. m rides the cache (one
+    * count job, same determinism); deg is one cheap aggregation over
+    * the already-checkpointed edge frame and is recomputed.
+    */
+  private val lvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private[ops] def lvCoreCached(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long, DataFrame) = {
+    val (path, m) = lvCache.computeIfAbsent(dir, _ => {
+      val root =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_lv_${graft.Staging.token()}"
+      val (_, _, mm, asn) = lvCore(spark, dir)
+      asn.write.parquet(root)
+      (root, mm)
+    })
+    val ke = keFrame(spark, dir)
+    val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
+    (ke, deg, m, spark.read.parquet(path).localCheckpoint())
+  }
+
   /** The local-move loop itself, parametrized: up to `maxRounds`
     * synchronous rounds; with `earlyExit` the loop stops at
     * CONVERGENCE — either the assignment FIXPOINT (a_t = a_{t-1}: a
@@ -568,7 +598,7 @@ object Graph {
     * cannot drift).
     */
   def conductance(spark: SparkSession, dir: String): DataFrame = {
-    val (ke, deg, m, asn) = lvCore(spark, dir)
+    val (ke, deg, m, asn) = lvCoreCached(spark, dir)
     val edges = ke
       .join(asn.select(col("v").as("id_a"), col("comm").as("ca")), Seq("id_a"))
       .join(asn.select(col("v").as("id_b"), col("comm").as("cb")), Seq("id_b"))
@@ -597,7 +627,7 @@ object Graph {
   }
 
   def louvain(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, _, asn) = lvCore(spark, dir)
+    val (_, _, _, asn) = lvCoreCached(spark, dir)
     val sizes = asn.groupBy("comm").agg(count(lit(1)).as("comm_size"))
     asn.join(sizes, Seq("comm"))
       .select(col("v").as("vec_id"), col("comm"), col("comm_size"))
@@ -727,7 +757,7 @@ object Graph {
     * id, bit-identical in the unrolled oracle.
     */
   def louvain2(spark: SparkSession, dir: String): DataFrame = {
-    val (ke, deg, m, asn) = lvCore(spark, dir)
+    val (ke, deg, m, asn) = lvCoreCached(spark, dir)
     // contraction: per-edge community pair → weighted undirected edges
     // checkpointed: the undirected union below references ce twice,
     // and each lazy reference would re-run BOTH assignment joins —
