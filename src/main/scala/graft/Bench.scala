@@ -27,6 +27,7 @@ object Bench {
     "q11_impstock", "q20_excess", "q21_waiting",
     "q_window", "q_sessionize", "q_session_native", "q_tumbling", "q_asof", "q_asof_native", "q_asof_fwd", "q_asof_fwd_native", "q_asof_nearest", "q_asof_tolerance", "q_asof_tolerance_native", "q_range_join", "q_interval_join", "q_skew_join", "q_bucket_join", "q_runtime_filter",
     "q_gapfill", "q_ohlc", "q_ewma", "q_zorder_skip", "q_dpp",
+    "ts_anomaly", "ts_seasonal", "ts_changepoint",
     "q_funnel", "q_retention", "q_match_recognize", "q_match_recognize_win",
     "q_scd2",
     "q_pivot", "q_unpivot", "q_variant", "q_lateral", "q_range_frame", "q_corr", "q_autocorr", "q_json_extract",

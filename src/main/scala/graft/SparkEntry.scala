@@ -81,7 +81,8 @@ object SparkEntry {
     "q_range_frame" -> (Queries.qRangeFrame _),
     "q_retention" -> (Queries.qRetention _),
     "q_scd2" -> (Queries.qScd2 _)
-  ) ++ graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
+  ) ++ graft.ops.TimeSeries.all ++
+    graft.octree.OctreeQueries.all ++ graft.ops.Graph.all ++
     graft.ops.TextAnalysis.all ++ graft.ops.Dedup.all ++
     graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
     graft.ops.Sampling.all ++ graft.ops.Pipeline.all ++
@@ -819,6 +820,7 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY CUBE(r_name, c_mktsegment)
          |ORDER BY gid, region, segment""".stripMargin
-  ) ++ graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
+  ) ++ graft.ops.TimeSeries.oracles ++
+    graft.octree.OctreeOracles.all ++ graft.ops.OpsOracles.all ++
     graft.streaming.EventStreams.oracles ++ graft.sources.VolumeQueries.oracles
 }

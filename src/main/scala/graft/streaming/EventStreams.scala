@@ -191,6 +191,49 @@ object EventStreams {
       .orderBy("bucket_h", "event_type")
   }
 
+  /** stream_anomaly — rolling-baseline anomaly detection LIVE: the
+    * hourly (event_type, bucket) revenue series is assembled by a
+    * watermarked 1-hour tumbling aggregate in APPEND mode (state is
+    * the sliding frontier of open windows — bounded by the lateness
+    * allowance, never by history), each closed bucket landing in the
+    * sink as the watermark passes it; two far-future flush events
+    * close the tail. The causal z² scoring then runs over the drained
+    * closed-bucket frame via the EXACT batch seam
+    * ([[graft.ops.TimeSeries.scoreAnomaly]]) — the scoring input is
+    * metadata scale (the horizon in hours), so the post-drain pass is
+    * free at any corpus size; in production it is the alerting job
+    * that tails the closed-bucket table each trigger. Shares
+    * ts_anomaly's oracle VERBATIM — watermark-closed streaming
+    * buckets and the batch groupBy certified as two routes to one
+    * series, then one shared scorer.
+    */
+  def anomalyStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = typedEvents(spark, dir).collect().toSeq
+    val maxSec = evs.map(_.sec).max
+    val input = MemoryStream[Ev]
+    val agg = input.toDS()
+      .withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(sum(col("value_c")).as("x_c"))
+      .select(floor(unix_timestamp(col("window.start")) / lit(3600.0))
+        .cast("long").as("bucket_h"), col("event_type"), col("x_c"))
+    val sink = sinkName("stream_anomaly")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    input.addData(evs); q.processAllAvailable()
+    input.addData(Seq(Ev(-1L, -1L, maxSec + 10800, 0L, "flush")))
+    q.processAllAvailable()
+    input.addData(Seq(Ev(-2L, -1L, maxSec + 14400, 0L, "flush")))
+    q.processAllAvailable()
+    q.stop()
+    graft.ops.TimeSeries.scoreAnomaly(
+      spark.table(sink).filter(col("event_type") =!= "flush")
+        .select(col("event_type"), col("bucket_h"), col("x_c")))
+  }
+
   /** The stream_late_drop oracle: the drop/merge split in closed form.
     * The watermark after the on-time wave is max(on-time sec) − 3600;
     * a straggler is dropped iff its window already CLOSED under that
@@ -1996,6 +2039,7 @@ object EventStreams {
     "stream_match_recognize" -> (matchRecognizeStream _),
     "stream_match_recognize_win" -> (matchRecognizeWinStream _),
     "stream_late_drop" -> (lateDrop _),
+    "stream_anomaly" -> (anomalyStream _),
     "stream_eq_delete" -> (graft.sources.EqDelete.streamEqDelete _),
     "stream_ivm" -> (streamIvm _),
     "stream_diversity" -> (diversityStream _),
@@ -2180,6 +2224,7 @@ object EventStreams {
     "stream_match_recognize_win" ->
       graft.relational.Queries.matchRecognizeWinOracleSql,
     "stream_late_drop" -> lateDropOracleSql,
+    "stream_anomaly" -> graft.ops.TimeSeries.oracles("ts_anomaly"),
     // shared VERBATIM with src_eq_delete: batch staging and
     // exactly-once stream ingestion are two formulations of one SQL
     "stream_eq_delete" -> graft.sources.EqDelete.eqDeleteOracle,

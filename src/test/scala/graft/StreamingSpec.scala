@@ -1193,4 +1193,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(seen.size === evs.length, "every event enriched exactly once")
   }
+
+  test("stream_anomaly equals the batch scorer row-for-row on the drain") {
+    val batch = rows(graft.ops.TimeSeries.anomaly(spark, dir),
+      "event_type", "bucket_h", "x_c", "n_b", "is_anomaly", "z2_x100")
+    val stream = rows(EventStreams.anomalyStream(spark, dir),
+      "event_type", "bucket_h", "x_c", "n_b", "is_anomaly", "z2_x100")
+    assert(stream === batch,
+      "watermark-closed streaming buckets diverged from the batch series")
+    // non-degenerate: the corpus must exercise both flag values —
+    // an all-zero (or all-one) drain would certify nothing
+    val flags = stream.map(_(4).asInstanceOf[Long])
+    assert(flags.contains(0L) && flags.contains(1L),
+      s"degenerate anomaly distribution: $flags")
+  }
 }
