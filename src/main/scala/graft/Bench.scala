@@ -31,7 +31,7 @@ object Bench {
     "q_funnel", "q_retention", "q_match_recognize", "q_match_recognize_win",
     "q_scd2",
     "q_pivot", "q_unpivot", "q_variant", "q_lateral", "q_range_frame", "q_corr", "q_autocorr", "q_json_extract",
-    "q_distinct", "q_table_profile", "q_rank_family", "q_setops", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
+    "q_distinct", "q_table_profile", "q_rank_family", "q_setops", "q_recursive", "q_semijoin", "q_rollup", "q_cube", "q_grouping_sets", "q_topk_orders",
     "oct_pyramid", "oct_pyramid_delta", "oct_histogram", "oct_rescale_u8", "oct_down_arthur",
     "oct_down_2ndmax", "oct_down_area", "oct_down_mean_nz", "oct_down_max",
     "oct_down_linear", "oct_down_aa", "oct_down_spline3",

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_match_recognize_win" -> (Queries.qMatchRecognizeWin _),
     "q_table_profile" -> (Queries.qTableProfile _),
     "q_setops" -> (Queries.qSetops _),
+    "q_recursive" -> (Queries.qRecursive _),
     "q_rank_family" -> (Queries.qRankFamily _),
     "q_variant" -> (Queries.qVariant _),
     "q_lateral" -> (Queries.qLateral _),
@@ -635,6 +636,7 @@ object SparkEntry {
     "q_match_recognize_win" -> Queries.matchRecognizeWinOracleSql,
     "q_table_profile" -> Queries.tableProfileOracleSql,
     "q_setops" -> Queries.setopsOracleSql,
+    "q_recursive" -> Queries.recursiveOracleSql,
     "q_rank_family" -> Queries.rankFamilyOracleSql,
     "q_variant" -> Queries.variantOracleSql,
     "q_lateral" -> Queries.lateralOracleSql,

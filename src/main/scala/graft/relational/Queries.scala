@@ -1384,6 +1384,70 @@ object Queries {
       |WINDOW w AS (PARTITION BY y ORDER BY pc, k)
       |ORDER BY k""".stripMargin
 
+  /** q_recursive — the RECURSIVE CTE surface (landed in Spark 4.0 —
+    * the last big ANSI gap vs DuckDB/Postgres): hierarchical
+    * transitive closure over a synthetic-but-deterministic customer
+    * hierarchy (parent(c) = c div 7 — every chain strictly decreases
+    * to a root in [1, 6] — custkey 0 exists in this corpus and would
+    * be its own parent, so the recursive arm guards node > 0 — depth
+    * ≤ ⌈log₇ maxkey⌉, so the recursion is provably bounded at any
+    * scale). Per customer: chain length, root
+    * ancestor, node count, and the exact-cents balance sum along the
+    * ancestor-or-self chain. BOTH engines run their own native
+    * recursive-CTE executor on the same SQL shape — Spark's
+    * UnionLoop against DuckDB's recurring evaluator — pinning the
+    * two independent fixpoint implementations against each other
+    * (the q_setops pattern, applied to recursion).
+    *
+    * Scale shape: each iteration is one equi-join of the frontier
+    * against the BROADCAST-able parent projection + one union; the
+    * frontier shrinks geometrically (custkey div 7), and iteration
+    * count is the log₇ depth bound, not data-scaled. The final
+    * aggregate is one map-side-combinable groupBy over ≤ depth·n
+    * rows.
+    */
+  def qRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
+      .createOrReplaceTempView("graft_rec_customer")
+    spark.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS ck, c_custkey AS node, 0 AS depth, bal_c
+        |  FROM graft_rec_customer
+        |  UNION ALL
+        |  SELECT a.ck, c.c_custkey, a.depth + 1, c.bal_c
+        |  FROM anc a JOIN graft_rec_customer c
+        |    ON c.c_custkey = (a.node div 7)
+        |  WHERE a.node > 0)
+        |SELECT ck AS c_custkey,
+        |  CAST(max(depth) AS BIGINT) AS chain_len,
+        |  CAST(min(node) AS BIGINT) AS root_key,
+        |  count(*) AS n_nodes,
+        |  CAST(sum(bal_c) AS BIGINT) AS chain_bal_c
+        |FROM anc GROUP BY ck ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** The q_recursive oracle: the same recursive shape on DuckDB's own
+    * recursive-CTE executor (`//` is DuckDB integer division — floor,
+    * which equals Spark's `div` truncation on these positive keys).
+    */
+  val recursiveOracleSql: String =
+    """WITH RECURSIVE cust AS (
+      |  SELECT c_custkey, CAST(FLOOR(c_acctbal*100) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |anc AS (
+      |  SELECT c_custkey AS ck, c_custkey AS node, 0 AS depth, bal_c FROM cust
+      |  UNION ALL
+      |  SELECT a.ck, c.c_custkey, a.depth + 1, c.bal_c
+      |  FROM anc a JOIN cust c ON c.c_custkey = a.node // 7
+      |  WHERE a.node > 0)
+      |SELECT ck AS c_custkey,
+      |  CAST(MAX(depth) AS BIGINT) AS chain_len,
+      |  CAST(MIN(node) AS BIGINT) AS root_key,
+      |  COUNT(*) AS n_nodes,
+      |  CAST(SUM(bal_c) AS BIGINT) AS chain_bal_c
+      |FROM anc GROUP BY ck ORDER BY c_custkey""".stripMargin
+
   /** q_setops — the multiset set-operation surface: a customer's 1996
     * order bag vs their 1997 one through INTERSECT ALL (min
     * multiplicity) and EXCEPT ALL (positive multiplicity difference),

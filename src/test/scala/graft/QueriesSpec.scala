@@ -802,4 +802,28 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(_.getAs[Long]("n_customers")).sum === total, s"stratum $g")
     }
   }
+
+  test("q_recursive chains agree with an iterative Scala closure") {
+    import spark.implicits._
+    val bal = Tables(spark, dir, "customer")
+      .selectExpr("c_custkey", "CAST(FLOOR(c_acctbal*100) AS LONG)")
+      .as[(Long, Long)].collect().toMap
+    def chain(c: Long): Seq[Long] = {
+      val b = scala.collection.mutable.ArrayBuffer(c)
+      var n = c
+      while (n > 0 && bal.contains(n / 7)) { n = n / 7; b += n }
+      b.toSeq
+    }
+    val got = Queries.qRecursive(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.size == bal.size)
+    for ((c, _) <- bal) {
+      val ch = chain(c)
+      assert(got(c) == (ch.size - 1L, ch.min, ch.size.toLong,
+        ch.map(bal).sum), s"customer $c: ${got(c)} vs chain $ch")
+    }
+    // the hierarchy must be non-trivial: at least one depth-3 chain
+    assert(got.values.exists(_._1 >= 3L), "hierarchy degenerate")
+  }
 }
