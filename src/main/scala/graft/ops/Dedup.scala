@@ -100,10 +100,33 @@ object Dedup {
 
   /** The exact-verified band-candidate frame BEFORE the τ filter —
     * (doc_a, doc_b, inter, nt_a, nt_b, uni) for every LSH candidate
-    * pair — shared by [[ngramJaccard]] (τ = 0.5 cut) and [[curve]]
-    * (the full threshold sweep).
+    * pair — shared by [[ngramJaccard]] (τ = 0.5 cut), [[curve]] (the
+    * full threshold sweep), [[overlapMatrix]], and through
+    * [[ngramJaccard]] by [[cluster]]/[[keepBest]]/[[dedupYield]].
+    *
+    * PERSISTED once per (JVM, corpus dir) — the shared-index pattern
+    * ([[signatures]] one level down): six operators consume the same
+    * verified pair graph, and each was re-running the tokenize +
+    * band-join + exact array_intersect verify inside its own plan.
+    * The frame is a pure deterministic function of the corpus, so the
+    * persisted copy is bit-identical to an inline recompute; the
+    * verified near-dup pair list is exactly the artifact a production
+    * dedup deployment maintains between pipeline stages.
     */
+  private val vcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def verifiedCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val path = vcCache.computeIfAbsent(dir, _ => {
+      val root =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_vc_${graft.Staging.token()}"
+      verifiedCandidatesBuild(spark, dir).write.parquet(root)
+      root
+    })
+    spark.read.parquet(path)
+  }
+
+  private def verifiedCandidatesBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cands = bandCandidates(signatures(spark, dir))
     // Decouple parallelism from file layout: a single-file table scans
@@ -427,9 +450,35 @@ object Dedup {
     * formulations of connectivity.
     */
   def cluster(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
-      Tables(spark, dir, "documents").select(col("doc_id")))
+    clusterLabels(spark, dir).orderBy("doc_id")
+
+  /** The ngram-Jaccard duplicate-cluster labeling (doc_id, cluster,
+    * cluster_size), PERSISTED once per (JVM, corpus dir): [[cluster]],
+    * [[keepBest]] and [[dedupYield]] all consume the same
+    * [[connectedComponents]] fixpoint over the same verified pair
+    * graph, and each was re-running the full alternating-star
+    * contraction (an iterative multi-action loop) inside its own call.
+    * The labeling is a pure deterministic function of the corpus; the
+    * persisted frame is bit-identical to an inline recompute — and the
+    * cluster-assignment table is precisely what a production dedup
+    * pipeline persists between the clustering and survivor-selection
+    * stages.
+    */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[ops] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = ccCache.computeIfAbsent(dir, _ => {
+      val root =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_cc_${graft.Staging.token()}"
+      connectedComponents(
+        ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+        Tables(spark, dir, "documents").select(col("doc_id")))
+        .write.parquet(root)
+      root
+    })
+    spark.read.parquet(path).localCheckpoint()
+  }
 
   /** Connected components over an undirected pair graph via
     * alternating large-star / small-star contraction (Kiveris et al.,
@@ -460,10 +509,14 @@ object Dedup {
   private[graft] def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       maxRounds: Int = 25): DataFrame = {
     // canonical directed-down edge set: (u, v) with u > v
+    // lazy checkpoints throughout the loop: lineage is truncated
+    // immediately, but materialization folds into the count/conv
+    // action that follows anyway — one job per round, not two
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
     var nEdges = edges.count()
     var converged = nEdges == 0L
     var rounds = 0
@@ -481,7 +534,7 @@ object Dedup {
         .union(withMin.select(col("u").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(eager = false)
       // exact fixpoint in ONE action: |ss| and |ss ∩ edges| from the
       // same left-join aggregation (both distinct sets, so
       // |ss| = |edges| ∧ every ss edge matched ⟺ set equality)
@@ -965,9 +1018,7 @@ object Dedup {
     * quality scan is the same map-side projection text_quality runs.
     */
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = connectedComponents(
-      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
-      Tables(spark, dir, "documents").select(col("doc_id")))
+    val clusters = clusterLabels(spark, dir)
     val scored = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"),
         expr("cast(floor(score * 1000000) as bigint)").as("score_u"))
@@ -1062,7 +1113,9 @@ object Dedup {
     * corpus pass or a per-cluster shuffle.
     */
   def dedupYield(spark: SparkSession, dir: String): DataFrame = {
-    val cl = cluster(spark, dir).select(col("doc_id"), col("cluster"))
+    // clusterLabels, not cluster: the presentation sort would be a
+    // wasted exchange under the immediate join + aggregation
+    val cl = clusterLabels(spark, dir).select(col("doc_id"), col("cluster"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .join(cl, Seq("doc_id"))

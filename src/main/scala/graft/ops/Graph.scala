@@ -528,9 +528,19 @@ object Graph {
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val m = ke.count()
     val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
+    // the assignment frame CARRIES the static per-vertex degree (dv,
+    // isolated-vertex 0 baked in once): Σtot and the gain scoring both
+    // need deg-by-v every round, and re-joining the degree table per
+    // round cost two extra exchanges per round (5 joins/round → 3)
+    // lazy checkpoints: lineage truncation without a dedicated
+    // materialization job per round — the convergence probe (earlyExit)
+    // or the caller's terminal action computes and caches each frame
     var asn = Tables(spark, dir, "embeddings")
-      .select(col("vec_id").as("v")).withColumn("comm", col("v"))
-      .localCheckpoint()
+      .select(col("vec_id").as("v"))
+      .join(deg, Seq("v"), "left")
+      .select(col("v"), col("v").as("comm"),
+        coalesce(col("deg"), lit(0L)).as("dv"))
+      .localCheckpoint(eager = false)
     var prev: DataFrame = null // a_{t-2} once t ≥ 2
     var t = 0
     var nRounds = maxRounds.toLong
@@ -546,30 +556,35 @@ object Graph {
       val cand = nbrComm
         .unionByName(asn.select(col("v"), col("comm"), lit(0L).as("e")))
         .groupBy("v", "comm").agg(max("e").as("e"))
-      val stot = asn.join(deg, Seq("v"), "left")
-        .groupBy("comm")
-        .agg(sum(coalesce(col("deg"), lit(0L))).as("stot"))
+      val stot = asn.groupBy("comm").agg(sum(col("dv")).as("stot"))
       val scored = cand
-        .join(asn.select(col("v"), col("comm").as("mycomm")), Seq("v"))
-        .join(deg, Seq("v"), "left")
+        .join(asn.select(col("v"), col("comm").as("mycomm"), col("dv")), Seq("v"))
         .join(stot, Seq("comm"))
-        .select(col("v"), col("comm"),
-          (lit(4L * m) * col("e") - lit(2L) * coalesce(col("deg"), lit(0L)) *
-            (col("stot") - when(col("comm") === col("mycomm"),
-              coalesce(col("deg"), lit(0L))).otherwise(0L))).as("score"))
+        .select(col("v"), col("comm"), col("dv"),
+          (lit(4L * m) * col("e") - lit(2L) * col("dv") *
+            (col("stot") - when(col("comm") === col("mycomm"), col("dv"))
+              .otherwise(0L))).as("score"))
       val next = scored
         .groupBy("v")
-        .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"))
-        .select(col("v"), (-col("m.nc")).as("comm"))
-        .localCheckpoint()
+        .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"),
+          max(col("dv")).as("dv")) // dv is constant per v — carried, not joined
+        .select(col("v"), (-col("m.nc")).as("comm"), col("dv"))
+        .localCheckpoint(eager = false)
       if (earlyExit) {
-        def sameAs(ref: DataFrame): Boolean =
-          next.join(ref.withColumnRenamed("comm", "pc"), Seq("v"))
-            .filter(col("comm") =!= col("pc")).limit(1).count() == 0L
-        if (sameAs(asn)) {
+        // ONE action tests both exits: the mismatch counts vs a_{t-1}
+        // and a_{t-2} come from a single three-way join aggregation
+        // (was two separate limit-probe jobs per round)
+        val pv = if (prev != null) prev else asn
+        val probe = next
+          .join(asn.select(col("v"), col("comm").as("p1")), Seq("v"))
+          .join(pv.select(col("v"), col("comm").as("p2")), Seq("v"))
+          .agg(sum((col("comm") =!= col("p1")).cast("long")).as("d1"),
+            sum((col("comm") =!= col("p2")).cast("long")).as("d2"))
+          .head()
+        if (probe.getLong(0) == 0L) {
           // fixpoint: every later round is a no-op — a_max = a_t
           converged = true; nRounds = t.toLong; asn = next
-        } else if (prev != null && sameAs(prev)) {
+        } else if (prev != null && probe.getLong(1) == 0L) {
           // 2-cycle: the tail alternates a_{t-1}, a_t, a_{t-1}, … —
           // a_max is whichever frame shares maxRounds' parity
           converged = true; nRounds = t.toLong
@@ -578,7 +593,7 @@ object Graph {
       }
       if (!converged) { prev = asn; asn = next }
     }
-    (ke, deg, m, asn, nRounds)
+    (ke, deg, m, asn.select(col("v"), col("comm")), nRounds)
   }
 
   /** graph_conductance — community QUALITY EVALUATION over the final
@@ -688,7 +703,8 @@ object Graph {
       val next = e.join(support(e), Seq("id_a", "id_b"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= TrussK - 2)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        // lazy: the count below materializes the checkpoint in one job
+        .localCheckpoint(eager = false)
       val n = next.count()
       // monotone peel: equal count ⟺ equal set ⟺ fixpoint
       if (n == prevN) { converged = true; nRounds = t.toLong }
@@ -878,6 +894,10 @@ object Graph {
       .groupBy(col("s_nationkey").cast("long").as("src"),
         col("c_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("cnt"))
+      // ≤ 25×25 rows, but referenced twice (the median collect below
+      // AND the returned filter): without the checkpoint the lineitem
+      // contraction — the whole 100 TB cost of this op — executed twice
+      .localCheckpoint()
     val cnts = e0.select("cnt").collect().map(_.getLong(0)).sorted
     val m = cnts((cnts.length - 1) / 2) // exact lower median
     e0.filter(col("cnt") > m).select("src", "dst")
@@ -896,18 +916,26 @@ object Graph {
     * [[Dedup.connectedComponents]] shape, directed.
     */
   private[ops] def sccOf(spark: SparkSession, edges0: DataFrame): DataFrame = {
+    // lazy checkpoints throughout: every loop step is immediately
+    // followed by a count action, which materializes the frame — the
+    // eager variant paid a second job per step for nothing
     val edges = edges0.filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var remaining = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     val settledParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (remaining.count() > 0) {
       val re = edges
         .join(remaining.withColumnRenamed("node", "src"), Seq("src"))
         .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select("src", "dst").localCheckpoint()
-      // forward min-label propagation to fixpoint
-      var f = remaining.withColumn("f", col("node")).localCheckpoint()
+        .select("src", "dst").localCheckpoint(eager = false)
+      // forward min-label propagation to fixpoint — the changed flag
+      // rides the propagation frame itself, so the fixpoint test is a
+      // sum over the frame the round materializes anyway (the old
+      // variant re-joined f2 against f: one extra exchange per round)
+      var f = remaining.withColumn("f", col("node"))
+        .localCheckpoint(eager = false)
       var changed = 1L
       while (changed > 0) {
         val inc = re
@@ -915,15 +943,18 @@ object Graph {
           .groupBy(col("dst").as("node")).agg(min("fs").as("fin"))
         val f2 = f.join(inc, Seq("node"), "left")
           .select(col("node"),
-            least(col("f"), coalesce(col("fin"), col("f"))).as("f"))
-          .localCheckpoint()
-        changed = f2.join(f.withColumnRenamed("f", "f0"), Seq("node"))
-          .filter(col("f") =!= col("f0")).count()
-        f = f2
+            least(col("f"), coalesce(col("fin"), col("f"))).as("f"),
+            (coalesce(col("fin"), col("f")) < col("f")).cast("long").as("chg"))
+          .localCheckpoint(eager = false)
+        changed = f2.agg(sum(col("chg"))).head().getLong(0)
+        f = f2.select("node", "f")
       }
-      // backward reachability of pivots within their color class
+      // backward reachability of pivots within their color class; the
+      // frame sizes are tracked across rounds so growth needs ONE
+      // count action per round, not two
       var r = f.filter(col("f") === col("node")).select("node")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      var rN = r.count()
       var grew = 1L
       while (grew > 0) {
         val cand = re
@@ -932,16 +963,19 @@ object Graph {
           .filter(col("fu") === col("fw"))
           .join(r.withColumnRenamed("node", "dst"), Seq("dst"))
           .select(col("src").as("node")).distinct()
-        val r2 = r.union(cand).distinct().localCheckpoint()
-        grew = r2.count() - r.count()
+        val r2 = r.union(cand).distinct().localCheckpoint(eager = false)
+        val r2N = r2.count()
+        grew = r2N - rN
+        rN = r2N
         r = r2
       }
       val settled = f.join(r, Seq("node"))
-        .select(col("node"), col("f").as("scc_id")).localCheckpoint()
+        .select(col("node"), col("f").as("scc_id"))
+        .localCheckpoint(eager = false)
       settledParts += settled
       remaining = remaining
         .join(settled.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val scc = settledParts.reduce(_ unionByName _)
     val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))

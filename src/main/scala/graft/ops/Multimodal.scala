@@ -186,11 +186,35 @@ object Multimodal {
   /** The (doc_id, ph_lo, ph_hi) fingerprint frame and the qualifying
     * DISTINCT-hash pair frame (lo_a, hi_a, lo_b, hi_b, hamming) —
     * shared by the pair expansion and the hash-level clustering.
+    *
+    * The fingerprint frame is PERSISTED once per (JVM, corpus dir) —
+    * the shared-index pattern (Dedup.signatures / Graph.keFrame)
+    * applied to the image-fingerprint table: three operators (phash,
+    * phash_cluster, pipeline_mm) consume the same codec pass, and each
+    * was re-encoding and re-decoding every document's PNG inside its
+    * own plan. The pass is a pure deterministic function of the corpus
+    * (fixed raster, lossless PNG round-trip), so the persisted frame
+    * is bit-identical to an inline recompute; a production image-dedup
+    * deployment persists exactly this table.
     */
+  private val phCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def phashFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = phCache.computeIfAbsent(dir, _ => {
+      val root =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_ph_${graft.Staging.token()}"
+      phashBuild(spark, dir).write.parquet(root)
+      root
+    })
+    val hashes = spark.read.parquet(path).localCheckpoint()
+    (hashes, phashBandPairs(hashes))
+  }
+
+  private def phashBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edge = PngEdge
-    val hashes = Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -219,7 +243,10 @@ object Multimodal {
           (id, lo, hi)
         }
       }.toDF("doc_id", "ph_lo", "ph_hi")
-      .localCheckpoint() // the codec pass feeds banding AND both expansion arms
+  }
+
+  /** The qualifying distinct-hash pair frame over a fingerprint frame. */
+  private def phashBandPairs(hashes: DataFrame): DataFrame = {
     // Band-join on DISTINCT hashes, not docs: an identical-image
     // family (boilerplate covers, the all-flat zero hash) collapses
     // to ONE banding row, so a degenerate c-member family costs c
@@ -243,7 +270,7 @@ object Multimodal {
       .withColumn("hamming",
         expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"))
       .filter(col("hamming") <= PhashHamMax)
-    (hashes, hp)
+    hp
   }
 
   /** mm_phash_cluster — image-FAMILY canonicalization: connected

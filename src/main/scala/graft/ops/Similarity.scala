@@ -459,7 +459,11 @@ object Similarity {
     val eb = base.select(col("vec_id").as("nbr_id"), col("embedding").as("vb"),
       col("n2").as("n2b"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("nbr_id"))
-    var g = knnGraph(spark, dir).select("vec_id", "nbr_id", "cos_u").localCheckpoint()
+    // lazy checkpoints: lineage still truncates per round (the 3^r
+    // re-expansion cannot happen), but materialization happens once in
+    // the caller's terminal action instead of one job per round
+    var g = knnGraph(spark, dir).select("vec_id", "nbr_id", "cos_u")
+      .localCheckpoint(eager = false)
     for (_ <- 1 to NdRounds) {
       val und = g.select(col("vec_id").as("v"), col("nbr_id").as("u"))
         .union(g.select(col("nbr_id").as("v"), col("vec_id").as("u")))
@@ -474,7 +478,7 @@ object Similarity {
         .dropDuplicates("vec_id", "nbr_id")
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= KnnK)
         .select("vec_id", "nbr_id", "cos_u")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     g.withColumn("rank", row_number().over(w).cast("long"))
       .select("vec_id", "rank", "nbr_id", "cos_u")
@@ -571,13 +575,15 @@ object Similarity {
       val g = graphIndex(spark, dir)
       g.select(col("vec_id").as("v"), col("nbr_id").as("u"))
         .union(g.select(col("nbr_id").as("v"), col("vec_id").as("u")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val wB = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("vec_id"))
     val seeds = base.filter(col("vec_id") % pmod === 1).select("vec_id")
+    // lazy checkpoints: per-hop lineage truncation without a per-hop
+    // materialization job — the terminal action runs the whole walk
     var beam = score(pr.select("probe_id").crossJoin(seeds))
       .withColumn("rn", row_number().over(wB)).filter(col("rn") <= BeamB)
-      .drop("rn").localCheckpoint()
+      .drop("rn").localCheckpoint(eager = false)
     for (_ <- 1 to BeamHops) {
       val nbrs = beam.select(col("probe_id"), col("vec_id").as("v"))
         .join(und, Seq("v"))
@@ -586,7 +592,7 @@ object Similarity {
       beam = beam.unionByName(score(nbrs))
         .dropDuplicates("probe_id", "vec_id")
         .withColumn("rn", row_number().over(wB)).filter(col("rn") <= BeamB)
-        .drop("rn").localCheckpoint()
+        .drop("rn").localCheckpoint(eager = false)
     }
     beam.withColumn("rank", row_number().over(wB).cast("long"))
       .filter(col("rank") <= 5)
@@ -974,13 +980,91 @@ object Similarity {
     * same codebook serves every cell. The codes + centroids + one
     * shared codebook ARE the persisted index artifact.
     */
+  /** Exact-integer micro lift / L2 expansion / residual helpers shared
+    * by the IVFPQ build and serve stages.
+    */
+  private def ivfpqMicro(v: Column): Column =
+    transform(v, a => floor(a.cast("double") * lit(1000000.0)).cast("double"))
+  private def ivfpqL2x(ab: Column, a2: Column, b2: Column): Column =
+    (a2 + b2 - lit(2.0) * ab).cast("long")
+  private def ivfpqResid(v: Column, c: Column): Column =
+    zip_with(v, c, (a, b) =>
+      floor((a.cast("double") - b.cast("double")) * lit(1000000.0)).cast("double"))
+
+  /** The PERSISTED IVFPQ index — codes + refined codebook, written
+    * once per (JVM, corpus dir): the docstring above states the
+    * production contract ("the codes + centroids + one shared codebook
+    * ARE the persisted index artifact"), and the two consumers
+    * (sim_ivfpq_topk, sim_ivfpq_refine) each re-ran the coarse
+    * assignment + codebook training + two encode passes inside their
+    * own plans. Training is exact-integer deterministic, so the
+    * persisted index is bit-identical to an inline rebuild; serving
+    * (probe LUT + ADC join) stays per-query.
+    */
+  private val ivfpqIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfpqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val root = ivfpqIdxCache.computeIfAbsent(dir, _ => {
+      val r =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_ivfpq_${graft.Staging.token()}"
+      val (codes, cb1) = ivfpqIndexBuild(spark, dir)
+      codes.write.parquet(s"$r/codes")
+      cb1.write.parquet(s"$r/cb")
+      r
+    })
+    (spark.read.parquet(s"$root/codes"), spark.read.parquet(s"$root/cb"))
+  }
+
   /** The shared IVF-ADC stage of [[ivfpqTopk]] / [[ivfpqRefine]]:
-    * returns (scored, probes, base-with-norms).
+    * returns (scored, probes, base-with-norms). The index half rides
+    * [[ivfpqIndex]]; only the probe-side LUT + ADC join runs here.
     */
   private def ivfpqAdcScored(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val n = emb(spark, dir).count()
     val (cents, ivfP) = ivfCentsProbes(spark, dir)
+    val base = embPar(spark, dir)
+      .withColumn("vn2", dot(col("embedding"), col("embedding")))
+    val (codes, cb1) = ivfpqIndex(spark, dir)
+    val centsQ = cents.withColumn("cq", ivfpqMicro(col("cvec")))
+      .withColumn("cq2", dot(col("cq"), col("cq")))
+    val wCell = Window.partitionBy("probe_id").orderBy(col("pdist").asc, col("cent_id"))
+    val probeCells = ivfP
+      .withColumn("pq", ivfpqMicro(col("pvec")))
+      .withColumn("pq2", dot(col("pq"), col("pq")))
+      .crossJoin(broadcast(centsQ.select(col("cent_id"), col("cq"), col("cq2"))))
+      .select(col("probe_id"), col("pvec"), col("cent_id"),
+        ivfpqL2x(dot(col("pq"), col("cq")), col("pq2"), col("cq2")).as("pdist"))
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= 4)
+      .select(col("probe_id"), col("pvec"), col("cent_id").as("cell"))
+    val lut = probeCells
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cvec"))), Seq("cell"))
+      .select(col("probe_id"), col("cell"),
+        ivfpqResid(col("pvec"), col("cvec")).as("prvec"))
+      .select(col("probe_id"), col("cell"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("prvec"))
+      .select(col("probe_id"), col("cell"), col("m").cast("long").as("m"),
+        sub(col("prvec"), col("m")).as("psub"))
+      .withColumn("ps2", dot(col("psub"), col("psub")))
+      .join(broadcast(cb1.withColumn("cw2", dot(col("cwvec"), col("cwvec")))),
+        Seq("m"))
+      .select(col("probe_id"), col("cell"), col("m"), col("cb_idx"),
+        ivfpqL2x(dot(col("psub"), col("cwvec")), col("ps2"), col("cw2")).as("d"))
+    val scored = codes.join(broadcast(lut), Seq("cell", "m", "cb_idx"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("d").as("adc_d"), count(lit(1)).as("nm"))
+      .filter(col("nm") === PqM)
+    (scored, ivfP, base)
+  }
+
+  /** The IVFPQ index BUILD: coarse assignment, seed codebook, one
+    * Lloyd refinement, final encode — returns (codes, refined
+    * codebook).
+    */
+  private def ivfpqIndexBuild(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val n = emb(spark, dir).count()
+    val (cents, _) = ivfCentsProbes(spark, dir)
     val base = embPar(spark, dir)
       .withColumn("vn2", dot(col("embedding"), col("embedding")))
     // L2 metric end to end (the FAISS-IVF rule): the coarse quantizer
@@ -1068,31 +1152,7 @@ object Similarity {
         expr("transform(sums, s -> cast(s div cnt as double))").as("cwvec"))
       .localCheckpoint()
     val codes = encodeVs(cb1)
-    val wCell = Window.partitionBy("probe_id").orderBy(col("pdist").asc, col("cent_id"))
-    val probeCells = ivfP
-      .withColumn("pq", micro(col("pvec")))
-      .withColumn("pq2", dot(col("pq"), col("pq")))
-      .crossJoin(broadcast(centsQ.select(col("cent_id"), col("cq"), col("cq2"))))
-      .select(col("probe_id"), col("pvec"), col("cent_id"),
-        l2x(dot(col("pq"), col("cq")), col("pq2"), col("cq2")).as("pdist"))
-      .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= 4)
-      .select(col("probe_id"), col("pvec"), col("cent_id").as("cell"))
-    val lut = probeCells
-      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cvec"))), Seq("cell"))
-      .select(col("probe_id"), col("cell"), resid(col("pvec"), col("cvec")).as("prvec"))
-      .select(col("probe_id"), col("cell"),
-        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("prvec"))
-      .select(col("probe_id"), col("cell"), col("m").cast("long").as("m"),
-        sub(col("prvec"), col("m")).as("psub"))
-      .withColumn("ps2", dot(col("psub"), col("psub")))
-      .join(broadcast(withCw2(cb1)), Seq("m"))
-      .select(col("probe_id"), col("cell"), col("m"), col("cb_idx"),
-        l2x(dot(col("psub"), col("cwvec")), col("ps2"), col("cw2")).as("d"))
-    val scored = codes.join(broadcast(lut), Seq("cell", "m", "cb_idx"))
-      .groupBy("probe_id", "vec_id")
-      .agg(sum("d").as("adc_d"), count(lit(1)).as("nm"))
-      .filter(col("nm") === PqM)
-    (scored, ivfP, base)
+    (codes, cb1)
   }
 
   def ivfpqTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -1168,7 +1228,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("rel_u").desc, col("vec_id"))
     val shortlist = scored.withColumn("srank", row_number().over(w))
       .filter(col("srank") <= MmrShortlist).drop("srank")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wPick = Window.partitionBy("probe_id").orderBy(col("mmr_u").desc, col("vec_id"))
     // each round references sel and cand multiple times (ms, pick,
     // union, anti) — without per-round truncation the lazy lineage
@@ -1176,9 +1236,9 @@ object Similarity {
     // are ≤ probes × shortlist rows, so the checkpoints are free
     var sel = shortlist.withColumn("mmr_u", col("rel_u"))
       .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-      .drop("rn").withColumn("pick", lit(1L)).localCheckpoint()
+      .drop("rn").withColumn("pick", lit(1L)).localCheckpoint(eager = false)
     var cand = shortlist.join(sel.select(col("probe_id"), col("vec_id")),
-      Seq("probe_id", "vec_id"), "left_anti").localCheckpoint()
+      Seq("probe_id", "vec_id"), "left_anti").localCheckpoint(eager = false)
     for (r <- 2 to MmrK) {
       val ms = cand
         .join(sel.select(col("probe_id"), col("embedding").as("svec"),
@@ -1190,10 +1250,10 @@ object Similarity {
         .withColumn("mmr_u", col("rel_u") - col("maxsim_u"))
         .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
         .drop("rn", "maxsim_u").withColumn("pick", lit(r.toLong))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       sel = sel.unionByName(pick)
       cand = cand.join(pick.select(col("probe_id"), col("vec_id")),
-        Seq("probe_id", "vec_id"), "left_anti").localCheckpoint()
+        Seq("probe_id", "vec_id"), "left_anti").localCheckpoint(eager = false)
     }
     sel.select(col("probe_id"), col("pick"), col("vec_id"), col("rel_u"), col("mmr_u"))
       .orderBy("probe_id", "pick")
@@ -2165,14 +2225,47 @@ object Similarity {
 
   /** The [[pcaPower]] fit: (means, centered long-form, final raw vr,
     * final unit component) — shared with [[pcaProject]].
+    *
+    * The trained artifact (means, vr, unit component — three 64-row
+    * frames) is PERSISTED once per (JVM, corpus dir): embed_pca_power
+    * and embed_project each re-ran the full power iteration inside
+    * their own plans, and the train→apply contract (the pcaProject
+    * docstring) is precisely that the component is a stored model.
+    * All-integer arithmetic — the persisted copy is bit-identical to
+    * an inline refit. The centered long form is re-derived per caller
+    * (one scan), never persisted — it is corpus-sized.
     */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def pcaFit(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val root = pcaCache.computeIfAbsent(dir, _ => {
+      val r =
+        s"${graft.sources.TableRefs.tmpfsRoot}/graft_pca_${graft.Staging.token()}"
+      val (means, vrFinal, vFinal) = pcaFitBuild(spark, dir)
+      means.write.parquet(s"$r/means")
+      vrFinal.write.parquet(s"$r/vr")
+      vFinal.write.parquet(s"$r/v")
+      r
+    })
+    val means = spark.read.parquet(s"$root/means")
+    val cent = embXq(spark, dir).join(broadcast(means), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("xq") - col("mean_q")).as("cq"))
+    (means, cent,
+      spark.read.parquet(s"$root/vr"), spark.read.parquet(s"$root/v"))
+  }
+
+  private def pcaFitBuild(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val n = emb(spark, dir).count()
     val xl = embXq(spark, dir)
     val means = embMeans(spark, dir, n)
+    // referenced twice per power round (the projection AND the
+    // re-expansion): checkpoint so the explode+center runs once
     val cent = xl.join(broadcast(means), Seq("dim"))
       .select(col("vec_id"), col("dim"), (col("xq") - col("mean_q")).as("cq"))
+      .localCheckpoint()
     val v0 = means.select(col("dim"),
       when(col("dim") === 1, 1000000L).otherwise(0L).cast("long").as("v_u"))
     def round(v: DataFrame): (DataFrame, DataFrame) = {
@@ -2194,7 +2287,7 @@ object Similarity {
     val (vrFinal, vFinal) = (1 to PcaRounds).foldLeft((v0, v0)) {
       case ((_, v), _) => round(v)
     }
-    (means, cent, vrFinal, vFinal)
+    (means, vrFinal, vFinal)
   }
 
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
