@@ -121,6 +121,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // THE BENCH CONTRACT: a benched query's time must include its
+    // declared computation. Disable the per-JVM persisted-artifact
+    // memos (MinHash signatures, verified pair graph, trained
+    // PCA/IVFPQ indexes, Louvain phase-1, edge frames, ...) so every
+    // run recomputes from the parquet inputs — no warm cross-query or
+    // cross-run artifact reads in any timed region. Results are
+    // bit-identical either way (the builds are pure). The one pinned
+    // exemption is the declared build/serve split (see OpCache).
+    OpCache.disable()
+    System.err.println("[bench] artifact caches disabled (OpCache)")
+
     // SPARK_GRAFT_STAGE_LOG=1: per-stage wall/task times on stderr,
     // for root-causing drift in individual queries.
     if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) {
@@ -187,6 +198,13 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // The full per-query line above is ~9 KB at 294 queries, and the
+    // driver parses only a ~3 KB stdout TAIL — at r13 that decapitated
+    // the JSON and zeroed the PERF comparison. Print a compact
+    // summary line LAST so any tail window contains one complete,
+    // parseable JSON object; the full per-query map lives in the line
+    // above and in the on-disk artifact (bench_last.json).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","cpus":$cpus,"queries_file":"$outPath"}""")
     spark.stop()
   }
 }

@@ -117,12 +117,13 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def verifiedCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val path = vcCache.computeIfAbsent(dir, _ => {
-      val root =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_vc_${graft.Staging.token()}"
-      verifiedCandidatesBuild(spark, dir).write.parquet(root)
-      root
-    })
+    // memoized via OpCache: the bench disables the memo, so a benched
+    // consumer's time includes this build (declared work), never a
+    // warm artifact read
+    val path = graft.OpCache.getOrBuild(vcCache, dir) {
+      graft.OpCache.buildArtifact("vc")(root =>
+        verifiedCandidatesBuild(spark, dir).write.parquet(root))
+    }
     spark.read.parquet(path)
   }
 
@@ -196,12 +197,10 @@ object Dedup {
     // each was re-running the shingle-explode-hash build inside its
     // own plan — the shared-index pattern (graphIndex / keFrame)
     // applied to the dedup family
-    val path = sigCache.computeIfAbsent(dir, _ => {
-      val root =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_sig_${graft.Staging.token()}"
-      signaturesBuild(spark, dir).write.parquet(root)
-      root
-    })
+    val path = graft.OpCache.getOrBuild(sigCache, dir) {
+      graft.OpCache.buildArtifact("sig")(root =>
+        signaturesBuild(spark, dir).write.parquet(root))
+    }
     spark.read.parquet(path)
   }
 
@@ -468,16 +467,17 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[ops] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = ccCache.computeIfAbsent(dir, _ => {
-      val root =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_cc_${graft.Staging.token()}"
-      connectedComponents(
-        ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
-        Tables(spark, dir, "documents").select(col("doc_id")))
-        .write.parquet(root)
-      root
-    })
-    spark.read.parquet(path).localCheckpoint()
+    val path = graft.OpCache.getOrBuild(ccCache, dir) {
+      graft.OpCache.buildArtifact("cc")(root =>
+        connectedComponents(
+          ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+          Tables(spark, dir, "documents").select(col("doc_id")))
+          .write.parquet(root))
+    }
+    // plain parquet read, no eager checkpoint: the old per-call
+    // localCheckpoint paid one full extra materialization job per
+    // consumer over data that is already a persisted artifact
+    spark.read.parquet(path)
   }
 
   /** Connected components over an undirected pair graph via

@@ -351,17 +351,19 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[ops] def keFrame(spark: SparkSession, dir: String): DataFrame = {
-    val path = keCache.computeIfAbsent(dir, _ => {
-      val root =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_ke_${graft.Staging.token()}"
-      Similarity.knnGraph(spark, dir)
-        .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
-          greatest(col("vec_id"), col("nbr_id")).as("id_b"))
-        .distinct()
-        .write.parquet(root)
-      root
-    })
-    spark.read.parquet(path).localCheckpoint()
+    // bench mode disables the memo (OpCache): every benched graph op
+    // then pays the edge-set derivation — its declared work — per run
+    val path = graft.OpCache.getOrBuild(keCache, dir) {
+      graft.OpCache.buildArtifact("ke")(root =>
+        Similarity.knnGraph(spark, dir)
+          .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+            greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+          .distinct()
+          .write.parquet(root))
+    }
+    // lazy: iterative consumers re-reference ke per round and want it
+    // pinned, but the pin can materialize inside their first action
+    spark.read.parquet(path).localCheckpoint(eager = false)
   }
 
   private[ops] def lpCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -486,17 +488,19 @@ object Graph {
 
   private[ops] def lvCoreCached(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, Long, DataFrame) = {
-    val (path, m) = lvCache.computeIfAbsent(dir, _ => {
-      val root =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_lv_${graft.Staging.token()}"
-      val (_, _, mm, asn) = lvCore(spark, dir)
-      asn.write.parquet(root)
-      (root, mm)
-    })
+    val (path, m) = graft.OpCache.getOrBuild(lvCache, dir) {
+      var built: (String, Long) = null
+      graft.OpCache.buildArtifact("lv") { root =>
+        val (_, _, mm, asn) = lvCore(spark, dir)
+        asn.write.parquet(root)
+        built = (root, mm)
+      }
+      built
+    }
     val ke = keFrame(spark, dir)
     val und = ke.union(ke.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val deg = und.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
-    (ke, deg, m, spark.read.parquet(path).localCheckpoint())
+    (ke, deg, m, spark.read.parquet(path).localCheckpoint(eager = false))
   }
 
   /** The local-move loop itself, parametrized: up to `maxRounds`
@@ -578,8 +582,13 @@ object Graph {
         val probe = next
           .join(asn.select(col("v"), col("comm").as("p1")), Seq("v"))
           .join(pv.select(col("v"), col("comm").as("p2")), Seq("v"))
-          .agg(sum((col("comm") =!= col("p1")).cast("long")).as("d1"),
-            sum((col("comm") =!= col("p2")).cast("long")).as("d2"))
+          // coalesce: sum over an EMPTY vertex frame is null — the old
+          // limit(1).count() probe converged gracefully on an empty
+          // graph, this must too (0 mismatches = converged)
+          .agg(coalesce(sum((col("comm") =!= col("p1")).cast("long")), lit(0L))
+              .as("d1"),
+            coalesce(sum((col("comm") =!= col("p2")).cast("long")), lit(0L))
+              .as("d2"))
           .head()
         if (probe.getLong(0) == 0L) {
           // fixpoint: every later round is a no-op — a_max = a_t

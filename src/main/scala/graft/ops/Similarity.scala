@@ -376,12 +376,12 @@ object Similarity {
     // nn-descent, label-error screening, and the whole embedding-graph
     // family (via Graph.keFrame) — one LSH build per process, every
     // later consumer starts at a narrow 4-column scan
-    val path = knnCache.computeIfAbsent(dir, _ => {
-      val root =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_knn_${graft.Staging.token()}"
-      knnGraphBuild(spark, dir).write.parquet(root)
-      root
-    })
+    // bench mode disables the memo (OpCache): sim_knn_graph and every
+    // consumer then pays the LSH build — its declared work — per run
+    val path = graft.OpCache.getOrBuild(knnCache, dir) {
+      graft.OpCache.buildArtifact("knn")(root =>
+        knnGraphBuild(spark, dir).write.parquet(root))
+    }
     // the build ends ordered; restate the contract on the cached read
     spark.read.parquet(path).orderBy("vec_id", "rank")
   }
@@ -509,12 +509,16 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def graphIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = gidxCache.computeIfAbsent(dir, _ => {
-      val root =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_gidx_${graft.Staging.token()}"
-      nnDescent(spark, dir).write.parquet(root)
-      root
-    })
+    // PINNED even under the bench: this is the one sanctioned
+    // build/serve split — the build IS its own benched declared
+    // operator (sim_nndescent), the serve ops' docstrings declare
+    // serving from a persisted index, and the OpsSpec serve-split test
+    // pins "a second serve call must not rebuild". Serving rows
+    // therefore measure the declared read path, not a hidden build.
+    val path = graft.OpCache.getOrBuildPinned(gidxCache, dir) {
+      graft.OpCache.buildArtifact("gidx")(root =>
+        nnDescent(spark, dir).write.parquet(root))
+    }
     spark.read.parquet(path)
   }
 
@@ -1005,14 +1009,15 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ivfpqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val root = ivfpqIdxCache.computeIfAbsent(dir, _ => {
-      val r =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_ivfpq_${graft.Staging.token()}"
-      val (codes, cb1) = ivfpqIndexBuild(spark, dir)
-      codes.write.parquet(s"$r/codes")
-      cb1.write.parquet(s"$r/cb")
-      r
-    })
+    // bench mode disables the memo (OpCache): sim_ivfpq_topk/refine
+    // then pay the training — their declared work — on every run
+    val root = graft.OpCache.getOrBuild(ivfpqIdxCache, dir) {
+      graft.OpCache.buildArtifact("ivfpq") { r =>
+        val (codes, cb1) = ivfpqIndexBuild(spark, dir)
+        codes.write.parquet(s"$r/codes")
+        cb1.write.parquet(s"$r/cb")
+      }
+    }
     (spark.read.parquet(s"$root/codes"), spark.read.parquet(s"$root/cb"))
   }
 
@@ -2240,15 +2245,16 @@ object Similarity {
 
   private def pcaFit(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val root = pcaCache.computeIfAbsent(dir, _ => {
-      val r =
-        s"${graft.sources.TableRefs.tmpfsRoot}/graft_pca_${graft.Staging.token()}"
-      val (means, vrFinal, vFinal) = pcaFitBuild(spark, dir)
-      means.write.parquet(s"$r/means")
-      vrFinal.write.parquet(s"$r/vr")
-      vFinal.write.parquet(s"$r/v")
-      r
-    })
+    // bench mode disables the memo (OpCache): embed_pca_power and
+    // embed_project then pay the fit — their declared work — per run
+    val root = graft.OpCache.getOrBuild(pcaCache, dir) {
+      graft.OpCache.buildArtifact("pca") { r =>
+        val (means, vrFinal, vFinal) = pcaFitBuild(spark, dir)
+        means.write.parquet(s"$r/means")
+        vrFinal.write.parquet(s"$r/vr")
+        vFinal.write.parquet(s"$r/v")
+      }
+    }
     val means = spark.read.parquet(s"$root/means")
     val cent = embXq(spark, dir).join(broadcast(means), Seq("dim"))
       .select(col("vec_id"), col("dim"), (col("xq") - col("mean_q")).as("cq"))
