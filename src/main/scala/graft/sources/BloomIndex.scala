@@ -73,16 +73,32 @@ object BloomIndex {
   private[graft] def stage(spark: SparkSession, dir: String): BStore = {
     val store = s"$tmpfsRoot/graft_bloom_${graft.Staging.token()}"
     rm(new java.io.File(store))
+    // one pass over orders (guide §1.2): the projection is lazily
+    // checkpointed — the data write materializes it — and the sizing
+    // table + key maximum come from ONE bounded aggregation whose rows
+    // are collected once (the old shape re-scanned orders for fm, for
+    // the index's fm broadcast, for max(k), and for fm.count())
     val o = Tables(spark, dir, "orders")
       .select(col("o_orderkey").as("k"),
         floor(col("o_totalprice") * 100).cast("long").as("price_c"),
         year(col("o_orderdate")).cast("long").as("p"))
+      .localCheckpoint(eager = false)
     o.repartition(col("p"))
       .write.mode(SaveMode.Overwrite).partitionBy("p")
       .parquet(s"$store/data")
     // per-file filter sizing: m = BitsPerKey * keys-in-file (orderkey
-    // is the primary key, so keys = rows)
-    val fm = o.groupBy("p").agg((count(lit(1)) * BitsPerKey).as("m"))
+    // is the primary key, so keys = rows); max(k) rides the same job
+    val fmRows = o.groupBy("p")
+      .agg((count(lit(1)) * BitsPerKey).as("m"), max("k").as("mxk"))
+      .collect().toIndexedSeq
+    val fm = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        fmRows.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     fm.write.mode(SaveMode.Overwrite).parquet(s"$store/fm")
     // the index: distinct bloom positions -> sparse non-zero words,
     // built with a map-side-combinable two-level bit_or aggregation
@@ -95,8 +111,7 @@ object BloomIndex {
         expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
       .groupBy("p", "widx").agg(expr("bit_or(bit)").as("word"))
       .write.mode(SaveMode.Overwrite).parquet(s"$store/index")
-    val mk = o.agg(max("k")).collect()(0).getLong(0)
-    BStore(store, fm.count(), mk)
+    BStore(store, fmRows.length.toLong, fmRows.map(_.getLong(2)).max)
   }
 
   /** The default 20-probe batch. */
@@ -155,36 +170,39 @@ object BloomIndex {
     */
   private[graft] def servePerProbe(spark: SparkSession, st: BStore,
       probes: DataFrame): DataFrame = {
-      val hits = planProbeFrame(spark, st, probes).cache()
-      val hitFiles = hits.select("p").distinct()
-        .collect().map(_.getLong(0)).sorted
+      import spark.implicits._
+      // the bloom plan is bounded metadata (probes × hit files):
+      // collect it ONCE and derive the file list and per-probe
+      // files_hit driver-side (was: a cached frame + a distinct
+      // collect + a three-way broadcast-join collect)
+      val probeKeys = probes.collect().map(_.getLong(0)).sorted
+      val hitRows = planProbeFrame(spark, st, probes).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val hitFiles = hitRows.map(_._2).distinct.sorted
+      val filesHit = hitRows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
       // the pruned read: only bloom-hit partitions are opened; the
       // per-probe file restriction is the broadcast hits join
-      val matched =
-        if (hitFiles.isEmpty)
-          spark.range(0).select(lit(0L).as("pk"), lit(0L).as("n_match"),
-            lit(0L).as("sum_price_c"))
+      val matched: Map[Long, (Long, Long)] =
+        if (hitFiles.isEmpty) Map.empty
         else spark.read.option("basePath", s"${st.store}/data")
           .parquet(hitFiles.map(p => s"${st.store}/data/p=$p").toIndexedSeq: _*)
-          .join(broadcast(hits), Seq("p"))
+          .join(broadcast(hitRows.toSeq.toDF("pk", "p")), Seq("p"))
           .filter(col("k") === col("pk"))
           .groupBy("pk")
           .agg(count(lit(1)).as("n_match"),
             sum(col("price_c")).as("sum_price_c"))
-      val perProbe = probes
-        .join(broadcast(hits.groupBy("pk").agg(count(lit(1)).as("files_hit"))),
-          Seq("pk"), "left")
-        .join(broadcast(matched), Seq("pk"), "left")
-        .select(col("pk").as("probe_key"),
-          lit(st.filesTotal).as("files_total"),
-          coalesce(col("files_hit"), lit(0L)).as("files_hit"),
-          coalesce(col("n_match"), lit(0L)).as("n_match"),
-          coalesce(col("sum_price_c"), lit(0L)).as("sum_price_c"))
-        .orderBy("probe_key")
-      val rows = perProbe.collect().toIndexedSeq
-      hits.unpersist()
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-        perProbe.schema)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val out = probeKeys.map { pk =>
+        val (nm, spc) = matched.getOrElse(pk, (0L, 0L))
+        (pk, st.filesTotal, filesHit.getOrElse(pk, 0L), nm, spc)
+      }.toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(out, 1).map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)),
+        org.apache.spark.sql.types.StructType(
+          Seq("probe_key", "files_total", "files_hit", "n_match",
+            "sum_price_c").map(n => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Closed-form oracle: the identical index + probe arithmetic from

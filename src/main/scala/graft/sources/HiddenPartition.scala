@@ -68,26 +68,48 @@ object HiddenPartition {
     Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
   }
 
-  /** Staged store handle: root plus the transformed base frame. */
-  private[sources] final case class HStore(store: String) {
+  /** Staged store handle: root plus the collected cell manifest
+    * (bounded — one row per populated (pm, pb) cell).
+    */
+  private[sources] final case class HStore(store: String,
+      cells: Seq[(Long, Long, Long)] = Nil) {
     def drop(): Unit = rm(new java.io.File(store))
   }
 
   /** Write orders under the hidden (month, bucket) spec plus the cell
     * manifest.
+    *
+    * One pass over orders (guide §1.2): the transformed base frame is
+    * lazily checkpointed — the data write materializes it — so the
+    * cell aggregation reads the pinned blocks instead of re-scanning
+    * parquet and re-evaluating the md5 bucket transform. The cell
+    * manifest is BOUNDED metadata: collect it once, write the parquet
+    * manifest from the collected rows (zero recompute), and hand the
+    * rows to the planner driver-side (guide §5 — the plan arithmetic
+    * was always driver-side; now it costs zero extra jobs).
     */
-  private[sources] def stage(spark: SparkSession, dir: String): HStore = {
+  private[sources] def stage(spark: SparkSession, dir: String): HStore =
+    stageFrom(spark, base(spark, dir).localCheckpoint(eager = false))
+
+  /** [[stage]] over an already-pinned base frame (the query entry
+    * shares one checkpoint between staging and its own planning
+    * aggregates).
+    */
+  private[sources] def stageFrom(spark: SparkSession, o: DataFrame): HStore = {
     val store = s"$tmpfsRoot/graft_hidpart_${graft.Staging.token()}"
     rm(new java.io.File(store))
-    val o = base(spark, dir)
     o.repartition(col("pm"), col("pb"))
       .write.mode(SaveMode.Overwrite).partitionBy("pm", "pb")
       .parquet(s"$store/data")
     // the cell manifest: populated (pm, pb) cells — what the table
     // format's metadata layer hands the planner
-    o.groupBy("pm", "pb").agg(count(lit(1)).as("n_rows"))
+    val cellsDf = o.groupBy("pm", "pb").agg(count(lit(1)).as("n_rows"))
+    val cellRows = cellsDf.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(cellRows, 1),
+        cellsDf.schema)
       .write.mode(SaveMode.Overwrite).parquet(s"$store/cells")
-    HStore(store)
+    HStore(store,
+      cellRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
   /** Orders with the two hidden transforms applied. */
@@ -102,10 +124,14 @@ object HiddenPartition {
         s" % $Buckets").as("pb"))
 
   def hiddenPartition(spark: SparkSession, dir: String): DataFrame = {
-    val st = stage(spark, dir)
+    // ONE pass over orders: the transformed base is pinned lazily and
+    // shared by the staging write, the cell manifest, and the two
+    // point-key aggregates below (was four independent parquet scans,
+    // each re-evaluating the md5 bucket transform — guide §1.2)
+    val o = base(spark, dir).localCheckpoint(eager = false)
+    val st = stageFrom(spark, o)
     val store = st.store
     try {
-      val o = base(spark, dir)
       // the query's point key: smallest custkey >= 40% of max that HAS
       // an order inside the raw date window (guarantees n_match >= 1)
       val mk = o.agg(max("c")).collect()(0).getLong(0)
@@ -118,13 +144,14 @@ object HiddenPartition {
         org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$k")) % Buckets
 
       // plan: derive partition predicates from the raw predicates via
-      // the transforms, intersect with the cell manifest
-      val cells = spark.read.parquet(s"$store/cells")
-      val filesTotal = cells.count()
-      val hit = cells
-        .filter(col("pm") >= PmLo && col("pm") <= PmHi && col("pb") === kb)
-        .select("pm", "pb").collect()
-        .map(r => s"$store/data/pm=${r.getLong(0)}/pb=${r.getLong(1)}")
+      // the transforms, intersect with the cell manifest — driver-side
+      // arithmetic over the bounded manifest the stage already
+      // collected (was a count job + a collect job over the parquet)
+      val filesTotal = st.cells.length.toLong
+      val hit = st.cells
+        .filter { case (pm, pb, _) => pm >= PmLo && pm <= PmHi && pb == kb }
+        .map { case (pm, pb, _) => s"$store/data/pm=$pm/pb=$pb" }
+        .toArray
       val pruned =
         if (hit.isEmpty)
           spark.range(0).select(lit(0L).as("c"), lit(0L).as("total_c"),

@@ -57,23 +57,39 @@ object HiddenZOrder {
   private def tmpfsRoot: String = TableRefs.tmpfsRoot
   private def rm(f: java.io.File): Unit = TableRefs.rm(f)
 
-  /** Orders with the quarter transform and the z assignment applied:
-    * (c, total_c, d, pq, z, fid).
-    */
-  private[sources] def base(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders").select(
+  /** The raw projection the transforms apply over. */
+  private def rawOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select(
       col("o_custkey").as("c"),
       floor(col("o_totalprice") * 100).cast("long").as("total_c"),
       col("o_orderdate").as("d"),
       (year(col("o_orderdate")).cast("long") * 4 +
         floor((month(col("o_orderdate")) - 1) / 3.0).cast("long")).as("pq"))
-    val mx = o.agg(max("c").as("mc"), max("total_c").as("mtc"))
-    o.crossJoin(broadcast(mx))
-      .withColumn("cn", expr(s"(c * ${1L << Queries.ZBits}) div (mc + 1L)"))
-      .withColumn("tn", expr(s"(total_c * ${1L << Queries.ZBits}) div (mtc + 1L)"))
+
+  /** The normalization maxima (mc, mtc), one tiny agg job. */
+  private def maxima(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = rawOrders(spark, dir).agg(max("c"), max("total_c")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Orders with the quarter transform and the z assignment applied:
+    * (c, total_c, d, pq, z, fid). The maxima are baked in as literals
+    * (collected once by the caller) — the old crossJoin(broadcast(mx))
+    * re-ran the max-subquery broadcast inside EVERY execution that
+    * referenced the frame.
+    */
+  private[sources] def baseWith(spark: SparkSession, dir: String,
+      mc: Long, mtc: Long): DataFrame =
+    rawOrders(spark, dir)
+      .withColumn("cn", expr(s"(c * ${1L << Queries.ZBits}) div ${mc + 1}L"))
+      .withColumn("tn", expr(s"(total_c * ${1L << Queries.ZBits}) div ${mtc + 1}L"))
       .withColumn("z", expr(Queries.zInterleaveExpr("cn", "tn")))
       .withColumn("fid", expr(s"z div ${1L << (2 * Queries.ZBits - FidBits)}"))
       .select("c", "total_c", "d", "pq", "z", "fid")
+
+  private[sources] def base(spark: SparkSession, dir: String): DataFrame = {
+    val (mc, mtc) = maxima(spark, dir)
+    baseWith(spark, dir, mc, mtc)
   }
 
   /** Staged store handle plus the planner's metadata. */
@@ -89,7 +105,16 @@ object HiddenZOrder {
   private[sources] def stage(spark: SparkSession, dir: String): HZStore = {
     val store = s"$tmpfsRoot/graft_hidz_${graft.Staging.token()}"
     rm(new java.io.File(store))
-    val b = base(spark, dir)
+    // ONE pass over orders (guide §1.2/§5): maxima collected once and
+    // baked into the transform as literals; the transformed base is
+    // lazily checkpointed — the layout write materializes it — so the
+    // stats aggregation reads pinned blocks instead of re-scanning
+    // parquet and re-running the z interleave; the bounded stats
+    // manifest is collected ONCE and both prune layers run driver-side
+    // over the collected rows (was: three extra base recomputes plus a
+    // count job and two collect jobs over the stats parquet).
+    val (mc, mtc) = maxima(spark, dir)
+    val b = baseWith(spark, dir, mc, mtc).localCheckpoint(eager = false)
     // one shuffle keyed by (cell, fid); z-sorted within each file for
     // tight row-group envelopes inside tight file envelopes
     // the sort leads with the partition columns so the partitioned
@@ -102,30 +127,30 @@ object HiddenZOrder {
       .parquet(s"$store/data")
     // the stats manifest: per-(cell, file) envelopes on BOTH clustered
     // dimensions — the metadata an Iceberg manifest keeps per file
-    b.groupBy("pq", "fid")
+    val statsDf = b.groupBy("pq", "fid")
       .agg(min("c").as("lo_c"), max("c").as("hi_c"),
         min("total_c").as("lo_tc"), max("total_c").as("hi_tc"),
         count(lit(1)).as("n_rows"))
+    val statsRows = statsDf.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(statsRows, 1),
+        statsDf.schema)
       .write.mode(SaveMode.Overwrite).parquet(s"$store/stats")
 
-    val mxr = b.agg(max("c"), max("total_c")).collect()(0)
-    val (mc, mtc) = (mxr.getLong(0), mxr.getLong(1))
     val (cLo, cHi) = ((30L * mc) / 100L, (45L * mc) / 100L)
     val (tcLo, tcHi) = ((20L * mtc) / 100L, (50L * mtc) / 100L)
-    val stats = spark.read.parquet(s"$store/stats")
-    val filesTotal = stats.count()
+    val filesTotal = statsRows.length.toLong
     // level 1: the raw date range derives a quarter interval through
     // the transform (quarter numbers are order-preserving in date)
-    val afterQ = stats.filter(col("pq") >= PqLo && col("pq") <= PqHi)
-      .select("pq", "fid", "n_rows").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq
+    val afterQ = statsRows
+      .filter(r => r.getLong(0) >= PqLo && r.getLong(0) <= PqHi)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6)))
     // level 2: within surviving cells, stats-envelope overlap on the
     // (custkey, price) box
-    val hit = stats.filter(col("pq") >= PqLo && col("pq") <= PqHi &&
-        col("hi_c") >= cLo && col("lo_c") <= cHi &&
-        col("hi_tc") >= tcLo && col("lo_tc") <= tcHi)
-      .select("pq", "fid", "n_rows").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq
+    val hit = statsRows
+      .filter(r => r.getLong(0) >= PqLo && r.getLong(0) <= PqHi &&
+        r.getLong(3) >= cLo && r.getLong(2) <= cHi &&
+        r.getLong(5) >= tcLo && r.getLong(4) <= tcHi)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6)))
     HZStore(store, filesTotal, afterQ, hit, cLo, cHi, tcLo, tcHi)
   }
 

@@ -132,13 +132,27 @@ object IngestDispatch {
   /** Stage the same volume through EVERY input arm under `root`:
     * slice dirs, stacks, the `n5/` [[N5Binary]] container, and the
     * `zarr/` [[ZarrBinary]] container.
+    *
+    * The five arms are INDEPENDENT writes to disjoint subdirs, and
+    * each is a small job whose tail leaves most cores idle — so they
+    * are submitted from a thread pool and overlap (guide §2.6): the
+    * scheduler back-fills one arm's stragglers with the next arm's
+    * tasks. Wall time ≈ slowest arm, not the sum of five.
     */
   def stageAll(spark: SparkSession, dir: String, root: String): Unit = {
-    stageSlices(spark, dir, root)
-    stageStacks(spark, dir, root)
-    N5Binary.writeContainer(spark, dir, s"$root/n5")
-    ZarrBinary.writeContainer(spark, dir, s"$root/zarr")
-    Zarr3Binary.writeContainer(spark, dir, s"$root/zarr3")
+    val arms: Seq[() => Unit] = Seq(
+      () => stageSlices(spark, dir, root),
+      () => stageStacks(spark, dir, root),
+      () => N5Binary.writeContainer(spark, dir, s"$root/n5"),
+      () => ZarrBinary.writeContainer(spark, dir, s"$root/zarr"),
+      () => Zarr3Binary.writeContainer(spark, dir, s"$root/zarr3"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futures = arms.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = a()
+      }))
+      futures.foreach(_.get()) // rethrows the first arm failure
+    } finally pool.shutdown()
   }
 
   // ---------------------------------------------------------------- sniffing

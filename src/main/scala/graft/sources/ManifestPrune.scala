@@ -47,25 +47,35 @@ object ManifestPrune {
         .select(col("o_orderkey").as("k"),
           floor(col("o_totalprice") * 100).cast("long").as("total_c"))
       val mk = o.agg(max("k")).collect()(0).getLong(0)
+      // one pass over orders (guide §1.2): the fid-stamped frame is
+      // lazily checkpointed — the data write materializes it — so the
+      // stats aggregation reads pinned blocks instead of re-scanning
       val b = o.withColumn("fid", expr(s"(k * $MFiles) div (${mk + 1}L)"))
+        .localCheckpoint(eager = false)
       b.repartition(col("fid")).sortWithinPartitions("fid", "k")
         .write.mode(SaveMode.Overwrite).partitionBy("fid")
         .parquet(s"$store/data")
 
       // file stats grouped into manifest FILES (one parquet per mid)…
-      val stats = b.groupBy("fid")
+      // BOUNDED metadata (MFiles rows): computed once, collected, the
+      // manifest files written from the collected rows and the
+      // manifest LIST derived driver-side (was: two more full
+      // recomputes of b — one per metadata write/aggregate)
+      val statsDf = b.groupBy("fid")
         .agg(min("k").as("lo_k"), max("k").as("hi_k"),
           count(lit(1)).as("n_rows"))
         .withColumn("mid", expr(s"fid div $PerManifest"))
-      stats.repartition(col("mid"))
+      val statsRows = statsDf.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(statsRows, 1),
+          statsDf.schema)
+        .repartition(col("mid"))
         .write.mode(SaveMode.Overwrite).partitionBy("mid")
         .parquet(s"$store/_meta/manifests")
       // …indexed by the manifest LIST (envelope per manifest)
-      val mlist = stats.groupBy("mid")
-        .agg(min("lo_k").as("lo_k"), max("hi_k").as("hi_k"),
-          count(lit(1)).as("n_files")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1)
+      val mlist = statsRows.groupBy(_.getLong(4)).map { case (mid, rs) =>
+        (mid, rs.map(_.getLong(1)).min, rs.map(_.getLong(2)).max,
+          rs.length.toLong)
+      }.toSeq.sortBy(_._1)
 
       // hierarchical plan for the 30–35 % key band
       val (loB, hiB) = ((30L * mk) / 100L, (35L * mk) / 100L)

@@ -34,16 +34,27 @@ object StatsPrune {
   }
 
   /** Staged store handle shared by the batch op and its streaming
-    * twin: root, stats-cell count, and the key maximum the bands are
-    * fractions of.
+    * twin: root, stats-cell count, the key maximum the bands are
+    * fractions of, and the collected per-file stats manifest (bounded
+    * metadata — what an Iceberg manifest hands any planner).
     */
   private[graft] final case class PStore(store: String, filesTotal: Long,
-      mk: Long) {
+      mk: Long, stats: Seq[(Long, Long, Long, Long)] = Nil) {
     def drop(): Unit = rm(new java.io.File(store))
   }
 
   /** Write orders as (year, orderkey-range) files with the per-file
     * min/max/count stats table beside them.
+    *
+    * One pass over orders (guide §1.2/§5): mk is collected first (one
+    * tiny agg job) and baked into the fid expression as a literal —
+    * the old crossJoin(broadcast(mx)) re-ran the max-subquery
+    * broadcast inside every execution that touched `base`. The staged
+    * base is lazily checkpointed (the data write materializes it), so
+    * the stats aggregation reads pinned blocks instead of re-scanning
+    * orders; the bounded stats manifest is collected once — the
+    * parquet manifest is written from the collected rows and the
+    * planner gets them driver-side for free.
     */
   private[graft] def stage(spark: SparkSession, dir: String): PStore = {
     val store = s"$tmpfsRoot/graft_sprune_${graft.Staging.token()}"
@@ -52,21 +63,27 @@ object StatsPrune {
       .select(col("o_orderkey").as("k"),
         floor(col("o_totalprice") * 100).cast("long").as("total_c"),
         year(col("o_orderdate")).cast("long").as("p"))
-    val mx = o.agg(max("k").as("mk"))
-    val base = o.crossJoin(broadcast(mx))
-      .withColumn("fid", expr(s"(k * $PruneFiles) div (mk + 1L)"))
-    base.select(col("k"), col("total_c"), col("p"), col("fid"))
+    val mk = o.agg(max("k").as("mk")).collect()(0).getLong(0)
+    val base = o
+      .withColumn("fid", expr(s"(k * $PruneFiles) div ${mk + 1}L"))
+      .select(col("k"), col("total_c"), col("p"), col("fid"))
+      .localCheckpoint(eager = false)
+    base
       .repartition(col("p"), col("fid"))
       .write.mode(SaveMode.Overwrite).partitionBy("p", "fid")
       .parquet(s"$store/data")
     // the "manifest": per-file min/max/count stats, persisted beside
     // the data exactly like Iceberg manifest entries
-    base.groupBy("p", "fid")
+    val statsDf = base.groupBy("p", "fid")
       .agg(min("k").as("lo_k"), max("k").as("hi_k"),
         count(lit(1)).as("n_rows"))
+    val statsRows = statsDf.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(statsRows, 1),
+        statsDf.schema)
       .write.mode(SaveMode.Overwrite).parquet(s"$store/stats")
-    val filesTotal = spark.read.parquet(s"$store/stats").count()
-    PStore(store, filesTotal, mx.collect()(0).getLong(0))
+    PStore(store, statsRows.length.toLong, mk,
+      statsRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))))
   }
 
   /** Serve ONE key-band query [loB, hiB] from the staged store: plan
@@ -77,10 +94,12 @@ object StatsPrune {
     */
   private[graft] def servePlanned(spark: SparkSession, st: PStore,
       loB: Long, hiB: Long): (Long, Long, Long, Long, Long) = {
-    val stats = spark.read.parquet(s"${st.store}/stats")
-    val hit = stats.filter(col("hi_k") >= loB && col("lo_k") <= hiB)
-      .select("p", "fid").collect()
-      .map(r => s"${st.store}/data/p=${r.getLong(0)}/fid=${r.getLong(1)}")
+    // plan from the already-collected manifest: pure driver arithmetic
+    // (was a parquet read + collect job per served band)
+    val hit = st.stats
+      .filter { case (_, _, lo, hi) => hi >= loB && lo <= hiB }
+      .map { case (p, fid, _, _) => s"${st.store}/data/p=$p/fid=$fid" }
+      .toArray
     // empty plan arm: spark.read.parquet() with zero paths throws
     // ("unable to infer schema"), so a predicate overlapping no stats
     // cell must emit the zero-row aggregate directly

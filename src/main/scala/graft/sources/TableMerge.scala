@@ -90,7 +90,9 @@ object TableMerge {
     */
   private[sources] def applyChangeset(spark: SparkSession, store: String,
       cs0: DataFrame, batch: Option[Long] = None): (Int, Seq[Long]) = {
-    val cs = cs0.localCheckpoint()
+    // lazy checkpoint: the touched-partition collect right below is
+    // the materializing action — one job instead of two
+    val cs = cs0.localCheckpoint(eager = false)
     // the touched-partition list is bounded by the table's partition
     // count (a CDC batch touches a handful of dates) — a legitimate
     // driver-side plan input, like any partition-pruning predicate
